@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Central SparkSession factory: every entry point (Verify, Bench,
+ * tests) shares the same scale-oriented defaults — shuffle partitions
+ * sized to the local core count (not the 200 default), AQE on for
+ * runtime re-planning/skew handling, UTC for oracle parity, and
+ * nanosecond parquet timestamps read as longs (Spark 4 otherwise
+ * rejects TIMESTAMP(NANOS); Tables.events converts back to µs).
+ */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

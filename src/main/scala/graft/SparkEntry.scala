@@ -1,13 +1,92 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/**
+ * Driver contract: `queries` is the operator inventory (one entry per
+ * SURVEY.md §2 row), `oracleSql` the DuckDB-equivalent SQL for the
+ * hash-compare correctness gate. Aliases MUST match between the two.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q03Join(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (Relational.q01Agg _),
+    "q02_filter_project" -> (Relational.q02FilterProject _),
+    "q03_join" -> (Relational.q03Join _),
+    "q04_topk" -> (Relational.q04TopK _),
+    "q05_window" -> (Relational.q05Window _),
+    "q06_semijoin" -> (Relational.q06SemiJoin _),
+    "e01_sessionize" -> (Relational.e01Sessionize _),
+    "e02_stream_window" -> (Relational.e02StreamWindow _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q05_window" ->
+      """WITH w AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER win AS rn,
+        |    round(sum(l_quantity) OVER (win ROWS UNBOUNDED PRECEDING), 4) AS running_qty
+        |  FROM lineitem
+        |  WINDOW win AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) SELECT * FROM w WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+    "q06_semijoin" ->
+      """SELECT c_custkey,
+        |  (c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "e01_sessionize" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |), g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM ev
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS flag
+        |  FROM g
+        |), t AS (
+        |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s
+        |) SELECT user_id, session_id, count(*) AS n_events,
+        |    round(sum(value), 4) AS session_value
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e02_stream_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
 }

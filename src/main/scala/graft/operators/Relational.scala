@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/**
+ * Relational-core queries: the declarative substrate every higher
+ * operator builds on. Each is a pure Catalyst plan — filters and
+ * projections push to the parquet scan, dims broadcast, aggregates
+ * partial map-side. Numeric outputs are rounded to 4 decimals so the
+ * DuckDB oracle hash-compare is immune to summation-order ULPs.
+ */
+object Relational {
+
+  /** q01: TPC-H Q1-shaped grouped aggregate over lineitem. */
+  def q01Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q02: TPC-H Q6-shaped selective filter + single aggregate
+    * (showcases predicate pushdown into the scan). */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** q03: revenue per nation — 3 fact/dim joins, dims broadcast. */
+  def q03Join(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        countDistinct("o_orderkey").as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** q04: top-k with deterministic tie-break. */
+  def q04TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** q05: windowed ranking + running sum per supplier. */
+  def q05Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty", round(sum("l_quantity").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .filter(col("rn") <= 5)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "running_qty")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** q06: semi/anti join — customers with vs without orders. */
+  def q06SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_orders"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_orders"))
+    withOrders.unionAll(without).orderBy("c_custkey")
+  }
+
+  /** e01: sessionization — a new session starts after a >30 min gap.
+    * Two stacked windows (lag → gap flag → running sum) keep the whole
+    * thing one shuffle on user_id. */
+  def e01Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** e02: tumbling-window event aggregate — the batch plan equivalent
+    * of the Structured Streaming query in graft.streaming (same
+    * grouping; streaming variant adds a watermark). */
+  def e02StreamWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .orderBy("window_start", "event_type")
+}
