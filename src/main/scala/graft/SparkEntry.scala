@@ -78,8 +78,8 @@ object SparkEntry {
         |      OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS flag
         |  FROM g
         |), t AS (
-        |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM s
         |) SELECT user_id, session_id, count(*) AS n_events,
         |    round(sum(value), 4) AS session_value

@@ -205,8 +205,11 @@ object Numerics {
   def erfc(x: Double): Double = {
     if (x.isNaN) return Double.NaN
     val ax = math.abs(x)
+    // crossover at 1.0: the Laplace CF converges slowly below ~1 (at
+    // x=0.5 it stalls near 1e-10), while the Taylor series is fine for
+    // |x| < 1 — so the series owns [0,1).
     val r =
-      if (ax < 0.5) 1.0 - erfSeries(ax)
+      if (ax < 1.0) 1.0 - erfSeries(ax)
       else erfcCf(ax)
     if (x >= 0) r else 2.0 - r
   }

@@ -44,8 +44,10 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
+    // customer grows with scale factor — never broadcast it; AQE picks
+    // the join strategy. Only true dims (nation/region) broadcast.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(
@@ -74,15 +76,16 @@ object Relational {
       .orderBy("l_suppkey", "rn")
   }
 
-  /** q06: semi/anti join — customers with vs without orders. */
+  /** q06: semi/anti join — customers with vs without orders.
+    * Single pass: left-join against the distinct key set and project
+    * the null test — one scan + one shuffle of orders instead of the
+    * semi/anti union's two. */
   def q06SemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select("o_custkey")
-    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-      .select(col("c_custkey"), lit(true).as("has_orders"))
-    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select(col("c_custkey"), lit(false).as("has_orders"))
-    withOrders.unionAll(without).orderBy("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_custkey").distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_custkey").isNotNull.as("has_orders"))
+      .orderBy("c_custkey")
   }
 
   /** e01: sessionization — a new session starts after a >30 min gap.

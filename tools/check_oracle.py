@@ -45,7 +45,17 @@ def main(sfdir, outdir):
             print(f"ROWS     {name}: spark={len(a)} duck={len(b)}"); fail += 1; continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            print(f"OK       {name} ({len(a)} rows)"); ok += 1
+            # the driver's hash is type-sensitive (e.g. DuckDB HUGEINT vs
+            # Spark BIGINT) — flag dtype drift even when values match
+            # kind mismatches (int vs float vs object, e.g. DuckDB HUGEINT
+            # surfacing as float64/object) break the driver hash; width
+            # diffs (int32/int64, ns/us) proved hash-safe in r01
+            dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+                  if a[c].dtype.kind != b[c].dtype.kind]
+            if dt:
+                print(f"DTYPE    {name}: {dt}"); fail += 1
+            else:
+                print(f"OK       {name} ({len(a)} rows)"); ok += 1
         except AssertionError as e:
             print(f"VALUES   {name}: {str(e).splitlines()[-1][:200]}"); fail += 1
     print(f"\n{ok} ok, {fail} fail")
