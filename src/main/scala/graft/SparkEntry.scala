@@ -15,6 +15,12 @@ object SparkEntry {
     Relational.q03Join(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_assoc_linear" -> (Mas.a01AssocLinear _),
+    "a02_assoc_linear_cov" -> (Mas.a02AssocLinearCov _),
+    "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),
+    "a04_assoc_firth" -> (Mas.a04AssocFirth _),
+    "a05_case_counts" -> (Mas.a05CaseCounts _),
+    "a06_validation_skip" -> (Mas.a06ValidationSkip _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),
@@ -25,7 +31,7 @@ object SparkEntry {
     "e02_stream_window" -> (Relational.e02StreamWindow _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = Mas.oracleSql ++ Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -114,12 +114,18 @@ object Models {
    * logistf defaults. Returns Wald CI and a likelihood-ratio-test
    * p-value for coefficient 0 (the predictor), as the reference does.
    */
-  def firth(x: DenseMatrix[Double], y: DenseVector[Double]): FitResult = {
+  def firth(
+      x: DenseMatrix[Double],
+      y: DenseVector[Double],
+      maxIter: Int = 25,
+      maxStep: Double = 5.0,
+      gtol: Double = 1e-5,
+      xtol: Double = 1e-5): FitResult = {
     val xi = withIntercept(x)
-    val full = firthFit(xi, y, fixZero = -1)
+    val full = firthFit(xi, y, fixZero = -1, maxIter, maxStep, gtol, xtol)
     // LRT: refit with the predictor coefficient constrained to zero;
     // the Jeffreys penalty stays on the full design (logistf behavior).
-    val constrained = firthFit(xi, y, fixZero = 0)
+    val constrained = firthFit(xi, y, fixZero = 0, maxIter, maxStep, gtol, xtol)
     val stat = 2.0 * (full.pll - constrained.pll)
     val pval = Numerics.chi2Sf(math.max(stat, 0.0), 1.0)
     val b0 = full.beta(0)

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/**
+ * MAS query instances over the driver testdata: a deterministic
+ * PheWAS-shaped cohort derived from customer ⋈ orders (one sample per
+ * customer; continuous and binary "phenotypes" from order aggregates),
+ * exercising the association engine end-to-end against DuckDB oracles.
+ *
+ * The cohort construction is mirrored verbatim by `cohortSql` (CTE
+ * used by every a0x oracle): aggregates are rounded to 4 decimals at
+ * the source so engine-order FP drift can't leak into fits, and
+ * nulls are injected deterministically (id % 7 on y_avg; d_null all
+ * null) to exercise the reference's per-pair null-drop and "No data
+ * after dropping nulls." path.
+ */
+object Mas {
+
+  /** One row per customer: x continuous predictor, xbin binary
+    * predictor, z1 covariate, y_* quantitative dependents, d_* binary
+    * dependents with case rates chosen to hit each viability branch. */
+  def cohort(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      .agg(
+        round(avg("o_totalprice"), 4).as("y_avg0"),
+        round(max("o_totalprice"), 4).as("y_max"),
+        count(lit(1)).cast("double").as("y_cnt"),
+        max(when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0)).as("d_urgent"),
+        max(when(col("o_orderstatus") === "O", 1.0).otherwise(0.0)).as("d_open"),
+        when(sum("o_totalprice") > 1500000, 1.0).otherwise(0.0).as("d_big"),
+        when(count(lit(1)) >= 16, 1.0).otherwise(0.0).as("d_many"),
+        when(sum("o_totalprice") > 4800000, 1.0).otherwise(0.0).as("d_rare"))
+      .select(
+        col("c_custkey").as("id"),
+        col("c_acctbal").as("x"),
+        when(col("c_acctbal") > 0, 1.0).otherwise(0.0).as("xbin"),
+        col("c_nationkey").cast("double").as("z1"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("y_avg0")).as("y_avg"),
+        col("y_max"), col("y_cnt"),
+        col("d_urgent"), col("d_open"), col("d_big"), col("d_many"), col("d_rare"),
+        lit(1.0).as("d_all"),
+        lit(null).cast("double").as("d_null"))
+  }
+
+  /** DuckDB mirror of `cohort` — prepended to every a0x oracle. */
+  val cohortSql: String =
+    """WITH coh0 AS (
+      |  SELECT c.c_custkey AS id, c.c_acctbal AS x, c.c_nationkey AS nk,
+      |    round(avg(o.o_totalprice), 4) AS y_avg0,
+      |    round(max(o.o_totalprice), 4) AS y_max,
+      |    CAST(count(*) AS DOUBLE) AS y_cnt,
+      |    max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END) AS d_urgent,
+      |    max(CASE WHEN o.o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END) AS d_open,
+      |    CASE WHEN sum(o.o_totalprice) > 1500000 THEN 1.0 ELSE 0.0 END AS d_big,
+      |    CASE WHEN count(*) >= 16 THEN 1.0 ELSE 0.0 END AS d_many,
+      |    CASE WHEN sum(o.o_totalprice) > 4800000 THEN 1.0 ELSE 0.0 END AS d_rare
+      |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2, 3
+      |), cohort AS (
+      |  SELECT id, x, CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END AS xbin,
+      |    CAST(nk AS DOUBLE) AS z1,
+      |    CASE WHEN id % 7 = 0 THEN NULL ELSE y_avg0 END AS y_avg,
+      |    y_max, y_cnt, d_urgent, d_open, d_big, d_many, d_rare,
+      |    1.0 AS d_all, CAST(NULL AS DOUBLE) AS d_null
+      |  FROM coh0
+      |)""".stripMargin
+
+  // ------------------------------------------------------------ queries
+
+  /** a01: linear association, no covariates, three quantitative
+    * dependents. Oracle: DuckDB regr_* sufficient-stat formulas. */
+  def a01AssocLinear(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("x"), Seq("y_avg", "y_max", "y_cnt"),
+      model = "linear", minCaseCount = 10)
+    Association.assoc(cohort(spark, dir), cfg)
+      .select(col("predictor"), col("dependent"),
+        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        col("n_observations"))
+      .orderBy("dependent")
+  }
+
+  /** a02: linear association with the z1 covariate. Oracle: FWL —
+    * residual-on-residual simple regression (df-corrected se). */
+  def a02AssocLinearCov(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("x"), Seq("y_avg", "y_max"), Seq("z1"),
+      model = "linear", minCaseCount = 10)
+    Association.assoc(cohort(spark, dir), cfg)
+      .select(col("predictor"), col("dependent"),
+        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        col("n_observations"))
+      .orderBy("dependent")
+  }
+
+  /** a03: logistic association of a binary predictor — the 2×2
+    * saturated model, whose MLE is the sample log-odds-ratio, so the
+    * oracle is closed-form SQL over the contingency cells. Tight
+    * tolerance so the fit agrees with the closed form past the 4-dp
+    * rounding. */
+  def a03AssocLogistic(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("xbin"), Seq("d_urgent", "d_open", "d_big", "d_many"),
+      model = "logistic", minCaseCount = 5, maxIter = 100, tol = 1e-12)
+    Association.assoc(cohort(spark, dir), cfg)
+      .select(col("predictor"), col("dependent"),
+        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        round(col("OR"), 4).as("OR"),
+        col("cases"), col("controls"), col("total_n"))
+      .orderBy("dependent")
+  }
+
+  /** a04: Firth association on the same 2×2 tables — the penalized
+    * estimate equals the Haldane-corrected (+0.5 per cell) log-OR
+    * (Firth 1993), giving a closed-form beta/OR oracle. se/pval are
+    * spec-verified (the Firth Wald se is not the Haldane formula). */
+  def a04AssocFirth(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("xbin"), Seq("d_urgent", "d_open", "d_big", "d_many"),
+      model = "firth", minCaseCount = 5, maxIter = 200, tol = 1e-11)
+    Association.assoc(cohort(spark, dir), cfg)
+      .select(col("predictor"), col("dependent"),
+        round(col("beta"), 4).as("beta"), round(col("OR"), 4).as("OR"),
+        col("cases"), col("controls"), col("total_n"))
+      .orderBy("dependent")
+  }
+
+  /** a05: per-pair case/control counts + viability flag
+    * (analysis.py:168-193) as a pure aggregate — no fit. */
+  def a05CaseCounts(spark: SparkSession, dir: String): DataFrame = {
+    val minCase = 50
+    val cfg = Association.Config(Seq("xbin"),
+      Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all"))
+    Association.melt(cohort(spark, dir), cfg)
+      .groupBy("predictor", "dependent")
+      .agg(sum("y").cast("long").as("cases"), count(lit(1)).as("total_n"))
+      .select(col("predictor"), col("dependent"), col("cases"),
+        (col("total_n") - col("cases")).as("controls"), col("total_n"),
+        (col("cases") >= minCase && (col("total_n") - col("cases")) >= minCase &&
+          col("cases") =!= col("total_n")).as("viable"))
+      .orderBy("dependent")
+  }
+
+  /** a06: validation-skip rows — reference defaults (firth, logistf
+    * tolerances) with min_case_count=100 so each non-viable branch of
+    * analysis.py:168-193 fires; viable pairs carry "nan". */
+  def a06ValidationSkip(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("xbin"),
+      Seq("d_big", "d_open", "d_rare", "d_all", "d_null"), minCaseCount = 100)
+    Association.assoc(cohort(spark, dir), cfg)
+      .select(col("predictor"), col("dependent"), col("failed_reason"))
+      .orderBy("dependent")
+  }
+
+  // --------------------------------------------------------- oracle SQL
+
+  /** One closed-form 2×2 branch per dependent (shared by a03/a04). */
+  private def cells(dep: String): String =
+    s"""(SELECT
+       |  CAST(sum(CASE WHEN xbin = 1 AND $dep = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+       |  CAST(sum(CASE WHEN xbin = 1 AND $dep = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n10,
+       |  CAST(sum(CASE WHEN xbin = 0 AND $dep = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n01,
+       |  CAST(sum(CASE WHEN xbin = 0 AND $dep = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n00
+       |FROM cohort WHERE $dep IS NOT NULL)""".stripMargin
+
+  private def linBranch(dep: String): String =
+    s"""SELECT 'x' AS predictor, '$dep' AS dependent,
+       |  round(regr_slope($dep, x), 4) AS beta,
+       |  round(sqrt(regr_syy($dep, x) * (1 - regr_r2($dep, x))
+       |    / (regr_count($dep, x) - 2) / regr_sxx($dep, x)), 4) AS se,
+       |  CAST(regr_count($dep, x) AS BIGINT) AS n_observations
+       |FROM cohort""".stripMargin
+
+  private def fwlBranch(dep: String): String =
+    s"""SELECT 'x' AS predictor, '$dep' AS dependent,
+       |  round(regr_slope(yr, xr), 4) AS beta,
+       |  round(sqrt(regr_syy(yr, xr) * (1 - regr_r2(yr, xr))
+       |    / (regr_count(yr, xr) - 3) / regr_sxx(yr, xr)), 4) AS se,
+       |  CAST(regr_count(yr, xr) AS BIGINT) AS n_observations
+       |FROM (
+       |  SELECT $dep - (p.ay + p.by * z1) AS yr, x - (p.ax + p.bx * z1) AS xr
+       |  FROM cohort, (
+       |    SELECT regr_slope($dep, z1) AS by, regr_intercept($dep, z1) AS ay,
+       |           regr_slope(x, z1) AS bx, regr_intercept(x, z1) AS ax
+       |    FROM cohort WHERE $dep IS NOT NULL AND x IS NOT NULL) p
+       |  WHERE $dep IS NOT NULL AND x IS NOT NULL)""".stripMargin
+
+  private def logisticBranch(dep: String): String =
+    s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
+       |  round(ln((n11 * n00) / (n10 * n01)), 4) AS beta,
+       |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 4) AS se,
+       |  round((n11 * n00) / (n10 * n01), 4) AS "OR",
+       |  CAST(n11 + n01 AS BIGINT) AS cases,
+       |  CAST(n10 + n00 AS BIGINT) AS controls,
+       |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS total_n
+       |FROM ${cells(dep)}""".stripMargin
+
+  private def firthBranch(dep: String): String =
+    s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
+       |  round(ln(((n11+0.5) * (n00+0.5)) / ((n10+0.5) * (n01+0.5))), 4) AS beta,
+       |  round(((n11+0.5) * (n00+0.5)) / ((n10+0.5) * (n01+0.5)), 4) AS "OR",
+       |  CAST(n11 + n01 AS BIGINT) AS cases,
+       |  CAST(n10 + n00 AS BIGINT) AS controls,
+       |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS total_n
+       |FROM ${cells(dep)}""".stripMargin
+
+  private def countsBranch(dep: String, minCase: Int): String =
+    s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
+       |  CAST(sum($dep) AS BIGINT) AS cases,
+       |  CAST(count(*) - sum($dep) AS BIGINT) AS controls,
+       |  CAST(count(*) AS BIGINT) AS total_n,
+       |  (sum($dep) >= $minCase AND count(*) - sum($dep) >= $minCase
+       |    AND sum($dep) <> count(*)) AS viable
+       |FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL""".stripMargin
+
+  private def skipBranch(dep: String): String =
+    s"""SELECT '$dep' AS dep, count(*) AS n,
+       |  CAST(coalesce(sum($dep), 0) AS BIGINT) AS cases
+       |FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "a01_assoc_linear" ->
+      (cohortSql + "\n" +
+        Seq("y_avg", "y_max", "y_cnt").map(linBranch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a02_assoc_linear_cov" ->
+      (cohortSql + "\n" +
+        Seq("y_avg", "y_max").map(fwlBranch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a03_assoc_logistic" ->
+      (cohortSql + "\n" +
+        Seq("d_urgent", "d_open", "d_big", "d_many").map(logisticBranch)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a04_assoc_firth" ->
+      (cohortSql + "\n" +
+        Seq("d_urgent", "d_open", "d_big", "d_many").map(firthBranch)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a05_case_counts" ->
+      (cohortSql + "\n" +
+        Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all").map(countsBranch(_, 50))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a06_validation_skip" ->
+      (cohortSql + ", cnt AS (\n" +
+        Seq("d_big", "d_open", "d_rare", "d_all", "d_null").map(skipBranch)
+          .mkString("", "\nUNION ALL\n", ")\n") +
+        """SELECT 'xbin' AS predictor, dep AS dependent,
+          |  CASE WHEN n = 0 THEN 'No data after dropping nulls.'
+          |    WHEN cases < 100 THEN 'Insufficient case count (' || CAST(cases AS VARCHAR) || ' cases).'
+          |    WHEN n - cases < 100 THEN 'Insufficient control count (' || CAST(n - cases AS VARCHAR) || ' controls).'
+          |    WHEN cases = n THEN 'All observations are cases.'
+          |    ELSE 'nan' END AS failed_reason
+          |FROM cnt ORDER BY dependent""".stripMargin),
+  )
+}

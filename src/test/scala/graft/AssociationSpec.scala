@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Association
+import graft.functions.Numerics
+
+/** End-to-end tests of the association engine on tiny in-memory
+  * cohorts with analytically-known answers — covers what the DuckDB
+  * oracles can't (p-values, CIs, equation strings, grid completion,
+  * per-pair constant-covariate drop). */
+class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("2").appName("assoc-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def near(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol
+
+  test("linear path matches closed-form simple regression incl. pval") {
+    val sess = spark
+    import sess.implicits._
+    val n = 40
+    val rows = (0 until n).map { i =>
+      val x = i.toDouble
+      (i, x, 2.0 * x + 1.0 + math.sin(i * 2.7) * 3.0)
+    }
+    val df = rows.toDF("id", "p1", "dep1")
+    val cfg = Association.Config(Seq("p1"), Seq("dep1"), model = "linear", minCaseCount = 5)
+    val r = Association.assoc(df, cfg).collect()(0)
+    // closed form
+    val xs = rows.map(_._2); val ys = rows.map(_._3)
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(v => v * v).sum; val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icpt = (sy - slope * sx) / n
+    val rss = xs.zip(ys).map { case (x, y) => val e = y - slope * x - icpt; e * e }.sum
+    val se = math.sqrt(rss / (n - 2) / (sxx - sx * sx / n))
+    val t = slope / se
+    val pval = Numerics.tSf2(t, n - 2.0)
+    assert(near(r.getAs[Double]("beta"), slope, 1e-9))
+    assert(near(r.getAs[Double]("se"), se, 1e-9))
+    assert(near(r.getAs[Double]("pval"), pval, 1e-9))
+    assert(r.getAs[Long]("n_observations") == n)
+    assert(r.getAs[Boolean]("converged"))
+    assert(r.getAs[String]("failed_reason") == "nan")
+    // reference equation quirk: trailing "+ " with no covariates
+    assert(r.getAs[String]("equation") == "dep1 ~ p1 + ")
+  }
+
+  test("constant covariate is dropped per-pair (linear, from the Gram)") {
+    val sess = spark
+    import sess.implicits._
+    val df = (0 until 30).map { i =>
+      (i, i.toDouble, 7.0, i % 3 + 0.0, 3.0 * i + (i % 5))
+    }.toDF("id", "p1", "zconst", "zvar", "dep1")
+    val cfg = Association.Config(Seq("p1"), Seq("dep1"), Seq("zconst", "zvar"),
+      model = "linear", minCaseCount = 5)
+    val r = Association.assoc(df, cfg).collect()(0)
+    assert(r.getAs[String]("equation") == "dep1 ~ p1 + zvar")
+    assert(r.getAs[Boolean]("converged"))
+    assert(!r.getAs[Double]("beta").isNaN)
+  }
+
+  test("binary path: logistic matches 2x2 closed form incl. Wald pval") {
+    val sess = spark
+    import sess.implicits._
+    // exposed: 30 cases / 20 controls; unexposed: 10 / 40
+    val df = (0 until 100).map { i =>
+      val x = if (i < 50) 1.0 else 0.0
+      val y = if (i < 50) { if (i < 30) 1.0 else 0.0 } else { if (i < 60) 1.0 else 0.0 }
+      (i, x, y)
+    }.toDF("id", "p1", "dep1")
+    val cfg = Association.Config(Seq("p1"), Seq("dep1"), model = "logistic",
+      minCaseCount = 5, maxIter = 100, tol = 1e-12)
+    val r = Association.assoc(df, cfg).collect()(0)
+    val beta = math.log((30.0 * 40.0) / (20.0 * 10.0))
+    val se = math.sqrt(1.0 / 30 + 1.0 / 20 + 1.0 / 10 + 1.0 / 40)
+    assert(near(r.getAs[Double]("beta"), beta, 1e-8))
+    assert(near(r.getAs[Double]("se"), se, 1e-8))
+    assert(near(r.getAs[Double]("pval"), Numerics.normSf2(beta / se), 1e-8))
+    assert(near(r.getAs[Double]("OR"), math.exp(beta), 1e-6))
+    assert(r.getAs[Long]("cases") == 40L)
+    assert(r.getAs[Long]("controls") == 60L)
+    assert(r.getAs[Long]("total_n") == 100L)
+  }
+
+  test("firth beta converges to Haldane closed form at tight tolerance") {
+    val sess = spark
+    import sess.implicits._
+    val df = (0 until 100).map { i =>
+      val x = if (i < 50) 1.0 else 0.0
+      val y = if (i < 50) { if (i < 15) 1.0 else 0.0 } else { if (i < 55) 1.0 else 0.0 }
+      (i, x, y)
+    }.toDF("id", "p1", "dep1")
+    val cfg = Association.Config(Seq("p1"), Seq("dep1"), model = "firth",
+      minCaseCount = 5, maxIter = 200, tol = 1e-11)
+    val r = Association.assoc(df, cfg).collect()(0)
+    val expected = math.log((15.5 * 45.5) / (35.5 * 5.5))
+    assert(near(r.getAs[Double]("beta"), expected, 1e-7),
+      s"beta ${r.getAs[Double]("beta")} vs $expected")
+    assert(r.getAs[Double]("pval") > 0 && r.getAs[Double]("pval") < 0.05)
+  }
+
+  test("validation branches produce reference failure rows; grid restores null pairs") {
+    val sess = spark
+    import sess.implicits._
+    val df = (0 until 60).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      (i, x,
+        if (i < 3) 1.0 else 0.0,             // d_fewcases: 3 cases
+        if (i < 57) 1.0 else 0.0,            // d_fewcontrols: 3 controls
+        1.0,                                  // d_all: all cases
+        null.asInstanceOf[java.lang.Double]) // d_null
+    }.toDF("id", "p1", "d_fewcases", "d_fewcontrols", "d_all", "d_null")
+    val cfg = Association.Config(Seq("p1"),
+      Seq("d_fewcases", "d_fewcontrols", "d_all", "d_null"), minCaseCount = 5)
+    val out = Association.assoc(df, cfg).collect()
+      .map(r => r.getAs[String]("dependent") -> r).toMap
+    assert(out("d_fewcases").getAs[String]("failed_reason") == "Insufficient case count (3 cases).")
+    assert(out("d_fewcontrols").getAs[String]("failed_reason") == "Insufficient control count (3 controls).")
+    // all-cases with minCase>0 hits the controls branch first (reference order)
+    assert(out("d_all").getAs[String]("failed_reason") == "Insufficient control count (0 controls).")
+    assert(out("d_null").getAs[String]("failed_reason") == "No data after dropping nulls.")
+    assert(out("d_null").getAs[Long]("cases") == -9L)
+    assert(out("d_fewcases").getAs[Long]("total_n") == -9L)
+    assert(out.size == 4)
+  }
+
+  test("binary path drops per-pair constant covariates") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(3)
+    val df = (0 until 200).map { i =>
+      val x = rng.nextGaussian()
+      val z = rng.nextGaussian()
+      val p = 1.0 / (1.0 + math.exp(-(0.8 * x - 0.3 * z)))
+      (i, x, 5.0, z, if (rng.nextDouble() < p) 1.0 else 0.0)
+    }.toDF("id", "p1", "zconst", "zvar", "dep1")
+    val cfg = Association.Config(Seq("p1"), Seq("dep1"), Seq("zconst", "zvar"),
+      model = "logistic", minCaseCount = 5)
+    val r = Association.assoc(df, cfg).collect()(0)
+    assert(r.getAs[String]("equation") == "dep1 ~ p1 + zvar")
+    assert(r.getAs[Boolean]("converged"))
+    assert(r.getAs[Double]("beta") > 0)
+  }
+
+  test("multiple predictors x multiple dependents produce the full grid") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(9)
+    val df = (0 until 100).map { i =>
+      (i, rng.nextGaussian(), rng.nextGaussian(), rng.nextDouble(), rng.nextDouble())
+    }.toDF("id", "p1", "p2", "dep1", "dep2")
+    val cfg = Association.Config(Seq("p1", "p2"), Seq("dep1", "dep2"),
+      model = "linear", minCaseCount = 5)
+    val out = Association.assoc(df, cfg).collect()
+    assert(out.length == 4)
+    assert(out.map(r => (r.getAs[String]("predictor"), r.getAs[String]("dependent"))).toSet ==
+      Set(("p1", "dep1"), ("p1", "dep2"), ("p2", "dep1"), ("p2", "dep2")))
+  }
+}
