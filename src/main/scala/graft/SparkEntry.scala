@@ -21,6 +21,15 @@ object SparkEntry {
     "a04_assoc_firth" -> (Mas.a04AssocFirth _),
     "a05_case_counts" -> (Mas.a05CaseCounts _),
     "a06_validation_skip" -> (Mas.a06ValidationSkip _),
+    "p01_select_index" -> (Preprocess.p01SelectIndex _),
+    "p02_sex_filter" -> (Preprocess.p02SexFilter _),
+    "p03_fill_mean" -> (Preprocess.p03FillMean _),
+    "p04_fill_forward" -> (Preprocess.p04FillForward _),
+    "p05_drop_constant" -> (Preprocess.p05DropConstant _),
+    "p06_onehot" -> (Preprocess.p06OneHot _),
+    "p07_scale_standard" -> (Preprocess.p07ScaleStandard _),
+    "p08_rint" -> (Preprocess.p08Rint _),
+    "p09_log_transform" -> (Preprocess.p09LogTransform _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),
@@ -31,7 +40,7 @@ object SparkEntry {
     "e02_stream_window" -> (Relational.e02StreamWindow _),
   )
 
-  def oracleSql: Map[String, String] = Mas.oracleSql ++ Map(
+  def oracleSql: Map[String, String] = Mas.oracleSql ++ Preprocess.oracleSql ++ Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import graft.Tables
+import graft.functions.Numerics
+
+/**
+ * Preprocessing operators mirroring the reference's preprocessing
+ * stage (/root/reference/src/polars_mas/preprocessing.py) plus the
+ * README-roadmap transforms (RINT, scaling, log transform). All are
+ * declarative Catalyst plans except RINT's distributed rank.
+ */
+object Preprocess {
+
+  // ------------------------------------------------- p01 column selection
+
+  /** Reference column-spec parser (config.py:133-178): comma-separated
+    * names and positional specs `i:N`, `i:start-end` (end exclusive),
+    * `i:start-` (to the last column). Resolution happens on the
+    * schema — the projection itself stays a pushdown-friendly select. */
+  def selectColumns(df: DataFrame, spec: String): DataFrame = {
+    val names = df.columns
+    val out = spec.split(",").flatMap { raw =>
+      val colSpec = raw.trim
+      if (colSpec.startsWith("i:")) {
+        val idx = colSpec.drop(2)
+        if (idx.forall(_.isDigit)) {
+          val i = idx.toInt
+          require(i < names.length, s"Index $i is out of range for input with ${names.length} columns")
+          Seq(names(i))
+        } else if (idx.contains("-")) {
+          val Array(s, e) = idx.split("-", -1)
+          val start = s.toInt
+          val end = if (e.isEmpty) names.length else e.toInt
+          require(start < names.length, s"Start index $start is out of range")
+          require(end <= names.length, s"End index $end out of range for ${names.length} columns")
+          names.slice(start, end).toSeq
+        } else throw new IllegalArgumentException(
+          "Invalid index format. Please use i:<index>, i:<start>-<end>, or i:<start>-.")
+      } else {
+        require(names.contains(colSpec), s"Column $colSpec does not exist in the input file.")
+        Seq(colSpec)
+      }
+    }
+    df.select(out.map(col).toIndexedSeq: _*)
+  }
+
+  // ----------------------------------------------------- p02 sex filter
+
+  /** Sex-specific row filter (preprocessing.py:43-62): male = sex col
+    * != femaleCode, female = sex col == femaleCode. A pushed filter. */
+  def sexFilter(df: DataFrame, sexCol: String, femaleCode: Double, femaleOnly: Boolean): DataFrame =
+    if (femaleOnly) df.filter(col(sexCol) === femaleCode)
+    else df.filter(col(sexCol) =!= femaleCode)
+
+  // ------------------------------------------------------- p03/p04 fills
+
+  /** Missing-covariate fill (preprocessing.py:7-40): strategy ∈
+    * mean|min|max|zero|one. Statistics come from one aggregate row
+    * cross-joined back (broadcast — one row), so the fill is a pure
+    * projection afterwards. */
+  def fillNulls(df: DataFrame, cols: Seq[String], strategy: String): DataFrame = strategy match {
+    case "zero" => df.na.fill(0.0, cols)
+    case "one" => df.na.fill(1.0, cols)
+    case "drop" => df.na.drop(cols)
+    case s if s == "mean" || s == "min" || s == "max" =>
+      val aggFn: String => Column = s match {
+        case "mean" => c => avg(col(c))
+        case "min" => c => min(col(c))
+        case "max" => c => max(col(c))
+      }
+      val stats = df.agg(aggFn(cols.head).as(s"__f_${cols.head}"),
+        cols.tail.map(c => aggFn(c).as(s"__f_$c")): _*)
+      val filled = df.crossJoin(broadcast(stats))
+      cols.foldLeft(filled)((d, c) => d.withColumn(c, coalesce(col(c), col(s"__f_$c"))))
+        .drop(cols.map(c => s"__f_$c"): _*)
+    case other => throw new IllegalArgumentException(s"Unknown fill strategy: $other")
+  }
+
+  /** Forward/backward fill. The reference fills in frame row order
+    * (preprocessing.py:30-31); a distributed engine needs the order
+    * made explicit, so the operator takes partition + ordering keys —
+    * one shuffle, `last/first(ignoreNulls)` over a running window. */
+  def fillDirectional(
+      df: DataFrame, cols: Seq[String], forward: Boolean,
+      partitionBy: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val base = Window.partitionBy(partitionBy.map(col): _*)
+    val w =
+      if (forward) base.orderBy(orderBy.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else base.orderBy(orderBy.map(c => col(c).desc): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  // ------------------------------------------------- p05 constant columns
+
+  /** Zero-variance report (preprocessing.py:65-79): ONE aggregate pass
+    * over all candidate columns (map-side partial countDistinct), no
+    * per-column jobs. */
+  def constantReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val agg = df.agg(countDistinct(col(cols.head)).as(cols.head),
+      cols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+    // unpivot the single aggregate row: (col_name, n_unique, dropped)
+    val stacked = agg.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).as("n_unique"))): _*)).as("s"))
+    stacked.select(col("s.col_name").as("col_name"), col("s.n_unique").as("n_unique"),
+      (col("s.n_unique") <= 1).as("dropped")).orderBy("col_name")
+  }
+
+  /** Drop the constant columns found by `constantReport`'s predicate. */
+  def dropConstant(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val counts = df.agg(countDistinct(col(cols.head)).as(cols.head),
+      cols.tail.map(c => countDistinct(col(c)).as(c)): _*).head()
+    val toDrop = cols.filter(c => counts.getAs[Long](c) <= 1L)
+    df.drop(toDrop: _*)
+  }
+
+  // ------------------------------------------------------- p06 one-hot
+
+  /** Dummy-encode categoricals with >2 levels, dropping the first
+    * level (preprocessing.py:82-108). Levels are collected (bounded by
+    * category cardinality, like the reference's unique()) and sorted
+    * for determinism; the encoding itself is a pivot-free CASE WHEN
+    * projection Catalyst folds into the scan. */
+  def oneHot(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val levels = d.select(c).distinct().collect().map(_.get(0).toString).sorted
+      if (levels.length <= 2) d
+      else {
+        val dummies = levels.drop(1).map(v =>
+          when(col(c) === v, 1).otherwise(0).as(s"${c}_$v"))
+        d.select((d.columns.filterNot(_ == c).map(col).toSeq ++ dummies): _*)
+      }
+    }
+
+  // ----------------------------------------- p07/p08/p09 transforms
+
+  /** Covariate standardization (z-score): one aggregate row broadcast
+    * back, then a projection. */
+  def scaleStandard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = df.agg(
+      avg(col(cols.head)).as(s"__m_${cols.head}"),
+      (cols.tail.map(c => avg(col(c)).as(s"__m_$c")) ++
+        cols.map(c => stddev_samp(col(c)).as(s"__s_$c"))): _*)
+    val joined = df.crossJoin(broadcast(stats))
+    cols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, (col(c) - col(s"__m_$c")) / col(s"__s_$c")))
+      .drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
+  }
+
+  /**
+   * Rank-based inverse-normal transform (Blom offset):
+   * rint(v) = qnorm((rank − 0.375) / (n + 0.25)).
+   *
+   * Scale note: a global `row_number` window would collapse to one
+   * partition, so ranks come from a distributed sort +
+   * `zipWithIndex` (per-partition offsets, one light count job) —
+   * ranks stay exact, ties broken deterministically by the id column.
+   */
+  def rint(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(idCol).cast("long"), col(valueCol).cast("double"))
+      .where(col(valueCol).isNotNull)
+    val n = src.count()
+    val ranked = src.orderBy(col(valueCol), col(idCol)).rdd.zipWithIndex()
+      .map { case (r, i) => Row(r.getLong(0), r.getDouble(1), i + 1L) }
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField(valueCol, DoubleType),
+      StructField("rank", LongType)))
+    val qnormUdf = udf((p: Double) => Numerics.qnorm(p))
+    spark.createDataFrame(ranked, schema)
+      .withColumn("rint", qnormUdf((col("rank") - 0.375) / (n + 0.25)))
+  }
+
+  /** Log transform of dependents (roadmap): natural log projection. */
+  def logTransform(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, log(col(c))))
+
+  // ============================================================ queries
+
+  /** p01: name + positional selection over lineitem. */
+  def p01SelectIndex(spark: SparkSession, dir: String): DataFrame =
+    selectColumns(Tables.lineitem(spark, dir), "l_orderkey,i:4-7,l_shipdate,i:3")
+      .filter(col("l_orderkey") < 500)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** p02: female-only filter with sex = custkey parity. */
+  def p02SexFilter(spark: SparkSession, dir: String): DataFrame = {
+    val withSex = Tables.customer(spark, dir)
+      .withColumn("sex", (col("c_custkey") % 2).cast("double"))
+    sexFilter(withSex, "sex", femaleCode = 1.0, femaleOnly = true)
+      .select("c_custkey", "sex", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** p03: mean-fill of a deterministically nulled covariate. */
+  def p03FillMean(spark: SparkSession, dir: String): DataFrame = {
+    val holey = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_acctbal"))
+          .cast("double").as("acctbal"))
+    fillNulls(holey, Seq("acctbal"), "mean")
+      .select(col("c_custkey"), round(col("acctbal"), 4).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** p04: forward fill of nulled event values per user in time order. */
+  def p04FillForward(spark: SparkSession, dir: String): DataFrame = {
+    val holey = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 11 === 0, lit(null)).otherwise(col("value"))
+          .cast("double").as("value"))
+    fillDirectional(holey, Seq("value"), forward = true,
+      partitionBy = Seq("user_id"), orderBy = Seq("ts", "event_id"))
+      .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+  }
+
+  /** p05: constant-column report over part + two injected constants. */
+  def p05DropConstant(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.part(spark, dir)
+      .withColumn("const_num", lit(7.5))
+      .withColumn("const_str", lit("A"))
+    constantReport(df, Seq("p_brand", "p_size", "const_num", "const_str"))
+  }
+
+  /** p06: one-hot of the 5-level c_mktsegment, first level dropped. */
+  def p06OneHot(spark: SparkSession, dir: String): DataFrame =
+    oneHot(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+      Seq("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** p07: z-score standardization of c_acctbal. */
+  def p07ScaleStandard(spark: SparkSession, dir: String): DataFrame =
+    scaleStandard(Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_acctbal").cast("double").as("acctbal")),
+      Seq("acctbal"))
+      .select(col("c_custkey"), round(col("acctbal"), 4).as("acctbal"))
+      .orderBy("c_custkey")
+
+  /** p08: RINT of c_acctbal (rows-only driver check; spec-verified). */
+  def p08Rint(spark: SparkSession, dir: String): DataFrame =
+    rint(Tables.customer(spark, dir), "c_acctbal", "c_custkey")
+      .select(col("c_custkey"), col("rank"), round(col("rint"), 4).as("rint"))
+      .orderBy("c_custkey")
+
+  /** p09: natural-log transform of p_retailprice. */
+  def p09LogTransform(spark: SparkSession, dir: String): DataFrame =
+    logTransform(Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_retailprice").cast("double").as("price")),
+      Seq("price"))
+      .select(col("p_partkey"), round(col("price"), 4).as("price"))
+      .orderBy("p_partkey")
+
+  // --------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_select_index" ->
+      """SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate, l_linenumber
+        |FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p02_sex_filter" ->
+      """SELECT c_custkey, CAST(c_custkey % 2 AS DOUBLE) AS sex, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1 ORDER BY c_custkey""".stripMargin,
+    "p03_fill_mean" ->
+      """WITH h AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS acctbal
+        |  FROM customer
+        |), m AS (SELECT avg(acctbal) AS fill FROM h)
+        |SELECT c_custkey, round(coalesce(acctbal, fill), 4) AS acctbal
+        |FROM h, m ORDER BY c_custkey""".stripMargin,
+    "p04_fill_forward" ->
+      """WITH h AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  round(last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING), 4) AS value
+        |FROM h ORDER BY event_id""".stripMargin,
+    "p05_drop_constant" ->
+      """SELECT 'const_num' AS col_name, count(DISTINCT 7.5) AS n_unique, count(DISTINCT 7.5) <= 1 AS dropped FROM part
+        |UNION ALL
+        |SELECT 'const_str', count(DISTINCT 'A'), count(DISTINCT 'A') <= 1 FROM part
+        |UNION ALL
+        |SELECT 'p_brand', count(DISTINCT p_brand), count(DISTINCT p_brand) <= 1 FROM part
+        |UNION ALL
+        |SELECT 'p_size', count(DISTINCT p_size), count(DISTINCT p_size) <= 1 FROM part
+        |ORDER BY col_name""".stripMargin,
+    "p06_onehot" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS "c_mktsegment_BUILDING",
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS "c_mktsegment_FURNITURE",
+        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS "c_mktsegment_HOUSEHOLD",
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS "c_mktsegment_MACHINERY"
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "p07_scale_standard" ->
+      """WITH m AS (SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM customer)
+        |SELECT c_custkey, round((c_acctbal - mu) / sd, 4) AS acctbal
+        |FROM customer, m ORDER BY c_custkey""".stripMargin,
+    "p09_log_transform" ->
+      """SELECT p_partkey, round(ln(p_retailprice), 4) AS price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Preprocess
+import graft.functions.Numerics
+
+class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("2").appName("prep-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("selectColumns handles names, i:N, i:start-end, i:start- and errors") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1, 2, 3, 4, 5)).toDF("a", "b", "c", "d", "e")
+    assert(Preprocess.selectColumns(df, "a,i:2,e").columns.toSeq == Seq("a", "c", "e"))
+    assert(Preprocess.selectColumns(df, "i:1-3").columns.toSeq == Seq("b", "c"))
+    assert(Preprocess.selectColumns(df, "i:2-").columns.toSeq == Seq("c", "d", "e"))
+    intercept[IllegalArgumentException](Preprocess.selectColumns(df, "nope"))
+    intercept[IllegalArgumentException](Preprocess.selectColumns(df, "i:9"))
+    intercept[IllegalArgumentException](Preprocess.selectColumns(df, "i:1-9"))
+  }
+
+  test("rint produces Blom-offset normal quantiles with exact ranks") {
+    val sess = spark
+    import sess.implicits._
+    val n = 101
+    // values are a shuffled permutation; rank of value v is v+1
+    val rows = (0 until n).map(i => ((i * 37) % n).toLong -> ((i * 37) % n).toDouble)
+    val df = rows.toDF("id", "v")
+    val out = Preprocess.rint(df, "v", "id").collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Double]("rint")).toMap
+    assert(out.size == n)
+    // median rank 51 -> qnorm(~0.5) = 0
+    assert(math.abs(out(51L) - Numerics.qnorm((51 - 0.375) / (n + 0.25))) < 1e-12)
+    assert(math.abs(out(51L)) < 0.01)
+    // symmetric tails
+    assert(math.abs(out(1L) + out(n.toLong)) < 1e-9)
+    assert(out(1L) < -2.0 && out(n.toLong) > 2.0)
+  }
+
+  test("backward fill mirrors forward fill reversed") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some(40.0)),
+      (2L, 1L, None), (2L, 2L, Some(5.0))
+    ).toDF("g", "t", "v")
+    val fwd = Preprocess.fillDirectional(df, Seq("v"), forward = true, Seq("g"), Seq("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(fwd((1L, 3L)).contains(10.0))
+    assert(fwd((2L, 1L)).isEmpty) // nothing before -> stays null
+    val bwd = Preprocess.fillDirectional(df, Seq("v"), forward = false, Seq("g"), Seq("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(bwd((1L, 2L)).contains(40.0))
+    assert(bwd((2L, 1L)).contains(5.0))
+  }
+
+  test("dropConstant removes only zero-variance columns") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1, 7, "x"), (2, 7, "y"), (3, 7, "x")).toDF("a", "b", "c")
+    val out = Preprocess.dropConstant(df, Seq("a", "b", "c"))
+    assert(out.columns.toSeq == Seq("a", "c"))
+  }
+
+  test("oneHot leaves <=2-level columns untouched") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1, "M"), (2, "F"), (3, "M")).toDF("id", "sex")
+    val out = Preprocess.oneHot(df, Seq("sex"))
+    assert(out.columns.toSeq == Seq("id", "sex"))
+  }
+}
