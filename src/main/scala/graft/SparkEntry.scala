@@ -30,6 +30,10 @@ object SparkEntry {
     "p07_scale_standard" -> (Preprocess.p07ScaleStandard _),
     "p08_rint" -> (Preprocess.p08Rint _),
     "p09_log_transform" -> (Preprocess.p09LogTransform _),
+    "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
+    "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
+    "s03_annotate" -> (Postprocess.s03Annotate _),
+    "s04_sort_output" -> (Postprocess.s04SortOutput _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),
@@ -40,7 +44,8 @@ object SparkEntry {
     "e02_stream_window" -> (Relational.e02StreamWindow _),
   )
 
-  def oracleSql: Map[String, String] = Mas.oracleSql ++ Preprocess.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    Mas.oracleSql ++ Preprocess.oracleSql ++ Postprocess.oracleSql ++ Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

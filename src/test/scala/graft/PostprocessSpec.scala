@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Postprocess
+
+class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("2").appName("post-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("BH adjusted p-values match the hand-computed step-up values") {
+    val sess = spark
+    import sess.implicits._
+    // classic example: m=5, sorted p = .01 .02 .03 .04 .05
+    // adj_i = min tail of (m*p_j/j): .05 .05 .05 .05 .05
+    val df = Seq(1 -> 0.01, 2 -> 0.02, 3 -> 0.03, 4 -> 0.04, 5 -> 0.05).toDF("k", "pval")
+    val out = Postprocess.bhFdr(df).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Double]("p_adj")).toMap
+    (1 to 5).foreach(k => assert(math.abs(out(k) - 0.05) < 1e-12, s"k=$k ${out(k)}"))
+    // non-monotone raw ratios: p = .01 .05 .051 -> ratios .03 .075 .051
+    // step-up: adj3=.051, adj2=min(.075,.051)=.051, adj1=.03
+    val df2 = Seq(1 -> 0.01, 2 -> 0.05, 3 -> 0.051).toDF("k", "pval")
+    val out2 = Postprocess.bhFdr(df2).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Double]("p_adj")).toMap
+    assert(math.abs(out2(1) - 0.03) < 1e-12)
+    assert(math.abs(out2(2) - 0.051) < 1e-12)
+    assert(math.abs(out2(3) - 0.051) < 1e-12)
+  }
+
+  test("bonferroni counts only non-null pvals for the threshold") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(Some(0.004), Some(0.02), None, Some(0.9), Some(0.011))
+      .zipWithIndex.map(_.swap).toDF("k", "pval")
+    // 4 non-null tests -> threshold .0125
+    val out = Postprocess.bonferroni(df).collect()
+      .map(r => r.getAs[Int]("k") -> Option(r.getAs[java.lang.Boolean]("bonferroni_significant"))).toMap
+    assert(out(0).contains(true: java.lang.Boolean))
+    assert(out(1).contains(false: java.lang.Boolean))
+    assert(out(2).isEmpty) // null pval -> null flag
+    assert(out(4).contains(true: java.lang.Boolean))
+  }
+
+  test("sortAndWrite emits all four formats") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(1 -> 0.5, 2 -> 0.1, 3 -> 0.9).toDF("k", "pval")
+    val base = Files.createTempDirectory("graft_s04_spec").toString
+    for (fmt <- Seq("parquet", "csv", "tsv", "txt")) {
+      val sorted = Postprocess.sortAndWrite(df, s"$base/$fmt", fmt, "pval", Seq("k"))
+      assert(sorted.collect().map(_.getAs[Int]("k")).toSeq == Seq(2, 1, 3))
+    }
+    val back = spark.read.parquet(s"$base/parquet")
+    assert(back.count() == 3)
+    val tsvLine = scala.io.Source.fromFile(
+      new java.io.File(s"$base/tsv").listFiles().filter(_.getName.endsWith(".csv")).head)
+      .getLines().drop(1).next()
+    assert(tsvLine.contains("\t"))
+    intercept[IllegalArgumentException](Postprocess.sortAndWrite(df, s"$base/x", "xlsx"))
+  }
+}
