@@ -34,6 +34,11 @@ object SparkEntry {
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),
     "s04_sort_output" -> (Postprocess.s04SortOutput _),
+    "d01_dedup_exact" -> (Dedup.d01DedupExact _),
+    "d02_dedup_ngram" -> (Dedup.d02DedupNgram _),
+    "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),
+    "d04_dedup_simhash" -> (Dedup.d04DedupSimhash _),
+    "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),
@@ -45,7 +50,7 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    Mas.oracleSql ++ Preprocess.oracleSql ++ Postprocess.oracleSql ++ Map(
+    Mas.oracleSql ++ Preprocess.oracleSql ++ Postprocess.oracleSql ++ Dedup.oracleSql ++ Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/**
+ * Deduplication operators for large-scale text/embedding corpora:
+ * exact (d01), n-gram Jaccard (d02), MinHash+LSH (d03), SimHash (d04)
+ * and embedding-cosine (d05).
+ *
+ * Scale shapes (the whole point of these designs):
+ *  - d01 is a single hash groupBy — one shuffle of (hash, id).
+ *  - d02 explodes distinct shingles and self-joins on the shingle:
+ *    shuffle ∝ posting-list sizes, never the n² pair matrix. (At real
+ *    scale add a document-frequency cap on shingles to bound hot
+ *    posting lists; the threshold is corpus-dependent.)
+ *  - d03 joins on (band, band-signature) buckets: candidate pairs are
+ *    the only thing that shuffles, then exact Jaccard verifies them.
+ *  - d04 uses the pigeonhole banking of the 64-bit SimHash: a pair at
+ *    hamming ≤ 3 must agree exactly on ≥ 1 of 4 16-bit banks, so the
+ *    bucket join on (bank, value) is exhaustive for the radius — no
+ *    all-pairs comparison.
+ *  - d05 blocks on the label column so only within-label pairs join.
+ *
+ * The test corpus doubles `documents` with deterministically mutated
+ * copies (upper-case + doubled whitespace, id + 100000) so exact-dup
+ * groups exist by construction; the driver testdata also ships natural
+ * near-duplicate pairs (max natural 3-shingle Jaccard ≈ 0.97, next
+ * non-dup pair ≈ 0.067 — a wide threshold gap at τ = 0.5).
+ */
+object Dedup {
+
+  /** documents ∪ mutated copies — dup classes by construction. */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        upper(regexp_replace(col("text"), " ", "  ")).as("text"), col("source"))
+    d.unionAll(mutated)
+  }
+
+  val corpusSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, upper(replace(text, ' ', '  ')), source
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Whitespace-collapse + lowercase normalization (both engines). */
+  def normText(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
+
+  /** Distinct word 3-shingles of the normalized text. */
+  def shingles(c: Column): Column = {
+    val words = split(normText(c), " ")
+    array_distinct(
+      when(size(words) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(words) - 3), i =>
+          concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
+            element_at(words, i + 3)))))
+  }
+
+  // -------------------------------------------------------- d01 exact
+
+  /** Exact dedup: group by normalized-text hash, keep the min id.
+    * Emits one row per duplicate class (reference for what to drop). */
+  def exactDupClasses(docs: DataFrame): DataFrame =
+    docs.select(md5(normText(col("text"))).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies")
+
+  def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
+    exactDupClasses(corpus(spark, dir)).orderBy("keep_id")
+
+  // -------------------------------------------- d02 shingle Jaccard
+
+  /** Near-dup pairs by exact Jaccard over distinct 3-shingles,
+    * blocked on `blockCol`: explode → self-join on (block, shingle) →
+    * count common → ratio. */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, blockCol: Option[String]): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      (blockCol match {
+        case Some(b) => col(b)
+        case None => lit("_")
+      }).as("blk"),
+      shingles(col("text")).as("sh"))
+    val ex = base.select(col("doc_id"), col("blk"), size(col("sh")).as("ns"),
+      explode(col("sh")).as("s"))
+    val a = ex.select(col("blk"), col("s"), col("doc_id").as("id1"), col("ns").as("na"))
+    val b = ex.select(col("blk"), col("s"), col("doc_id").as("id2"), col("ns").as("nb"))
+    a.join(b, Seq("blk", "s")).filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def d02DedupNgram(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(corpus(spark, dir), 0.5, Some("source"))
+      .orderBy("id1", "id2")
+
+  // ----------------------------------------------- d03 MinHash + LSH
+
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Deterministic permutation parameters (a, b) — splitmix-style. */
+  private[graft] def permParams(n: Int, seed: Long): Array[(Long, Long)] = {
+    var s = seed
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(n)(((next() & 0x7fffffffL) | 1L, next() & 0x7fffffffL))
+  }
+
+  /** 128-perm MinHash signature of a shingle set. */
+  private[graft] def minhashSig(sh: Seq[String], params: Array[(Long, Long)]): Array[Long] = {
+    val hashes = sh.map(s => (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong
+      & 0xffffffffL)).toArray
+    params.map { case (a, b) =>
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hashes.length) {
+        val h = (a * hashes(i) + b) % MersennePrime
+        if (h < m) m = h
+        i += 1
+      }
+      m
+    }
+  }
+
+  /**
+   * MinHash(128) + LSH banding (32 bands × 4 rows — tuned for a τ≈0.5
+   * near-dup radius), exact-Jaccard verification of candidates.
+   * Only (band, signature) buckets shuffle; verified pairs join back
+   * to shingle sets for the exact ratio.
+   */
+  def minhashLshPairs(docs: DataFrame, tau: Double, bands: Int = 32, rows: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val params = permParams(bands * rows, 42L)
+    val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, params))
+    val bandUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map(bi =>
+        (bi, scala.util.hashing.MurmurHash3.orderedHash(sig.slice(bi * rows, bi * rows + rows)))))
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = withSh.withColumn("sig", sigUdf(col("sh")))
+    val buckets = sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val sh1 = withSh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val sh2 = withSh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    cand.join(sh1, "id1").join(sh2, "id2")
+      .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard",
+        col("common") / (size(col("sh1")) + size(col("sh2")) - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(corpus(spark, dir), 0.5).orderBy("id1", "id2")
+
+  // ---------------------------------------------------- d04 SimHash
+
+  /** 64-bit SimHash of a shingle set (two 32-bit murmurs per shingle). */
+  private[graft] def simhash64(sh: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    sh.foreach { s =>
+      val lo = scala.util.hashing.MurmurHash3.stringHash(s, 0x12345678)
+      val hi = scala.util.hashing.MurmurHash3.stringHash(s, 0x87654321)
+      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ radius via 16-bit bank
+    * blocking (pigeonhole-exhaustive for radius ≤ 3). */
+  def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
+    val simUdf = udf((sh: Seq[String]) => simhash64(sh))
+    val sigs = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sim", simUdf(col("sh")))
+    val banks = sigs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("bank"),
+          shiftright(col("sim"), k * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.bank"), col("b.bv"))
+    val cand = banks.as("x").join(banks.as("y"),
+        col("x.bank") === col("y.bank") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        col("x.sim").as("s1"), col("y.sim").as("s2"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= radius)
+      .select("id1", "id2", "hamming")
+  }
+
+  def d04DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(corpus(spark, dir)).orderBy("id1", "id2")
+
+  // ------------------------------------------- d05 embedding cosine
+
+  /** Cosine similarity of two double arrays — sequential left-to-right
+    * folds so the arithmetic matches DuckDB's list_cosine_similarity
+    * bit-for-bit. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Embedding corpus: natural vectors ∪ scaled copies (cosine is
+    * scale-invariant, so the copies are exact near-dups). */
+  def embCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    e.unionAll(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("e"), x => x * 1.2).as("e")))
+  }
+
+  val embCorpusSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, label, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.2)
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |)""".stripMargin
+
+  /** Label-blocked embedding near-dup pairs at cosine ≥ τ. */
+  def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("id1"), col("e").as("e1"))
+    val b = emb.select(col("label"), col("vec_id").as("id2"), col("e").as("e2"))
+    a.join(b, "label").filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("e1"), col("e2")))
+      .filter(col("cos") >= tau)
+      .select(col("id1"), col("id2"), col("label"), round(col("cos"), 4).as("cos"))
+  }
+
+  def d05DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingDupPairs(embCorpus(spark, dir), 0.35).orderBy("id1", "id2")
+
+  // --------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      (corpusSql +
+        """
+          |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM corpus)
+          |GROUP BY h HAVING count(*) > 1 ORDER BY keep_id""".stripMargin),
+    "d02_dedup_ngram" ->
+      (corpusSql +
+        """, norm AS (
+          |  SELECT doc_id, source, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
+          |), words AS (
+          |  SELECT doc_id, source, string_split(t, ' ') AS w FROM norm
+          |), sh AS (
+          |  SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM words
+          |), ex AS (
+          |  SELECT doc_id, source, len(shingles) AS ns, unnest(shingles) AS s FROM sh
+          |), pairs AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+          |    any_value(a.ns) AS na, any_value(b.ns) AS nb
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT id1, id2, round(common * 1.0 / (na + nb - common), 4) AS jaccard
+          |FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+          |ORDER BY id1, id2""".stripMargin),
+    // d03's banding (32×4) provably-empirically recalls every τ≥0.5
+    // pair in this corpus (verified against the exact global set), and
+    // MinHash is deterministic given the fixed permutations — so the
+    // oracle is simply the exact global Jaccard pair set.
+    "d03_dedup_minhash" ->
+      (corpusSql +
+        """, norm AS (
+          |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
+          |), words AS (
+          |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+          |), sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM words
+          |), ex AS (
+          |  SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s FROM sh
+          |), pairs AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+          |    any_value(a.ns) AS na, any_value(b.ns) AS nb
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT id1, id2, round(common * 1.0 / (na + nb - common), 4) AS jaccard
+          |FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+          |ORDER BY id1, id2""".stripMargin),
+    "d05_dedup_embedding" ->
+      (embCorpusSql +
+        """
+          |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label,
+          |  round(list_cosine_similarity(a.e, b.e), 4) AS cos
+          |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+          |ORDER BY id1, id2""".stripMargin),
+  )
+}

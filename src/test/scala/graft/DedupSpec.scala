@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("2").appName("dedup-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("minhash signature is deterministic and identical for identical sets") {
+    val params = Dedup.permParams(128, 42L)
+    val params2 = Dedup.permParams(128, 42L)
+    assert(params.toSeq == params2.toSeq)
+    val sh = Seq("a b c", "b c d", "c d e")
+    assert(Dedup.minhashSig(sh, params).toSeq == Dedup.minhashSig(sh.reverse, params).toSeq)
+    // signature similarity approximates jaccard: disjoint sets differ
+    val other = Seq("x y z", "y z w")
+    val s1 = Dedup.minhashSig(sh, params)
+    val s2 = Dedup.minhashSig(other, params)
+    assert(s1.zip(s2).count { case (a, b) => a == b } < 16) // j=0 -> ~0 matches
+  }
+
+  test("minhash+LSH recalls every exact near-dup pair in the corpus (j>=0.5)") {
+    val exact = Dedup.ngramJaccardPairs(Dedup.corpus(spark, dir), 0.5, None)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(Dedup.corpus(spark, dir), 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact == lsh, s"missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash: identical docs collide at hamming 0; mutated pairs found") {
+    assert(Dedup.simhash64(Seq("a b c", "b c d")) == Dedup.simhash64(Seq("b c d", "a b c")))
+    val out = Dedup.d04DedupSimhash(spark, dir).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every mutated twin (id, id+100000) must appear with hamming 0
+    val mutatedTwins = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(mutatedTwins.nonEmpty)
+    assert(mutatedTwins.forall(_._3 == 0))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("embedding dedup finds all scaled twins at cosine ~1") {
+    val out = Dedup.d05DedupEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val twins = out.filter { case (a, b, _) => b == a + 100000 }
+    val nTwins = graft.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0).count()
+    assert(twins.length == nTwins)
+    assert(twins.forall(_._3 == 1.0))
+  }
+
+  test("exact dedup classes cover exactly the mutated docs") {
+    val out = Dedup.d01DedupExact(spark, dir).collect()
+    assert(out.forall(_.getLong(1) == 2L))
+    assert(out.forall(_.getLong(0) % 10 == 0))
+  }
+}
