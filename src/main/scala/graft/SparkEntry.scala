@@ -39,6 +39,13 @@ object SparkEntry {
     "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),
     "d04_dedup_simhash" -> (Dedup.d04DedupSimhash _),
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
+    "n01_knn_brute" -> (Similarity.n01KnnBrute _),
+    "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
+    "t01_langid" -> (TextOps.t01LangId _),
+    "t02_quality" -> (TextOps.t02Quality _),
+    "t03_tokens" -> (TextOps.t03Tokens _),
+    "t04_fingerprint" -> (TextOps.t04Fingerprint _),
+    "m01_multimodal" -> (Multimodal.m01Multimodal _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),
@@ -50,7 +57,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    Mas.oracleSql ++ Preprocess.oracleSql ++ Postprocess.oracleSql ++ Dedup.oracleSql ++ Map(
+    Mas.oracleSql ++ Preprocess.oracleSql ++ Postprocess.oracleSql ++ Dedup.oracleSql ++
+      TextOps.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++ Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/**
+ * Multimodal column plumbing: image/audio/video payloads ride through
+ * the engine as opaque `binary` columns with a typed metadata struct;
+ * feature extraction runs batched per partition so a real decoder
+ * (JNI codec, GPU preprocessor) amortizes setup per batch, not per
+ * row.
+ *
+ * The decode itself is a STUB — deterministic fake features standing
+ * in for pixel decoding (this container has no image/audio codecs).
+ * Everything around it is real and tested: the binary schema, the
+ * metadata struct, the mapPartitions batching shape, and the feature
+ * output schema. Swapping `decodeBatch` for a real codec changes no
+ * plumbing.
+ */
+object Multimodal {
+
+  /** A media row: payload + typed metadata (what a manifest-backed
+    * media lake scan would produce). */
+  final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String, n_bytes: Int)
+
+  /** Extracted features for one media payload. */
+  final case class MediaFeature(
+      doc_id: Long, n_bytes: Int, byte_sum: Long, width: Int, height: Int, batch_id: Int)
+
+  /** Media table synthesized from documents: UTF-8 payload bytes +
+    * metadata. A real pipeline reads (path, bytes, mime) from a
+    * manifest; the schema and downstream plumbing are identical. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit("text/plain").as("mime"),
+      octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
+
+  /**
+   * STUB decoder for one batch. Real decoders go here (one codec
+   * init per batch); the fake emits deterministic pseudo-dimensions
+   * from the payload hash and a byte checksum standing in for pixel
+   * statistics.
+   */
+  private def decodeBatch(batch: Seq[MediaRow], batchId: Int): Seq[MediaFeature] =
+    batch.map { r =>
+      var sum = 0L
+      var i = 0
+      while (i < r.media.length) { sum += (r.media(i) & 0xff); i += 1 }
+      val h = scala.util.hashing.MurmurHash3.bytesHash(r.media, 42)
+      MediaFeature(r.doc_id, r.media.length, sum,
+        width = 64 + (h & 0x3f), height = 64 + ((h >>> 8) & 0x3f), batchId)
+    }
+
+  /** Batched per-partition feature extraction: groups the partition
+    * iterator into fixed-size batches (bounded memory), decodes each
+    * batch, streams features out. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+          decodeBatch(batch, bi)
+        }
+      }
+  }
+
+  /** m01: metadata + checksum features (the SQL-expressible subset —
+    * the full stub output incl. pseudo-dimensions is spec-checked). */
+  def m01Multimodal(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("byte_sum"))
+      .orderBy("doc_id")
+
+  /** Text is ASCII, so byte_sum ≡ codepoint sum in DuckDB. */
+  val oracleSql: Map[String, String] = Map(
+    "m01_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS BIGINT) AS byte_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

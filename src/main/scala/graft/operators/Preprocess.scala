@@ -171,9 +171,9 @@ object Preprocess {
     val schema = StructType(Seq(
       StructField(idCol, LongType), StructField(valueCol, DoubleType),
       StructField("rank", LongType)))
-    val qnormUdf = udf((p: Double) => Numerics.qnorm(p))
     spark.createDataFrame(ranked, schema)
-      .withColumn("rint", qnormUdf((col("rank") - 0.375) / (n + 0.25)))
+      .withColumn("rint",
+        graft.functions.GraftFunctions.qnorm((col("rank") - 0.375) / (n + 0.25)))
   }
 
   /** Log transform of dependents (roadmap): natural log projection. */

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/**
+ * Text-analysis operators over document corpora — all pure
+ * projections (codegen'd, no shuffle except the output sort), the
+ * shapes a 100 TB training-data pipeline filters on.
+ *
+ * t01 language-ID and t02 quality use only integer/substring
+ * arithmetic that DuckDB reproduces bit-for-bit, so every operator
+ * here is hash-oracle-checked, including t04's custom rolling-hash
+ * Catalyst expression (mirrored by a DuckDB `list_reduce`).
+ */
+object TextOps {
+
+  private def norm(c: Column): Column = Dedup.normText(c)
+
+  /** Occurrences of literal `w` in `c` via length arithmetic —
+    * identical semantics in Spark and DuckDB (`replace` is literal,
+    * not regex, in both). */
+  private def occ(c: Column, w: String): Column =
+    (length(c) - length(call_function("replace", c, lit(w)))) / w.length
+
+  private def occSql(c: String, w: String): String =
+    s"(length($c) - length(replace($c, '$w', ''))) / ${w.length}"
+
+  // ---------------------------------------------------------- t01 langid
+
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " of ", " and "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "es" -> Seq(" el ", " los ", " y "),
+    "fr" -> Seq(" le ", " la ", " et "))
+
+  /** Stopword-count language ID: score per language = summed
+    * occurrences of its marker words in the padded normalized text;
+    * prediction = argmax with a fixed tie order (en, de, es, fr). */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), norm(col("text")), lit(" "))
+    val scores = langWords.map { case (lang, words) =>
+      words.map(w => occ(padded, w)).reduce(_ + _).as(s"${lang}_score")
+    }
+    val withScores = docs.select((col("doc_id") +: col("lang") +: scores): _*)
+    val en = col("en_score"); val de = col("de_score")
+    val es = col("es_score"); val fr = col("fr_score")
+    withScores.withColumn("pred_lang",
+      when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr"))
+  }
+
+  def t01LangId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // --------------------------------------------------------- t02 quality
+
+  /** Quality metrics: length, word count, stopword ratio, duplicate-
+    * word ratio, uppercase ratio — the standard cheap pre-training
+    * filters. */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val words = split(norm(t), " ")
+    val nWords = size(words)
+    val padded = concat(lit(" "), norm(t), lit(" "))
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      nWords.as("n_words"),
+      round(occ(padded, " the ") / nWords, 4).as("stop_ratio"),
+      round(lit(1.0) - size(array_distinct(words)).cast("double") / nWords, 4)
+        .as("dup_word_ratio"),
+      round(regexp_count(t, lit("[A-Z]")).cast("double") / length(t), 4)
+        .as("upper_ratio"))
+  }
+
+  def t02Quality(spark: SparkSession, dir: String): DataFrame =
+    quality(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // ---------------------------------------------------------- t03 tokens
+
+  /** Token counts: whitespace tokens, alpha / numeric / other regex
+    * tokens (a BPE-ish pre-tokenization), chars per token. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val ws = size(split(trim(t), "\\s+"))
+    docs.select(
+      col("doc_id"),
+      ws.as("ws_tokens"),
+      regexp_count(lower(t), lit("[a-z]+")).as("alpha_tokens"),
+      regexp_count(t, lit("[0-9]+")).as("num_tokens"),
+      regexp_count(t, lit("[^a-zA-Z0-9\\s]")).as("other_tokens"),
+      round(length(t).cast("double") / ws, 4).as("chars_per_token"))
+  }
+
+  def t03Tokens(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // ----------------------------------------------------- t04 fingerprint
+
+  /** Document fingerprints: md5 of the normalized text plus the
+    * codegen'd polynomial rolling hash ([[graft.functions.RollingHash]]). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(norm(col("text"))).as("fp_md5"),
+      GraftFunctions.rollingHash(norm(col("text"))).as("roll_hash"))
+
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  // --------------------------------------------------------- oracle SQL
+
+  private val normSql = """lower(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private val paddedSql = s"' ' || $normSql || ' '"
+
+  val oracleSql: Map[String, String] = {
+    val scoreSql = langWords.map { case (lang, words) =>
+      words.map(w => occSql("p", w)).mkString(" + ") + s" AS ${lang}_score"
+    }.mkString(",\n    ")
+    Map(
+      "t01_langid" ->
+        s"""WITH p0 AS (SELECT doc_id, lang, $paddedSql AS p FROM documents),
+           |s AS (SELECT doc_id, lang,
+           |    $scoreSql
+           |  FROM p0)
+           |SELECT doc_id, lang, en_score, de_score, es_score, fr_score,
+           |  CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+           |    WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+           |    WHEN es_score >= fr_score THEN 'es'
+           |    ELSE 'fr' END AS pred_lang
+           |FROM s ORDER BY doc_id""".stripMargin,
+      "t02_quality" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, text, $normSql AS nt, $paddedSql AS p,
+           |    string_split($normSql, ' ') AS w
+           |  FROM documents
+           |)
+           |SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
+           |  round((${occSql("p", " the ")}) / len(w), 4) AS stop_ratio,
+           |  round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word_ratio,
+           |  round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 4) AS upper_ratio
+           |FROM b ORDER BY doc_id""".stripMargin,
+      "t03_tokens" ->
+        """SELECT doc_id,
+          |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+          |  len(regexp_extract_all(lower(text), '[a-z]+')) AS alpha_tokens,
+          |  len(regexp_extract_all(text, '[0-9]+')) AS num_tokens,
+          |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS other_tokens,
+          |  round(length(text) * 1.0 / len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_token
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t04_fingerprint" ->
+        s"""SELECT doc_id, md5($normSql) AS fp_md5,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(string_split($normSql, ''), x -> CAST(ord(x) AS BIGINT))),
+           |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, Similarity}
+import graft.functions.{GraftFunctions, Numerics}
+
+class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("2").appName("llm-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("rolling hash expression: codegen matches interpreted and the polynomial") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq("abc", "", "hello world").toDF("t")
+    val out = df.select(GraftFunctions.rollingHash(col("t")).as("h")).collect()
+      .map(_.getLong(0))
+    def poly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(out.toSeq == Seq(poly("abc"), poly(""), poly("hello world")))
+  }
+
+  test("qnorm expression matches Numerics.qnorm through codegen") {
+    val sess = spark
+    import sess.implicits._
+    val ps = Seq(0.001, 0.025, 0.5, 0.975, 0.999)
+    val out = ps.toDF("p").select(GraftFunctions.qnorm(col("p")).as("q")).collect()
+      .map(_.getDouble(0))
+    ps.zip(out).foreach { case (p, q) =>
+      assert(math.abs(q - Numerics.qnorm(p)) < 1e-14, s"p=$p")
+    }
+    assert(math.abs(out(2)) < 1e-12) // qnorm(0.5) = 0
+  }
+
+  test("ANN LSH achieves high recall of the exact top-5 neighbors") {
+    val emb = Similarity.embeddings(spark, dir)
+    val exact = Similarity.knnBrute(emb, col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(emb, col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(exact.size == 125)
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("hyperplanes are deterministic") {
+    val a = Similarity.hyperplanes(24, 64, 7L)
+    val b = Similarity.hyperplanes(24, 64, 7L)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  test("multimodal stub: batching preserves per-row features and bounds batch size") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val feats1 = Multimodal.extractFeatures(media, batchSize = 64).collect()
+      .map(f => f.doc_id -> f).toMap
+    val feats2 = Multimodal.extractFeatures(media.repartition(7), batchSize = 8).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats1.size == feats2.size && feats1.nonEmpty)
+    // features are independent of partitioning/batch split
+    feats1.foreach { case (id, f) =>
+      val g = feats2(id)
+      assert((f.n_bytes, f.byte_sum, f.width, f.height) ==
+        (g.n_bytes, g.byte_sum, g.width, g.height))
+    }
+    // pseudo-dimensions land in the documented stub range
+    assert(feats1.values.forall(f => f.width >= 64 && f.width < 128))
+    assert(feats1.values.forall(f => f.height >= 64 && f.height < 128))
+    // batch ids actually batch (batchSize 8 -> multiple batches somewhere)
+    assert(Multimodal.extractFeatures(media.repartition(2), batchSize = 8)
+      .collect().map(_.batch_id).max > 0)
+  }
+}
