@@ -18,6 +18,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate synthesizes `size(arr) > 0` filters
+      // under explode()s; predicate pushdown then substitutes the
+      // full array-building expression into an interpreted Filter,
+      // re-evaluating expensive HOF chains once per row (measured 20×
+      // slowdown on the shingling ops). Generate already skips
+      // empty/null arrays, so the rule only costs us here.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

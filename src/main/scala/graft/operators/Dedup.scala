@@ -51,14 +51,25 @@ object Dedup {
   /** Whitespace-collapse + lowercase normalization (both engines). */
   def normText(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
 
-  /** Distinct word 3-shingles of the normalized text. */
-  def shingles(c: Column): Column = {
-    val words = split(normText(c), " ")
-    array_distinct(
-      when(size(words) < 3, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(words) - 3), i =>
-          concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
-            element_at(words, i + 3)))))
+  /**
+   * Project distinct word 3-shingles of `textCol` as column `out`.
+   *
+   * Two-step projection on purpose: the words array is materialized
+   * as an attribute BEFORE the shingling `transform` runs over it. A
+   * single nested expression (`transform(..., element_at(split(...)))`)
+   * re-evaluates the split/normalize child once per lambda element —
+   * measured ~20× slower at sf0.1. CollapseProject keeps the split
+   * un-inlined because the alias is referenced multiple times.
+   */
+  def withShingles(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val w = col("__graft_words")
+    df.withColumn("__graft_words", split(normText(col(textCol)), " "))
+      .withColumn(out, array_distinct(
+        when(size(w) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(w) - 3), i =>
+            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+              element_at(w, i + 3))))))
+      .drop("__graft_words")
   }
 
   // -------------------------------------------------------- d01 exact
@@ -81,12 +92,13 @@ object Dedup {
     * blocked on `blockCol`: explode → self-join on (block, shingle) →
     * count common → ratio. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, blockCol: Option[String]): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      (blockCol match {
-        case Some(b) => col(b)
-        case None => lit("_")
-      }).as("blk"),
-      shingles(col("text")).as("sh"))
+    val base = withShingles(docs, "text", "sh")
+      .select(col("doc_id"),
+        (blockCol match {
+          case Some(b) => col(b)
+          case None => lit("_")
+        }).as("blk"),
+        col("sh"))
     val ex = base.select(col("doc_id"), col("blk"), size(col("sh")).as("ns"),
       explode(col("sh")).as("s"))
     val a = ex.select(col("blk"), col("s"), col("doc_id").as("id1"), col("ns").as("na"))
@@ -150,11 +162,19 @@ object Dedup {
     val bandUdf = udf((sig: Seq[Long]) =>
       (0 until bands).map(bi =>
         (bi, scala.util.hashing.MurmurHash3.orderedHash(sig.slice(bi * rows, bi * rows + rows)))))
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // The shingle/signature table is referenced by four plan branches
+    // (both bucket-join sides + both verify sides); persist it instead
+    // of recomputing the text pipeline per branch. Signatures are tiny
+    // relative to the corpus (128 longs/doc) — at cluster scale this
+    // is the standard materialized signature table.
+    val withSh = withShingles(docs, "text", "sh")
+      .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) > 0)
+      .cache()
     val sigs = withSh.withColumn("sig", sigUdf(col("sh")))
     val buckets = sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
       .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
+      .cache()
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -201,9 +221,13 @@ object Dedup {
     * blocking (pigeonhole-exhaustive for radius ≤ 3). */
   def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
     val simUdf = udf((sh: Seq[String]) => simhash64(sh))
-    val sigs = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // persisted for the same two-sided-join reason as minhashLshPairs
+    val sigs = withShingles(docs, "text", "sh")
+      .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sim", simUdf(col("sh")))
+      .select(col("doc_id"), col("sim"))
+      .cache()
     val banks = sigs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("bank"),

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators — the streaming re-expression of the
+ * batch event queries (e01/e02 in graft.operators.Relational). The
+ * transforms are written against plain DataFrames so the SAME code
+ * runs on `spark.read` (batch, used by the driver gate) and
+ * `spark.readStream` (incremental, covered by StreamingSpec with a
+ * MemoryStream source): Catalyst plans it either way, watermarks are
+ * no-ops in batch.
+ */
+object StreamingOps {
+
+  /** Tumbling-window event aggregate (e02's shape) with a watermark
+    * for state eviction when the input is a stream. */
+  def tumblingWindowAgg(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, start_ts: Long, n_events: Long, session_value: Double)
+
+  /**
+   * Streaming sessionization (e01's semantics — a >30 min gap closes a
+   * session) via `flatMapGroupsWithState`: per-user state holds the
+   * open session; event-time timeout flushes it once the watermark
+   * passes the gap. State is O(1) per active user — the shape that
+   * scales to a million concurrent users.
+   */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.lastTs <= gapSeconds =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + gapSeconds) * 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

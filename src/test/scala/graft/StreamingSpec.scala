@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, Session}
+
+/** Runs the streaming operators against a MemoryStream source and
+  * checks incremental results equal the batch plan on the same data. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("2").appName("stream-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("tumbling window agg: streaming result equals batch plan") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ("click", ts(5), 1.0), ("click", ts(20), 2.0), ("view", ts(40), 3.0),
+      ("click", ts(65), 4.0), ("view", ts(80), 5.0), ("click", ts(150), 6.0))
+    val input = MemoryStream[(String, Timestamp, Double)]
+    input.addData(data: _*)
+    val df = input.toDF().toDF("event_type", "ts", "value")
+    val query = StreamingOps.tumblingWindowAgg(df)
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = StreamingOps.tumblingWindowAgg(
+      data.toDF("event_type", "ts", "value"))
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming sessionization closes sessions on gap and flushes on watermark") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // -> new session; user 2: single event
+    val df = StreamingOps.sessionize(input.toDS())
+    val query = df.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // start at minute 100: event-time 0 would collide with the
+      // initial watermark (rows ≤ watermark are dropped as late)
+      input.addData(Event(1, ts(100), 1.0), Event(1, ts(110), 2.0), Event(2, ts(101), 9.0))
+      query.processAllAvailable()
+      // advance event time past the 30-min gap: closes user 1's first session inline
+      input.addData(Event(1, ts(150), 5.0))
+      query.processAllAvailable()
+      // push watermark far ahead so timeouts flush remaining state
+      input.addData(Event(3, ts(300), 0.5))
+      query.processAllAvailable()
+      input.addData(Event(3, ts(500), 0.5))
+      query.processAllAvailable()
+      val out = spark.table("sess_out").as[Session].collect()
+        .map(s => (s.user_id, s.start_ts, s.n_events, s.session_value)).toSet
+      // user 1 session A: events at minutes 100 and 110 (sum 3.0)
+      assert(out.contains((1L, 6000L, 2L, 3.0)))
+      // user 1 session B: single event at minute 150
+      assert(out.contains((1L, 9000L, 1L, 5.0)))
+      // user 2: single-event session flushed by timeout
+      assert(out.contains((2L, 6060L, 1L, 9.0)))
+    } finally query.stop()
+  }
+}
