@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Association
 
 /** Benchmark main: times every registered query at the configured
   * scale factor and prints one JSON line. Materializes through the
@@ -17,10 +19,43 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators may persist intermediates (signature tables); drop
+      // them so later queries aren't billed for foreign cache memory
+      spark.catalog.clearCache()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // MAS headline: the reference's published benchmark shape
+    // (/root/reference/benchmarks/README.md — 5,000 samples × ~1,800
+    // phecodes × 5 covariates, Firth: 22.2 s single-node). Same shape,
+    // deterministic synthetic cohort, full engine path (melt shape →
+    // groupByKey → per-pair Firth with logistf defaults).
+    val masTime = {
+      val n = 5000; val d = 1800; val k = 5
+      val melted = spark.range(n.toLong * d).select(
+          (col("id") % n).as("sample"), (col("id") / n).cast("long").as("di"))
+        .select(
+          lit("x").as("predictor"),
+          concat(lit("dep_"), col("di")).as("dependent"),
+          (pmod(xxhash64(col("sample"), lit(1)), lit(1000003)) / 1000003.0 * 4.0 - 2.0).as("x"),
+          col("sample"), col("di"))
+        .select(col("predictor"), col("dependent"), col("x"),
+          // y ~ Bernoulli(sigmoid(0.8x − 2 + dep offset)), hash-derived
+          (pmod(xxhash64(col("sample"), col("di"), lit(7)), lit(1000003)) / 1000003.0 <
+            lit(1.0) / (lit(1.0) + exp(-(col("x") * 0.8 - 2.0 +
+              (col("di") % 7).cast("double") * 0.1)))).cast("double").as("y"),
+          array((1 to k).map(c =>
+            (pmod(xxhash64(col("sample"), lit(c + 100)), lit(1000003)) / 1000003.0).as(s"z$c")): _*)
+            .as("covs"))
+      val cfg = Association.Config(Seq("x"), (0 until d).map(i => s"dep_$i"),
+        (1 to k).map(c => s"z$c"), model = "firth", minCaseCount = 10)
+      val t0 = System.nanoTime()
+      Association.binary(melted, cfg).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
