@@ -227,6 +227,120 @@ object Association {
     }
   }
 
+  // ----------------------------------------- distributed logistic IRLS
+
+  /**
+   * Distributed logistic IRLS — the escape hatch for pairs whose
+   * cohort is too large to materialize inside one `mapGroups` task
+   * (the default binary path). Nothing but sufficient statistics ever
+   * leaves the executors:
+   *
+   * each Newton iteration is ONE declarative aggregation pass over the
+   * melted frame: under the current per-pair beta (broadcast joined,
+   * O(pairs·k) bytes), every row contributes w·f_i·f_j and f_i·(y−p)
+   * partials; map-side combine reduces them to O(k²) doubles per pair,
+   * the driver solves the k×k systems and re-broadcasts. Iterations
+   * are O(scan); data never shuffles by group — only (pairs × k²)
+   * stats move. Wald inference comes from the final information
+   * matrix, exactly as the in-task fitter does.
+   *
+   * Semantics match `binary(model=logistic)` except per-pair
+   * constant-covariate drop (a constant covariate makes the
+   * information matrix singular → that pair reports failed_reason, as
+   * statsmodels would); run `Preprocess.dropConstant` first.
+   */
+  def logisticGram(melted: DataFrame, cfg: Config): DataFrame = {
+    val spark = melted.sparkSession
+    import spark.implicits._
+    val k = cfg.covariates.size
+    val m = k + 2
+    def f(i: Int): Column =
+      if (i == 0) col("x") else if (i <= k) col("covs")(i - 1) else lit(1.0)
+
+    // viability pass (one aggregation): counts per pair
+    val counts = melted.groupBy("predictor", "dependent")
+      .agg(sum("y").cast("long").as("cases"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val viable = scala.collection.mutable.Map[(String, String), Array[Double]]()
+    val failed = scala.collection.mutable.Map[(String, String), String]()
+    counts.foreach { case (key, (cases, n)) =>
+      val controls = n - cases
+      if (cases < cfg.minCaseCount) failed(key) = s"Insufficient case count ($cases cases)."
+      else if (controls < cfg.minCaseCount) failed(key) = s"Insufficient control count ($controls controls)."
+      else if (cases == n) failed(key) = "All observations are cases."
+      else viable(key) = Array.fill(m)(0.0)
+    }
+
+    val pairs = for { i <- 0 until m; j <- i until m } yield (i, j)
+    def triOf(i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
+    var lastInfo = Map.empty[(String, String), breeze.linalg.DenseMatrix[Double]]
+    var it = 0
+    var active = viable.keySet.toSet
+    while (it < cfg.maxIter && active.nonEmpty) {
+      val betaDf = viable.toSeq.map { case ((p, d), b) => (p, d, b.toSeq) }
+        .toDF("predictor", "dependent", "beta")
+      val joined = melted.join(broadcast(betaDf), Seq("predictor", "dependent"))
+      val eta = (0 until m).map(i => f(i) * col("beta")(i)).reduce(_ + _)
+      val withW = joined
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-eta)))
+        .withColumn("w", greatest(col("p") * (lit(1.0) - col("p")), lit(1e-10)))
+        .withColumn("r", col("y") - col("p"))
+      val aggCols: Seq[Column] =
+        pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") } ++
+          (0 until m).map(i => sum(f(i) * col("r")).as(s"g_$i"))
+      val stats = withW.groupBy("predictor", "dependent").agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      val newInfo = scala.collection.mutable.Map[(String, String), breeze.linalg.DenseMatrix[Double]]()
+      val stillMoving = scala.collection.mutable.Set[(String, String)]()
+      stats.foreach { row =>
+        val key = (row.getString(0), row.getString(1))
+        if (viable.contains(key) && active.contains(key)) {
+          val info = breeze.linalg.DenseMatrix.tabulate(m, m)((a, b) =>
+            row.getDouble(2 + triOf(math.min(a, b), math.max(a, b))))
+          val grad = breeze.linalg.DenseVector.tabulate(m)(i =>
+            row.getDouble(2 + pairs.length + i))
+          newInfo(key) = info
+          try {
+            val delta = info \ grad
+            val b = viable(key)
+            var i = 0
+            while (i < m) { b(i) += delta(i); i += 1 }
+            if (breeze.linalg.max(breeze.numerics.abs(delta)) >= cfg.tol) stillMoving += key
+          } catch {
+            case e: Throwable =>
+              failed(key) = Option(e.getMessage).getOrElse(e.toString)
+              viable.remove(key)
+          }
+        }
+      }
+      lastInfo = lastInfo ++ newInfo
+      active = stillMoving.toSet
+      it += 1
+    }
+
+    def failRow(pred: String, dep: String, reason: String) =
+      BinResult(pred, dep, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+        Double.NaN, Double.NaN, -9L, -9L, -9L, converged = false, reason, "nan")
+    val out = cfg.predictors.flatMap(p => cfg.dependents.map(d => (p, d))).map {
+      case key @ (pred, dep) =>
+        if (viable.contains(key)) {
+          val (cases, n) = counts(key)
+          val b = viable(key)
+          val covm = breeze.linalg.inv(lastInfo(key))
+          val se0 = math.sqrt(covm(0, 0))
+          val b0 = b(0)
+          BinResult(pred, dep, graft.functions.Numerics.normSf2(b0 / se0), b0, se0,
+            math.exp(b0), b0 - 1.959963984540054 * se0, b0 + 1.959963984540054 * se0,
+            cases, n - cases, n, converged = !active.contains(key), "nan",
+            s"$dep ~ $pred + ${cfg.covariates.mkString(" + ")}")
+        } else failRow(pred, dep,
+          failed.getOrElse(key, "No data after dropping nulls."))
+    }
+    spark.createDataFrame(out)
+  }
+
   // ------------------------------------------------------ grid completion
 
   private def linearDefaults(cfg: Config): Map[String, Column] = Map(

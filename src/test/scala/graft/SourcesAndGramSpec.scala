@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Association
+import graft.sources.Sources
+
+class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("2").appName("src-gram-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("csv/tsv readers honor multiple user null markers") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val csv = new java.io.File(s"$dir/t.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("id,v,s"); w.println("1,2.5,hello"); w.println("2,NA,NA")
+    w.println("3,4.5,-9"); w.println("4,-9,world")
+    w.close()
+    // "NA" rides the scan option; "-9" is the post-pass marker
+    val df = Sources.read(spark, csv.toString, nullValues = Seq("NA", "-9"))
+    val rows = df.collect().map(r => r.getAs[Int]("id") ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows(2)._1.isEmpty && rows(2)._2.isEmpty)
+    assert(rows(3)._2.isEmpty) // "-9" in string col nulled by post-pass
+    assert(rows(1) == (Some(2.5), Some("hello")))
+    // note: "-9" in the NUMERIC column v parses as -9.0 (documented:
+    // numeric-looking markers need the scan-level option slot)
+    assert(rows(4)._1.contains(-9.0))
+    val tsv = new java.io.File(s"$dir/t.tsv")
+    val w2 = new java.io.PrintWriter(tsv)
+    w2.println("a\tb"); w2.println("1\tx"); w2.println("2\tNA")
+    w2.close()
+    val df2 = Sources.read(spark, tsv.toString, nullValues = Seq("NA"))
+    assert(df2.collect().map(r => Option(r.get(1))).count(_.isEmpty) == 1)
+    intercept[IllegalArgumentException](Sources.read(spark, s"$dir/t.xlsx"))
+  }
+
+  test("distributed Gram IRLS matches the in-task logistic fitter") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 600).flatMap { i =>
+      val x = rng.nextGaussian()
+      val z = rng.nextGaussian()
+      Seq(
+        ("x", "dep_a", x, if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-(0.9 * x - 0.5)))) 1.0 else 0.0, Seq(z)),
+        ("x", "dep_b", x, if (rng.nextDouble() < 0.25) 1.0 else 0.0, Seq(z)))
+    }
+    val melted = rows.toDF("predictor", "dependent", "x", "y", "covs")
+    val cfg = Association.Config(Seq("x"), Seq("dep_a", "dep_b"), Seq("z"),
+      model = "logistic", minCaseCount = 5, maxIter = 50, tol = 1e-9)
+    val inTask = Association.binary(melted, cfg).collect()
+      .map(r => r.getAs[String]("dependent") -> r).toMap
+    val gram = Association.logisticGram(melted, cfg).collect()
+      .map(r => r.getAs[String]("dependent") -> r).toMap
+    for (d <- Seq("dep_a", "dep_b")) {
+      assert(math.abs(gram(d).getAs[Double]("beta") - inTask(d).getAs[Double]("beta")) < 1e-6, d)
+      assert(math.abs(gram(d).getAs[Double]("se") - inTask(d).getAs[Double]("se")) < 1e-6, d)
+      assert(math.abs(gram(d).getAs[Double]("pval") - inTask(d).getAs[Double]("pval")) < 1e-6, d)
+      assert(gram(d).getAs[Long]("cases") == inTask(d).getAs[Long]("cases"), d)
+      assert(gram(d).getAs[Boolean]("converged"), d)
+    }
+  }
+
+  test("distributed Gram IRLS applies the same viability gates") {
+    val sess = spark
+    import sess.implicits._
+    val rows = (0 until 100).map { i =>
+      ("x", "dep_few", i.toDouble % 2, if (i < 3) 1.0 else 0.0, Seq.empty[Double])
+    }
+    val melted = rows.toDF("predictor", "dependent", "x", "y", "covs")
+    val cfg = Association.Config(Seq("x"), Seq("dep_few", "dep_missing"),
+      model = "logistic", minCaseCount = 5)
+    val out = Association.logisticGram(melted, cfg).collect()
+      .map(r => r.getAs[String]("dependent") -> r.getAs[String]("failed_reason")).toMap
+    assert(out("dep_few") == "Insufficient case count (3 cases).")
+    assert(out("dep_missing") == "No data after dropping nulls.")
+  }
+}
