@@ -49,9 +49,13 @@ object Bench {
             .as("covs"))
       val cfg = Association.Config(Seq("x"), (0 until d).map(i => s"dep_$i"),
         (1 to k).map(c => s"z$c"), model = "firth", minCaseCount = 10)
-      val t0 = System.nanoTime()
-      Association.binary(melted, cfg).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      // min of two runs: the host VM's CPU share varies a lot between
+      // runs, and the min is the capability number
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Association.binary(melted, cfg).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

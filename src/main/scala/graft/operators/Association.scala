@@ -179,9 +179,13 @@ object Association {
     val firth = cfg.model == "firth"
     val maxIter = cfg.maxIter
     val tol = cfg.tol
+    // mapValues strips the key strings from the shuffled value payload
+    // (they already travel once as the key) — less shuffle I/O and far
+    // fewer per-row string allocations on the fit side.
     val solved = melted.as[MeltRow]
       .groupByKey(r => (r.predictor, r.dependent))
-      .mapGroups { (key: (String, String), it: Iterator[MeltRow]) =>
+      .mapValues(r => (r.x, r.y, r.covs))
+      .mapGroups { (key: (String, String), it: Iterator[(Double, Double, Seq[Double])]) =>
         fitBinaryGroup(key._1, key._2, it, covNames, minCase, firth, maxIter, tol)
       }
       .toDF()
@@ -189,7 +193,7 @@ object Association {
   }
 
   private def fitBinaryGroup(
-      pred: String, dep: String, it: Iterator[MeltRow],
+      pred: String, dep: String, it: Iterator[(Double, Double, Seq[Double])],
       covNames: Seq[String], minCase: Int, firth: Boolean,
       maxIter: Int, tol: Double): BinResult = {
     def fail(reason: String): BinResult =
@@ -197,22 +201,22 @@ object Association {
         Double.NaN, Double.NaN, -9L, -9L, -9L, converged = false, reason, "nan")
     val rows = it.toArray
     val n = rows.length
-    val cases = math.round(rows.iterator.map(_.y).sum)
+    val cases = math.round(rows.iterator.map(_._2).sum)
     val controls = n - cases
     // validation order mirrors analysis.py:168-193 exactly
     if (cases < minCase) return fail(s"Insufficient case count ($cases cases).")
     if (controls < minCase) return fail(s"Insufficient control count ($controls controls).")
     if (cases == n) return fail("All observations are cases.")
     val keptCovs = covNames.indices.filter { c =>
-      val first = rows(0).covs(c)
-      rows.exists(_.covs(c) != first)
+      val first = rows(0)._3(c)
+      rows.exists(_._3(c) != first)
     }
     val keptNames = keptCovs.map(covNames)
     val equation = s"$dep ~ $pred + ${keptNames.mkString(" + ")}"
     val x = DenseMatrix.tabulate(n, 1 + keptCovs.size) { (i, j) =>
-      if (j == 0) rows(i).x else rows(i).covs(keptCovs(j - 1))
+      if (j == 0) rows(i)._1 else rows(i)._3(keptCovs(j - 1))
     }
-    val y = DenseVector(rows.map(_.y))
+    val y = DenseVector(rows.map(_._2))
     try {
       val r =
         if (firth) Models.firth(x, y, maxIter = maxIter, gtol = tol, xtol = tol)

@@ -252,12 +252,17 @@ object Dedup {
   /** Cosine similarity of two double arrays — sequential left-to-right
     * folds so the arithmetic matches DuckDB's list_cosine_similarity
     * bit-for-bit. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Left-to-right dot product fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm, same fold order as [[dot]] — precompute this per
+    * row before a pair join so norms aren't re-folded per pair. */
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
   /** Embedding corpus: natural vectors ∪ scaled copies (cosine is
     * scale-invariant, so the copies are exact near-dups). */
@@ -278,12 +283,17 @@ object Dedup {
       |  FROM embeddings WHERE vec_id % 10 = 0
       |)""".stripMargin
 
-  /** Label-blocked embedding near-dup pairs at cosine ≥ τ. */
+  /** Label-blocked embedding near-dup pairs at cosine ≥ τ. Norms are
+    * projected once per row (not per pair); the division order matches
+    * `cosine`/DuckDB exactly. */
   def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("id1"), col("e").as("e1"))
-    val b = emb.select(col("label"), col("vec_id").as("id2"), col("e").as("e2"))
+    val withN = emb.withColumn("nrm", norm2(col("e")))
+    val a = withN.select(col("label"), col("vec_id").as("id1"), col("e").as("e1"),
+      col("nrm").as("n1"))
+    val b = withN.select(col("label"), col("vec_id").as("id2"), col("e").as("e2"),
+      col("nrm").as("n2"))
     a.join(b, "label").filter(col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("e1"), col("e2")))
+      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= tau)
       .select(col("id1"), col("id2"), col("label"), round(col("cos"), 4).as("cos"))
   }

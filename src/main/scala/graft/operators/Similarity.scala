@@ -27,13 +27,16 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
 
-  /** Brute-force cosine top-k for a query subset. */
+  /** Brute-force cosine top-k for a query subset. Norms project once
+    * per row; the corpus streams through the broadcast join. */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred).select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val n = emb.select(col("vec_id").as("neighbor_id"), col("e").as("ne"))
+    val withN = emb.withColumn("nrm", Dedup.norm2(col("e")))
+    val q = withN.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val n = withN.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.cosine(col("qe"), col("ne")))
+      .withColumn("cos", Dedup.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 4).as("cos"))
@@ -76,21 +79,25 @@ object Similarity {
     val hp = hyperplanes(bands * bitsPerBand, dims, 7L)
     val sigUdf = udf((e: Seq[Double]) => signBits(e, hp))
     val mask = (1 << bitsPerBand) - 1
+    // signature table referenced by both join sides — persist
     val banded = emb.withColumn("sig", sigUdf(col("e")))
-      .select(col("vec_id"), col("e"), col("sig"),
+      .withColumn("nrm", Dedup.norm2(col("e")))
+      .select(col("vec_id"), col("e"), col("nrm"), col("sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bk"))
-      .select(col("vec_id"), col("e"), col("bk.band"), col("bk.bv"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("bk.band"), col("bk.bv"))
+      .cache()
     val q = banded.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("band"), col("bv"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+        col("band"), col("bv"))
     val cand = q.join(banded.select(col("vec_id").as("neighbor_id"), col("e").as("ne"),
-        col("band"), col("bv")), Seq("band", "bv"))
+        col("nrm").as("nn"), col("band"), col("bv")), Seq("band", "bv"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qe", "ne")
+      .select("query_id", "neighbor_id", "qe", "ne", "qn", "nn")
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", Dedup.cosine(col("qe"), col("ne")))
+    cand.withColumn("cos", Dedup.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 4).as("cos"))
