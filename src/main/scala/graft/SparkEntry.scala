@@ -10,9 +10,11 @@ import graft.operators._
  */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+    * product's core path: per-pair Firth association on the derived
+    * cohort (the reference's default model). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q03Join(spark, "/root/testdata/sf0.001")
+    Mas.a04AssocFirth(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_assoc_linear" -> (Mas.a01AssocLinear _),

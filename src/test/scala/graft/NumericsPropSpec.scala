@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Numerics
+
+/** Property-based checks of the from-scratch numerics — identities
+  * that must hold across the whole domain, not just spot values.
+  * (Drives ScalaCheck generators directly — scalatestplus isn't in
+  * the offline dependency cache.) */
+class NumericsPropSpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  private val probs = Gen.choose(1e-12, 1.0 - 1e-12)
+  private val smallPos = Gen.choose(0.1, 50.0)
+
+  test("qnorm is the inverse of normCdf across (0,1)") {
+    forAll(probs) { p =>
+      val x = Numerics.qnorm(p)
+      assert(math.abs(Numerics.normCdf(x) - p) < 1e-11 * math.max(1.0, 1 / math.min(p, 1 - p) * 1e-6) + 1e-12)
+    }
+  }
+
+  test("erfc symmetry: erfc(-x) = 2 - erfc(x)") {
+    forAll(Gen.choose(-6.0, 6.0)) { x =>
+      assert(math.abs(Numerics.erfc(-x) - (2.0 - Numerics.erfc(x))) < 1e-13)
+    }
+  }
+
+  test("incomplete beta symmetry: I_x(a,b) = 1 - I_{1-x}(b,a)") {
+    forAll(smallPos, smallPos, probs) { (a, b, x) =>
+      val lhs = Numerics.incBeta(a, b, x)
+      val rhs = 1.0 - Numerics.incBeta(b, a, 1.0 - x)
+      assert(math.abs(lhs - rhs) < 1e-9, s"a=$a b=$b x=$x")
+    }
+  }
+
+  test("gammaP + gammaQ = 1 and both in [0,1]") {
+    forAll(smallPos, Gen.choose(0.0, 100.0)) { (a, x) =>
+      val p = Numerics.gammaP(a, x)
+      val q = Numerics.gammaQ(a, x)
+      assert(p >= -1e-12 && p <= 1 + 1e-12)
+      assert(math.abs(p + q - 1.0) < 1e-10)
+    }
+  }
+
+  test("t distribution: sf2 symmetry and df->inf normal limit") {
+    forAll(Gen.choose(-8.0, 8.0), Gen.choose(1.0, 200.0)) { (t, df) =>
+      // two-sided p equals 2*(1 - cdf(|t|))
+      val p2 = Numerics.tSf2(t, df)
+      val viaCdf = 2.0 * (1.0 - Numerics.tCdf(math.abs(t), df))
+      assert(math.abs(p2 - viaCdf) < 1e-10)
+    }
+    // large-df limit approaches the normal
+    assert(math.abs(Numerics.tSf2(1.96, 1e7) - Numerics.normSf2(1.96)) < 1e-5)
+  }
+
+  test("rolling hash composition: h(a+b) = (h(a)*31^|b| + h(b)) mod m") {
+    val m = 1000000007L
+    def h(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, c) => (acc * 31 + (c & 0xff)) % m)
+    def powMod(b: Long, e: Long, m: Long): Long = {
+      var r = 1L; var bb = b % m; var ee = e
+      while (ee > 0) { if ((ee & 1) == 1) r = r * bb % m; bb = bb * bb % m; ee >>= 1 }
+      r
+    }
+    forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val expected = (h(a) * powMod(31, b.getBytes("UTF-8").length.toLong, m) + h(b)) % m
+      assert(h(a + b) == expected)
+    }
+  }
+}
