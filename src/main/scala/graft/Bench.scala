@@ -51,13 +51,23 @@ object Bench {
         (1 to k).map(c => s"z$c"), model = "firth", minCaseCount = 10)
       // min of two runs: the host VM's CPU share varies a lot between
       // runs, and the min is the capability number
-      (1 to 2).map { _ =>
+      val firthT = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         Association.binary(melted, cfg).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
+      // same shape through the one-pass Gram OLS path (y treated
+      // quantitatively): sufficient stats only, no per-pair rows
+      val linT = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Association.linear(melted, cfg.copy(model = "linear"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (firthT, linT)
     }
-    val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime)
+    val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime._1) :+
+      ("mas_linear_5000x1800x5cov" -> masTime._2)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
