@@ -23,6 +23,7 @@ object SparkEntry {
     "a04_assoc_firth" -> (Mas.a04AssocFirth _),
     "a05_case_counts" -> (Mas.a05CaseCounts _),
     "a06_validation_skip" -> (Mas.a06ValidationSkip _),
+    "a07_flipwas" -> (Mas.a07Flipwas _),
     "p01_select_index" -> (Preprocess.p01SelectIndex _),
     "p02_sex_filter" -> (Preprocess.p02SexFilter _),
     "p03_fill_mean" -> (Preprocess.p03FillMean _),

@@ -40,6 +40,7 @@ object Mas {
         col("c_custkey").as("id"),
         col("c_acctbal").as("x"),
         when(col("c_acctbal") > 0, 1.0).otherwise(0.0).as("xbin"),
+        when(col("c_custkey") % 2 === 0, 1.0).otherwise(0.0).as("xpar"),
         col("c_nationkey").cast("double").as("z1"),
         when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("y_avg0")).as("y_avg"),
         col("y_max"), col("y_cnt"),
@@ -64,6 +65,7 @@ object Mas {
       |  GROUP BY 1, 2, 3
       |), cohort AS (
       |  SELECT id, x, CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END AS xbin,
+      |    CASE WHEN id % 2 = 0 THEN 1.0 ELSE 0.0 END AS xpar,
       |    CAST(nk AS DOUBLE) AS z1,
       |    CASE WHEN id % 7 = 0 THEN NULL ELSE y_avg0 END AS y_avg,
       |    y_max, y_cnt, d_urgent, d_open, d_big, d_many, d_rare,
@@ -127,6 +129,20 @@ object Mas {
       .orderBy("dependent")
   }
 
+  /** a07: FlipWAS shape — MULTIPLE predictors × multiple dependents
+    * through the same engine (the reference's --flipwas mode iterates
+    * predictors for one dependent; the melt handles the full cross).
+    * 2×2 closed-form oracle per (predictor, dependent) cell. */
+  def a07Flipwas(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("xbin", "xpar"), Seq("d_urgent", "d_big"),
+      model = "logistic", minCaseCount = 5, maxIter = 100, tol = 1e-12)
+    Association.assoc(cohort(spark, dir), cfg)
+      .select(col("predictor"), col("dependent"),
+        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        col("cases"), col("controls"), col("total_n"))
+      .orderBy("predictor", "dependent")
+  }
+
   /** a05: per-pair case/control counts + viability flag
     * (analysis.py:168-193) as a pure aggregate — no fit. */
   def a05CaseCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -164,6 +180,23 @@ object Mas {
        |  CAST(sum(CASE WHEN xbin = 0 AND $dep = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n01,
        |  CAST(sum(CASE WHEN xbin = 0 AND $dep = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n00
        |FROM cohort WHERE $dep IS NOT NULL)""".stripMargin
+
+  private def cellsFor(pred: String, dep: String): String =
+    s"""(SELECT
+       |  CAST(sum(CASE WHEN $pred = 1 AND $dep = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+       |  CAST(sum(CASE WHEN $pred = 1 AND $dep = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n10,
+       |  CAST(sum(CASE WHEN $pred = 0 AND $dep = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n01,
+       |  CAST(sum(CASE WHEN $pred = 0 AND $dep = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n00
+       |FROM cohort WHERE $dep IS NOT NULL)""".stripMargin
+
+  private def flipBranch(pred: String, dep: String): String =
+    s"""SELECT '$pred' AS predictor, '$dep' AS dependent,
+       |  round(ln((n11 * n00) / (n10 * n01)), 4) AS beta,
+       |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 4) AS se,
+       |  CAST(n11 + n01 AS BIGINT) AS cases,
+       |  CAST(n10 + n00 AS BIGINT) AS controls,
+       |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS total_n
+       |FROM ${cellsFor(pred, dep)}""".stripMargin
 
   private def linBranch(dep: String): String =
     s"""SELECT 'x' AS predictor, '$dep' AS dependent,
@@ -235,6 +268,10 @@ object Mas {
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(firthBranch)
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a07_flipwas" ->
+      (cohortSql + "\n" +
+        (for { p <- Seq("xbin", "xpar"); d <- Seq("d_urgent", "d_big") } yield flipBranch(p, d))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY predictor, dependent")),
     "a05_case_counts" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all").map(countsBranch(_, 50))
