@@ -42,6 +42,7 @@ object SparkEntry {
     "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),
     "d04_dedup_simhash" -> (Dedup.d04DedupSimhash _),
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
+    "d06_dedup_components" -> (Dedup.d06DedupComponents _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "t01_langid" -> (TextOps.t01LangId _),

@@ -247,6 +247,55 @@ object Dedup {
   def d04DedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(corpus(spark, dir)).orderBy("id1", "id2")
 
+  // -------------------------------------- d06 duplicate components
+
+  /**
+   * Connected components over near-dup pairs — turns pairwise matches
+   * into duplicate CLUSTERS (keep the min-id member of each).
+   *
+   * Iterative min-label propagation as chained DataFrame jobs: each
+   * round every node takes the min label among itself and its
+   * neighbors; converges in ≤ diameter rounds (dup clusters are
+   * near-cliques from LSH, so 2–3 rounds in practice). Each round is
+   * one join + one aggregation — shuffle ∝ |edges|, the
+   * large-graph-safe shape (no driver-side graph).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Iterative-DataFrame hygiene, both load-bearing:
+    //  - distinct column names (labels derives from edges; qualified
+    //    join conditions would hit ambiguous-self-join resolution)
+    //  - localCheckpoint(eager) each round to CUT the logical lineage:
+    //    without it the plan doubles per iteration and Catalyst
+    //    analysis/cache-lookup time grows exponentially (observed as a
+    //    driver-side hang by round ~15). On a cluster with an
+    //    unreliable-executor concern, use checkpoint() to the
+    //    checkpoint dir instead — same shape.
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("nxt") < col("lbl")).count()
+      labels = updated.select(col("id"), col("nxt").as("lbl"))
+      it += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** d06: duplicate clusters from the MinHash-LSH pair set. */
+  def d06DedupComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLshPairs(corpus(spark, dir), 0.5))
+      .orderBy("id")
+
   // ------------------------------------------- d05 embedding cosine
 
   /** Cosine similarity of two double arrays — sequential left-to-right
@@ -303,6 +352,25 @@ object Dedup {
 
   // --------------------------------------------------------- oracle SQL
 
+  /** Exact global shingle-Jaccard pair CTE chain (follows `corpus`). */
+  private val globalPairsSqlBody: String =
+    """, norm AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
+      |), words AS (
+      |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |  FROM words
+      |), ex AS (
+      |  SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s FROM sh
+      |), pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+      |    any_value(a.ns) AS na, any_value(b.ns) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" ->
       (corpusSql +
@@ -336,26 +404,26 @@ object Dedup {
     // MinHash is deterministic given the fixed permutations — so the
     // oracle is simply the exact global Jaccard pair set.
     "d03_dedup_minhash" ->
-      (corpusSql +
-        """, norm AS (
-          |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
-          |), words AS (
-          |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
-          |), sh AS (
-          |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
-          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-          |  FROM words
-          |), ex AS (
-          |  SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s FROM sh
-          |), pairs AS (
-          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
-          |    any_value(a.ns) AS na, any_value(b.ns) AS nb
-          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2
-          |)
+      (corpusSql + globalPairsSqlBody +
+        """
           |SELECT id1, id2, round(common * 1.0 / (na + nb - common), 4) AS jaccard
           |FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
           |ORDER BY id1, id2""".stripMargin),
+    // components of the same (deterministically recalled) pair set:
+    // min-reachable-node via a recursive CTE
+    "d06_dedup_components" ->
+      (corpusSql.replace("WITH corpus", "WITH RECURSIVE corpus") + globalPairsSqlBody +
+        """, jp AS (
+          |  SELECT id1, id2 FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+          |), edges AS (
+          |  SELECT id1, id2 FROM jp UNION ALL SELECT id2, id1 FROM jp
+          |), reach(src, node) AS (
+          |  SELECT id1, id1 FROM edges
+          |  UNION
+          |  SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.node = e.id1
+          |)
+          |SELECT src AS id, min(node) AS component
+          |FROM reach GROUP BY src ORDER BY id""".stripMargin),
     "d05_dedup_embedding" ->
       (embCorpusSql +
         """

@@ -58,6 +58,21 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(twins.forall(_._3 == 1.0))
   }
 
+  test("connected components match driver-side union-find") {
+    val sess = spark
+    import sess.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // chain of length 6 needs multiple propagation rounds
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id1", "id2")
+    val got2 = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).distinct
+    assert(got2.toSeq == Seq(1L))
+  }
+
   test("exact dedup classes cover exactly the mutated docs") {
     val out = Dedup.d01DedupExact(spark, dir).collect()
     assert(out.forall(_.getLong(1) == 2L))
