@@ -42,6 +42,23 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Sources.read(spark, s"$dir/t.xlsx"))
   }
 
+  test("CLI arg parsing covers flags, defaults and errors") {
+    val cfg = Main.parseArgs(Array(
+      "--input", "/d/c.parquet", "--predictors", "x", "--dependents", "i:3-9",
+      "--covariates", "age,sex", "--model", "linear", "--min-case-count", "25",
+      "--sex-col", "sex", "--female-only", "--output", "/o", "--output-format", "tsv"))
+    assert(cfg.input == "/d/c.parquet")
+    assert(cfg.dependents == "i:3-9")
+    assert(cfg.model == "linear" && cfg.minCaseCount == 25)
+    assert(cfg.femaleOnly && !cfg.maleOnly)
+    assert(cfg.outputFormat == "tsv")
+    // defaults mirror the reference
+    val d = Main.parseArgs(Array("--input", "a", "--predictors", "p", "--dependents", "d"))
+    assert(d.model == "firth" && d.minCaseCount == 10 && d.missingCovariateValues == "fail")
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--predictors", "p")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("oops")))
+  }
+
   test("distributed Gram IRLS matches the in-task logistic fitter") {
     val sess = spark
     import sess.implicits._
