@@ -12,11 +12,14 @@ import graft.operators.Association
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=mas skips the per-query
+    // sweep and times just the MAS headline shapes
+    val masOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("mas")
     val spark = GraftSession.get()
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
     try run("q02_filter_project") catch { case _: Throwable => () } // warm-up, untimed
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = (if (masOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted).map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -39,7 +42,8 @@ object Bench {
           concat(lit("dep_"), col("di")).as("dependent"),
           (pmod(xxhash64(col("sample"), lit(1)), lit(1000003)) / 1000003.0 * 4.0 - 2.0).as("x"),
           col("sample"), col("di"))
-        .select(col("predictor"), col("dependent"), col("x"),
+        .select(col("predictor"), lit(0).as("pidx"), col("dependent"),
+          col("di").cast("int").as("didx"), col("x"),
           // y ~ Bernoulli(sigmoid(0.8x − 2 + dep offset)), hash-derived
           (pmod(xxhash64(col("sample"), col("di"), lit(7)), lit(1000003)) / 1000003.0 <
             lit(1.0) / (lit(1.0) + exp(-(col("x") * 0.8 - 2.0 +
@@ -49,21 +53,24 @@ object Bench {
             .as("covs"))
       val cfg = Association.Config(Seq("x"), (0 until d).map(i => s"dep_$i"),
         (1 to k).map(c => s"z$c"), model = "firth", minCaseCount = 10)
-      // min of two runs: the host VM's CPU share varies a lot between
-      // runs, and the min is the capability number
-      val firthT = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
+      // median of three runs: the host VM's CPU share varies a lot
+      // between runs — the median is robust to one contended run
+      // without the min's best-case bias
+      def median3(body: => Unit): Double =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+      val firthT = median3 {
         Association.binary(melted, cfg).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      }
       // same shape through the one-pass Gram OLS path (y treated
       // quantitatively): sufficient stats only, no per-pair rows
-      val linT = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
+      val linT = median3 {
         Association.linear(melted, cfg.copy(model = "linear"))
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      }
       (firthT, linT)
     }
     val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime._1) :+

@@ -17,8 +17,15 @@ import graft.functions.Numerics
  *
  * All fitters take a column-major design matrix whose FIRST column is
  * the predictor; the intercept column is appended internally. They are
- * plain-JVM (breeze) and run inside executor tasks — one fit per
- * (predictor, dependent) group.
+ * plain-JVM and run inside executor tasks — one fit per
+ * (predictor, dependent) group. The iterative kernels are hand-rolled
+ * over flat primitive arrays with buffers allocated once per fit:
+ * breeze's idiomatic `xi.t * (xi(::,*) *:* w)` / `xi * infoInv`
+ * materialize two n×k temporaries per IRLS iteration, and at the MAS
+ * benchmark shape (1,800 pairs × ~20 iterations × 2 fits) that is tens
+ * of GB of allocation churn — enough GC pressure to collapse 32-thread
+ * throughput on a contended host. The raw kernels allocate only O(k²)
+ * per iteration.
  */
 final case class FitResult(
     pval: Double,
@@ -32,19 +39,31 @@ final case class FitResult(
 object Models {
   private val Z975 = 1.959963984540054 // qnorm(0.975)
 
-  private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
-
   /** Append an all-ones intercept column (reference adds it last). */
   def withIntercept(x: DenseMatrix[Double]): DenseMatrix[Double] =
     DenseMatrix.horzcat(x, DenseMatrix.ones[Double](x.rows, 1))
+
+  /** Flatten a design to column-major with the intercept appended. */
+  private def packed(x: DenseMatrix[Double]): (Array[Double], Int, Int) = {
+    val n = x.rows
+    val k = x.cols + 1
+    val xd = new Array[Double](n * k)
+    var j = 0
+    while (j < x.cols) {
+      var i = 0
+      while (i < n) { xd(j * n + i) = x(i, j); i += 1 }
+      j += 1
+    }
+    java.util.Arrays.fill(xd, (k - 1) * n, k * n, 1.0)
+    (xd, n, k)
+  }
 
   // ------------------------------------------------------------- linear
 
   /**
    * OLS from sufficient statistics: xtx/xty INCLUDE the intercept
-   * column (appended last). This is the 100 TB path — the Gram matrix
-   * is accumulated distributively (map-side combine) so only
-   * O(k^2) doubles per group reach the reducer; rows never shuffle.
+   * column (appended last). Raw-sum form — see `linearFromCentered`
+   * for the partition-order-stable variant the engine uses.
    */
   def linearFromGram(
       xtx: DenseMatrix[Double],
@@ -57,9 +76,38 @@ object Models {
     val xtxInv = inv(xtx)
     val beta = xtxInv * xty
     val rss = math.max(0.0, yty - (beta dot xty))
+    tInference(beta(0), rss, dfRes, xtxInv(0, 0))
+  }
+
+  /**
+   * OLS from CENTERED sufficient statistics — the 100 TB association
+   * path. cxx/cxy/cyy are co-moments Σ(f_i−μ_i)(f_j−μ_j) over the
+   * predictor+covariate block (NO intercept column: centering absorbs
+   * it, so slopes and their standard errors are identical to the
+   * intercept-last raw fit while the solve stays well-conditioned).
+   * Raw Σ f_i f_j sums of large-magnitude features lose ~10 digits to
+   * cancellation in rss = Syy − β·Sxy, which is what made round-2's
+   * a01 4-dp rounding flip with aggregation order; co-moments keep
+   * absolute error relative to the centered scale, so results are
+   * stable at any partition count.
+   */
+  def linearFromCentered(
+      cxx: DenseMatrix[Double],
+      cxy: DenseVector[Double],
+      cyy: Double,
+      n: Long): FitResult = {
+    val q = cxx.cols
+    val dfRes = n - q - 1 // − 1: the (implicit, centered-out) intercept
+    if (dfRes <= 0) return FitResult(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, converged = false)
+    val cxxInv = inv(cxx)
+    val beta = cxxInv * cxy
+    val rss = math.max(0.0, cyy - (beta dot cxy))
+    tInference(beta(0), rss, dfRes, cxxInv(0, 0))
+  }
+
+  private def tInference(b0: Double, rss: Double, dfRes: Long, v00: Double): FitResult = {
     val sigma2 = rss / dfRes
-    val se0 = math.sqrt(sigma2 * xtxInv(0, 0))
-    val b0 = beta(0)
+    val se0 = math.sqrt(sigma2 * v00)
     val t = b0 / se0
     val pval = Numerics.tSf2(t, dfRes.toDouble)
     val tq = Numerics.tQuantile(0.975, dfRes.toDouble)
@@ -72,6 +120,45 @@ object Models {
     linearFromGram(xi.t * xi, xi.t * y, y dot y, y.length.toLong)
   }
 
+  // -------------------------------------------------------- raw kernels
+
+  /** Fused eta → p → w pass: p_i = sigmoid(x_i·beta), w_i = p(1−p)
+    * floored at wfloor. No allocation. */
+  private def etaPW(
+      xd: Array[Double], n: Int, k: Int, beta: Array[Double],
+      p: Array[Double], w: Array[Double], wfloor: Double): Unit = {
+    var i = 0
+    while (i < n) {
+      var acc = 0.0
+      var j = 0
+      while (j < k) { acc += xd(j * n + i) * beta(j); j += 1 }
+      val pi = 1.0 / (1.0 + math.exp(-acc))
+      p(i) = pi
+      w(i) = math.max(pi * (1.0 - pi), wfloor)
+      i += 1
+    }
+  }
+
+  /** out(k×k, row-major flat) = X^T W X, no n×k temporary. */
+  private def xtwx(
+      xd: Array[Double], n: Int, k: Int, w: Array[Double], out: Array[Double]): Unit = {
+    var a = 0
+    while (a < k) {
+      val oa = a * n
+      var b = a
+      while (b < k) {
+        val ob = b * n
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += w(i) * xd(oa + i) * xd(ob + i); i += 1 }
+        out(a * k + b) = acc
+        out(b * k + a) = acc
+        b += 1
+      }
+      a += 1
+    }
+  }
+
   // ----------------------------------------------------------- logistic
 
   /** Newton-Raphson logistic MLE; Wald z p-value/CI for coefficient 0. */
@@ -80,26 +167,48 @@ object Models {
       y: DenseVector[Double],
       maxIter: Int = 35,
       tol: Double = 1e-8): FitResult = {
-    val xi = withIntercept(x)
-    val n = xi.rows
-    val k = xi.cols
-    val beta = DenseVector.zeros[Double](k)
+    val (xd, n, k) = packed(x)
+    logisticRaw(xd, n, k, y.toArray, maxIter, tol)
+  }
+
+  /** Logistic MLE over a packed col-major design (intercept included
+    * as the last column). One O(k²) allocation per Newton step. */
+  def logisticRaw(
+      xd: Array[Double], n: Int, k: Int, y: Array[Double],
+      maxIter: Int, tol: Double): FitResult = {
+    val beta = new Array[Double](k)
+    val p = new Array[Double](n)
+    val w = new Array[Double](n)
+    val info = new Array[Double](k * k)
+    val grad = new Array[Double](k)
     var converged = false
     var it = 0
-    var info: DenseMatrix[Double] = null
     while (it < maxIter && !converged) {
-      val eta = xi * beta
-      val p = eta.map(sigmoid)
-      val w = p.map(pi => math.max(pi * (1.0 - pi), 1e-10))
-      // X^T W X and X^T (y - p)
-      info = xi.t * (xi(::, breeze.linalg.*) *:* w)
-      val grad = xi.t * (y - p)
-      val delta = info \ grad
-      beta += delta
-      if (breeze.linalg.max(breeze.numerics.abs(delta)) < tol) converged = true
+      etaPW(xd, n, k, beta, p, w, 1e-10)
+      xtwx(xd, n, k, w, info)
+      var a = 0
+      while (a < k) {
+        val oa = a * n
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += xd(oa + i) * (y(i) - p(i)); i += 1 }
+        grad(a) = acc
+        a += 1
+      }
+      val delta = new DenseMatrix(k, k, info.clone()) \ new DenseVector(grad.clone())
+      var mx = 0.0
+      var j = 0
+      while (j < k) {
+        beta(j) += delta(j)
+        mx = math.max(mx, math.abs(delta(j)))
+        j += 1
+      }
+      if (mx < tol) converged = true
       it += 1
     }
-    val covm = inv(info)
+    // Wald inference from the information at the last pre-step beta
+    // (delta < tol at convergence, so identical to machine precision)
+    val covm = inv(new DenseMatrix(k, k, info.clone()))
     val se0 = math.sqrt(covm(0, 0))
     val b0 = beta(0)
     val z = b0 / se0
@@ -121,15 +230,26 @@ object Models {
       maxStep: Double = 5.0,
       gtol: Double = 1e-5,
       xtol: Double = 1e-5): FitResult = {
-    val xi = withIntercept(x)
-    val full = firthFit(xi, y, fixZero = -1, maxIter, maxStep, gtol, xtol)
+    val (xd, n, k) = packed(x)
+    firthRaw(xd, n, k, y.toArray, maxIter, maxStep, gtol, xtol)
+  }
+
+  /** Firth fit over a packed col-major design (intercept last). The
+    * per-observation buffers are allocated once and shared by the full
+    * and the LRT-constrained fit. */
+  def firthRaw(
+      xd: Array[Double], n: Int, k: Int, y: Array[Double],
+      maxIter: Int = 25, maxStep: Double = 5.0,
+      gtol: Double = 1e-5, xtol: Double = 1e-5): FitResult = {
+    val ws = new FirthWorkspace(n, k)
+    val full = firthFit(xd, n, k, y, fixZero = -1, maxIter, maxStep, gtol, xtol, null, ws)
     // LRT: refit with the predictor coefficient constrained to zero;
     // the Jeffreys penalty stays on the full design (logistf behavior).
     // Warm-started from the full fit (as firthmodels does) — same
     // optimum, fewer IRLS iterations.
-    val warm = full.beta.copy
+    val warm = full.beta.clone()
     warm(0) = 0.0
-    val constrained = firthFit(xi, y, fixZero = 0, maxIter, maxStep, gtol, xtol, Some(warm))
+    val constrained = firthFit(xd, n, k, y, fixZero = 0, maxIter, maxStep, gtol, xtol, warm, ws)
     val stat = 2.0 * (full.pll - constrained.pll)
     val pval = Numerics.chi2Sf(math.max(stat, 0.0), 1.0)
     val b0 = full.beta(0)
@@ -138,75 +258,101 @@ object Models {
       full.converged && constrained.converged)
   }
 
+  private final class FirthWorkspace(n: Int, k: Int) {
+    val p = new Array[Double](n)
+    val w = new Array[Double](n)
+    val resid = new Array[Double](n)
+    val info = new Array[Double](k * k)
+    val score = new Array[Double](k)
+  }
+
   private final case class FirthFit(
-      beta: DenseVector[Double], se: DenseVector[Double], pll: Double, converged: Boolean)
+      beta: Array[Double], se: Array[Double], pll: Double, converged: Boolean)
 
   /**
    * Penalized IRLS. fixZero >= 0 holds that coefficient at zero while
    * maximizing over the rest (used for the LRT null model).
    * Defaults follow logistf/firthmodels: maxit=25, maxstep=5,
-   * gconv=xconv=1e-5, no step-halving.
+   * gconv=xconv=1e-5, no step-halving. Hat diagonal h_i =
+   * w_i·x_i^T info⁻¹ x_i is computed row-wise against the k×k inverse
+   * — no n×k temporary, nothing allocated per iteration beyond the
+   * small solve.
    */
   private def firthFit(
-      xi: DenseMatrix[Double],
-      y: DenseVector[Double],
-      fixZero: Int,
-      maxIter: Int = 25,
-      maxStep: Double = 5.0,
-      gtol: Double = 1e-5,
-      xtol: Double = 1e-5,
-      init: Option[DenseVector[Double]] = None): FirthFit = {
-    val k = xi.cols
-    val n = xi.rows
+      xd: Array[Double], n: Int, k: Int, y: Array[Double],
+      fixZero: Int, maxIter: Int, maxStep: Double, gtol: Double, xtol: Double,
+      init: Array[Double], ws: FirthWorkspace): FirthFit = {
     val free = (0 until k).filter(_ != fixZero).toArray
-    val beta = init.map(_.copy).getOrElse(DenseVector.zeros[Double](k))
+    val nf = free.length
+    val beta = if (init != null) init.clone() else new Array[Double](k)
+    val p = ws.p; val w = ws.w; val resid = ws.resid
+    val info = ws.info; val score = ws.score
     var converged = false
     var it = 0
     while (it < maxIter && !converged) {
-      val eta = xi * beta
-      val p = eta.map(sigmoid)
-      val w = p.map(pi => math.max(pi * (1.0 - pi), 1e-12))
-      val info = xi.t * (xi(::, breeze.linalg.*) *:* w)
-      val infoInv = inv(info)
-      // hat diagonal h_i = w_i * x_i^T info^{-1} x_i, computed as one
-      // gemm (M = X·info⁻¹) plus a fused row-sum — the naive per-row
-      // slice/dot allocates two vectors per row per iteration and
-      // dominated the whole fit (~2× end-to-end on the 5000×1800 MAS
-      // benchmark shape).
-      val m = xi * infoInv
-      val xd = xi.data; val md = m.data // column-major, stride n
-      val resid = DenseVector.tabulate(n) { i =>
-        var acc = 0.0
-        var j = 0
-        while (j < k) { acc += md(j * n + i) * xd(j * n + i); j += 1 }
-        val hi = w(i) * acc
-        y(i) - p(i) + hi * (0.5 - p(i))
+      etaPW(xd, n, k, beta, p, w, 1e-12)
+      xtwx(xd, n, k, w, info)
+      val invd = inv(new DenseMatrix(k, k, info.clone())).data // symmetric: layout-agnostic
+      // quadratic form q_i = x_i^T info⁻¹ x_i accumulated column-pair-
+      // wise into `resid`: k(k+1)/2 sequential n-length passes (SIMD-
+      // friendly) instead of a strided k² gather per row
+      java.util.Arrays.fill(resid, 0, n, 0.0)
+      var qa = 0
+      while (qa < k) {
+        val oa = qa * n
+        var qb = qa
+        while (qb < k) {
+          val ob = qb * n
+          val s = if (qa == qb) invd(qa * k + qb) else 2.0 * invd(qa * k + qb)
+          var i2 = 0
+          while (i2 < n) { resid(i2) += s * xd(oa + i2) * xd(ob + i2); i2 += 1 }
+          qb += 1
+        }
+        qa += 1
       }
-      val score = xi.t * resid
+      var i = 0
+      while (i < n) {
+        val hi = w(i) * resid(i)
+        resid(i) = y(i) - p(i) + hi * (0.5 - p(i))
+        i += 1
+      }
+      var a = 0
+      while (a < k) {
+        val oa = a * n
+        var acc = 0.0
+        var i2 = 0
+        while (i2 < n) { acc += xd(oa + i2) * resid(i2); i2 += 1 }
+        score(a) = acc
+        a += 1
+      }
       // restrict to free coordinates
-      val scoreF = DenseVector(free.map(score(_)))
-      val infoF = DenseMatrix.tabulate(free.length, free.length)((a, b) => info(free(a), free(b)))
+      val scoreF = DenseVector.tabulate(nf)(a2 => score(free(a2)))
+      val infoF = DenseMatrix.tabulate(nf, nf)((a2, b2) => info(free(a2) * k + free(b2)))
       val deltaF = infoF \ scoreF
       // cap the step (logistf maxstep)
       val mx = breeze.linalg.max(breeze.numerics.abs(deltaF))
       val scale = if (mx > maxStep) maxStep / mx else 1.0
       var j = 0
-      while (j < free.length) { beta(free(j)) += scale * deltaF(j); j += 1 }
-      if (breeze.linalg.max(breeze.numerics.abs(deltaF)) * scale < xtol &&
-        breeze.linalg.max(breeze.numerics.abs(scoreF)) < gtol) converged = true
+      while (j < nf) { beta(free(j)) += scale * deltaF(j); j += 1 }
+      var gmax = 0.0
+      var j2 = 0
+      while (j2 < nf) { gmax = math.max(gmax, math.abs(scoreF(j2))); j2 += 1 }
+      if (mx * scale < xtol && gmax < gtol) converged = true
       it += 1
     }
     // final penalized log-likelihood and SEs at the solution
-    val eta = xi * beta
-    val p = eta.map(sigmoid)
-    val w = p.map(pi => math.max(pi * (1.0 - pi), 1e-12))
-    val info = xi.t * (xi(::, breeze.linalg.*) *:* w)
-    val ll = (0 until xi.rows).map { i =>
+    etaPW(xd, n, k, beta, p, w, 1e-12)
+    xtwx(xd, n, k, w, info)
+    var ll = 0.0
+    var i = 0
+    while (i < n) {
       val pi = math.min(math.max(p(i), 1e-15), 1 - 1e-15)
-      y(i) * math.log(pi) + (1.0 - y(i)) * math.log(1.0 - pi)
-    }.sum
-    val pll = ll + 0.5 * logDet(info)
-    val se = breeze.numerics.sqrt(diag(inv(info)))
+      ll += y(i) * math.log(pi) + (1.0 - y(i)) * math.log(1.0 - pi)
+      i += 1
+    }
+    val infoM = new DenseMatrix(k, k, info.clone())
+    val pll = ll + 0.5 * logDet(infoM)
+    val se = breeze.numerics.sqrt(diag(inv(infoM))).toArray
     FirthFit(beta, se, pll, converged)
   }
 

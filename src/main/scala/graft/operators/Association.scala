@@ -1,7 +1,8 @@
 package graft.operators
 
 import breeze.linalg.{DenseMatrix, DenseVector}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.models.Models
 
@@ -21,13 +22,16 @@ import graft.models.Models
  *    melted (two `explode`s) into (predictor, dependent, x, y, covs)
  *    rows and grouped by pair — thousands of pairs spread across
  *    executors, data motion is one shuffle of the melted rows.
- *  - The LINEAR path never materializes a pair's rows: a declarative
- *    Gram aggregation (sum(f_i*f_j) columns — plain codegen'd
- *    HashAggregate with map-side partial combine) reduces each pair to
- *    O((k+2)²) doubles, and a tiny per-group solve turns sufficient
- *    stats into the fit. At 100 TB the shuffle carries kilobytes per
- *    pair, not rows. Constant-covariate detection also happens on the
- *    sufficient stats (zero variance ⇔ S_cc − S_c²/n = 0).
+ *  - The LINEAR path never materializes a pair's rows: a single-pass
+ *    CENTERED co-moment aggregation (Welford/Chan merge — numerically
+ *    stable at any partition count, map-side combined) reduces each
+ *    pair to O((k+2)²) doubles, and a tiny per-group solve turns
+ *    sufficient stats into the fit. At 100 TB the shuffle carries
+ *    kilobytes per pair, not rows. Constant-covariate detection also
+ *    happens on the co-moments (zero centered variance).
+ *  - Group keys are dictionary-encoded to ONE long (indices come free
+ *    from the melt's literal structs) so no strings travel through the
+ *    shuffle or the per-row typed decode on the fit side.
  *  - The LOGISTIC/FIRTH paths are iteratively reweighted and need the
  *    pair's rows: `mapGroups` fits one pair per task (cohort ×
  *    (k+2) doubles of task memory). For cohorts too large for one
@@ -70,27 +74,37 @@ object Association {
       n_observations: Long,
       converged: Boolean, failed_reason: String, equation: String)
 
-  private[operators] final case class MeltRow(
-      predictor: String, dependent: String, x: Double, y: Double, covs: Seq[Double])
-
   /** Wide → long melt: one row per (input row, predictor, dependent)
     * that survives the pair null-drop, covariates packed as an array.
     * Two explodes over literal-struct arrays — pure projection, no
-    * shuffle; Catalyst prunes unreferenced input columns. */
+    * shuffle; Catalyst prunes unreferenced input columns.
+    *
+    * Rows with ANY null covariate are dropped too: the reference's
+    * missing-covariate contract is resolved in preprocessing
+    * (fail/drop/fill, preprocessing.py:7-40), so by the time data
+    * reaches the engine covariates are complete — silently feeding a
+    * null into a fitter would corrupt sufficient statistics with no
+    * failed_reason. The engine enforces drop semantics at its
+    * boundary. */
   def melt(df: DataFrame, cfg: Config): DataFrame = {
-    val predArr = array(cfg.predictors.map(p =>
-      struct(lit(p).as("predictor"), col(p).cast("double").as("x"))): _*)
-    val depArr = array(cfg.dependents.map(d =>
-      struct(lit(d).as("dependent"), col(d).cast("double").as("y"))): _*)
+    val predArr = array(cfg.predictors.zipWithIndex.map { case (p, pi) =>
+      struct(lit(p).as("predictor"), lit(pi).as("pidx"), col(p).cast("double").as("x"))
+    }: _*)
+    val depArr = array(cfg.dependents.zipWithIndex.map { case (d, di) =>
+      struct(lit(d).as("dependent"), lit(di).as("didx"), col(d).cast("double").as("y"))
+    }: _*)
     val covArr =
       if (cfg.covariates.isEmpty) lit(Array.empty[Double])
       else array(cfg.covariates.map(c => col(c).cast("double")): _*)
+    val covsComplete =
+      if (cfg.covariates.isEmpty) lit(true)
+      else forall(col("covs"), c => c.isNotNull)
     df.select(explode(predArr).as("p"), depArr.as("ds"), covArr.as("covs"))
-      .select(col("p.predictor").as("predictor"), col("p.x").as("x"),
+      .select(col("p.predictor").as("predictor"), col("p.pidx").as("pidx"), col("p.x").as("x"),
         explode(col("ds")).as("d"), col("covs"))
-      .select(col("predictor"), col("d.dependent").as("dependent"),
-        col("x"), col("d.y").as("y"), col("covs"))
-      .filter(col("x").isNotNull && col("y").isNotNull)
+      .select(col("predictor"), col("pidx"), col("d.dependent").as("dependent"),
+        col("d.didx").as("didx"), col("x"), col("d.y").as("y"), col("covs"))
+      .filter(col("x").isNotNull && col("y").isNotNull && covsComplete)
   }
 
   /** Run the configured model over the melted frame. */
@@ -99,65 +113,170 @@ object Association {
     if (cfg.model == "linear") linear(melted, cfg) else binary(melted, cfg)
   }
 
+  /**
+   * Dictionary-encode the (predictor, dependent) key to ONE Long and
+   * pack [x, y, covs…] into ONE primitive double array — both as
+   * codegen'd projections. Profiling at the MAS benchmark shape showed
+   * the typed path's per-row cost was dominated by decoding two String
+   * keys (UTF8String → String allocation per row, ~5 s of a 7 s job);
+   * with a long key + primitive array the shuffle payload and the
+   * executor-side decode are allocation-minimal. Rows whose names fall
+   * outside cfg (possible only when callers hand-build a melted frame)
+   * drop out here and are restored by completeGrid as null pairs.
+   */
+  private def keyed(melted: DataFrame, cfg: Config): Dataset[(Long, Array[Double])] = {
+    val spark = melted.sparkSession
+    import spark.implicits._
+    val dCount = cfg.dependents.size
+    val pack = concat(array(col("x"), col("y")), col("covs")).as("v")
+    val withKey =
+      if (melted.columns.contains("pidx") && melted.columns.contains("didx"))
+        // melt() emits the indices from its literal structs — free
+        melted.select((col("pidx").cast("long") * dCount + col("didx")).as("gkey"), pack)
+      else {
+        // hand-built melted frames: O(1) hash probe per row against a
+        // broadcast (predictor, dependent) → key dim (a literal-map
+        // element_at here would be a LINEAR scan of the map per row)
+        val dim = cfg.predictors.zipWithIndex.flatMap { case (p, pi) =>
+          cfg.dependents.zipWithIndex.map { case (d, di) =>
+            (p, d, pi.toLong * dCount + di)
+          }
+        }.toDF("predictor", "dependent", "gkey")
+        melted.join(broadcast(dim), Seq("predictor", "dependent")).select(col("gkey"), pack)
+      }
+    withKey.as[(Long, Array[Double])]
+  }
+
   // ------------------------------------------------------------- linear
 
-  /** Upper-triangle flat index for the Gram column ordering below. */
-  private def triIdx(m: Int, i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
+  /**
+   * One-pass distributed OLS on CENTERED sufficient statistics: each
+   * pair reduces to the co-moment matrix C_ij = Σ(f_i−μ_i)(f_j−μ_j)
+   * over [x, covs…, y] via Spark's built-in `covar_pop` — whose
+   * update/merge is the numerically stable Welford/Chan co-moment
+   * recursion AND stays inside whole-stage-codegen'd HashAggregate
+   * with map-side partial combine. The shuffle carries O(p²) doubles
+   * per pair per partition, never rows; at 100 TB that is kilobytes.
+   *
+   * Why centered: raw Σ f_i·f_j sums of ~1e5-magnitude features lose
+   * ~10 significant digits to cancellation in rss = Syy − β·Sxy, which
+   * amplified partition-order FP drift into the 4th decimal of `se`
+   * (round-2's a01 flaked green at local[8], red at local[32]).
+   * Co-moments keep absolute error proportional to the centered scale,
+   * so 4-dp-rounded results are identical at any partition count —
+   * matching DuckDB's equally-stable regr_* aggregates. Centering
+   * also absorbs the intercept, so coefficient 0 is the predictor
+   * with the same slope/se as the reference's intercept-last fit
+   * (models.py:72-83).
+   */
+  /** Per-group co-moment state: observation count, means, and the
+    * upper triangle of Σ(v_i−μ_i)(v_j−μ_j) over [x, y, covs…]. */
+  private[operators] final case class GramState(
+      var n: Long, mean: Array[Double], c: Array[Double])
 
-  /** One-pass distributed OLS: Gram sufficient statistics as plain
-    * `sum` columns (codegen'd, map-side combined), then a per-group
-    * solve. Features are [x, covs…, 1] with the intercept LAST so the
-    * reported coefficient 0 is the predictor (models.py:72-83). */
+  /** Single-pass multivariate co-moment aggregator (Welford update,
+    * Chan et al. pairwise merge — the same stable recursion behind
+    * covar_pop, but ONE fused state instead of p(p+1)/2 independent
+    * stateful aggregates, which profiled 4× faster at the MAS bench
+    * shape). Mergeable ⇒ map-side partial aggregation: the shuffle
+    * carries one O(p²) buffer per (pair × partition), never rows. */
+  private[operators] final class CoMoment(p: Int)
+      extends Aggregator[(Long, Array[Double]), GramState, GramState] {
+    def zero: GramState = GramState(0L, new Array[Double](p), new Array[Double](p * (p + 1) / 2))
+    def reduce(st: GramState, row: (Long, Array[Double])): GramState = {
+      val v = row._2
+      st.n += 1
+      // C_ij += d_i·d_j·(n−1)/n with d against the PRE-update means —
+      // the exact Welford identity, no per-row temporaries
+      val f = (st.n - 1).toDouble / st.n
+      val mean = st.mean
+      val c = st.c
+      var idx = 0
+      var i = 0
+      while (i < p) {
+        val di = f * (v(i) - mean(i))
+        var j = i
+        while (j < p) { c(idx) += di * (v(j) - mean(j)); idx += 1; j += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < p) { mean(i) += (v(i) - mean(i)) / st.n; i += 1 }
+      st
+    }
+    def merge(a: GramState, b: GramState): GramState = {
+      if (a.n == 0) return b
+      if (b.n == 0) return a
+      val nA = a.n.toDouble
+      val nB = b.n.toDouble
+      val f = nA * nB / (nA + nB)
+      var idx = 0
+      var i = 0
+      while (i < p) {
+        val di = f * (b.mean(i) - a.mean(i))
+        var j = i
+        while (j < p) { a.c(idx) += b.c(idx) + di * (b.mean(j) - a.mean(j)); idx += 1; j += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < p) { a.mean(i) += (b.mean(i) - a.mean(i)) * nB / (nA + nB); i += 1 }
+      a.n += b.n
+      a
+    }
+    def finish(st: GramState): GramState = st
+    def bufferEncoder: Encoder[GramState] = Encoders.product[GramState]
+    def outputEncoder: Encoder[GramState] = Encoders.product[GramState]
+  }
+
   def linear(melted: DataFrame, cfg: Config): DataFrame = {
+    val spark = melted.sparkSession
+    import spark.implicits._
     val k = cfg.covariates.size
-    val m = k + 2
-    def f(i: Int): Column =
-      if (i == 0) col("x") else if (i <= k) col("covs")(i - 1) else lit(1.0)
-    val pairs = for { i <- 0 until m; j <- i until m } yield (i, j)
-    val aggCols: Seq[Column] =
-      pairs.map { case (i, j) => sum(f(i) * f(j)).as(s"s_${i}_$j") } ++
-        (0 until m).map(i => sum(f(i) * col("y")).as(s"t_$i")) ++
-        Seq(sum(col("y") * col("y")).as("syy"), count(lit(1)).as("n"))
-    val agg = melted.groupBy("predictor", "dependent")
-      .agg(aggCols.head, aggCols.tail: _*)
-    val gram = array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*)
-    val xty = array((0 until m).map(i => col(s"t_$i")): _*)
+    val p = k + 2
+    val predictors = cfg.predictors.toArray
+    val dependents = cfg.dependents.toArray
     val covNames = cfg.covariates
     val minN = cfg.minCaseCount
-    val solve = udf((pred: String, dep: String, g: Seq[Double], t: Seq[Double],
-        syy: Double, n: Long) =>
-      solveLinearGroup(pred, dep, g.toArray, t.toArray, syy, n, covNames, minN))
-    val solved = agg
-      .select(solve(col("predictor"), col("dependent"), gram, xty, col("syy"), col("n")).as("r"))
-      .select("r.*")
+    val solved = keyed(melted, cfg)
+      .groupByKey(_._1)
+      .agg(new CoMoment(p).toColumn)
+      .map { case (key, st) =>
+        solveLinearGroup(predictors((key / dependents.length).toInt),
+          dependents((key % dependents.length).toInt), st, covNames, minN)
+      }
+      .toDF()
     completeGrid(solved, cfg, linearDefaults(cfg))
   }
 
-  /** Solve one pair from sufficient statistics (runs once per group —
-    * off the hot path). Constant covariates are detected and dropped
-    * from the Gram itself: n·var(c) = S_cc − S_c²/n. */
+  /** Solve one pair from centered sufficient statistics (runs once per
+    * group — off the hot path). Variable order in the state is
+    * [x, y, covs…] (the `keyed` packing); constant covariates are
+    * detected and dropped from the co-moments directly: sd(c) ≈ 0. */
   private def solveLinearGroup(
-      pred: String, dep: String, g: Array[Double], t: Array[Double],
-      syy: Double, n: Long, covNames: Seq[String], minN: Int): LinResult = {
+      pred: String, dep: String, st: GramState,
+      covNames: Seq[String], minN: Int): LinResult = {
     val k = covNames.size
-    val m = k + 2
-    def S(i: Int, j: Int): Double =
-      if (i <= j) g(triIdx(m, i, j)) else g(triIdx(m, j, i))
+    val p = k + 2
+    def C(i: Int, j: Int): Double = {
+      val a = math.min(i, j); val b = math.max(i, j)
+      st.c(a * p - a * (a - 1) / 2 + (b - a))
+    }
+    val n = st.n
     if (n < minN)
       return LinResult(pred, dep, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
         Double.NaN, -9L, converged = false, s"Not enough observations ($n).", "nan")
-    val keptCovs = (1 to k).filter { c =>
-      math.abs(S(c, c) - S(c, m - 1) * S(c, m - 1) / n) > 1e-9 * math.max(1.0, S(c, c))
+    // variables: x = 0, y = 1, cov c = c + 2
+    val keptCovs = (0 until k).filter { cI =>
+      math.sqrt(C(cI + 2, cI + 2) / n) > 1e-9 * (1.0 + math.abs(st.mean(cI + 2)))
     }
-    val kept = 0 +: keptCovs :+ (m - 1)
-    val keptNames = keptCovs.map(c => covNames(c - 1))
+    val vars = 0 +: keptCovs.map(_ + 2)
+    val keptNames = keptCovs.map(covNames)
     // trailing "+ " with zero covariates mirrors the reference's
     // f"{dep} ~ {pred} + {' + '.join(covs)}" (analysis.py:73)
     val equation = s"$dep ~ $pred + ${keptNames.mkString(" + ")}"
     try {
-      val xtx = DenseMatrix.tabulate(kept.size, kept.size)((a, b) => S(kept(a), kept(b)))
-      val xty = DenseVector.tabulate(kept.size)(a => t(kept(a)))
-      val r = Models.linearFromGram(xtx, xty, syy, n)
+      val cxx = DenseMatrix.tabulate(vars.size, vars.size)((a, b) => C(vars(a), vars(b)))
+      val cxy = DenseVector.tabulate(vars.size)(a => C(vars(a), 1))
+      val r = Models.linearFromCentered(cxx, cxy, C(1, 1), n)
       LinResult(pred, dep, r.pval, r.beta, r.se, r.ciLow, r.ciHigh, n, r.converged,
         "nan", equation)
     } catch {
@@ -170,30 +289,32 @@ object Association {
 
   // ------------------------------------------------------ logistic/firth
 
-  /** Iterative fits: one pair per task via mapGroups. */
+  /** Iterative fits: one pair per task via mapGroups over the
+    * long-keyed packed rows (see `keyed` — no string keys or boxed
+    * values through the shuffle or the executor-side decode). */
   def binary(melted: DataFrame, cfg: Config): DataFrame = {
     val spark = melted.sparkSession
     import spark.implicits._
     val covNames = cfg.covariates
+    val predictors = cfg.predictors.toArray
+    val dependents = cfg.dependents.toArray
     val minCase = cfg.minCaseCount
     val firth = cfg.model == "firth"
     val maxIter = cfg.maxIter
     val tol = cfg.tol
-    // mapValues strips the key strings from the shuffled value payload
-    // (they already travel once as the key) — less shuffle I/O and far
-    // fewer per-row string allocations on the fit side.
-    val solved = melted.as[MeltRow]
-      .groupByKey(r => (r.predictor, r.dependent))
-      .mapValues(r => (r.x, r.y, r.covs))
-      .mapGroups { (key: (String, String), it: Iterator[(Double, Double, Seq[Double])]) =>
-        fitBinaryGroup(key._1, key._2, it, covNames, minCase, firth, maxIter, tol)
+    val solved = keyed(melted, cfg)
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .mapGroups { (key: Long, it: Iterator[Array[Double]]) =>
+        fitBinaryGroup(predictors((key / dependents.length).toInt),
+          dependents((key % dependents.length).toInt), it, covNames, minCase, firth, maxIter, tol)
       }
       .toDF()
     completeGrid(solved, cfg, binaryDefaults(cfg))
   }
 
   private def fitBinaryGroup(
-      pred: String, dep: String, it: Iterator[(Double, Double, Seq[Double])],
+      pred: String, dep: String, it: Iterator[Array[Double]],
       covNames: Seq[String], minCase: Int, firth: Boolean,
       maxIter: Int, tol: Double): BinResult = {
     def fail(reason: String): BinResult =
@@ -201,26 +322,40 @@ object Association {
         Double.NaN, Double.NaN, -9L, -9L, -9L, converged = false, reason, "nan")
     val rows = it.toArray
     val n = rows.length
-    val cases = math.round(rows.iterator.map(_._2).sum)
+    var ySum = 0.0
+    var i = 0
+    while (i < n) { ySum += rows(i)(1); i += 1 }
+    val cases = math.round(ySum)
     val controls = n - cases
     // validation order mirrors analysis.py:168-193 exactly
     if (cases < minCase) return fail(s"Insufficient case count ($cases cases).")
     if (controls < minCase) return fail(s"Insufficient control count ($controls controls).")
     if (cases == n) return fail("All observations are cases.")
     val keptCovs = covNames.indices.filter { c =>
-      val first = rows(0)._3(c)
-      rows.exists(_._3(c) != first)
+      val first = rows(0)(c + 2)
+      rows.exists(_(c + 2) != first)
     }
     val keptNames = keptCovs.map(covNames)
     val equation = s"$dep ~ $pred + ${keptNames.mkString(" + ")}"
-    val x = DenseMatrix.tabulate(n, 1 + keptCovs.size) { (i, j) =>
-      if (j == 0) rows(i)._1 else rows(i)._3(keptCovs(j - 1))
+    // column-major packed design [x, kept covs…, 1] — built once, fed
+    // straight to the raw fitters (no DenseMatrix tabulate/copy)
+    val kk = keptCovs.size + 2
+    val xd = new Array[Double](n * kk)
+    val y = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val row = rows(i)
+      xd(i) = row(0)
+      var j = 0
+      while (j < keptCovs.size) { xd((j + 1) * n + i) = row(keptCovs(j) + 2); j += 1 }
+      xd((kk - 1) * n + i) = 1.0
+      y(i) = row(1)
+      i += 1
     }
-    val y = DenseVector(rows.map(_._2))
     try {
       val r =
-        if (firth) Models.firth(x, y, maxIter = maxIter, gtol = tol, xtol = tol)
-        else Models.logistic(x, y, maxIter = maxIter, tol = tol)
+        if (firth) Models.firthRaw(xd, n, kk, y, maxIter = maxIter, gtol = tol, xtol = tol)
+        else Models.logisticRaw(xd, n, kk, y, maxIter = maxIter, tol = tol)
       BinResult(pred, dep, r.pval, r.beta, r.se, r.or, r.ciLow, r.ciHigh,
         cases, controls, n, r.converged, "nan", equation)
     } catch {
