@@ -24,6 +24,9 @@ object SparkEntry {
     "a05_case_counts" -> (Mas.a05CaseCounts _),
     "a06_validation_skip" -> (Mas.a06ValidationSkip _),
     "a07_flipwas" -> (Mas.a07Flipwas _),
+    "a08_pipeline_logt" -> (Mas.a08PipelineLogt _),
+    "a09_pipeline_rint" -> (Mas.a09PipelineRint _),
+    "s05_phecode_annotate" -> (Mas.s05PhecodeAnnotate _),
     "p01_select_index" -> (Preprocess.p01SelectIndex _),
     "p02_sex_filter" -> (Preprocess.p02SexFilter _),
     "p03_fill_mean" -> (Preprocess.p03FillMean _),
@@ -42,6 +45,7 @@ object SparkEntry {
     "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),
     "d04_dedup_simhash" -> (Dedup.d04DedupSimhash _),
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
+    "d05b_dedup_embedding_lsh" -> (Dedup.d05bDedupEmbeddingLsh _),
     "d06_dedup_components" -> (Dedup.d06DedupComponents _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),

@@ -163,18 +163,22 @@ object Dedup {
       (0 until bands).map(bi =>
         (bi, scala.util.hashing.MurmurHash3.orderedHash(sig.slice(bi * rows, bi * rows + rows)))))
     // The shingle/signature table is referenced by four plan branches
-    // (both bucket-join sides + both verify sides); persist it instead
-    // of recomputing the text pipeline per branch. Signatures are tiny
-    // relative to the corpus (128 longs/doc) — at cluster scale this
-    // is the standard materialized signature table.
+    // (both bucket-join sides + both verify sides); materialize it once
+    // instead of recomputing the text pipeline per branch. Signatures
+    // are tiny relative to the corpus (128 longs/doc) — at cluster
+    // scale this is the standard materialized signature table.
+    // localCheckpoint(eager) rather than cache(): blocks are released
+    // by the ContextCleaner when the plan is GC'd, so repeated calls in
+    // a long-lived session don't accumulate executor storage (cache()
+    // here leaked until the round-2 advice; callers never owned it).
     val withSh = withShingles(docs, "text", "sh")
       .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
+      .localCheckpoint(true)
     val sigs = withSh.withColumn("sig", sigUdf(col("sh")))
     val buckets = sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
       .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
-      .cache()
+      .localCheckpoint(true)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -221,13 +225,14 @@ object Dedup {
     * blocking (pigeonhole-exhaustive for radius ≤ 3). */
   def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
     val simUdf = udf((sh: Seq[String]) => simhash64(sh))
-    // persisted for the same two-sided-join reason as minhashLshPairs
+    // materialized for the same two-sided-join reason as
+    // minhashLshPairs; localCheckpoint for the same lifecycle reason
     val sigs = withShingles(docs, "text", "sh")
       .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sim", simUdf(col("sh")))
       .select(col("doc_id"), col("sim"))
-      .cache()
+      .localCheckpoint(true)
     val banks = sigs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("bank"),
@@ -288,6 +293,12 @@ object Dedup {
       labels = updated.select(col("id"), col("nxt").as("lbl"))
       it += 1
     }
+    // min-label propagation needs O(diameter) rounds: silently
+    // returning unconverged labels would split long-chain components
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still moving); raise maxIter for deep-chain graphs.")
     labels.select(col("id"), col("lbl").as("component"))
   }
 
@@ -332,8 +343,13 @@ object Dedup {
       |  FROM embeddings WHERE vec_id % 10 = 0
       |)""".stripMargin
 
-  /** Label-blocked embedding near-dup pairs at cosine ≥ τ. Norms are
-    * projected once per row (not per pair); the division order matches
+  /** Label-blocked embedding near-dup pairs at cosine ≥ τ — the EXACT
+    * baseline: an all-pairs join within each label block, O(n²/#labels)
+    * comparisons. Correct at any τ but only viable when label blocks
+    * are bounded; the corpus-scale path is [[embeddingLshDupPairs]]
+    * (bucketed candidates, no per-label cartesian), the same
+    * exact-vs-bucketed split as n01 vs n02. Norms are projected once
+    * per row (not per pair); the division order matches
     * `cosine`/DuckDB exactly. */
   def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val withN = emb.withColumn("nrm", norm2(col("e")))
@@ -349,6 +365,54 @@ object Dedup {
 
   def d05DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     embeddingDupPairs(embCorpus(spark, dir), 0.35).orderBy("id1", "id2")
+
+  /**
+   * Corpus-scale embedding dedup: random-hyperplane LSH bucket join
+   * (reusing n02's hyperplanes/sign signatures) + exact cosine verify —
+   * shuffle ∝ bucket collisions, never a per-label cartesian. The
+   * label stays in the bucket key so cross-label pairs never join.
+   *
+   * Recall contract: pairs at θ = 0 (exact duplicates up to positive
+   * scaling — the near-dup radius this τ targets) share EVERY band
+   * signature, so recall for them is 1 by construction, not in
+   * expectation. Pairs barely above τ collide with probability
+   * 1 − (1 − pᵇ)^B, p = 1 − θ/π; on this corpus the gap between exact
+   * twins (cos 1.0) and the densest natural pair (cos ≤ 0.51 at
+   * sf0.1) makes the τ = 0.85 output deterministically identical to
+   * the all-pairs oracle.
+   */
+  def embeddingLshDupPairs(emb: DataFrame, tau: Double,
+      bands: Int = 5, bitsPerBand: Int = 6, dims: Int = 64): DataFrame = {
+    val hp = Similarity.hyperplanes(bands * bitsPerBand, dims, 7L)
+    val sigUdf = udf((e: Seq[Double]) => Similarity.signBits(e, hp))
+    val mask = (1 << bitsPerBand) - 1
+    // signature table referenced by both bucket-join sides + both
+    // verify sides (the d03 shape) — materialize once
+    val sigs = emb.withColumn("sig", sigUdf(col("e")))
+      .withColumn("nrm", norm2(col("e")))
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"), col("sig"))
+      .localCheckpoint(true)
+    val banded = sigs.select(col("vec_id"), col("label"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bk"))
+      .select(col("vec_id"), col("label"), col("bk.band"), col("bk.bv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.label").as("label"),
+        col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+    val v1 = sigs.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
+    val v2 = sigs.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
+    cand.join(v1, "id1").join(v2, "id2")
+      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= tau)
+      .select(col("id1"), col("id2"), col("label"), round(col("cos"), 4).as("cos"))
+  }
+
+  def d05bDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshDupPairs(embCorpus(spark, dir), 0.85).orderBy("id1", "id2")
 
   // --------------------------------------------------------- oracle SQL
 
@@ -431,6 +495,17 @@ object Dedup {
           |  round(list_cosine_similarity(a.e, b.e), 4) AS cos
           |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+          |ORDER BY id1, id2""".stripMargin),
+    // the bucketed path must find the SAME pair set as the all-pairs
+    // oracle at this radius: exact twins collide in every band (θ = 0)
+    // and the natural-cosine ceiling (≤ 0.51) sits far below τ = 0.85
+    "d05b_dedup_embedding_lsh" ->
+      (embCorpusSql +
+        """
+          |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label,
+          |  round(list_cosine_similarity(a.e, b.e), 4) AS cos
+          |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.e, b.e) >= 0.85
           |ORDER BY id1, id2""".stripMargin),
   )
 }

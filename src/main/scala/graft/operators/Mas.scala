@@ -143,6 +143,52 @@ object Mas {
       .orderBy("predictor", "dependent")
   }
 
+  /** a08: END-TO-END pipeline query — quantitative linear MAS with
+    * `--logt` (README-roadmap log transform of dependents) through
+    * `Pipeline.run`: select → transform → associate → Bonferroni →
+    * sort. Oracle: DuckDB regr_* over ln(dep). */
+  def a08PipelineLogt(spark: SparkSession, dir: String): DataFrame =
+    graft.Pipeline.run(cohort(spark, dir), graft.GraftConfig(
+      input = "", predictors = "x", dependents = "y_avg,y_max",
+      model = "linear", quantitative = true, logt = true, minCaseCount = 20))
+      .select(col("predictor"), col("dependent"),
+        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        col("n_observations"))
+      .orderBy("dependent")
+
+  /** a09: pipeline query with `--rint` (rank-based inverse-normal
+    * transform of dependents, ties broken on --order-col). No SQL
+    * oracle — DuckDB has no normal quantile — so the driver records a
+    * rows-only check; the transform itself is verified in
+    * PipelineSpec against a manually-RINTed frame. */
+  def a09PipelineRint(spark: SparkSession, dir: String): DataFrame =
+    graft.Pipeline.run(cohort(spark, dir), graft.GraftConfig(
+      input = "", predictors = "x", dependents = "y_max",
+      model = "linear", quantitative = true, rint = true, orderCol = "id",
+      minCaseCount = 20))
+      .select(col("predictor"), col("dependent"),
+        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        col("n_observations"))
+      .orderBy("dependent")
+
+  /** s05: END-TO-END PheWAS annotation — `--phewas` +
+    * `--phecode-defs` through the pipeline: the defs CSV (public
+    * phecode_definitions catalog layout, a synthetic copy committed
+    * under data/) broadcast-left-joins onto `dependent`
+    * (postprocessing.py:23-29, constants.py:6-16). */
+  def s05PhecodeAnnotate(spark: SparkSession, dir: String): DataFrame =
+    graft.Pipeline.run(cohort(spark, dir), graft.GraftConfig(
+      input = "", predictors = "xbin",
+      dependents = "d_urgent,d_open,d_big,d_many",
+      model = "firth", minCaseCount = 5,
+      phewas = true, phecodeDefs = PhecodeDefsPath))
+      .select(col("predictor"), col("dependent"), col("phenotype"),
+        col("category"), col("category_number"),
+        col("cases"), col("controls"), col("total_n"))
+      .orderBy("dependent")
+
+  private[graft] val PhecodeDefsPath = "/root/repo/data/phecode_definitions_test.csv"
+
   /** a05: per-pair case/control counts + viability flag
     * (analysis.py:168-193) as a pure aggregate — no fit. */
   def a05CaseCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -205,6 +251,21 @@ object Mas {
        |    / (regr_count($dep, x) - 2) / regr_sxx($dep, x)), 4) AS se,
        |  CAST(regr_count($dep, x) AS BIGINT) AS n_observations
        |FROM cohort""".stripMargin
+
+  private def logtBranch(dep: String): String =
+    s"""SELECT 'x' AS predictor, '$dep' AS dependent,
+       |  round(regr_slope(ln($dep), x), 4) AS beta,
+       |  round(sqrt(regr_syy(ln($dep), x) * (1 - regr_r2(ln($dep), x))
+       |    / (regr_count(ln($dep), x) - 2) / regr_sxx(ln($dep), x)), 4) AS se,
+       |  CAST(regr_count(ln($dep), x) AS BIGINT) AS n_observations
+       |FROM cohort""".stripMargin
+
+  private def annotCountsBranch(dep: String): String =
+    s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
+       |  CAST(sum($dep) AS BIGINT) AS cases,
+       |  CAST(count(*) - sum($dep) AS BIGINT) AS controls,
+       |  CAST(count(*) AS BIGINT) AS total_n
+       |FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL""".stripMargin
 
   private def fwlBranch(dep: String): String =
     s"""SELECT 'x' AS predictor, '$dep' AS dependent,
@@ -276,6 +337,21 @@ object Mas {
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all").map(countsBranch(_, 50))
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a08_pipeline_logt" ->
+      (cohortSql + "\n" +
+        Seq("y_avg", "y_max").map(logtBranch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "s05_phecode_annotate" ->
+      (cohortSql + s""", defs AS (
+         |  SELECT phecode, phenotype, category, category_number
+         |  FROM read_csv('$PhecodeDefsPath', all_varchar=true)
+         |), cnt AS (
+         |""".stripMargin +
+        Seq("d_urgent", "d_open", "d_big", "d_many").map(annotCountsBranch)
+          .mkString("", "\nUNION ALL\n", "\n)\n") +
+        """SELECT c.predictor, c.dependent, d.phenotype, d.category,
+          |  d.category_number, c.cases, c.controls, c.total_n
+          |FROM cnt c LEFT JOIN defs d ON c.dependent = d.phecode
+          |ORDER BY c.dependent""".stripMargin),
     "a06_validation_skip" ->
       (cohortSql + ", cnt AS (\n" +
         Seq("d_big", "d_open", "d_rare", "d_all", "d_null").map(skipBranch)

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.Tables
 
 /**
@@ -12,10 +12,10 @@ import graft.Tables
  * the README-roadmap BH-FDR correction.
  *
  * Scale note: these run over the RESULTS table (one row per
- * (predictor, dependent) pair), which is orders of magnitude smaller
- * than the input data — a PheWAS with a million pairs is a million
- * rows. The global windows in BH are bounded by that, not by the
- * 100 TB input.
+ * (predictor, dependent) pair) — smaller than the input data, but a
+ * 10M-pair flipwas is still 10M rows, so nothing here may funnel
+ * through a single task: BH runs on a distributed range-sort with
+ * per-partition suffix scans (no global window).
  */
 object Postprocess {
 
@@ -28,23 +28,67 @@ object Postprocess {
       .drop("__n_tests")
   }
 
-  /** Benjamini-Hochberg adjusted p-values (roadmap item):
-    * p_adj(i) = min_{j ≥ i} min(1, m·p(j)/j) over ascending ranks —
-    * the running min taken from the tail via a descending window. */
+  /**
+   * Benjamini-Hochberg adjusted p-values (roadmap item):
+   * p_adj(i) = min_{j ≥ i} min(1, m·p(j)/j) over ascending ranks.
+   *
+   * Scale shape: a global window would collapse the whole results
+   * table into one task (the round-2 WindowExec warning). Instead:
+   * ranks come from a distributed range-sort + `zipWithIndex`
+   * (per-partition offsets, one light count job — the p08 RINT
+   * pattern), and the tail-side running min becomes a two-pass
+   * suffix-min: per-partition minima (tiny collect, one value per
+   * partition) are suffix-combined on the driver and broadcast back,
+   * then each partition scans backwards locally. Every pass is
+   * parallel over range partitions; driver traffic is O(#partitions).
+   *
+   * Ties need no explicit break: every member of a tied p-value run
+   * shares the suffix beyond the run plus the run's own minimum
+   * m·p/rank, which is attained at the run's LAST rank — so all tied
+   * rows get identical p_adj whatever their relative order.
+   */
   def bhFdr(df: DataFrame, pvalCol: String = "pval", alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
     val nonNull = df.filter(col(pvalCol).isNotNull)
-    val m = nonNull.agg(count(lit(1)).as("__m"))
-    val byP = Window.orderBy(col(pvalCol), col("__rtb"))
-    val fromTail = Window.orderBy(col(pvalCol).desc, col("__rtb").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    nonNull
-      .withColumn("__rtb", monotonically_increasing_id())
-      .crossJoin(broadcast(m))
-      .withColumn("__rank", row_number().over(byP))
-      .withColumn("p_adj",
-        least(lit(1.0), min(col(pvalCol) * col("__m") / col("__rank")).over(fromTail)))
+    val schema = nonNull.schema
+    val m = nonNull.count().toDouble
+    val ranked = nonNull.orderBy(col(pvalCol)).rdd.zipWithIndex()
+    ranked.localCheckpoint() // two passes below; don't recompute the sort
+    val pOrd = schema.fieldIndex(pvalCol)
+    def vOf(r: Row, rank0: Long): Double =
+      r.getAs[Number](pOrd).doubleValue() * m / (rank0 + 1).toDouble
+    val perPartMin = ranked.mapPartitionsWithIndex { (pi, it) =>
+      var mn = Double.PositiveInfinity
+      it.foreach { case (r, rank0) => mn = math.min(mn, vOf(r, rank0)) }
+      Iterator((pi, mn))
+    }.collect().toMap
+    val nParts = ranked.getNumPartitions
+    // suffixAfter(i) = min of v over all partitions AFTER i
+    val suffixAfter = new Array[Double](nParts)
+    var acc = Double.PositiveInfinity
+    var pi = nParts - 1
+    while (pi >= 0) {
+      suffixAfter(pi) = acc
+      acc = math.min(acc, perPartMin.getOrElse(pi, Double.PositiveInfinity))
+      pi -= 1
+    }
+    val bcSuffix = spark.sparkContext.broadcast(suffixAfter)
+    val out = ranked.mapPartitionsWithIndex { (pi2, it) =>
+      val rows = it.toArray
+      val padj = new Array[Double](rows.length)
+      var run = bcSuffix.value(pi2)
+      var i = rows.length - 1
+      while (i >= 0) {
+        run = math.min(run, vOf(rows(i)._1, rows(i)._2))
+        padj(i) = math.min(1.0, run)
+        i -= 1
+      }
+      rows.iterator.zipWithIndex.map { case ((r, _), j) =>
+        Row.fromSeq(r.toSeq :+ padj(j))
+      }
+    }
+    spark.createDataFrame(out, schema.add("p_adj", DoubleType))
       .withColumn("bh_significant", col("p_adj") < alpha)
-      .drop("__m", "__rank", "__rtb")
   }
 
   /** Definitions annotate (postprocessing.py:23-29): broadcast left

@@ -96,6 +96,69 @@ object Preprocess {
     cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
+  /**
+   * GLOBAL-order forward/backward fill — the pipeline's
+   * `--missing-covariate-values forward|backward` (preprocessing.py:
+   * 31-33 fills in file row order; here the order is an explicit
+   * column). A single unpartitioned window would funnel the whole
+   * INPUT through one task, so this runs the distributed two-pass
+   * shape instead: range-sort by the order column, per-partition scan
+   * for the last (first) non-null of each column (one tiny collect),
+   * prefix-carry across partitions on the driver, then a parallel
+   * per-partition fill with the carried boundary values. Backward fill
+   * is the same scan over the descending sort.
+   */
+  def fillOrdered(df: DataFrame, cols: Seq[String], forward: Boolean,
+      orderCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idxs = cols.map(schema.fieldIndex).toArray
+    val sorted = (if (forward) df.orderBy(col(orderCol).asc)
+      else df.orderBy(col(orderCol).desc)).rdd
+    sorted.localCheckpoint() // two passes below; don't re-sort
+    // pass 1: last non-null per (partition, column)
+    val partLast = sorted.mapPartitionsWithIndex { (pi, it) =>
+      val last = new Array[Any](idxs.length)
+      it.foreach { r =>
+        var c = 0
+        while (c < idxs.length) {
+          val v = r.get(idxs(c))
+          if (v != null) last(c) = v
+          c += 1
+        }
+      }
+      Iterator((pi, last.toSeq))
+    }.collect().toMap
+    val nParts = sorted.getNumPartitions
+    // carry(pi) = last non-null from all partitions BEFORE pi
+    val carry = Array.fill[Any](nParts, idxs.length)(null)
+    var pi = 1
+    while (pi < nParts) {
+      var c = 0
+      while (c < idxs.length) {
+        val prev = partLast.get(pi - 1).map(_(c)).orNull
+        carry(pi)(c) = if (prev != null) prev else carry(pi - 1)(c)
+        c += 1
+      }
+      pi += 1
+    }
+    val bcCarry = spark.sparkContext.broadcast(carry.map(_.toSeq).toSeq)
+    val out = sorted.mapPartitionsWithIndex { (pi2, it) =>
+      val run = bcCarry.value(pi2).toArray
+      it.map { r =>
+        val vals = r.toSeq.toArray
+        var c = 0
+        while (c < idxs.length) {
+          val v = vals(idxs(c))
+          if (v != null) run(c) = v else vals(idxs(c)) = run(c)
+          c += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   // ------------------------------------------------- p05 constant columns
 
   /** Zero-variance report (preprocessing.py:65-79): ONE aggregate pass

@@ -79,7 +79,8 @@ object Similarity {
     val hp = hyperplanes(bands * bitsPerBand, dims, 7L)
     val sigUdf = udf((e: Seq[Double]) => signBits(e, hp))
     val mask = (1 << bitsPerBand) - 1
-    // signature table referenced by both join sides — persist
+    // signature table referenced by both join sides — materialize once;
+    // localCheckpoint (not cache) so blocks free with the plan's GC
     val banded = emb.withColumn("sig", sigUdf(col("e")))
       .withColumn("nrm", Dedup.norm2(col("e")))
       .select(col("vec_id"), col("e"), col("nrm"), col("sig"),
@@ -87,7 +88,7 @@ object Similarity {
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bk"))
       .select(col("vec_id"), col("e"), col("nrm"), col("bk.band"), col("bk.bv"))
-      .cache()
+      .localCheckpoint(true)
     val q = banded.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
         col("band"), col("bv"))

@@ -29,6 +29,22 @@ object Sources {
     }
   }
 
+  /**
+   * PheCode definitions loader (reference constants.py:6-16): reads a
+   * user-pointed copy of the public PheWAS-catalog CSV
+   * (phecode_definitions1.2.csv layout) and selects the five
+   * annotation columns. All columns load as strings — `phecode` MUST
+   * stay string ("008" ≠ "8", schema_overrides in the reference) and
+   * the rest are labels. The frame is dimension-sized (~1,800 rows);
+   * every join against it broadcasts.
+   */
+  def phecodeDefs(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path)
+      .select("phecode", "phenotype", "sex", "category", "category_number")
+
   private def delimited(spark: SparkSession, path: String, delim: String,
       nullValues: Seq[String]): DataFrame = {
     var reader = spark.read

@@ -58,6 +58,15 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(twins.forall(_._3 == 1.0))
   }
 
+  test("bucketed embedding dedup equals the exact all-pairs set at tau=0.85") {
+    val exact = Dedup.embeddingDupPairs(Dedup.embCorpus(spark, dir), 0.85)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLshDupPairs(Dedup.embCorpus(spark, dir), 0.85)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact == lsh, s"missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
   test("connected components match driver-side union-find") {
     val sess = spark
     import sess.implicits._

@@ -50,10 +50,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("sex filter + i: column specs + fail-on-missing-covariates") {
     val base = cohortDf
-    // i:1 is x, by position
+    // i:1 is x, by position; the sex column must be among the included
+    // columns (reference preprocessing.py:47-49) — here as a covariate,
+    // where the female-only filter makes it constant and drops it
     val out = Pipeline.run(base, GraftConfig(
       input = "", predictors = "i:1", dependents = "d1",
-      covariates = "z", model = "logistic", minCaseCount = 5,
+      covariates = "z,sex", model = "logistic", minCaseCount = 5,
       sexCol = "sex", femaleCode = 1.0, femaleOnly = true))
     val r = out.collect()(0)
     assert(r.getAs[String]("predictor") == "x")
@@ -74,5 +76,99 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       dependents = "d1", covariates = "z", missingCovariateValues = "mean",
       model = "logistic"))
     assert(filled.collect().length == 1)
+  }
+
+  test("tsv input + null markers flow through the pipeline end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val f = new java.io.File(s"$dir/cohort.tsv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id\tx\tz\td1")
+    val rng = new scala.util.Random(7)
+    (0 until 300).foreach { i =>
+      val x = rng.nextGaussian()
+      val z = if (i % 17 == 0) "NA" else f"${rng.nextGaussian()}%.6f"
+      val d1 = if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-(1.5 * x - 0.8)))) 1 else 0
+      w.println(s"$i\t$x\t$z\t$d1")
+    }
+    w.close()
+    val out = Pipeline.run(spark, GraftConfig(
+      input = f.toString, predictors = "x", dependents = "d1", covariates = "z",
+      nullValues = Seq("NA"), model = "logistic", missingCovariateValues = "mean",
+      minCaseCount = 5))
+    val r = out.collect()(0)
+    assert(r.getAs[String]("predictor") == "x")
+    assert(r.getAs[Long]("total_n") == 300L) // NA covariates mean-filled, not dropped
+    assert(r.getAs[Double]("beta") > 0.5)
+  }
+
+  test("forward/backward covariate fill uses the explicit order column") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      (1L, 1.0, Option(10.0), 1.0), (2L, -0.5, Option.empty[Double], 0.0),
+      (3L, 0.3, Option(20.0), 1.0), (4L, 0.9, Option.empty[Double], 0.0),
+      (5L, -1.2, Option.empty[Double], 1.0)
+    ).toDF("id", "x", "z", "d1")
+    def zOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val fwd = zOf(operators.Preprocess.fillOrdered(df, Seq("z"), forward = true, "id"))
+    assert(fwd(1).contains(10.0) && fwd(2).contains(10.0) && fwd(4).contains(20.0)
+      && fwd(5).contains(20.0))
+    val back = zOf(operators.Preprocess.fillOrdered(df, Seq("z"), forward = false, "id"))
+    assert(back(2).contains(20.0) && back(4).isEmpty && back(5).isEmpty)
+    // pipeline-level wiring (missing-covariate-values forward + order-col)
+    val out = Pipeline.run(df, GraftConfig(input = "", predictors = "x",
+      dependents = "d1", covariates = "z", missingCovariateValues = "forward",
+      orderCol = "id", model = "logistic", minCaseCount = 1))
+    assert(out.collect().length == 1)
+    // forward fill without an order column fails fast
+    intercept[IllegalArgumentException](Pipeline.run(df, GraftConfig(input = "",
+      predictors = "x", dependents = "d1", covariates = "z",
+      missingCovariateValues = "forward", model = "logistic")))
+  }
+
+  test("pipeline --rint equals association over manually transformed dependents") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (0 until 200).map { i =>
+      val x = rng.nextGaussian()
+      (i.toLong, x, 2.0 * x + rng.nextGaussian() * 3.0)
+    }.toDF("id", "x", "yq")
+    val viaPipeline = Pipeline.run(df, GraftConfig(input = "", predictors = "x",
+      dependents = "yq", model = "linear", quantitative = true, rint = true,
+      orderCol = "id", minCaseCount = 10)).collect()(0)
+    val rinted = df.drop("yq").join(
+      operators.Preprocess.rint(df, "yq", "id")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("rint").as("yq")), "id")
+    val direct = operators.Association.assoc(rinted,
+      operators.Association.Config(Seq("x"), Seq("yq"), model = "linear",
+        minCaseCount = 10)).collect()(0)
+    assert(math.abs(viaPipeline.getAs[Double]("beta") - direct.getAs[Double]("beta")) < 1e-9)
+    assert(math.abs(viaPipeline.getAs[Double]("se") - direct.getAs[Double]("se")) < 1e-9)
+  }
+
+  test("config validation parity: unique sets, categorical subset, model pairing, all-missing") {
+    val df = cohortDf
+    def cfg0 = GraftConfig(input = "", predictors = "x", dependents = "d1")
+    def msgOf(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(msgOf(Pipeline.run(df, cfg0.copy(dependents = "x,d1")))
+      .contains("Predictor and dependent columns must be unique"))
+    assert(msgOf(Pipeline.run(df, cfg0.copy(covariates = "x,z")))
+      .contains("Predictor and covariate columns must be unique"))
+    assert(msgOf(Pipeline.run(df, cfg0.copy(covariates = "d1")))
+      .contains("Dependent and covariate columns must be unique"))
+    assert(msgOf(Pipeline.run(df, cfg0.copy(covariates = "z", categoricalCovariates = "seg")))
+      .contains("Categorical covariate columns must be a subset of covariate columns"))
+    assert(msgOf(Pipeline.run(df, cfg0.copy(model = "linear")))
+      .contains("--quantitative"))
+    assert(msgOf(Pipeline.run(df, cfg0.copy(quantitative = true)))
+      .contains("--quantitative"))
+    val allNull = df.withColumn("zn",
+      org.apache.spark.sql.functions.lit(null).cast("double"))
+    assert(msgOf(Pipeline.run(allNull, cfg0.copy(covariates = "zn")))
+      .contains("All values are missing in covariate column 'zn'"))
   }
 }

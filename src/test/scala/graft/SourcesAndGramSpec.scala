@@ -42,21 +42,30 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Sources.read(spark, s"$dir/t.xlsx"))
   }
 
-  test("CLI arg parsing covers flags, defaults and errors") {
+  test("CLI arg parsing covers flags, shorts, defaults and errors") {
     val cfg = Main.parseArgs(Array(
-      "--input", "/d/c.parquet", "--predictors", "x", "--dependents", "i:3-9",
-      "--covariates", "age,sex", "--model", "linear", "--min-case-count", "25",
-      "--sex-col", "sex", "--female-only", "--output", "/o", "--output-format", "tsv"))
-    assert(cfg.input == "/d/c.parquet")
+      "-i", "/d/c.tsv", "-p", "x", "-d", "i:3-9", "-c", "age,sex",
+      "-nv", "NA,-9", "--model", "linear", "--quantitative", "-mc", "25",
+      "--sex-col", "sexcol", "--female-only", "--rint", "--order-col", "id",
+      "-o", "/o", "-ot", "tsv", "--phewas", "--phecode-defs", "/defs.csv", "--dry-run"))
+    assert(cfg.input == "/d/c.tsv")
     assert(cfg.dependents == "i:3-9")
-    assert(cfg.model == "linear" && cfg.minCaseCount == 25)
-    assert(cfg.femaleOnly && !cfg.maleOnly)
-    assert(cfg.outputFormat == "tsv")
-    // defaults mirror the reference
+    assert(cfg.nullValues == Seq("NA", "-9"))
+    assert(cfg.model == "linear" && cfg.minCaseCount == 25 && cfg.quantitative)
+    assert(cfg.femaleOnly && !cfg.maleOnly && cfg.rint && !cfg.logt)
+    assert(cfg.phewas && cfg.phecodeDefs == "/defs.csv" && cfg.dryRun)
+    assert(cfg.outputType == "tsv" && cfg.orderCol == "id" && cfg.sexCol == "sexcol")
+    // defaults mirror the reference (cli.py): firth, min-case 20, csv,
+    // sex-col "sex", female code 1
     val d = Main.parseArgs(Array("--input", "a", "--predictors", "p", "--dependents", "d"))
-    assert(d.model == "firth" && d.minCaseCount == 10 && d.missingCovariateValues == "fail")
+    assert(d.model == "firth" && d.minCaseCount == 20 && d.missingCovariateValues == "fail")
+    assert(d.outputType == "csv" && d.sexCol == "sex" && d.femaleCode == 1.0)
+    assert(!d.quantitative && !d.rint && !d.logt && !d.phewas && !d.flipwas && !d.dryRun)
     intercept[IllegalArgumentException](Main.parseArgs(Array("--predictors", "p")))
     intercept[IllegalArgumentException](Main.parseArgs(Array("oops")))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Array("-i", "a", "-p", "p", "-d", "d", "-ot", "xlsx")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("-zz", "v")))
   }
 
   test("distributed Gram IRLS matches the in-task logistic fitter") {
