@@ -368,20 +368,47 @@ object Association {
 
   // ----------------------------------------- distributed logistic IRLS
 
+  /** Executor-side IRLS step result (beta stays a DataFrame column). */
+  private[operators] final case class IrlsStep(
+      beta: Seq[Double], delta: Double, info: Seq[Double], failed: String)
+
+  /** One Newton step from per-pair sufficient statistics — runs inside
+    * a UDF on the (pair-count-sized) stats frame, never on the driver. */
+  private def solveIrlsStep(
+      betaOld: Array[Double], s: Array[Double], g: Array[Double], m: Int): IrlsStep = {
+    def triOf(i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
+    try {
+      val info = DenseMatrix.tabulate(m, m)((a, b) =>
+        s(triOf(math.min(a, b), math.max(a, b))))
+      val delta = info \ DenseVector(g)
+      val nb = betaOld.clone()
+      var i = 0
+      while (i < m) { nb(i) += delta(i); i += 1 }
+      IrlsStep(nb.toSeq, breeze.linalg.max(breeze.numerics.abs(delta)), s.toSeq, null)
+    } catch {
+      case e: Throwable =>
+        IrlsStep(betaOld.toSeq, 0.0, s.toSeq, Option(e.getMessage).getOrElse(e.toString))
+    }
+  }
+
   /**
-   * Distributed logistic IRLS — the escape hatch for pairs whose
-   * cohort is too large to materialize inside one `mapGroups` task
-   * (the default binary path). Nothing but sufficient statistics ever
-   * leaves the executors:
+   * Distributed logistic IRLS — the path for pairs whose cohort is too
+   * large to materialize inside one `mapGroups` task (the default
+   * binary path). Nothing but sufficient statistics and scalar
+   * convergence checks ever leave the executors:
    *
    * each Newton iteration is ONE declarative aggregation pass over the
-   * melted frame: under the current per-pair beta (broadcast joined,
-   * O(pairs·k) bytes), every row contributes w·f_i·f_j and f_i·(y−p)
-   * partials; map-side combine reduces them to O(k²) doubles per pair,
-   * the driver solves the k×k systems and re-broadcasts. Iterations
-   * are O(scan); data never shuffles by group — only (pairs × k²)
-   * stats move. Wald inference comes from the final information
-   * matrix, exactly as the in-task fitter does.
+   * melted frame: under the current per-pair beta (a pair-count-sized
+   * DataFrame, broadcast joined), every row contributes w·f_i·f_j and
+   * f_i·(y−p) partials; map-side combine reduces them to O(k²) doubles
+   * per pair, and the k×k Newton systems are solved INSIDE a UDF over
+   * that stats frame — beta never exists driver-side. The driver only
+   * launches jobs and reads one scalar (the global max step) per
+   * iteration; per-iteration `localCheckpoint` cuts the growing
+   * lineage. Iterations are O(scan); data never shuffles by group —
+   * only (pairs × k²) stats move. Wald inference comes from the final
+   * information matrix (executor-side map), exactly as the in-task
+   * fitter does.
    *
    * Semantics match `binary(model=logistic)` except per-pair
    * constant-covariate drop (a constant covariate makes the
@@ -393,91 +420,99 @@ object Association {
     import spark.implicits._
     val k = cfg.covariates.size
     val m = k + 2
+    val predictors = cfg.predictors.toArray
+    val dependents = cfg.dependents.toArray
+    val minCase = cfg.minCaseCount
+    val covNames = cfg.covariates
+    val tol = cfg.tol
+    val keyedDf = keyed(melted, cfg).toDF("gkey", "v")
+    // packed value layout is [x, y, covs…]; design features [x, covs…, 1]
     def f(i: Int): Column =
-      if (i == 0) col("x") else if (i <= k) col("covs")(i - 1) else lit(1.0)
+      if (i == 0) col("v")(0) else if (i <= k) col("v")(i + 1) else lit(1.0)
 
-    // viability pass (one aggregation): counts per pair
-    val counts = melted.groupBy("predictor", "dependent")
-      .agg(sum("y").cast("long").as("cases"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
-      .toMap
-    val viable = scala.collection.mutable.Map[(String, String), Array[Double]]()
-    val failed = scala.collection.mutable.Map[(String, String), String]()
-    counts.foreach { case (key, (cases, n)) =>
-      val controls = n - cases
-      if (cases < cfg.minCaseCount) failed(key) = s"Insufficient case count ($cases cases)."
-      else if (controls < cfg.minCaseCount) failed(key) = s"Insufficient control count ($controls controls)."
-      else if (cases == n) failed(key) = "All observations are cases."
-      else viable(key) = Array.fill(m)(0.0)
-    }
+    // one viability aggregation; stays a (pair-count-sized) DataFrame
+    val counts = keyedDf.groupBy("gkey").agg(
+        sum(col("v")(1)).cast("long").as("cases"), count(lit(1)).as("n"))
+      .withColumn("failed_reason",
+        when(col("cases") < minCase,
+          concat(lit("Insufficient case count ("), col("cases").cast("string"), lit(" cases).")))
+          .when(col("n") - col("cases") < minCase,
+            concat(lit("Insufficient control count ("),
+              (col("n") - col("cases")).cast("string"), lit(" controls).")))
+          .when(col("cases") === col("n"), lit("All observations are cases.")))
+      .localCheckpoint(true)
 
     val pairs = for { i <- 0 until m; j <- i until m } yield (i, j)
-    def triOf(i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
-    var lastInfo = Map.empty[(String, String), breeze.linalg.DenseMatrix[Double]]
+    val solveUdf = udf((b: Seq[Double], s: Seq[Double], g: Seq[Double]) =>
+      solveIrlsStep(b.toArray, s.toArray, g.toArray, m))
+    var beta = counts.filter(col("failed_reason").isNull)
+      .select(col("gkey"), typedlit(Seq.fill(m)(0.0)).as("beta"),
+        lit(Double.MaxValue).as("delta"), lit(null).cast("string").as("solve_failed"),
+        typedlit(Seq.empty[Double]).as("info"))
+      .localCheckpoint(true)
+
     var it = 0
-    var active = viable.keySet.toSet
-    while (it < cfg.maxIter && active.nonEmpty) {
-      val betaDf = viable.toSeq.map { case ((p, d), b) => (p, d, b.toSeq) }
-        .toDF("predictor", "dependent", "beta")
-      val joined = melted.join(broadcast(betaDf), Seq("predictor", "dependent"))
+    var maxDelta = Double.MaxValue
+    while (it < cfg.maxIter && maxDelta >= tol) {
+      val joined = keyedDf.join(
+        broadcast(beta.filter(col("solve_failed").isNull).select("gkey", "beta")), "gkey")
       val eta = (0 until m).map(i => f(i) * col("beta")(i)).reduce(_ + _)
       val withW = joined
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-eta)))
         .withColumn("w", greatest(col("p") * (lit(1.0) - col("p")), lit(1e-10)))
-        .withColumn("r", col("y") - col("p"))
+        .withColumn("r", col("v")(1) - col("p"))
       val aggCols: Seq[Column] =
         pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") } ++
           (0 until m).map(i => sum(f(i) * col("r")).as(s"g_$i"))
-      val stats = withW.groupBy("predictor", "dependent").agg(aggCols.head, aggCols.tail: _*)
-        .collect()
-      val newInfo = scala.collection.mutable.Map[(String, String), breeze.linalg.DenseMatrix[Double]]()
-      val stillMoving = scala.collection.mutable.Set[(String, String)]()
-      stats.foreach { row =>
-        val key = (row.getString(0), row.getString(1))
-        if (viable.contains(key) && active.contains(key)) {
-          val info = breeze.linalg.DenseMatrix.tabulate(m, m)((a, b) =>
-            row.getDouble(2 + triOf(math.min(a, b), math.max(a, b))))
-          val grad = breeze.linalg.DenseVector.tabulate(m)(i =>
-            row.getDouble(2 + pairs.length + i))
-          newInfo(key) = info
-          try {
-            val delta = info \ grad
-            val b = viable(key)
-            var i = 0
-            while (i < m) { b(i) += delta(i); i += 1 }
-            if (breeze.linalg.max(breeze.numerics.abs(delta)) >= cfg.tol) stillMoving += key
-          } catch {
-            case e: Throwable =>
-              failed(key) = Option(e.getMessage).getOrElse(e.toString)
-              viable.remove(key)
-          }
-        }
-      }
-      lastInfo = lastInfo ++ newInfo
-      active = stillMoving.toSet
+      val stats = withW.groupBy("gkey").agg(aggCols.head, aggCols.tail: _*)
+        .select(col("gkey"),
+          array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*).as("s"),
+          array((0 until m).map(i => col(s"g_$i")): _*).as("g"))
+      beta = beta.join(stats, Seq("gkey"), "left")
+        .select(col("gkey"),
+          when(col("s").isNotNull && col("solve_failed").isNull,
+            solveUdf(col("beta"), col("s"), col("g")))
+            .otherwise(struct(col("beta").as("beta"), lit(0.0).as("delta"),
+              col("info").as("info"), col("solve_failed").as("failed"))).as("u"))
+        .select(col("gkey"), col("u.beta").as("beta"), col("u.delta").as("delta"),
+          col("u.failed").as("solve_failed"), col("u.info").as("info"))
+        .localCheckpoint(true)
+      val row = beta.agg(max(col("delta"))).head()
+      maxDelta = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
       it += 1
     }
 
-    def failRow(pred: String, dep: String, reason: String) =
-      BinResult(pred, dep, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
-        Double.NaN, Double.NaN, -9L, -9L, -9L, converged = false, reason, "nan")
-    val out = cfg.predictors.flatMap(p => cfg.dependents.map(d => (p, d))).map {
-      case key @ (pred, dep) =>
-        if (viable.contains(key)) {
-          val (cases, n) = counts(key)
-          val b = viable(key)
-          val covm = breeze.linalg.inv(lastInfo(key))
+    // final inference, executor-side; grid completion restores no-data pairs
+    val solvedViable = beta.join(counts.select("gkey", "cases", "n"), "gkey")
+      .as[(Long, Seq[Double], Double, String, Seq[Double], Long, Long)]
+      .map { case (gkey, b, delta, solveFailed, info, cases, n) =>
+        val pred = predictors((gkey / dependents.length).toInt)
+        val dep = dependents((gkey % dependents.length).toInt)
+        if (solveFailed != null)
+          BinResult(pred, dep, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+            Double.NaN, Double.NaN, -9L, -9L, -9L, converged = false, solveFailed, "nan")
+        else {
+          def triOf(i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
+          val infoM = DenseMatrix.tabulate(m, m)((a2, b2) =>
+            info(triOf(math.min(a2, b2), math.max(a2, b2))))
+          val covm = breeze.linalg.inv(infoM)
           val se0 = math.sqrt(covm(0, 0))
           val b0 = b(0)
           BinResult(pred, dep, graft.functions.Numerics.normSf2(b0 / se0), b0, se0,
             math.exp(b0), b0 - 1.959963984540054 * se0, b0 + 1.959963984540054 * se0,
-            cases, n - cases, n, converged = !active.contains(key), "nan",
-            s"$dep ~ $pred + ${cfg.covariates.mkString(" + ")}")
-        } else failRow(pred, dep,
-          failed.getOrElse(key, "No data after dropping nulls."))
-    }
-    spark.createDataFrame(out)
+            cases, n - cases, n, converged = delta < tol, "nan",
+            s"$dep ~ $pred + ${covNames.mkString(" + ")}")
+        }
+      }.toDF()
+    val failedRows = counts.filter(col("failed_reason").isNotNull)
+      .as[(Long, Long, Long, String)]
+      .map { case (gkey, _, _, reason) =>
+        BinResult(predictors((gkey / dependents.length).toInt),
+          dependents((gkey % dependents.length).toInt),
+          Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+          -9L, -9L, -9L, converged = false, reason, "nan")
+      }.toDF()
+    completeGrid(failedRows.unionAll(solvedViable), cfg, binaryDefaults(cfg))
   }
 
   // ------------------------------------------------------ grid completion

@@ -189,6 +189,22 @@ object Mas {
 
   private[graft] val PhecodeDefsPath = "/root/repo/data/phecode_definitions_test.csv"
 
+  /** a10: the DISTRIBUTED logistic IRLS (Association.logisticGram) on
+    * the same 2×2 tables as a03 — beta stays a DataFrame, Newton
+    * solves run executor-side, one aggregation scan per iteration.
+    * The saturated-model MLE equals the sample log-odds-ratio, so the
+    * closed-form cell oracle applies unchanged. */
+  def a10AssocLogisticGram(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("xbin"), Seq("d_urgent", "d_open", "d_big", "d_many"),
+      model = "logistic", minCaseCount = 5, maxIter = 100, tol = 1e-12)
+    Association.logisticGram(Association.melt(cohort(spark, dir), cfg), cfg)
+      .select(col("predictor"), col("dependent"),
+        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        round(col("OR"), 4).as("OR"),
+        col("cases"), col("controls"), col("total_n"))
+      .orderBy("dependent")
+  }
+
   /** a05: per-pair case/control counts + viability flag
     * (analysis.py:168-193) as a pure aggregate — no fit. */
   def a05CaseCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -336,6 +352,10 @@ object Mas {
     "a05_case_counts" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all").map(countsBranch(_, 50))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a10_assoc_logistic_gram" ->
+      (cohortSql + "\n" +
+        Seq("d_urgent", "d_open", "d_big", "d_many").map(logisticBranch)
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
     "a08_pipeline_logt" ->
       (cohortSql + "\n" +
