@@ -12,9 +12,10 @@ import graft.Tables
  * Scale shapes (the whole point of these designs):
  *  - d01 is a single hash groupBy — one shuffle of (hash, id).
  *  - d02 explodes distinct shingles and self-joins on the shingle:
- *    shuffle ∝ posting-list sizes, never the n² pair matrix. (At real
- *    scale add a document-frequency cap on shingles to bound hot
- *    posting lists; the threshold is corpus-dependent.)
+ *    shuffle ∝ posting-list sizes, never the n² pair matrix. At real
+ *    scale pass `maxDf` to cap hot posting lists (candidates from
+ *    rare shingles only, exact-Jaccard re-verified — see
+ *    ngramJaccardPairs).
  *  - d03 joins on (band, band-signature) buckets: candidate pairs are
  *    the only thing that shuffles, then exact Jaccard verifies them.
  *  - d04 uses the pigeonhole banking of the 64-bit SimHash: a pair at
@@ -88,10 +89,22 @@ object Dedup {
 
   // -------------------------------------------- d02 shingle Jaccard
 
-  /** Near-dup pairs by exact Jaccard over distinct 3-shingles,
-    * blocked on `blockCol`: explode → self-join on (block, shingle) →
-    * count common → ratio. */
-  def ngramJaccardPairs(docs: DataFrame, tau: Double, blockCol: Option[String]): DataFrame = {
+  /**
+   * Near-dup pairs by exact Jaccard over distinct 3-shingles, blocked
+   * on `blockCol`: explode → self-join on (block, shingle) → count
+   * common → ratio.
+   *
+   * `maxDf`: at corpus scale one stopword-ish shingle shared by f
+   * documents makes an O(f²) posting list — the one quadratic hazard
+   * in this operator. With a document-frequency cap, candidate
+   * generation drops shingles with df > maxDf and every surviving
+   * candidate is re-verified with the EXACT Jaccard over the full
+   * shingle sets (the d03 verify-join shape), so precision stays
+   * exact; recall misses only pairs whose entire overlap is hot
+   * shingles — the standard cost/recall knob. Default None = exact.
+   */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, blockCol: Option[String],
+      maxDf: Option[Int] = None): DataFrame = {
     val base = withShingles(docs, "text", "sh")
       .select(col("doc_id"),
         (blockCol match {
@@ -101,15 +114,40 @@ object Dedup {
         col("sh"))
     val ex = base.select(col("doc_id"), col("blk"), size(col("sh")).as("ns"),
       explode(col("sh")).as("s"))
-    val a = ex.select(col("blk"), col("s"), col("doc_id").as("id1"), col("ns").as("na"))
-    val b = ex.select(col("blk"), col("s"), col("doc_id").as("id2"), col("ns").as("nb"))
-    a.join(b, Seq("blk", "s")).filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+    maxDf match {
+      case None =>
+        val a = ex.select(col("blk"), col("s"), col("doc_id").as("id1"), col("ns").as("na"))
+        val b = ex.select(col("blk"), col("s"), col("doc_id").as("id2"), col("ns").as("nb"))
+        a.join(b, Seq("blk", "s")).filter(col("id1") < col("id2"))
+          .groupBy("id1", "id2")
+          .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+          .withColumn("jaccard",
+            col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .filter(col("jaccard") >= tau)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      case Some(cap) =>
+        // shingle-set table feeds candidate generation AND both verify
+        // sides — materialize once (same lifecycle as d03's signatures)
+        val sets = base.localCheckpoint(true)
+        val exs = sets.select(col("doc_id"), col("blk"), explode(col("sh")).as("s"))
+        val rare = exs.groupBy("blk", "s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select("blk", "s")
+        val capped = exs.join(rare, Seq("blk", "s"))
+        val cand = capped.select(col("blk"), col("s"), col("doc_id").as("id1"))
+          .join(capped.select(col("blk"), col("s"), col("doc_id").as("id2")), Seq("blk", "s"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2")
+          .distinct()
+        val s1 = sets.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        val s2 = sets.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+        cand.join(s1, "id1").join(s2, "id2")
+          .withColumn("common", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+          .withColumn("jaccard",
+            col("common") / (size(col("sh1")) + size(col("sh2")) - col("common")))
+          .filter(col("jaccard") >= tau)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+    }
   }
 
   def d02DedupNgram(spark: SparkSession, dir: String): DataFrame =

@@ -37,6 +37,21 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == lsh, s"missing=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("df-capped shingle join verifies exactly; generous cap equals exact") {
+    val exact = Dedup.ngramJaccardPairs(Dedup.corpus(spark, dir), 0.5, Some("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(Dedup.corpus(spark, dir), 0.5, Some("source"),
+      maxDf = Some(10000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(capped == exact) // cap above every df -> identical incl. jaccard values
+    // a tiny cap can only LOSE pairs (precision stays exact via re-verify)
+    val tiny = Dedup.ngramJaccardPairs(Dedup.corpus(spark, dir), 0.5, Some("source"),
+      maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tiny.subsetOf(exact))
+  }
+
   test("simhash: identical docs collide at hamming 0; mutated pairs found") {
     assert(Dedup.simhash64(Seq("a b c", "b c d")) == Dedup.simhash64(Seq("b c d", "a b c")))
     val out = Dedup.d04DedupSimhash(spark, dir).collect()
