@@ -127,6 +127,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       missingCovariateValues = "forward", model = "logistic")))
   }
 
+  test("fillOrdered equals the single-window reference fill on random data") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(23)
+    val df = (0 until 500).map { i =>
+      (i.toLong,
+        if (rng.nextDouble() < 0.3) Option.empty[Double] else Option(rng.nextGaussian()),
+        if (rng.nextDouble() < 0.3) Option.empty[Double] else Option(rng.nextGaussian()))
+    }.toDF("id", "u", "v").repartition(7) // force boundary carries
+    for (forward <- Seq(true, false)) {
+      // oracle: the windowed fill with no partition keys (single task —
+      // fine in a test, the thing fillOrdered exists to avoid at scale)
+      val expected = operators.Preprocess.fillDirectional(df, Seq("u", "v"),
+        forward, partitionBy = Nil, orderBy = Seq("id")).collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      val got = operators.Preprocess.fillOrdered(df, Seq("u", "v"), forward, "id")
+        .collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(got == expected, s"forward=$forward")
+    }
+  }
+
   test("pipeline --rint equals association over manually transformed dependents") {
     val sess = spark
     import sess.implicits._
