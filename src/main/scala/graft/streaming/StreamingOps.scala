@@ -25,6 +25,22 @@ object StreamingOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
 
+  /**
+   * Streaming exact dedup — the d01 semantics over a document stream:
+   * keep the first arrival of each normalized-text hash, drop later
+   * copies. `dropDuplicates` keeps per-key state; the watermark bounds
+   * it to the dedup horizon (exact global dedup over an unbounded
+   * stream would need unbounded state — at corpus scale the horizon
+   * IS the contract). Batch-mode it degenerates to a plain
+   * first-arrival dedup, which is how the spec cross-checks it
+   * against d01's duplicate classes.
+   */
+  def streamDedupExact(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("h", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("h")
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start_ts: Long, n_events: Long, session_value: Double)

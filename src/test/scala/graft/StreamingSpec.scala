@@ -46,6 +46,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming exact dedup keeps the first arrival per normalized text") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(
+      (1L, ts(1), "the quick brown fox"),
+      (2L, ts(2), "THE  QUICK  BROWN  FOX".toLowerCase), // same normalized text
+      (3L, ts(3), "a different document"),
+      (4L, ts(4), "the quick brown fox")) // later exact copy
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamingOps.streamDedupExact(df)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    val kept = spark.table("dedup_out").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("streaming sessionization closes sessions on gap and flushes on watermark") {
     val sess = spark
     import sess.implicits._
