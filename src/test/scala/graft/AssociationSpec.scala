@@ -52,6 +52,29 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("equation") == "dep1 ~ p1 + ")
   }
 
+  test("linear stats are partition-count invariant on large-magnitude data") {
+    // the round-2 a01 flake class: ~1e4/1e5-magnitude features whose
+    // raw Gram sums drift with aggregation order. The centered
+    // co-moment path must produce (near-)identical full-precision
+    // stats at any partitioning.
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(29)
+    val df = (0 until 2000).map { i =>
+      val x = 1e4 + 60.0 * rng.nextGaussian()
+      (i, x, 1e5 + 0.7 * x + 45.0 * rng.nextGaussian())
+    }.toDF("id", "p1", "dep1")
+    val cfg = Association.Config(Seq("p1"), Seq("dep1"), model = "linear", minCaseCount = 5)
+    val res = Seq(1, 7, 32).map { parts =>
+      val r = Association.assoc(df.repartition(parts), cfg).collect()(0)
+      (r.getAs[Double]("beta"), r.getAs[Double]("se"))
+    }
+    for (Seq((b1, s1), (b2, s2)) <- res.sliding(2)) {
+      assert(near(b1, b2, 1e-9 * math.abs(b1)), s"beta $b1 vs $b2")
+      assert(near(s1, s2, 1e-9 * s1), s"se $s1 vs $s2")
+    }
+  }
+
   test("constant covariate is dropped per-pair (linear, from the Gram)") {
     val sess = spark
     import sess.implicits._

@@ -106,4 +106,32 @@ class ModelsSpec extends AnyFunSuite {
     assert(near(direct.se, viaGram.se, 1e-10))
     assert(near(direct.pval, viaGram.pval, 1e-10))
   }
+
+  test("linearFromCentered on large-magnitude data equals the raw fit on shifted data") {
+    // slopes/se are exactly shift-invariant, so the accurate reference
+    // is the RAW intercept-last fit on mean-shifted (small-magnitude)
+    // data. The centered co-moment solve over the ORIGINAL 1e4/1e5-
+    // magnitude features must agree tightly — the raw Gram on the
+    // unshifted data does NOT (that cancellation was the round-2 a01
+    // flake, and asserting against it here fails at 1e-6 on se).
+    val rng = new scala.util.Random(17)
+    val n = 800
+    val x1 = Array.fill(n)(1e4 + 50.0 * rng.nextGaussian())
+    val x2 = Array.fill(n)(rng.nextDouble())
+    val y = Array.tabulate(n)(i => 1e5 + 0.8 * x1(i) + 30.0 * x2(i) + 40.0 * rng.nextGaussian())
+    val m1 = x1.sum / n; val m2 = x2.sum / n; val my = y.sum / n
+    val xmS = DenseMatrix.horzcat(
+      new DenseMatrix(n, 1, x1.map(_ - m1)), new DenseMatrix(n, 1, x2.map(_ - m2)))
+    val reference = Models.linear(xmS, DenseVector(y.map(_ - my)))
+    def cm(a: Array[Double], ma: Double, b: Array[Double], mb: Double): Double =
+      (0 until n).map(i => (a(i) - ma) * (b(i) - mb)).sum
+    val cxx = DenseMatrix(
+      (cm(x1, m1, x1, m1), cm(x1, m1, x2, m2)),
+      (cm(x1, m1, x2, m2), cm(x2, m2, x2, m2)))
+    val cxy = DenseVector(cm(x1, m1, y, my), cm(x2, m2, y, my))
+    val viaCentered = Models.linearFromCentered(cxx, cxy, cm(y, my, y, my), n)
+    assert(near(reference.beta, viaCentered.beta, 1e-9 * math.abs(reference.beta)))
+    assert(near(reference.se, viaCentered.se, 1e-8 * reference.se))
+    assert(near(reference.pval, viaCentered.pval, 1e-8))
+  }
 }
