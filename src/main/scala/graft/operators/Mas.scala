@@ -360,6 +360,25 @@ object Mas {
     "a08_pipeline_logt" ->
       (cohortSql + "\n" +
         Seq("y_avg", "y_max").map(logtBranch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    // RINT oracle: the SQL-side Acklam qnorm (Preprocess.qnormSql)
+    // transforms y_max by Blom rank, then regr_* fits — per-value
+    // ~1e-9 approximation residual washes out in the aggregates
+    "a09_pipeline_rint" ->
+      (cohortSql + s""", src AS (
+         |  SELECT id, x, y_max FROM cohort WHERE y_max IS NOT NULL
+         |), nn AS (SELECT count(*) AS n FROM src),
+         |rk AS (
+         |  SELECT id, x, row_number() OVER (ORDER BY y_max, id) AS rnk FROM src
+         |), tr AS (
+         |  SELECT x, ${Preprocess.qnormSql("(rnk - 0.375) / (nn.n + 0.25)")} AS yr
+         |  FROM rk, nn
+         |)
+         |SELECT 'x' AS predictor, 'y_max' AS dependent,
+         |  round(regr_slope(yr, x), 4) AS beta,
+         |  round(sqrt(regr_syy(yr, x) * (1 - regr_r2(yr, x))
+         |    / (regr_count(yr, x) - 2) / regr_sxx(yr, x)), 4) AS se,
+         |  CAST(regr_count(yr, x) AS BIGINT) AS n_observations
+         |FROM tr""".stripMargin),
     "s05_phecode_annotate" ->
       (cohortSql + s""", defs AS (
          |  SELECT phecode, phenotype, category, category_number

@@ -321,7 +321,53 @@ object Preprocess {
 
   // --------------------------------------------------------- oracle SQL
 
+  /**
+   * Acklam's rational approximation of the standard normal quantile as
+   * plain SQL (same branch structure and constants as Numerics.qnorm,
+   * MINUS the final Halley refinement — DuckDB has no erf to express
+   * it). Residual ≤ 1.15e-9 absolute vs the refined value; with 4-dp
+   * rounding that matches the Scala side unless a value sits within
+   * ~1e-9 of a rounding boundary — verified empirically hash-identical
+   * on the (fixed, deterministic) test data, which is what the gate
+   * replays.
+   */
+  private[operators] def qnormSql(p: String): String = {
+    val central =
+      s"""((((((-3.969683028665376e+01 * R + 2.209460984245205e+02) * R
+         |  + -2.759285104469687e+02) * R + 1.383577518672690e+02) * R
+         |  + -3.066479806614716e+01) * R + 2.506628277459239e+00) * Q
+         | / ((((( -5.447609879822406e+01 * R + 1.615858368580409e+02) * R
+         |  + -1.556989798598866e+02) * R + 6.680131188771972e+01) * R
+         |  + -1.328068155288572e+01) * R + 1.0))"""
+        .stripMargin.replace("\n", " ")
+        .replace("Q", s"(($p) - 0.5)").replace("R", s"((($p) - 0.5) * (($p) - 0.5))")
+    def tail(q: String) =
+      s"""((((((-7.784894002430293e-03 * Q + -3.223964580411365e-01) * Q
+         |  + -2.400758277161838e+00) * Q + -2.549732539343734e+00) * Q
+         |  + 4.374664141464968e+00) * Q + 2.938163982698783e+00)
+         | / ((((7.784695709041462e-03 * Q + 3.224671290700398e-01) * Q
+         |  + 2.445134137142996e+00) * Q + 3.754408661907416e+00) * Q + 1.0))"""
+        .stripMargin.replace("\n", " ").replace("Q", q)
+    val qLow = s"sqrt(-2.0 * ln($p))"
+    val qHigh = s"sqrt(-2.0 * ln(1.0 - ($p)))"
+    s"""(CASE WHEN ($p) < 0.02425 THEN ${tail(qLow)}
+       | WHEN ($p) <= 0.97575 THEN $central
+       | ELSE -${tail(qHigh)} END)""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "p08_rint" ->
+      s"""WITH src AS (
+         |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS v FROM customer
+         |  WHERE c_acctbal IS NOT NULL
+         |), nn AS (SELECT count(*) AS n FROM src),
+         |r AS (
+         |  SELECT c_custkey, row_number() OVER (ORDER BY v, c_custkey) AS rank
+         |  FROM src
+         |)
+         |SELECT c_custkey, rank,
+         |  round(${qnormSql("(rank - 0.375) / (nn.n + 0.25)")}, 4) AS rint
+         |FROM r, nn ORDER BY c_custkey""".stripMargin,
     "p01_select_index" ->
       """SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate, l_linenumber
         |FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""".stripMargin,
