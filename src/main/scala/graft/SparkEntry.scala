@@ -37,6 +37,7 @@ object SparkEntry {
     "p07_scale_standard" -> (Preprocess.p07ScaleStandard _),
     "p08_rint" -> (Preprocess.p08Rint _),
     "p09_log_transform" -> (Preprocess.p09LogTransform _),
+    "p10_scale_minmax" -> (Preprocess.p10ScaleMinmax _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),

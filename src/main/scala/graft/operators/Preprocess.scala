@@ -215,6 +215,21 @@ object Preprocess {
       .drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
   }
 
+  /** Min-max scaling to [0, 1] (roadmap item alongside z-score): one
+    * aggregate row broadcast back, then a projection. A constant
+    * column scales to null (0/0), matching the z-score behavior on
+    * zero variance — run dropConstant first. */
+  def scaleMinMax(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = df.agg(
+      min(col(cols.head)).as(s"__lo_${cols.head}"),
+      (cols.tail.map(c => min(col(c)).as(s"__lo_$c")) ++
+        cols.map(c => max(col(c)).as(s"__hi_$c"))): _*)
+    val joined = df.crossJoin(broadcast(stats))
+    cols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, (col(c) - col(s"__lo_$c")) / (col(s"__hi_$c") - col(s"__lo_$c"))))
+      .drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
+  }
+
   /**
    * Rank-based inverse-normal transform (Blom offset):
    * rint(v) = qnorm((rank − 0.375) / (n + 0.25)).
@@ -305,7 +320,15 @@ object Preprocess {
       .select(col("c_custkey"), round(col("acctbal"), 4).as("acctbal"))
       .orderBy("c_custkey")
 
-  /** p08: RINT of c_acctbal (rows-only driver check; spec-verified). */
+  /** p10: min-max scaling of c_acctbal to [0, 1]. */
+  def p10ScaleMinmax(spark: SparkSession, dir: String): DataFrame =
+    scaleMinMax(Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_acctbal").cast("double").as("acctbal")),
+      Seq("acctbal"))
+      .select(col("c_custkey"), round(col("acctbal"), 6).as("acctbal"))
+      .orderBy("c_custkey")
+
+  /** p08: RINT of c_acctbal (DuckDB oracle via SQL Acklam qnorm). */
   def p08Rint(spark: SparkSession, dir: String): DataFrame =
     rint(Tables.customer(spark, dir), "c_acctbal", "c_custkey")
       .select(col("c_custkey"), col("rank"), round(col("rint"), 4).as("rint"))
@@ -416,5 +439,9 @@ object Preprocess {
     "p09_log_transform" ->
       """SELECT p_partkey, round(ln(p_retailprice), 4) AS price
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "p10_scale_minmax" ->
+      """WITH m AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
+        |SELECT c_custkey, round((c_acctbal - lo) / (hi - lo), 6) AS acctbal
+        |FROM customer, m ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -62,6 +62,16 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bwd((2L, 1L)).contains(5.0))
   }
 
+  test("scaleMinMax maps extremes to 0/1 and preserves order") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, -4.0), (2L, 0.0), (3L, 6.0), (4L, 1.0)).toDF("id", "v")
+    val got = Preprocess.scaleMinMax(df, Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0 && got(3L) == 1.0)
+    assert(math.abs(got(2L) - 0.4) < 1e-12 && math.abs(got(4L) - 0.5) < 1e-12)
+  }
+
   test("dropConstant removes only zero-variance columns") {
     val sess = spark
     import sess.implicits._
