@@ -181,10 +181,9 @@ object Association {
     * shape). Mergeable ⇒ map-side partial aggregation: the shuffle
     * carries one O(p²) buffer per (pair × partition), never rows. */
   private[operators] final class CoMoment(p: Int)
-      extends Aggregator[(Long, Array[Double]), GramState, GramState] {
+      extends Aggregator[Array[Double], GramState, GramState] {
     def zero: GramState = GramState(0L, new Array[Double](p), new Array[Double](p * (p + 1) / 2))
-    def reduce(st: GramState, row: (Long, Array[Double])): GramState = {
-      val v = row._2
+    def reduce(st: GramState, v: Array[Double]): GramState = {
       st.n += 1
       // C_ij += d_i·d_j·(n−1)/n with d against the PRE-update means —
       // the exact Welford identity, no per-row temporaries
@@ -236,9 +235,14 @@ object Association {
     val dependents = cfg.dependents.toArray
     val covNames = cfg.covariates
     val minN = cfg.minCaseCount
-    val solved = keyed(melted, cfg)
-      .groupByKey(_._1)
-      .agg(new CoMoment(p).toColumn)
+    // untyped udaf over the long-keyed frame: the grouping key stays a
+    // plain column (codegen'd HashAggregate keying, no AppendColumns /
+    // closure key / tuple wrapper per row) and only the packed value
+    // array reaches the aggregator
+    val coMoment = udaf(new CoMoment(p))
+    val solved = keyed(melted, cfg).toDF("gkey", "v")
+      .groupBy("gkey").agg(coMoment(col("v")).as("st"))
+      .as[(Long, GramState)]
       .map { case (key, st) =>
         solveLinearGroup(predictors((key / dependents.length).toInt),
           dependents((key % dependents.length).toInt), st, covNames, minN)
