@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -18,6 +18,16 @@ import graft.Tables
  * after dropping nulls." path.
  */
 object Mas {
+
+  /** Round to 4 decimals AND normalize negative zero: a tiny negative
+    * value (|v| < 5e-5, e.g. a near-null slope) rounds to -0.0 in
+    * DuckDB but +0.0 in Spark (whose Round goes through BigDecimal,
+    * which has no signed zero). The two compare equal yet hash
+    * differently byte-wise — `+ 0.0` collapses both sides to +0.0
+    * (IEEE: -0.0 + 0.0 = +0.0; every other value, NaN included, is
+    * unchanged). The SQL branches below append `+ 0` for the same
+    * reason. */
+  private def r4(c: Column): Column = round(c, 4) + lit(0.0)
 
   /** One row per customer: x continuous predictor, xbin binary
     * predictor, z1 covariate, y_* quantitative dependents, d_* binary
@@ -82,7 +92,7 @@ object Mas {
       model = "linear", minCaseCount = 10)
     Association.assoc(cohort(spark, dir), cfg)
       .select(col("predictor"), col("dependent"),
-        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
         col("n_observations"))
       .orderBy("dependent")
   }
@@ -94,7 +104,7 @@ object Mas {
       model = "linear", minCaseCount = 10)
     Association.assoc(cohort(spark, dir), cfg)
       .select(col("predictor"), col("dependent"),
-        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
         col("n_observations"))
       .orderBy("dependent")
   }
@@ -109,8 +119,8 @@ object Mas {
       model = "logistic", minCaseCount = 5, maxIter = 100, tol = 1e-12)
     Association.assoc(cohort(spark, dir), cfg)
       .select(col("predictor"), col("dependent"),
-        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
-        round(col("OR"), 4).as("OR"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
+        r4(col("OR")).as("OR"),
         col("cases"), col("controls"), col("total_n"))
       .orderBy("dependent")
   }
@@ -124,7 +134,7 @@ object Mas {
       model = "firth", minCaseCount = 5, maxIter = 200, tol = 1e-11)
     Association.assoc(cohort(spark, dir), cfg)
       .select(col("predictor"), col("dependent"),
-        round(col("beta"), 4).as("beta"), round(col("OR"), 4).as("OR"),
+        r4(col("beta")).as("beta"), r4(col("OR")).as("OR"),
         col("cases"), col("controls"), col("total_n"))
       .orderBy("dependent")
   }
@@ -138,7 +148,7 @@ object Mas {
       model = "logistic", minCaseCount = 5, maxIter = 100, tol = 1e-12)
     Association.assoc(cohort(spark, dir), cfg)
       .select(col("predictor"), col("dependent"),
-        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
         col("cases"), col("controls"), col("total_n"))
       .orderBy("predictor", "dependent")
   }
@@ -152,7 +162,7 @@ object Mas {
       input = "", predictors = "x", dependents = "y_avg,y_max",
       model = "linear", quantitative = true, logt = true, minCaseCount = 20))
       .select(col("predictor"), col("dependent"),
-        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
         col("n_observations"))
       .orderBy("dependent")
 
@@ -167,7 +177,7 @@ object Mas {
       model = "linear", quantitative = true, rint = true, orderCol = "id",
       minCaseCount = 20))
       .select(col("predictor"), col("dependent"),
-        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
         col("n_observations"))
       .orderBy("dependent")
 
@@ -199,8 +209,8 @@ object Mas {
       model = "logistic", minCaseCount = 5, maxIter = 100, tol = 1e-12)
     Association.logisticGram(Association.melt(cohort(spark, dir), cfg), cfg)
       .select(col("predictor"), col("dependent"),
-        round(col("beta"), 4).as("beta"), round(col("se"), 4).as("se"),
-        round(col("OR"), 4).as("OR"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
+        r4(col("OR")).as("OR"),
         col("cases"), col("controls"), col("total_n"))
       .orderBy("dependent")
   }
@@ -253,8 +263,8 @@ object Mas {
 
   private def flipBranch(pred: String, dep: String): String =
     s"""SELECT '$pred' AS predictor, '$dep' AS dependent,
-       |  round(ln((n11 * n00) / (n10 * n01)), 4) AS beta,
-       |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 4) AS se,
+       |  round(ln((n11 * n00) / (n10 * n01)), 4) + 0 AS beta,
+       |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 4) + 0 AS se,
        |  CAST(n11 + n01 AS BIGINT) AS cases,
        |  CAST(n10 + n00 AS BIGINT) AS controls,
        |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS total_n
@@ -262,17 +272,17 @@ object Mas {
 
   private def linBranch(dep: String): String =
     s"""SELECT 'x' AS predictor, '$dep' AS dependent,
-       |  round(regr_slope($dep, x), 4) AS beta,
+       |  round(regr_slope($dep, x), 4) + 0 AS beta,
        |  round(sqrt(regr_syy($dep, x) * (1 - regr_r2($dep, x))
-       |    / (regr_count($dep, x) - 2) / regr_sxx($dep, x)), 4) AS se,
+       |    / (regr_count($dep, x) - 2) / regr_sxx($dep, x)), 4) + 0 AS se,
        |  CAST(regr_count($dep, x) AS BIGINT) AS n_observations
        |FROM cohort""".stripMargin
 
   private def logtBranch(dep: String): String =
     s"""SELECT 'x' AS predictor, '$dep' AS dependent,
-       |  round(regr_slope(ln($dep), x), 4) AS beta,
+       |  round(regr_slope(ln($dep), x), 4) + 0 AS beta,
        |  round(sqrt(regr_syy(ln($dep), x) * (1 - regr_r2(ln($dep), x))
-       |    / (regr_count(ln($dep), x) - 2) / regr_sxx(ln($dep), x)), 4) AS se,
+       |    / (regr_count(ln($dep), x) - 2) / regr_sxx(ln($dep), x)), 4) + 0 AS se,
        |  CAST(regr_count(ln($dep), x) AS BIGINT) AS n_observations
        |FROM cohort""".stripMargin
 
@@ -285,9 +295,9 @@ object Mas {
 
   private def fwlBranch(dep: String): String =
     s"""SELECT 'x' AS predictor, '$dep' AS dependent,
-       |  round(regr_slope(yr, xr), 4) AS beta,
+       |  round(regr_slope(yr, xr), 4) + 0 AS beta,
        |  round(sqrt(regr_syy(yr, xr) * (1 - regr_r2(yr, xr))
-       |    / (regr_count(yr, xr) - 3) / regr_sxx(yr, xr)), 4) AS se,
+       |    / (regr_count(yr, xr) - 3) / regr_sxx(yr, xr)), 4) + 0 AS se,
        |  CAST(regr_count(yr, xr) AS BIGINT) AS n_observations
        |FROM (
        |  SELECT $dep - (p.ay + p.by * z1) AS yr, x - (p.ax + p.bx * z1) AS xr
@@ -299,9 +309,9 @@ object Mas {
 
   private def logisticBranch(dep: String): String =
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
-       |  round(ln((n11 * n00) / (n10 * n01)), 4) AS beta,
-       |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 4) AS se,
-       |  round((n11 * n00) / (n10 * n01), 4) AS "OR",
+       |  round(ln((n11 * n00) / (n10 * n01)), 4) + 0 AS beta,
+       |  round(sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00), 4) + 0 AS se,
+       |  round((n11 * n00) / (n10 * n01), 4) + 0 AS "OR",
        |  CAST(n11 + n01 AS BIGINT) AS cases,
        |  CAST(n10 + n00 AS BIGINT) AS controls,
        |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS total_n
@@ -309,8 +319,8 @@ object Mas {
 
   private def firthBranch(dep: String): String =
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
-       |  round(ln(((n11+0.5) * (n00+0.5)) / ((n10+0.5) * (n01+0.5))), 4) AS beta,
-       |  round(((n11+0.5) * (n00+0.5)) / ((n10+0.5) * (n01+0.5)), 4) AS "OR",
+       |  round(ln(((n11+0.5) * (n00+0.5)) / ((n10+0.5) * (n01+0.5))), 4) + 0 AS beta,
+       |  round(((n11+0.5) * (n00+0.5)) / ((n10+0.5) * (n01+0.5)), 4) + 0 AS "OR",
        |  CAST(n11 + n01 AS BIGINT) AS cases,
        |  CAST(n10 + n00 AS BIGINT) AS controls,
        |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS total_n
@@ -374,9 +384,9 @@ object Mas {
          |  FROM rk, nn
          |)
          |SELECT 'x' AS predictor, 'y_max' AS dependent,
-         |  round(regr_slope(yr, x), 4) AS beta,
+         |  round(regr_slope(yr, x), 4) + 0 AS beta,
          |  round(sqrt(regr_syy(yr, x) * (1 - regr_r2(yr, x))
-         |    / (regr_count(yr, x) - 2) / regr_sxx(yr, x)), 4) AS se,
+         |    / (regr_count(yr, x) - 2) / regr_sxx(yr, x)), 4) + 0 AS se,
          |  CAST(regr_count(yr, x) AS BIGINT) AS n_observations
          |FROM tr""".stripMargin),
     "s05_phecode_annotate" ->

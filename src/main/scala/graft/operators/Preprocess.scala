@@ -282,7 +282,7 @@ object Preprocess {
         when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_acctbal"))
           .cast("double").as("acctbal"))
     fillNulls(holey, Seq("acctbal"), "mean")
-      .select(col("c_custkey"), round(col("acctbal"), 4).as("acctbal"))
+      .select(col("c_custkey"), (round(col("acctbal"), 4) + lit(0.0)).as("acctbal"))
       .orderBy("c_custkey")
   }
 
@@ -317,7 +317,7 @@ object Preprocess {
     scaleStandard(Tables.customer(spark, dir).select(
       col("c_custkey"), col("c_acctbal").cast("double").as("acctbal")),
       Seq("acctbal"))
-      .select(col("c_custkey"), round(col("acctbal"), 4).as("acctbal"))
+      .select(col("c_custkey"), (round(col("acctbal"), 4) + lit(0.0)).as("acctbal"))
       .orderBy("c_custkey")
 
   /** p10: min-max scaling of c_acctbal to [0, 1]. */
@@ -331,7 +331,7 @@ object Preprocess {
   /** p08: RINT of c_acctbal (DuckDB oracle via SQL Acklam qnorm). */
   def p08Rint(spark: SparkSession, dir: String): DataFrame =
     rint(Tables.customer(spark, dir), "c_acctbal", "c_custkey")
-      .select(col("c_custkey"), col("rank"), round(col("rint"), 4).as("rint"))
+      .select(col("c_custkey"), col("rank"), (round(col("rint"), 4) + lit(0.0)).as("rint"))
       .orderBy("c_custkey")
 
   /** p09: natural-log transform of p_retailprice. */
@@ -389,7 +389,7 @@ object Preprocess {
          |  FROM src
          |)
          |SELECT c_custkey, rank,
-         |  round(${qnormSql("(rank - 0.375) / (nn.n + 0.25)")}, 4) AS rint
+         |  round(${qnormSql("(rank - 0.375) / (nn.n + 0.25)")}, 4) + 0 AS rint
          |FROM r, nn ORDER BY c_custkey""".stripMargin,
     "p01_select_index" ->
       """SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate, l_linenumber
@@ -434,7 +434,7 @@ object Preprocess {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "p07_scale_standard" ->
       """WITH m AS (SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM customer)
-        |SELECT c_custkey, round((c_acctbal - mu) / sd, 4) AS acctbal
+        |SELECT c_custkey, round((c_acctbal - mu) / sd, 4) + 0 AS acctbal
         |FROM customer, m ORDER BY c_custkey""".stripMargin,
     "p09_log_transform" ->
       """SELECT p_partkey, round(ln(p_retailprice), 4) AS price

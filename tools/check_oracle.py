@@ -52,8 +52,20 @@ def main(sfdir, outdir):
             # diffs (int32/int64, ns/us) proved hash-safe in r01
             dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
                   if a[c].dtype.kind != b[c].dtype.kind]
+            # the driver hash is byte-sensitive: -0.0 vs +0.0 compare
+            # equal in pandas but hash differently (bit r03: a01/a09)
+            import numpy as np
+            sz = []
+            for c in a.columns:
+                if a[c].dtype.kind == "f":
+                    va, vb = a[c].to_numpy(), b[c].to_numpy()
+                    m = ~(pd.isna(va) | pd.isna(vb))
+                    if (np.signbit(va[m]) != np.signbit(vb[m])).any():
+                        sz.append(c)
             if dt:
                 print(f"DTYPE    {name}: {dt}"); fail += 1
+            elif sz:
+                print(f"NEGZERO  {name}: signbit mismatch in {sz}"); fail += 1
             else:
                 print(f"OK       {name} ({len(a)} rows)"); ok += 1
         except AssertionError as e:
