@@ -37,6 +37,15 @@ object Main {
     "qt" -> "quantitative", "m" -> "model", "mc" -> "min-case-count",
     "mcv" -> "missing-covariate-values", "v" -> "verbose", "q" -> "quiet")
 
+  /** Valued long flags — the full known-flag set (with boolFlags), so
+    * typos fail fast like the reference's argparse instead of being
+    * silently ignored. */
+  private val valuedFlags = Set(
+    "input", "output", "predictors", "dependents", "covariates",
+    "categorical-covariates", "null-values", "output-type", "num-workers",
+    "threads", "model", "min-case-count", "missing-covariate-values",
+    "phecode-defs", "sex-col", "female-code", "order-col")
+
   private[graft] def parseArgs(args: Array[String]): GraftConfig = {
     val m = scala.collection.mutable.Map[String, String]()
     var i = 0
@@ -46,6 +55,8 @@ object Main {
       val key0 = if (a.startsWith("--")) a.drop(2) else a.drop(1)
       val key = if (a.startsWith("--")) key0 else shortAliases.getOrElse(key0,
         throw new IllegalArgumentException(s"Unknown flag -$key0"))
+      require(boolFlags.contains(key) || valuedFlags.contains(key),
+        s"Unknown flag --$key")
       if (boolFlags.contains(key)) { m(key) = "true"; i += 1 }
       else {
         require(i + 1 < args.length, s"Missing value for --$key")

@@ -137,6 +137,23 @@ object Pipeline {
       df = Preprocess.sexFilter(df, cfg.sexCol, cfg.femaleCode, cfg.femaleOnly)
     }
 
+    // orderCol is a join/rank key for RINT and directional fill:
+    // duplicate values would fan out the RINT join (silently inflating
+    // n_observations) and make rank tie-breaks nondeterministic —
+    // fail fast instead. One small aggregate, only when orderCol is
+    // actually used.
+    val usesOrder = cfg.rint ||
+      Seq("forward", "backward").contains(cfg.missingCovariateValues)
+    if (usesOrder && cfg.orderCol.nonEmpty) {
+      val r = df.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct(col(cfg.orderCol)).as("nd")).head()
+      require(r.getAs[Long]("n") == r.getAs[Long]("nd"),
+        s"--order-col '${cfg.orderCol}' must be unique and non-null: " +
+          s"${r.getAs[Long]("n")} rows but ${r.getAs[Long]("nd")} distinct non-null values.")
+    }
+
     // missing covariates (preprocessing.py:7-40)
     if (covariates.nonEmpty) cfg.missingCovariateValues match {
       case "fail" =>

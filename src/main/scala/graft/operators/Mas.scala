@@ -167,10 +167,12 @@ object Mas {
       .orderBy("dependent")
 
   /** a09: pipeline query with `--rint` (rank-based inverse-normal
-    * transform of dependents, ties broken on --order-col). No SQL
-    * oracle — DuckDB has no normal quantile — so the driver records a
-    * rows-only check; the transform itself is verified in
-    * PipelineSpec against a manually-RINTed frame. */
+    * transform of dependents, ties broken on --order-col). DuckDB
+    * oracle: the SQL-side Acklam qnorm (Preprocess.qnormSql) applied
+    * to the Blom rank, then regr_* fits — the per-value ~1e-9
+    * approximation residual washes out in the aggregates. The
+    * transform is also verified in PipelineSpec against a
+    * manually-RINTed frame. */
   def a09PipelineRint(spark: SparkSession, dir: String): DataFrame =
     graft.Pipeline.run(cohort(spark, dir), graft.GraftConfig(
       input = "", predictors = "x", dependents = "y_max",

@@ -217,8 +217,9 @@ object Preprocess {
 
   /** Min-max scaling to [0, 1] (roadmap item alongside z-score): one
     * aggregate row broadcast back, then a projection. A constant
-    * column scales to null (0/0), matching the z-score behavior on
-    * zero variance — run dropConstant first. */
+    * column scales to NaN (0.0/0.0 in double division), matching the
+    * z-score behavior on zero variance (x/0 with sd 0.0 is also NaN)
+    * — run dropConstant first. */
   def scaleMinMax(df: DataFrame, cols: Seq[String]): DataFrame = {
     val stats = df.agg(
       min(col(cols.head)).as(s"__lo_${cols.head}"),

@@ -28,10 +28,14 @@ object StreamingOps {
   /**
    * Streaming exact dedup — the d01 semantics over a document stream:
    * keep the first arrival of each normalized-text hash, drop later
-   * copies. `dropDuplicates` keeps per-key state; the watermark bounds
-   * it to the dedup horizon (exact global dedup over an unbounded
+   * copies. `dropDuplicatesWithinWatermark` keeps per-key state and
+   * EVICTS it once the watermark passes the first arrival's event time
+   * (plain `dropDuplicates` without the event-time column in the key
+   * subset never evicts — unbounded state). Duplicates are therefore
+   * guaranteed dropped only when they arrive within the watermark
+   * delay of the first copy: exact global dedup over an unbounded
    * stream would need unbounded state — at corpus scale the horizon
-   * IS the contract). Batch-mode it degenerates to a plain
+   * IS the contract. Batch-mode it degenerates to a plain
    * first-arrival dedup, which is how the spec cross-checks it
    * against d01's duplicate classes.
    */
@@ -39,7 +43,7 @@ object StreamingOps {
     docs
       .withColumn("h", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
       .withWatermark("ts", watermark)
-      .dropDuplicates("h")
+      .dropDuplicatesWithinWatermark("h")
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

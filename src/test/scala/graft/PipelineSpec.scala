@@ -193,4 +193,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgOf(Pipeline.run(allNull, cfg0.copy(covariates = "zn")))
       .contains("All values are missing in covariate column 'zn'"))
   }
+
+  test("duplicate --order-col values fail fast (RINT join would fan out)") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, 0.1, 1.0), (1L, 0.2, 2.0), (2L, 0.3, 3.0))
+      .toDF("id", "x", "yq")
+    val msg = intercept[IllegalArgumentException](
+      Pipeline.run(df, GraftConfig(input = "", predictors = "x",
+        dependents = "yq", model = "linear", quantitative = true, rint = true,
+        orderCol = "id", minCaseCount = 1))).getMessage
+    assert(msg.contains("must be unique and non-null"))
+  }
 }

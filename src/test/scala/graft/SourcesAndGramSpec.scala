@@ -66,6 +66,10 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       Main.parseArgs(Array("-i", "a", "-p", "p", "-d", "d", "-ot", "xlsx")))
     intercept[IllegalArgumentException](Main.parseArgs(Array("-zz", "v")))
+    // unknown LONG flags fail fast too (argparse parity): a typo like
+    // --min-case-cout must not silently run with the default
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Array("-i", "a", "-p", "p", "-d", "d", "--min-case-cout", "50")))
   }
 
   test("distributed Gram IRLS matches the in-task logistic fitter") {
