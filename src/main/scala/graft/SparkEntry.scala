@@ -64,11 +64,16 @@ object SparkEntry {
     "q06_semijoin" -> (Relational.q06SemiJoin _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
+    "e03_asof_join" -> (Joins.e03AsofJoin _),
+    "e04_range_join" -> (Joins.e04RangeJoin _),
+    "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
+    "c02_shard_pack" -> (Corpus.c02ShardPack _),
   )
 
   def oracleSql: Map[String, String] =
     Mas.oracleSql ++ Preprocess.oracleSql ++ Postprocess.oracleSql ++ Dedup.oracleSql ++
-      TextOps.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++ Map(
+      TextOps.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
+      Joins.oracleSql ++ Corpus.oracleSql ++ Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

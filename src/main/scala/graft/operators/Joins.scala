@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/**
+ * Time-series joins Spark lacks as built-ins, re-expressed as
+ * shuffle-bounded Catalyst plans (no custom physical operator needed —
+ * composition covers the semantics, preference (a) of the design
+ * rules):
+ *
+ *  - `asofJoin`: for every left row, the latest right row at or before
+ *    it — via a tagged UNION + one per-key running window instead of a
+ *    join: ONE shuffle, partitioned by the join key, state is a single
+ *    running struct per key. No range-cross-product, no broadcast
+ *    requirement; skew is bounded by the hottest key exactly like any
+ *    per-key window.
+ *  - `rangeJoinPairs`: same-key pairs within a time window — epoch
+ *    time bucketed by the window width, each row duplicated into its
+ *    own and the next bucket, equi-join on (key, bucket), exact filter
+ *    after. Shuffle ∝ 2·rows; candidates ∝ true pairs + boundary
+ *    near-misses — never a per-key cartesian. This is the standard
+ *    interval-join decomposition (Flink's window-join and Trino's
+ *    spatial-partitioned joins use the same bucketing idea).
+ */
+object Joins {
+
+  /**
+   * As-of join: for each row of `left`, the most recent row of `right`
+   * with `right.time <= left.time` and the same `key`. Returns all
+   * left columns plus an `asof` struct of the requested right-side
+   * `payload` columns (null when no right row precedes).
+   *
+   * Ties: a right row at exactly the left row's time matches (the
+   * ASOF `>=` convention); multiple right rows at the same (key, time)
+   * resolve deterministically by payload struct order.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      payload: Seq[String]): DataFrame = {
+    val r2 = right.select(col(key).as("__k"), col(time).as("__t"), lit(1).as("__r"),
+      struct(payload.map(col): _*).as("__p"))
+    val pType = r2.schema("__p").dataType
+    val l2 = left.select(col(key).as("__k"), col(time).as("__t"), lit(0).as("__r"),
+      lit(null).cast(pType).as("__p"), struct(left.columns.map(col): _*).as("__l"))
+    val lType = l2.schema("__l").dataType
+    val u = l2.unionByName(r2.withColumn("__l", lit(null).cast(lType)))
+    // right rows sort BEFORE left rows at equal time (__r desc) so an
+    // exactly-simultaneous right row is visible to the left row
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__r").desc, col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__asof", last("__p", ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) :+ col("__asof").as("asof"): _*)
+  }
+
+  /**
+   * Same-key row pairs within `windowSec` seconds of each other.
+   * Output: one row per unordered pair — key, id1 < id2 (by `id`),
+   * gap_us (absolute time distance in microseconds, exact integers).
+   */
+  def rangeJoinPairs(df: DataFrame, key: String, time: String, id: String,
+      windowSec: Long): DataFrame = {
+    val wUs = windowSec * 1000000L
+    val base = df.select(col(key).as("__k"), col(id).as("__id"),
+      unix_micros(col(time)).as("__t"))
+    // "early" side lands in its own bucket and the next one, so a
+    // "late" row up to one window away is always an equi-match
+    val early = base.withColumn("__b",
+      explode(array(floor(col("__t") / wUs), floor(col("__t") / wUs) + 1)))
+    val late = base.select(col("__k"), col("__id").as("__id2"), col("__t").as("__t2"),
+      floor(col("__t") / wUs).as("__b"))
+    early.join(late, Seq("__k", "__b"))
+      .filter((col("__t2") - col("__t")).between(0L, wUs) &&
+        (col("__t") < col("__t2") ||
+          (col("__t") === col("__t2") && col("__id") < col("__id2"))))
+      .select(col("__k").as(key),
+        least(col("__id"), col("__id2")).as("id1"),
+        greatest(col("__id"), col("__id2")).as("id2"),
+        (col("__t2") - col("__t")).as("gap_us"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** e03: purchase→click attribution — for every purchase event, the
+    * user's most recent click at or before it. Oracle: DuckDB ASOF
+    * LEFT JOIN. gap_us stays exact integer microseconds so the hash
+    * compare needs no rounding. */
+  def e03AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    asofJoin(purchases, clicks, "user_id", "ts", Seq("event_id", "ts"))
+      .select(col("event_id"), col("user_id"),
+        col("asof.event_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** e04: same-user event pairs within 10 minutes — the bucketed
+    * interval self-join. Oracle: plain inequality self-join (fine at
+    * sf0.01; the bucketing is the part that scales). */
+  def e04RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinPairs(Tables.events(spark, dir), "user_id", "ts", "event_id", 600L)
+      .orderBy("id1", "id2")
+
+  // --------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "e03_asof_join" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS cu, ts AS cts
+        |      FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts >= c.cts
+        |ORDER BY p.event_id""".stripMargin,
+    "e04_range_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+        |)
+        |SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+        |  abs(b.t - a.t) AS gap_us
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(b.t - a.t) <= 600000000
+        |ORDER BY id1, id2""".stripMargin,
+  )
+}

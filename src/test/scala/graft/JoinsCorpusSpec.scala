@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Corpus, Joins}
+
+class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("3").appName("joins-corpus-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before, null when none") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3") // before any right row
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 200L), // exactly simultaneous with l2
+      (2L, ts("2024-01-01 11:00:00"), 300L)
+    ).toDF("k", "t", "rid")
+    val out = Joins.asofJoin(left, right, "k", "t", Seq("rid"))
+      .select(col("name"), col("asof.rid").as("rid")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("l1") == Some(100L)) // latest before 10:00 is 09:30
+    assert(out("l2") == Some(200L)) // ties match (>= convention)
+    assert(out("l3") == None)       // nothing at-or-before 09:00
+  }
+
+  test("rangeJoinPairs equals the naive inequality self-join") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val naive = {
+      val a = ev.select(col("user_id"), col("event_id").as("ida"),
+        unix_micros(col("ts")).as("ta"))
+      val b = ev.select(col("user_id"), col("event_id").as("idb"),
+        unix_micros(col("ts")).as("tb"))
+      a.join(b, Seq("user_id"))
+        .filter(col("ida") < col("idb") &&
+          abs(col("tb") - col("ta")) <= 600L * 1000000L)
+        .select(col("ida"), col("idb")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val bucketed = Joins.rangeJoinPairs(ev, "user_id", "ts", "event_id", 600L)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(bucketed == naive,
+      s"missing=${naive -- bucketed} extra=${bucketed -- naive}")
+  }
+
+  test("sampleStratified is a deterministic per-stratum rate filter") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s1 = Corpus.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 0.5), 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 0.5), 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    // rate is approximately honored per stratum (hash uniformity)
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = Corpus.sampleStratified(docs, "doc_id", "lang", Map("en" -> 0.5), 0.2)
+      .filter(col("lang") === "en").count().toDouble
+    assert(enKept / en > 0.3 && enKept / en < 0.7)
+  }
+
+  test("shardPack matches the single-partition window oracle at any parallelism") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, -1)
+    val oracle = docs
+      .withColumn("shard", (coalesce(sum("n_chars").over(w), lit(0L)) / 10000).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Corpus.shardPack(docs.repartition(parts), "doc_id", "n_chars", 10000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == oracle, s"parts=$parts")
+    }
+    // budget is respected: every shard except possibly ones opened by
+    // an oversized doc stays under target + max doc size
+    val maxDoc = docs.agg(max("n_chars")).head().getLong(0)
+    val sizes = Corpus.shardPack(docs, "doc_id", "n_chars", 10000L)
+      .groupBy("shard").agg(sum("n_chars").as("sz")).collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 10000L + maxDoc))
+  }
+}
