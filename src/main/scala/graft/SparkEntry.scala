@@ -51,6 +51,7 @@ object SparkEntry {
     "d06_dedup_components" -> (Dedup.d06DedupComponents _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
+    "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
     "t01_langid" -> (TextOps.t01LangId _),
     "t02_quality" -> (TextOps.t02Quality _),
     "t03_tokens" -> (TextOps.t03Tokens _),

@@ -108,6 +108,105 @@ object Similarity {
     annLsh(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
 
+  // ------------------------------------------------------------ n03 IVF
+
+  /**
+   * Spherical k-means coarse quantizer (the IVF codebook): Lloyd
+   * iterations where ONLY the k×dims centroid table ever leaves the
+   * executors — assignment is a broadcast argmax-dot projection over
+   * the corpus, the per-list mean reduces map-side via a posexplode +
+   * (list, dim) aggregation, and the collected model (k·dims doubles,
+   * same altitude as IRLS's beta) is re-broadcast for the next round.
+   * Deterministic: seeds are the k lowest-id vectors, fixed iteration
+   * count, no RNG.
+   */
+  private[graft] def ivfCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val unit = emb.withColumn("nrm", Dedup.norm2(col("e")))
+      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+      .localCheckpoint(true) // read once per Lloyd iteration
+    var cents = unit.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val assignUdf = nearestCentroidUdf(cents)
+      val sums = unit
+        .withColumn("cid", assignUdf(col("u")))
+        .select(col("cid"), posexplode(col("u")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      // re-normalize to the sphere (spherical k-means step)
+      cents = next.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n > 0) c.map(_ / n) else c
+      }
+    }
+    cents
+  }
+
+  private def nearestCentroidUdf(cents: Array[Array[Double]]) =
+    udf((u: Seq[Double]) => {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        var dot = 0.0; var d = 0
+        val cent = cents(c)
+        val lim = math.min(cent.length, u.length)
+        while (d < lim) { dot += cent(d) * u(d); d += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    })
+
+  private def nearestCentroidsUdf(cents: Array[Array[Double]], nprobe: Int) =
+    udf((u: Seq[Double]) =>
+      cents.indices.map { c =>
+        var dot = 0.0; var d = 0
+        val cent = cents(c)
+        val lim = math.min(cent.length, u.length)
+        while (d < lim) { dot += cent(d) * u(d); d += 1 }
+        (-dot, c)
+      }.sorted.take(nprobe).map(_._2))
+
+  /**
+   * IVF ANN top-k: the corpus is partitioned into k inverted lists by
+   * nearest centroid; each query probes its `nprobe` closest lists and
+   * exact-cosine re-ranks only those candidates. Candidates/query ≈
+   * n·nprobe/k instead of n, and the probe is an equi-join on the list
+   * id — the standard IVF-flat trade (recall vs probes) with Spark
+   * doing what it is good at: one broadcast (centroids inside the
+   * UDFs), one equi-join, one per-query top-k window.
+   */
+  def annIvf(emb: DataFrame, queryPred: Column, k: Int,
+      lists: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
+    val cents = ivfCentroids(emb, lists, iters)
+    val withN = emb.withColumn("nrm", Dedup.norm2(col("e"))).localCheckpoint(true)
+    val corpus = withN
+      .withColumn("cid", nearestCentroidUdf(cents)(transform(col("e"), x => x / col("nrm"))))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"), col("cid"))
+    val queries = withN.filter(queryPred)
+      .withColumn("cid", explode(
+        nearestCentroidsUdf(cents, nprobe)(transform(col("e"), x => x / col("nrm")))))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("cid"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    queries.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** n03: IVF-flat ANN — the brief's "IVF variant as the scale path"
+    * alongside n02's LSH. Rows + recall spec vs n01 (a k-means
+    * codebook is not SQL-expressible, like n02's murmur3 planes). */
+  def n03AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(embeddings(spark, dir), col("vec_id") < 25, k = 5)
+      .orderBy("query_id", "rnk")
+
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(

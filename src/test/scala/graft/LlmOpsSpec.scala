@@ -51,6 +51,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("ANN IVF achieves high recall of the exact top-5 neighbors; candidates shrink") {
+    val emb = Similarity.embeddings(spark, dir)
+    val exact = Similarity.knnBrute(emb, col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(emb, col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+    // the codebook is deterministic: same data -> same centroids
+    val c1 = Similarity.ivfCentroids(emb, 8, 2).flatten.toSeq
+    val c2 = Similarity.ivfCentroids(emb, 8, 2).flatten.toSeq
+    assert(c1 == c2)
+  }
+
   test("hyperplanes are deterministic") {
     val a = Similarity.hyperplanes(24, 64, 7L)
     val b = Similarity.hyperplanes(24, 64, 7L)
