@@ -45,6 +45,23 @@ object Sources {
       .csv(path)
       .select("phecode", "phenotype", "sex", "category", "category_number")
 
+  /**
+   * Bucketed table writer — the co-location path for repeated large
+   * joins/aggregations on the same key (the 100 TB pattern: pay the
+   * shuffle ONCE at write time, then every downstream join on the
+   * bucket key is exchange-free). Buckets are hash(key) mod n and each
+   * bucket is sorted, so a sort-merge join over two tables bucketed
+   * the same way needs neither Exchange nor Sort — verified by the
+   * bucketing spec against the physical plan.
+   */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      sortCols: Seq[String] = Nil): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy((if (sortCols.isEmpty) Seq(key) else sortCols).head,
+        (if (sortCols.isEmpty) Seq(key) else sortCols).tail: _*)
+      .saveAsTable(table)
+
   private def delimited(spark: SparkSession, path: String, delim: String,
       nullValues: Seq[String]): DataFrame = {
     var reader = spark.read
