@@ -69,6 +69,8 @@ object SparkEntry {
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
     "c02_shard_pack" -> (Corpus.c02ShardPack _),
+    "c03_split" -> (Corpus.c03Split _),
+    "t05_topk_ngrams" -> (TextOps.t05TopkNgrams _),
   )
 
   def oracleSql: Map[String, String] =

@@ -87,6 +87,23 @@ object Corpus {
     spark.createDataFrame(out, schema.add("shard", LongType))
   }
 
+  /**
+   * Deterministic train/val/test assignment: the same multiplicative
+   * hash as `sampleStratified` maps each id to a percent bucket, and
+   * cut points turn buckets into split labels. Adding data never moves
+   * an existing document between splits (no RNG, no global state) —
+   * the property that keeps eval sets uncontaminated across corpus
+   * versions. Pure projection: no shuffle.
+   */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** c01: language-stratified deterministic document sample — English
@@ -107,9 +124,21 @@ object Corpus {
       .select("doc_id", "n_chars", "shard")
       .orderBy("doc_id")
 
+  /** c03: 80/10/10 train/val/test assignment over documents — stable
+    * under corpus growth, no shuffle. */
+  def c03Split(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .orderBy("doc_id")
+
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    "c03_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "c01_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 1000 <

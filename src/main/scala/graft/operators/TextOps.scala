@@ -113,6 +113,31 @@ object TextOps {
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  // ---------------------------------------------------- t05 top-k ngrams
+
+  /** Corpus-level top-k word n-grams by document frequency-weighted
+    * count — the vocabulary/phrase-statistics pass of a corpus
+    * analysis. Shape: explode n-grams → hash-aggregate (map-side
+    * partial combine collapses each partition's counts before the ONE
+    * shuffle of distinct n-grams) → global top-k (TakeOrdered, no full
+    * sort). Deterministic tie-break on the n-gram string. */
+  def topkNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    // n-gram i = words[i..i+n-1] joined by spaces; slice is 1-based
+    val grams = docs
+      .select(words.as("w"))
+      .select(explode(expr(
+        // guard: sequence(1, 0) is DESCENDING in Spark, not empty
+        s"if(size(w) >= $n, transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> array_join(slice(w, i, $n), ' ')), array())")).as("ngram"))
+    grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
+  def t05TopkNgrams(spark: SparkSession, dir: String): DataFrame =
+    topkNgrams(Tables.documents(spark, dir), n = 2, k = 20)
+
   // --------------------------------------------------------- oracle SQL
 
   private val normSql = """lower(regexp_replace(text, '\s+', ' ', 'g'))"""
@@ -159,6 +184,16 @@ object TextOps {
            |    list_transform(string_split($normSql, ''), x -> CAST(ord(x) AS BIGINT))),
            |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "t05_topk_ngrams" ->
+        """WITH w AS (
+          |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+          |), g AS (
+          |  SELECT unnest(list_transform(range(1, len(w)),
+          |    i -> w[i] || ' ' || w[i+1])) AS ngram
+          |  FROM w
+          |)
+          |SELECT ngram, count(*) AS cnt FROM g
+          |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
     )
   }
 }

@@ -73,6 +73,33 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enKept / en > 0.3 && enKept / en < 0.7)
   }
 
+  test("splitAssign is stable under corpus growth; proportions near 80/10/10") {
+    val sess = spark
+    import sess.implicits._
+    val small = (0L until 500L).toDF("doc_id")
+    val big = (0L until 2000L).toDF("doc_id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Corpus.splitAssign(df, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s = splits(small); val b = splits(big)
+    // growing the corpus never reassigns an existing document
+    assert(s.forall { case (id, sp) => b(id) == sp })
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("val") - 0.1) < 0.04)
+    assert(math.abs(frac("test") - 0.1) < 0.04)
+  }
+
+  test("topkNgrams handles docs shorter than n and breaks ties on the ngram") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq("one", "", "b a", "b a", "a b").toDF("text")
+    val out = operators.TextOps.topkNgrams(docs, 2, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // 1-word and empty docs contribute nothing (sequence guard)
+    assert(out.toSeq == Seq("b a" -> 2L, "a b" -> 1L))
+  }
+
   test("shardPack matches the single-partition window oracle at any parallelism") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "n_chars")
