@@ -29,7 +29,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to ALL cores: Verify/Bench/Main want full parallelism,
+    // and a driver-side run without SPARK_GRAFT_CPUS must not fall
+    // back to a 4-thread session (a local[4] MAS bench measures 4-10x
+    // slower than local[32] — specs pin their own counts explicitly)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
