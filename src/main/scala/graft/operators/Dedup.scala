@@ -18,8 +18,8 @@ import graft.Tables
  *    ngramJaccardPairs).
  *  - d03 joins on (band, band-signature) buckets: candidate pairs are
  *    the only thing that shuffles, then exact Jaccard verifies them.
- *  - d04 uses the pigeonhole banking of the 64-bit SimHash: a pair at
- *    hamming ≤ 3 must agree exactly on ≥ 1 of 4 16-bit banks, so the
+ *  - d04 uses the pigeonhole banking of the 60-bit SimHash: a pair at
+ *    hamming ≤ 3 must agree exactly on ≥ 1 of 4 15-bit banks, so the
  *    bucket join on (bank, value) is exhaustive for the radius — no
  *    all-pairs comparison.
  *  - d05 blocks on the label column so only within-label pairs join.
@@ -237,32 +237,45 @@ object Dedup {
 
   // ---------------------------------------------------- d04 SimHash
 
-  /** 64-bit SimHash of a shingle set (two 32-bit murmurs per shingle). */
-  private[graft] def simhash64(sh: Seq[String]): Long = {
-    val counts = new Array[Int](64)
+  /** Polynomial string hash (h·base + char) mod m — chosen over
+    * murmur3 because it is re-expressible verbatim in the DuckDB
+    * oracle (list_reduce over ord(); the t04 rolling-hash pattern).
+    * Char = UTF-16 unit, identical to ord() codepoints for the BMP. */
+  private[graft] def polyHash(s: String, base: Long, mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * base + s.charAt(i).toInt) % mod; i += 1 }
+    h
+  }
+
+  /** 60-bit SimHash of a shingle set: two independent 30-bit
+    * polynomial hashes per shingle supply the bit votes (bits 0-29
+    * from h1, 30-59 from h2). */
+  private[graft] def simhash60(sh: Seq[String]): Long = {
+    val counts = new Array[Int](60)
     sh.foreach { s =>
-      val lo = scala.util.hashing.MurmurHash3.stringHash(s, 0x12345678)
-      val hi = scala.util.hashing.MurmurHash3.stringHash(s, 0x87654321)
-      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      val h1 = polyHash(s, 31L, 1000000007L)
+      val h2 = polyHash(s, 131L, 998244353L)
       var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      while (b < 30) {
+        if (((h1 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((h2 >>> b) & 1L) == 1L) counts(b + 30) += 1 else counts(b + 30) -= 1
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
     out
   }
 
-  /** SimHash near-dup pairs at hamming ≤ radius via 16-bit bank
+  /** SimHash near-dup pairs at hamming ≤ radius via 15-bit bank
     * blocking (pigeonhole-exhaustive for radius ≤ 3). */
   def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
-    val simUdf = udf((sh: Seq[String]) => simhash64(sh))
+    val simUdf = udf((sh: Seq[String]) => simhash60(sh))
     // materialized for the same two-sided-join reason as
     // minhashLshPairs; localCheckpoint for the same lifecycle reason
     val sigs = withShingles(docs, "text", "sh")
@@ -274,7 +287,7 @@ object Dedup {
     val banks = sigs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("bank"),
-          shiftright(col("sim"), k * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("b"))
+          shiftright(col("sim"), k * 15).bitwiseAND(lit(0x7fffL)).as("bv"))): _*)).as("b"))
       .select(col("doc_id"), col("sim"), col("b.bank"), col("b.bv"))
     val cand = banks.as("x").join(banks.as("y"),
         col("x.bank") === col("y.bank") && col("x.bv") === col("y.bv") &&
@@ -474,6 +487,47 @@ object Dedup {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the banking join provably (pigeonhole) recalls EVERY hamming≤3
+    // pair, so the oracle is the brute-force pair set over signatures
+    // recomputed from scratch in SQL: same shingles, same two
+    // polynomial hashes (list_reduce over ord()), same bit votes
+    "d04_dedup_simhash" ->
+      (corpusSql +
+        """, norm AS (
+          |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
+          |), words AS (
+          |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+          |), sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM words
+          |), ex AS (
+          |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+          |), hh AS (
+          |  SELECT doc_id,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split(s, ''), x -> CAST(ord(x) AS BIGINT))),
+          |      (a, x) -> (a * 31 + x) % 1000000007) AS h1,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split(s, ''), x -> CAST(ord(x) AS BIGINT))),
+          |      (a, x) -> (a * 131 + x) % 998244353) AS h2
+          |  FROM ex
+          |), bits AS (
+          |  SELECT doc_id, b.b AS b,
+          |    sum(CASE WHEN ((CASE WHEN b.b < 30 THEN h1 ELSE h2 END)
+          |      >> (b.b % 30)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          |  FROM hh, (SELECT unnest(range(0, 60)) AS b) b
+          |  GROUP BY 1, 2
+          |), sig AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim
+          |  FROM bits GROUP BY 1
+          |)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+          |ORDER BY id1, id2""".stripMargin),
     "d01_dedup_exact" ->
       (corpusSql +
         """

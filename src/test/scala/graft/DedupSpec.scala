@@ -53,7 +53,7 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("simhash: identical docs collide at hamming 0; mutated pairs found") {
-    assert(Dedup.simhash64(Seq("a b c", "b c d")) == Dedup.simhash64(Seq("b c d", "a b c")))
+    assert(Dedup.simhash60(Seq("a b c", "b c d")) == Dedup.simhash60(Seq("b c d", "a b c")))
     val out = Dedup.d04DedupSimhash(spark, dir).collect()
     val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // every mutated twin (id, id+100000) must appear with hamming 0
