@@ -57,6 +57,7 @@ object SparkEntry {
     "t03_tokens" -> (TextOps.t03Tokens _),
     "t04_fingerprint" -> (TextOps.t04Fingerprint _),
     "m01_multimodal" -> (Multimodal.m01Multimodal _),
+    "m02_chunk" -> (Multimodal.m02Chunk _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),

@@ -75,11 +75,48 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"), col("byte_sum"))
       .orderBy("doc_id")
 
-  /** Text is ASCII, so byte_sum ≡ codepoint sum in DuckDB. */
+  /**
+   * Fixed-size chunking of a binary payload column — the media
+   * counterpart of c02's shard packing: split each payload into
+   * `chunkBytes`-sized pieces (training-window/codec-frame prep) as a
+   * pure generate+projection plan. `substring` slices BinaryType by
+   * BYTES; no decode, no shuffle — chunking 100 TB of media is one
+   * scan.
+   */
+  def chunkMedia(media: DataFrame, chunkBytes: Int): DataFrame =
+    media
+      .withColumn("chunk_idx", explode(sequence(
+        lit(0), greatest(ceil(col("n_bytes") / chunkBytes.toDouble).cast("int") - 1, lit(0)))))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(media, chunk_idx * $chunkBytes + 1, $chunkBytes)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        octet_length(col("chunk")).as("chunk_bytes"),
+        md5(col("chunk")).as("chunk_md5"))
+
+  /** m02: 256-byte chunks of every media payload with per-chunk
+    * checksums. */
+  def m02Chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkMedia(mediaTable(spark, dir), 256)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Text is ASCII, so byte_sum ≡ codepoint sum in DuckDB (and string
+    * substrings ≡ byte slices for m02). */
   val oracleSql: Map[String, String] = Map(
     "m01_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS BIGINT) AS byte_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_chunk" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT), 1) AS nch
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, text, unnest(range(0, nch)) AS chunk_idx FROM c
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(octet_length(encode(substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256))) AS INT) AS chunk_bytes,
+        |  md5(substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256)) AS chunk_md5
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }
