@@ -30,16 +30,20 @@ object Corpus {
 
   /**
    * Deterministic stratified sampling: keep a row iff
-   * `(id · 2654435761) mod 1000 < rate(stratum) · 1000`.
-   * 2654435761 = ⌊2³²/φ⌋ (Knuth's multiplicative hash) spreads
-   * consecutive ids uniformly over the buckets. Rates are per mill;
-   * strata not in `rates` use `defaultRate`. Ids must be non-negative
-   * (and < ~3.4e9 to stay clear of 64-bit overflow, where DuckDB
-   * errors while Spark wraps).
+   * `(id · 2654435761) mod 1000 < rate(stratum) · 1000`. The multiply
+   * is carried out in modular form — `((id mod 1000) · 761) mod 1000`,
+   * with 761 = 2654435761 mod 1000 — which is the SAME value for every
+   * id ((a·b) mod m = ((a mod m)(b mod m)) mod m) but can never
+   * overflow the 64-bit multiply (Spark's default ANSI mode makes
+   * overflow a runtime error, and 100 TB corpora have ids past 2³²).
+   * Since gcd(761, 1000) = 1 the map is a fixed permutation of the id
+   * residues: uniform bucket occupancy over any 1000 consecutive ids.
+   * Rates are per mill; strata not in `rates` use `defaultRate`. Ids
+   * must be non-negative.
    */
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(1000L))
+    val bucket = pmod(pmod(col(idCol), lit(1000L)) * lit(761L), lit(1000L))
     val rateCol = rates.foldLeft(lit(defaultRate * 1000)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v * 1000)).otherwise(acc)
     }
@@ -88,16 +92,18 @@ object Corpus {
   }
 
   /**
-   * Deterministic train/val/test assignment: the same multiplicative
-   * hash as `sampleStratified` maps each id to a percent bucket, and
-   * cut points turn buckets into split labels. Adding data never moves
-   * an existing document between splits (no RNG, no global state) —
-   * the property that keeps eval sets uncontaminated across corpus
-   * versions. Pure projection: no shuffle.
+   * Deterministic train/val/test assignment: the same modular
+   * permutation as `sampleStratified` (here mod 100: ((id mod 100) ·
+   * 61) mod 100, 61 = 2654435761 mod 100, overflow-free under ANSI)
+   * maps each id to a percent bucket, and cut points turn buckets
+   * into split labels. Adding data never moves an existing document
+   * between splits (no RNG, no global state) — the property that
+   * keeps eval sets uncontaminated across corpus versions. Pure
+   * projection: no shuffle.
    */
   def splitAssign(df: DataFrame, idCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = pmod(col(idCol) * lit(2654435761L), lit(100L))
+    val bucket = pmod(pmod(col(idCol), lit(100L)) * lit(61L), lit(100L))
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
@@ -135,13 +141,13 @@ object Corpus {
   val oracleSql: Map[String, String] = Map(
     "c03_split" ->
       """SELECT doc_id, lang,
-        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |  CASE WHEN ((doc_id % 100) * 61) % 100 < 80 THEN 'train'
+        |    WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
         |    ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c01_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE ((doc_id % 1000) * 761) % 1000 <
         |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 300 ELSE 200 END
         |ORDER BY doc_id""".stripMargin,
     "c02_shard_pack" ->

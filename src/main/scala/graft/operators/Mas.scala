@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Norm.r4
 
 /**
  * MAS query instances over the driver testdata: a deterministic
@@ -18,16 +19,6 @@ import graft.Tables
  * after dropping nulls." path.
  */
 object Mas {
-
-  /** Round to 4 decimals AND normalize negative zero: a tiny negative
-    * value (|v| < 5e-5, e.g. a near-null slope) rounds to -0.0 in
-    * DuckDB but +0.0 in Spark (whose Round goes through BigDecimal,
-    * which has no signed zero). The two compare equal yet hash
-    * differently byte-wise — `+ 0.0` collapses both sides to +0.0
-    * (IEEE: -0.0 + 0.0 = +0.0; every other value, NaN included, is
-    * unchanged). The SQL branches below append `+ 0` for the same
-    * reason. */
-  private def r4(c: Column): Column = round(c, 4) + lit(0.0)
 
   /** One row per customer: x continuous predictor, xbin binary
     * predictor, z1 covariate, y_* quantitative dependents, d_* binary

@@ -203,7 +203,10 @@ object Preprocess {
   // ----------------------------------------- p07/p08/p09 transforms
 
   /** Covariate standardization (z-score): one aggregate row broadcast
-    * back, then a projection. */
+    * back, then a projection. A constant column (sd = 0) scales to
+    * null — guarded explicitly, because under Spark's default ANSI
+    * mode x/0.0 is a runtime error, not NaN. Run dropConstant
+    * first. */
   def scaleStandard(df: DataFrame, cols: Seq[String]): DataFrame = {
     val stats = df.agg(
       avg(col(cols.head)).as(s"__m_${cols.head}"),
@@ -211,15 +214,16 @@ object Preprocess {
         cols.map(c => stddev_samp(col(c)).as(s"__s_$c"))): _*)
     val joined = df.crossJoin(broadcast(stats))
     cols.foldLeft(joined)((d, c) =>
-      d.withColumn(c, (col(c) - col(s"__m_$c")) / col(s"__s_$c")))
+      d.withColumn(c, when(col(s"__s_$c") =!= 0.0,
+        (col(c) - col(s"__m_$c")) / col(s"__s_$c"))))
       .drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
   }
 
   /** Min-max scaling to [0, 1] (roadmap item alongside z-score): one
     * aggregate row broadcast back, then a projection. A constant
-    * column scales to NaN (0.0/0.0 in double division), matching the
-    * z-score behavior on zero variance (x/0 with sd 0.0 is also NaN)
-    * — run dropConstant first. */
+    * column (hi = lo) scales to null — guarded explicitly, matching
+    * the z-score zero-variance behavior (ANSI mode would otherwise
+    * raise DIVIDE_BY_ZERO). Run dropConstant first. */
   def scaleMinMax(df: DataFrame, cols: Seq[String]): DataFrame = {
     val stats = df.agg(
       min(col(cols.head)).as(s"__lo_${cols.head}"),
@@ -227,7 +231,8 @@ object Preprocess {
         cols.map(c => max(col(c)).as(s"__hi_$c"))): _*)
     val joined = df.crossJoin(broadcast(stats))
     cols.foldLeft(joined)((d, c) =>
-      d.withColumn(c, (col(c) - col(s"__lo_$c")) / (col(s"__hi_$c") - col(s"__lo_$c"))))
+      d.withColumn(c, when(col(s"__hi_$c") =!= col(s"__lo_$c"),
+        (col(c) - col(s"__lo_$c")) / (col(s"__hi_$c") - col(s"__lo_$c")))))
       .drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
@@ -283,7 +288,7 @@ object Preprocess {
         when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_acctbal"))
           .cast("double").as("acctbal"))
     fillNulls(holey, Seq("acctbal"), "mean")
-      .select(col("c_custkey"), (round(col("acctbal"), 4) + lit(0.0)).as("acctbal"))
+      .select(col("c_custkey"), Norm.r4(col("acctbal")).as("acctbal"))
       .orderBy("c_custkey")
   }
 
@@ -318,7 +323,7 @@ object Preprocess {
     scaleStandard(Tables.customer(spark, dir).select(
       col("c_custkey"), col("c_acctbal").cast("double").as("acctbal")),
       Seq("acctbal"))
-      .select(col("c_custkey"), (round(col("acctbal"), 4) + lit(0.0)).as("acctbal"))
+      .select(col("c_custkey"), Norm.r4(col("acctbal")).as("acctbal"))
       .orderBy("c_custkey")
 
   /** p10: min-max scaling of c_acctbal to [0, 1]. */
@@ -332,7 +337,7 @@ object Preprocess {
   /** p08: RINT of c_acctbal (DuckDB oracle via SQL Acklam qnorm). */
   def p08Rint(spark: SparkSession, dir: String): DataFrame =
     rint(Tables.customer(spark, dir), "c_acctbal", "c_custkey")
-      .select(col("c_custkey"), col("rank"), (round(col("rint"), 4) + lit(0.0)).as("rint"))
+      .select(col("c_custkey"), col("rank"), Norm.r4(col("rint")).as("rint"))
       .orderBy("c_custkey")
 
   /** p09: natural-log transform of p_retailprice. */

@@ -117,13 +117,22 @@ object Similarity {
    * the corpus, the per-list mean reduces map-side via a posexplode +
    * (list, dim) aggregation, and the collected model (k·dims doubles,
    * same altitude as IRLS's beta) is re-broadcast for the next round.
-   * Deterministic: seeds are the k lowest-id vectors, fixed iteration
-   * count, no RNG.
+   * Deterministic up to floating-point sum order: seeds are the k
+   * lowest-id vectors, fixed iteration count, no RNG — but the
+   * per-list means merge double partials in shuffle-fetch order, so
+   * re-runs on a real cluster can differ in the last ulp (and a
+   * near-boundary vector may swap lists). Treat the codebook as a
+   * model artifact: train once, persist, reuse — not as a value that
+   * re-derives bit-identically.
    */
-  private[graft] def ivfCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val unit = emb.withColumn("nrm", Dedup.norm2(col("e")))
-      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
-      .localCheckpoint(true) // read once per Lloyd iteration
+  private[graft] def ivfCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
+    ivfCentroidsFromUnit(
+      emb.withColumn("nrm", Dedup.norm2(col("e")))
+        .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+        .localCheckpoint(true), // read once per Lloyd iteration
+      k, iters)
+
+  private def ivfCentroidsFromUnit(unit: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     var cents = unit.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
@@ -182,14 +191,17 @@ object Similarity {
    */
   def annIvf(emb: DataFrame, queryPred: Column, k: Int,
       lists: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
-    val cents = ivfCentroids(emb, lists, iters)
-    val withN = emb.withColumn("nrm", Dedup.norm2(col("e"))).localCheckpoint(true)
+    // one scan + one checkpointed normalized table feeds codebook
+    // training, corpus assignment, AND query probing
+    val withN = emb.withColumn("nrm", Dedup.norm2(col("e")))
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+      .localCheckpoint(true)
+    val cents = ivfCentroidsFromUnit(withN.select("vec_id", "u"), lists, iters)
     val corpus = withN
-      .withColumn("cid", nearestCentroidUdf(cents)(transform(col("e"), x => x / col("nrm"))))
+      .withColumn("cid", nearestCentroidUdf(cents)(col("u")))
       .select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"), col("cid"))
     val queries = withN.filter(queryPred)
-      .withColumn("cid", explode(
-        nearestCentroidsUdf(cents, nprobe)(transform(col("e"), x => x / col("nrm")))))
+      .withColumn("cid", explode(nearestCentroidsUdf(cents, nprobe)(col("u"))))
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("cid"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     queries.join(corpus, Seq("cid"))

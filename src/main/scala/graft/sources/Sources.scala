@@ -55,12 +55,13 @@ object Sources {
    * bucketing spec against the physical plan.
    */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      sortCols: Seq[String] = Nil): Unit =
+      sortCols: Seq[String] = Nil): Unit = {
+    val sc = if (sortCols.isEmpty) Seq(key) else sortCols
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
-      .sortBy((if (sortCols.isEmpty) Seq(key) else sortCols).head,
-        (if (sortCols.isEmpty) Seq(key) else sortCols).tail: _*)
+      .sortBy(sc.head, sc.tail: _*)
       .saveAsTable(table)
+  }
 
   private def delimited(spark: SparkSession, path: String, delim: String,
       nullValues: Seq[String]): DataFrame = {

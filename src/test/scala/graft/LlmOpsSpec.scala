@@ -59,10 +59,11 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall")
-    // the codebook is deterministic: same data -> same centroids
+    // same data -> same centroids up to FP merge order (exact in
+    // local mode, ulp-level on a cluster — see ivfCentroids scaladoc)
     val c1 = Similarity.ivfCentroids(emb, 8, 2).flatten.toSeq
     val c2 = Similarity.ivfCentroids(emb, 8, 2).flatten.toSeq
-    assert(c1 == c2)
+    assert(c1.zip(c2).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
   test("hyperplanes are deterministic") {

@@ -62,6 +62,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try { query.processAllAvailable() } finally { query.stop() }
     val kept = spark.table("dedup_out").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
+    // batch fallback: same transform on a plain DataFrame degenerates
+    // to global first-arrival dedup (dropDuplicatesWithinWatermark is
+    // analyzer-rejected in batch; streamDedupExact branches on
+    // isStreaming)
+    val batch = Seq(
+      (1L, ts(1), "the quick brown fox"),
+      (2L, ts(2), "the  quick  brown  fox"),
+      (3L, ts(3), "a different document")).toDF("doc_id", "ts", "text")
+    val batchKept = StreamingOps.streamDedupExact(batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(1L, 3L))
   }
 
   test("streaming sessionization closes sessions on gap and flushes on watermark") {
