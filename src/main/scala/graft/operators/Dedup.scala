@@ -404,6 +404,7 @@ object Dedup {
     * `cosine`/DuckDB exactly. */
   def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val withN = emb.withColumn("nrm", norm2(col("e")))
+      .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
     val a = withN.select(col("label"), col("vec_id").as("id1"), col("e").as("e1"),
       col("nrm").as("n1"))
     val b = withN.select(col("label"), col("vec_id").as("id2"), col("e").as("e2"),
@@ -441,6 +442,7 @@ object Dedup {
     // verify sides (the d03 shape) — materialize once
     val sigs = emb.withColumn("sig", sigUdf(col("e")))
       .withColumn("nrm", norm2(col("e")))
+      .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
       .select(col("vec_id"), col("label"), col("e"), col("nrm"), col("sig"))
       .localCheckpoint(true)
     val banded = sigs.select(col("vec_id"), col("label"),

@@ -30,7 +30,9 @@ object Similarity {
   /** Brute-force cosine top-k for a query subset. Norms project once
     * per row; the corpus streams through the broadcast join. */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val withN = emb.withColumn("nrm", Dedup.norm2(col("e")))
+    // zero-norm vectors have no cosine direction; keeping them would
+    // also make the ANSI-mode division throw at runtime
+    val withN = emb.withColumn("nrm", Dedup.norm2(col("e"))).filter(col("nrm") > 0.0)
     val q = withN.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val n = withN.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
@@ -83,6 +85,7 @@ object Similarity {
     // localCheckpoint (not cache) so blocks free with the plan's GC
     val banded = emb.withColumn("sig", sigUdf(col("e")))
       .withColumn("nrm", Dedup.norm2(col("e")))
+      .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
       .select(col("vec_id"), col("e"), col("nrm"), col("sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -128,6 +131,7 @@ object Similarity {
   private[graft] def ivfCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
     ivfCentroidsFromUnit(
       emb.withColumn("nrm", Dedup.norm2(col("e")))
+        .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
         .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
         .localCheckpoint(true), // read once per Lloyd iteration
       k, iters)
@@ -194,6 +198,7 @@ object Similarity {
     // one scan + one checkpointed normalized table feeds codebook
     // training, corpus assignment, AND query probing
     val withN = emb.withColumn("nrm", Dedup.norm2(col("e")))
+      .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
       .withColumn("u", transform(col("e"), x => x / col("nrm")))
       .localCheckpoint(true)
     val cents = ivfCentroidsFromUnit(withN.select("vec_id", "u"), lists, iters)

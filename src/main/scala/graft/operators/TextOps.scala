@@ -74,7 +74,10 @@ object TextOps {
       round(occ(padded, " the ") / nWords, 4).as("stop_ratio"),
       round(lit(1.0) - size(array_distinct(words)).cast("double") / nWords, 4)
         .as("dup_word_ratio"),
-      round(regexp_count(t, lit("[A-Z]")).cast("double") / length(t), 4)
+      // empty text would divide by zero — a runtime ERROR under
+      // Spark's default ANSI mode, not NaN; null it explicitly
+      round(when(length(t) > 0,
+        regexp_count(t, lit("[A-Z]")).cast("double") / length(t)), 4)
         .as("upper_ratio"))
   }
 
