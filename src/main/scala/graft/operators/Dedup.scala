@@ -362,9 +362,21 @@ object Dedup {
 
   /** Cosine similarity of two double arrays — sequential left-to-right
     * folds so the arithmetic matches DuckDB's list_cosine_similarity
-    * bit-for-bit. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    * bit-for-bit. Null when either vector has zero norm (no cosine
+    * direction; the unguarded division would be an ANSI runtime
+    * error). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm2(a) * norm2(b)
+    when(d > 0.0, dot(a, b) / d)
+  }
+
+  /** `df` with a `nrm` column of [[norm2]](e) and zero-norm rows
+    * dropped — the shared guard every cosine consumer goes through (a
+    * zero vector has no cosine direction, and ANSI mode makes the
+    * division a runtime error). Precomputing the norm here also means
+    * pair joins never re-fold it per pair. */
+  def withNorm(df: DataFrame, e: String = "e"): DataFrame =
+    df.withColumn("nrm", norm2(col(e))).filter(col("nrm") > 0.0)
 
   /** Left-to-right dot product fold. */
   def dot(a: Column, b: Column): Column =
@@ -403,8 +415,7 @@ object Dedup {
     * per row (not per pair); the division order matches
     * `cosine`/DuckDB exactly. */
   def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
-    val withN = emb.withColumn("nrm", norm2(col("e")))
-      .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
+    val withN = withNorm(emb)
     val a = withN.select(col("label"), col("vec_id").as("id1"), col("e").as("e1"),
       col("nrm").as("n1"))
     val b = withN.select(col("label"), col("vec_id").as("id2"), col("e").as("e2"),
@@ -440,9 +451,7 @@ object Dedup {
     val mask = (1 << bitsPerBand) - 1
     // signature table referenced by both bucket-join sides + both
     // verify sides (the d03 shape) — materialize once
-    val sigs = emb.withColumn("sig", sigUdf(col("e")))
-      .withColumn("nrm", norm2(col("e")))
-      .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
+    val sigs = withNorm(emb.withColumn("sig", sigUdf(col("e"))))
       .select(col("vec_id"), col("label"), col("e"), col("nrm"), col("sig"))
       .localCheckpoint(true)
     val banded = sigs.select(col("vec_id"), col("label"),

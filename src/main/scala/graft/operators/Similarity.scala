@@ -30,9 +30,7 @@ object Similarity {
   /** Brute-force cosine top-k for a query subset. Norms project once
     * per row; the corpus streams through the broadcast join. */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    // zero-norm vectors have no cosine direction; keeping them would
-    // also make the ANSI-mode division throw at runtime
-    val withN = emb.withColumn("nrm", Dedup.norm2(col("e"))).filter(col("nrm") > 0.0)
+    val withN = Dedup.withNorm(emb)
     val q = withN.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val n = withN.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
@@ -83,9 +81,7 @@ object Similarity {
     val mask = (1 << bitsPerBand) - 1
     // signature table referenced by both join sides — materialize once;
     // localCheckpoint (not cache) so blocks free with the plan's GC
-    val banded = emb.withColumn("sig", sigUdf(col("e")))
-      .withColumn("nrm", Dedup.norm2(col("e")))
-      .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
+    val banded = Dedup.withNorm(emb.withColumn("sig", sigUdf(col("e"))))
       .select(col("vec_id"), col("e"), col("nrm"), col("sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -130,8 +126,7 @@ object Similarity {
    */
   private[graft] def ivfCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
     ivfCentroidsFromUnit(
-      emb.withColumn("nrm", Dedup.norm2(col("e")))
-        .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
+      Dedup.withNorm(emb)
         .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
         .localCheckpoint(true), // read once per Lloyd iteration
       k, iters)
@@ -197,8 +192,7 @@ object Similarity {
       lists: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
     // one scan + one checkpointed normalized table feeds codebook
     // training, corpus assignment, AND query probing
-    val withN = emb.withColumn("nrm", Dedup.norm2(col("e")))
-      .filter(col("nrm") > 0.0) // no cosine direction; ANSI-safe
+    val withN = Dedup.withNorm(emb)
       .withColumn("u", transform(col("e"), x => x / col("nrm")))
       .localCheckpoint(true)
     val cents = ivfCentroidsFromUnit(withN.select("vec_id", "u"), lists, iters)
@@ -228,7 +222,11 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "n01_knn_brute" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  -- mirror knnBrute's zero-norm filter (no cosine direction)
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        |),
         |q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 25),
         |s AS (
         |  SELECT q.query_id, n.vec_id AS neighbor_id,
