@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.{TaskContext}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType

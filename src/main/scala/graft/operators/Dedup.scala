@@ -360,16 +360,6 @@ object Dedup {
 
   // ------------------------------------------- d05 embedding cosine
 
-  /** Cosine similarity of two double arrays — sequential left-to-right
-    * folds so the arithmetic matches DuckDB's list_cosine_similarity
-    * bit-for-bit. Null when either vector has zero norm (no cosine
-    * direction; the unguarded division would be an ANSI runtime
-    * error). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm2(a) * norm2(b)
-    when(d > 0.0, dot(a, b) / d)
-  }
-
   /** `df` with a `nrm` column of [[norm2]](e) and zero-norm rows
     * dropped — the shared guard every cosine consumer goes through (a
     * zero vector has no cosine direction, and ANSI mode makes the

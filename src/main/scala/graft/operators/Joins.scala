@@ -114,8 +114,12 @@ object Joins {
     "e03_asof_join" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
         |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id AS cu, ts AS cts
-        |      FROM ev WHERE event_type = 'click')
+        |-- collapse same-(user, ts) click ties to the max event_id BEFORE
+        |-- the ASOF join: DuckDB's pick among equal-time right rows is
+        |-- unspecified, while asofJoin deterministically takes the max
+        |-- payload struct — after the collapse both yield the same row
+        |c AS (SELECT max(event_id) AS click_id, user_id AS cu, ts AS cts
+        |      FROM ev WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id, p.user_id, c.click_id,
         |  epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts >= c.cts
