@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_assoc_linear" -> (Mas.a01AssocLinear _),
     "a02_assoc_linear_cov" -> (Mas.a02AssocLinearCov _),
+    "a11_assoc_linear_cov2" -> (Mas.a11AssocLinearCov2 _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),
     "a04_assoc_firth" -> (Mas.a04AssocFirth _),
     "a05_case_counts" -> (Mas.a05CaseCounts _),

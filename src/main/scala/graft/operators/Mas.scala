@@ -43,6 +43,7 @@ object Mas {
         when(col("c_acctbal") > 0, 1.0).otherwise(0.0).as("xbin"),
         when(col("c_custkey") % 2 === 0, 1.0).otherwise(0.0).as("xpar"),
         col("c_nationkey").cast("double").as("z1"),
+        (col("c_custkey") % 5).cast("double").as("z2"),
         when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("y_avg0")).as("y_avg"),
         col("y_max"), col("y_cnt"),
         col("d_urgent"), col("d_open"), col("d_big"), col("d_many"), col("d_rare"),
@@ -68,6 +69,7 @@ object Mas {
       |  SELECT id, x, CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END AS xbin,
       |    CASE WHEN id % 2 = 0 THEN 1.0 ELSE 0.0 END AS xpar,
       |    CAST(nk AS DOUBLE) AS z1,
+      |    CAST(id % 5 AS DOUBLE) AS z2,
       |    CASE WHEN id % 7 = 0 THEN NULL ELSE y_avg0 END AS y_avg,
       |    y_max, y_cnt, d_urgent, d_open, d_big, d_many, d_rare,
       |    1.0 AS d_all, CAST(NULL AS DOUBLE) AS d_null
@@ -92,6 +94,22 @@ object Mas {
     * residual-on-residual simple regression (df-corrected se). */
   def a02AssocLinearCov(spark: SparkSession, dir: String): DataFrame = {
     val cfg = Association.Config(Seq("x"), Seq("y_avg", "y_max"), Seq("z1"),
+      model = "linear", minCaseCount = 10)
+    Association.assoc(cohort(spark, dir), cfg)
+      .select(col("predictor"), col("dependent"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
+        col("n_observations"))
+      .orderBy("dependent")
+  }
+
+  /** a11: linear association with TWO covariates — puts the k×k
+    * matrix solve of the Gram path under the hash gate (a02 covers
+    * k=1). Oracle: two-stage Frisch-Waugh-Lovell — residualize y and
+    * x on (z1, z2) via the closed-form 2-regressor OLS (covariance
+    * normal equations solved by Cramer's rule in SQL), then the
+    * simple regression of the residuals, se df-corrected to n−4. */
+  def a11AssocLinearCov2(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("x"), Seq("y_avg", "y_max"), Seq("z1", "z2"),
       model = "linear", minCaseCount = 10)
     Association.assoc(cohort(spark, dir), cfg)
       .select(col("predictor"), col("dependent"),
@@ -300,6 +318,28 @@ object Mas {
        |    FROM cohort WHERE $dep IS NOT NULL AND x IS NOT NULL) p
        |  WHERE $dep IS NOT NULL AND x IS NOT NULL)""".stripMargin
 
+  private def fwl2Branch(dep: String): String =
+    s"""SELECT 'x' AS predictor, '$dep' AS dependent,
+       |  round(regr_slope(yr, xr), 4) + 0 AS beta,
+       |  round(sqrt(regr_syy(yr, xr) * (1 - regr_r2(yr, xr))
+       |    / (regr_count(yr, xr) - 4) / regr_sxx(yr, xr)), 4) + 0 AS se,
+       |  CAST(regr_count(yr, xr) AS BIGINT) AS n_observations
+       |FROM (
+       |  SELECT $dep - (p.my + p.by1 * (z1 - p.m1) + p.by2 * (z2 - p.m2)) AS yr,
+       |         x    - (p.mx + p.bx1 * (z1 - p.m1) + p.bx2 * (z2 - p.m2)) AS xr
+       |  FROM cohort, (
+       |    SELECT avg($dep) AS my, avg(x) AS mx, avg(z1) AS m1, avg(z2) AS m2,
+       |      (covar_pop($dep, z1) * covar_pop(z2, z2) - covar_pop($dep, z2) * covar_pop(z1, z2))
+       |        / (covar_pop(z1, z1) * covar_pop(z2, z2) - covar_pop(z1, z2) * covar_pop(z1, z2)) AS by1,
+       |      (covar_pop($dep, z2) * covar_pop(z1, z1) - covar_pop($dep, z1) * covar_pop(z1, z2))
+       |        / (covar_pop(z1, z1) * covar_pop(z2, z2) - covar_pop(z1, z2) * covar_pop(z1, z2)) AS by2,
+       |      (covar_pop(x, z1) * covar_pop(z2, z2) - covar_pop(x, z2) * covar_pop(z1, z2))
+       |        / (covar_pop(z1, z1) * covar_pop(z2, z2) - covar_pop(z1, z2) * covar_pop(z1, z2)) AS bx1,
+       |      (covar_pop(x, z2) * covar_pop(z1, z1) - covar_pop(x, z1) * covar_pop(z1, z2))
+       |        / (covar_pop(z1, z1) * covar_pop(z2, z2) - covar_pop(z1, z2) * covar_pop(z1, z2)) AS bx2
+       |    FROM cohort WHERE $dep IS NOT NULL AND x IS NOT NULL) p
+       |  WHERE $dep IS NOT NULL AND x IS NOT NULL)""".stripMargin
+
   private def logisticBranch(dep: String): String =
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
        |  round(ln((n11 * n00) / (n10 * n01)), 4) + 0 AS beta,
@@ -340,6 +380,9 @@ object Mas {
     "a02_assoc_linear_cov" ->
       (cohortSql + "\n" +
         Seq("y_avg", "y_max").map(fwlBranch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a11_assoc_linear_cov2" ->
+      (cohortSql + "\n" +
+        Seq("y_avg", "y_max").map(fwl2Branch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
     "a03_assoc_logistic" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(logisticBranch)
