@@ -55,29 +55,38 @@ object Bench {
         (1 to k).map(c => s"z$c"), model = "firth", minCaseCount = 10)
       // median of three runs: the host VM's CPU share varies a lot
       // between runs — the median is robust to one contended run
-      // without the min's best-case bias
-      def median3(body: => Unit): Double =
+      // without the min's best-case bias. Raw reps are also reported:
+      // identical code has measured 2 s on a quiet host and 80+ s at
+      // system load ~20 (external tenants), and the per-rep spread +
+      // load average tell those apart.
+      def reps3(body: => Unit): Seq[Double] =
         (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           body
           (System.nanoTime() - t0) / 1e9
-        }.sorted.apply(1)
-      val firthT = median3 {
+        }
+      val firthReps = reps3 {
         Association.binary(melted, cfg).write.format("noop").mode("overwrite").save()
       }
       // same shape through the one-pass Gram OLS path (y treated
       // quantitatively): sufficient stats only, no per-pair rows
-      val linT = median3 {
+      val linReps = reps3 {
         Association.linear(melted, cfg.copy(model = "linear"))
           .write.format("noop").mode("overwrite").save()
       }
-      (firthT, linT)
+      (firthReps, linReps)
     }
-    val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime._1) :+
-      ("mas_linear_5000x1800x5cov" -> masTime._2)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val all = results :+ ("mas_firth_5000x1800x5cov" -> median(masTime._1)) :+
+      ("mas_linear_5000x1800x5cov" -> median(masTime._2))
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    val reps = s""""mas_firth_reps":[${masTime._1.mkString(",")}],""" +
+      s""""mas_linear_reps":[${masTime._2.mkString(",")}]"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""load_avg":$loadAvg,$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
