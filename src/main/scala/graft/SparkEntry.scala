@@ -65,6 +65,7 @@ object SparkEntry {
     "q04_topk" -> (Relational.q04TopK _),
     "q05_window" -> (Relational.q05Window _),
     "q06_semijoin" -> (Relational.q06SemiJoin _),
+    "q07_rollup" -> (Relational.q07Rollup _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
@@ -119,6 +120,13 @@ object SparkEntry {
       """SELECT c_custkey,
         |  (c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q07_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     "e01_sessionize" ->
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events

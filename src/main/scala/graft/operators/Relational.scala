@@ -88,6 +88,23 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** q07: hierarchical ROLLUP aggregate — the grouping-sets family
+    * (subtotals + grand total in ONE pass; Spark expands the sets
+    * before the hash aggregate, so it stays a single shuffle instead
+    * of one job per level). Null grouping keys are labeled explicitly
+    * because rollup's subtotal NULLs would otherwise be
+    * indistinguishable from data NULLs. */
+  def q07Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** e01: sessionization — a new session starts after a >30 min gap.
     * Two stacked windows (lag → gap flag → running sum) keep the whole
     * thing one shuffle on user_id. */
