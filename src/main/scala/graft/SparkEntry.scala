@@ -66,6 +66,7 @@ object SparkEntry {
     "q05_window" -> (Relational.q05Window _),
     "q06_semijoin" -> (Relational.q06SemiJoin _),
     "q07_rollup" -> (Relational.q07Rollup _),
+    "q08_pivot" -> (Relational.q08Pivot _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
@@ -127,6 +128,14 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q08_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS urgent,
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS high,
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 4) AS medium,
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 4) AS notspec,
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "e01_sessionize" ->
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events

@@ -105,6 +105,25 @@ object Relational {
         col("sum_qty"), col("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q08: PIVOT — long-to-wide reshaping (revenue per priority column
+    * per order-year row). Pivot values are enumerated explicitly:
+    * with known values Spark skips the extra distinct-collection job
+    * and the plan is ONE hash aggregate over (year) with a
+    * CASE-per-value projection — the exact shape the p06 one-hot
+    * uses, here as the general relational operator. */
+  def q08Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .groupBy("order_year")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum("o_totalprice"), 4))
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+        "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low"))
+      .orderBy("order_year")
+
   /** e01: sessionization — a new session starts after a >30 min gap.
     * Two stacked windows (lag → gap flag → running sum) keep the whole
     * thing one shuffle on user_id. */
