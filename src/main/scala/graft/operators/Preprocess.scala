@@ -264,6 +264,35 @@ object Preprocess {
   def logTransform(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, log(col(c))))
 
+  /**
+   * EXACT quantiles with linear interpolation (quantile_cont
+   * semantics: position p = (n−1)·q, value = v⌊p⌋ + frac·(v⌈p⌉−v⌊p⌋))
+   * — computed scale-safe: the distributed sort + `zipWithIndex` rank
+   * (the rint machinery) makes ranks exact with no single-partition
+   * window, then only the ≤ 2·|qs| rows AT the needed ranks are
+   * fetched. approx_percentile trades accuracy for one pass; this
+   * trades one sort for exactness — the right default when the
+   * quantiles feed decisions (shuffle sizing, outlier cutoffs).
+   */
+  def quantilesExact(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val src = df.select(col(valueCol).cast("double")).where(col(valueCol).isNotNull)
+    val n = src.count()
+    require(n > 0, s"quantilesExact: no non-null values in '$valueCol'")
+    val positions = qs.map(q => (n - 1) * q)
+    val needed = positions.flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong)).toSet
+    val ranked = src.orderBy(col(valueCol)).rdd.zipWithIndex()
+      .filter { case (_, i) => needed.contains(i) }
+      .map { case (r, i) => (i, r.getDouble(0)) }
+      .collect().toMap
+    import spark.implicits._
+    qs.zip(positions).map { case (q, p) =>
+      val lo = ranked(math.floor(p).toLong)
+      val hi = ranked(math.ceil(p).toLong)
+      (q, lo + (p - math.floor(p)) * (hi - lo))
+    }.toDF("q", "value")
+  }
+
   // ============================================================ queries
 
   /** p01: name + positional selection over lineitem. */
@@ -340,6 +369,15 @@ object Preprocess {
       .select(col("c_custkey"), col("rank"), Norm.r4(col("rint")).as("rint"))
       .orderBy("c_custkey")
 
+  /** p11: exact interpolated quantiles of c_acctbal (distributed
+    * rank, no single-partition window; quantile_cont semantics). */
+  def p11Quantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesExact(Tables.customer(spark, dir).select(
+      col("c_acctbal").cast("double").as("acctbal")), "acctbal",
+      Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+      .select(col("q"), Norm.r4(col("value")).as("value"))
+      .orderBy("q")
+
   /** p09: natural-log transform of p_retailprice. */
   def p09LogTransform(spark: SparkSession, dir: String): DataFrame =
     logTransform(Tables.part(spark, dir).select(
@@ -397,6 +435,22 @@ object Preprocess {
          |SELECT c_custkey, rank,
          |  round(${qnormSql("(rank - 0.375) / (nn.n + 0.25)")}, 4) + 0 AS rint
          |FROM r, nn ORDER BY c_custkey""".stripMargin,
+    "p11_quantiles" ->
+      """WITH src AS (SELECT c_acctbal FROM customer WHERE c_acctbal IS NOT NULL)
+        |SELECT CAST(0.01 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.01), 4) + 0 AS value FROM src
+        |UNION ALL
+        |SELECT CAST(0.1 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.1), 4) + 0 AS value FROM src
+        |UNION ALL
+        |SELECT CAST(0.25 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.25), 4) + 0 AS value FROM src
+        |UNION ALL
+        |SELECT CAST(0.5 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.5), 4) + 0 AS value FROM src
+        |UNION ALL
+        |SELECT CAST(0.75 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.75), 4) + 0 AS value FROM src
+        |UNION ALL
+        |SELECT CAST(0.9 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.9), 4) + 0 AS value FROM src
+        |UNION ALL
+        |SELECT CAST(0.99 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.99), 4) + 0 AS value FROM src
+        |ORDER BY q""".stripMargin,
     "p01_select_index" ->
       """SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate, l_linenumber
         |FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""".stripMargin,

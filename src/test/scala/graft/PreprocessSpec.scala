@@ -87,4 +87,25 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Preprocess.oneHot(df, Seq("sex"))
     assert(out.columns.toSeq == Seq("id", "sex"))
   }
+  test("quantilesExact is partition-invariant and interpolates like a local sort") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(5)
+    val vals = Array.fill(501)(rng.nextDouble() * 200 - 100)
+    val df = vals.toSeq.toDF("v")
+    val qs = Seq(0.1, 0.5, 0.9)
+    def run(parts: Int) =
+      Preprocess.quantilesExact(df.repartition(parts), "v", qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val a = run(1); val b = run(7)
+    assert(a == b)
+    // local oracle: sorted array + linear interpolation at (n-1)q
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val p = (vals.length - 1) * q
+      val lo = sorted(math.floor(p).toInt); val hi = sorted(math.ceil(p).toInt)
+      val expect = lo + (p - math.floor(p)) * (hi - lo)
+      assert(math.abs(a(q) - expect) < 1e-12, s"q=$q")
+    }
+  }
 }
