@@ -70,6 +70,7 @@ object SparkEntry {
     "q08_pivot" -> (Relational.q08Pivot _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
+    "e05_session_window" -> (Relational.e05SessionWindow _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
@@ -155,6 +156,26 @@ object SparkEntry {
         |) SELECT user_id, session_id, count(*) AS n_events,
         |    round(sum(value), 4) AS session_value
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same session derivation as e01; session identity surfaces as its
+    // first event time (= Spark's session_window.start)
+    "e05_session_window" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |), g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM ev
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS flag
+        |  FROM g
+        |), t AS (
+        |  SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s
+        |) SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |    round(sum(value), 4) AS session_value
+        |FROM t GROUP BY user_id, session_id ORDER BY 1, 2""".stripMargin,
     "e02_stream_window" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value

@@ -142,6 +142,20 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** e05: sessionization via Spark's NATIVE session_window — the same
+    * >30 min gap semantics as e01's lag+cumsum, expressed as the
+    * operator Structured Streaming uses for stateful session aggs
+    * (events merge while each arrives within the gap of the previous;
+    * window.start = the session's first event time). One shuffle on
+    * the grouping keys; oracle shared with e01's session derivation. */
+  def e05SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   /** e02: tumbling-window event aggregate — the batch plan equivalent
     * of the Structured Streaming query in graft.streaming (same
     * grouping; streaming variant adds a watermark). */
