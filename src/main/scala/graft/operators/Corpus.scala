@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.Tables
@@ -28,21 +28,40 @@ import graft.Tables
 object Corpus {
 
   /**
+   * Hash bucket in [0, m) that depends on ALL bits of the id, not
+   * just its low decimal digits: xor-fold the high half into the low
+   * (`id XOR (id >> 31)`), reduce mod the prime 1000000007 (< 2³⁰, so
+   * the following multiply can never overflow 64 bits — Spark's
+   * default ANSI mode makes overflow a runtime ERROR, and 100 TB
+   * corpora have ids past 2³²), scramble with the Knuth constant
+   * 2654435761, reduce mod the prime again, then take the final
+   * residue mod m. Every step is plain integer arithmetic expressible
+   * identically in DuckDB (`xor(id, id >> 31)` …), so oracles can
+   * reproduce it verbatim. Unlike the previous `(id mod m)·c mod m`
+   * permutation this is NOT blind to high bits: strided ids,
+   * shard-suffixed ids, or ids all ≡ c (mod k) still spread across
+   * buckets. Ids must be non-negative.
+   */
+  private[operators] def hashBucket(id: Column, m: Long): Column = {
+    val p = lit(1000000007L)
+    val folded = id.bitwiseXOR(shiftright(id, 31))
+    pmod(pmod(pmod(folded, p) * lit(2654435761L), p), lit(m))
+  }
+
+  /** The `hashBucket` formula as DuckDB SQL, for oracle queries. */
+  private def hashBucketSql(idCol: String, m: Long): String =
+    s"((xor($idCol, $idCol >> 31) % 1000000007) * 2654435761) % 1000000007 % $m"
+
+  /**
    * Deterministic stratified sampling: keep a row iff
-   * `(id · 2654435761) mod 1000 < rate(stratum) · 1000`. The multiply
-   * is carried out in modular form — `((id mod 1000) · 761) mod 1000`,
-   * with 761 = 2654435761 mod 1000 — which is the SAME value for every
-   * id ((a·b) mod m = ((a mod m)(b mod m)) mod m) but can never
-   * overflow the 64-bit multiply (Spark's default ANSI mode makes
-   * overflow a runtime error, and 100 TB corpora have ids past 2³²).
-   * Since gcd(761, 1000) = 1 the map is a fixed permutation of the id
-   * residues: uniform bucket occupancy over any 1000 consecutive ids.
-   * Rates are per mill; strata not in `rates` use `defaultRate`. Ids
-   * must be non-negative.
+   * `hashBucket(id, 1000) < rate(stratum) · 1000` — a hash of the
+   * document id, not an RNG, so a re-run (or an incremental top-up
+   * over new data) selects the same documents. Rates are per mill;
+   * strata not in `rates` use `defaultRate`.
    */
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val bucket = pmod(pmod(col(idCol), lit(1000L)) * lit(761L), lit(1000L))
+    val bucket = hashBucket(col(idCol), 1000L)
     val rateCol = rates.foldLeft(lit(defaultRate * 1000)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v * 1000)).otherwise(acc)
     }
@@ -59,15 +78,26 @@ object Corpus {
    */
   def shardPack(df: DataFrame, orderCol: String, valueCol: String,
       target: Long): DataFrame = {
+    require(target > 0, s"shardPack: target must be positive, got $target")
     val spark = df.sparkSession
-    val schema = df.schema
+    // normalize up front so the RDD passes below can't hit a
+    // mid-job ClassCastException (int value column) or NPE (null
+    // value): cast to long (fails fast at analysis for non-numeric
+    // types) and reject nulls with a named error
+    val src = df.withColumn(valueCol, col(valueCol).cast(LongType))
+    val schema = src.schema
     val vIdx = schema.fieldIndex(valueCol)
-    val sorted = df.orderBy(col(orderCol).asc).rdd
+    def getValue(r: Row): Long = {
+      require(!r.isNullAt(vIdx),
+        s"shardPack: null in value column '$valueCol' (row $r)")
+      r.getLong(vIdx)
+    }
+    val sorted = src.orderBy(col(orderCol).asc).rdd
     sorted.localCheckpoint() // two passes below; don't re-sort
     // pass 1: per-partition value totals — #partitions numbers, tiny
     val partTotals = sorted.mapPartitionsWithIndex { (pi, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
+      it.foreach(r => s += getValue(r))
       Iterator((pi, s))
     }.collect().toMap
     val nParts = sorted.getNumPartitions
@@ -83,7 +113,7 @@ object Corpus {
       var run = bcOffsets.value(pi2)
       it.map { r =>
         val shard = run / target
-        run += r.getLong(vIdx)
+        run += getValue(r)
         Row.fromSeq(r.toSeq :+ shard)
       }
     }
@@ -91,9 +121,8 @@ object Corpus {
   }
 
   /**
-   * Deterministic train/val/test assignment: the same modular
-   * permutation as `sampleStratified` (here mod 100: ((id mod 100) ·
-   * 61) mod 100, 61 = 2654435761 mod 100, overflow-free under ANSI)
+   * Deterministic train/val/test assignment: the same xor-fold +
+   * multiplicative `hashBucket` as `sampleStratified` (here mod 100)
    * maps each id to a percent bucket, and cut points turn buckets
    * into split labels. Adding data never moves an existing document
    * between splits (no RNG, no global state) — the property that
@@ -102,7 +131,7 @@ object Corpus {
    */
   def splitAssign(df: DataFrame, idCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = pmod(pmod(col(idCol), lit(100L)) * lit(61L), lit(100L))
+    val bucket = hashBucket(col(idCol), 100L)
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
@@ -139,16 +168,16 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "c03_split" ->
-      """SELECT doc_id, lang,
-        |  CASE WHEN ((doc_id % 100) * 61) % 100 < 80 THEN 'train'
-        |    WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
-        |    ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${hashBucketSql("doc_id", 100L)} < 80 THEN 'train'
+         |    WHEN ${hashBucketSql("doc_id", 100L)} < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "c01_sample_stratified" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id % 1000) * 761) % 1000 <
-        |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 300 ELSE 200 END
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${hashBucketSql("doc_id", 1000L)} <
+         |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 300 ELSE 200 END
+         |ORDER BY doc_id""".stripMargin,
     "c02_shard_pack" ->
       """SELECT doc_id, n_chars,
         |  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id

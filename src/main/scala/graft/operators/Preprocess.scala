@@ -277,11 +277,18 @@ object Preprocess {
   def quantilesExact(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     val src = df.select(col(valueCol).cast("double")).where(col(valueCol).isNotNull)
-    val n = src.count()
+    // pin the sorted data before counting: count() and the rank scan
+    // are two jobs, and on a nondeterministic input (sample, changing
+    // files) a recomputed plan could yield an n that disagrees with
+    // the ranks — localCheckpoint makes both passes read the same
+    // materialized blocks (the shardPack pattern)
+    val sorted = src.orderBy(col(valueCol)).rdd
+    sorted.localCheckpoint()
+    val n = sorted.count()
     require(n > 0, s"quantilesExact: no non-null values in '$valueCol'")
     val positions = qs.map(q => (n - 1) * q)
     val needed = positions.flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong)).toSet
-    val ranked = src.orderBy(col(valueCol)).rdd.zipWithIndex()
+    val ranked = sorted.zipWithIndex()
       .filter { case (_, i) => needed.contains(i) }
       .map { case (r, i) => (i, r.getDouble(0)) }
       .collect().toMap

@@ -91,17 +91,22 @@ object Relational {
   /** q07: hierarchical ROLLUP aggregate — the grouping-sets family
     * (subtotals + grand total in ONE pass; Spark expands the sets
     * before the hash aggregate, so it stays a single shuffle instead
-    * of one job per level). Null grouping keys are labeled explicitly
-    * because rollup's subtotal NULLs would otherwise be
-    * indistinguishable from data NULLs. */
+    * of one job per level). Subtotal rows are labeled 'ALL' via
+    * `grouping()` — the grouping-bit indicator — NOT by coalescing the
+    * key's NULL, so a data NULL in a grouping column stays NULL and
+    * remains distinguishable from a subtotal row. */
   def q07Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(round(sum("l_quantity"), 4).as("sum_qty"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag"))
+          .as("l_returnflag"),
+        when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus"))
+          .as("l_linestatus"),
         col("sum_qty"), col("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -147,10 +152,16 @@ object Relational {
     * operator Structured Streaming uses for stateful session aggs
     * (events merge while each arrives within the gap of the previous;
     * window.start = the session's first event time). One shuffle on
-    * the grouping keys; oracle shared with e01's session derivation. */
+    * the grouping keys; oracle shared with e01's session derivation.
+    * Gap is 30 min + 1 µs, NOT "30 minutes": session_window starts a
+    * NEW session when next_start >= prev_ts + gap, so a plain 30-min
+    * gap would split a pair exactly 1800.000000 s apart — which e01
+    * and the shared oracle (`gap > 1800.0`, strict) keep together. At
+    * µs timestamp resolution the +1 µs makes the split condition
+    * exactly "gap > 1800 s", aligning the boundary semantics. */
   def e05SessionWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .groupBy(session_window(col("ts"), "1800000001 microseconds"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
