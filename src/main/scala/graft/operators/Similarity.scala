@@ -54,6 +54,24 @@ object Similarity {
     Array.tabulate(planes, dims)((p, d) => if ((params(p * dims + d)._2 & 1L) == 1L) 1.0 else -1.0)
   }
 
+  /**
+   * SQL-expressible ±1 hyperplane entries (the d04 trick that earned
+   * SimHash its full oracle): the sign is bit 7 of a SQUARED
+   * multiplicative hash of the flat (plane, dim) index — plain
+   * 64-bit-safe integer arithmetic a DuckDB oracle reproduces
+   * verbatim, unlike the splitmix stream above. The squaring matters:
+   * the pre-square values walk an arithmetic progression mod the
+   * prime, whose low bits alternate near-deterministically; squaring
+   * mod the prime scrambles them into a balanced, uncorrelated ±1
+   * family. All intermediates < 2⁶² (ANSI-overflow-safe).
+   */
+  private[graft] def polyHyperplanes(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims) { (p, d) =>
+      val i = p.toLong * dims + d + 1
+      val h = (i * 2654435761L) % 1000000007L
+      if ((((h * h) % 1000000007L >> 7) & 1L) == 1L) 1.0 else -1.0
+    }
+
   /** Sign signature of a vector under the hyperplanes, packed to Int. */
   private[graft] def signBits(e: Seq[Double], hp: Array[Array[Double]]): Int = {
     var sig = 0
@@ -72,11 +90,14 @@ object Similarity {
 
   /**
    * ANN top-k: LSH candidate generation (same (band, signature) bucket
-   * in any band) + exact cosine re-rank. Recall vs n01 is spec-checked.
+   * in any band) + exact cosine re-rank. Recall vs n01 is spec-checked;
+   * the planes are `polyHyperplanes`, so the whole query — signatures,
+   * band buckets, candidates, re-rank — also replays under the DuckDB
+   * hash gate.
    */
   def annLsh(emb: DataFrame, queryPred: Column, k: Int,
       bands: Int = 8, bitsPerBand: Int = 3, dims: Int = 64): DataFrame = {
-    val hp = hyperplanes(bands * bitsPerBand, dims, 7L)
+    val hp = polyHyperplanes(bands * bitsPerBand, dims)
     val sigUdf = udf((e: Seq[Double]) => signBits(e, hp))
     val mask = (1 << bitsPerBand) - 1
     // signature table referenced by both join sides — materialize once;
@@ -212,8 +233,9 @@ object Similarity {
   }
 
   /** n03: IVF-flat ANN — the brief's "IVF variant as the scale path"
-    * alongside n02's LSH. Rows + recall spec vs n01 (a k-means
-    * codebook is not SQL-expressible, like n02's murmur3 planes). */
+    * alongside n02's LSH. Rows + recall spec vs n01: unlike n02's
+    * polynomial planes, a k-means codebook (iterating FP means) is a
+    * trained model artifact, not SQL-re-derivable. */
   def n03AnnIvf(spark: SparkSession, dir: String): DataFrame =
     annIvf(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
@@ -235,6 +257,44 @@ object Similarity {
         |), r AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // full LSH replay: the same polyHyperplanes sign matrix (squared
+    // multiplicative hash of the flat plane*64+dim index), the same
+    // 8-band × 3-bit buckets, the same candidate join + exact cosine
+    // re-rank — so the ANN path itself sits under the hash gate
+    "n02_ann_lsh" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        |), planes AS (
+        |  SELECT p.p AS p, list_transform(range(0, 64), d ->
+        |    CASE WHEN ((((((p.p * 64 + d + 1) * 2654435761) % 1000000007)
+        |                * (((p.p * 64 + d + 1) * 2654435761) % 1000000007))
+        |                % 1000000007 >> 7) & 1) = 1
+        |      THEN 1.0 ELSE -1.0 END) AS pv
+        |  FROM (SELECT unnest(range(0, 24)) AS p) p
+        |), sig AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(e.e, pl.pv) > 0
+        |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM emb e, planes pl GROUP BY 1
+        |), banded AS (
+        |  SELECT s.vec_id, b.b AS band, (s.sig >> (b.b * 3)) & 7 AS bv
+        |  FROM sig s, (SELECT unnest(range(0, 8)) AS b) b
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM banded q JOIN banded n ON q.band = n.band AND q.bv = n.bv
+        |  WHERE q.vec_id < 25 AND q.vec_id <> n.vec_id
+        |), scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(a.e, b.e) AS cos
+        |  FROM cand c
+        |  JOIN emb a ON a.vec_id = c.query_id
+        |  JOIN emb b ON b.vec_id = c.neighbor_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored
         |)
         |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,

@@ -73,6 +73,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
   }
 
+  test("polyHyperplanes are balanced and uncorrelated across planes") {
+    val hp = Similarity.polyHyperplanes(24, 64)
+    assert(hp.flatten.forall(v => v == 1.0 || v == -1.0))
+    // each plane roughly half +1 (binomial: 32 ± ~4σ=16 of 64)
+    hp.foreach { plane =>
+      val pos = plane.count(_ == 1.0)
+      assert(pos >= 16 && pos <= 48, s"unbalanced plane: $pos/64 positive")
+    }
+    // no two planes nearly equal or nearly opposite (|agreement-32|
+    // small): the pre-square hash's alternating parity would fail this
+    for (i <- hp.indices; j <- (i + 1) until hp.length) {
+      val agree = hp(i).zip(hp(j)).count { case (x, y) => x == y }
+      assert(agree >= 16 && agree <= 48, s"planes $i,$j agree on $agree/64")
+    }
+  }
+
   test("multimodal stub: batching preserves per-row features and bounds batch size") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats1 = Multimodal.extractFeatures(media, batchSize = 64).collect()
