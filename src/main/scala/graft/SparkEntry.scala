@@ -68,6 +68,7 @@ object SparkEntry {
     "q06_semijoin" -> (Relational.q06SemiJoin _),
     "q07_rollup" -> (Relational.q07Rollup _),
     "q08_pivot" -> (Relational.q08Pivot _),
+    "q09_skew_join" -> (Relational.q09SkewJoin _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
     "e05_session_window" -> (Relational.e05SessionWindow _),
@@ -140,6 +141,12 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 4) AS notspec,
         |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS low
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // plain join: q09's salting must be result-invisible
+    "q09_skew_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |  round(sum(e.value), 4) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e01_sessionize" ->
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events

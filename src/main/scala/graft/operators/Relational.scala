@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -128,6 +128,44 @@ object Relational {
         "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
         "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low"))
       .orderBy("order_year")
+
+  /**
+   * Salted join: split each hot join key across `salts` shuffle
+   * partitions by salting the BIG side with a deterministic per-row
+   * hash and replicating the dim side once per salt value, joining on
+   * (key, salt). The shuffle then distributes a skewed key's rows
+   * over `salts` tasks instead of funneling them through one — the
+   * manual mitigation for the straggler-task pattern when BOTH sides
+   * are too big to broadcast (AQE's skewedJoin does this adaptively
+   * at runtime; the explicit form is for stable plans, pre-AQE
+   * engines, and skew known ahead of time). Dim-side cost: ×`salts`
+   * rows through the shuffle — keep `salts` at the straggler ratio
+   * (8–32), not in the hundreds. Result is EXACTLY the plain join.
+   */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
+      salts: Int, saltBy: Column): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(saltBy, lit(salts)).cast("int"))
+    val expl = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(expl, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** q09: skew-mitigated join — events (big, skewable user_id) joined
+    * to a customer dim through `saltedJoin` under a sort-merge hint
+    * (the no-broadcast regime the pattern exists for), then a 5-group
+    * rollup of value per market segment. The oracle is the PLAIN
+    * join: salting must be invisible in the result. */
+  def q09SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    saltedJoin(ev.hint("merge"), cust, "user_id",
+        salts = 16, saltBy = xxhash64(col("event_id")))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
 
   /** e01: sessionization — a new session starts after a >30 min gap.
     * Two stacked windows (lag → gap flag → running sum) keep the whole

@@ -100,6 +100,24 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq("b a" -> 2L, "a b" -> 1L))
   }
 
+  test("saltedJoin equals the plain join on skewed keys, any salt count") {
+    val sess = spark
+    import sess.implicits._
+    // 90% of rows on one hot key — the straggler shape salting targets
+    val big = (0L until 1000L)
+      .map(i => (if (i % 10 == 0) i % 50 else 7L, i, i * 0.5))
+      .toDF("k", "row_id", "v")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    val plain = big.join(dim, "k").select("row_id", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val got = operators.Relational.saltedJoin(big, dim, "k", salts, xxhash64(col("row_id")))
+        .select("row_id", "name")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(got == plain, s"salts=$salts")
+    }
+  }
+
   test("shardPack matches the single-partition window oracle at any parallelism") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "n_chars")
