@@ -78,6 +78,7 @@ object SparkEntry {
     "c02_shard_pack" -> (Corpus.c02ShardPack _),
     "c03_split" -> (Corpus.c03Split _),
     "t05_topk_ngrams" -> (TextOps.t05TopkNgrams _),
+    "t06_bm25" -> (TextOps.t06Bm25 _),
   )
 
   def oracleSql: Map[String, String] =

@@ -141,6 +141,48 @@ object TextOps {
   def t05TopkNgrams(spark: SparkSession, dir: String): DataFrame =
     topkNgrams(Tables.documents(spark, dir), n = 2, k = 20)
 
+  // --------------------------------------------------------- t06 BM25
+
+  /**
+   * BM25 relevance scores of every document against a fixed query
+   * term set (Lucene-style idf: ln((N − df + ½)/(df + ½) + 1), so idf
+   * stays positive even for terms in most docs). Shape: per-document
+   * term frequencies are pure projections (`filter` over the word
+   * array — the query has FEW terms, so no explode/posting shuffle);
+   * the corpus statistics (N, avgdl, per-term df) reduce to ONE tiny
+   * row that cross-joins back as a broadcast — the same
+   * stats-then-broadcast shape as p03's mean fill. At 100 TB this is
+   * two scans of `documents` and a one-row exchange, nothing else.
+   */
+  def bm25(docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      s"bm25: terms must be non-empty lowercase word tokens, got $terms")
+    val words = split(norm(col("text")), " ")
+    val base = docs.select(col("doc_id"), words.as("w"))
+      .withColumn("dl", size(col("w")))
+    val withTf = terms.foldLeft(base)((d, t) =>
+      d.withColumn(s"tf_$t", size(filter(col("w"), x => x === lit(t)))))
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg("dl").as("avgdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .cast("double").as(s"df_$t"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select((col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t"))) :+ round(score, 4).as("bm25"): _*)
+  }
+
+  def t06Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), Seq("join", "vector", "stream"))
+      .orderBy("doc_id")
+
   // --------------------------------------------------------- oracle SQL
 
   private val normSql = """lower(regexp_replace(text, '\s+', ' ', 'g'))"""
@@ -187,6 +229,34 @@ object TextOps {
            |    list_transform(string_split($normSql, ''), x -> CAST(ord(x) AS BIGINT))),
            |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "t06_bm25" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, string_split($normSql, ' ') AS w,
+           |    len(string_split($normSql, ' ')) AS dl
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, dl,
+           |    len(list_filter(w, x -> x = 'join')) AS tf_join,
+           |    len(list_filter(w, x -> x = 'vector')) AS tf_vector,
+           |    len(list_filter(w, x -> x = 'stream')) AS tf_stream
+           |  FROM base
+           |), stats AS (
+           |  SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl,
+           |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) * 1.0 AS df_join,
+           |    sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) * 1.0 AS df_vector,
+           |    sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) * 1.0 AS df_stream
+           |  FROM tf
+           |)
+           |SELECT t.doc_id, t.dl, t.tf_join, t.tf_vector, t.tf_stream,
+           |  round(
+           |    ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+           |      * t.tf_join * 2.2 / (t.tf_join + 1.2 * (0.25 + 0.75 * t.dl / avgdl))
+           |    + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+           |      * t.tf_vector * 2.2 / (t.tf_vector + 1.2 * (0.25 + 0.75 * t.dl / avgdl))
+           |    + ln((n_docs - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
+           |      * t.tf_stream * 2.2 / (t.tf_stream + 1.2 * (0.25 + 0.75 * t.dl / avgdl))
+           |  , 4) AS bm25
+           |FROM tf t, stats ORDER BY t.doc_id""".stripMargin,
       "t05_topk_ngrams" ->
         """WITH w AS (
           |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents

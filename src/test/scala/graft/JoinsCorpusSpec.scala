@@ -100,6 +100,22 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq("b a" -> 2L, "a b" -> 1L))
   }
 
+  test("bm25 matches the closed form on a two-document corpus") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = operators.TextOps.bm25(docs, Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("bm25"))).toMap
+    // N=2, df=1 -> idf=ln(2); doc1: tf=2, dl=3, avgdl=2.5
+    val expected1 = math.log(2.0) * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.5))
+    assert(math.abs(out(1L) - math.rint(expected1 * 1e4) / 1e4) < 1e-12)
+    assert(out(2L) == 0.0) // term absent -> zero contribution
+    // terms must be normalized word tokens
+    intercept[IllegalArgumentException] {
+      operators.TextOps.bm25(docs, Seq("Not A Token"))
+    }
+  }
+
   test("saltedJoin equals the plain join on skewed keys, any salt count") {
     val sess = spark
     import sess.implicits._
