@@ -40,6 +40,7 @@ object SparkEntry {
     "p09_log_transform" -> (Preprocess.p09LogTransform _),
     "p10_scale_minmax" -> (Preprocess.p10ScaleMinmax _),
     "p11_quantiles" -> (Preprocess.p11Quantiles _),
+    "p12_clip" -> (Preprocess.p12Clip _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),

@@ -300,6 +300,27 @@ object Preprocess {
     }.toDF("q", "value")
   }
 
+  /**
+   * Winsorize/clip to the [loQ, hiQ] exact quantiles: the standard
+   * outlier guard before scaling/association. Reuses `quantilesExact`
+   * (distributed sort + rank fetch — no approx error, no one-task
+   * window); the two cut values are model state (collected like p03's
+   * fill means), applied as a pure clamp projection. Nulls pass
+   * through unchanged (Spark's greatest/least SKIP nulls, which would
+   * silently clamp a null to the low cut — hence the explicit guard).
+   */
+  def clipQuantiles(df: DataFrame, valueCol: String,
+      loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ < hiQ && loQ >= 0 && hiQ <= 1,
+      s"clipQuantiles: need 0 <= loQ < hiQ <= 1, got [$loQ, $hiQ]")
+    val cuts = quantilesExact(df, valueCol, Seq(loQ, hiQ))
+      .orderBy("q").collect().map(_.getDouble(1))
+    val (lo, hi) = (cuts(0), cuts(1))
+    val v = col(valueCol).cast("double")
+    df.withColumn(s"${valueCol}_clipped",
+      when(v.isNotNull, least(greatest(v, lit(lo)), lit(hi))))
+  }
+
   // ============================================================ queries
 
   /** p01: name + positional selection over lineitem. */
@@ -385,6 +406,14 @@ object Preprocess {
       .select(col("q"), Norm.r4(col("value")).as("value"))
       .orderBy("q")
 
+  /** p12: winsorize c_acctbal at the exact [5%, 95%] quantiles. */
+  def p12Clip(spark: SparkSession, dir: String): DataFrame =
+    clipQuantiles(Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_acctbal").cast("double").as("acctbal")),
+      "acctbal", 0.05, 0.95)
+      .select(col("c_custkey"), Norm.r4(col("acctbal_clipped")).as("acctbal_clipped"))
+      .orderBy("c_custkey")
+
   /** p09: natural-log transform of p_retailprice. */
   def p09LogTransform(spark: SparkSession, dir: String): DataFrame =
     logTransform(Tables.part(spark, dir).select(
@@ -458,6 +487,17 @@ object Preprocess {
         |UNION ALL
         |SELECT CAST(0.99 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.99), 4) + 0 AS value FROM src
         |ORDER BY q""".stripMargin,
+    "p12_clip" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.05) AS lo,
+        |         quantile_cont(CAST(c_acctbal AS DOUBLE), 0.95) AS hi
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |)
+        |SELECT c_custkey,
+        |  round(CASE WHEN c_acctbal < lo THEN lo
+        |    WHEN c_acctbal > hi THEN hi
+        |    ELSE CAST(c_acctbal AS DOUBLE) END, 4) + 0 AS acctbal_clipped
+        |FROM customer, cuts ORDER BY c_custkey""".stripMargin,
     "p01_select_index" ->
       """SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate, l_linenumber
         |FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -108,4 +108,21 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(a(q) - expect) < 1e-12, s"q=$q")
     }
   }
+
+  test("clipQuantiles clamps to the exact cuts and passes nulls through") {
+    val sess = spark
+    import sess.implicits._
+    // 0..100: 5% cut = 5.0, 95% cut = 95.0 exactly (no interpolation)
+    val df = ((0 to 100).map(i => (i.toLong, Some(i.toDouble))) :+ (999L, None))
+      .toDF("id", "v")
+    val out = Preprocess.clipQuantiles(df, "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("v_clipped")))).toMap
+    assert(out(0L) == Some(5.0) && out(3L) == Some(5.0))   // below lo -> lo
+    assert(out(50L) == Some(50.0))                          // inside -> unchanged
+    assert(out(98L) == Some(95.0) && out(100L) == Some(95.0)) // above hi -> hi
+    assert(out(999L).isEmpty)                               // null stays null
+    intercept[IllegalArgumentException] {
+      Preprocess.clipQuantiles(df, "v", 0.9, 0.1)
+    }
+  }
 }
