@@ -48,6 +48,33 @@ object StreamingOps {
     else hashed.dropDuplicates("h")
   }
 
+  /**
+   * Watermarked stream-stream inner join: enrich a click stream with
+   * the impression that preceded it by at most `joinWindow` (the ad
+   * attribution / request-response correlation shape). BOTH sides
+   * need a watermark plus a time-range join condition — that bounds
+   * the join state Spark must buffer (each side keeps only rows
+   * younger than watermark + window); without the range predicate the
+   * state grows without bound and the query is rejected in append
+   * mode. Same code plans as a plain range join in batch.
+   */
+  def streamStreamJoin(impressions: DataFrame, clicks: DataFrame,
+      key: String = "user_id", joinWindow: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val imp = impressions
+      .withWatermark("ts", watermark)
+      .select(col(key), col("event_id").as("imp_id"), col("ts").as("imp_ts"))
+    val clk = clicks
+      .withWatermark("ts", watermark)
+      .select(col(key), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    imp.join(clk,
+      imp(key) === clk(key) &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("imp_id"), col("click_id"), imp(key).as(key),
+        col("imp_ts"), col("click_ts"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, start_ts: Long, n_events: Long, session_value: Double)

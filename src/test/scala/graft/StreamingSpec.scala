@@ -46,6 +46,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream join attributes clicks within the window, drops the rest") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impData = Seq((1L, 100L, ts(10)), (1L, 101L, ts(60)), (2L, 102L, ts(10)))
+    val clkData = Seq(
+      (1L, 200L, ts(15)), // within 10 min of imp 100 -> joins
+      (1L, 201L, ts(35)), // >10 min after imp 100, before imp 101 -> drops
+      (1L, 202L, ts(65)), // within 10 min of imp 101 -> joins
+      (2L, 203L, ts(9)))  // BEFORE imp 102 -> drops (click_ts >= imp_ts)
+    val imp = MemoryStream[(Long, Long, Timestamp)]
+    val clk = MemoryStream[(Long, Long, Timestamp)]
+    imp.addData(impData: _*); clk.addData(clkData: _*)
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_id", "ts")
+    val query = StreamingOps.streamStreamJoin(named(imp.toDF()), named(clk.toDF()))
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    val streamed = spark.table("ss_join").select("imp_id", "click_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(streamed == Set(100L -> 200L, 101L -> 202L))
+    // same transform on batch frames plans as a plain range join
+    val batch = StreamingOps.streamStreamJoin(
+      named(impData.toDF()), named(clkData.toDF()))
+      .select("imp_id", "click_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(batch == streamed)
+  }
+
   test("streaming exact dedup keeps the first arrival per normalized text") {
     val sess = spark
     import sess.implicits._
