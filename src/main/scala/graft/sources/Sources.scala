@@ -63,6 +63,25 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /**
+   * Hive-style partitioned parquet writer — the layout path for
+   * columns queries FILTER on (language, date, split): each partition
+   * value becomes a directory, so a reader's `WHERE lang = 'en'`
+   * prunes to that directory at PLANNING time (PartitionFilters in
+   * the scan, verified by the spec) and a 100 TB corpus scan touches
+   * only the selected partitions' files. Choose low-cardinality
+   * columns: every distinct value is a directory, and a
+   * high-cardinality partition key shatters the table into millions
+   * of small files (use `writeBucketed` for join keys instead).
+   */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned: no partition columns")
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   private def delimited(spark: SparkSession, path: String, delim: String,
       nullValues: Seq[String]): DataFrame = {
     var reader = spark.read

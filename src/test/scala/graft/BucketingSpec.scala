@@ -63,4 +63,26 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("partitioned write prunes partitions at planning time") {
+    val out = Files.createTempDirectory("graft-part").toString + "/docs"
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    Sources.writePartitioned(docs, out, Seq("lang"))
+    val back = spark.read.parquet(out).filter(col("lang") === "en")
+    // value-level round trip
+    val expected = docs.filter(col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = back.collect().map(r =>
+      r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("n_chars"))).toMap
+    assert(got == expected && got.nonEmpty)
+    // plan-level: the lang predicate is a PartitionFilter (directory
+    // pruning), not a data filter — non-en files are never opened
+    val scan = back.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty)
+    assert(scan.head.partitionFilters.exists(_.toString.contains("lang")),
+      s"lang not in partitionFilters: ${scan.head.partitionFilters}")
+    assert(scan.head.relation.location.inputFiles.forall(_.contains("lang=")))
+  }
 }
