@@ -27,6 +27,7 @@ object SparkEntry {
     "a07_flipwas" -> (Mas.a07Flipwas _),
     "a08_pipeline_logt" -> (Mas.a08PipelineLogt _),
     "a09_pipeline_rint" -> (Mas.a09PipelineRint _),
+    "a12_pipeline_categorical" -> (Mas.a12PipelineCategorical _),
     "a10_assoc_logistic_gram" -> (Mas.a10AssocLogisticGram _),
     "s05_phecode_annotate" -> (Mas.s05PhecodeAnnotate _),
     "p01_select_index" -> (Preprocess.p01SelectIndex _),

@@ -44,6 +44,7 @@ object Mas {
         when(col("c_custkey") % 2 === 0, 1.0).otherwise(0.0).as("xpar"),
         col("c_nationkey").cast("double").as("z1"),
         (col("c_custkey") % 5).cast("double").as("z2"),
+        concat(lit("g"), col("c_custkey") % 3).as("zc"),
         when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("y_avg0")).as("y_avg"),
         col("y_max"), col("y_cnt"),
         col("d_urgent"), col("d_open"), col("d_big"), col("d_many"), col("d_rare"),
@@ -70,6 +71,7 @@ object Mas {
       |    CASE WHEN id % 2 = 0 THEN 1.0 ELSE 0.0 END AS xpar,
       |    CAST(nk AS DOUBLE) AS z1,
       |    CAST(id % 5 AS DOUBLE) AS z2,
+      |    'g' || CAST(id % 3 AS VARCHAR) AS zc,
       |    CASE WHEN id % 7 = 0 THEN NULL ELSE y_avg0 END AS y_avg,
       |    y_max, y_cnt, d_urgent, d_open, d_big, d_many, d_rare,
       |    1.0 AS d_all, CAST(NULL AS DOUBLE) AS d_null
@@ -187,6 +189,23 @@ object Mas {
       input = "", predictors = "x", dependents = "y_max",
       model = "linear", quantitative = true, rint = true, orderCol = "id",
       minCaseCount = 20))
+      .select(col("predictor"), col("dependent"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
+        col("n_observations"))
+      .orderBy("dependent")
+
+  /** a12: pipeline query with a CATEGORICAL covariate — the
+    * `--categorical-covariates` path end-to-end: the 3-level zc
+    * one-hot-encodes (first level dropped) inside `Pipeline.run`, so
+    * the association fits x plus two dummy covariates. Oracle: the
+    * a11 FWL² machinery over two SQL dummies of the same factor
+    * (residualization on the factor subspace is parameterization-
+    * invariant, so the oracle needn't know which level oneHot drops). */
+  def a12PipelineCategorical(spark: SparkSession, dir: String): DataFrame =
+    graft.Pipeline.run(cohort(spark, dir), graft.GraftConfig(
+      input = "", predictors = "x", dependents = "y_avg,y_max",
+      covariates = "zc", categoricalCovariates = "zc",
+      model = "linear", quantitative = true, minCaseCount = 20))
       .select(col("predictor"), col("dependent"),
         r4(col("beta")).as("beta"), r4(col("se")).as("se"),
         col("n_observations"))
@@ -318,25 +337,32 @@ object Mas {
        |    FROM cohort WHERE $dep IS NOT NULL AND x IS NOT NULL) p
        |  WHERE $dep IS NOT NULL AND x IS NOT NULL)""".stripMargin
 
-  private def fwl2Branch(dep: String): String =
+  private def fwl2Branch(dep: String): String = fwl2BranchOn(dep, "z1", "z2")
+
+  /** FWL² with arbitrary covariate SQL expressions. Used by a11
+    * (z1, z2) and a12 (two one-hot dummies of the 3-level zc —
+    * residualizing on the factor's subspace is invariant to WHICH two
+    * dummies parameterize it, so the oracle needn't mirror oneHot's
+    * drop-first choice). */
+  private def fwl2BranchOn(dep: String, z1: String, z2: String): String =
     s"""SELECT 'x' AS predictor, '$dep' AS dependent,
        |  round(regr_slope(yr, xr), 4) + 0 AS beta,
        |  round(sqrt(regr_syy(yr, xr) * (1 - regr_r2(yr, xr))
        |    / (regr_count(yr, xr) - 4) / regr_sxx(yr, xr)), 4) + 0 AS se,
        |  CAST(regr_count(yr, xr) AS BIGINT) AS n_observations
        |FROM (
-       |  SELECT $dep - (p.my + p.by1 * (z1 - p.m1) + p.by2 * (z2 - p.m2)) AS yr,
-       |         x    - (p.mx + p.bx1 * (z1 - p.m1) + p.bx2 * (z2 - p.m2)) AS xr
+       |  SELECT $dep - (p.my + p.by1 * (($z1) - p.m1) + p.by2 * (($z2) - p.m2)) AS yr,
+       |         x    - (p.mx + p.bx1 * (($z1) - p.m1) + p.bx2 * (($z2) - p.m2)) AS xr
        |  FROM cohort, (
-       |    SELECT avg($dep) AS my, avg(x) AS mx, avg(z1) AS m1, avg(z2) AS m2,
-       |      (covar_pop($dep, z1) * covar_pop(z2, z2) - covar_pop($dep, z2) * covar_pop(z1, z2))
-       |        / (covar_pop(z1, z1) * covar_pop(z2, z2) - covar_pop(z1, z2) * covar_pop(z1, z2)) AS by1,
-       |      (covar_pop($dep, z2) * covar_pop(z1, z1) - covar_pop($dep, z1) * covar_pop(z1, z2))
-       |        / (covar_pop(z1, z1) * covar_pop(z2, z2) - covar_pop(z1, z2) * covar_pop(z1, z2)) AS by2,
-       |      (covar_pop(x, z1) * covar_pop(z2, z2) - covar_pop(x, z2) * covar_pop(z1, z2))
-       |        / (covar_pop(z1, z1) * covar_pop(z2, z2) - covar_pop(z1, z2) * covar_pop(z1, z2)) AS bx1,
-       |      (covar_pop(x, z2) * covar_pop(z1, z1) - covar_pop(x, z1) * covar_pop(z1, z2))
-       |        / (covar_pop(z1, z1) * covar_pop(z2, z2) - covar_pop(z1, z2) * covar_pop(z1, z2)) AS bx2
+       |    SELECT avg($dep) AS my, avg(x) AS mx, avg($z1) AS m1, avg($z2) AS m2,
+       |      (covar_pop($dep, $z1) * covar_pop($z2, $z2) - covar_pop($dep, $z2) * covar_pop($z1, $z2))
+       |        / (covar_pop($z1, $z1) * covar_pop($z2, $z2) - covar_pop($z1, $z2) * covar_pop($z1, $z2)) AS by1,
+       |      (covar_pop($dep, $z2) * covar_pop($z1, $z1) - covar_pop($dep, $z1) * covar_pop($z1, $z2))
+       |        / (covar_pop($z1, $z1) * covar_pop($z2, $z2) - covar_pop($z1, $z2) * covar_pop($z1, $z2)) AS by2,
+       |      (covar_pop(x, $z1) * covar_pop($z2, $z2) - covar_pop(x, $z2) * covar_pop($z1, $z2))
+       |        / (covar_pop($z1, $z1) * covar_pop($z2, $z2) - covar_pop($z1, $z2) * covar_pop($z1, $z2)) AS bx1,
+       |      (covar_pop(x, $z2) * covar_pop($z1, $z1) - covar_pop(x, $z1) * covar_pop($z1, $z2))
+       |        / (covar_pop($z1, $z1) * covar_pop($z2, $z2) - covar_pop($z1, $z2) * covar_pop($z1, $z2)) AS bx2
        |    FROM cohort WHERE $dep IS NOT NULL AND x IS NOT NULL) p
        |  WHERE $dep IS NOT NULL AND x IS NOT NULL)""".stripMargin
 
@@ -383,6 +409,13 @@ object Mas {
     "a11_assoc_linear_cov2" ->
       (cohortSql + "\n" +
         Seq("y_avg", "y_max").map(fwl2Branch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a12_pipeline_categorical" ->
+      (cohortSql + "\n" +
+        Seq("y_avg", "y_max")
+          .map(fwl2BranchOn(_,
+            "CASE WHEN id % 3 = 1 THEN 1.0 ELSE 0.0 END",
+            "CASE WHEN id % 3 = 2 THEN 1.0 ELSE 0.0 END"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
     "a03_assoc_logistic" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(logisticBranch)
