@@ -62,6 +62,7 @@ object SparkEntry {
     "t04_fingerprint" -> (TextOps.t04Fingerprint _),
     "m01_multimodal" -> (Multimodal.m01Multimodal _),
     "m02_chunk" -> (Multimodal.m02Chunk _),
+    "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),

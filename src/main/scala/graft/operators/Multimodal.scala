@@ -93,6 +93,37 @@ object Multimodal {
         octet_length(col("chunk")).as("chunk_bytes"),
         md5(col("chunk")).as("chunk_md5"))
 
+  /**
+   * Deterministic frame sampling — the video/audio keyframe-selection
+   * shape: treat each `frameBytes` slice as a frame, keep every
+   * `stride`-th frame PLUS the final one (so short payloads and
+   * trailing content are always represented). The filter runs on the
+   * generated index BEFORE the byte slice and checksum project, so
+   * skipped frames cost nothing; like m02 this is scan → generate →
+   * filter → project, no shuffle — sampling 100 TB of media is one
+   * pass. A real decoder would replace the byte slicing behind the
+   * same (doc, frame_idx) contract (the m01 stub boundary).
+   */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0,
+      s"sampleFrames: frameBytes and stride must be positive, got $frameBytes/$stride")
+    media
+      .withColumn("__nf", greatest(
+        ceil(col("n_bytes") / frameBytes.toDouble).cast("int"), lit(1)))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("__nf") - 1)))
+      .filter(col("frame_idx") % stride === 0 || col("frame_idx") === col("__nf") - 1)
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(expr(s"substring(media, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_bytes"),
+        md5(expr(s"substring(media, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_md5"))
+  }
+
+  /** m03: every 4th 256-byte frame of each payload, plus the last. */
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir), frameBytes = 256, stride = 4)
+      .orderBy("doc_id", "frame_idx")
+
   /** m02: 256-byte chunks of every media payload with per-chunk
     * checksums. */
   def m02Chunk(spark: SparkSession, dir: String): DataFrame =
@@ -118,5 +149,18 @@ object Multimodal {
         |  CAST(octet_length(encode(substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256))) AS INT) AS chunk_bytes,
         |  md5(substring(text, CAST(chunk_idx * 256 + 1 AS INT), 256)) AS chunk_md5
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT), 1) AS nf
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, text, nf, unnest(range(0, nf)) AS fi FROM c
+        |)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(octet_length(encode(substring(text, CAST(fi * 256 + 1 AS INT), 256))) AS INT) AS frame_bytes,
+        |  md5(substring(text, CAST(fi * 256 + 1 AS INT), 256)) AS frame_md5
+        |FROM idx WHERE fi % 4 = 0 OR fi = nf - 1
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -89,6 +89,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sampleFrames keeps every stride-th frame plus the last") {
+    val sess = spark
+    import sess.implicits._
+    // 1000 bytes / frameBytes 100 -> frames 0..9; stride 4 -> 0,4,8 + last 9
+    val media = Seq((1L, ("x" * 1000).getBytes, 1000), (2L, "abc".getBytes, 3))
+      .toDF("doc_id", "media", "n_bytes")
+    val out = operators.Multimodal.sampleFrames(media, frameBytes = 100, stride = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getInt(1) -> r.getInt(2)).toSet).toMap
+    assert(out(1L).map(_._1) == Set(0, 4, 8, 9))
+    assert(out(1L).forall(_._2 == 100))
+    assert(out(2L) == Set(0 -> 3)) // single short frame: first == last
+  }
+
   test("multimodal stub: batching preserves per-row features and bounds batch size") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats1 = Multimodal.extractFeatures(media, batchSize = 64).collect()
