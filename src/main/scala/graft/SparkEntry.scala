@@ -56,6 +56,7 @@ object SparkEntry {
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
+    "n04_label_centroids" -> (Similarity.n04LabelCentroids _),
     "t01_langid" -> (TextOps.t01LangId _),
     "t02_quality" -> (TextOps.t02Quality _),
     "t03_tokens" -> (TextOps.t03Tokens _),

@@ -240,9 +240,38 @@ object Similarity {
     annIvf(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
 
+  /**
+   * Per-label embedding centroids as (label, dim, value) rows — the
+   * class-prototype / cluster-statistics primitive (nearest-centroid
+   * classification, drift monitoring, IVF seeding). posexplode +
+   * (label, dim) hash aggregate: the per-dimension means reduce
+   * map-side, so the ONE shuffle carries |labels|·dims partial sums,
+   * not vectors. Long form (not reassembled arrays) keeps the output
+   * joinable and the aggregation codegen-friendly.
+   */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg("v"), 4).as("centroid"), count(lit(1)).as("n_vectors"))
+
+  /** n04: 64-dim centroid of every label over the embeddings table. */
+  def n04LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(embeddings(spark, dir))
+      .orderBy("label", "dim")
+
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    "n04_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), x AS (
+        |  SELECT label, unnest(e) AS v, generate_subscripts(e, 1) - 1 AS dim FROM e
+        |)
+        |SELECT label, CAST(dim AS INT) AS dim,
+        |  round(avg(v), 4) + 0 AS centroid,
+        |  count(*) AS n_vectors
+        |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "n01_knn_brute" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
