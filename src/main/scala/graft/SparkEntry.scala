@@ -46,6 +46,7 @@ object SparkEntry {
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),
     "s04_sort_output" -> (Postprocess.s04SortOutput _),
+    "s06_lambda_gc" -> (Postprocess.s06LambdaGc _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_ngram" -> (Dedup.d02DedupNgram _),
     "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),

@@ -131,6 +131,33 @@ object Postprocess {
       |    ELSE ((o_orderkey * 2654435761) % 1000000) / 1000000.0 END AS pval
       |FROM orders""".stripMargin
 
+  /**
+   * Genomic-control inflation factor λ_GC = median(χ²) / qchisq(½, 1)
+   * — the PheWAS/GWAS sanity statistic (λ ≫ 1 flags confounded or
+   * miscalibrated tests). Each p-value maps to its 1-df chi-square
+   * via the codegen'd Acklam qnorm Expression (χ² = qnorm(1 − p/2)²,
+   * mirrored digit-for-digit by the SQL oracle), and the median is
+   * the EXACT distributed quantile (p11 machinery) — at a 10M-pair
+   * flipwas scale this is a projection plus one range-sort, with no
+   * single-partition window and no approx error in the headline
+   * diagnostic.
+   */
+  def lambdaGC(df: DataFrame, pvalCol: String = "pval"): DataFrame = {
+    // z·z, not pow(z, 2): Math.pow and DuckDB's power may differ in
+    // the last ulp; the plain product is bit-identical in both
+    val z = graft.functions.GraftFunctions.qnorm(lit(1.0) - col(pvalCol) / 2.0)
+    val chi2 = df.filter(col(pvalCol).isNotNull).select((z * z).as("chi2"))
+    // median of the chi-square(1) distribution: qchisq(0.5, 1)
+    val chiMedian = 0.45493642311957283
+    Preprocess.quantilesExact(chi2, "chi2", Seq(0.5))
+      .select(Norm.r4(col("value")).as("median_chi2"),
+        Norm.r4(col("value") / chiMedian).as("lambda_gc"))
+  }
+
+  /** s06: λ_GC over the pseudo p-value results table. */
+  def s06LambdaGc(spark: SparkSession, dir: String): DataFrame =
+    lambdaGC(pseudoPvals(spark, dir))
+
   /** s01: Bonferroni significance flag over pseudo p-values. */
   def s01Bonferroni(spark: SparkSession, dir: String): DataFrame =
     bonferroni(pseudoPvals(spark, dir))
@@ -175,6 +202,15 @@ object Postprocess {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    "s06_lambda_gc" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |z AS (
+         |  SELECT ${Preprocess.qnormSql("1 - pval / 2")} AS z
+         |  FROM p WHERE pval IS NOT NULL
+         |), c AS (SELECT z * z AS chi2 FROM z)
+         |SELECT round(quantile_cont(chi2, 0.5), 4) + 0 AS median_chi2,
+         |  round(quantile_cont(chi2, 0.5) / 0.45493642311957283, 4) + 0 AS lambda_gc
+         |FROM c""".stripMargin,
     "s01_bonferroni" ->
       s"""WITH p AS ($pseudoPvalsSql),
          |n AS (SELECT count(pval) AS n_tests FROM p)

@@ -65,4 +65,20 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tsvLine.contains("\t"))
     intercept[IllegalArgumentException](Postprocess.sortAndWrite(df, s"$base/x", "xlsx"))
   }
+
+  test("lambdaGC is ~1 on uniform p-values and >1 on inflated ones") {
+    val sess = spark
+    import sess.implicits._
+    val n = 2001
+    // symmetric uniform grid: median p = 0.5 -> median chi2 = qchisq(.5,1)
+    val uniform = (1 to n).map(i => i.toDouble / (n + 1)).toDF("pval")
+    val lam = Postprocess.lambdaGC(uniform).head().getDouble(1)
+    assert(math.abs(lam - 1.0) < 0.005, s"lambda=$lam")
+    // squaring each p (stochastically smaller = inflated tests) -> lambda > 1
+    val inflated = (1 to n).map { i =>
+      val p = i.toDouble / (n + 1); p * p
+    }.toDF("pval")
+    val lamInf = Postprocess.lambdaGC(inflated).head().getDouble(1)
+    assert(lamInf > 1.5, s"inflated lambda=$lamInf")
+  }
 }
