@@ -84,6 +84,7 @@ object SparkEntry {
     "c03_split" -> (Corpus.c03Split _),
     "t05_topk_ngrams" -> (TextOps.t05TopkNgrams _),
     "t06_bm25" -> (TextOps.t06Bm25 _),
+    "t07_pii" -> (TextOps.t07Pii _),
   )
 
   def oracleSql: Map[String, String] =

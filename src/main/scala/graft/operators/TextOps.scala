@@ -141,6 +141,54 @@ object TextOps {
   def t05TopkNgrams(spark: SparkSession, dir: String): DataFrame =
     topkNgrams(Tables.documents(spark, dir), n = 2, k = 20)
 
+  // ----------------------------------------------------------- t07 PII
+
+  // patterns chosen to mean the same thing in Java regex (Spark) and
+  // RE2 (DuckDB): character classes + bounded quantifiers only
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /**
+   * PII scan + redaction — the pre-training privacy filter: count
+   * email/URL/phone matches per document and emit the redacted text's
+   * fingerprint (emails → `<EMAIL>` etc., on the lowercased text so
+   * one normalization covers both count and redaction). Pure
+   * codegen'd projection like t01–t04: scanning 100 TB for PII is one
+   * pass, and the counts are the routing signal for drop/redact/keep
+   * policies downstream.
+   */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(t,
+      emailRe, "<EMAIL>"), urlRe, "<URL>"), phoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(emailRe)).as("n_emails"),
+      regexp_count(t, lit(urlRe)).as("n_urls"),
+      regexp_count(t, lit(phoneRe)).as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** t07: PII scan over the corpus with synthetic PII injected
+    * deterministically by doc id (the testdata corpus contains none)
+    * — the oracle replays the same injection, so counts and the
+    * redacted fingerprint are both exercised with non-trivial
+    * values. */
+  def t07Pii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" see https://data.example.com/doc/"), col("doc_id")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" call 555-867-5309"))
+        .otherwise(lit(""))))
+    piiScan(docs).orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- t06 BM25
 
   /**
@@ -229,6 +277,26 @@ object TextOps {
            |    list_transform(string_split($normSql, ''), x -> CAST(ord(x) AS BIGINT))),
            |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "t07_pii" ->
+        s"""WITH aug AS (
+           |  SELECT doc_id, lower(text
+           |    || CASE WHEN doc_id % 7 = 0
+           |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           |         ELSE '' END
+           |    || CASE WHEN doc_id % 11 = 0
+           |         THEN ' see https://data.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           |         ELSE '' END
+           |    || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END) AS t
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(t, '$emailRe')) AS n_emails,
+           |  len(regexp_extract_all(t, '$urlRe')) AS n_urls,
+           |  len(regexp_extract_all(t, '$phoneRe')) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$emailRe', '<EMAIL>', 'g'), '$urlRe', '<URL>', 'g'),
+           |    '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+           |FROM aug ORDER BY doc_id""".stripMargin,
       "t06_bm25" ->
         s"""WITH base AS (
            |  SELECT doc_id, string_split($normSql, ' ') AS w,
