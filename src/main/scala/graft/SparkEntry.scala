@@ -42,6 +42,7 @@ object SparkEntry {
     "p10_scale_minmax" -> (Preprocess.p10ScaleMinmax _),
     "p11_quantiles" -> (Preprocess.p11Quantiles _),
     "p12_clip" -> (Preprocess.p12Clip _),
+    "p13_scale_robust" -> (Preprocess.p13ScaleRobust _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q07_rollup" -> (Relational.q07Rollup _),
     "q08_pivot" -> (Relational.q08Pivot _),
     "q09_skew_join" -> (Relational.q09SkewJoin _),
+    "q10_cube" -> (Relational.q10Cube _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
     "e05_session_window" -> (Relational.e05SessionWindow _),
@@ -148,6 +150,15 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 4) AS notspec,
         |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS low
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_cube" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+        |    AS l_returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+        |    AS l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     // plain join: q09's salting must be result-invisible
     "q09_skew_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,

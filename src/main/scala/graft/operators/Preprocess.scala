@@ -301,6 +301,25 @@ object Preprocess {
   }
 
   /**
+   * Robust scaling: (x − median) / IQR — the outlier-insensitive
+   * alternative to z-scoring (p07) when covariates are heavy-tailed.
+   * Cuts come from the exact distributed quantiles (one range-sort
+   * per column, rank-fetch only); a degenerate column (IQR = 0)
+   * scales to null rather than raising ANSI division-by-zero, like
+   * p07's constant-column guard.
+   */
+  def scaleRobust(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val qs = quantilesExact(d, c, Seq(0.25, 0.5, 0.75))
+        .orderBy("q").collect().map(_.getDouble(1))
+      val (q1, med, q3) = (qs(0), qs(1), qs(2))
+      val iqr = q3 - q1
+      d.withColumn(c,
+        if (iqr == 0.0) lit(null).cast("double")
+        else (col(c).cast("double") - med) / iqr)
+    }
+
+  /**
    * Winsorize/clip to the [loQ, hiQ] exact quantiles: the standard
    * outlier guard before scaling/association. Reuses `quantilesExact`
    * (distributed sort + rank fetch — no approx error, no one-task
@@ -406,6 +425,14 @@ object Preprocess {
       .select(col("q"), Norm.r4(col("value")).as("value"))
       .orderBy("q")
 
+  /** p13: robust-scale c_acctbal by median/IQR. */
+  def p13ScaleRobust(spark: SparkSession, dir: String): DataFrame =
+    scaleRobust(Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_acctbal").cast("double").as("acctbal")),
+      Seq("acctbal"))
+      .select(col("c_custkey"), Norm.r4(col("acctbal")).as("acctbal"))
+      .orderBy("c_custkey")
+
   /** p12: winsorize c_acctbal at the exact [5%, 95%] quantiles. */
   def p12Clip(spark: SparkSession, dir: String): DataFrame =
     clipQuantiles(Tables.customer(spark, dir).select(
@@ -487,6 +514,16 @@ object Preprocess {
         |UNION ALL
         |SELECT CAST(0.99 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.99), 4) + 0 AS value FROM src
         |ORDER BY q""".stripMargin,
+    "p13_scale_robust" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS q1,
+        |         quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS med,
+        |         quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75) AS q3
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |)
+        |SELECT c_custkey,
+        |  round((CAST(c_acctbal AS DOUBLE) - med) / (q3 - q1), 4) + 0 AS acctbal
+        |FROM customer, cuts ORDER BY c_custkey""".stripMargin,
     "p12_clip" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.05) AS lo,

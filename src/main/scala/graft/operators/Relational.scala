@@ -110,6 +110,25 @@ object Relational {
         col("sum_qty"), col("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q10: CUBE — the full grouping-sets lattice (per-pair, per-flag,
+    * per-status, AND grand total in ONE pass — q07's rollup emits
+    * only the hierarchy's prefixes). Same single-shuffle expansion,
+    * same grouping()-based subtotal labels. */
+  def q10Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag"))
+          .as("l_returnflag"),
+        when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus"))
+          .as("l_linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** q08: PIVOT — long-to-wide reshaping (revenue per priority column
     * per order-year row). Pivot values are enumerated explicitly:
     * with known values Spark skips the extra distinct-collection job

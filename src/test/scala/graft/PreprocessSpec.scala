@@ -109,6 +109,19 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scaleRobust centers on the median, scales by IQR, nulls degenerate cols") {
+    val sess = spark
+    import sess.implicits._
+    // 0..100: median 50, IQR 75-25=50
+    val df = (0 to 100).map(i => (i.toLong, i.toDouble, 7.0)).toDF("id", "v", "const")
+    val out = Preprocess.scaleRobust(df, Seq("v", "const"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(50L)._1 == Some(0.0))
+    assert(out(100L)._1 == Some(1.0))
+    assert(out(0L)._1 == Some(-1.0))
+    assert(out(10L)._2.isEmpty) // IQR = 0 -> null, not a division error
+  }
+
   test("clipQuantiles clamps to the exact cuts and passes nulls through") {
     val sess = spark
     import sess.implicits._
