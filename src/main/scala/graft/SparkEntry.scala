@@ -76,7 +76,9 @@ object SparkEntry {
     "q08_pivot" -> (Relational.q08Pivot _),
     "q09_skew_join" -> (Relational.q09SkewJoin _),
     "q10_cube" -> (Relational.q10Cube _),
+    "q11_latest_by_key" -> (Relational.q11LatestByKey _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
+    "e06_funnel" -> (Relational.e06Funnel _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
     "e05_session_window" -> (Relational.e05SessionWindow _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
@@ -159,6 +161,35 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q11_latest_by_key" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev
+        |)
+        |SELECT user_id, event_id, ts, value FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "e06_funnel" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |), w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS first_view FROM ev
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= first_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS first_click FROM w1
+        |), w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= first_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS first_purchase FROM w2
+        |)
+        |SELECT user_id,
+        |  max(CASE WHEN first_purchase IS NOT NULL THEN 3
+        |    WHEN first_click IS NOT NULL THEN 2
+        |    WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS funnel_stage,
+        |  min(first_view) AS first_view
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     // plain join: q09's salting must be result-invisible
     "q09_skew_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,

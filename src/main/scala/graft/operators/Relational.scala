@@ -224,6 +224,47 @@ object Relational {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** q11: CDC/upsert compaction — keep only the LATEST record per key
+    * (row_number over (key, ts desc) = 1), the standard change-log →
+    * current-state collapse. One shuffle on the key; ties broken on
+    * event_id so the result is deterministic under concurrent
+    * timestamps. */
+  def q11LatestByKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** e06: event funnel (view → click → purchase): per user, the first
+    * view, the first click AT OR AFTER it, the first purchase at or
+    * after that — stage reached = how deep the ordered chain goes.
+    * Three STACKED windows on the same user_id partitioning: Catalyst
+    * reuses the exchange, so the whole funnel is ONE shuffle of the
+    * events (the e01 pattern), not one join per stage. */
+  def e06Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" && col("ts") >= col("first_view"),
+          col("ts"))).over(byUser))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("first_click"),
+          col("ts"))).over(byUser))
+      .groupBy("user_id")
+      .agg(min("first_view").as("first_view"),
+        (max(when(col("first_purchase").isNotNull, 3)
+          .when(col("first_click").isNotNull, 2)
+          .when(col("first_view").isNotNull, 1).otherwise(0))).as("funnel_stage"))
+      .select(col("user_id"), col("funnel_stage"), col("first_view"))
+      .orderBy("user_id")
+  }
+
   /** e02: tumbling-window event aggregate — the batch plan equivalent
     * of the Structured Streaming query in graft.streaming (same
     * grouping; streaming variant adds a watermark). */
