@@ -43,6 +43,7 @@ object SparkEntry {
     "p11_quantiles" -> (Preprocess.p11Quantiles _),
     "p12_clip" -> (Preprocess.p12Clip _),
     "p13_scale_robust" -> (Preprocess.p13ScaleRobust _),
+    "p14_missingness" -> (Preprocess.p14Missingness _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
     "d05b_dedup_embedding_lsh" -> (Dedup.d05bDedupEmbeddingLsh _),
     "d06_dedup_components" -> (Dedup.d06DedupComponents _),
+    "d07_contamination" -> (Dedup.d07Contamination _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),

@@ -73,6 +73,41 @@ object Dedup {
       .drop("__graft_words")
   }
 
+  /**
+   * Benchmark-contamination detection — the DECONTAMINATION op a
+   * training corpus needs before eval numbers mean anything: corpus
+   * documents sharing ≥ `minShared` word 3-grams with any benchmark
+   * document. The benchmark side is small (eval sets are thousands of
+   * docs, the corpus is the 100 TB side), so its exploded shingle
+   * postings BROADCAST and the corpus streams through a broadcast
+   * hash join — no shuffle of corpus postings at all; the only
+   * exchange is the (bench_id, corpus_id) count aggregate, bounded by
+   * matching pairs. Same shingle normalization as d02, so thresholds
+   * are comparable across the two.
+   */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Int): DataFrame = {
+    val b = withShingles(benchmark, "text", "sh")
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+    val c = withShingles(corpus, "text", "sh")
+      .select(col("doc_id").as("corpus_id"), explode(col("sh")).as("s"))
+    c.join(broadcast(b), "s")
+      .groupBy("bench_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** d07: corpus docs (id ≥ 25) sharing ≥ 3 word-3-grams with the
+    * "benchmark" slice (id < 25) — catches the corpus's mutated copy
+    * of a benchmark doc (81 shared shingles at sf0.01) over a noise
+    * floor of 1–4. */
+  def d07Contamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(
+      graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25),
+      graft.Tables.documents(spark, dir).filter(col("doc_id") < 25),
+      minShared = 3)
+      .orderBy("bench_id", "corpus_id")
+
   // -------------------------------------------------------- d01 exact
 
   /** Exact dedup: group by normalized-text hash, keep the min id.
@@ -535,6 +570,24 @@ object Dedup {
           |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM corpus)
           |GROUP BY h HAVING count(*) > 1 ORDER BY keep_id""".stripMargin),
+    "d07_contamination" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+        |), words AS (
+        |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM words
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+        |)
+        |SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
+        |  count(*) AS shared_ngrams
+        |FROM ex b JOIN ex c ON b.s = c.s
+        |WHERE b.doc_id < 25 AND c.doc_id >= 25
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY bench_id, corpus_id""".stripMargin,
     "d02_dedup_ngram" ->
       (corpusSql +
         """, norm AS (

@@ -301,6 +301,40 @@ object Preprocess {
   }
 
   /**
+   * Missingness profile: one row per column with null count/fraction
+   * — the data-profiling pass behind the reference's "All values are
+   * missing in covariate column" guard, generalized. ONE aggregate
+   * scan for all columns (map-side partial combine), then the tiny
+   * stats row explodes long-form; at 100 TB this is a single pass
+   * producing |cols| rows.
+   */
+  def missingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "missingness: no columns given")
+    val aggs = count(lit(1)).as("n") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__m_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col("n"),
+          col(s"__m_$c").as("n_null"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.n").as("n"),
+        col("s.n_null").as("n_null"))
+      .withColumn("frac_null", round(col("n_null") / col("n"), 4))
+  }
+
+  /** p14: missingness profile of deterministically-nulled columns. */
+  def p14Missingness(spark: SparkSession, dir: String): DataFrame = {
+    val holey = Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_acctbal"))
+        .cast("double").as("acctbal"),
+      when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_nationkey"))
+        .cast("double").as("nation"),
+      col("c_mktsegment"))
+    missingness(holey, Seq("acctbal", "nation", "c_mktsegment"))
+      .orderBy("column")
+  }
+
+  /**
    * Robust scaling: (x − median) / IQR — the outlier-insensitive
    * alternative to z-scoring (p07) when covariates are heavy-tailed.
    * Cuts come from the exact distributed quantiles (one range-sort
@@ -514,6 +548,24 @@ object Preprocess {
         |UNION ALL
         |SELECT CAST(0.99 AS DOUBLE) AS q, round(quantile_cont(c_acctbal, 0.99), 4) + 0 AS value FROM src
         |ORDER BY q""".stripMargin,
+    "p14_missingness" ->
+      """WITH holey AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE CAST(c_nationkey AS DOUBLE) END AS nation,
+        |    c_mktsegment
+        |  FROM customer
+        |), s AS (
+        |  SELECT 'acctbal' AS "column", count(*) AS n,
+        |    sum(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS n_null FROM holey
+        |  UNION ALL
+        |  SELECT 'nation', count(*), sum(CASE WHEN nation IS NULL THEN 1 ELSE 0 END) FROM holey
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*), sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) FROM holey
+        |)
+        |SELECT "column", n, CAST(n_null AS BIGINT) AS n_null,
+        |  round(n_null * 1.0 / n, 4) AS frac_null
+        |FROM s ORDER BY "column"""".stripMargin,
     "p13_scale_robust" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS q1,
