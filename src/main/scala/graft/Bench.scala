@@ -83,7 +83,15 @@ object Bench {
     val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime._1.min) :+
       ("mas_linear_5000x1800x5cov" -> masTime._2.min)
     def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // per-query times compress to 2 dp with trailing zeros trimmed
+    // ("1.5", "12.17", "3") — the whole JSON line must stay under the
+    // driver's 2000-char tail buffer even as the sweep grows
+    def fq(x: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, x)
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + fq(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
     val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
