@@ -53,12 +53,12 @@ object Bench {
             .as("covs"))
       val cfg = Association.Config(Seq("x"), (0 until d).map(i => s"dep_$i"),
         (1 to k).map(c => s"z$c"), model = "firth", minCaseCount = 10)
-      // median of three runs: the host VM's CPU share varies a lot
-      // between runs — the median is robust to one contended run
-      // without the min's best-case bias. Raw reps are also reported:
-      // identical code has measured 2 s on a quiet host and 80+ s at
-      // system load ~20 (external tenants), and the per-rep spread +
-      // load average tell those apart.
+      // three runs per shape; the headline reports the MIN (the
+      // least-contended estimate — r4's median was pure host
+      // contention at load 28). Raw reps are also reported: identical
+      // code has measured 2 s on a quiet host and 80+ s at system
+      // load ~20 (external tenants), and the per-rep spread + load
+      // average tell those apart.
       def reps3(body: => Unit): Seq[Double] =
         (1 to 3).map { _ =>
           val t0 = System.nanoTime()

@@ -82,8 +82,16 @@ object Corpus {
     val spark = df.sparkSession
     // normalize up front so the RDD passes below can't hit a
     // mid-job ClassCastException (int value column) or NPE (null
-    // value): cast to long (fails fast at analysis for non-numeric
-    // types) and reject nulls with a named error
+    // value): widen INTEGRAL types to long and reject nulls with a
+    // named error. Fractional/other types fail fast HERE — a blind
+    // cast would silently floor-truncate double sizes and overshoot
+    // every shard budget
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"shardPack: value column '$valueCol' must be integral, got $other")
+    }
     val src = df.withColumn(valueCol, col(valueCol).cast(LongType))
     val schema = src.schema
     val vIdx = schema.fieldIndex(valueCol)

@@ -287,7 +287,7 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM s
         |)
-        |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos
+        |SELECT query_id, neighbor_id, rnk, round(cos, 4) + 0 AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // full LSH replay: the same polyHyperplanes sign matrix (squared
     // multiplicative hash of the flat plane*64+dim index), the same
@@ -325,7 +325,7 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM scored
         |)
-        |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos
+        |SELECT query_id, neighbor_id, rnk, round(cos, 4) + 0 AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
   )
 }

@@ -153,5 +153,10 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sizes = Corpus.shardPack(docs, "doc_id", "n_chars", 10000L)
       .groupBy("shard").agg(sum("n_chars").as("sz")).collect().map(_.getLong(1))
     assert(sizes.forall(_ <= 10000L + maxDoc))
+    // fractional size columns fail fast instead of silently truncating
+    intercept[IllegalArgumentException] {
+      Corpus.shardPack(docs.withColumn("n_chars", col("n_chars") * 1.5),
+        "doc_id", "n_chars", 10000L)
+    }
   }
 }
