@@ -24,9 +24,13 @@ object Multimodal {
     * media lake scan would produce). */
   final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String, n_bytes: Int)
 
-  /** Extracted features for one media payload. */
+  /** Extracted features for one media payload. `thumb_md5` is the
+    * checksum of the STUB-resized payload (every 4th byte — the 1-D
+    * stand-in for a thumbnail/downsample; a real resize slots into
+    * the same per-batch decode hook and the plumbing is unchanged). */
   final case class MediaFeature(
-      doc_id: Long, n_bytes: Int, byte_sum: Long, width: Int, height: Int, batch_id: Int)
+      doc_id: Long, n_bytes: Int, byte_sum: Long, width: Int, height: Int,
+      thumb_md5: String, batch_id: Int)
 
   /** Media table synthesized from documents: UTF-8 payload bytes +
     * metadata. A real pipeline reads (path, bytes, mime) from a
@@ -50,8 +54,13 @@ object Multimodal {
       var i = 0
       while (i < r.media.length) { sum += (r.media(i) & 0xff); i += 1 }
       val h = scala.util.hashing.MurmurHash3.bytesHash(r.media, 42)
+      // stub resize: keep every 4th byte (deterministic, per-row —
+      // batching/partitioning cannot change it)
+      val thumb = Array.tabulate((r.media.length + 3) / 4)(j => r.media(j * 4))
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(thumb)
+        .map("%02x".format(_)).mkString
       MediaFeature(r.doc_id, r.media.length, sum,
-        width = 64 + (h & 0x3f), height = 64 + ((h >>> 8) & 0x3f), batchId)
+        width = 64 + (h & 0x3f), height = 64 + ((h >>> 8) & 0x3f), md5, batchId)
     }
 
   /** Batched per-partition feature extraction: groups the partition

@@ -113,9 +113,12 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // features are independent of partitioning/batch split
     feats1.foreach { case (id, f) =>
       val g = feats2(id)
-      assert((f.n_bytes, f.byte_sum, f.width, f.height) ==
-        (g.n_bytes, g.byte_sum, g.width, g.height))
+      assert((f.n_bytes, f.byte_sum, f.width, f.height, f.thumb_md5) ==
+        (g.n_bytes, g.byte_sum, g.width, g.height, g.thumb_md5))
     }
+    // stub resize: thumbnail is every 4th byte -> distinct per doc,
+    // ~quarter-length source
+    assert(feats1.values.map(_.thumb_md5).toSet.size > feats1.size / 2)
     // pseudo-dimensions land in the documented stub range
     assert(feats1.values.forall(f => f.width >= 64 && f.width < 128))
     assert(feats1.values.forall(f => f.height >= 64 && f.height < 128))
