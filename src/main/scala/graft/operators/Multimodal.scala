@@ -34,13 +34,25 @@ object Multimodal {
 
   /** Media table synthesized from documents: UTF-8 payload bytes +
     * metadata. A real pipeline reads (path, bytes, mime) from a
-    * manifest; the schema and downstream plumbing are identical. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    * manifest; the schema and downstream plumbing are identical.
+    *
+    * The m01–m03 DuckDB oracles slice and checksum the VARCHAR by
+    * CHARACTERS (DuckDB has no BLOB substring/md5), while Spark
+    * slices the binary payload by BYTES — equivalent only while every
+    * doc is pure ASCII. That assumption is load-bearing for the hash
+    * gate, so it is asserted per row here: a non-ASCII doc fails the
+    * job loudly instead of silently hash-diverging. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      encode(col("text"), "UTF-8").as("media"),
+      when(octet_length(payload) === length(col("text")), payload)
+        .otherwise(raise_error(concat(
+          lit("mediaTable: non-ASCII text in doc_id="), col("doc_id"),
+          lit(" (m01-m03 oracles assume byte==char slicing)")))).as("media"),
       lit("text/plain").as("mime"),
-      octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
+      octet_length(payload).as("n_bytes"))
+  }
 
   /**
    * STUB decoder for one batch. Real decoders go here (one codec

@@ -292,6 +292,10 @@ object Preprocess {
       .filter { case (_, i) => needed.contains(i) }
       .map { case (r, i) => (i, r.getDouble(0)) }
       .collect().toMap
+    // the checkpointed blocks served both passes; release them now or
+    // per-column callers (scaleRobust's foldLeft) leak a materialized
+    // sorted copy of the data into executor storage per column
+    sorted.unpersist(blocking = false)
     import spark.implicits._
     qs.zip(positions).map { case (q, p) =>
       val lo = ranked(math.floor(p).toLong)

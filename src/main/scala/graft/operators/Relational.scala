@@ -163,6 +163,9 @@ object Relational {
    */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       salts: Int, saltBy: Column): DataFrame = {
+    require(!big.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin: inputs must not already have a __salt column " +
+        "(withColumn would silently overwrite it / collide the join keys)")
     val saltedBig = big.withColumn("__salt", pmod(saltBy, lit(salts)).cast("int"))
     val expl = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))

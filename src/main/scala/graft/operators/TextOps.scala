@@ -224,7 +224,7 @@ object TextOps {
     }.reduce(_ + _)
     withTf.crossJoin(broadcast(stats))
       .select((col("doc_id") +: col("dl") +:
-        terms.map(t => col(s"tf_$t"))) :+ round(score, 4).as("bm25"): _*)
+        terms.map(t => col(s"tf_$t"))) :+ Norm.r4(score).as("bm25"): _*)
   }
 
   def t06Bm25(spark: SparkSession, dir: String): DataFrame =
@@ -323,7 +323,7 @@ object TextOps {
            |      * t.tf_vector * 2.2 / (t.tf_vector + 1.2 * (0.25 + 0.75 * t.dl / avgdl))
            |    + ln((n_docs - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
            |      * t.tf_stream * 2.2 / (t.tf_stream + 1.2 * (0.25 + 0.75 * t.dl / avgdl))
-           |  , 4) AS bm25
+           |  , 4) + 0 AS bm25
            |FROM tf t, stats ORDER BY t.doc_id""".stripMargin,
       "t05_topk_ngrams" ->
         """WITH w AS (
