@@ -57,6 +57,8 @@ object SparkEntry {
     "d05b_dedup_embedding_lsh" -> (Dedup.d05bDedupEmbeddingLsh _),
     "d06_dedup_components" -> (Dedup.d06DedupComponents _),
     "d07_contamination" -> (Dedup.d07Contamination _),
+    "d08_url_dedup" -> (Dedup.d08UrlDedup _),
+    "d09_dup_shingles" -> (Dedup.d09DupShingles _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
@@ -91,6 +93,7 @@ object SparkEntry {
     "t05_topk_ngrams" -> (TextOps.t05TopkNgrams _),
     "t06_bm25" -> (TextOps.t06Bm25 _),
     "t07_pii" -> (TextOps.t07Pii _),
+    "t08_repetition" -> (TextOps.t08Repetition _),
   )
 
   def oracleSql: Map[String, String] =

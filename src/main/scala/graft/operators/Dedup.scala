@@ -108,6 +108,91 @@ object Dedup {
       minShared = 3)
       .orderBy("bench_id", "corpus_id")
 
+  // --------------------------------------------------- d08 URL dedup
+
+  /**
+   * URL canonicalization: collapse the crawl-side variants of one
+   * page — scheme case, host case, `www.` prefix, query string,
+   * fragment, trailing slashes — to a canonical key. Regexes use only
+   * anchors + char classes so Java regex and RE2 (DuckDB) agree, and
+   * every pattern matches at most once so no global flag is needed.
+   */
+  def canonicalUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "^https?://", ""),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/+$", "")
+
+  /**
+   * URL-level exact dedup — the crawl dedup that runs BEFORE any text
+   * comparison: canonicalize, then ONE hash groupBy of (key, id)
+   * keeps the lowest doc id per canonical URL (d01's shape; no text
+   * bytes move at all). At 100 TB this is a projection plus a single
+   * map-side-combined aggregate.
+   */
+  def urlDedup(docs: DataFrame, urlCol: String): DataFrame =
+    docs.withColumn("curl", canonicalUrl(col(urlCol)))
+      .groupBy("curl")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_variants"))
+
+  /** d08: the corpus has no URL column, so the registered query
+    * synthesizes deterministic messy URLs from (source, doc_id) —
+    * mirrored exactly by the oracle — and the canonicalizer is the
+    * operator under test. */
+  def d08UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.com/p/"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("?utm_source=rss&id="), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+    urlDedup(d, "url").orderBy("curl")
+  }
+
+  // -------------------------------------- d09 duplicated-shingle profile
+
+  /**
+   * Per-document duplicated-shingle fraction — the CCNet-style dup
+   * profile that grades HOW duplicated each doc is (vs d02/d03's
+   * binary pair decisions): for each doc, the fraction of its
+   * distinct word 3-grams that also occur in at least one other doc.
+   * Shapes: postings explode once; document frequency is a map-side-
+   * combined count over shingles; the df join back to postings
+   * shuffles ∝ postings (the d02 bound) and the final per-doc
+   * aggregate combines map-side. Nothing is quadratic — a hot shingle
+   * costs its posting-list length, never a pair matrix.
+   */
+  def dupShingleProfile(docs: DataFrame): DataFrame = {
+    val posts = withShingles(docs, "text", "sh")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // postings are distinct per doc, so count(*) per shingle = its
+    // document frequency
+    val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
+    posts.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        Norm.r4(col("n_shared").cast("double") / col("n_shingles")))
+  }
+
+  /** d09: dup-shingle profile over the mutated-copy corpus (dup
+    * classes exist by construction, so shared fractions near 1.0
+    * appear alongside the natural near-dup noise floor). */
+  def d09DupShingles(spark: SparkSession, dir: String): DataFrame =
+    dupShingleProfile(corpus(spark, dir)).orderBy("doc_id")
+
   // -------------------------------------------------------- d01 exact
 
   /** Exact dedup: group by normalized-text hash, keep the min id.
@@ -523,6 +608,46 @@ object Dedup {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d08_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.Example.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0
+        |          THEN '?utm_source=rss&id=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |      '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS curl
+        |  FROM u
+        |)
+        |SELECT curl, min(doc_id) AS canonical_id, count(*) AS n_variants
+        |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
+    "d09_dup_shingles" ->
+      (corpusSql +
+        """, norm AS (
+          |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
+          |), words AS (
+          |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+          |), sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM words
+          |), ex AS (
+          |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+          |), dfreq AS (
+          |  SELECT s, count(*) AS df FROM ex GROUP BY s
+          |)
+          |SELECT e.doc_id, count(*) AS n_shingles,
+          |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          |  round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) + 0
+          |    AS shared_frac
+          |FROM ex e JOIN dfreq d ON e.s = d.s
+          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin),
     // the banking join provably (pigeonhole) recalls EVERY hamming≤3
     // pair, so the oracle is the brute-force pair set over signatures
     // recomputed from scratch in SQL: same shingles, same two

@@ -231,6 +231,51 @@ object TextOps {
     bm25(Tables.documents(spark, dir), Seq("join", "vector", "stream"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------ t08 repetition
+
+  /**
+   * Repetition signals (the Gopher-rules filter that kills template /
+   * boilerplate docs before training): `top_2gram_frac` = fraction of
+   * 2-gram instances claimed by the single most frequent 2-gram, and
+   * `dup_3gram_frac` = fraction of 3-gram instances that repeat an
+   * earlier one. Shapes: the duplicate fraction is a PURE projection
+   * (`array_distinct` over the per-row gram array — no shuffle); the
+   * top-2-gram needs per-(doc, gram) counts — a two-level aggregate,
+   * both levels map-side combined, shuffle bounded by distinct
+   * (doc, gram) pairs, never a corpus-global posting list. Reference
+   * scope: beyond polars-mas; standard pre-training quality filter.
+   */
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = col("__w")
+    // same two-step projection as Dedup.withShingles: materialize the
+    // words array once so the gram lambdas don't re-split per element
+    def grams(n: Int): Column =
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+    val base = docs
+      .withColumn("__w", split(Dedup.normText(col("text")), " "))
+      .withColumn("__g2", grams(2))
+      .withColumn("__g3", grams(3))
+    val proj = base.select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      size(col("__g2")).as("n_2grams"),
+      Norm.r4(when(size(col("__g3")) > 0,
+        lit(1.0) - size(array_distinct(col("__g3"))).cast("double")
+          / size(col("__g3")))).as("dup_3gram_frac"))
+    val top2 = base.select(col("doc_id"), explode(col("__g2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_2gram_count"))
+    proj.join(top2, Seq("doc_id"), "left")
+      .withColumn("top_2gram_frac",
+        Norm.r4(when(col("n_2grams") > 0,
+          col("top_2gram_count").cast("double") / col("n_2grams"))))
+  }
+
+  def t08Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // --------------------------------------------------------- oracle SQL
 
   private val normSql = """lower(regexp_replace(text, '\s+', ' ', 'g'))"""
@@ -325,6 +370,34 @@ object TextOps {
            |      * t.tf_stream * 2.2 / (t.tf_stream + 1.2 * (0.25 + 0.75 * t.dl / avgdl))
            |  , 4) + 0 AS bm25
            |FROM tf t, stats ORDER BY t.doc_id""".stripMargin,
+      "t08_repetition" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+           |), g AS (
+           |  SELECT doc_id, len(w) AS n_words,
+           |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+           |         ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS g2,
+           |    CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+           |         ELSE list_transform(range(1, len(w) - 1),
+           |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS g3
+           |  FROM w
+           |), cnt AS (
+           |  SELECT doc_id, gr, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(g2) AS gr FROM g) GROUP BY doc_id, gr
+           |), t AS (
+           |  SELECT doc_id, max(c) AS top_2gram_count FROM cnt GROUP BY doc_id
+           |)
+           |SELECT g.doc_id, CAST(n_words AS INT) AS n_words,
+           |  CAST(len(g2) AS INT) AS n_2grams,
+           |  CASE WHEN len(g3) > 0
+           |    THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4) + 0 END
+           |    AS dup_3gram_frac,
+           |  t.top_2gram_count,
+           |  CASE WHEN len(g2) > 0
+           |    THEN round(t.top_2gram_count * 1.0 / len(g2), 4) + 0 END
+           |    AS top_2gram_frac
+           |FROM g LEFT JOIN t ON g.doc_id = t.doc_id
+           |ORDER BY g.doc_id""".stripMargin,
       "t05_topk_ngrams" ->
         """WITH w AS (
           |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents

@@ -116,6 +116,52 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repetition computes top-2gram and dup-3gram fractions on crafted docs") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "a a a a"), // g2 = 3x "a a" -> top frac 1.0; g3 = 2x "a a a" -> dup 0.5
+      (2L, "a b c d"), // all grams distinct -> top frac 1/3, dup 0
+      (3L, "x y")      // no 3-grams -> dup_3gram_frac null
+    ).toDF("doc_id", "text")
+    val out = operators.TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 4 && out(1L).getInt(2) == 3)
+    assert(out(1L).getDouble(5) == 1.0 && out(1L).getDouble(3) == 0.5)
+    assert(out(2L).getDouble(5) == 0.3333 && out(2L).getDouble(3) == 0.0)
+    assert(out(3L).isNullAt(3) && out(3L).getLong(4) == 1L)
+  }
+
+  test("canonicalUrl collapses scheme/www/query/fragment/slash variants") {
+    val sess = spark
+    import sess.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Ex.COM/A/Path/?q=1&r=2#frag"),
+      (2L, "http://ex.com/a/path"),
+      (3L, "https://ex.com/a/path///"),
+      (4L, "http://www.ex.com/a/path#x"),
+      (5L, "http://ex.com/other")
+    ).toDF("doc_id", "url")
+    val out = operators.Dedup.urlDedup(urls, "url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("ex.com/a/path") == (1L, 4L)) // all four variants collapse
+    assert(out("ex.com/other") == (5L, 1L))
+    assert(out.size == 2)
+  }
+
+  test("dupShingleProfile: shared fraction counts corpus-wide 3-gram df>=2") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // shingles {a b c, b c d}; "a b c" shared with doc 2
+      (2L, "a b c x"), // shingles {a b c, b c x}
+      (3L, "p q r s")  // disjoint
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.dupShingleProfile(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList.sorted
+    assert(out == List((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+  }
+
   test("saltedJoin equals the plain join on skewed keys, any salt count") {
     val sess = spark
     import sess.implicits._
