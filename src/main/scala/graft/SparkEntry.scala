@@ -81,7 +81,10 @@ object SparkEntry {
     "q09_skew_join" -> (Relational.q09SkewJoin _),
     "q10_cube" -> (Relational.q10Cube _),
     "q11_latest_by_key" -> (Relational.q11LatestByKey _),
+    "q12_scd2" -> (Relational.q12Scd2 _),
+    "q13_json" -> (Relational.q13Json _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
+    "e07_retention" -> (Relational.e07Retention _),
     "e06_funnel" -> (Relational.e06Funnel _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
     "e05_session_window" -> (Relational.e05SessionWindow _),
@@ -176,6 +179,46 @@ object SparkEntry {
         |)
         |SELECT user_id, event_id, ts, value FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "q12_scd2" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |)
+        |SELECT user_id, event_id, value, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+        |    AS is_current
+        |FROM ev ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q13_json" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg(k), 4) + 0 AS avg_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e07_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM ev
+        |), r AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM c GROUP BY 1, 2
+        |), b AS (
+        |  SELECT cohort_week, n_users AS cohort_size FROM r WHERE week_offset = 0
+        |)
+        |SELECT r.cohort_week, r.week_offset, r.n_users, b.cohort_size,
+        |  round(r.n_users * 1.0 / b.cohort_size, 4) + 0 AS retention_pct
+        |FROM r JOIN b USING (cohort_week)
+        |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
     "e06_funnel" ->
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events

@@ -268,6 +268,67 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** e07: weekly cohort retention — the product-analytics matrix
+    * (cohort week × week offset → distinct users). Weeks come from
+    * INTEGER epoch-microsecond division (no FP, engine-exact); the
+    * per-user cohort week is one window min on the user_id exchange;
+    * the distinct-count aggregate is Catalyst's two-level partial
+    * expand. The offset-0 slice (cohort sizes) is output-bounded
+    * (#cohorts rows), so its join back for the retention ratio
+    * broadcasts. */
+  def e07Retention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val cohorts = Tables.events(spark, dir)
+      .withColumn("week", expr("unix_micros(ts) div 604800000000"))
+      .withColumn("cohort_week", min("week").over(byUser))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+    val base = cohorts.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cohorts.join(broadcast(base), "cohort_week")
+      .withColumn("retention_pct",
+        Norm.r4(col("n_users").cast("double") / col("cohort_size")))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q12: SCD type-2 from a change log — each record becomes a
+    * validity interval [valid_from, valid_to) closed by the NEXT
+    * change of the same key; the current version carries the
+    * warehouse "high date" sentinel (kept < 2262 so downstream
+    * ns-resolution readers can hold it). ONE window on the key
+    * partitioning; ties broken on event_id like q11 so concurrent
+    * timestamps stay deterministic. The dimension-history pattern:
+    * change log in, queryable history out, one shuffle. */
+  def q12Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val highDate = lit("2100-01-01 00:00:00").cast("timestamp")
+    Tables.events(spark, dir)
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .withColumn("is_current", col("next_ts").isNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"),
+        coalesce(col("next_ts"), highDate).as("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** q13: semi-structured extraction — pull a typed field out of a
+    * JSON string column (`get_json_object`, codegen'd, no UDF) and
+    * aggregate on it. The extraction is a pure projection fused into
+    * the scan stage, so schema-on-read over 100 TB of raw JSON logs
+    * costs one pass + one map-side-combined aggregate — the
+    * ELT-without-a-staging-table shape. */
+  def q13Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Norm.r4(avg("k")).as("avg_k"),
+        max("k").as("max_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+
   /** e02: tumbling-window event aggregate — the batch plan equivalent
     * of the Structured Streaming query in graft.streaming (same
     * grouping; streaming variant adds a watermark). */
