@@ -20,6 +20,7 @@ object SparkEntry {
     "a01_assoc_linear" -> (Mas.a01AssocLinear _),
     "a02_assoc_linear_cov" -> (Mas.a02AssocLinearCov _),
     "a11_assoc_linear_cov2" -> (Mas.a11AssocLinearCov2 _),
+    "a13_assoc_interaction" -> (Mas.a13AssocInteraction _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),
     "a04_assoc_firth" -> (Mas.a04AssocFirth _),
     "a05_case_counts" -> (Mas.a05CaseCounts _),
@@ -49,6 +50,7 @@ object SparkEntry {
     "s03_annotate" -> (Postprocess.s03Annotate _),
     "s04_sort_output" -> (Postprocess.s04SortOutput _),
     "s06_lambda_gc" -> (Postprocess.s06LambdaGc _),
+    "s07_qq_expected" -> (Postprocess.s07QqExpected _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_ngram" -> (Dedup.d02DedupNgram _),
     "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),
@@ -93,6 +95,7 @@ object SparkEntry {
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
     "c02_shard_pack" -> (Corpus.c02ShardPack _),
     "c03_split" -> (Corpus.c03Split _),
+    "c04_mixture_sample" -> (Corpus.c04MixtureSample _),
     "t05_topk_ngrams" -> (TextOps.t05TopkNgrams _),
     "t06_bm25" -> (TextOps.t06Bm25 _),
     "t07_pii" -> (TextOps.t07Pii _),

@@ -146,6 +146,32 @@ object Corpus {
         .otherwise("test"))
   }
 
+  /**
+   * Target-mixture sampling: hit a DESIRED source/language mix (the
+   * data-mixing step before training) instead of c01's fixed
+   * per-stratum rates. Given target weights and a total budget,
+   * each stratum's keep-rate is min(1, weight·budget/stratumCount) —
+   * counts come from ONE map-side-combined aggregate whose result
+   * (|strata| rows) broadcasts back, then the same deterministic
+   * `hashBucket` filter as c01 selects rows. Re-runs and incremental
+   * top-ups select the same documents; strata below their target
+   * keep everything (rate capped at 1). Two scans + a broadcast —
+   * no data shuffle at any corpus size.
+   */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1),
+      s"mixtureSample: weights must be in [0,1], got $weights")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.join(broadcast(counts), strataCol)
+      .withColumn("__rate", least(lit(1.0), w * budget / col("__n")))
+      .filter(hashBucket(col(idCol), 1000L) < col("__rate") * 1000.0)
+      .drop("__n", "__rate")
+  }
+
   // ------------------------------------------------------------ queries
 
   /** c01: language-stratified deterministic document sample — English
@@ -172,6 +198,17 @@ object Corpus {
     splitAssign(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
       .orderBy("doc_id")
 
+  /** c04: rebalance documents toward a 40/20/20/15/5 en/de/es/fr/zh
+    * target mix on a 300-doc budget — the over-represented languages
+    * downsample, under-target ones keep everything (rate capped at 1). */
+  def c04MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables.documents(spark, dir).select("doc_id", "lang"),
+      "doc_id", "lang",
+      Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05),
+      budget = 300L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
@@ -186,6 +223,16 @@ object Corpus {
          |WHERE ${hashBucketSql("doc_id", 1000L)} <
          |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 300 ELSE 200 END
          |ORDER BY doc_id""".stripMargin,
+    "c04_mixture_sample" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+         |        CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+         |             WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.15
+         |             WHEN 'zh' THEN 0.05 ELSE 0.0 END AS DOUBLE)
+         |        * 300 / n) AS rate FROM n)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${hashBucketSql("doc_id", 1000L)} < rate * 1000.0
+         |ORDER BY d.doc_id""".stripMargin,
     "c02_shard_pack" ->
       """SELECT doc_id, n_chars,
         |  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id

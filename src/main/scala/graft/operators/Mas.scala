@@ -120,6 +120,25 @@ object Mas {
       .orderBy("dependent")
   }
 
+  /** a13: interaction-term association — y ~ x + z1 + x·z1, reported
+    * stats for the INTERACTION coefficient (effect modification, the
+    * PheWAS follow-up question "does the x effect depend on z1?").
+    * Same one-pass Gram path: the interaction product enters as the
+    * "predictor" column and the main effects ride as covariates —
+    * an identical design matrix, so the reported slope IS the
+    * interaction beta. Oracle: FWL with the target residualized on
+    * (x, z1). */
+  def a13AssocInteraction(spark: SparkSession, dir: String): DataFrame = {
+    val df = cohort(spark, dir).withColumn("xz", col("x") * col("z1"))
+    val cfg = Association.Config(Seq("xz"), Seq("y_avg", "y_max"), Seq("x", "z1"),
+      model = "linear", minCaseCount = 10)
+    Association.assoc(df, cfg)
+      .select(col("predictor"), col("dependent"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
+        col("n_observations"))
+      .orderBy("dependent")
+  }
+
   /** a03: logistic association of a binary predictor — the 2×2
     * saturated model, whose MLE is the sample log-odds-ratio, so the
     * oracle is closed-form SQL over the contingency cells. Tight
@@ -345,26 +364,34 @@ object Mas {
     * dummies parameterize it, so the oracle needn't mirror oneHot's
     * drop-first choice). */
   private def fwl2BranchOn(dep: String, z1: String, z2: String): String =
-    s"""SELECT 'x' AS predictor, '$dep' AS dependent,
+    fwl2TargetOn("x", "x", dep, z1, z2)
+
+  /** FWL² with the reported regressor itself an arbitrary SQL
+    * expression (`target`, labeled `label`). Used by a13, where the
+    * target is the interaction x·z1 and the remaining regressors are
+    * its main effects. */
+  private def fwl2TargetOn(label: String, target: String, dep: String,
+      z1: String, z2: String): String =
+    s"""SELECT '$label' AS predictor, '$dep' AS dependent,
        |  round(regr_slope(yr, xr), 4) + 0 AS beta,
        |  round(sqrt(regr_syy(yr, xr) * (1 - regr_r2(yr, xr))
        |    / (regr_count(yr, xr) - 4) / regr_sxx(yr, xr)), 4) + 0 AS se,
        |  CAST(regr_count(yr, xr) AS BIGINT) AS n_observations
        |FROM (
        |  SELECT $dep - (p.my + p.by1 * (($z1) - p.m1) + p.by2 * (($z2) - p.m2)) AS yr,
-       |         x    - (p.mx + p.bx1 * (($z1) - p.m1) + p.bx2 * (($z2) - p.m2)) AS xr
+       |         ($target) - (p.mx + p.bx1 * (($z1) - p.m1) + p.bx2 * (($z2) - p.m2)) AS xr
        |  FROM cohort, (
-       |    SELECT avg($dep) AS my, avg(x) AS mx, avg($z1) AS m1, avg($z2) AS m2,
+       |    SELECT avg($dep) AS my, avg(($target)) AS mx, avg($z1) AS m1, avg($z2) AS m2,
        |      (covar_pop($dep, $z1) * covar_pop($z2, $z2) - covar_pop($dep, $z2) * covar_pop($z1, $z2))
        |        / (covar_pop($z1, $z1) * covar_pop($z2, $z2) - covar_pop($z1, $z2) * covar_pop($z1, $z2)) AS by1,
        |      (covar_pop($dep, $z2) * covar_pop($z1, $z1) - covar_pop($dep, $z1) * covar_pop($z1, $z2))
        |        / (covar_pop($z1, $z1) * covar_pop($z2, $z2) - covar_pop($z1, $z2) * covar_pop($z1, $z2)) AS by2,
-       |      (covar_pop(x, $z1) * covar_pop($z2, $z2) - covar_pop(x, $z2) * covar_pop($z1, $z2))
+       |      (covar_pop(($target), $z1) * covar_pop($z2, $z2) - covar_pop(($target), $z2) * covar_pop($z1, $z2))
        |        / (covar_pop($z1, $z1) * covar_pop($z2, $z2) - covar_pop($z1, $z2) * covar_pop($z1, $z2)) AS bx1,
-       |      (covar_pop(x, $z2) * covar_pop($z1, $z1) - covar_pop(x, $z1) * covar_pop($z1, $z2))
+       |      (covar_pop(($target), $z2) * covar_pop($z1, $z1) - covar_pop(($target), $z1) * covar_pop($z1, $z2))
        |        / (covar_pop($z1, $z1) * covar_pop($z2, $z2) - covar_pop($z1, $z2) * covar_pop($z1, $z2)) AS bx2
-       |    FROM cohort WHERE $dep IS NOT NULL AND x IS NOT NULL) p
-       |  WHERE $dep IS NOT NULL AND x IS NOT NULL)""".stripMargin
+       |    FROM cohort WHERE $dep IS NOT NULL AND ($target) IS NOT NULL) p
+       |  WHERE $dep IS NOT NULL AND ($target) IS NOT NULL)""".stripMargin
 
   private def logisticBranch(dep: String): String =
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
@@ -409,6 +436,11 @@ object Mas {
     "a11_assoc_linear_cov2" ->
       (cohortSql + "\n" +
         Seq("y_avg", "y_max").map(fwl2Branch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a13_assoc_interaction" ->
+      (cohortSql + "\n" +
+        Seq("y_avg", "y_max")
+          .map(fwl2TargetOn("xz", "x * z1", _, "x", "z1"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
     "a12_pipeline_categorical" ->
       (cohortSql + "\n" +
         Seq("y_avg", "y_max")

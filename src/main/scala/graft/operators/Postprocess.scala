@@ -158,6 +158,39 @@ object Postprocess {
   def s06LambdaGc(spark: SparkSession, dir: String): DataFrame =
     lambdaGC(pseudoPvals(spark, dir))
 
+  /**
+   * QQ-plot coordinates — λ_GC's companion diagnostic (per-result,
+   * not one scalar): observed −log10(p) paired with the expected
+   * −log10((rank − ½)/m) under the uniform null. Ranks come from the
+   * distributed range-sort + `zipWithIndex` (the p08/s02 machinery) —
+   * no single-partition window, so a 10M-pair flipwas QQs in
+   * parallel. `tieBreak` columns make tied p-values rank
+   * deterministically (expected_p differs WITHIN a tie run, unlike
+   * BH's running min which absorbs it).
+   */
+  def qqCoordinates(df: DataFrame, pvalCol: String = "pval",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val nonNull = df.filter(col(pvalCol).isNotNull && col(pvalCol) > 0)
+    val schema = nonNull.schema
+    val m = nonNull.count().toDouble
+    val ranked = nonNull
+      .orderBy((col(pvalCol) +: tieBreak.map(col)): _*).rdd.zipWithIndex()
+    val out = ranked.map { case (r, rank0) =>
+      Row.fromSeq(r.toSeq :+ ((rank0 + 1) - 0.5) / m)
+    }
+    spark.createDataFrame(out, schema.add("expected_p", DoubleType))
+  }
+
+  /** s07: QQ coordinates over the pseudo p-values (o_orderkey breaks
+    * ties exactly like the oracle's row_number). */
+  def s07QqExpected(spark: SparkSession, dir: String): DataFrame =
+    qqCoordinates(pseudoPvals(spark, dir), "pval", Seq("o_orderkey"))
+      .select(col("o_orderkey"), round(col("pval"), 6).as("pval"),
+        Norm.r4(-log10(col("pval"))).as("obs_nlp"),
+        Norm.r4(-log10(col("expected_p"))).as("exp_nlp"))
+      .orderBy("o_orderkey")
+
   /** s01: Bonferroni significance flag over pseudo p-values. */
   def s01Bonferroni(spark: SparkSession, dir: String): DataFrame =
     bonferroni(pseudoPvals(spark, dir))
@@ -211,6 +244,18 @@ object Postprocess {
          |SELECT round(quantile_cont(chi2, 0.5), 4) + 0 AS median_chi2,
          |  round(quantile_cont(chi2, 0.5) / 0.45493642311957283, 4) + 0 AS lambda_gc
          |FROM c""".stripMargin,
+    "s07_qq_expected" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |np AS (SELECT o_orderkey, pval FROM p
+         |       WHERE pval IS NOT NULL AND pval > 0),
+         |m AS (SELECT count(*) AS m FROM np),
+         |r AS (SELECT o_orderkey, pval,
+         |        row_number() OVER (ORDER BY pval, o_orderkey) AS rnk
+         |      FROM np)
+         |SELECT o_orderkey, round(pval, 6) AS pval,
+         |  round(-log10(pval), 4) + 0 AS obs_nlp,
+         |  round(-log10((rnk - 0.5) / m.m), 4) + 0 AS exp_nlp
+         |FROM r, m ORDER BY o_orderkey""".stripMargin,
     "s01_bonferroni" ->
       s"""WITH p AS ($pseudoPvalsSql),
          |n AS (SELECT count(pval) AS n_tests FROM p)

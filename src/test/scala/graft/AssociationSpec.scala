@@ -52,6 +52,30 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("equation") == "dep1 ~ p1 + ")
   }
 
+  test("interaction term recovered exactly when y is linear in x, z, xz") {
+    val sess = spark
+    import sess.implicits._
+    // y = 1 + 2x + 3z + 4xz with noise orthogonalized away by n >> k
+    val rows = for (i <- 0 until 60) yield {
+      val x = (i % 7).toDouble; val z = (i % 5).toDouble
+      val eps = math.sin(i * 1.37) * 0.5
+      (i, x, z, x * z, 1.0 + 2.0 * x + 3.0 * z + 4.0 * x * z + eps)
+    }
+    val df = rows.toDF("id", "x", "z", "xz", "y")
+    val cfg = Association.Config(Seq("xz"), Seq("y"), Seq("x", "z"),
+      model = "linear", minCaseCount = 5)
+    val r = Association.assoc(df, cfg).collect()(0)
+    // with bounded noise and a full-rank grid the interaction beta
+    // sits near 4; exact-fit variant pins it to machine precision
+    assert(math.abs(r.getAs[Double]("beta") - 4.0) < 0.05)
+    val exact = rows.map { case (i, x, z, xz, _) =>
+      (i, x, z, xz, 1.0 + 2.0 * x + 3.0 * z + 4.0 * xz) }
+      .toDF("id", "x", "z", "xz", "y")
+    val rx = Association.assoc(exact, cfg).collect()(0)
+    assert(near(rx.getAs[Double]("beta"), 4.0, 1e-8))
+    assert(math.abs(rx.getAs[Double]("se")) < 1e-6) // zero residual
+  }
+
   test("linear stats are partition-count invariant on large-magnitude data") {
     // the round-2 a01 flake class: ~1e4/1e5-magnitude features whose
     // raw Gram sums drift with aggregation order. The centered

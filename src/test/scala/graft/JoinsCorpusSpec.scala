@@ -90,6 +90,24 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(frac("test") - 0.1) < 0.04)
   }
 
+  test("mixtureSample caps under-target strata at keep-all and is deterministic") {
+    val sess = spark
+    import sess.implicits._
+    // 400 'a' rows vs 20 'b' rows; budget 100 at 50/50 target:
+    // a-rate = 50/400 = 0.125, b-rate = min(1, 50/20) = 1 (keep all)
+    val df = ((0L until 400L).map(i => (i, "a")) ++
+      (1000L until 1020L).map(i => (i, "b"))).toDF("doc_id", "lang")
+    val out = Corpus.mixtureSample(df, "doc_id", "lang",
+      Map("a" -> 0.5, "b" -> 0.5), budget = 100L)
+    val byLang = out.collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang("b") == 20) // rate capped at 1 -> every b row kept
+    assert(byLang("a") > 20 && byLang("a") < 90) // ~50 of 400 at rate .125
+    val again = Corpus.mixtureSample(df, "doc_id", "lang",
+      Map("a" -> 0.5, "b" -> 0.5), budget = 100L).collect().length
+    assert(again == out.collect().length) // hash filter, not an RNG
+  }
+
   test("topkNgrams handles docs shorter than n and breaks ties on the ngram") {
     val sess = spark
     import sess.implicits._

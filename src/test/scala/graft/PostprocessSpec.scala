@@ -34,6 +34,21 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out2(3) - 0.051) < 1e-12)
   }
 
+  test("qqCoordinates pairs ascending ranks with (rank-0.5)/m expected p") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(1 -> 0.3, 2 -> 0.1, 3 -> 0.2, 4 -> 0.2).toDF("k", "pval")
+    val out = Postprocess.qqCoordinates(df, "pval", Seq("k")).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Double]("expected_p")).toMap
+    // ascending (pval, k): k=2 (.1), k=3 (.2), k=4 (.2), k=1 (.3)
+    assert(out(2) == 0.5 / 4 && out(3) == 1.5 / 4)
+    assert(out(4) == 2.5 / 4 && out(1) == 3.5 / 4)
+    // zero / null pvals are excluded (log10 domain)
+    val out2 = Postprocess.qqCoordinates(
+      Seq(Some(0.0), None, Some(0.5)).toDF("pval")).collect()
+    assert(out2.length == 1 && out2(0).getDouble(1) == 0.5)
+  }
+
   test("bonferroni counts only non-null pvals for the threshold") {
     val sess = spark
     import sess.implicits._
