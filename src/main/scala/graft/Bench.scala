@@ -91,7 +91,13 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t.dropRight(1) else t
     }
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + fq(v) }.mkString("{", ",", "}")
+    // per-query keys compress to the canonical short id (a01, q12,
+    // d05b …; mas_* headlines stay full) — at 83 queries the full
+    // names alone would blow the driver's 2000-char tail buffer
+    def shortId(name: String): String =
+      if (name.startsWith("mas_")) name else name.takeWhile(_ != '_')
+    val qs = all.map { case (k, v) => "\"" + shortId(k) + "\":" + fq(v) }
+      .mkString("{", ",", "}")
     val total = all.map(_._2).sum
     val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
