@@ -45,6 +45,7 @@ object SparkEntry {
     "p12_clip" -> (Preprocess.p12Clip _),
     "p13_scale_robust" -> (Preprocess.p13ScaleRobust _),
     "p14_missingness" -> (Preprocess.p14Missingness _),
+    "p15_quantile_bin" -> (Preprocess.p15QuantileBin _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
     "n04_label_centroids" -> (Similarity.n04LabelCentroids _),
+    "n05_radius_search" -> (Similarity.n05RadiusSearch _),
     "t01_langid" -> (TextOps.t01LangId _),
     "t02_quality" -> (TextOps.t02Quality _),
     "t03_tokens" -> (TextOps.t03Tokens _),
@@ -100,6 +102,7 @@ object SparkEntry {
     "t06_bm25" -> (TextOps.t06Bm25 _),
     "t07_pii" -> (TextOps.t07Pii _),
     "t08_repetition" -> (TextOps.t08Repetition _),
+    "t09_char_entropy" -> (TextOps.t09CharEntropy _),
   )
 
   def oracleSql: Map[String, String] =

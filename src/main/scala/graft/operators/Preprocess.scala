@@ -378,6 +378,28 @@ object Preprocess {
       when(v.isNotNull, least(greatest(v, lit(lo)), lit(hi))))
   }
 
+  /**
+   * Quantile binning (equal-frequency discretization): cut points at
+   * q = 1/k … (k−1)/k from the EXACT distributed quantile (p11
+   * machinery — range-sort + rank fetch, k−1 doubles of model state
+   * on the driver), then bin assignment is a pure projection
+   * bin = Σ 1[v ≥ cutᵢ]. The indicator-sum form survives duplicate
+   * cut values (heavily tied data just skips bins) and mirrors
+   * verbatim in SQL. The standard covariate-coarsening /
+   * feature-discretization step; one sort + one scan at any scale.
+   */
+  def quantileBin(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"quantileBin: need k >= 2 bins, got $k")
+    val qs = (1 until k).map(_.toDouble / k)
+    val cuts = quantilesExact(df, valueCol, qs)
+      .orderBy("q").collect().map(_.getDouble(1))
+    val v = col(valueCol).cast("double")
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(v >= lit(c), 1).otherwise(0)
+    }
+    df.withColumn(s"${valueCol}_bin", when(v.isNotNull, bin))
+  }
+
   // ============================================================ queries
 
   /** p01: name + positional selection over lineitem. */
@@ -469,6 +491,14 @@ object Preprocess {
       col("c_custkey"), col("c_acctbal").cast("double").as("acctbal")),
       Seq("acctbal"))
       .select(col("c_custkey"), Norm.r4(col("acctbal")).as("acctbal"))
+      .orderBy("c_custkey")
+
+  /** p15: quartile binning of c_acctbal (k = 4 equal-frequency bins). */
+  def p15QuantileBin(spark: SparkSession, dir: String): DataFrame =
+    quantileBin(Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_acctbal").cast("double").as("acctbal")),
+      "acctbal", 4)
+      .select(col("c_custkey"), col("acctbal"), col("acctbal_bin"))
       .orderBy("c_custkey")
 
   /** p12: winsorize c_acctbal at the exact [5%, 95%] quantiles. */
@@ -579,6 +609,19 @@ object Preprocess {
         |)
         |SELECT c_custkey,
         |  round((CAST(c_acctbal AS DOUBLE) - med) / (q3 - q1), 4) + 0 AS acctbal
+        |FROM customer, cuts ORDER BY c_custkey""".stripMargin,
+    "p15_quantile_bin" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS c1,
+        |         quantile_cont(CAST(c_acctbal AS DOUBLE), 0.50) AS c2,
+        |         quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75) AS c3
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |)
+        |SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  CASE WHEN c_acctbal IS NULL THEN NULL ELSE
+        |    (CASE WHEN c_acctbal >= c1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c_acctbal >= c2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c_acctbal >= c3 THEN 1 ELSE 0 END) END AS acctbal_bin
         |FROM customer, cuts ORDER BY c_custkey""".stripMargin,
     "p12_clip" ->
       """WITH cuts AS (

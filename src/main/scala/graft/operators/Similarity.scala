@@ -46,6 +46,30 @@ object Similarity {
     knnBrute(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
 
+  /**
+   * Radius (threshold) search: every corpus vector within cosine ≥
+   * `tau` of each query — retrieval's "give me everything similar
+   * enough" counterpart to n01's fixed top-k. Same broadcast shape
+   * (bounded query set broadcasts, corpus streams) but with a
+   * threshold FILTER instead of a top-k window, so the plan has no
+   * window and no shuffle beyond the presentation sort — at 100 TB
+   * it is one streaming pass over the corpus per query batch.
+   */
+  def radiusSearch(emb: DataFrame, queryPred: Column, tau: Double): DataFrame = {
+    val withN = Dedup.withNorm(emb)
+    val q = withN.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val n = withN.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("neighbor_id"), Norm.r4(col("cos")).as("cos"))
+  }
+
+  def n05RadiusSearch(spark: SparkSession, dir: String): DataFrame =
+    radiusSearch(embeddings(spark, dir), col("vec_id") < 25, tau = 0.3)
+      .orderBy("query_id", "neighbor_id")
+
   // ------------------------------------------------------------ n02 LSH
 
   /** Deterministic ±1 hyperplane entries (splitmix bit stream). */
@@ -272,6 +296,17 @@ object Similarity {
         |  round(avg(v), 4) + 0 AS centroid,
         |  count(*) AS n_vectors
         |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "n05_radius_search" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        |),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 25)
+        |SELECT q.query_id, n.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(q.qe, n.e), 4) + 0 AS cos
+        |FROM q JOIN emb n ON q.query_id <> n.vec_id
+        |WHERE list_cosine_similarity(q.qe, n.e) >= 0.3
+        |ORDER BY query_id, neighbor_id""".stripMargin,
     "n01_knn_brute" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

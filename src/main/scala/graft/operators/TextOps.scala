@@ -231,6 +231,35 @@ object TextOps {
     bm25(Tables.documents(spark, dir), Seq("join", "vector", "stream"))
       .orderBy("doc_id")
 
+  // ----------------------------------------------------- t09 entropy
+
+  /**
+   * Character-level Shannon entropy (nats) per document — the cheap
+   * compressibility proxy that catches keyboard-mash / padded /
+   * binary-ish docs that length and stopword filters miss. Computed
+   * as H = ln(n) − (Σ c·ln c)/n from per-character counts, all
+   * INSIDE one projection (distinct alphabet → filter-count per
+   * char): no shuffle at any corpus size. The per-row alphabet is
+   * SORTED before the fold so the double-sum order — and therefore
+   * every last ulp — is identical in Spark and the DuckDB oracle.
+   */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = col("__chars")
+    val counts = transform(array_sort(array_distinct(chars)),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    val sumClnC = aggregate(counts, lit(0.0), (acc, c) => acc + c * log(c))
+    val n = length(col("text"))
+    docs
+      .withColumn("__chars", split(col("text"), ""))
+      .select(col("doc_id"), n.as("n_chars"),
+        Norm.r4(when(n > 0,
+          log(n.cast("double")) - sumClnC / n.cast("double")))
+          .as("char_entropy"))
+  }
+
+  def t09CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropy(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------ t08 repetition
 
   /**
@@ -370,6 +399,23 @@ object TextOps {
            |      * t.tf_stream * 2.2 / (t.tf_stream + 1.2 * (0.25 + 0.75 * t.dl / avgdl))
            |  , 4) + 0 AS bm25
            |FROM tf t, stats ORDER BY t.doc_id""".stripMargin,
+      "t09_char_entropy" ->
+        """WITH c AS (
+          |  SELECT doc_id, length(text) AS n, string_split(text, '') AS ch
+          |  FROM documents
+          |), k AS (
+          |  SELECT doc_id, n,
+          |    list_transform(list_sort(list_distinct(ch)),
+          |      c -> CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE)) AS cnts
+          |  FROM c
+          |)
+          |SELECT doc_id, CAST(n AS INT) AS n_chars,
+          |  CASE WHEN n > 0 THEN
+          |    round(ln(CAST(n AS DOUBLE)) -
+          |      list_reduce(list_prepend(CAST(0 AS DOUBLE), cnts),
+          |        (a, x) -> a + x * ln(x)) / CAST(n AS DOUBLE), 4) + 0
+          |  END AS char_entropy
+          |FROM k ORDER BY doc_id""".stripMargin,
       "t08_repetition" ->
         s"""WITH w AS (
            |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents

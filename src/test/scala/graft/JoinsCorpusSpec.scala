@@ -150,6 +150,18 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L).isNullAt(3) && out(3L).getLong(4) == 1L)
   }
 
+  test("charEntropy matches the closed form; uniform max, constant zero") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, ""), (4L, "abcd")).toDF("doc_id", "text")
+    val out = operators.TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(out(1L) == Some(math.rint(math.log(2) * 1e4) / 1e4)) // two symbols 50/50 -> ln 2
+    assert(out(2L) == Some(0.0))  // single symbol -> zero entropy
+    assert(out(3L).isEmpty)       // empty doc -> null
+    assert(out(4L) == Some(math.rint(math.log(4) * 1e4) / 1e4)) // uniform over 4 -> ln 4
+  }
+
   test("canonicalUrl collapses scheme/www/query/fragment/slash variants") {
     val sess = spark
     import sess.implicits._

@@ -51,6 +51,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("radiusSearch returns exactly the above-threshold cosine pairs") {
+    val sess = spark
+    import sess.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),  // query
+      (1L, Seq(2.0, 0.0)),  // cos 1.0
+      (2L, Seq(0.0, 1.0)),  // cos 0.0
+      (3L, Seq(1.0, 1.0)),  // cos ~0.7071
+      (4L, Seq(0.0, 0.0))   // zero norm -> excluded
+    ).toDF("vec_id", "e")
+    val out = Similarity.radiusSearch(emb, col("vec_id") === 0, tau = 0.5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == 1.0 && out(3L) == 0.7071)
+  }
+
   test("ANN IVF achieves high recall of the exact top-5 neighbors; candidates shrink") {
     val emb = Similarity.embeddings(spark, dir)
     val exact = Similarity.knnBrute(emb, col("vec_id") < 25, 5).collect()

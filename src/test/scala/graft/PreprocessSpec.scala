@@ -138,4 +138,20 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
       Preprocess.clipQuantiles(df, "v", 0.9, 0.1)
     }
   }
+
+  test("quantileBin assigns balanced equal-frequency bins; nulls stay null") {
+    val sess = spark
+    import sess.implicits._
+    // 1..8, k=4: cuts at 2.75 / 4.5 / 6.25 -> bins {1,2}=0 {3,4}=1 {5,6}=2 {7,8}=3
+    val df = ((1 to 8).map(i => (i.toLong, Some(i.toDouble))) :+ (99L, None))
+      .toDF("id", "v")
+    val out = Preprocess.quantileBin(df, "v", 4).collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("v_bin")))).toMap
+    assert(out(1L) == Some(0) && out(2L) == Some(0))
+    assert(out(3L) == Some(1) && out(4L) == Some(1))
+    assert(out(5L) == Some(2) && out(6L) == Some(2))
+    assert(out(7L) == Some(3) && out(8L) == Some(3))
+    assert(out(99L).isEmpty)
+    intercept[IllegalArgumentException](Preprocess.quantileBin(df, "v", 1))
+  }
 }
