@@ -87,6 +87,7 @@ object SparkEntry {
     "q11_latest_by_key" -> (Relational.q11LatestByKey _),
     "q12_scd2" -> (Relational.q12Scd2 _),
     "q13_json" -> (Relational.q13Json _),
+    "q14_merge_upsert" -> (Relational.q14MergeUpsert _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
     "e06_funnel" -> (Relational.e06Funnel _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "t07_pii" -> (TextOps.t07Pii _),
     "t08_repetition" -> (TextOps.t08Repetition _),
     "t09_char_entropy" -> (TextOps.t09CharEntropy _),
+    "t10_tfidf_keywords" -> (TextOps.t10TfidfKeywords _),
   )
 
   def oracleSql: Map[String, String] =
@@ -205,6 +207,27 @@ object SparkEntry {
         |  round(avg(k), 4) + 0 AS avg_k, max(k) AS max_k,
         |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_merge_upsert" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |), b AS (
+        |  SELECT user_id, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE event_id < 5000) WHERE rn = 1
+        |), d AS (
+        |  SELECT user_id, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE event_id >= 5000) WHERE rn = 1
+        |)
+        |SELECT coalesce(d.user_id, b.user_id) AS user_id,
+        |  coalesce(d.event_id, b.event_id) AS event_id,
+        |  coalesce(d.ts, b.ts) AS ts,
+        |  coalesce(d.value, b.value) AS value,
+        |  d.event_id IS NOT NULL AS updated
+        |FROM b FULL OUTER JOIN d ON b.user_id = d.user_id
+        |ORDER BY user_id""".stripMargin,
     "e07_retention" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -313,6 +313,34 @@ object Relational {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** q14: MERGE/upsert — apply a compacted change batch to a base
+    * snapshot: latest-per-key on each side (q11's one-window
+    * compaction), then ONE full-outer join on the key with
+    * delta-wins coalescing. The incremental-refresh shape every
+    * warehouse table maintenance job runs; both windows and the join
+    * share the key partitioning, and nothing passes through the
+    * driver. */
+  def q14MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val base = latest(ev.filter(col("event_id") < 5000)).select(
+      col("user_id"), col("event_id").as("b_event_id"),
+      col("ts").as("b_ts"), col("value").as("b_value"))
+    val delta = latest(ev.filter(col("event_id") >= 5000)).select(
+      col("user_id"), col("event_id").as("d_event_id"),
+      col("ts").as("d_ts"), col("value").as("d_value"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("d_event_id"), col("b_event_id")).as("event_id"),
+        coalesce(col("d_ts"), col("b_ts")).as("ts"),
+        coalesce(col("d_value"), col("b_value")).as("value"),
+        col("d_event_id").isNotNull.as("updated"))
+      .orderBy("user_id")
+  }
+
   /** q13: semi-structured extraction — pull a typed field out of a
     * JSON string column (`get_json_object`, codegen'd, no UDF) and
     * aggregate on it. The extraction is a pure projection fused into

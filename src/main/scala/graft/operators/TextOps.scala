@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -231,6 +232,38 @@ object TextOps {
     bm25(Tables.documents(spark, dir), Seq("join", "vector", "stream"))
       .orderBy("doc_id")
 
+  // ----------------------------------------------- t10 tf-idf keywords
+
+  /**
+   * Per-document top-k TF-IDF keywords — the corpus-aware keyword
+   * extraction behind labeling/routing/topic features. Shapes: term
+   * frequencies and document frequencies are two map-side-combined
+   * aggregates (shuffle ∝ distinct (doc, term) then vocab); the doc
+   * count broadcasts as ONE row (the t06 stats shape); top-k is a
+   * per-doc window (bounded partitions — a doc's vocabulary, never
+   * the corpus). Deterministic: score ties break on the term.
+   */
+  def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"tfidfKeywords: k must be positive, got $k")
+    val words = docs
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("w").as("term"),
+        Norm.r4(col("score")).as("score"))
+  }
+
+  def t10TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywords(Tables.documents(spark, dir), k = 3)
+      .orderBy("doc_id", "rnk")
+
   // ----------------------------------------------------- t09 entropy
 
   /**
@@ -399,6 +432,24 @@ object TextOps {
            |      * t.tf_stream * 2.2 / (t.tf_stream + 1.2 * (0.25 + 0.75 * t.dl / avgdl))
            |  , 4) + 0 AS bm25
            |FROM tf t, stats ORDER BY t.doc_id""".stripMargin,
+      "t10_tfidf_keywords" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS w FROM documents
+           |), w2 AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+           |tf AS (SELECT doc_id, w, count(*) AS tf FROM w2 GROUP BY doc_id, w),
+           |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |s AS (
+           |  SELECT tf.doc_id, tf.w, tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+           |  FROM tf JOIN dfq USING (w), n
+           |), r AS (
+           |  SELECT doc_id, w, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+           |  FROM s
+           |)
+           |SELECT doc_id, CAST(rnk AS INT) AS rnk, w AS term,
+           |  round(score, 4) + 0 AS score
+           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
       "t09_char_entropy" ->
         """WITH c AS (
           |  SELECT doc_id, length(text) AS n, string_split(text, '') AS ch
