@@ -96,6 +96,10 @@ object Bench {
     // names alone would blow the driver's 2000-char tail buffer
     def shortId(name: String): String =
       if (name.startsWith("mas_")) name else name.takeWhile(_ != '_')
+    // two query names sharing a prefix (t11_a / t11_b) would silently
+    // merge two timings under one JSON key — fail loudly instead
+    require(all.map(kv => shortId(kv._1)).distinct.size == all.size,
+      "bench short ids collide; disambiguate the query names")
     val qs = all.map { case (k, v) => "\"" + shortId(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum

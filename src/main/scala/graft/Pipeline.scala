@@ -212,9 +212,12 @@ object Pipeline {
     var out = Postprocess.bonferroni(results)
     val defs: Option[DataFrame] = cfg.annotateDefs.orElse {
       if (cfg.phewas || cfg.flipwas) {
-        require(cfg.phecodeDefs.nonEmpty,
-          "--phewas/--flipwas need --phecode-defs <csv> (public phecode_definitions catalog layout).")
-        Some(Sources.phecodeDefs(raw.sparkSession, cfg.phecodeDefs))
+        // no --phecode-defs needed: the public catalog ships bundled,
+        // mirroring the reference (constants.py:6-16); a user-pointed
+        // CSV overrides it
+        Some(if (cfg.phecodeDefs.nonEmpty)
+          Sources.phecodeDefs(raw.sparkSession, cfg.phecodeDefs)
+        else Sources.bundledPhecodeDefs(raw.sparkSession))
       } else None
     }
     defs.foreach { d =>

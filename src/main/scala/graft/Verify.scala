@@ -5,13 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, baseOutDir) = args
     val spark = GraftSession.get()
-    new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated names) for fast local
     // iteration on new queries; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // subset runs land in a sibling dir: a partial oracle_sql.json must
+    // never overwrite a full run's, or a later gate pass over stale
+    // per-query dirs would report full success on partial coverage
+    val outDir = if (only.isDefined) baseOutDir + "-subset" else baseOutDir
+    new java.io.File(outDir).mkdirs()
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -54,7 +54,7 @@ object Association {
       dependents: Seq[String],
       covariates: Seq[String] = Nil,
       model: String = "firth",
-      minCaseCount: Int = 10,
+      minCaseCount: Int = 20, // reference default (cli.py:114-117)
       maxIter: Int = 25,
       tol: Double = 1e-5)
 

@@ -157,11 +157,18 @@ object Corpus {
    * top-ups select the same documents; strata below their target
    * keep everything (rate capped at 1). Two scans + a broadcast —
    * no data shuffle at any corpus size.
+   *
+   * Strata NOT listed in `weights` are DROPPED (rate 0) — the mix is
+   * a whitelist: anything outside the target mixture is excluded,
+   * the way a data-mix spec excludes unlisted sources. Weights must
+   * sum to ≤ 1 so the budget cannot be silently overshot.
    */
   def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
       weights: Map[String, Double], budget: Long): DataFrame = {
     require(weights.values.forall(w => w >= 0 && w <= 1),
       s"mixtureSample: weights must be in [0,1], got $weights")
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"mixtureSample: weights sum to ${weights.values.sum} > 1 — the budget would overshoot")
     val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
     val w = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)

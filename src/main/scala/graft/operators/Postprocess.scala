@@ -173,10 +173,18 @@ object Postprocess {
     val spark = df.sparkSession
     val nonNull = df.filter(col(pvalCol).isNotNull && col(pvalCol) > 0)
     val schema = nonNull.schema
-    val m = nonNull.count().toDouble
-    val ranked = nonNull
-      .orderBy((col(pvalCol) +: tieBreak.map(col)): _*).rdd.zipWithIndex()
-    val out = ranked.map { case (r, rank0) =>
+    // pin the sorted data before counting: count() and the rank scan
+    // are two jobs, and on a nondeterministic input a recomputed plan
+    // could yield an m that disagrees with the ranks — localCheckpoint
+    // makes both passes read the same materialized blocks (the
+    // quantilesExact pattern; blocks free with the RDD's GC, they
+    // cannot be unpersisted eagerly because the returned frame reads
+    // them lazily)
+    val sorted = nonNull
+      .orderBy((col(pvalCol) +: tieBreak.map(col)): _*).rdd
+    sorted.localCheckpoint()
+    val m = sorted.count().toDouble
+    val out = sorted.zipWithIndex().map { case (r, rank0) =>
       Row.fromSeq(r.toSeq :+ ((rank0 + 1) - 0.5) / m)
     }
     spark.createDataFrame(out, schema.add("expected_p", DoubleType))

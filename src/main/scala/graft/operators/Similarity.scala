@@ -61,9 +61,14 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val n = withN.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
     broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .withColumn("cos", Norm.r4(Dedup.dot(col("qe"), col("ne")) / (col("qn") * col("nn"))))
+      // threshold the ROUNDED value: membership is decided on the same
+      // 4-dp number the row reports, so an engine-to-engine ulp
+      // difference in the raw cosine can't flip a pair in or out at
+      // the tau boundary (it would need to straddle a 5e-5 rounding
+      // edge AND tau simultaneously)
       .filter(col("cos") >= tau)
-      .select(col("query_id"), col("neighbor_id"), Norm.r4(col("cos")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
   def n05RadiusSearch(spark: SparkSession, dir: String): DataFrame =
@@ -154,73 +159,89 @@ object Similarity {
 
   // ------------------------------------------------------------ n03 IVF
 
+  /** Fixed-point grid for the IVF codebook: unit vectors and centroids
+    * quantize to 1e-6 (±1e6 as longs). Integer partial sums make Lloyd
+    * training EXACT and summation-order-independent — re-runs on any
+    * partitioning (or any engine) re-derive the same codebook bit for
+    * bit, where double partials merged in shuffle-fetch order could
+    * drift an ulp and swap a near-boundary vector between lists. */
+  private[graft] val IvfScale = 1e6
+
+  /** Half-away-from-zero rounding to the 1e-6 grid — the semantics of
+    * both Spark SQL `round()` (BigDecimal HALF_UP) and DuckDB
+    * `round()`, so driver-side centroid math lands on the same longs. */
+  private def q6(x: Double): Long =
+    (if (x >= 0) math.floor(x * IvfScale + 0.5) else math.ceil(x * IvfScale - 0.5)).toLong
+
+  /** Unit vectors on the 1e-6 grid (`q` = round(e/‖e‖ · 1e6) as longs)
+    * alongside the original embedding + norm for exact re-ranking. */
+  private[graft] def quantized(emb: DataFrame): DataFrame =
+    Dedup.withNorm(emb)
+      .withColumn("q", transform(col("e"), x => round(x / col("nrm") * lit(IvfScale)).cast("long")))
+
   /**
    * Spherical k-means coarse quantizer (the IVF codebook): Lloyd
    * iterations where ONLY the k×dims centroid table ever leaves the
    * executors — assignment is a broadcast argmax-dot projection over
-   * the corpus, the per-list mean reduces map-side via a posexplode +
-   * (list, dim) aggregation, and the collected model (k·dims doubles,
+   * the corpus, the per-list sums reduce map-side via a posexplode +
+   * (list, dim) aggregation, and the collected model (k·dims longs,
    * same altitude as IRLS's beta) is re-broadcast for the next round.
-   * Deterministic up to floating-point sum order: seeds are the k
-   * lowest-id vectors, fixed iteration count, no RNG — but the
-   * per-list means merge double partials in shuffle-fetch order, so
-   * re-runs on a real cluster can differ in the last ulp (and a
-   * near-boundary vector may swap lists). Treat the codebook as a
-   * model artifact: train once, persist, reuse — not as a value that
-   * re-derives bit-identically.
+   * Fully deterministic: seeds are the k lowest-id vectors, fixed
+   * iteration count, no RNG, and — because assignment dots and
+   * per-list sums are INTEGER arithmetic on the 1e-6 grid — the
+   * result is independent of partition count and shuffle order. The
+   * only FP steps (mean, renormalize) run driver-side on exact
+   * integer inputs and re-quantize, so the whole training loop
+   * replays verbatim in the DuckDB oracle (the n02 trick, extended
+   * from one hash family to an iterative fit).
    */
-  private[graft] def ivfCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
-    ivfCentroidsFromUnit(
-      Dedup.withNorm(emb)
-        .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
-        .localCheckpoint(true), // read once per Lloyd iteration
-      k, iters)
-
-  private def ivfCentroidsFromUnit(unit: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    var cents = unit.orderBy("vec_id").limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
+  private[graft] def ivfCentroidsQ(unitQ: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = unitQ.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
     for (_ <- 1 to iters) {
-      val assignUdf = nearestCentroidUdf(cents)
-      val sums = unit
-        .withColumn("cid", assignUdf(col("u")))
-        .select(col("cid"), posexplode(col("u")).as(Seq("dim", "v")))
-        .groupBy("cid", "dim").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      val sums = unitQ
+        .withColumn("cid", nearestListUdf(cents)(col("q")))
+        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "qv")))
+        .groupBy("cid", "dim").agg(sum("qv").as("s"), count(lit(1)).as("n"))
         .collect()
-      val next = cents.map(_.clone())
+      // raw means on the grid; a list with no members keeps its old
+      // centroid (and still renormalizes, like every other list)
+      val m = cents.map(_.map(_.toDouble / IvfScale))
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        m(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3).toDouble * IvfScale)
       }
-      // re-normalize to the sphere (spherical k-means step)
-      cents = next.map { c =>
+      cents = m.map { c =>
         val n = math.sqrt(c.map(x => x * x).sum)
-        if (n > 0) c.map(_ / n) else c
+        (if (n > 0) c.map(_ / n) else c).map(q6)
       }
     }
     cents
   }
 
-  private def nearestCentroidUdf(cents: Array[Array[Double]]) =
-    udf((u: Seq[Double]) => {
-      var best = 0; var bestDot = Double.NegativeInfinity
+  /** argmax_c Σ q·cq — exact long arithmetic (|q|,|cq| ≤ 1e6 → each
+    * term ≤ 1e12, 64-dim sum ≤ 6.4e13 ≪ 2⁶³); ties → lowest list id. */
+  private def nearestListUdf(cents: Array[Array[Long]]) =
+    udf((q: Seq[Long]) => {
+      var best = 0; var bestDot = Long.MinValue
       var c = 0
       while (c < cents.length) {
-        var dot = 0.0; var d = 0
+        var dot = 0L; var d = 0
         val cent = cents(c)
-        val lim = math.min(cent.length, u.length)
-        while (d < lim) { dot += cent(d) * u(d); d += 1 }
+        val lim = math.min(cent.length, q.length)
+        while (d < lim) { dot += cent(d) * q(d); d += 1 }
         if (dot > bestDot) { bestDot = dot; best = c }
         c += 1
       }
       best
     })
 
-  private def nearestCentroidsUdf(cents: Array[Array[Double]], nprobe: Int) =
-    udf((u: Seq[Double]) =>
+  private def nearestListsUdf(cents: Array[Array[Long]], nprobe: Int) =
+    udf((q: Seq[Long]) =>
       cents.indices.map { c =>
-        var dot = 0.0; var d = 0
+        var dot = 0L; var d = 0
         val cent = cents(c)
-        val lim = math.min(cent.length, u.length)
-        while (d < lim) { dot += cent(d) * u(d); d += 1 }
+        val lim = math.min(cent.length, q.length)
+        while (d < lim) { dot += cent(d) * q(d); d += 1 }
         (-dot, c)
       }.sorted.take(nprobe).map(_._2))
 
@@ -235,17 +256,15 @@ object Similarity {
    */
   def annIvf(emb: DataFrame, queryPred: Column, k: Int,
       lists: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
-    // one scan + one checkpointed normalized table feeds codebook
+    // one scan + one checkpointed quantized table feeds codebook
     // training, corpus assignment, AND query probing
-    val withN = Dedup.withNorm(emb)
-      .withColumn("u", transform(col("e"), x => x / col("nrm")))
-      .localCheckpoint(true)
-    val cents = ivfCentroidsFromUnit(withN.select("vec_id", "u"), lists, iters)
+    val withN = quantized(emb).localCheckpoint(true)
+    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters)
     val corpus = withN
-      .withColumn("cid", nearestCentroidUdf(cents)(col("u")))
+      .withColumn("cid", nearestListUdf(cents)(col("q")))
       .select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"), col("cid"))
     val queries = withN.filter(queryPred)
-      .withColumn("cid", explode(nearestCentroidsUdf(cents, nprobe)(col("u"))))
+      .withColumn("cid", explode(nearestListsUdf(cents, nprobe)(col("q"))))
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"), col("cid"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     queries.join(corpus, Seq("cid"))
@@ -257,9 +276,10 @@ object Similarity {
   }
 
   /** n03: IVF-flat ANN — the brief's "IVF variant as the scale path"
-    * alongside n02's LSH. Rows + recall spec vs n01: unlike n02's
-    * polynomial planes, a k-means codebook (iterating FP means) is a
-    * trained model artifact, not SQL-re-derivable. */
+    * alongside n02's LSH. The fixed-point codebook (ivfCentroidsQ)
+    * makes the whole path — training, list assignment, probing,
+    * re-rank — deterministic and DuckDB-replayable, so n03 carries a
+    * full hash oracle (plus the recall spec vs n01). */
   def n03AnnIvf(spark: SparkSession, dir: String): DataFrame =
     annIvf(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
@@ -285,7 +305,84 @@ object Similarity {
 
   // --------------------------------------------------------- oracle SQL
 
+  /**
+   * Full DuckDB replay of the IVF path: quantize → seed → `iters`
+   * unrolled Lloyd iterations (integer argmax assignment, exact
+   * integer per-list sums, driver-identical mean/renormalize/
+   * re-quantize) → corpus assignment → nprobe probing → exact cosine
+   * re-rank. Every cross-engine-sensitive reduction is integer
+   * arithmetic on the 1e-6 grid, so the unroll is exact, not
+   * approximately-replayed.
+   */
+  private def ivfOracleSql(lists: Int, nprobe: Int, iters: Int,
+      dims: Int, queryMax: Int): String = {
+    val S = "1000000.0"
+    def intDot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${dims + 1}), i -> $a.q[i] * $b.cq[i]))"
+    def assignFrom(cents: String, extra: String) =
+      s"""    SELECT x.vec_id, x.e, x.q, c.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${intDot("x", "c")} DESC, c.cid) AS rn
+         |    FROM uq x CROSS JOIN $cents c$extra""".stripMargin
+    val head =
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+         |), uq AS (
+         |  SELECT vec_id, e, list_transform(e, x ->
+         |    CAST(round(x / sqrt(list_sum(list_transform(e, y -> y * y))) * $S) AS BIGINT)) AS q
+         |  FROM emb
+         |), c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS cq
+         |  FROM uq ORDER BY vec_id LIMIT $lists
+         |)""".stripMargin
+    val loop = (1 to iters).map { i =>
+      s""", a$i AS (
+         |  SELECT vec_id, q, cid FROM (
+         |${assignFrom(s"c${i - 1}", "")}) WHERE rn = 1
+         |), s$i AS (
+         |  SELECT cid, dim, sum(qv) AS s, count(*) AS n FROM (
+         |    SELECT cid, unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS dim FROM a$i)
+         |  GROUP BY 1, 2
+         |), m$i AS (
+         |  SELECT cid, list(CAST(s AS DOUBLE) / (n * $S) ORDER BY dim) AS mv
+         |  FROM s$i GROUP BY cid
+         |), r$i AS (
+         |  SELECT c.cid, coalesce(m.mv, list_transform(c.cq, v -> CAST(v AS DOUBLE) / $S)) AS m0
+         |  FROM c${i - 1} c LEFT JOIN m$i m ON c.cid = m.cid
+         |), c$i AS (
+         |  SELECT cid, list_transform(
+         |    CASE WHEN sqrt(list_sum(list_transform(m0, x -> x * x))) > 0
+         |      THEN list_transform(m0, x -> x / sqrt(list_sum(list_transform(m0, y -> y * y))))
+         |      ELSE m0 END,
+         |    x -> CAST(round(x * $S) AS BIGINT)) AS cq
+         |  FROM r$i
+         |)""".stripMargin
+    }.mkString
+    val tail =
+      s""", corpus AS (
+         |  SELECT vec_id, e, cid FROM (
+         |${assignFrom(s"c$iters", "")}) WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id, e, cid FROM (
+         |${assignFrom(s"c$iters", s" WHERE x.vec_id < $queryMax")}) WHERE rn <= $nprobe
+         |), scored AS (
+         |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    list_cosine_similarity(p.e, n.e) AS cos
+         |  FROM probes p JOIN corpus n ON p.cid = n.cid AND p.vec_id <> n.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, rnk, round(cos, 4) + 0 AS cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    head + loop + tail
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "n03_ann_ivf" -> ivfOracleSql(lists = 16, nprobe = 4, iters = 4,
+      dims = 64, queryMax = 25),
     "n04_label_centroids" ->
       """WITH e AS (
         |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -302,10 +399,12 @@ object Similarity {
         |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
         |),
         |q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 25)
+        |-- threshold the ROUNDED cosine, mirroring radiusSearch: the
+        |-- membership decision is made on the identical 4-dp value
         |SELECT q.query_id, n.vec_id AS neighbor_id,
         |  round(list_cosine_similarity(q.qe, n.e), 4) + 0 AS cos
         |FROM q JOIN emb n ON q.query_id <> n.vec_id
-        |WHERE list_cosine_similarity(q.qe, n.e) >= 0.3
+        |WHERE round(list_cosine_similarity(q.qe, n.e), 4) >= 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
     "n01_knn_brute" ->
       """WITH emb AS (

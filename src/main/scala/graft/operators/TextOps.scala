@@ -275,6 +275,14 @@ object TextOps {
    * char): no shuffle at any corpus size. The per-row alphabet is
    * SORTED before the fold so the double-sum order — and therefore
    * every last ulp — is identical in Spark and the DuckDB oracle.
+   *
+   * Per-row cost is O(len × |alphabet|) (one filter pass over the
+   * chars array per distinct char) — embarrassingly parallel and
+   * linear in corpus size, the right shape for ASCII-ish corpora
+   * (|alphabet| ≤ ~100). For Unicode-heavy corpora where documents
+   * carry thousands of distinct code points, prefer a (doc_id, char)
+   * explode + two-level aggregate: one shuffle bounded by distinct
+   * (doc, char), O(len) per row.
    */
   def charEntropy(docs: DataFrame): DataFrame = {
     val chars = col("__chars")

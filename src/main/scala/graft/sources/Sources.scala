@@ -46,6 +46,27 @@ object Sources {
       .select("phecode", "phenotype", "sex", "category", "category_number")
 
   /**
+   * The bundled public PheCode catalog (phecode_definitions v1.2, the
+   * same public data the reference redistributes and auto-joins on
+   * `--phewas`/`--flipwas` — constants.py:6-16). Shipped as a
+   * classpath resource so annotation works with no user-supplied
+   * file; `--phecode-defs` stays available as an override. The
+   * resource is spilled to a driver temp file because Spark readers
+   * take filesystem paths, not classpath URLs — a one-time, driver-
+   * side copy of a ~140 KB dim table that is then broadcast-joined.
+   */
+  def bundledPhecodeDefs(spark: SparkSession): DataFrame = {
+    val in = getClass.getResourceAsStream("/graft/phecode_definitions1.2.csv")
+    require(in != null, "bundled phecode_definitions1.2.csv missing from classpath")
+    val tmp = java.nio.file.Files.createTempFile("phecode_defs", ".csv")
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    phecodeDefs(spark, tmp.toString)
+  }
+
+  /**
    * Bucketed table writer — the co-location path for repeated large
    * joins/aggregations on the same key (the 100 TB pattern: pay the
    * shuffle ONCE at write time, then every downstream join on the

@@ -75,11 +75,13 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall")
-    // same data -> same centroids up to FP merge order (exact in
-    // local mode, ulp-level on a cluster — see ivfCentroids scaladoc)
-    val c1 = Similarity.ivfCentroids(emb, 8, 2).flatten.toSeq
-    val c2 = Similarity.ivfCentroids(emb, 8, 2).flatten.toSeq
-    assert(c1.zip(c2).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // fixed-point training: same data -> BIT-IDENTICAL codebook at any
+    // partition count (integer sums are order-independent); compare a
+    // local[1] repartition against the default plan exactly
+    val uq = Similarity.quantized(emb).select("vec_id", "q")
+    val c1 = Similarity.ivfCentroidsQ(uq, 8, 2).flatten.toSeq
+    val c2 = Similarity.ivfCentroidsQ(uq.repartition(1), 8, 2).flatten.toSeq
+    assert(c1 == c2)
   }
 
   test("hyperplanes are deterministic") {

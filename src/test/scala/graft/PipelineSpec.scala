@@ -48,6 +48,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Double]("beta") > 0.5)
   }
 
+  test("--phewas with no --phecode-defs annotates from the bundled public catalog") {
+    val sess = spark
+    import sess.implicits._
+    // dependents named as real PheCodes from the v1.2 catalog
+    val rng = new scala.util.Random(11)
+    val df = (0 until 300).map { i =>
+      val x = rng.nextGaussian()
+      val p = 1.0 / (1.0 + math.exp(-(1.5 * x - 0.5)))
+      val d = if (rng.nextDouble() < p) 1.0 else 0.0
+      val d2 = if (rng.nextDouble() < 0.4) 1.0 else 0.0
+      (i, x, d, d2)
+    }.toDF("id", "x", "008", "244")
+    val out = Pipeline.run(df, GraftConfig(
+      input = "", predictors = "x", dependents = "008,244",
+      model = "logistic", minCaseCount = 5, phewas = true))
+    val rows = out.collect()
+    assert(rows.length == 2)
+    val byDep = rows.map(r => r.getAs[String]("dependent") -> r).toMap
+    // catalog line 2: 008 = "Intestinal infection", infectious diseases
+    assert(byDep("008").getAs[String]("phenotype") == "Intestinal infection")
+    assert(byDep("008").getAs[String]("category") == "infectious diseases")
+    assert(byDep("244").getAs[String]("phenotype") == "Hypothyroidism")
+  }
+
+  test("library default minCaseCount == CLI/pipeline default == reference default (20)") {
+    // reference cli.py:114-117: --min-case-count default 20; a library
+    // caller of Association.assoc must get the same viability gate as
+    // the CLI path
+    assert(operators.Association.Config(Nil, Nil).minCaseCount == 20)
+    assert(GraftConfig(input = "", predictors = "", dependents = "").minCaseCount == 20)
+  }
+
   test("sex filter + i: column specs + fail-on-missing-covariates") {
     val base = cohortDf
     // i:1 is x, by position; the sex column must be among the included
