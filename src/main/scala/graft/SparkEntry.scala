@@ -65,6 +65,7 @@ object SparkEntry {
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
+    "n06_ann_ivfpq" -> (Similarity.n06AnnIvfPq _),
     "n04_label_centroids" -> (Similarity.n04LabelCentroids _),
     "n05_radius_search" -> (Similarity.n05RadiusSearch _),
     "t01_langid" -> (TextOps.t01LangId _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "c02_shard_pack" -> (Corpus.c02ShardPack _),
     "c03_split" -> (Corpus.c03Split _),
     "c04_mixture_sample" -> (Corpus.c04MixtureSample _),
+    "c05_weighted_sample" -> (Corpus.c05WeightedSample _),
     "t05_topk_ngrams" -> (TextOps.t05TopkNgrams _),
     "t06_bm25" -> (TextOps.t06Bm25 _),
     "t07_pii" -> (TextOps.t07Pii _),

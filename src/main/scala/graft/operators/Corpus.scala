@@ -216,9 +216,56 @@ object Corpus {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /**
+   * Deterministic importance-weighted sampling WITHOUT replacement
+   * (Efraimidis–Spirakis priority sampling): each row gets key =
+   * ln(u)/w for u uniform in (0,1), and the k LARGEST keys win —
+   * equivalent to ranking by u^(1/w), so selection probability is
+   * proportional to weight, exactly the one-pass distributed
+   * algorithm for "sample 10k docs, quality-weighted" at corpus
+   * scale. u comes from the c01 `hashBucket` hash of the id (NOT an
+   * RNG): re-runs and incremental top-ups select the same documents,
+   * and the oracle replays the key verbatim. The plan is a pure
+   * projection + TakeOrdered(k) — per-partition top-k, only
+   * |partitions|·k rows meet the driver, no global sort, no shuffle.
+   *
+   * Keys of distinct docs are well-separated random values (ties on
+   * the boundary would need two ln(u)/w within double ulp), and the
+   * id breaks any exact tie identically in both engines.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val m = 1000003L
+    val u = (hashBucket(col(idCol), m) + lit(0.5)) / lit(m.toDouble)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", log(u) / col(weightCol))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
+  /** c05: 100 length-weighted documents (longer docs proportionally
+    * likelier — the "token-weighted" selection a data mix uses when
+    * budgets are in tokens, not documents). */
+  def c05WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir).select("doc_id", "lang", "n_chars"),
+      "doc_id", "n_chars", k = 100)
+      .orderBy("doc_id")
+
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    "c05_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ln((${hashBucketSql("doc_id", 1000003L)} + 0.5) / 1000003.0)
+         |      / n_chars AS key
+         |  FROM documents WHERE n_chars > 0
+         |), topk AS (
+         |  SELECT doc_id, lang, n_chars FROM keyed
+         |  ORDER BY key DESC, doc_id LIMIT 100
+         |)
+         |SELECT doc_id, lang, n_chars FROM topk ORDER BY doc_id""".stripMargin,
     "c03_split" ->
       s"""SELECT doc_id, lang,
          |  CASE WHEN ${hashBucketSql("doc_id", 100L)} < 80 THEN 'train'

@@ -284,6 +284,137 @@ object Similarity {
     annIvf(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
 
+  // --------------------------------------------------------- n06 IVF-PQ
+
+  /**
+   * Product-quantization codebooks: `m` subspaces × `k` codewords on
+   * the same 1e-6 grid as the IVF codebook. Plain (non-spherical)
+   * k-means per subspace — integer L2 argmin assignment, EXACT
+   * integer per-cluster sums, driver-side mean + re-quantize — and
+   * all `m` subspaces co-train in ONE aggregation pass per Lloyd
+   * iteration (keyed by (subspace, codeword, dim)), so training cost
+   * does not scale with m. Like ivfCentroidsQ the result is
+   * bit-reproducible at any partition count and replays verbatim in
+   * the DuckDB oracle.
+   *
+   * Seeds: codeword c of every subspace = the c-th lowest-id vector's
+   * subvector (the ivfCentroidsQ seeding rule applied per subspace).
+   */
+  private[graft] def pqCodebooks(unitQ: DataFrame, m: Int, dsub: Int, k: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    var books: Array[Array[Array[Long]]] = {
+      val seeds = unitQ.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Long](1).toArray)
+      Array.tabulate(m, k)((s, c) => seeds(c).slice(s * dsub, (s + 1) * dsub))
+    }
+    for (_ <- 1 to iters) {
+      val sums = unitQ
+        .withColumn("code", pqAssignUdf(books, dsub)(col("q")))
+        .select(col("code"), posexplode(col("q")).as(Seq("fd", "qv")))
+        .withColumn("s", (col("fd") / dsub).cast("int"))
+        .select(col("s"), element_at(col("code"), col("s") + 1).as("cid"),
+          (col("fd") - col("s") * dsub).cast("int").as("dim"), col("qv"))
+        .groupBy("s", "cid", "dim").agg(sum("qv").as("sv"), count(lit(1)).as("n"))
+        .collect()
+      // empty codewords keep their previous value (clone default);
+      // means stay in grid units, re-quantized half-away-from-zero
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val mean = r.getLong(3).toDouble / r.getLong(4)
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (if (mean >= 0) math.floor(mean + 0.5) else math.ceil(mean - 0.5)).toLong
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Per-subspace argmin_c Σ(q−c)² — exact long arithmetic (diffs ≤
+    * 2e6 → squares ≤ 4e12, dsub-sums ≪ 2⁶³); ties → lowest code. */
+  private def pqAssignUdf(books: Array[Array[Array[Long]]], dsub: Int) =
+    udf((q: Seq[Long]) =>
+      books.indices.map { s =>
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < books(s).length) {
+          var dist = 0L; var d = 0
+          val cw = books(s)(c)
+          while (d < dsub) {
+            val diff = q(s * dsub + d) - cw(d); dist += diff * diff; d += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        best
+      })
+
+  /** ADC (asymmetric distance computation) score: the query's exact
+    * quantized vector dotted with the neighbor's PQ RECONSTRUCTION,
+    * Σ_s q_s · codeword(s, code_s) — pure integer, so candidate
+    * ranking is deterministic across engines and partitionings. */
+  private def adcScoreUdf(books: Array[Array[Array[Long]]], dsub: Int) =
+    udf((q: Seq[Long], code: Seq[Int]) => {
+      var score = 0L
+      var s = 0
+      while (s < books.length) {
+        val cw = books(s)(code(s))
+        var d = 0
+        while (d < dsub) { score += q(s * dsub + d) * cw(d); d += 1 }
+        s += 1
+      }
+      score
+    })
+
+  /**
+   * IVF-PQ ANN — the memory-scale path past IVF-flat: corpus vectors
+   * live in the index as `m` one-byte codes (64-dim float32 → 8
+   * bytes, 32×), candidate scoring is integer table lookups against
+   * the PQ codebooks (no raw vectors touched), and only the ADC
+   * shortlist fetches embeddings for the exact re-rank. At 100 TB of
+   * embeddings this is the difference between an index that fits in
+   * cluster memory and one that doesn't — the standard
+   * billion-vector design (IVF coarse pruning + PQ compression +
+   * exact re-rank), here with every training/assignment/scoring
+   * reduction in exact integer arithmetic so the whole path — both
+   * codebooks included — replays under the DuckDB hash gate.
+   */
+  def annIvfPq(emb: DataFrame, queryPred: Column, k: Int,
+      lists: Int = 16, nprobe: Int = 4, coarseIters: Int = 2,
+      m: Int = 8, codewords: Int = 16, pqIters: Int = 2,
+      shortlist: Int = 20, dims: Int = 64): DataFrame = {
+    val dsub = dims / m
+    val withN = quantized(emb).localCheckpoint(true)
+    val unitQ = withN.select("vec_id", "q")
+    val coarse = ivfCentroidsQ(unitQ, lists, coarseIters)
+    val books = pqCodebooks(unitQ, m, dsub, codewords, pqIters)
+    val corpus = withN
+      .withColumn("cid", nearestListUdf(coarse)(col("q")))
+      .withColumn("code", pqAssignUdf(books, dsub)(col("q")))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"),
+        col("cid"), col("code"))
+    val queries = withN.filter(queryPred)
+      .withColumn("cid", explode(nearestListsUdf(coarse, nprobe)(col("q"))))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"),
+        col("q").as("qq"), col("cid"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val wCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    queries.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", adcScoreUdf(books, dsub)(col("qq"), col("code")))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .withColumn("cos", Dedup.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** n06: IVF-PQ over the embeddings corpus, same query set as
+    * n01/n02/n03 so recall is directly comparable. */
+  def n06AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPq(embeddings(spark, dir), col("vec_id") < 25, k = 5)
+      .orderBy("query_id", "rnk")
+
   /**
    * Per-label embedding centroids as (label, dim, value) rows — the
    * class-prototype / cluster-statistics primitive (nearest-centroid
@@ -314,59 +445,74 @@ object Similarity {
    * arithmetic on the 1e-6 grid, so the unroll is exact, not
    * approximately-replayed.
    */
-  private def ivfOracleSql(lists: Int, nprobe: Int, iters: Int,
-      dims: Int, queryMax: Int): String = {
-    val S = "1000000.0"
-    def intDot(a: String, b: String) =
-      s"list_sum(list_transform(range(1, ${dims + 1}), i -> $a.q[i] * $b.cq[i]))"
-    def assignFrom(cents: String, extra: String) =
-      s"""    SELECT x.vec_id, x.e, x.q, c.cid,
-         |      row_number() OVER (PARTITION BY x.vec_id
-         |        ORDER BY ${intDot("x", "c")} DESC, c.cid) AS rn
-         |    FROM uq x CROSS JOIN $cents c$extra""".stripMargin
-    val head =
-      s"""WITH emb AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
-         |), uq AS (
-         |  SELECT vec_id, e, list_transform(e, x ->
-         |    CAST(round(x / sqrt(list_sum(list_transform(e, y -> y * y))) * $S) AS BIGINT)) AS q
-         |  FROM emb
-         |), c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS cq
-         |  FROM uq ORDER BY vec_id LIMIT $lists
-         |)""".stripMargin
-    val loop = (1 to iters).map { i =>
+  private val GridS = "1000000.0"
+
+  private def ivfIntDot(dims: Int, a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${dims + 1}), i -> $a.q[i] * $b.cq[i]))"
+
+  /** Coarse-assignment subselect: every vector ranked against the
+    * `cents` table by exact integer dot, lowest cid on ties. */
+  private def ivfAssignFrom(dims: Int, cents: String, extra: String) =
+    s"""    SELECT x.vec_id, x.e, x.q, c.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${ivfIntDot(dims, "x", "c")} DESC, c.cid) AS rn
+       |    FROM uq x CROSS JOIN $cents c$extra""".stripMargin
+
+  /** emb + quantized-unit-vector + coarse-seed CTEs. */
+  private def ivfHead(dims: Int, lists: Int): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+       |), uq AS (
+       |  SELECT vec_id, e, list_transform(e, x ->
+       |    CAST(round(x / sqrt(list_sum(list_transform(e, y -> y * y))) * $GridS) AS BIGINT)) AS q
+       |  FROM emb
+       |), c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS cq
+       |  FROM uq ORDER BY vec_id LIMIT $lists
+       |)""".stripMargin
+
+  /** `iters` unrolled spherical-Lloyd iterations c0 → c`iters`. */
+  private def ivfLoop(dims: Int, iters: Int): String =
+    (1 to iters).map { i =>
       s""", a$i AS (
          |  SELECT vec_id, q, cid FROM (
-         |${assignFrom(s"c${i - 1}", "")}) WHERE rn = 1
+         |${ivfAssignFrom(dims, s"c${i - 1}", "")}) WHERE rn = 1
          |), s$i AS (
          |  SELECT cid, dim, sum(qv) AS s, count(*) AS n FROM (
          |    SELECT cid, unnest(q) AS qv, generate_subscripts(q, 1) - 1 AS dim FROM a$i)
          |  GROUP BY 1, 2
          |), m$i AS (
-         |  SELECT cid, list(CAST(s AS DOUBLE) / (n * $S) ORDER BY dim) AS mv
+         |  SELECT cid, list(CAST(s AS DOUBLE) / (n * $GridS) ORDER BY dim) AS mv
          |  FROM s$i GROUP BY cid
          |), r$i AS (
-         |  SELECT c.cid, coalesce(m.mv, list_transform(c.cq, v -> CAST(v AS DOUBLE) / $S)) AS m0
+         |  SELECT c.cid, coalesce(m.mv, list_transform(c.cq, v -> CAST(v AS DOUBLE) / $GridS)) AS m0
          |  FROM c${i - 1} c LEFT JOIN m$i m ON c.cid = m.cid
          |), c$i AS (
          |  SELECT cid, list_transform(
          |    CASE WHEN sqrt(list_sum(list_transform(m0, x -> x * x))) > 0
          |      THEN list_transform(m0, x -> x / sqrt(list_sum(list_transform(m0, y -> y * y))))
          |      ELSE m0 END,
-         |    x -> CAST(round(x * $S) AS BIGINT)) AS cq
+         |    x -> CAST(round(x * $GridS) AS BIGINT)) AS cq
          |  FROM r$i
          |)""".stripMargin
     }.mkString
-    val tail =
-      s""", corpus AS (
-         |  SELECT vec_id, e, cid FROM (
-         |${assignFrom(s"c$iters", "")}) WHERE rn = 1
-         |), probes AS (
-         |  SELECT vec_id, e, cid FROM (
-         |${assignFrom(s"c$iters", s" WHERE x.vec_id < $queryMax")}) WHERE rn <= $nprobe
-         |), scored AS (
+
+  /** Final coarse corpus-assignment + query-probe CTEs. */
+  private def ivfProbes(dims: Int, iters: Int, nprobe: Int, queryMax: Int): String =
+    s""", corpus AS (
+       |  SELECT vec_id, e, cid FROM (
+       |${ivfAssignFrom(dims, s"c$iters", "")}) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id, e, cid FROM (
+       |${ivfAssignFrom(dims, s"c$iters", s" WHERE x.vec_id < $queryMax")}) WHERE rn <= $nprobe
+       |)""".stripMargin
+
+  private def ivfOracleSql(lists: Int, nprobe: Int, iters: Int,
+      dims: Int, queryMax: Int): String =
+    ivfHead(dims, lists) + ivfLoop(dims, iters) +
+      ivfProbes(dims, iters, nprobe, queryMax) +
+      s""", scored AS (
          |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
          |    list_cosine_similarity(p.e, n.e) AS cos
          |  FROM probes p JOIN corpus n ON p.cid = n.cid AND p.vec_id <> n.vec_id
@@ -377,11 +523,92 @@ object Similarity {
          |)
          |SELECT query_id, neighbor_id, rnk, round(cos, 4) + 0 AS cos
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
-    head + loop + tail
+
+  /**
+   * n06 replay: coarse training (shared CTEs above) + per-subspace PQ
+   * k-means (integer L2 argmin, exact integer sums, round(mean) —
+   * all m subspaces trained in the same CTEs keyed by `s`) + corpus
+   * encoding + integer ADC scoring + shortlist + exact re-rank.
+   */
+  private def pqOracleSql(lists: Int, nprobe: Int, coarseIters: Int,
+      m: Int, codewords: Int, pqIters: Int, shortlist: Int, k: Int,
+      dims: Int, queryMax: Int): String = {
+    val dsub = dims / m
+    def sub(alias: String) = s"$alias.q[(s.s*$dsub+1):(s.s*$dsub+$dsub)]"
+    def l2(a: String, c: String) =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($a.sq[i] - $c.cq[i]) * ($a.sq[i] - $c.cq[i])))"
+    def pqAssign(books: String) =
+      s"""    SELECT x.vec_id, x.s, x.sq, c.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id, x.s
+         |        ORDER BY ${l2("x", "c")} ASC, c.cid) AS rn
+         |    FROM sub x JOIN $books c ON x.s = c.s""".stripMargin
+    val pqHead =
+      s""", ss AS (SELECT unnest(range(0, $m)) AS s
+       |), sub AS (
+       |  SELECT x.vec_id, s.s AS s, ${sub("x")} AS sq
+       |  FROM uq x CROSS JOIN ss s
+       |), pq0 AS (
+       |  SELECT s.s AS s, c.cid, ${sub("c")} AS cq
+       |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q
+       |        FROM uq ORDER BY vec_id LIMIT $codewords) c
+       |  CROSS JOIN ss s
+       |)""".stripMargin
+    val pqLoop = (1 to pqIters).map { i =>
+      s""", pa$i AS (
+         |  SELECT vec_id, s, sq, cid FROM (
+         |${pqAssign(s"pq${i - 1}")}) WHERE rn = 1
+         |), ps$i AS (
+         |  SELECT s, cid, dim, sum(qv) AS sv, count(*) AS n FROM (
+         |    SELECT s, cid, unnest(sq) AS qv, generate_subscripts(sq, 1) - 1 AS dim FROM pa$i)
+         |  GROUP BY 1, 2, 3
+         |), pm$i AS (
+         |  SELECT s, cid, list(CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS mv
+         |  FROM ps$i GROUP BY s, cid
+         |), pq$i AS (
+         |  SELECT c.s, c.cid, coalesce(m.mv, c.cq) AS cq
+         |  FROM pq${i - 1} c LEFT JOIN pm$i m ON c.s = m.s AND c.cid = m.cid
+         |)""".stripMargin
+    }.mkString
+    val tail =
+      s""", codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |${pqAssign(s"pq$pqIters")}) WHERE rn = 1
+         |), adc AS (
+         |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    sum(list_sum(list_transform(range(1, ${dsub + 1}),
+         |      i -> qs.sq[i] * pc.cq[i]))) AS score
+         |  FROM probes p
+         |  JOIN corpus n ON p.cid = n.cid AND p.vec_id <> n.vec_id
+         |  JOIN sub qs ON qs.vec_id = p.vec_id
+         |  JOIN codes cd ON cd.vec_id = n.vec_id AND cd.s = qs.s
+         |  JOIN pq$pqIters pc ON pc.s = cd.s AND pc.cid = cd.code
+         |  GROUP BY 1, 2
+         |), short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rn
+         |    FROM adc) WHERE rn <= $shortlist
+         |), scored AS (
+         |  SELECT t.query_id, t.neighbor_id, list_cosine_similarity(a.e, b.e) AS cos
+         |  FROM short t
+         |  JOIN emb a ON a.vec_id = t.query_id
+         |  JOIN emb b ON b.vec_id = t.neighbor_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, rnk, round(cos, 4) + 0 AS cos
+         |FROM ranked WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+    ivfHead(dims, lists) + ivfLoop(dims, coarseIters) +
+      ivfProbes(dims, coarseIters, nprobe, queryMax) + pqHead + pqLoop + tail
   }
 
   val oracleSql: Map[String, String] = Map(
     "n03_ann_ivf" -> ivfOracleSql(lists = 16, nprobe = 4, iters = 4,
+      dims = 64, queryMax = 25),
+    "n06_ann_ivfpq" -> pqOracleSql(lists = 16, nprobe = 4, coarseIters = 2,
+      m = 8, codewords = 16, pqIters = 2, shortlist = 20, k = 5,
       dims = 64, queryMax = 25),
     "n04_label_centroids" ->
       """WITH e AS (

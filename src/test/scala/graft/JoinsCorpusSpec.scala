@@ -108,6 +108,31 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out.collect().length) // hash filter, not an RNG
   }
 
+  test("weightedSample matches the driver-replayed ES keys, is deterministic, skips w<=0") {
+    val sess = spark
+    import sess.implicits._
+    val df = (0L until 500L).map(i => (i, if (i % 7 == 0) 0L else (i % 50) + 1L))
+      .toDF("doc_id", "w")
+    val out = Corpus.weightedSample(df, "doc_id", "w", k = 40)
+      .collect().map(_.getLong(0)).toSet
+    // replay: key = ln((hashBucket+0.5)/m)/w, top-40 by (key desc, id)
+    val p = 1000000007L; val m = 1000003L
+    def bucket(id: Long): Long = ((id ^ (id >> 31)) % p * 2654435761L) % p % m
+    val expect = (0L until 500L).map(i => (i, if (i % 7 == 0) 0L else (i % 50) + 1L))
+      .filter(_._2 > 0)
+      .map { case (id, w) => (math.log((bucket(id) + 0.5) / m.toDouble) / w, id) }
+      .sortBy { case (key, id) => (-key, id) }
+      .take(40).map(_._2).toSet
+    assert(out == expect)
+    assert(!out.exists(_ % 7 == 0)) // zero-weight rows can never win
+    val again = Corpus.weightedSample(df, "doc_id", "w", k = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out)
+    // weights bias selection: mean weight of winners >> corpus mean (~25)
+    val winW = (0L until 500L).filter(out.contains).map(i => (i % 50) + 1L)
+    assert(winW.sum.toDouble / winW.size > 30.0)
+  }
+
   test("topkNgrams handles docs shorter than n and breaks ties on the ngram") {
     val sess = spark
     import sess.implicits._

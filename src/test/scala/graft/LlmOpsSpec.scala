@@ -84,6 +84,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c1 == c2)
   }
 
+  test("ANN IVF-PQ: decent recall of the exact top-5 through 8-byte codes; codebooks deterministic") {
+    val emb = Similarity.embeddings(spark, dir)
+    val exact = Similarity.knnBrute(emb, col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.annIvfPq(emb, col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // PQ is lossy by design (64 dims -> 8 bytes); through 4/16 probed
+    // lists + ADC shortlist 20 it must still find most true neighbors
+    assert(recall >= 0.5, s"recall $recall")
+    // fixed-point subspace k-means: bit-identical at any partitioning
+    val uq = Similarity.quantized(emb).select("vec_id", "q")
+    val b1 = Similarity.pqCodebooks(uq, 8, 8, 16, 2).flatten.flatten.toSeq
+    val b2 = Similarity.pqCodebooks(uq.repartition(3), 8, 8, 16, 2).flatten.flatten.toSeq
+    assert(b1 == b2)
+  }
+
   test("hyperplanes are deterministic") {
     val a = Similarity.hyperplanes(24, 64, 7L)
     val b = Similarity.hyperplanes(24, 64, 7L)
