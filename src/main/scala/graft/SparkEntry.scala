@@ -62,6 +62,7 @@ object SparkEntry {
     "d07_contamination" -> (Dedup.d07Contamination _),
     "d08_url_dedup" -> (Dedup.d08UrlDedup _),
     "d09_dup_shingles" -> (Dedup.d09DupShingles _),
+    "d10_semdedup" -> (Similarity.d10SemDedup _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "t08_repetition" -> (TextOps.t08Repetition _),
     "t09_char_entropy" -> (TextOps.t09CharEntropy _),
     "t10_tfidf_keywords" -> (TextOps.t10TfidfKeywords _),
+    "t11_unigram_logprob" -> (TextOps.t11UnigramLogprob _),
   )
 
   def oracleSql: Map[String, String] =

@@ -415,6 +415,48 @@ object Similarity {
     annIvfPq(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
 
+  // -------------------------------------------------------- d10 SemDeDup
+
+  /**
+   * SemDeDup-style semantic deduplication: cluster the corpus with
+   * the fixed-point k-means codebook (the n03 trainer), then prune
+   * WITHIN clusters — a document is a duplicate iff a lower-id
+   * document in the SAME cluster has cosine ≥ tau. The all-pairs
+   * work is confined to clusters (expected n²/k vs n² global) and
+   * the cluster partitioning is the shuffle key, which is exactly
+   * the SemDeDup trade: cross-cluster near-dups are unreachable by
+   * construction — the accepted recall loss that makes semantic
+   * dedup tractable at 100 TB. Membership thresholds on the
+   * r4-rounded cosine (the n05 rule), and the deterministic
+   * codebook means the cluster assignment — and therefore the dup
+   * set — is reproducible run to run, engine to engine.
+   */
+  def semDedup(emb: DataFrame, lists: Int, iters: Int, tau: Double): DataFrame = {
+    val withN = quantized(emb).localCheckpoint(true)
+    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters)
+    val clustered = withN.withColumn("cid", nearestListUdf(cents)(col("q")))
+    val a = clustered.select(col("cid"), col("vec_id").as("id1"),
+      col("e").as("e1"), col("nrm").as("n1"))
+    val b = clustered.select(col("cid"), col("vec_id").as("id2"),
+      col("e").as("e2"), col("nrm").as("n2"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .filter(Norm.r4(Dedup.dot(col("e1"), col("e2")) / (col("n1") * col("n2"))) >= tau)
+      .select(col("id2").as("vec_id")).distinct()
+    clustered.select(col("vec_id"), col("cid"))
+      .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** d10: semantic dedup over the twin-injected corpus (the d05
+    * tables) — every scaled twin shares its original's unit vector,
+    * so it must land in the same cluster and be marked. */
+  def d10SemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Dedup.embCorpus(spark, dir).select("vec_id", "e"),
+      lists = 16, iters = 2, tau = 0.85)
+      .orderBy("vec_id")
+
   /**
    * Per-label embedding centroids as (label, dim, value) rows — the
    * class-prototype / cluster-statistics primitive (nearest-centroid
@@ -458,12 +500,17 @@ object Similarity {
        |        ORDER BY ${ivfIntDot(dims, "x", "c")} DESC, c.cid) AS rn
        |    FROM uq x CROSS JOIN $cents c$extra""".stripMargin
 
+  /** Default corpus CTE: the natural embeddings, zero-norm filtered. */
+  private val defaultEmbSql =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+      |)""".stripMargin
+
   /** emb + quantized-unit-vector + coarse-seed CTEs. */
-  private def ivfHead(dims: Int, lists: Int): String =
-    s"""WITH emb AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
-       |), uq AS (
+  private def ivfHead(dims: Int, lists: Int, embSql: String = defaultEmbSql): String =
+    embSql +
+    s""", uq AS (
        |  SELECT vec_id, e, list_transform(e, x ->
        |    CAST(round(x / sqrt(list_sum(list_transform(e, y -> y * y))) * $GridS) AS BIGINT)) AS q
        |  FROM emb
@@ -610,6 +657,30 @@ object Similarity {
     "n06_ann_ivfpq" -> pqOracleSql(lists = 16, nprobe = 4, coarseIters = 2,
       m = 8, codewords = 16, pqIters = 2, shortlist = 20, k = 5,
       dims = 64, queryMax = 25),
+    // same corpus construction as d05 (twin-injected), then the n03
+    // Lloyd unroll at (16, 2) and a within-cluster all-pairs prune
+    "d10_semdedup" -> (ivfHead(dims = 64, lists = 16, embSql =
+      """WITH emb0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.2)
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |), emb AS (
+        |  SELECT vec_id, e FROM emb0
+        |  WHERE list_sum(list_transform(e, x -> x * x)) > 0
+        |)""".stripMargin) +
+      ivfLoop(dims = 64, iters = 2) +
+      s""", clustered AS (
+         |  SELECT vec_id, e, cid FROM (
+         |${ivfAssignFrom(64, "c2", "")}) WHERE rn = 1
+         |), dups AS (
+         |  SELECT DISTINCT b.vec_id FROM clustered a JOIN clustered b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.85
+         |)
+         |SELECT c.vec_id, c.cid, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM clustered c LEFT JOIN dups d ON c.vec_id = d.vec_id
+         |ORDER BY c.vec_id""".stripMargin),
     "n04_label_centroids" ->
       """WITH e AS (
         |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -264,6 +264,47 @@ object TextOps {
     tfidfKeywords(Tables.documents(spark, dir), k = 3)
       .orderBy("doc_id", "rnk")
 
+  // ------------------------------------------------- t11 unigram xent
+
+  /**
+   * Per-document unigram cross-entropy against the corpus's own
+   * unigram distribution — the cheap stand-in for the perplexity
+   * filter every training-data pipeline runs (docs whose tokens are
+   * systematically rare under the corpus LM are boilerplate, OCR
+   * noise, or another language; docs too LIKELY are templates). With
+   * an external vocabulary table the same plan scores against a real
+   * LM's unigram head.
+   *
+   * xent = −Σ_w tf_w·ln(count_w/N) / n_tokens, computed from TWO
+   * map-side-combined aggregates — (doc, token) term frequencies and
+   * the global token count as a ONE-ROW broadcast (the t06 stats
+   * shape) — then one join back to the per-doc terms: shuffle ∝
+   * distinct (doc, token), never positions. The vocabulary table at
+   * 100 TB is Zipf-bounded (≪ corpus), and the join key is the
+   * token — AQE handles the head-word skew.
+   */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("w").agg(sum("tf").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("n_total"))
+    val perDoc = tf.join(vocab, "w").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * log(col("cnt") / col("n_total").cast("double"))).as("lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        Norm.r4(-col("lp") / col("n_tokens")).as("unigram_xent"))
+    // empty/whitespace-only docs have no tokens: null score, 0 tokens
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("unigram_xent"))
+  }
+
+  def t11UnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprob(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ----------------------------------------------------- t09 entropy
 
   /**
@@ -356,6 +397,21 @@ object TextOps {
       words.map(w => occSql("p", w)).mkString(" + ") + s" AS ${lang}_score"
     }.mkString(",\n    ")
     Map(
+      "t11_unigram_logprob" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS w FROM documents
+           |), w2 AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+           |tf AS (SELECT doc_id, w, count(*) AS tf FROM w2 GROUP BY 1, 2),
+           |v AS (SELECT w, sum(tf) AS cnt FROM tf GROUP BY w),
+           |n AS (SELECT sum(cnt) AS n_total FROM v),
+           |p AS (
+           |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           |    sum(tf.tf * ln(cnt / CAST(n_total AS DOUBLE))) AS lp
+           |  FROM tf JOIN v USING (w), n GROUP BY 1
+           |)
+           |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+           |  round(-lp / p.n_tokens, 4) + 0 AS unigram_xent
+           |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
       "t01_langid" ->
         s"""WITH p0 AS (SELECT doc_id, lang, $paddedSql AS p FROM documents),
            |s AS (SELECT doc_id, lang,

@@ -101,6 +101,37 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b1 == b2)
   }
 
+  test("semDedup marks exactly the injected twins on the d05 corpus") {
+    val corpus = operators.Dedup.embCorpus(spark, dir).select("vec_id", "e")
+    val out = Similarity.semDedup(corpus, lists = 16, iters = 2, tau = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val twinIds = out.keySet.filter(_ >= 100000L)
+    assert(twinIds.nonEmpty)
+    // every scaled twin shares its original's unit vector -> same
+    // cluster, cosine 1.0 -> must be marked; originals stay (natural
+    // pairwise cosine in this corpus is far below 0.85)
+    twinIds.foreach(id => assert(out(id), s"twin $id not marked"))
+    out.keySet.filter(_ < 100000L).foreach(id => assert(!out(id), s"original $id marked"))
+  }
+
+  test("unigramLogprob: hand-checked xent, rare tokens score higher, empty doc nulls") {
+    val sess = spark
+    import sess.implicits._
+    // tokens: a x4, b x2, z x1, total 7
+    val docs = Seq((0L, "a a b"), (1L, "a a b"), (2L, "z"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = operators.TextOps.unigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val expDoc0 = -(2 * math.log(4.0 / 7) + math.log(2.0 / 7)) / 3
+    assert(out(0L).getLong(1) == 3)
+    assert(out(0L).getDouble(2) == r4(expDoc0))
+    assert(out(2L).getDouble(2) == r4(-math.log(1.0 / 7)))
+    // the rare-token doc is the most surprising one
+    assert(out(2L).getDouble(2) > out(0L).getDouble(2))
+    assert(out(3L).getLong(1) == 0 && out(3L).isNullAt(2))
+  }
+
   test("hyperplanes are deterministic") {
     val a = Similarity.hyperplanes(24, 64, 7L)
     val b = Similarity.hyperplanes(24, 64, 7L)
