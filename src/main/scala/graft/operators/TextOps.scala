@@ -248,7 +248,11 @@ object TextOps {
     val words = docs
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
+    // tf feeds BOTH the document-frequency aggregate and the per-doc
+    // score join; materialize it once (the d03 signature-table rule)
+    // or the corpus is tokenized and shuffled twice
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val byDoc = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
@@ -287,7 +291,10 @@ object TextOps {
     val words = docs
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
+    // materialized once: tf feeds both the vocabulary aggregate and
+    // the per-doc score join (one corpus tokenization, not two)
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val vocab = tf.groupBy("w").agg(sum("tf").as("cnt"))
     val total = vocab.agg(sum("cnt").as("n_total"))
     val perDoc = tf.join(vocab, "w").crossJoin(broadcast(total))
