@@ -18,23 +18,36 @@ object Bench {
     val spark = GraftSession.get()
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // per-query keys compress to the canonical short id (a01, q12,
+    // d05b …; mas_* headlines stay full) — at 90+ queries the full
+    // names alone would blow the driver's 2000-char tail buffer
+    def shortId(name: String): String =
+      if (name.startsWith("mas_")) name else name.takeWhile(_ != '_')
+    // two query names sharing a prefix (t11_a / t11_b) would silently
+    // merge two timings under one JSON key — fail BEFORE the sweep
+    // spends 100+ s, not after (the collision is static)
+    require(SparkEntry.queries.keys.toSeq.map(shortId).distinct.size ==
+      SparkEntry.queries.size, "bench short ids collide; disambiguate the query names")
     try run("q02_filter_project") catch { case _: Throwable => () } // warm-up, untimed
-    // Janino compile-cost probe: the shingling/banding dedup plans each
-    // spend ~10 s in whole-stage-codegen COMPILATION (data-size-
-    // independent; compiled once per executor on a real cluster). Run
-    // them at sf0.001 first — data cost there is negligible, so the
-    // probe time ≈ compile cost, and the warmed codegen cache means the
-    // timed sweep below measures DATA cost, not the compiler.
+    // Fixed-cost probe: the heavy dedup plans at the smallest SF, where
+    // data cost is negligible — the probe time isolates planning +
+    // Janino compile cost from the sf sweep's data cost (r7 measured:
+    // 2-6 s fixed vs ~10 s total, so the bulk IS data). The probe dir
+    // derives from sfDir's tree; skipped (empty JSON object) if absent
+    // rather than timing an exception path as "compile cost".
+    val probeDir = new java.io.File(sfDir).getParent + "/sf0.001"
     val probeNames = Seq("d03_dedup_minhash", "d04_dedup_simhash", "d06_dedup_components")
-    val probes = if (masOnly) Seq.empty else probeNames.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name.takeWhile(_ != '_') -> dt
-    }
+    val probes =
+      if (masOnly || !new java.io.File(probeDir).isDirectory) Seq.empty
+      else probeNames.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, probeDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        shortId(name) -> dt
+      }
     val results = (if (masOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted).map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
@@ -118,15 +131,6 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t.dropRight(1) else t
     }
-    // per-query keys compress to the canonical short id (a01, q12,
-    // d05b …; mas_* headlines stay full) — at 83 queries the full
-    // names alone would blow the driver's 2000-char tail buffer
-    def shortId(name: String): String =
-      if (name.startsWith("mas_")) name else name.takeWhile(_ != '_')
-    // two query names sharing a prefix (t11_a / t11_b) would silently
-    // merge two timings under one JSON key — fail loudly instead
-    require(all.map(kv => shortId(kv._1)).distinct.size == all.size,
-      "bench short ids collide; disambiguate the query names")
     val qs = all.map { case (k, v) => "\"" + shortId(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum

@@ -434,7 +434,11 @@ object Similarity {
   def semDedup(emb: DataFrame, lists: Int, iters: Int, tau: Double): DataFrame = {
     val withN = quantized(emb).localCheckpoint(true)
     val cents = ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters)
+    // assignment materializes once: `clustered` is referenced by both
+    // pair-join sides AND the output frame — without the checkpoint
+    // the k×dims argmax UDF would re-run over the corpus three times
     val clustered = withN.withColumn("cid", nearestListUdf(cents)(col("q")))
+      .localCheckpoint(true)
     val a = clustered.select(col("cid"), col("vec_id").as("id1"),
       col("e").as("e1"), col("nrm").as("n1"))
     val b = clustered.select(col("cid"), col("vec_id").as("id2"),

@@ -51,19 +51,23 @@ object Sources {
    * `--phewas`/`--flipwas` — constants.py:6-16). Shipped as a
    * classpath resource so annotation works with no user-supplied
    * file; `--phecode-defs` stays available as an override. The
-   * resource is spilled to a driver temp file because Spark readers
-   * take filesystem paths, not classpath URLs — a one-time, driver-
-   * side copy of a ~140 KB dim table that is then broadcast-joined.
+   * ~1.9k lines are read driver-side and handed to the CSV reader as
+   * an in-memory Dataset (full quoting semantics, no temp file) — a
+   * driver-local path would break on any real cluster, where the csv
+   * scan tasks run on executors that can't see the driver's /tmp.
    */
   def bundledPhecodeDefs(spark: SparkSession): DataFrame = {
     val in = getClass.getResourceAsStream("/graft/phecode_definitions1.2.csv")
     require(in != null, "bundled phecode_definitions1.2.csv missing from classpath")
-    val tmp = java.nio.file.Files.createTempFile("phecode_defs", ".csv")
-    try java.nio.file.Files.copy(in, tmp,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
-    tmp.toFile.deleteOnExit()
-    phecodeDefs(spark, tmp.toString)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+      finally in.close()
+    import spark.implicits._
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(spark.createDataset(lines))
+      .select("phecode", "phenotype", "sex", "category", "category_number")
   }
 
   /**
