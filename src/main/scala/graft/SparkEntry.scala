@@ -46,6 +46,7 @@ object SparkEntry {
     "p13_scale_robust" -> (Preprocess.p13ScaleRobust _),
     "p14_missingness" -> (Preprocess.p14Missingness _),
     "p15_quantile_bin" -> (Preprocess.p15QuantileBin _),
+    "p16_yeo_johnson" -> (Preprocess.p16YeoJohnson _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),

@@ -265,6 +265,30 @@ object Preprocess {
     cols.foldLeft(df)((d, c) => d.withColumn(c, log(col(c))))
 
   /**
+   * Yeo–Johnson power transform at a FIXED λ — the variance-
+   * stabilizing transform for dependents that take BOTH signs (the
+   * log/Box-Cox family needs positives; RINT destroys spacing).
+   * λ is a modeling choice here, not fitted — fitting it by profile
+   * likelihood is a handful of candidate-λ scans over this same
+   * projection if ever needed. Pure projection: both sign branches
+   * are codegen'd `when` arms, no shuffle, pushdown-transparent.
+   *
+   * ψ(y,λ) = ((y+1)^λ − 1)/λ          y ≥ 0, λ ≠ 0
+   *          ln(y+1)                  y ≥ 0, λ = 0
+   *          −((1−y)^(2−λ) − 1)/(2−λ) y < 0, λ ≠ 2
+   *          −ln(1−y)                 y < 0, λ = 2
+   */
+  def yeoJohnson(df: DataFrame, cols: Seq[String], lambda: Double): DataFrame = {
+    def yj(y: Column): Column = {
+      val pos = if (lambda == 0.0) log(y + 1) else (pow(y + 1, lambda) - 1) / lambda
+      val neg = if (lambda == 2.0) -log(-y + 1)
+        else -(pow(-y + 1, 2 - lambda) - 1) / (2 - lambda)
+      when(y >= 0, pos).otherwise(neg)
+    }
+    cols.foldLeft(df)((d, c) => d.withColumn(c, yj(col(c))))
+  }
+
+  /**
    * EXACT quantiles with linear interpolation (quantile_cont
    * semantics: position p = (n−1)·q, value = v⌊p⌋ + frac·(v⌈p⌉−v⌊p⌋))
    * — computed scale-safe: the distributed sort + `zipWithIndex` rank
@@ -509,6 +533,15 @@ object Preprocess {
       .select(col("c_custkey"), Norm.r4(col("acctbal_clipped")).as("acctbal_clipped"))
       .orderBy("c_custkey")
 
+  /** p16: Yeo–Johnson at λ=0.5 over account balances — a column with
+    * real negatives, so both sign branches execute. */
+  def p16YeoJohnson(spark: SparkSession, dir: String): DataFrame =
+    yeoJohnson(Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_acctbal").cast("double").as("acctbal_yj")),
+      Seq("acctbal_yj"), lambda = 0.5)
+      .select(col("c_custkey"), Norm.r4(col("acctbal_yj")).as("acctbal_yj"))
+      .orderBy("c_custkey")
+
   /** p09: natural-log transform of p_retailprice. */
   def p09LogTransform(spark: SparkSession, dir: String): DataFrame =
     logTransform(Tables.part(spark, dir).select(
@@ -682,6 +715,14 @@ object Preprocess {
     "p09_log_transform" ->
       """SELECT p_partkey, round(ln(p_retailprice), 4) AS price
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // identical branch structure + operation order as yeoJohnson at
+    // λ=0.5 (2−λ folds to the 1.5 literal on both sides)
+    "p16_yeo_johnson" ->
+      """SELECT c_custkey,
+        |  round(CASE WHEN c_acctbal >= 0
+        |    THEN (pow(c_acctbal + 1, 0.5) - 1) / 0.5
+        |    ELSE -(pow(-c_acctbal + 1, 1.5) - 1) / 1.5 END, 4) + 0 AS acctbal_yj
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "p10_scale_minmax" ->
       """WITH m AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
         |SELECT c_custkey, round((c_acctbal - lo) / (hi - lo), 6) AS acctbal

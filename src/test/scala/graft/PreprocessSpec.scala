@@ -154,4 +154,25 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(99L).isEmpty)
     intercept[IllegalArgumentException](Preprocess.quantileBin(df, "v", 1))
   }
+
+  test("yeoJohnson: limit forms, sign branches, and λ=1 identity shift") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, 3.0), (2L, -3.0), (3L, 0.0)).toDF("id", "y")
+    def run(l: Double): Map[Long, Double] =
+      Preprocess.yeoJohnson(df, Seq("y"), l).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // λ=0: ln(y+1) for y>=0; -(pow(1-y,2)-1)/2 for y<0
+    val l0 = run(0.0)
+    assert(math.abs(l0(1L) - math.log(4.0)) < 1e-12)
+    assert(math.abs(l0(2L) - -(math.pow(4.0, 2) - 1) / 2) < 1e-12)
+    // λ=2: (pow(y+1,2)-1)/2 for y>=0; -ln(1-y) for y<0
+    val l2 = run(2.0)
+    assert(math.abs(l2(1L) - (math.pow(4.0, 2) - 1) / 2) < 1e-12)
+    assert(math.abs(l2(2L) - -math.log(4.0)) < 1e-12)
+    // λ=1 is the identity on both branches; ψ(0,λ)=0 for every λ
+    val l1 = run(1.0)
+    assert(math.abs(l1(1L) - 3.0) < 1e-12 && math.abs(l1(2L) - -3.0) < 1e-12)
+    Seq(l0, l1, l2).foreach(m => assert(m(3L) == 0.0))
+  }
 }
