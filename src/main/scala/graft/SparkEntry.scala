@@ -21,6 +21,7 @@ object SparkEntry {
     "a02_assoc_linear_cov" -> (Mas.a02AssocLinearCov _),
     "a11_assoc_linear_cov2" -> (Mas.a11AssocLinearCov2 _),
     "a13_assoc_interaction" -> (Mas.a13AssocInteraction _),
+    "a14_assoc_wls" -> (Mas.a14AssocWls _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),
     "a04_assoc_firth" -> (Mas.a04AssocFirth _),
     "a05_case_counts" -> (Mas.a05CaseCounts _),
@@ -53,6 +54,7 @@ object SparkEntry {
     "s04_sort_output" -> (Postprocess.s04SortOutput _),
     "s06_lambda_gc" -> (Postprocess.s06LambdaGc _),
     "s07_qq_expected" -> (Postprocess.s07QqExpected _),
+    "s08_qvalues" -> (Postprocess.s08Qvalues _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_ngram" -> (Dedup.d02DedupNgram _),
     "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),

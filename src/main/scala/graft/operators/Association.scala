@@ -534,6 +534,43 @@ object Association {
     "converged" -> lit(false),
     "failed_reason" -> lit("No data after dropping nulls."), "equation" -> lit("nan"))
 
+  /**
+   * Weighted least squares for one predictor per group — precision /
+   * inverse-variance weights (statsmodels-WLS semantics): minimize
+   * Σ wᵢ(yᵢ − α − βxᵢ)² with σ̂² = Σw·e²/(n−2), se(β) = √(σ̂²/Swxx).
+   * The weighted-association primitive the melt engine doesn't cover
+   * (meta-analytic inverse-variance pooling, heteroscedastic
+   * cohorts, survey weights).
+   *
+   * Two passes, both declarative sum-aggregates with map-side
+   * combine: weighted means first (|groups| rows broadcast back),
+   * then CENTERED weighted co-moments — the a01 lesson: raw weighted
+   * Gram sums put the 4-dp-rounded output on partition-count
+   * knife-edges; centering removes the cancellation. Shuffle carries
+   * O(1) doubles per group per partition.
+   */
+  def wls(df: DataFrame, xCol: String, yCol: String, wCol: String,
+      byCols: Seq[String]): DataFrame = {
+    require(byCols.nonEmpty, "wls: need at least one group column")
+    val by = byCols.map(col)
+    val valid = df.filter(col(xCol).isNotNull && col(yCol).isNotNull && col(wCol) > 0)
+    val means = valid.groupBy(by: _*).agg(
+      (sum(col(wCol) * col(xCol)) / sum(col(wCol))).as("__xb"),
+      (sum(col(wCol) * col(yCol)) / sum(col(wCol))).as("__yb"))
+    val stats = valid.join(broadcast(means), byCols)
+      .groupBy(by: _*).agg(
+        count(lit(1)).as("n"),
+        sum(col(wCol) * (col(xCol) - col("__xb")) * (col(yCol) - col("__yb"))).as("__sxy"),
+        sum(col(wCol) * (col(xCol) - col("__xb")) * (col(xCol) - col("__xb"))).as("__sxx"),
+        sum(col(wCol) * (col(yCol) - col("__yb")) * (col(yCol) - col("__yb"))).as("__syy"))
+    stats
+      .withColumn("beta", col("__sxy") / col("__sxx"))
+      .withColumn("se", sqrt(
+        greatest((col("__syy") - col("beta") * col("__sxy")) / (col("n") - 2), lit(0.0))
+          / col("__sxx")))
+      .select(by ++ Seq(col("n"), col("beta"), col("se")): _*)
+  }
+
   /** Pairs whose rows all dropped produce no group — restore the full
     * predictor × dependent grid with reference default values
     * (analysis.py:113-121, schema defaults :228-260). The grid is a

@@ -139,6 +139,21 @@ object Mas {
       .orderBy("dependent")
   }
 
+  /** a14: weighted least squares per group — inverse-variance-style
+    * weights (1/(1+discount)) over the lineitem quantity→price
+    * relation, one fit per returnflag. Oracle mirrors the two-pass
+    * centered weighted-moment computation verbatim. */
+  def a14AssocWls(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("grp"),
+      col("l_quantity").cast("double").as("x"),
+      col("l_extendedprice").cast("double").as("y"),
+      (lit(1.0) / (lit(1.0) + col("l_discount"))).as("w"))
+    Association.wls(df, "x", "y", "w", Seq("grp"))
+      .select(col("grp"), col("n"), r4(col("beta")).as("beta"), r4(col("se")).as("se"))
+      .orderBy("grp")
+  }
+
   /** a03: logistic association of a binary predictor — the 2×2
     * saturated model, whose MLE is the sample log-odds-ratio, so the
     * oracle is closed-form SQL over the contingency cells. Tight
@@ -441,6 +456,27 @@ object Mas {
         Seq("y_avg", "y_max")
           .map(fwl2TargetOn("xz", "x * z1", _, "x", "z1"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a14_assoc_wls" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    1.0 / (1.0 + l_discount) AS w
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND 1.0 / (1.0 + l_discount) > 0
+        |), mb AS (
+        |  SELECT grp, sum(w * x) / sum(w) AS xb, sum(w * y) / sum(w) AS yb
+        |  FROM v GROUP BY grp
+        |), s AS (
+        |  SELECT v.grp, count(*) AS n,
+        |    sum(w * (x - xb) * (y - yb)) AS sxy,
+        |    sum(w * (x - xb) * (x - xb)) AS sxx,
+        |    sum(w * (y - yb) * (y - yb)) AS syy
+        |  FROM v JOIN mb ON v.grp = mb.grp GROUP BY v.grp
+        |)
+        |SELECT grp, n, round(sxy / sxx, 4) + 0 AS beta,
+        |  round(sqrt(greatest((syy - (sxy / sxx) * sxy) / (n - 2), 0.0) / sxx), 4) + 0 AS se
+        |FROM s ORDER BY grp""".stripMargin,
     "a12_pipeline_categorical" ->
       (cohortSql + "\n" +
         Seq("y_avg", "y_max")

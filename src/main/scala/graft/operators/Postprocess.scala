@@ -47,7 +47,16 @@ object Postprocess {
    * m·p/rank, which is attained at the run's LAST rank — so all tied
    * rows get identical p_adj whatever their relative order.
    */
-  def bhFdr(df: DataFrame, pvalCol: String = "pval", alpha: Double = 0.05): DataFrame = {
+  def bhFdr(df: DataFrame, pvalCol: String = "pval", alpha: Double = 0.05): DataFrame =
+    bhAdjust(df, pvalCol, scale = 1.0, outCol = "p_adj")
+      .withColumn("bh_significant", col("p_adj") < alpha)
+
+  /** The distributed BH suffix-min with a scale factor applied BEFORE
+    * the clamp at 1 — scale 1.0 is plain BH `p_adj`; scale π̂₀ yields
+    * Storey q-values (clamping first would floor q at π₀ wherever the
+    * raw m·p/rank exceeds 1, underestimating the tail). */
+  private def bhAdjust(df: DataFrame, pvalCol: String, scale: Double,
+      outCol: String): DataFrame = {
     val spark = df.sparkSession
     val nonNull = df.filter(col(pvalCol).isNotNull)
     val schema = nonNull.schema
@@ -80,15 +89,34 @@ object Postprocess {
       var i = rows.length - 1
       while (i >= 0) {
         run = math.min(run, vOf(rows(i)._1, rows(i)._2))
-        padj(i) = math.min(1.0, run)
+        padj(i) = math.min(1.0, scale * run)
         i -= 1
       }
       rows.iterator.zipWithIndex.map { case ((r, _), j) =>
         Row.fromSeq(r.toSeq :+ padj(j))
       }
     }
-    spark.createDataFrame(out, schema.add("p_adj", DoubleType))
-      .withColumn("bh_significant", col("p_adj") < alpha)
+    spark.createDataFrame(out, schema.add(outCol, DoubleType))
+  }
+
+  /**
+   * Storey q-values — BH's suffix-min rescaled by the estimated null
+   * proportion π̂₀ = #{p > λ} / (m·(1−λ)), the standard tightening
+   * when many tests are truly non-null (π₀ ≪ 1 in a strong PheWAS):
+   * q(pᵢ) = min(1, π̂₀ · min_{pⱼ≥pᵢ} m·pⱼ/rankⱼ). π̂₀ comes from ONE
+   * count aggregate (a driver scalar, like m); the suffix-min is the
+   * same distributed two-pass scan as s02 — no global window.
+   */
+  def qvalues(df: DataFrame, pvalCol: String = "pval",
+      lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"qvalues: lambda must be in (0,1), got $lambda")
+    val nonNull = df.filter(col(pvalCol).isNotNull)
+    val m = nonNull.count().toDouble
+    require(m > 0, "qvalues: no non-null p-values")
+    val tail = nonNull.filter(col(pvalCol) > lambda).count().toDouble
+    val pi0 = math.min(1.0, math.max(tail / (m * (1.0 - lambda)), 1.0 / m))
+    bhAdjust(df, pvalCol, scale = pi0, outCol = "q_value")
+      .withColumn("pi0", lit(pi0))
   }
 
   /** Definitions annotate (postprocessing.py:23-29): broadcast left
@@ -216,6 +244,13 @@ object Postprocess {
         round(col("p_adj"), 6).as("p_adj"), col("bh_significant"))
       .orderBy("o_orderkey")
 
+  /** s08: Storey q-values over the pseudo p-value table (λ = 0.5). */
+  def s08Qvalues(spark: SparkSession, dir: String): DataFrame =
+    qvalues(pseudoPvals(spark, dir), "pval")
+      .select(col("o_orderkey"), round(col("pval"), 6).as("pval"),
+        round(col("q_value"), 6).as("q_value"), round(col("pi0"), 6).as("pi0"))
+      .orderBy("o_orderkey")
+
   /** s03: definitions annotate — synthesized public dim from nation
     * (code/phenotype/category), broadcast left join on dependent. */
   def s03Annotate(spark: SparkSession, dir: String): DataFrame = {
@@ -285,6 +320,26 @@ object Postprocess {
          |SELECT o_orderkey, round(pval, 6) AS pval, round(p_adj, 6) AS p_adj,
          |  p_adj < 0.05 AS bh_significant
          |FROM adj ORDER BY o_orderkey""".stripMargin,
+    // same suffix-min as s02 with the π₀ scale applied before the
+    // clamp, mirroring bhAdjust's operation order exactly
+    "s08_qvalues" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |np AS (SELECT o_orderkey, pval FROM p WHERE pval IS NOT NULL),
+         |m AS (SELECT count(*) AS m FROM np),
+         |pi AS (SELECT least(1.0, greatest(
+         |         (SELECT count(*) FROM np WHERE pval > 0.5) / (m.m * 0.5),
+         |         1.0 / m.m)) AS pi0 FROM m),
+         |r AS (SELECT o_orderkey, pval,
+         |        row_number() OVER (ORDER BY pval, o_orderkey) AS rnk
+         |      FROM np),
+         |adj AS (SELECT o_orderkey, pval,
+         |        least(1.0, pi.pi0 * min(pval * m.m / rnk) OVER (
+         |          ORDER BY pval DESC, o_orderkey DESC
+         |          ROWS UNBOUNDED PRECEDING)) AS q_value
+         |      FROM r, m, pi)
+         |SELECT a.o_orderkey, round(a.pval, 6) AS pval,
+         |  round(a.q_value, 6) AS q_value, round(pi.pi0, 6) AS pi0
+         |FROM adj a, pi ORDER BY a.o_orderkey""".stripMargin,
     "s03_annotate" ->
       """WITH results AS (
         |  SELECT 'PH' || c_nationkey AS dependent, count(*) AS n_results

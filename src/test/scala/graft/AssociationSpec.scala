@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Association
@@ -209,5 +210,49 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 4)
     assert(out.map(r => (r.getAs[String]("predictor"), r.getAs[String]("dependent"))).toSet ==
       Set(("p1", "dep1"), ("p1", "dep2"), ("p2", "dep1"), ("p2", "dep2")))
+  }
+
+  test("wls: unit weights reproduce OLS; weighted beta matches the normal equations") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      val x = rng.nextGaussian() * 2
+      val y = 1.5 * x + 3 + rng.nextGaussian()
+      val w = 0.5 + rng.nextDouble()
+      ("g", x, y, w)
+    }
+    val df = rows.toDF("grp", "x", "y", "w")
+    // unit weights == plain OLS closed form
+    val ols = operators.Association.wls(df.withColumn("w", lit(1.0)),
+      "x", "y", "w", Seq("grp")).head()
+    val xs = rows.map(_._2); val ys = rows.map(_._3); val n = xs.size
+    val xb = xs.sum / n; val yb = ys.sum / n
+    val sxx = xs.map(x => (x - xb) * (x - xb)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => (x - xb) * (y - yb) }.sum
+    val syy = ys.map(y => (y - yb) * (y - yb)).sum
+    val beta = sxy / sxx
+    val se = math.sqrt((syy - beta * sxy) / (n - 2) / sxx)
+    assert(math.abs(ols.getAs[Double]("beta") - beta) < 1e-9)
+    assert(math.abs(ols.getAs[Double]("se") - se) < 1e-9)
+    // true weights: driver-side weighted normal equations
+    val wls = operators.Association.wls(df, "x", "y", "w", Seq("grp")).head()
+    val ws = rows.map(_._4); val sw = ws.sum
+    val xbw = xs.zip(ws).map { case (x, w) => w * x }.sum / sw
+    val ybw = ys.zip(ws).map { case (y, w) => w * y }.sum / sw
+    val sxxw = xs.zip(ws).map { case (x, w) => w * (x - xbw) * (x - xbw) }.sum
+    val sxyw = rows.map { case (_, x, y, w) => w * (x - xbw) * (y - ybw) }.sum
+    val syyw = ys.zip(ws).map { case (y, w) => w * (y - ybw) * (y - ybw) }.sum
+    val betaw = sxyw / sxxw
+    val sew = math.sqrt((syyw - betaw * sxyw) / (n - 2) / sxxw)
+    assert(math.abs(wls.getAs[Double]("beta") - betaw) < 1e-9)
+    assert(math.abs(wls.getAs[Double]("se") - sew) < 1e-9)
+    assert(wls.getAs[Long]("n") == n)
+    // w <= 0 rows are excluded, not poison
+    val withBad = (df.collect().map(r => (r.getString(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))) :+ (("g", 99.0, -99.0, 0.0))).toSeq
+      .toDF("grp", "x", "y", "w")
+    val clean = operators.Association.wls(withBad, "x", "y", "w", Seq("grp")).head()
+    assert(math.abs(clean.getAs[Double]("beta") - betaw) < 1e-9)
   }
 }

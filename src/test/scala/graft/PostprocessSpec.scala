@@ -96,4 +96,26 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lamInf = Postprocess.lambdaGC(inflated).head().getDouble(1)
     assert(lamInf > 1.5, s"inflated lambda=$lamInf")
   }
+
+  test("qvalues = pi0 x BH suffix-min, scaled BEFORE the clamp") {
+    val sess = spark
+    import sess.implicits._
+    // m=4, lambda=0.5: one p > 0.5 -> pi0 = 1/(4*0.5) = 0.5
+    // BH raw m*p/rank: .004 .004 .004 .7 -> q = .002 .002 .002 .35
+    val df = Seq(0.001, 0.002, 0.003, 0.7).toDF("pval")
+    val out = Postprocess.qvalues(df, "pval")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(r.fieldIndex("q_value"))).toMap
+    assert(out.values.forall(_ > 0))
+    assert(math.abs(out(0.001) - 0.002) < 1e-12)
+    assert(math.abs(out(0.002) - 0.002) < 1e-12)
+    assert(math.abs(out(0.003) - 0.002) < 1e-12)
+    assert(math.abs(out(0.7) - 0.35) < 1e-12)
+    // all-null-ish corpus (every p large): pi0 clamps at 1, q == BH p_adj
+    val nullish = Seq(0.6, 0.7, 0.8, 0.9).toDF("pval")
+    val q = Postprocess.qvalues(nullish, "pval").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(r.fieldIndex("q_value"))).toMap
+    val padj = Postprocess.bhFdr(nullish, "pval").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(r.fieldIndex("p_adj"))).toMap
+    assert(q.forall { case (p, v) => math.abs(v - padj(p)) < 1e-12 })
+  }
 }
