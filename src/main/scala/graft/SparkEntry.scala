@@ -66,6 +66,7 @@ object SparkEntry {
     "d08_url_dedup" -> (Dedup.d08UrlDedup _),
     "d09_dup_shingles" -> (Dedup.d09DupShingles _),
     "d10_semdedup" -> (Similarity.d10SemDedup _),
+    "d11_containment" -> (Dedup.d11Containment _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),

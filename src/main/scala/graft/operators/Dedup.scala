@@ -274,6 +274,44 @@ object Dedup {
     ngramJaccardPairs(corpus(spark, dir), 0.5, Some("source"))
       .orderBy("id1", "id2")
 
+  /**
+   * DIRECTIONAL shingle containment: containment(A→B) =
+   * |sh(A) ∩ sh(B)| / |sh(A)| ≥ τ means A is mostly contained IN B —
+   * the asymmetric near-dup relation Jaccard structurally misses (a
+   * paragraph quoted inside a long document has tiny Jaccard but
+   * containment ≈ 1). The quote / boilerplate-inclusion /
+   * partial-copy detector. Same posting-list self-join shape as d02
+   * (shuffle ∝ posting lists, block-scoped); both directions of a
+   * pair are independent output rows. Membership thresholds on the
+   * r4-rounded score (the n05 boundary rule).
+   */
+  def containmentPairs(docs: DataFrame, tau: Double,
+      blockCol: Option[String]): DataFrame = {
+    val base = withShingles(docs, "text", "sh")
+      .select(col("doc_id"),
+        (blockCol match {
+          case Some(b) => col(b)
+          case None => lit("_")
+        }).as("blk"),
+        col("sh"))
+    val ex = base.select(col("doc_id"), col("blk"), size(col("sh")).as("ns"),
+      explode(col("sh")).as("s"))
+    val a = ex.select(col("blk"), col("s"), col("doc_id").as("id1"), col("ns").as("na"))
+    val b = ex.select(col("blk"), col("s"), col("doc_id").as("id2"))
+    a.join(b, Seq("blk", "s")).filter(col("id1") =!= col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("common"), first("na").as("na"))
+      .withColumn("containment", round(col("common").cast("double") / col("na"), 4))
+      .filter(col("containment") >= tau)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
+  /** d11: within-source containment pairs at τ = 0.8 — id1's shingle
+    * set is (mostly) inside id2's. */
+  def d11Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(corpus(spark, dir), 0.8, Some("source"))
+      .orderBy("id1", "id2")
+
   // ----------------------------------------------- d03 MinHash + LSH
 
   private val MersennePrime = (1L << 31) - 1
@@ -733,6 +771,27 @@ object Dedup {
           |)
           |SELECT id1, id2, round(common * 1.0 / (na + nb - common), 4) AS jaccard
           |FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+          |ORDER BY id1, id2""".stripMargin),
+    "d11_containment" ->
+      (corpusSql +
+        """, norm AS (
+          |  SELECT doc_id, source, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
+          |), words AS (
+          |  SELECT doc_id, source, string_split(t, ' ') AS w FROM norm
+          |), sh AS (
+          |  SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM words
+          |), ex AS (
+          |  SELECT doc_id, source, len(shingles) AS ns, unnest(shingles) AS s FROM sh
+          |), pairs AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+          |    any_value(a.ns) AS na
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id <> b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT id1, id2, round(common * 1.0 / na, 4) AS containment
+          |FROM pairs WHERE round(common * 1.0 / na, 4) >= 0.8
           |ORDER BY id1, id2""".stripMargin),
     // d03's banding (32×4) provably-empirically recalls every τ≥0.5
     // pair in this corpus (verified against the exact global set), and

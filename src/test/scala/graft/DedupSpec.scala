@@ -97,6 +97,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.toSeq == Seq(1L))
   }
 
+  test("containment is directional: a quoted paragraph hits A->B but not B->A") {
+    val sess = spark
+    import sess.implicits._
+    val para = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = s"intro words here $para and then a very long tail " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, "s", para),             // fully quoted inside doc 2
+      (2L, "s", long),
+      (3L, "s", "completely different content with other words entirely"),
+      (4L, "t", para)              // same text, different block -> never paired
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.containmentPairs(docs, 0.8, Some("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1.0) // all of 1's shingles in 2
+    assert(!out.contains((2L, 1L))) // 2 is NOT contained in 1
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L }) // block-scoped
+  }
+
   test("exact dedup classes cover exactly the mutated docs") {
     val out = Dedup.d01DedupExact(spark, dir).collect()
     assert(out.forall(_.getLong(1) == 2L))
