@@ -48,6 +48,7 @@ object SparkEntry {
     "p14_missingness" -> (Preprocess.p14Missingness _),
     "p15_quantile_bin" -> (Preprocess.p15QuantileBin _),
     "p16_yeo_johnson" -> (Preprocess.p16YeoJohnson _),
+    "p17_corr_matrix" -> (Preprocess.p17CorrMatrix _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "e06_funnel" -> (Relational.e06Funnel _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
     "e05_session_window" -> (Relational.e05SessionWindow _),
+    "e08_attribution" -> (Relational.e08Attribution _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
@@ -319,6 +321,26 @@ object SparkEntry {
         |) SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         |    round(sum(value), 4) AS session_value
         |FROM t GROUP BY user_id, session_id ORDER BY 1, 2""".stripMargin,
+    "e08_attribution" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |), w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        |  FROM ev
+        |), p AS (
+        |  SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+        |    epoch(ts) - epoch(last_click_ts) AS lag_sec,
+        |    last_click_ts IS NOT NULL
+        |      AND epoch(ts) - epoch(last_click_ts) <= 3600 AS attributed
+        |  FROM w WHERE event_type = 'purchase'
+        |)
+        |SELECT event_id, user_id, purchase_ts,
+        |  CASE WHEN attributed THEN round(lag_sec, 4) END AS lag_sec,
+        |  attributed
+        |FROM p ORDER BY event_id""".stripMargin,
     "e02_stream_window" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value

@@ -533,6 +533,34 @@ object Preprocess {
       .select(col("c_custkey"), Norm.r4(col("acctbal_clipped")).as("acctbal_clipped"))
       .orderBy("c_custkey")
 
+  /**
+   * Pairwise covariate correlation in long form — the collinearity
+   * pre-check before any multi-covariate fit (a near-±1 pair makes
+   * the Gram solve ill-conditioned and the per-pair constant-drop
+   * can't catch it). ONE aggregation pass computes every pairwise
+   * Pearson r via the built-in co-moment aggregate (k²/2 columns
+   * from one scan, map-side combined), then unpivots — no per-pair
+   * scans, no shuffle beyond the single aggregate.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix: need >= 2 columns, got $cols")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"__c_${a}__$b") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col1"), lit(b).as("col2"),
+          col(s"__c_${a}__$b").as("r")) }: _*)).as("s"))
+      .select(col("s.col1"), col("s.col2"), Norm.r4(col("s.r")).as("r"))
+  }
+
+  /** p17: correlation of the customer numeric columns. */
+  def p17CorrMatrix(spark: SparkSession, dir: String): DataFrame =
+    corrMatrix(Tables.customer(spark, dir),
+      Seq("c_custkey", "c_nationkey", "c_acctbal"))
+      .orderBy("col1", "col2")
+
   /** p16: Yeo–Johnson at λ=0.5 over account balances — a column with
     * real negatives, so both sign branches execute. */
   def p16YeoJohnson(spark: SparkSession, dir: String): DataFrame =
@@ -717,6 +745,19 @@ object Preprocess {
         |FROM part ORDER BY p_partkey""".stripMargin,
     // identical branch structure + operation order as yeoJohnson at
     // λ=0.5 (2−λ folds to the 1.5 literal on both sides)
+    "p17_corr_matrix" ->
+      """SELECT 'c_custkey' AS col1, 'c_nationkey' AS col2,
+        |  round(corr(CAST(c_custkey AS DOUBLE), CAST(c_nationkey AS DOUBLE)), 4) + 0 AS r
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_custkey', 'c_acctbal',
+        |  round(corr(CAST(c_custkey AS DOUBLE), CAST(c_acctbal AS DOUBLE)), 4) + 0
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', 'c_acctbal',
+        |  round(corr(CAST(c_nationkey AS DOUBLE), CAST(c_acctbal AS DOUBLE)), 4) + 0
+        |FROM customer
+        |ORDER BY col1, col2""".stripMargin,
     "p16_yeo_johnson" ->
       """SELECT c_custkey,
         |  round(CASE WHEN c_acctbal >= 0

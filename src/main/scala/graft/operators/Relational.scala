@@ -207,6 +207,40 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /**
+   * Last-touch attribution with a bounded lookback: each 'purchase'
+   * attributes to the latest 'click' by the same user at-or-before
+   * it and within `windowSec` — the batch shape of the watermarked
+   * stream-stream attribution join (StreamingOps). e03's
+   * tagged-union trick: ONE user_id window carrying the running
+   * last non-null click timestamp — never a range join, so there is
+   * no per-user click×purchase cross product at any scale (the
+   * streaming variant bounds its state by the watermark the same
+   * way).
+   */
+  def attribution(events: DataFrame, windowSec: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts", last("click_ts", ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("lag_sec",
+        col("ts").cast("double") - col("last_click_ts").cast("double"))
+      .withColumn("attributed",
+        col("last_click_ts").isNotNull && col("lag_sec") <= windowSec)
+      // no nullable TIMESTAMP output: pandas renders a null ts as
+      // int64-min NaT, the one shape the driver's hash gate can't
+      // normalize (the q12 lesson) — lag_sec + attributed carry it
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        when(col("attributed"), round(col("lag_sec"), 4)).as("lag_sec"),
+        col("attributed"))
+  }
+
+  /** e08: last-touch attribution, 1-hour lookback. */
+  def e08Attribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(spark, dir), windowSec = 3600L)
+      .orderBy("event_id")
+
   /** e05: sessionization via Spark's NATIVE session_window — the same
     * >30 min gap semantics as e01's lag+cumsum, expressed as the
     * operator Structured Streaming uses for stateful session aggs

@@ -39,6 +39,45 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("l3") == None)       // nothing at-or-before 09:00
   }
 
+  test("attribution: last click within window wins; stale/absent/later clicks don't") {
+    val sess = spark
+    import sess.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0.getTime + offsetSec * 1000)
+    val ev = Seq(
+      (1L, 1L, ts(0), "click", 0.0),
+      (2L, 1L, ts(600), "purchase", 5.0),    // 10 min after click -> attributed
+      (3L, 2L, ts(0), "click", 0.0),
+      (4L, 2L, ts(7200), "purchase", 5.0),   // 2 h after click -> too stale
+      (5L, 3L, ts(0), "view", 0.0),
+      (6L, 3L, ts(100), "purchase", 5.0),    // no click at all
+      (7L, 4L, ts(500), "purchase", 5.0),
+      (8L, 4L, ts(600), "click", 0.0)        // click AFTER purchase -> invisible
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = operators.Relational.attribution(ev, 3600L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("attributed")),
+          Option(r.get(r.fieldIndex("lag_sec"))))).toMap
+    assert(out(2L) == ((true, Some(600.0))))
+    assert(out(4L)._1 == false && out(4L)._2.isEmpty)
+    assert(out(6L)._1 == false)
+    assert(out(7L)._1 == false)
+    assert(out.size == 4) // only purchases surface
+  }
+
+  test("corrMatrix: exact +/-1 on linear columns, one row per unordered pair") {
+    val sess = spark
+    import sess.implicits._
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1, -3.0 * i + 7))
+      .toDF("a", "b", "c")
+    val out = operators.Preprocess.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 3)
+    assert(out(("a", "b")) == 1.0)
+    assert(out(("a", "c")) == -1.0)
+    assert(out(("b", "c")) == -1.0)
+  }
+
   test("rangeJoinPairs equals the naive inequality self-join") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val naive = {
