@@ -35,7 +35,9 @@ object Bench {
     // 2-6 s fixed vs ~10 s total, so the bulk IS data). The probe dir
     // derives from sfDir's tree; skipped (empty JSON object) if absent
     // rather than timing an exception path as "compile cost".
-    val probeDir = new java.io.File(sfDir).getParent + "/sf0.001"
+    // getAbsoluteFile: a bare relative sfDir ("sf0.1") has a null
+    // parent, which would silently skip the probe
+    val probeDir = new java.io.File(sfDir).getAbsoluteFile.getParent + "/sf0.001"
     val probeNames = Seq("d03_dedup_minhash", "d04_dedup_simhash", "d06_dedup_components")
     val probes =
       if (masOnly || !new java.io.File(probeDir).isDirectory) Seq.empty

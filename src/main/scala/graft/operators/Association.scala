@@ -563,11 +563,17 @@ object Association {
         sum(col(wCol) * (col(xCol) - col("__xb")) * (col(yCol) - col("__yb"))).as("__sxy"),
         sum(col(wCol) * (col(xCol) - col("__xb")) * (col(xCol) - col("__xb"))).as("__sxx"),
         sum(col(wCol) * (col(yCol) - col("__yb")) * (col(yCol) - col("__yb"))).as("__syy"))
+    // degenerate groups answer null, not a fake number: constant x
+    // (sxx=0) has no slope, and a 2-point group has zero residual df —
+    // without the guard (n-2)=0 folds to se=0.0 and beta/se reads as
+    // infinitely significant
     stats
-      .withColumn("beta", col("__sxy") / col("__sxx"))
-      .withColumn("se", sqrt(
-        greatest((col("__syy") - col("beta") * col("__sxy")) / (col("n") - 2), lit(0.0))
-          / col("__sxx")))
+      .withColumn("beta",
+        when(col("__sxx") > 0, col("__sxy") / col("__sxx")))
+      .withColumn("se",
+        when(col("__sxx") > 0 && col("n") > 2, sqrt(
+          greatest((col("__syy") - col("beta") * col("__sxy")) / (col("n") - 2), lit(0.0))
+            / col("__sxx"))))
       .select(by ++ Seq(col("n"), col("beta"), col("se")): _*)
   }
 

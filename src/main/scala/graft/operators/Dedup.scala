@@ -626,6 +626,22 @@ object Dedup {
 
   // --------------------------------------------------------- oracle SQL
 
+  /** Source-scoped shingle CTE chain (norm → words → 3-gram sh →
+    * exploded postings with set size), shared VERBATIM by the d02 and
+    * d11 oracles — shingle semantics cannot diverge between them. */
+  private val sourceShingleCtesSql: String =
+    """, norm AS (
+      |  SELECT doc_id, source, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
+      |), words AS (
+      |  SELECT doc_id, source, string_split(t, ' ') AS w FROM norm
+      |), sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |  FROM words
+      |), ex AS (
+      |  SELECT doc_id, source, len(shingles) AS ns, unnest(shingles) AS s FROM sh
+      |)""".stripMargin
+
   /** Exact global shingle-Jaccard pair CTE chain (follows `corpus`). */
   private val globalPairsSqlBody: String =
     """, norm AS (
@@ -752,18 +768,8 @@ object Dedup {
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY bench_id, corpus_id""".stripMargin,
     "d02_dedup_ngram" ->
-      (corpusSql +
-        """, norm AS (
-          |  SELECT doc_id, source, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
-          |), words AS (
-          |  SELECT doc_id, source, string_split(t, ' ') AS w FROM norm
-          |), sh AS (
-          |  SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
-          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-          |  FROM words
-          |), ex AS (
-          |  SELECT doc_id, source, len(shingles) AS ns, unnest(shingles) AS s FROM sh
-          |), pairs AS (
+      (corpusSql + sourceShingleCtesSql +
+        """, pairs AS (
           |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
           |    any_value(a.ns) AS na, any_value(b.ns) AS nb
           |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
@@ -773,18 +779,8 @@ object Dedup {
           |FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
           |ORDER BY id1, id2""".stripMargin),
     "d11_containment" ->
-      (corpusSql +
-        """, norm AS (
-          |  SELECT doc_id, source, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM corpus
-          |), words AS (
-          |  SELECT doc_id, source, string_split(t, ' ') AS w FROM norm
-          |), sh AS (
-          |  SELECT doc_id, source, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
-          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-          |  FROM words
-          |), ex AS (
-          |  SELECT doc_id, source, len(shingles) AS ns, unnest(shingles) AS s FROM sh
-          |), pairs AS (
+      (corpusSql + sourceShingleCtesSql +
+        """, pairs AS (
           |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
           |    any_value(a.ns) AS na
           |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id <> b.doc_id

@@ -474,8 +474,11 @@ object Mas {
         |    sum(w * (y - yb) * (y - yb)) AS syy
         |  FROM v JOIN mb ON v.grp = mb.grp GROUP BY v.grp
         |)
-        |SELECT grp, n, round(sxy / sxx, 4) + 0 AS beta,
-        |  round(sqrt(greatest((syy - (sxy / sxx) * sxy) / (n - 2), 0.0) / sxx), 4) + 0 AS se
+        |SELECT grp, n,
+        |  CASE WHEN sxx > 0 THEN round(sxy / sxx, 4) + 0 END AS beta,
+        |  CASE WHEN sxx > 0 AND n > 2 THEN
+        |    round(sqrt(greatest((syy - (sxy / sxx) * sxy) / (n - 2), 0.0) / sxx), 4) + 0
+        |  END AS se
         |FROM s ORDER BY grp""".stripMargin,
     "a12_pipeline_categorical" ->
       (cohortSql + "\n" +

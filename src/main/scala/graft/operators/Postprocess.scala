@@ -56,11 +56,11 @@ object Postprocess {
     * Storey q-values (clamping first would floor q at π₀ wherever the
     * raw m·p/rank exceeds 1, underestimating the tail). */
   private def bhAdjust(df: DataFrame, pvalCol: String, scale: Double,
-      outCol: String): DataFrame = {
+      outCol: String, knownM: Option[Double] = None): DataFrame = {
     val spark = df.sparkSession
     val nonNull = df.filter(col(pvalCol).isNotNull)
     val schema = nonNull.schema
-    val m = nonNull.count().toDouble
+    val m = knownM.getOrElse(nonNull.count().toDouble)
     val ranked = nonNull.orderBy(col(pvalCol)).rdd.zipWithIndex()
     ranked.localCheckpoint() // two passes below; don't recompute the sort
     val pOrd = schema.fieldIndex(pvalCol)
@@ -110,12 +110,20 @@ object Postprocess {
   def qvalues(df: DataFrame, pvalCol: String = "pval",
       lambda: Double = 0.5): DataFrame = {
     require(lambda > 0 && lambda < 1, s"qvalues: lambda must be in (0,1), got $lambda")
-    val nonNull = df.filter(col(pvalCol).isNotNull)
-    val m = nonNull.count().toDouble
-    require(m > 0, "qvalues: no non-null p-values")
-    val tail = nonNull.filter(col(pvalCol) > lambda).count().toDouble
-    val pi0 = math.min(1.0, math.max(tail / (m * (1.0 - lambda)), 1.0 / m))
-    bhAdjust(df, pvalCol, scale = pi0, outCol = "q_value")
+    // m and the tail count come from ONE aggregate scan, and m feeds
+    // bhAdjust so the (possibly expensive) input lineage isn't
+    // recounted there — two passes total (this agg + the rank sort)
+    val counts = df.filter(col(pvalCol).isNotNull)
+      .agg(count(lit(1)).as("m"),
+        count(when(col(pvalCol) > lambda, 1)).as("tail")).head()
+    val m = counts.getLong(0).toDouble
+    val tail = counts.getLong(1).toDouble
+    // empty input degrades to an empty frame (like s01/s02), with the
+    // no-evidence pi0 = 1
+    val pi0 =
+      if (m == 0) 1.0
+      else math.min(1.0, math.max(tail / (m * (1.0 - lambda)), 1.0 / m))
+    bhAdjust(df, pvalCol, scale = pi0, outCol = "q_value", knownM = Some(m))
       .withColumn("pi0", lit(pi0))
   }
 

@@ -544,14 +544,16 @@ object Preprocess {
    */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"corrMatrix: need >= 2 columns, got $cols")
+    // alias by PAIR INDEX, not by name — names containing "__" or
+    // dots would collide or break col() resolution
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
-      yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) =>
-      corr(col(a).cast("double"), col(b).cast("double")).as(s"__c_${a}__$b") }
+      yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      corr(col(cols(i)).cast("double"), col(cols(j)).cast("double")).as(s"__c_${i}_$j") }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(pairs.map { case (a, b) =>
-        struct(lit(a).as("col1"), lit(b).as("col2"),
-          col(s"__c_${a}__$b").as("r")) }: _*)).as("s"))
+      .select(explode(array(pairs.map { case (i, j) =>
+        struct(lit(cols(i)).as("col1"), lit(cols(j)).as("col2"),
+          col(s"__c_${i}_$j").as("r")) }: _*)).as("s"))
       .select(col("s.col1"), col("s.col2"), Norm.r4(col("s.r")).as("r"))
   }
 

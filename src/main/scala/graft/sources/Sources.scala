@@ -38,12 +38,17 @@ object Sources {
    * the rest are labels. The frame is dimension-sized (~1,800 rows);
    * every join against it broadcasts.
    */
+  /** One reader body for both catalog loaders — options and the
+    * 5-column projection must never diverge between the path and the
+    * bundled-resource entry points. */
+  private def phecodeReader(spark: SparkSession) =
+    spark.read.option("header", "true").option("inferSchema", "false")
+
+  private def phecodeSelect(df: DataFrame): DataFrame =
+    df.select("phecode", "phenotype", "sex", "category", "category_number")
+
   def phecodeDefs(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .option("header", "true")
-      .option("inferSchema", "false")
-      .csv(path)
-      .select("phecode", "phenotype", "sex", "category", "category_number")
+    phecodeSelect(phecodeReader(spark).csv(path))
 
   /**
    * The bundled public PheCode catalog (phecode_definitions v1.2, the
@@ -63,11 +68,7 @@ object Sources {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
       finally in.close()
     import spark.implicits._
-    spark.read
-      .option("header", "true")
-      .option("inferSchema", "false")
-      .csv(spark.createDataset(lines))
-      .select("phecode", "phenotype", "sex", "category", "category_number")
+    phecodeSelect(phecodeReader(spark).csv(spark.createDataset(lines)))
   }
 
   /**
