@@ -16,6 +16,10 @@ object Verify {
     // per-query dirs would report full success on partial coverage
     val outDir = if (only.isDefined) baseOutDir + "-subset" else baseOutDir
     new java.io.File(outDir).mkdirs()
+    // the gate iterates oracle_sql.json, so a query registered WITHOUT
+    // an oracle entry silently drops out of the hash compare — warn
+    SparkEntry.queries.keys.filterNot(SparkEntry.oracleSql.contains).toSeq.sorted
+      .foreach(n => System.err.println(s"[verify] WARNING: $n has no oracleSql entry"))
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
