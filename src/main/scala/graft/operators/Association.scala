@@ -577,6 +577,74 @@ object Association {
       .select(by ++ Seq(col("n"), col("beta"), col("se")): _*)
   }
 
+  /**
+   * Poisson log-linear fit for one predictor + intercept:
+   * y ~ Poisson(exp(α + βx)), Newton-Raphson on the 2-parameter
+   * score, Wald se from the inverse information. The count-outcome
+   * model family (event counts, episode counts) that the
+   * logistic/linear pair doesn't cover. Allocation-light flat-array
+   * kernel in the IRLS style of the binary fitters; on a saturated
+   * binary design the MLE is the closed-form rate ratio
+   * β = ln(ȳ₁/ȳ₀) with se = √(1/Σy₁ + 1/Σy₀) — which is what the
+   * DuckDB oracle replays.
+   */
+  private[graft] def poissonFit(x: Array[Double], y: Array[Double],
+      maxIter: Int = 25, tol: Double = 1e-10): (Double, Double, Boolean) = {
+    var a = math.log(math.max(y.sum / y.length, 1e-12))
+    var b = 0.0
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      var s0 = 0.0; var s1 = 0.0
+      var i00 = 0.0; var i01 = 0.0; var i11 = 0.0
+      var i = 0
+      while (i < x.length) {
+        val mu = math.exp(a + b * x(i))
+        val r = y(i) - mu
+        s0 += r; s1 += r * x(i)
+        i00 += mu; i01 += mu * x(i); i11 += mu * x(i) * x(i)
+        i += 1
+      }
+      val det = i00 * i11 - i01 * i01
+      if (det <= 0) { it = maxIter }
+      else {
+        val da = (i11 * s0 - i01 * s1) / det
+        val db = (i00 * s1 - i01 * s0) / det
+        a += da; b += db
+        converged = math.abs(da) < tol && math.abs(db) < tol
+      }
+      it += 1
+    }
+    var i00 = 0.0; var i01 = 0.0; var i11 = 0.0
+    var i = 0
+    while (i < x.length) {
+      val mu = math.exp(a + b * x(i))
+      i00 += mu; i01 += mu * x(i); i11 += mu * x(i) * x(i)
+      i += 1
+    }
+    val det = i00 * i11 - i01 * i01
+    if (det > 0) (b, math.sqrt(i00 / det), converged)
+    else (Double.NaN, Double.NaN, false)
+  }
+
+  /** Per-group Poisson association: groups parallelize across
+    * executors via `mapGroups` (the a03/a04 execution shape); each
+    * task holds one group's (x, y) arrays. */
+  def poisson(df: DataFrame, xCol: String, yCol: String, byCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(byCol).cast("string"), col(xCol).cast("double"), col(yCol).cast("double"))
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(yCol) >= 0)
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (grp, it) =>
+        val rows = it.toArray
+        val (beta, se, conv) = poissonFit(rows.map(_._2), rows.map(_._3))
+        (grp, rows.length.toLong, beta, se, conv)
+      }
+      .toDF(byCol, "n", "beta", "se", "converged")
+  }
+
   /** Pairs whose rows all dropped produce no group — restore the full
     * predictor × dependent grid with reference default values
     * (analysis.py:113-121, schema defaults :228-260). The grid is a

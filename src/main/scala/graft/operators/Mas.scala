@@ -154,6 +154,21 @@ object Mas {
       .orderBy("grp")
   }
 
+  /** a15: Poisson count-model association — quantity ~ exp(α + β·x)
+    * per returnflag, x = deep-discount indicator. The binary design
+    * is saturated, so the IRLS MLE equals the closed-form rate ratio
+    * the oracle computes (β = ln(ȳ₁/ȳ₀), se = √(1/Σy₁ + 1/Σy₀)). */
+  def a15AssocPoisson(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("grp"),
+      when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("x"),
+      col("l_quantity").cast("double").as("y"))
+    Association.poisson(df, "x", "y", "grp")
+      .select(col("grp"), col("n"), r4(col("beta")).as("beta"),
+        r4(col("se")).as("se"), col("converged"))
+      .orderBy("grp")
+  }
+
   /** a03: logistic association of a binary predictor — the 2×2
     * saturated model, whose MLE is the sample log-odds-ratio, so the
     * oracle is closed-form SQL over the contingency cells. Tight
@@ -456,6 +471,26 @@ object Mas {
         Seq("y_avg", "y_max")
           .map(fwl2TargetOn("xz", "x * z1", _, "x", "z1"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    // saturated binary Poisson: MLE = closed-form rate ratio
+    "a15_assoc_poisson" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS x,
+        |    CAST(l_quantity AS DOUBLE) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_quantity >= 0
+        |), g AS (
+        |  SELECT grp, count(*) AS n,
+        |    sum(CASE WHEN x = 1.0 THEN y END) AS s1,
+        |    count(CASE WHEN x = 1.0 THEN 1 END) AS n1,
+        |    sum(CASE WHEN x = 0.0 THEN y END) AS s0,
+        |    count(CASE WHEN x = 0.0 THEN 1 END) AS n0
+        |  FROM v GROUP BY grp
+        |)
+        |SELECT grp, n, round(ln((s1 / n1) / (s0 / n0)), 4) + 0 AS beta,
+        |  round(sqrt(1.0 / s1 + 1.0 / s0), 4) + 0 AS se,
+        |  TRUE AS converged
+        |FROM g ORDER BY grp""".stripMargin,
     "a14_assoc_wls" ->
       """WITH v AS (
         |  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,
