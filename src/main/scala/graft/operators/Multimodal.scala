@@ -97,6 +97,29 @@ object Multimodal {
       .orderBy("doc_id")
 
   /**
+   * Per-modality catalog profile — the first query any multimodal
+   * pipeline runs (size budgeting, shard planning, codec mix): one
+   * map-side-combined aggregate over the catalog, |modalities| rows
+   * out, no second pass. Modalities here are synthesized
+   * deterministically from the id (the test corpus is text-only);
+   * with a real mime column the plan is unchanged.
+   */
+  def mediaStats(media: DataFrame): DataFrame =
+    media
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        round(avg(col("n_bytes")), 4).as("avg_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+
+  /** m04: modality-profiled catalog (synthetic 4-way mime mix). */
+  def m04MediaStats(spark: SparkSession, dir: String): DataFrame =
+    mediaStats(mediaTable(spark, dir).withColumn("mime",
+      element_at(array(lit("audio/wav"), lit("image/jpeg"), lit("text/plain"), lit("video/mp4")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
+      .orderBy("mime")
+
+  /**
    * Fixed-size chunking of a binary payload column — the media
    * counterpart of c02's shard packing: split each payload into
    * `chunkBytes`-sized pieces (training-window/codec-frame prep) as a
@@ -154,6 +177,19 @@ object Multimodal {
   /** Text is ASCII, so byte_sum ≡ codepoint sum in DuckDB (and string
     * substrings ≡ byte slices for m02). */
   val oracleSql: Map[String, String] = Map(
+    "m04_media_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/jpeg'
+        |      WHEN 2 THEN 'text/plain' ELSE 'video/mp4' END AS mime
+        |  FROM documents
+        |)
+        |SELECT mime, count(*) AS n_assets,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  round(avg(n_bytes), 4) + 0 AS avg_bytes,
+        |  CAST(max(n_bytes) AS INT) AS max_bytes
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
     "m01_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS BIGINT) AS byte_sum

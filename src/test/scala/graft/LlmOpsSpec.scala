@@ -155,6 +155,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mediaStats aggregates the catalog per modality in one pass") {
+    val sess = spark
+    import sess.implicits._
+    val media = Seq(
+      (1L, "image/jpeg", 100), (2L, "image/jpeg", 300),
+      (3L, "audio/wav", 50)
+    ).toDF("doc_id", "mime", "n_bytes")
+    val out = Multimodal.mediaStats(media).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out("image/jpeg") == ((2L, 400L, 200.0, 300)))
+    assert(out("audio/wav") == ((1L, 50L, 50.0, 50)))
+  }
+
   test("sampleFrames keeps every stride-th frame plus the last") {
     val sess = spark
     import sess.implicits._
