@@ -16,6 +16,16 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("every registered query has a DuckDB oracle, and no oracle is orphaned") {
+    // the driver's gate iterates oracle_sql.json: a query without an
+    // oracle silently drops out of the hash compare, an orphaned
+    // oracle is dead SQL — both are registry bugs, locked here
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert((queries -- oracles).isEmpty, s"queries without oracle: ${queries -- oracles}")
+    assert((oracles -- queries).isEmpty, s"orphaned oracles: ${oracles -- queries}")
+  }
+
   test("csv/tsv readers honor multiple user null markers") {
     val dir = Files.createTempDirectory("graft_src").toString
     val csv = new java.io.File(s"$dir/t.csv")
