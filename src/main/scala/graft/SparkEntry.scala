@@ -117,6 +117,7 @@ object SparkEntry {
     "t09_char_entropy" -> (TextOps.t09CharEntropy _),
     "t10_tfidf_keywords" -> (TextOps.t10TfidfKeywords _),
     "t11_unigram_logprob" -> (TextOps.t11UnigramLogprob _),
+    "t12_char_entropy_agg" -> (TextOps.t12CharEntropyAgg _),
   )
 
   def oracleSql: Map[String, String] =

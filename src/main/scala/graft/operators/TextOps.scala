@@ -349,6 +349,35 @@ object TextOps {
   def t09CharEntropy(spark: SparkSession, dir: String): DataFrame =
     charEntropy(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /**
+   * t09's LARGE-ALPHABET scale twin: the same per-doc Shannon
+   * entropy via a (doc, char) explode + two-level aggregate. t09's
+   * pure projection pays O(len · |alphabet|) per row (a filter pass
+   * over the chars array per distinct char) — ideal for ASCII-ish
+   * text, quadratic-ish for Unicode-heavy docs with thousands of
+   * distinct code points. This form pays ONE shuffle bounded by
+   * distinct (doc, char) and O(len) per row — the d05/d05b pattern:
+   * exact baseline + documented scale path, same output schema.
+   */
+  def charEntropyAgg(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+    val perDoc = counts.groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_chars"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("clnc"))
+      .select(col("doc_id"), col("n_chars"),
+        Norm.r4(log(col("n_chars").cast("double"))
+          - col("clnc") / col("n_chars").cast("double")).as("char_entropy"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        col("char_entropy"))
+  }
+
+  def t12CharEntropyAgg(spark: SparkSession, dir: String): DataFrame =
+    charEntropyAgg(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------ t08 repetition
 
   /**
@@ -419,6 +448,19 @@ object TextOps {
            |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
            |  round(-lp / p.n_tokens, 4) + 0 AS unigram_xent
            |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "t12_char_entropy_agg" ->
+        """WITH ch AS (
+          |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+          |), k AS (
+          |  SELECT doc_id, c, count(*) AS cnt FROM ch WHERE length(c) > 0 GROUP BY 1, 2
+          |), p AS (
+          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+          |    sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS clnc
+          |  FROM k GROUP BY doc_id
+          |)
+          |SELECT d.doc_id, coalesce(p.n_chars, 0) AS n_chars,
+          |  round(ln(CAST(p.n_chars AS DOUBLE)) - clnc / p.n_chars, 4) + 0 AS char_entropy
+          |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
       "t01_langid" ->
         s"""WITH p0 AS (SELECT doc_id, lang, $paddedSql AS p FROM documents),
            |s AS (SELECT doc_id, lang,

@@ -155,6 +155,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("charEntropyAgg (scale twin) equals the projection-form t09 on the corpus") {
+    val docs = graft.Tables.documents(spark, dir)
+    val proj = operators.TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, Option(r.get(2)))).toMap
+    val agg = operators.TextOps.charEntropyAgg(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    assert(agg.keySet == proj.keySet)
+    proj.foreach { case (id, (n, h)) =>
+      assert(agg(id)._1 == n, s"doc $id n_chars")
+      assert(agg(id)._2 == h, s"doc $id entropy: proj=$h agg=${agg(id)._2}")
+    }
+  }
+
   test("mediaStats aggregates the catalog per modality in one pass") {
     val sess = spark
     import sess.implicits._
