@@ -578,6 +578,45 @@ object Association {
   }
 
   /**
+   * Cochran–Mantel–Haenszel pooled odds ratio across strata — the
+   * confounder-adjusted 2×2 association WITHOUT a regression model
+   * (the classic epi companion to the logistic path): per-stratum
+   * cells reduce in one map-side-combined aggregate, the
+   * Mantel-Haenszel weights Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) and the
+   * Robins–Breslow–Greenland variance of ln(OR) reduce in a second
+   * |strata|-row aggregate — fully declarative, no collect, output
+   * is ONE row at any scale.
+   */
+  def cmh(df: DataFrame, xCol: String, yCol: String, strataCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    val strata = df
+      .filter(x.isNotNull && y.isNotNull)
+      .groupBy(strataCol).agg(
+        sum(when(x === 1.0 && y === 1.0, 1.0).otherwise(0.0)).as("a"),
+        sum(when(x === 1.0 && y === 0.0, 1.0).otherwise(0.0)).as("b"),
+        sum(when(x === 0.0 && y === 1.0, 1.0).otherwise(0.0)).as("c"),
+        sum(when(x === 0.0 && y === 0.0, 1.0).otherwise(0.0)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 0)
+      .select(
+        (col("a") * col("d") / col("n")).as("R"),
+        (col("b") * col("c") / col("n")).as("S"),
+        (((col("a") + col("d")) / col("n")) * (col("a") * col("d") / col("n"))).as("PR"),
+        (((col("a") + col("d")) / col("n")) * (col("b") * col("c") / col("n"))
+          + ((col("b") + col("c")) / col("n")) * (col("a") * col("d") / col("n"))).as("PSQR"),
+        (((col("b") + col("c")) / col("n")) * (col("b") * col("c") / col("n"))).as("QS"))
+    strata.agg(
+        count(lit(1)).as("n_strata"),
+        sum("R").as("sR"), sum("S").as("sS"),
+        sum("PR").as("sPR"), sum("PSQR").as("sPSQR"), sum("QS").as("sQS"))
+      .select(col("n_strata"),
+        (col("sR") / col("sS")).as("or_mh"),
+        sqrt(col("sPR") / (lit(2.0) * col("sR") * col("sR"))
+          + col("sPSQR") / (lit(2.0) * col("sR") * col("sS"))
+          + col("sQS") / (lit(2.0) * col("sS") * col("sS"))).as("se_ln_or"))
+  }
+
+  /**
    * Poisson log-linear fit for one predictor + intercept:
    * y ~ Poisson(exp(α + βx)), Newton-Raphson on the 2-parameter
    * score, Wald se from the inverse information. The count-outcome

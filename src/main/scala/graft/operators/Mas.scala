@@ -169,6 +169,20 @@ object Mas {
       .orderBy("grp")
   }
 
+  /** a16: CMH pooled odds ratio — deep-discount exposure vs
+    * high-quantity outcome, stratified by returnflag (the
+    * confounder). One row out; oracle replays the MH weights and
+    * RBG variance verbatim. */
+  def a16Cmh(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir).select(
+      when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("x"),
+      when(col("l_quantity") > 25, 1.0).otherwise(0.0).as("y"),
+      col("l_returnflag").as("s"))
+    Association.cmh(df, "x", "y", "s")
+      .select(col("n_strata"), r4(col("or_mh")).as("or_mh"),
+        r4(col("se_ln_or")).as("se_ln_or"))
+  }
+
   /** a03: logistic association of a binary predictor — the 2×2
     * saturated model, whose MLE is the sample log-odds-ratio, so the
     * oracle is closed-form SQL over the contingency cells. Tight
@@ -471,6 +485,36 @@ object Mas {
         Seq("y_avg", "y_max")
           .map(fwl2TargetOn("xz", "x * z1", _, "x", "z1"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a16_cmh" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS x,
+        |    CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y,
+        |    l_returnflag AS s
+        |  FROM lineitem
+        |), cells AS (
+        |  SELECT s,
+        |    sum(CASE WHEN x = 1.0 AND y = 1.0 THEN 1.0 ELSE 0.0 END) AS a,
+        |    sum(CASE WHEN x = 1.0 AND y = 0.0 THEN 1.0 ELSE 0.0 END) AS b,
+        |    sum(CASE WHEN x = 0.0 AND y = 1.0 THEN 1.0 ELSE 0.0 END) AS c,
+        |    sum(CASE WHEN x = 0.0 AND y = 0.0 THEN 1.0 ELSE 0.0 END) AS d
+        |  FROM v GROUP BY s
+        |), t AS (
+        |  SELECT a, b, c, d, a + b + c + d AS n FROM cells WHERE a + b + c + d > 0
+        |), w AS (
+        |  SELECT a * d / n AS R, b * c / n AS S,
+        |    ((a + d) / n) * (a * d / n) AS PR,
+        |    ((a + d) / n) * (b * c / n) + ((b + c) / n) * (a * d / n) AS PSQR,
+        |    ((b + c) / n) * (b * c / n) AS QS
+        |  FROM t
+        |), g AS (
+        |  SELECT count(*) AS n_strata, sum(R) AS sR, sum(S) AS sS,
+        |    sum(PR) AS sPR, sum(PSQR) AS sPSQR, sum(QS) AS sQS
+        |  FROM w
+        |)
+        |SELECT n_strata, round(sR / sS, 4) + 0 AS or_mh,
+        |  round(sqrt(sPR / (2.0 * sR * sR) + sPSQR / (2.0 * sR * sS)
+        |    + sQS / (2.0 * sS * sS)), 4) + 0 AS se_ln_or
+        |FROM g""".stripMargin,
     // saturated binary Poisson: MLE = closed-form rate ratio
     "a15_assoc_poisson" ->
       """WITH v AS (

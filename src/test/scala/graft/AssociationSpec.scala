@@ -212,6 +212,27 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("p1", "dep1"), ("p1", "dep2"), ("p2", "dep1"), ("p2", "dep2")))
   }
 
+  test("cmh: single stratum equals the plain 2x2 OR with Woolf se; duplicate strata halve var") {
+    val sess = spark
+    import sess.implicits._
+    // cells a=10 b=20 c=30 d=40 -> OR = ad/bc = 400/600
+    def cells(s: String) =
+      Seq.fill(10)((1.0, 1.0, s)) ++ Seq.fill(20)((1.0, 0.0, s)) ++
+        Seq.fill(30)((0.0, 1.0, s)) ++ Seq.fill(40)((0.0, 0.0, s))
+    val one = cells("s1").toDF("x", "y", "s")
+    val r1 = operators.Association.cmh(one, "x", "y", "s").head()
+    val woolfVar = 1.0 / 10 + 1.0 / 20 + 1.0 / 30 + 1.0 / 40
+    assert(r1.getLong(0) == 1)
+    assert(math.abs(r1.getDouble(1) - 400.0 / 600.0) < 1e-12)
+    assert(math.abs(r1.getDouble(2) - math.sqrt(woolfVar)) < 1e-12)
+    // two identical strata: same pooled OR, variance halves
+    val two = (cells("s1") ++ cells("s2")).toDF("x", "y", "s")
+    val r2 = operators.Association.cmh(two, "x", "y", "s").head()
+    assert(r2.getLong(0) == 2)
+    assert(math.abs(r2.getDouble(1) - 400.0 / 600.0) < 1e-12)
+    assert(math.abs(r2.getDouble(2) - math.sqrt(woolfVar / 2)) < 1e-12)
+  }
+
   test("poisson: binary design equals the closed-form rate ratio; score is zero at the MLE") {
     val sess = spark
     import sess.implicits._
