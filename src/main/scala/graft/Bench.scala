@@ -37,28 +37,67 @@ object Bench {
     // rather than timing an exception path as "compile cost".
     // getAbsoluteFile: a bare relative sfDir ("sf0.1") has a null
     // parent, which would silently skip the probe
-    val probeDir = new java.io.File(sfDir).getAbsoluteFile.getParent + "/sf0.001"
+    val parentDir = new java.io.File(sfDir).getAbsoluteFile.getParent
+    val probeDir = parentDir + "/sf0.001"
     val probeNames = Seq("d03_dedup_minhash", "d04_dedup_simhash", "d06_dedup_components")
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // a probe body that throws must NOT report its time-to-exception
+    // as a compile-cost number — omit the key instead
     val probes =
       if (masOnly || !new java.io.File(probeDir).isDirectory) Seq.empty
-      else probeNames.map { name =>
+      else probeNames.flatMap { name =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, probeDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        val ok =
+          try {
+            SparkEntry.queries(name)(spark, probeDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        shortId(name) -> dt
+        if (ok) Some(shortId(name) -> dt) else None
       }
-    val results = (if (masOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted).map { name =>
+    // per-query sweep is MIN-OF-2: a single-shot timing on this shared
+    // host has measured 17× swings on unchanged plans (r6→r7 at load
+    // 6→17) — one repeat makes a host spike visible instead of
+    // masquerading as a code regression. load_avg is sampled before
+    // and after the sweep segment for the same reason.
+    val loadPreSweep = loadAvg()
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try body catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may persist intermediates (signature tables); drop
       // them so later queries aren't billed for foreign cache memory
       spark.catalog.clearCache()
-      name -> dt
+      dt
     }
+    val results = (if (masOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted).map { name =>
+      name -> math.min(timed(run(name)), timed(run(name)))
+    }
+    val loadPostSweep = loadAvg()
+    // dedup scale slope: the three banded dedup queries at sf0.01 vs
+    // their sf-sweep point (one shot each; these are the "linear,
+    // shuffle-bounded" claims — two SF points turn the claim into a
+    // measured slope; codegen_probe at sf0.001 is the fixed cost to
+    // subtract). docs[] carries the corpus row counts for docs/sec.
+    val scaleNames = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh", "d10_semdedup")
+    val smallDir = parentDir + "/sf0.01"
+    val dedupScale =
+      if (masOnly || !new java.io.File(smallDir).isDirectory) None
+      else {
+        val docsSmall = spark.read.parquet(smallDir + "/documents.parquet").count()
+        val docsBig = spark.read.parquet(sfDir + "/documents.parquet").count()
+        val pts = scaleNames.map { name =>
+          val tSmall = timed(
+            SparkEntry.queries(name)(spark, smallDir)
+              .write.format("noop").mode("overwrite").save())
+          val tBig = results.toMap.getOrElse(name, 0.0)
+          s""""${shortId(name)}":[${"%.2f".formatLocal(java.util.Locale.ROOT, tSmall)},${"%.2f".formatLocal(java.util.Locale.ROOT, tBig)}]"""
+        }
+        Some(s""""docs":[$docsSmall,$docsBig],${pts.mkString(",")}""")
+      }
     // MAS headlines: the reference's TWO published benchmark tables
     // (/root/reference/benchmarks/README.md) at the 5,000 × ~1,800
     // shape — sample-size table row (5 covariates: 22.2 s) and
@@ -136,8 +175,6 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + shortId(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
     val reps = s""""mas_firth_reps":[${masTime._1.map(f3).mkString(",")}],""" +
       s""""mas_firth20_reps":[${masTime._2.map(f3).mkString(",")}],""" +
       s""""mas_linear_reps":[${masTime._3.map(f3).mkString(",")}]"""
@@ -145,8 +182,14 @@ object Bench {
     // time there IS the Janino compile cost the sweep no longer pays
     val probeJson = probes.map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
+    // load_sweep brackets the per-query segment; load_avg is sampled
+    // at the end (the MAS headline segment) — together they say which
+    // segment a host spike hit
+    val scaleJson = dedupScale.map(s => s""""dedup_scale":{$s},""").getOrElse("")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""codegen_probe":$probeJson,"load_avg":${f3(loadAvg)},$reps,"sf":"$sfDir"}"""
+      s""""codegen_probe":$probeJson,$scaleJson""" +
+      s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
+      s""""load_avg":${f3(loadAvg())},$reps,"sf":"$sfDir"}"""
     // ERROR level from here on: Spark's stop/shutdown-hook INFO lines
     // must not print after the JSON — the driver parses the last line.
     spark.sparkContext.setLogLevel("ERROR")

@@ -17,8 +17,9 @@ import org.apache.spark.sql.SparkSession
  *
  * Divergences (documented, fail-fast): --num-workers/--threads are
  * accepted but ignored (Spark owns parallelism); --phewas/--flipwas
- * need --phecode-defs pointing at a copy of the public catalog CSV
- * (no data files ship inside a library jar); forward/backward fill
+ * fall back to the BUNDLED PheCode catalog (classpath resource,
+ * Pipeline.scala) when --phecode-defs is not given — pass the flag
+ * only to override it with a newer catalog CSV; forward/backward fill
  * and --rint need --order-col (no file row order in a distributed
  * engine).
  */

@@ -586,11 +586,18 @@ object Association {
    * Robins–Breslow–Greenland variance of ln(OR) reduce in a second
    * |strata|-row aggregate — fully declarative, no collect, output
    * is ONE row at any scale.
+   *
+   * Inputs must be 0/1-coded: rows where x or y is outside {0, 1}
+   * are excluded EXPLICITLY (the filter below), not silently zeroed
+   * into the cells. Degenerate tables (sS=0: every stratum has
+   * b·c=0; or sR=0) answer null or_mh/se_ln_or rather than letting
+   * the engines disagree on x/0 (Spark yields NULL, DuckDB IEEE
+   * Infinity).
    */
   def cmh(df: DataFrame, xCol: String, yCol: String, strataCol: String): DataFrame = {
     val x = col(xCol); val y = col(yCol)
     val strata = df
-      .filter(x.isNotNull && y.isNotNull)
+      .filter(x.isin(0.0, 1.0) && y.isin(0.0, 1.0))
       .groupBy(strataCol).agg(
         sum(when(x === 1.0 && y === 1.0, 1.0).otherwise(0.0)).as("a"),
         sum(when(x === 1.0 && y === 0.0, 1.0).otherwise(0.0)).as("b"),
@@ -610,10 +617,11 @@ object Association {
         sum("R").as("sR"), sum("S").as("sS"),
         sum("PR").as("sPR"), sum("PSQR").as("sPSQR"), sum("QS").as("sQS"))
       .select(col("n_strata"),
-        (col("sR") / col("sS")).as("or_mh"),
-        sqrt(col("sPR") / (lit(2.0) * col("sR") * col("sR"))
-          + col("sPSQR") / (lit(2.0) * col("sR") * col("sS"))
-          + col("sQS") / (lit(2.0) * col("sS") * col("sS"))).as("se_ln_or"))
+        when(col("sS") > 0, col("sR") / col("sS")).as("or_mh"),
+        when(col("sR") > 0 && col("sS") > 0,
+          sqrt(col("sPR") / (lit(2.0) * col("sR") * col("sR"))
+            + col("sPSQR") / (lit(2.0) * col("sR") * col("sS"))
+            + col("sQS") / (lit(2.0) * col("sS") * col("sS")))).as("se_ln_or"))
   }
 
   /**
@@ -679,7 +687,12 @@ object Association {
       .mapGroups { (grp, it) =>
         val rows = it.toArray
         val (beta, se, conv) = poissonFit(rows.map(_._2), rows.map(_._3))
-        (grp, rows.length.toLong, beta, se, conv)
+        // degenerate groups (single-class x, det<=0) serialize as
+        // NULL, matching how SQL oracles express "no estimate" — a
+        // NaN sentinel would hash-diverge from the oracle's NULL
+        (grp, rows.length.toLong,
+          if (beta.isNaN) None else Some(beta),
+          if (se.isNaN) None else Some(se), conv)
       }
       .toDF(byCol, "n", "beta", "se", "converged")
   }

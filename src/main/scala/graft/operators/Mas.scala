@@ -491,13 +491,15 @@ object Mas {
         |    CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y,
         |    l_returnflag AS s
         |  FROM lineitem
+        |), v01 AS (
+        |  SELECT * FROM v WHERE x IN (0.0, 1.0) AND y IN (0.0, 1.0)
         |), cells AS (
         |  SELECT s,
         |    sum(CASE WHEN x = 1.0 AND y = 1.0 THEN 1.0 ELSE 0.0 END) AS a,
         |    sum(CASE WHEN x = 1.0 AND y = 0.0 THEN 1.0 ELSE 0.0 END) AS b,
         |    sum(CASE WHEN x = 0.0 AND y = 1.0 THEN 1.0 ELSE 0.0 END) AS c,
         |    sum(CASE WHEN x = 0.0 AND y = 0.0 THEN 1.0 ELSE 0.0 END) AS d
-        |  FROM v GROUP BY s
+        |  FROM v01 GROUP BY s
         |), t AS (
         |  SELECT a, b, c, d, a + b + c + d AS n FROM cells WHERE a + b + c + d > 0
         |), w AS (
@@ -511,9 +513,11 @@ object Mas {
         |    sum(PR) AS sPR, sum(PSQR) AS sPSQR, sum(QS) AS sQS
         |  FROM w
         |)
-        |SELECT n_strata, round(sR / sS, 4) + 0 AS or_mh,
-        |  round(sqrt(sPR / (2.0 * sR * sR) + sPSQR / (2.0 * sR * sS)
-        |    + sQS / (2.0 * sS * sS)), 4) + 0 AS se_ln_or
+        |SELECT n_strata,
+        |  CASE WHEN sS > 0 THEN round(sR / sS, 4) + 0 END AS or_mh,
+        |  CASE WHEN sR > 0 AND sS > 0 THEN
+        |    round(sqrt(sPR / (2.0 * sR * sR) + sPSQR / (2.0 * sR * sS)
+        |      + sQS / (2.0 * sS * sS)), 4) + 0 END AS se_ln_or
         |FROM g""".stripMargin,
     // saturated binary Poisson: MLE = closed-form rate ratio
     "a15_assoc_poisson" ->

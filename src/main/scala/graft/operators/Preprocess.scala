@@ -184,13 +184,27 @@ object Preprocess {
 
   // ------------------------------------------------------- p06 one-hot
 
+  /** Widest categorical a covariate may be before one-hot refuses:
+    * past this the collect stops being "bounded model state" and the
+    * dummy projection stops being a sane design matrix. */
+  val MaxOneHotLevels = 1000
+
   /** Dummy-encode categoricals with >2 levels, dropping the first
     * level (preprocessing.py:82-108). Levels are collected (bounded by
     * category cardinality, like the reference's unique()) and sorted
     * for determinism; the encoding itself is a pivot-free CASE WHEN
-    * projection Catalyst folds into the scan. */
+    * projection Catalyst folds into the scan. A high-cardinality
+    * column (an ID passed as a categorical by mistake) fails fast on
+    * a one-row countDistinct BEFORE the level collect can flood the
+    * driver. */
   def oneHot(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (d, c) =>
+      val nLevels = d.agg(countDistinct(col(c))).head().getLong(0)
+      require(nLevels <= MaxOneHotLevels,
+        s"categorical covariate '$c' has $nLevels distinct levels " +
+          s"(cap $MaxOneHotLevels) — one-hot encoding it would add " +
+          s"$nLevels columns to the design matrix; this is almost " +
+          "certainly an ID column passed as categorical")
       val levels = d.select(c).distinct().collect().map(_.get(0).toString).sorted
       if (levels.length <= 2) d
       else {

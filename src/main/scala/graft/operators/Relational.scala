@@ -219,7 +219,12 @@ object Relational {
    * way).
    */
   def attribution(events: DataFrame, windowSec: Long): DataFrame = {
+    // explicit ROWS frame: Spark's default is RANGE-to-current-row,
+    // which treats order-key peers as one unit — the oracle runs ROWS
+    // UNBOUNDED PRECEDING, and the two agree only while (ts, event_id)
+    // happens to be unique. Pin ROWS so duplicates can't diverge.
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
       .withColumn("last_click_ts", last("click_ts", ignoreNulls = true).over(byUser))

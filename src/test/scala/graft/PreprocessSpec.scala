@@ -87,6 +87,17 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Preprocess.oneHot(df, Seq("sex"))
     assert(out.columns.toSeq == Seq("id", "sex"))
   }
+  test("oneHot fails fast on a high-cardinality column instead of collecting it") {
+    val sess = spark
+    import sess.implicits._
+    val df = sess.range(Preprocess.MaxOneHotLevels + 1L)
+      .selectExpr("id", "cast(id as string) as subject_id")
+    val e = intercept[IllegalArgumentException] {
+      Preprocess.oneHot(df, Seq("subject_id"))
+    }
+    assert(e.getMessage.contains("distinct levels"))
+    assert(e.getMessage.contains("subject_id"))
+  }
   test("quantilesExact is partition-invariant and interpolates like a local sort") {
     val sess = spark
     import sess.implicits._
