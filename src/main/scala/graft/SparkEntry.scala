@@ -33,6 +33,7 @@ object SparkEntry {
     "a09_pipeline_rint" -> (Mas.a09PipelineRint _),
     "a12_pipeline_categorical" -> (Mas.a12PipelineCategorical _),
     "a10_assoc_logistic_gram" -> (Mas.a10AssocLogisticGram _),
+    "a17_assoc_firth_gram" -> (Mas.a17AssocFirthGram _),
     "s05_phecode_annotate" -> (Mas.s05PhecodeAnnotate _),
     "p01_select_index" -> (Preprocess.p01SelectIndex _),
     "p02_sex_filter" -> (Preprocess.p02SexFilter _),

@@ -519,6 +519,264 @@ object Association {
     completeGrid(failedRows.unionAll(solvedViable), cfg, binaryDefaults(cfg))
   }
 
+  // ------------------------------------------- distributed Firth IRLS
+
+  /** Executor-side Firth Newton step result. */
+  private[operators] final case class FirthStepR(
+      beta: Seq[Double], conv: Boolean, failed: String)
+
+  /** Executor-side final-pass result: penalized log-likelihood and the
+    * predictor's Wald se at the converged beta. */
+  private[operators] final case class FirthFinalR(
+      pll: Double, se0: Double, failed: String)
+
+  /**
+   * Distributed Firth-penalized IRLS — the a10-style scale path for
+   * the reference's DEFAULT model (cli.py:105-111): the path for
+   * pairs whose cohort is too large to materialize inside one
+   * `mapGroups` task. Semantics mirror `Models.firthRaw` (logistf
+   * defaults: step cap 5, no half-steps, per-pair convergence on
+   * max|δ| < xtol AND max|score| < gtol, LRT p-value from a second
+   * constrained fit with the predictor held at 0, warm-started from
+   * the full fit).
+   *
+   * Each penalized-IRLS iteration is TWO declarative aggregation
+   * passes over the melted frame (the hat diagonal is what costs the
+   * extra pass vs plain logistic):
+   *
+   *  pass 1 — under the current per-pair beta (broadcast joined),
+   *    reduce the information matrix X'WX to O(m²) doubles per pair
+   *    (map-side combine); invert it INSIDE a UDF on that
+   *    pair-count-sized frame;
+   *  pass 2 — broadcast the inverse back so every row computes its
+   *    own hat diagonal h_i = w_i·x_i'(X'WX)⁻¹x_i as a codegen'd
+   *    quadratic form, and contributes the Firth-modified score
+   *    Σ x_i·(y_i − p_i + h_i(½ − p_i)) — again O(m) doubles per pair.
+   *
+   * The Newton solve (restricted to free coordinates, step-capped)
+   * runs in a UDF over the stats frame; beta never exists
+   * driver-side. The driver reads ONE scalar per iteration (the
+   * count of still-active pairs); converged pairs freeze and drop out
+   * of later scans, so per-pair iteration counts — and therefore the
+   * fitted values — match the in-task fitter exactly (modulo FP
+   * associativity of the distributed sums). Per-iteration
+   * `localCheckpoint` cuts the growing lineage.
+   *
+   * Like `logisticGram`: no per-pair constant-covariate drop (a
+   * constant covariate makes X'WX singular → that pair reports
+   * failed_reason); run `Preprocess.dropConstant` first.
+   */
+  def firthGram(melted: DataFrame, cfg: Config): DataFrame = {
+    val spark = melted.sparkSession
+    import spark.implicits._
+    val k = cfg.covariates.size
+    val m = k + 2
+    val predictors = cfg.predictors.toArray
+    val dependents = cfg.dependents.toArray
+    val minCase = cfg.minCaseCount
+    val covNames = cfg.covariates
+    val gtol = cfg.tol
+    val xtol = cfg.tol
+    val maxStep = 5.0 // logistf maxstep
+    val keyedDf = keyed(melted, cfg).toDF("gkey", "v")
+    // packed value layout is [x, y, covs…]; design features [x, covs…, 1]
+    def f(i: Int): Column =
+      if (i == 0) col("v")(0) else if (i <= k) col("v")(i + 1) else lit(1.0)
+    def triOf(i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
+    val pairs = for { i <- 0 until m; j <- i until m } yield (i, j)
+
+    // same viability gate as logisticGram
+    val counts = keyedDf.groupBy("gkey").agg(
+        sum(col("v")(1)).cast("long").as("cases"), count(lit(1)).as("n"))
+      .withColumn("failed_reason",
+        when(col("cases") < minCase,
+          concat(lit("Insufficient case count ("), col("cases").cast("string"), lit(" cases).")))
+          .when(col("n") - col("cases") < minCase,
+            concat(lit("Insufficient control count ("),
+              (col("n") - col("cases")).cast("string"), lit(" controls).")))
+          .when(col("cases") === col("n"), lit("All observations are cases.")))
+      .localCheckpoint(true)
+
+    // p under eta, W floored at 1e-12 (Models.etaPW's floor — NOT the
+    // 1e-10 plain-logistic floor; matching the in-task Firth fitter
+    // bit-for-bit in the weights keeps the iterate sequences aligned)
+    def withPW(joined: DataFrame): DataFrame = {
+      val eta = (0 until m).map(i => f(i) * col("beta")(i)).reduce(_ + _)
+      joined
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-eta)))
+        .withColumn("w", greatest(col("p") * (lit(1.0) - col("p")), lit(1e-12)))
+    }
+
+    // symmetric m×m inverse of the packed upper triangle; None = singular
+    val invUdf = udf((s: Seq[Double]) =>
+      try {
+        val im = DenseMatrix.tabulate(m, m)((a, b) =>
+          s(triOf(math.min(a, b), math.max(a, b))))
+        Some(breeze.linalg.inv(im).data.toSeq)
+      } catch { case _: Throwable => None })
+
+    // state frame: (gkey, beta[m], conv, failed) — one penalized
+    // Newton loop; fixZero >= 0 holds that coefficient (LRT null fit)
+    def firthLoop(init: DataFrame, fixZero: Int): DataFrame = {
+      val free = (0 until m).filter(_ != fixZero).toArray
+      val nf = free.length
+      val stepUdf = udf((b: Seq[Double], s: Seq[Double], g: Seq[Double]) =>
+        try {
+          val infoF = DenseMatrix.tabulate(nf, nf)((a, c) =>
+            s(triOf(math.min(free(a), free(c)), math.max(free(a), free(c)))))
+          val scoreF = DenseVector.tabulate(nf)(a => g(free(a)))
+          val deltaF = infoF \ scoreF
+          val mx = breeze.linalg.max(breeze.numerics.abs(deltaF))
+          val scale = if (mx > maxStep) maxStep / mx else 1.0
+          val nb = b.toArray.clone()
+          var j = 0
+          while (j < nf) { nb(free(j)) += scale * deltaF(j); j += 1 }
+          var gmax = 0.0
+          var j2 = 0
+          while (j2 < nf) { gmax = math.max(gmax, math.abs(scoreF(j2))); j2 += 1 }
+          FirthStepR(nb.toSeq, mx * scale < xtol && gmax < gtol, null)
+        } catch {
+          case e: Throwable =>
+            FirthStepR(b, conv = false, Option(e.getMessage).getOrElse(e.toString))
+        })
+      var state = init.localCheckpoint(true)
+      var it = 0
+      var active = state.filter(!col("conv") && col("failed").isNull).count()
+      while (it < cfg.maxIter && active > 0) {
+        val actSt = state.filter(!col("conv") && col("failed").isNull).select("gkey", "beta")
+        // pass 1: information matrix under the current beta
+        val infoStats = withPW(keyedDf.join(broadcast(actSt), "gkey"))
+          .groupBy("gkey").agg(
+            pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") }.head,
+            pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") }.tail: _*)
+          .select(col("gkey"),
+            array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*).as("s"))
+          .withColumn("invd", invUdf(col("s")))
+          .localCheckpoint(true)
+        // pass 2: Firth-modified score, hat diagonal as a quadratic form
+        val withInv = keyedDf.join(
+          broadcast(infoStats.filter(col("invd").isNotNull).select("gkey", "invd")
+            .join(actSt, "gkey")), "gkey")
+        val q = pairs.map { case (i, j) =>
+          val c = if (i == j) lit(1.0) else lit(2.0)
+          c * col("invd")(i * m + j) * f(i) * f(j)
+        }.reduce(_ + _)
+        val scored = withPW(withInv)
+          .withColumn("h", col("w") * q)
+          .withColumn("rstar",
+            col("v")(1) - col("p") + col("h") * (lit(0.5) - col("p")))
+        val scoreStats = scored.groupBy("gkey").agg(
+            (0 until m).map(i => sum(f(i) * col("rstar")).as(s"g_$i")).head,
+            (0 until m).map(i => sum(f(i) * col("rstar")).as(s"g_$i")).tail: _*)
+          .select(col("gkey"), array((0 until m).map(i => col(s"g_$i")): _*).as("g"))
+        state = state
+          .join(infoStats, Seq("gkey"), "left")
+          .join(scoreStats, Seq("gkey"), "left")
+          .select(col("gkey"),
+            when(col("failed").isNull && !col("conv") && col("s").isNotNull &&
+                col("invd").isNull,
+              struct(col("beta").as("beta"), lit(false).as("conv"),
+                lit("Singular information matrix.").as("failed")))
+              .when(col("failed").isNull && !col("conv") && col("g").isNotNull,
+                stepUdf(col("beta"), col("s"), col("g")))
+              .otherwise(struct(col("beta").as("beta"), col("conv").as("conv"),
+                col("failed").as("failed"))).as("u"))
+          .select(col("gkey"), col("u.beta").as("beta"), col("u.conv").as("conv"),
+            col("u.failed").as("failed"))
+          .localCheckpoint(true)
+        active = state.filter(!col("conv") && col("failed").isNull).count()
+        it += 1
+      }
+      state
+    }
+
+    // one scan at the FINAL beta: log-likelihood + information matrix
+    // → penalized log-likelihood (ll + ½·log det X'WX) and the
+    // predictor's Wald se, both executor-side
+    val finalUdf = udf((s: Seq[Double], ll: Double) =>
+      try {
+        val im = DenseMatrix.tabulate(m, m)((a, b) =>
+          s(triOf(math.min(a, b), math.max(a, b))))
+        val l = breeze.linalg.cholesky(im)
+        val logDet = 2.0 * (0 until m).map(i => math.log(l(i, i))).sum
+        val covm: DenseMatrix[Double] = breeze.linalg.inv(im)
+        val se0 = math.sqrt(covm(0, 0))
+        FirthFinalR(ll + 0.5 * logDet, se0, null)
+      } catch {
+        case e: Throwable =>
+          FirthFinalR(Double.NaN, Double.NaN, Option(e.getMessage).getOrElse(e.toString))
+      })
+    def finalStats(state: DataFrame): DataFrame = {
+      val pc = greatest(least(col("p"), lit(1.0 - 1e-15)), lit(1e-15))
+      withPW(keyedDf.join(
+          broadcast(state.filter(col("failed").isNull).select("gkey", "beta")), "gkey"))
+        .withColumn("lli",
+          col("v")(1) * log(pc) + (lit(1.0) - col("v")(1)) * log(lit(1.0) - pc))
+        .groupBy("gkey").agg(
+          (pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") } :+
+            sum(col("lli")).as("ll")).head,
+          (pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") }.tail :+
+            sum(col("lli")).as("ll")): _*)
+        .select(col("gkey"),
+          finalUdf(array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*), col("ll"))
+            .as("fin"))
+    }
+
+    val init = counts.filter(col("failed_reason").isNull)
+      .select(col("gkey"), typedlit(Seq.fill(m)(0.0)).as("beta"),
+        lit(false).as("conv"), lit(null).cast("string").as("failed"))
+    val fullState = firthLoop(init, fixZero = -1)
+    val fullStats = finalStats(fullState).localCheckpoint(true)
+    // LRT null fit: predictor held at zero, warm-started from the full
+    // solution (firthRaw:250-252) — the Jeffreys penalty stays on the
+    // FULL design
+    val nullInit = fullState.select(col("gkey"),
+      transform(col("beta"), (x, i) => when(i === 0, lit(0.0)).otherwise(x)).as("beta"),
+      lit(false).as("conv"), col("failed"))
+    val nullState = firthLoop(nullInit, fixZero = 0)
+    val nullStats = finalStats(nullState).localCheckpoint(true)
+
+    val z975 = 1.959963984540054
+    val solvedViable = fullState
+      .join(fullStats, Seq("gkey"), "left")
+      .join(nullStats.select(col("gkey"), col("fin").as("nfin")), Seq("gkey"), "left")
+      .join(nullState.select(col("gkey"), col("conv").as("nconv"),
+        col("failed").as("nfailed")), Seq("gkey"), "left")
+      .join(counts.select("gkey", "cases", "n"), "gkey")
+      .as[(Long, Seq[Double], Boolean, String, FirthFinalR, FirthFinalR,
+        Boolean, String, Long, Long)]
+      .map { case (gkey, b, conv, failed, fin, nfin, nconv, nfailed, cases, n) =>
+        val pred = predictors((gkey / dependents.length).toInt)
+        val dep = dependents((gkey % dependents.length).toInt)
+        val reason = Seq(Option(failed), Option(nfailed),
+          Option(fin).flatMap(r => Option(r.failed)),
+          Option(nfin).flatMap(r => Option(r.failed))).flatten.headOption
+        reason match {
+          case Some(r) =>
+            BinResult(pred, dep, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+              Double.NaN, Double.NaN, -9L, -9L, -9L, converged = false, r, "nan")
+          case None =>
+            val stat = math.max(2.0 * (fin.pll - nfin.pll), 0.0)
+            val pval = graft.functions.Numerics.chi2Sf(stat, 1.0)
+            val b0 = b.head
+            val se0 = fin.se0
+            BinResult(pred, dep, pval, b0, se0, math.exp(b0),
+              b0 - z975 * se0, b0 + z975 * se0,
+              cases, n - cases, n, converged = conv && nconv, "nan",
+              s"$dep ~ $pred + ${covNames.mkString(" + ")}")
+        }
+      }.toDF()
+    val failedRows = counts.filter(col("failed_reason").isNotNull)
+      .as[(Long, Long, Long, String)]
+      .map { case (gkey, _, _, reason) =>
+        BinResult(predictors((gkey / dependents.length).toInt),
+          dependents((gkey % dependents.length).toInt),
+          Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+          -9L, -9L, -9L, converged = false, reason, "nan")
+      }.toDF()
+    completeGrid(failedRows.unionAll(solvedViable), cfg, binaryDefaults(cfg))
+  }
+
   // ------------------------------------------------------ grid completion
 
   private def linearDefaults(cfg: Config): Map[String, Column] = Map(

@@ -308,6 +308,23 @@ object Mas {
       .orderBy("dependent")
   }
 
+  /** a17: the DISTRIBUTED Firth IRLS (Association.firthGram) on the
+    * same 2×2 tables as a04 — the scale path for the reference's
+    * DEFAULT model: beta stays a DataFrame, penalized Newton solves
+    * run executor-side, two aggregation scans per iteration (the hat
+    * diagonal costs the extra pass). Same Haldane closed-form
+    * beta/OR oracle as a04; equality with the in-task fitter is
+    * spec-pinned (AssociationSpec). */
+  def a17AssocFirthGram(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("xbin"), Seq("d_urgent", "d_open", "d_big", "d_many"),
+      model = "firth", minCaseCount = 5, maxIter = 200, tol = 1e-11)
+    Association.firthGram(Association.melt(cohort(spark, dir), cfg), cfg)
+      .select(col("predictor"), col("dependent"),
+        r4(col("beta")).as("beta"), r4(col("OR")).as("OR"),
+        col("cases"), col("controls"), col("total_n"))
+      .orderBy("dependent")
+  }
+
   /** a05: per-pair case/control counts + viability flag
     * (analysis.py:168-193) as a pure aggregate — no fit. */
   def a05CaseCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -589,6 +606,12 @@ object Mas {
     "a10_assoc_logistic_gram" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(logisticBranch)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    // distributed Firth converges to the same penalized MLE as a04 →
+    // same Haldane closed-form beta/OR oracle
+    "a17_assoc_firth_gram" ->
+      (cohortSql + "\n" +
+        Seq("d_urgent", "d_open", "d_big", "d_many").map(firthBranch)
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
     "a08_pipeline_logt" ->
       (cohortSql + "\n" +

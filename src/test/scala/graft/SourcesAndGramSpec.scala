@@ -109,6 +109,52 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("distributed Firth IRLS matches the in-task firth fitter incl. LRT pval") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 500).flatMap { i =>
+      val x = rng.nextGaussian()
+      val z = rng.nextGaussian()
+      Seq(
+        ("x", "dep_a", x, if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-(0.8 * x - 0.4)))) 1.0 else 0.0, Seq(z)),
+        ("x", "dep_b", x, if (rng.nextDouble() < 0.3) 1.0 else 0.0, Seq(z)))
+    }
+    val melted = rows.toDF("predictor", "dependent", "x", "y", "covs")
+    // logistf defaults (maxit 25, gtol/xtol 1e-5) — the reference's
+    // default-model configuration, so the equality pin covers the
+    // config the engine actually runs
+    val cfg = Association.Config(Seq("x"), Seq("dep_a", "dep_b"), Seq("z"),
+      model = "firth", minCaseCount = 5)
+    val inTask = Association.binary(melted, cfg).collect()
+      .map(r => r.getAs[String]("dependent") -> r).toMap
+    val gram = Association.firthGram(melted, cfg).collect()
+      .map(r => r.getAs[String]("dependent") -> r).toMap
+    for (d <- Seq("dep_a", "dep_b")) {
+      assert(math.abs(gram(d).getAs[Double]("beta") - inTask(d).getAs[Double]("beta")) < 1e-6, d)
+      assert(math.abs(gram(d).getAs[Double]("se") - inTask(d).getAs[Double]("se")) < 1e-6, d)
+      assert(math.abs(gram(d).getAs[Double]("pval") - inTask(d).getAs[Double]("pval")) < 1e-6, d)
+      assert(math.abs(gram(d).getAs[Double]("OR") - inTask(d).getAs[Double]("OR")) < 1e-6, d)
+      assert(gram(d).getAs[Long]("cases") == inTask(d).getAs[Long]("cases"), d)
+      assert(gram(d).getAs[Boolean]("converged"), d)
+    }
+  }
+
+  test("distributed Firth IRLS applies the same viability gates") {
+    val sess = spark
+    import sess.implicits._
+    val rows = (0 until 100).map { i =>
+      ("x", "dep_few", i.toDouble % 2, if (i < 3) 1.0 else 0.0, Seq.empty[Double])
+    }
+    val melted = rows.toDF("predictor", "dependent", "x", "y", "covs")
+    val cfg = Association.Config(Seq("x"), Seq("dep_few", "dep_missing"),
+      model = "firth", minCaseCount = 5)
+    val out = Association.firthGram(melted, cfg).collect()
+      .map(r => r.getAs[String]("dependent") -> r.getAs[String]("failed_reason")).toMap
+    assert(out("dep_few") == "Insufficient case count (3 cases).")
+    assert(out("dep_missing") == "No data after dropping nulls.")
+  }
+
   test("distributed Gram IRLS applies the same viability gates") {
     val sess = spark
     import sess.implicits._
