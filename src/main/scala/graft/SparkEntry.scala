@@ -34,6 +34,7 @@ object SparkEntry {
     "a12_pipeline_categorical" -> (Mas.a12PipelineCategorical _),
     "a10_assoc_logistic_gram" -> (Mas.a10AssocLogisticGram _),
     "a17_assoc_firth_gram" -> (Mas.a17AssocFirthGram _),
+    "t13_bpe_tokens" -> (TextOps.t13BpeTokens _),
     "s05_phecode_annotate" -> (Mas.s05PhecodeAnnotate _),
     "p01_select_index" -> (Preprocess.p01SelectIndex _),
     "p02_sex_filter" -> (Preprocess.p02SexFilter _),

@@ -104,6 +104,118 @@ object TextOps {
   def t03Tokens(spark: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  // ------------------------------------------------------- t13 BPE
+
+  /** BPE training size knobs — shared with the generated oracle SQL,
+    * so change them in lockstep. Training reads only the TOP-K rows
+    * of the word-frequency table (bounded driver state, the k-means-
+    * codebook altitude): the merge table is model state, the corpus
+    * never leaves the executors. */
+  private[graft] val BpeMerges = 20
+  private[graft] val BpeTrainWords = 500
+
+  /** Apply ONE merge (a,b)→ab to a sentinel-spaced symbol string
+    * (" t h e ") by repeated LEFTMOST replacement — exact greedy BPE
+    * application semantics (each replacement rescans from the start,
+    * so earlier merges can enable later ones, and overlapping
+    * same-symbol runs pair up left-to-right). The DuckDB oracle
+    * replays precisely this loop as a recursive CTE. */
+  private[graft] def bpeApplyMerge(s0: String, a: String, b: String): String = {
+    val pat = " " + a + " " + b + " "
+    val rep = " " + a + b + " "
+    var s = s0
+    var idx = s.indexOf(pat)
+    while (idx >= 0) {
+      s = s.substring(0, idx) + rep + s.substring(idx + pat.length)
+      idx = s.indexOf(pat)
+    }
+    s
+  }
+
+  private[graft] def bpeSeg(w: String): String =
+    " " + w.map(_.toString).mkString(" ") + " "
+
+  /** Train `nMerges` BPE merges on a (word, freq) table — the classic
+    * Sennrich algorithm: count adjacent symbol pairs weighted by word
+    * frequency, merge the argmax (ties broken on the pair string so
+    * the result is deterministic), repeat. Runs driver-side over the
+    * top-K word rows ONLY — bounded model state, like collecting
+    * k-means centroids. */
+  private[graft] def bpeTrain(
+      wf: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    var seg = wf.map { case (w, f) => (bpeSeg(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      seg.foreach { case (s, f) =>
+        val toks = s.trim.split(" ")
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x + " " + y) }._1
+        merges += ((a, b))
+        seg = seg.map { case (s, f) => (bpeApplyMerge(s, a, b), f) }
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /**
+   * t13: REAL subword tokenization — corpus-trained byte-pair
+   * encoding (Sennrich et al. 2016, the public algorithm), replacing
+   * nothing: t03's whitespace/regex counts stay as the cheap
+   * projection; this is the trained-tokenizer path a training-data
+   * pipeline actually budgets tokens with.
+   *
+   * Scale shape: ONE aggregation builds the distinct-word frequency
+   * table; training collects only its top-K rows (bounded model
+   * state); the learned merge table ships to executors inside the
+   * tokenize closure; tokenization runs ONCE PER DISTINCT WORD (not
+   * per occurrence — at 100 TB the distinct-word table is orders of
+   * magnitude smaller than the token stream), then a word-keyed
+   * shuffle join prices each occurrence and a per-doc aggregate
+   * sums. No driver loop touches row-proportional data.
+   */
+  def bpeTokens(docs: DataFrame, nMerges: Int = BpeMerges,
+      trainWords: Int = BpeTrainWords): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wf = words.groupBy("w").agg(count(lit(1)).as("freq"))
+    val top = wf.orderBy(col("freq").desc, col("w").asc).limit(trainWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = bpeTrain(top, nMerges)
+    val tokenize = udf((w: String) => {
+      var s = bpeSeg(w)
+      merges.foreach { case (a, b) => s = bpeApplyMerge(s, a, b) }
+      s.trim.split(" ").length
+    })
+    val wordToks = wf.select(col("w"), tokenize(col("w")).as("wt"))
+    val agg = words.join(wordToks, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum("wt").cast("long").as("n_tokens"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 4).as("avg_word_tokens"))
+  }
+
+  def t13BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    bpeTokens(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ----------------------------------------------------- t04 fingerprint
 
   /** Document fingerprints: md5 of the normalized text plus the
@@ -428,6 +540,54 @@ object TextOps {
   private val normSql = """lower(regexp_replace(text, '\s+', ' ', 'g'))"""
   private val paddedSql = s"' ' || $normSql || ' '"
 
+  /** t13 oracle: the BPE training loop replayed move-for-move in
+    * DuckDB — the n03 fixed-point trick generalized to a discrete
+    * model. Per merge round: pair counts over the train subset, the
+    * (cnt DESC, pair ASC) argmax, then a RECURSIVE CTE applying that
+    * merge to every word by repeated LEFTMOST replacement — the exact
+    * greedy semantics of `bpeApplyMerge`. The SQL is static (builder-
+    * generated, no data in it); determinism comes from the total
+    * tie-break orders on both sides. */
+  private def bpeOracleSql: String = {
+    val wsSplit = """str_split_regex(text, '\s+')"""
+    val rounds = (1 to BpeMerges).map { r =>
+      val p = r - 1
+      s"""ex_$r AS (SELECT freq, str_split(trim(s), ' ') AS l FROM seg_$p WHERE is_train),
+         |px_$r AS (SELECT freq, l, unnest(generate_series(1, len(l) - 1)) AS i FROM ex_$r),
+         |pc_$r AS (SELECT l[i] || ' ' || l[i + 1] AS pair, sum(freq) AS cnt FROM px_$r GROUP BY 1),
+         |bst_$r AS MATERIALIZED (SELECT ' ' || pair || ' ' AS pat, ' ' || replace(pair, ' ', '') || ' ' AS rep
+         |  FROM pc_$r ORDER BY cnt DESC, pair LIMIT 1),
+         |it_$r AS (
+         |  SELECT g.w, g.freq, g.is_train, g.s FROM seg_$p g
+         |  UNION ALL
+         |  SELECT t.w, t.freq, t.is_train,
+         |    substr(t.s, 1, strpos(t.s, b.pat) - 1) || b.rep ||
+         |      substr(t.s, strpos(t.s, b.pat) + length(b.pat)) AS s
+         |  FROM it_$r t, bst_$r b WHERE strpos(t.s, b.pat) > 0
+         |),
+         |seg_$r AS MATERIALIZED (SELECT t.w, t.freq, t.is_train, t.s FROM it_$r t, bst_$r b
+         |  WHERE strpos(t.s, b.pat) = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT doc_id, unnest($wsSplit) AS w FROM documents
+       |), w1 AS MATERIALIZED (SELECT doc_id, w FROM w0 WHERE length(w) > 0),
+       |wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM w1 GROUP BY w),
+       |train AS (SELECT w FROM wf ORDER BY freq DESC, w LIMIT $BpeTrainWords),
+       |seg_0 AS MATERIALIZED (
+       |  SELECT wf.w, wf.freq, (train.w IS NOT NULL) AS is_train,
+       |    ' ' || array_to_string(list_transform(range(1, length(wf.w) + 1), i -> wf.w[i]), ' ') || ' ' AS s
+       |  FROM wf LEFT JOIN train ON wf.w = train.w
+       |),
+       |$rounds,
+       |tok AS (SELECT w, len(str_split(trim(s), ' ')) AS wt FROM seg_$BpeMerges),
+       |agg AS (SELECT w1.doc_id, count(*) AS n_words, CAST(sum(tok.wt) AS BIGINT) AS n_tokens
+       |  FROM w1 JOIN tok USING (w) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+       |  coalesce(a.n_tokens, 0) AS n_tokens,
+       |  round(CAST(a.n_tokens AS DOUBLE) / a.n_words, 4) + 0 AS avg_word_tokens
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = {
     val scoreSql = langWords.map { case (lang, words) =>
       words.map(w => occSql("p", w)).mkString(" + ") + s" AS ${lang}_score"
@@ -461,6 +621,7 @@ object TextOps {
           |SELECT d.doc_id, coalesce(p.n_chars, 0) AS n_chars,
           |  round(ln(CAST(p.n_chars AS DOUBLE)) - clnc / p.n_chars, 4) + 0 AS char_entropy
           |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "t13_bpe_tokens" -> bpeOracleSql,
       "t01_langid" ->
         s"""WITH p0 AS (SELECT doc_id, lang, $paddedSql AS p FROM documents),
            |s AS (SELECT doc_id, lang,

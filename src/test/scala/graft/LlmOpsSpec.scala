@@ -114,6 +114,38 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.keySet.filter(_ < 100000L).foreach(id => assert(!out(id), s"original $id marked"))
   }
 
+  test("BPE: hand-replayed merges, greedy-leftmost runs, per-doc token counts") {
+    import operators.TextOps
+    // training table: "abab"×4, "ab"×3, "aaaaa"×2
+    //  round 1: pairs (a,b)=4·2+3=11, (b,a)=4, (a,a)=2·4=8 → merge (a,b)
+    //  round 2: seg abab→[ab,ab], ab→[ab], aaaaa unchanged
+    //    pairs: (ab,ab)=4, (a,a)=8 → merge (a,a)
+    //  round 3: aaaaa →greedy [aa,aa,a] → pairs (ab,ab)=4, (aa,aa)=2,
+    //    (aa,a)=2 → merge (ab,ab)
+    val wf = Seq(("abab", 4L), ("ab", 3L), ("aaaaa", 2L))
+    val merges = TextOps.bpeTrain(wf, 3)
+    assert(merges == Seq(("a", "b"), ("a", "a"), ("ab", "ab")))
+    // greedy-leftmost application: run of 5 'a's pairs left-to-right
+    val s5 = TextOps.bpeApplyMerge(TextOps.bpeSeg("aaaaa"), "a", "a")
+    assert(s5 == " aa aa a ")
+    // a merge can enable the next occurrence (rescan from the start)
+    assert(TextOps.bpeApplyMerge(" a b a b ", "a", "b") == " ab ab ")
+    // end-to-end per-doc counts under the learned merges
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (0L, "abab ab abab abab aaaaa"),
+      (1L, "ab ab aaaaa"),
+      (2L, "zq")).toDF("doc_id", "text")
+    val got = TextOps.bpeTokens(docs, nMerges = 3, trainWords = 500).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // abab → [abab] (1 tok), ab → [ab] (1), aaaaa → [aa,aa,a] (3)
+    assert(got(0L) == (5L, 1L + 1L + 1L + 1L + 3L))
+    assert(got(1L) == (3L, 1L + 1L + 3L))
+    // untrained word: chars survive unmerged
+    assert(got(2L) == (1L, 2L))
+  }
+
   test("unigramLogprob: hand-checked xent, rare tokens score higher, empty doc nulls") {
     val sess = spark
     import sess.implicits._
