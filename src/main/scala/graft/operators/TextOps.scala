@@ -216,6 +216,67 @@ object TextOps {
   def t13BpeTokens(spark: SparkSession, dir: String): DataFrame =
     bpeTokens(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  // -------------------------------------------------- t14 line stats
+
+  /** Chunk running text into pseudo-lines of `n` words by replacing
+    * every n-th inter-word gap with a newline — a deterministic
+    * re-lining both engines compute identically (global regex replace
+    * is non-overlapping left-to-right in Java regex and RE2 alike).
+    * Used because the synthetic corpus carries no newlines; on real
+    * data pass the text through unchanged and split on its own \n. */
+  private def relined(n: Int): Column = regexp_replace(col("text"),
+    "(\\S+" + "\\s+\\S+" * (n - 1) + ")\\s+", "$1\n")
+
+  private def relinedSql(n: Int): String = {
+    val pat = """(\S+""" + """\s+\S+""" * (n - 1) + """)\s+"""
+    s"""regexp_replace(text, '$pat', '\\1' || chr(10), 'g')"""
+  }
+
+  /**
+   * t14: Gopher/C4-style LINE-level repetition and format filters —
+   * the standard public pre-training filter set t08's n-gram
+   * repetition doesn't cover: fraction of duplicate lines, fraction
+   * of CHARACTERS in duplicate lines (Gopher counts both), duplicate-
+   * paragraph fraction, and the terminal-punctuation line ratio (C4
+   * keeps only lines ending in terminal punctuation).
+   *
+   * Shape (the t12 altitude): explode lines → two-level aggregate —
+   * per-(doc, line) counts collapse map-side, then a per-doc
+   * aggregate; paragraphs run the same pipeline at a wider window;
+   * one join by doc_id. Nothing is row-proportional on the driver and
+   * every stage is a hash aggregate.
+   */
+  def lineStats(docs: DataFrame, lineWords: Int = 3, paraWords: Int = 12): DataFrame = {
+    def level(n: Int, prefix: String): DataFrame = {
+      val lines = docs.select(col("doc_id"),
+          explode(transform(split(relined(n), "\n"), l => trim(l))).as("l"))
+        .filter(length(col("l")) > 0)
+      val perLine = lines.groupBy("doc_id", "l").agg(count(lit(1)).as("cnt"))
+      perLine.groupBy("doc_id").agg(
+        sum("cnt").cast("long").as(s"${prefix}n"),
+        count(lit(1)).as(s"${prefix}distinct"),
+        sum((col("cnt") - 1) * length(col("l"))).as(s"${prefix}dup_chars"),
+        sum(col("cnt") * length(col("l"))).as(s"${prefix}tot_chars"),
+        sum(when(substring(col("l"), -1, 1).isin(".", "!", "?", "\""), col("cnt"))
+          .otherwise(0L)).cast("long").as(s"${prefix}punct"))
+    }
+    val ln = level(lineWords, "l_")
+    val pr = level(paraWords, "p_")
+    ln.join(pr, "doc_id").select(
+      col("doc_id"),
+      col("l_n").as("n_lines"),
+      round((col("l_n") - col("l_distinct")).cast("double") / col("l_n"), 4)
+        .as("dup_line_frac"),
+      round(col("l_dup_chars").cast("double") / col("l_tot_chars"), 4)
+        .as("dup_line_char_frac"),
+      round(col("l_punct").cast("double") / col("l_n"), 4).as("term_punct_frac"),
+      round((col("p_n") - col("p_distinct")).cast("double") / col("p_n"), 4)
+        .as("dup_para_frac"))
+  }
+
+  def t14LineStats(spark: SparkSession, dir: String): DataFrame =
+    lineStats(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ----------------------------------------------------- t04 fingerprint
 
   /** Document fingerprints: md5 of the normalized text plus the
@@ -588,6 +649,22 @@ object TextOps {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** t14 oracle: one level of the line-stats pipeline (re-line,
+    * explode, two-level aggregate) as CTEs with the given prefix. */
+  private def lineLevelSql(n: Int, pfx: String): String =
+    s"""${pfx}0 AS (
+       |  SELECT doc_id, trim(unnest(str_split(${relinedSql(n)}, chr(10)))) AS l
+       |  FROM documents
+       |), ${pfx}1 AS (SELECT doc_id, l FROM ${pfx}0 WHERE length(l) > 0),
+       |${pfx}c AS (SELECT doc_id, l, count(*) AS cnt FROM ${pfx}1 GROUP BY 1, 2),
+       |${pfx}s AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_distinct,
+       |    CAST(sum((cnt - 1) * length(l)) AS BIGINT) AS dup_chars,
+       |    CAST(sum(cnt * length(l)) AS BIGINT) AS tot_chars,
+       |    CAST(sum(CASE WHEN right(l, 1) IN ('.', '!', '?', '"') THEN cnt ELSE 0 END) AS BIGINT) AS punct
+       |  FROM ${pfx}c GROUP BY doc_id
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = {
     val scoreSql = langWords.map { case (lang, words) =>
       words.map(w => occSql("p", w)).mkString(" + ") + s" AS ${lang}_score"
@@ -622,6 +699,15 @@ object TextOps {
           |  round(ln(CAST(p.n_chars AS DOUBLE)) - clnc / p.n_chars, 4) + 0 AS char_entropy
           |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
       "t13_bpe_tokens" -> bpeOracleSql,
+      "t14_line_stats" ->
+        s"""WITH ${lineLevelSql(3, "ln")},
+           |${lineLevelSql(12, "pr")}
+           |SELECT lns.doc_id, lns.n AS n_lines,
+           |  round((lns.n - lns.n_distinct) / CAST(lns.n AS DOUBLE), 4) + 0 AS dup_line_frac,
+           |  round(lns.dup_chars / CAST(lns.tot_chars AS DOUBLE), 4) + 0 AS dup_line_char_frac,
+           |  round(lns.punct / CAST(lns.n AS DOUBLE), 4) + 0 AS term_punct_frac,
+           |  round((prs.n - prs.n_distinct) / CAST(prs.n AS DOUBLE), 4) + 0 AS dup_para_frac
+           |FROM lns JOIN prs USING (doc_id) ORDER BY doc_id""".stripMargin,
       "t01_langid" ->
         s"""WITH p0 AS (SELECT doc_id, lang, $paddedSql AS p FROM documents),
            |s AS (SELECT doc_id, lang,

@@ -146,6 +146,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == (1L, 2L))
   }
 
+  test("lineStats: hand-checked duplicate-line/char/punct fractions") {
+    import operators.TextOps
+    val sess = spark
+    import sess.implicits._
+    // 2-word lines: [a b, a b, a b, c.] → 4 lines, 2 distinct,
+    // dup chars 6 of 11, one terminal-punct line; 4-word paragraphs:
+    // [a b a b, a b c.] → no duplicates
+    val docs = Seq((0L, "a b a b a b c.")).toDF("doc_id", "text")
+    val r = TextOps.lineStats(docs, lineWords = 2, paraWords = 4).collect()(0)
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Double]("dup_line_frac") == 0.5)
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.5455)
+    assert(r.getAs[Double]("term_punct_frac") == 0.25)
+    assert(r.getAs[Double]("dup_para_frac") == 0.0)
+  }
+
   test("unigramLogprob: hand-checked xent, rare tokens score higher, empty doc nulls") {
     val sess = spark
     import sess.implicits._
