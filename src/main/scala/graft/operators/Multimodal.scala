@@ -11,12 +11,13 @@ import graft.Tables
  * (JNI codec, GPU preprocessor) amortizes setup per batch, not per
  * row.
  *
- * The decode itself is a STUB — deterministic fake features standing
- * in for pixel decoding (this container has no image/audio codecs).
- * Everything around it is real and tested: the binary schema, the
- * metadata struct, the mapPartitions batching shape, and the feature
- * output schema. Swapping `decodeBatch` for a real codec changes no
- * plumbing.
+ * Header decode is REAL: `parseImageHeader` reads the public PNG IHDR
+ * and JPEG SOF0/SOF1/SOF2 byte formats (walking marker segments, so
+ * APP0/JFIF prefixes are handled) to emit true width/height/channels
+ * from the payload bytes. Only the PIXEL decode (entropy-coded scan
+ * data) is out of scope — this container has no image codecs — and a
+ * real codec slots into the same per-batch hook with no plumbing
+ * change.
  */
 object Multimodal {
 
@@ -24,19 +25,126 @@ object Multimodal {
     * media lake scan would produce). */
   final case class MediaRow(doc_id: Long, media: Array[Byte], mime: String, n_bytes: Int)
 
-  /** Extracted features for one media payload. `thumb_md5` is the
-    * checksum of the STUB-resized payload (every 4th byte — the 1-D
-    * stand-in for a thumbnail/downsample; a real resize slots into
-    * the same per-batch decode hook and the plumbing is unchanged). */
+  /** Extracted features for one media payload. `format`/`width`/
+    * `height`/`channels` are parsed from the REAL container header
+    * (PNG IHDR / JPEG SOFn); `data_sum` checksums the payload AFTER
+    * the header (the "pixel section"); `thumb_md5` is the checksum of
+    * the stub-resized data section (every 4th byte — the 1-D stand-in
+    * for a thumbnail; a real resize slots into the same per-batch
+    * decode hook). */
   final case class MediaFeature(
-      doc_id: Long, n_bytes: Int, byte_sum: Long, width: Int, height: Int,
-      thumb_md5: String, batch_id: Int)
+      doc_id: Long, n_bytes: Int, format: String, width: Int, height: Int,
+      channels: Int, data_sum: Long, thumb_md5: String, batch_id: Int)
+
+  /** Parsed container-header facts: `headerLen` is the byte offset
+    * where pixel/entropy data begins (end of IHDR for PNG, end of the
+    * SOF segment for JPEG). */
+  final case class ImageHeader(
+      format: String, width: Int, height: Int, channels: Int, headerLen: Int)
+
+  /**
+   * Real image-header parser over the PUBLIC byte formats:
+   *
+   *  - PNG: 8-byte signature, then the IHDR chunk (must be first per
+   *    the spec): 4-byte length, "IHDR", width/height as big-endian
+   *    u32, bit depth, color type. Channels derive from color type
+   *    (0 gray=1, 2 rgb=3, 3 palette=1, 4 gray+alpha=2, 6 rgba=4).
+   *  - JPEG: SOI (FFD8), then a walk over marker segments (each
+   *    FF xx + big-endian u16 length that counts itself), skipping
+   *    APPn/COM/DQT/... until a baseline (SOF0), extended-sequential
+   *    (SOF1) or progressive (SOF2) frame header: precision u8,
+   *    height u16, width u16, component count u8.
+   *
+   * Returns None for anything unparseable (truncated, wrong magic,
+   * no SOF before EOF) — callers surface format="unknown" rather
+   * than failing the scan.
+   */
+  def parseImageHeader(b: Array[Byte]): Option[ImageHeader] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (b.length >= 33 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a) {
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) None
+      else {
+        val w = u32(16); val h = u32(20)
+        val ihdrLen = u32(8).toInt
+        val channels = u8(25) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => -1
+        }
+        if (channels < 0 || w <= 0 || h <= 0 || ihdrLen != 13) None
+        // signature + (length + type + 13 data + CRC)
+        else Some(ImageHeader("png", w.toInt, h.toInt, channels, 8 + 12 + ihdrLen))
+      }
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out: Option[ImageHeader] = None
+      var bad = false
+      while (out.isEmpty && !bad && i + 4 <= b.length) {
+        if (u8(i) != 0xff) bad = true
+        else {
+          val marker = u8(i + 1)
+          // standalone markers (no length field): TEM, RSTn, EOI
+          if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          else {
+            val segLen = u16(i + 2)
+            if (segLen < 2 || i + 2 + segLen > b.length) bad = true
+            else if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+              if (segLen < 8) bad = true
+              else {
+                val h = u16(i + 5); val w = u16(i + 7); val nc = u8(i + 9)
+                out = Some(ImageHeader("jpeg", w, h, nc, i + 2 + segLen))
+              }
+            } else i += 2 + segLen
+          }
+        }
+      }
+      out
+    } else None
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Minimal REAL PNG container: signature + IHDR (with genuine CRC32
+    * over type+data, per the spec) followed by `data` standing in for
+    * the IDAT stream. Header is exactly 33 bytes. */
+  def buildPng(width: Int, height: Int, colorType: Int, data: Array[Byte]): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val typeAndData = "IHDR".getBytes("US-ASCII") ++
+      be32(width) ++ be32(height) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeAndData)
+    sig ++ be32(13) ++ typeAndData ++ be32(crc.getValue.toInt) ++ data
+  }
+
+  /** Minimal REAL JPEG container: SOI + JFIF APP0 (so the parser's
+    * marker-segment skip is exercised) + SOF0 (baseline) or SOF2
+    * (progressive) frame header, followed by `data` standing in for
+    * the entropy-coded scan. Header is exactly 30 + 3*nComp bytes. */
+  def buildJpeg(width: Int, height: Int, nComp: Int, progressive: Boolean,
+      data: Array[Byte]): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+      "JFIF\u0000".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0) // v1.2, aspect-ratio units, 1:1, no thumb
+    val comps = (1 to nComp).flatMap(c => Array[Byte](c.toByte, 0x11, 0)).toArray
+    val sof = Array(0xff, if (progressive) 0xc2 else 0xc0).map(_.toByte) ++
+      be16(8 + 3 * nComp) ++ Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array[Byte](nComp.toByte) ++ comps
+    soi ++ app0 ++ sof ++ data
+  }
 
   /** Media table synthesized from documents: UTF-8 payload bytes +
     * metadata. A real pipeline reads (path, bytes, mime) from a
     * manifest; the schema and downstream plumbing are identical.
     *
-    * The m01–m03 DuckDB oracles slice and checksum the VARCHAR by
+    * The m02/m03 DuckDB oracles slice and checksum the VARCHAR by
     * CHARACTERS (DuckDB has no BLOB substring/md5), while Spark
     * slices the binary payload by BYTES — equivalent only while every
     * doc is pure ASCII. That assumption is load-bearing for the hash
@@ -49,30 +157,65 @@ object Multimodal {
       when(octet_length(payload) === length(col("text")), payload)
         .otherwise(raise_error(concat(
           lit("mediaTable: non-ASCII text in doc_id="), col("doc_id"),
-          lit(" (m01-m03 oracles assume byte==char slicing)")))).as("media"),
+          lit(" (m02/m03 oracles assume byte==char slicing)")))).as("media"),
       lit("text/plain").as("mime"),
       octet_length(payload).as("n_bytes"))
   }
 
+  /** Deterministic image geometry for the synthetic corpus — dims and
+    * channel layout derive from doc_id in closed form so the DuckDB
+    * oracle can recompute them WITHOUT parsing bytes, making the m01
+    * hash gate a genuine build-then-parse round-trip check. */
+  private[graft] def imgWidth(id: Long): Int = 16 + (id % 240).toInt
+  private[graft] def imgHeight(id: Long): Int = 16 + ((id * 7) % 240).toInt
+  private[graft] def pngColorType(id: Long): Int =
+    Array(0, 2, 4, 6)(((id / 2) % 4).toInt) // gray, rgb, gray+alpha, rgba
+  private[graft] def jpegComponents(id: Long): Int = if (id % 4 == 1) 3 else 1
+
+  /** Image table synthesized from documents: each doc's text bytes
+    * wrapped in a REAL encoded container header — even doc_ids get a
+    * PNG (signature + IHDR with genuine CRC32), odd get a JPEG (SOI +
+    * JFIF APP0 + SOF0/SOF2). A real pipeline reads (path, bytes,
+    * mime) from a manifest; downstream plumbing is identical. Runs as
+    * a typed map (header encode is per-row executor work, no
+    * shuffle). */
+  def imageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"imageTable: non-ASCII text in doc_id=$id (m01 oracle sums bytes as ords)")
+        val data = text.getBytes("US-ASCII")
+        val bytes =
+          if (id % 2 == 0) buildPng(imgWidth(id), imgHeight(id), pngColorType(id), data)
+          else buildJpeg(imgWidth(id), imgHeight(id), jpegComponents(id),
+            progressive = ((id - 1) / 2) % 2 == 1, data)
+        MediaRow(id, bytes, if (id % 2 == 0) "image/png" else "image/jpeg", bytes.length)
+      }
+  }
+
   /**
-   * STUB decoder for one batch. Real decoders go here (one codec
-   * init per batch); the fake emits deterministic pseudo-dimensions
-   * from the payload hash and a byte checksum standing in for pixel
-   * statistics.
+   * Decode one batch (one codec init per batch): parse the REAL
+   * container header for format/dimensions/channels, checksum the
+   * data section after it, and stub-resize it (every 4th byte) for
+   * the thumbnail digest. Unparseable payloads surface
+   * format="unknown" with zero dims and whole-payload stats.
    */
   private def decodeBatch(batch: Seq[MediaRow], batchId: Int): Seq[MediaFeature] =
     batch.map { r =>
+      val hdr = parseImageHeader(r.media)
+      val off = hdr.map(_.headerLen).getOrElse(0)
       var sum = 0L
-      var i = 0
+      var i = off
       while (i < r.media.length) { sum += (r.media(i) & 0xff); i += 1 }
-      val h = scala.util.hashing.MurmurHash3.bytesHash(r.media, 42)
-      // stub resize: keep every 4th byte (deterministic, per-row —
-      // batching/partitioning cannot change it)
-      val thumb = Array.tabulate((r.media.length + 3) / 4)(j => r.media(j * 4))
+      val thumb = Array.tabulate((r.media.length - off + 3) / 4)(j => r.media(off + j * 4))
       val md5 = java.security.MessageDigest.getInstance("MD5").digest(thumb)
         .map("%02x".format(_)).mkString
-      MediaFeature(r.doc_id, r.media.length, sum,
-        width = 64 + (h & 0x3f), height = 64 + ((h >>> 8) & 0x3f), md5, batchId)
+      MediaFeature(r.doc_id, r.media.length,
+        hdr.map(_.format).getOrElse("unknown"),
+        hdr.map(_.width).getOrElse(0), hdr.map(_.height).getOrElse(0),
+        hdr.map(_.channels).getOrElse(0), sum, md5, batchId)
     }
 
   /** Batched per-partition feature extraction: groups the partition
@@ -89,11 +232,15 @@ object Multimodal {
       }
   }
 
-  /** m01: metadata + checksum features (the SQL-expressible subset —
-    * the full stub output incl. pseudo-dimensions is spec-checked). */
+  /** m01: header-decoded image features — format/width/height/
+    * channels parsed from the real PNG/JPEG bytes, n_bytes of the
+    * full payload, data-section checksum. The oracle recomputes the
+    * generator's closed form, so a bug in EITHER the header encode or
+    * the parse breaks the hash. */
   def m01Multimodal(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(mediaTable(spark, dir)).toDF()
-      .select(col("doc_id"), col("n_bytes"), col("byte_sum"))
+    extractFeatures(imageTable(spark, dir).toDF()).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("channels"), col("n_bytes"), col("data_sum"))
       .orderBy("doc_id")
 
   /**
@@ -190,9 +337,22 @@ object Multimodal {
         |  round(avg(n_bytes), 4) + 0 AS avg_bytes,
         |  CAST(max(n_bytes) AS INT) AS max_bytes
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+    // Recomputes the image generator's closed form (dims/channels from
+    // doc_id, header length from format+components) — Spark must BUILD
+    // the header bytes correctly AND PARSE them back for this to match.
     "m01_multimodal" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS BIGINT) AS byte_sum
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(16 + doc_id % 240 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 240 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE CAST((doc_id // 2) % 4 AS INT)
+        |        WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END
+        |    ELSE CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33
+        |    WHEN doc_id % 4 = 1 THEN 39 ELSE 33 END
+        |    + octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS BIGINT) AS data_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m02_chunk" ->
       """WITH c AS (

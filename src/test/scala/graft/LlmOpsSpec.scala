@@ -216,6 +216,52 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("charEntropyAuto routes by sampled alphabet size: projection under the guard, aggregate over it") {
+    val sess = spark
+    import sess.implicits._
+    // ASCII corpus -> small alphabet -> projection plan (no Join; the
+    // aggregate twin left-joins per-doc stats back onto doc_id)
+    val ascii = Seq((1L, "hello world"), (2L, "abcabc")).toDF("doc_id", "text")
+    val autoAscii = operators.TextOps.charEntropyAuto(ascii)
+    assert(!autoAscii.queryExecution.optimizedPlan.toString.contains("Join"),
+      "ASCII corpus should take the pure-projection (t09) plan")
+    // >256 distinct code points -> aggregate twin (Join present)
+    val wide = Seq((1L, (0x4e00 until 0x4e00 + 300).map(_.toChar).mkString))
+      .toDF("doc_id", "text")
+    val autoWide = operators.TextOps.charEntropyAuto(wide)
+    assert(autoWide.queryExecution.optimizedPlan.toString.contains("Join"),
+      "CJK-scale alphabet should route to the aggregate (t12) plan")
+    // routing never changes values: both frames match the direct twins
+    assert(autoAscii.collect().map(_.toSeq).toSet ==
+      operators.TextOps.charEntropy(ascii).collect().map(_.toSeq).toSet)
+    assert(autoWide.collect().map(_.toSeq).toSet ==
+      operators.TextOps.charEntropyAgg(wide).collect().map(_.toSeq).toSet)
+  }
+
+  test("t13 BPE knobs are session-configurable and more merges never add tokens") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq((1L, "aaab aaab aaab banana"), (2L, "aaab banana banana"))
+      .toDF("doc_id", "text")
+    def toks(merges: Int): Map[Long, Long] =
+      operators.TextOps.bpeTokens(docs, nMerges = merges, trainWords = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val zero = toks(0); val five = toks(5)
+    // zero merges -> every word costs its code-point count
+    assert(zero(1L) == ("aaab aaab aaab banana".count(_ != ' ')))
+    assert(five(1L) < zero(1L) && five(2L) < zero(2L))
+    // the registered query reads the session conf (corpus-scale knob)
+    spark.conf.set("spark.graft.bpe.merges", "0")
+    try {
+      val viaConf = operators.TextOps.t13BpeTokens(spark, dir).collect()
+      val direct = operators.TextOps
+        .bpeTokens(graft.Tables.documents(spark, dir), nMerges = 0,
+          trainWords = operators.TextOps.BpeTrainWords)
+        .orderBy("doc_id").collect()
+      assert(viaConf.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    } finally spark.conf.unset("spark.graft.bpe.merges")
+  }
+
   test("mediaStats aggregates the catalog per modality in one pass") {
     val sess = spark
     import sess.implicits._
@@ -243,8 +289,42 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == Set(0 -> 3)) // single short frame: first == last
   }
 
-  test("multimodal stub: batching preserves per-row features and bounds batch size") {
-    val media = Multimodal.mediaTable(spark, dir)
+  test("parseImageHeader reads hand-built PNG IHDR and JPEG SOF bytes") {
+    import Multimodal.{parseImageHeader, ImageHeader}
+    // Hand-written (NOT via the builders) 3x2 grayscale PNG header:
+    // signature, IHDR length 13, width 3, height 2, depth 8, color 0.
+    val png = Array(
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',             // length + type
+      0, 0, 0, 3, 0, 0, 0, 2,                      // width=3 height=2 (BE u32)
+      8, 0, 0, 0, 0,                               // depth, color 0, etc.
+      0xde, 0xad, 0xbe, 0xef                       // CRC (not validated)
+    ).map(_.toByte)
+    assert(parseImageHeader(png).contains(ImageHeader("png", 3, 2, 1, 33)))
+    // Hand-written baseline JPEG: SOI + bare SOF0 (h=2, w=3, 1 comp).
+    val jpg = Array(
+      0xff, 0xd8,                                  // SOI
+      0xff, 0xc0, 0x00, 0x0b,                      // SOF0, len 11
+      8, 0, 2, 0, 3, 1, 0x11, 0, 0                 // prec, h=2, w=3, 1 comp
+    ).map(_.toByte)
+    assert(parseImageHeader(jpg).contains(ImageHeader("jpeg", 3, 2, 1, 15)))
+    // RGBA PNG and progressive 3-component JPEG via the builders
+    // (round-trip: encode then parse back), APP0 skip exercised.
+    val data = "pixels!".getBytes("US-ASCII")
+    assert(parseImageHeader(Multimodal.buildPng(640, 480, 6, data))
+      .contains(ImageHeader("png", 640, 480, 4, 33)))
+    assert(parseImageHeader(Multimodal.buildJpeg(321, 123, 3, progressive = true, data))
+      .contains(ImageHeader("jpeg", 321, 123, 3, 39)))
+    // Unparseable payloads: wrong magic, truncated PNG, JPEG with no
+    // SOF before EOF, corrupt marker stream.
+    assert(parseImageHeader("not an image at all, just text".getBytes).isEmpty)
+    assert(parseImageHeader(png.take(20)).isEmpty)
+    assert(parseImageHeader(Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x02).map(_.toByte)).isEmpty)
+    assert(parseImageHeader(Array(0xff, 0xd8, 0x12, 0x34, 0x56, 0x78).map(_.toByte)).isEmpty)
+  }
+
+  test("multimodal decode: real headers round-trip and batching preserves features") {
+    val media = Multimodal.imageTable(spark, dir).toDF()
     val feats1 = Multimodal.extractFeatures(media, batchSize = 64).collect()
       .map(f => f.doc_id -> f).toMap
     val feats2 = Multimodal.extractFeatures(media.repartition(7), batchSize = 8).collect()
@@ -253,15 +333,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // features are independent of partitioning/batch split
     feats1.foreach { case (id, f) =>
       val g = feats2(id)
-      assert((f.n_bytes, f.byte_sum, f.width, f.height, f.thumb_md5) ==
-        (g.n_bytes, g.byte_sum, g.width, g.height, g.thumb_md5))
+      assert((f.n_bytes, f.format, f.width, f.height, f.channels, f.data_sum, f.thumb_md5) ==
+        (g.n_bytes, g.format, g.width, g.height, g.channels, g.data_sum, g.thumb_md5))
     }
-    // stub resize: thumbnail is every 4th byte -> distinct per doc,
-    // ~quarter-length source
+    // header-derived facts match the generator's closed form
+    feats1.foreach { case (id, f) =>
+      assert(f.format == (if (id % 2 == 0) "png" else "jpeg"), s"doc $id format")
+      assert(f.width == Multimodal.imgWidth(id), s"doc $id width")
+      assert(f.height == Multimodal.imgHeight(id), s"doc $id height")
+    }
+    assert(feats1.values.map(_.channels).toSet.subsetOf(Set(1, 2, 3, 4)))
+    // stub resize: thumbnail digests are distinct per doc
     assert(feats1.values.map(_.thumb_md5).toSet.size > feats1.size / 2)
-    // pseudo-dimensions land in the documented stub range
-    assert(feats1.values.forall(f => f.width >= 64 && f.width < 128))
-    assert(feats1.values.forall(f => f.height >= 64 && f.height < 128))
+    // non-image payloads degrade to format=unknown, not a crash
+    val plain = Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir)).collect()
+    assert(plain.nonEmpty && plain.forall(f => f.format == "unknown" && f.width == 0))
     // batch ids actually batch (batchSize 8 -> multiple batches somewhere)
     assert(Multimodal.extractFeatures(media.repartition(2), batchSize = 8)
       .collect().map(_.batch_id).max > 0)
