@@ -66,6 +66,23 @@ object Association {
       cases: Long, controls: Long, total_n: Long,
       converged: Boolean, failed_reason: String, equation: String)
 
+  /** Uniform failed_reason text across the in-task and distributed
+    * fitters: Breeze reports singular / non-positive-definite
+    * information matrices with different exception types and messages
+    * depending on which kernel hit the degeneracy; downstream
+    * consumers compare failed_reason strings, so every fitter catch
+    * block normalizes here. */
+  private[operators] def failureReason(e: Throwable): String = e match {
+    case _: breeze.linalg.MatrixSingularException |
+        _: breeze.linalg.NotConvergedException |
+        _: breeze.linalg.MatrixNotSymmetricException |
+        _: breeze.linalg.MatrixNotSquareException =>
+      "Singular information matrix."
+    case e if Option(e.getMessage).exists(_.toLowerCase.contains("not positive definite")) =>
+      "Singular information matrix."
+    case _ => Option(e.getMessage).getOrElse(e.toString)
+  }
+
   /** Output row for the linear model (reference analysis.py:246-259). */
   final case class LinResult(
       predictor: String, dependent: String,
@@ -287,7 +304,7 @@ object Association {
       case e: Throwable =>
         LinResult(pred, dep, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
           Double.NaN, n, converged = false,
-          Option(e.getMessage).getOrElse(e.toString), equation)
+          failureReason(e), equation)
     }
   }
 
@@ -366,7 +383,7 @@ object Association {
       case e: Throwable =>
         BinResult(pred, dep, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
           Double.NaN, Double.NaN, cases, controls, n, converged = false,
-          Option(e.getMessage).getOrElse(e.toString), equation)
+          failureReason(e), equation)
     }
   }
 
@@ -391,7 +408,7 @@ object Association {
       IrlsStep(nb.toSeq, breeze.linalg.max(breeze.numerics.abs(delta)), s.toSeq, null)
     } catch {
       case e: Throwable =>
-        IrlsStep(betaOld.toSeq, 0.0, s.toSeq, Option(e.getMessage).getOrElse(e.toString))
+        IrlsStep(betaOld.toSeq, 0.0, s.toSeq, failureReason(e))
     }
   }
 
@@ -540,18 +557,23 @@ object Association {
    * constrained fit with the predictor held at 0, warm-started from
    * the full fit).
    *
-   * Each penalized-IRLS iteration is TWO declarative aggregation
-   * passes over the melted frame (the hat diagonal is what costs the
-   * extra pass vs plain logistic):
+   * Each penalized-IRLS iteration is ONE declarative aggregation pass
+   * over the melted frame (round 8 ran two — X'WX, then a second scan
+   * for the hat-diagonal score once the inverse was known; the fusion
+   * halves the per-iteration job count, which dominates at toy scale
+   * and halves scan IO at 100 TB). Under the current per-pair beta
+   * (broadcast joined), the scan reduces, map-side-combined, O(m³)
+   * doubles per pair:
    *
-   *  pass 1 — under the current per-pair beta (broadcast joined),
-   *    reduce the information matrix X'WX to O(m²) doubles per pair
-   *    (map-side combine); invert it INSIDE a UDF on that
-   *    pair-count-sized frame;
-   *  pass 2 — broadcast the inverse back so every row computes its
-   *    own hat diagonal h_i = w_i·x_i'(X'WX)⁻¹x_i as a codegen'd
-   *    quadratic form, and contributes the Firth-modified score
-   *    Σ x_i·(y_i − p_i + h_i(½ − p_i)) — again O(m) doubles per pair.
+   *  - the information matrix X'WX (m(m+1)/2 sums),
+   *  - the first-order score Σ xⱼ(y − p) (m sums),
+   *  - the FULLY-SYMMETRIC third-order tensor
+   *    T_jab = Σ w(½−p)·xⱼx_a x_b (m(m+1)(m+2)/6 sums),
+   *
+   * from which the Firth-modified score is reconstructed inside the
+   * step UDF as scoreⱼ = g1ⱼ + Σ_ab (X'WX)⁻¹_ab·T_jab — algebraically
+   * the per-row hat-diagonal contribution Σ xⱼ·h·(½−p) with the sum
+   * reordered, so no second scan needs the inverse.
    *
    * The Newton solve (restricted to free coordinates, step-capped)
    * runs in a UDF over the stats frame; beta never exists
@@ -585,9 +607,16 @@ object Association {
     def triOf(i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
     val pairs = for { i <- 0 until m; j <- i until m } yield (i, j)
 
-    // same viability gate as logisticGram
+    // same viability gate as logisticGram; ckeep marks per-pair
+    // NON-CONSTANT covariates so the reported equation matches the
+    // in-task fitter's kept-covariate logic (it drops constants from
+    // the design; this path fails such pairs as singular instead, but
+    // the equation string must agree for the pairs both paths fit)
     val counts = keyedDf.groupBy("gkey").agg(
-        sum(col("v")(1)).cast("long").as("cases"), count(lit(1)).as("n"))
+        sum(col("v")(1)).cast("long").as("cases"), count(lit(1)).as("n"),
+        (if (k == 0) typedlit(Seq.empty[Boolean])
+         else array((0 until k).map(c =>
+           min(col("v")(c + 2)) < max(col("v")(c + 2))): _*)).as("ckeep"))
       .withColumn("failed_reason",
         when(col("cases") < minCase,
           concat(lit("Insufficient case count ("), col("cases").cast("string"), lit(" cases).")))
@@ -607,24 +636,44 @@ object Association {
         .withColumn("w", greatest(col("p") * (lit(1.0) - col("p")), lit(1e-12)))
     }
 
-    // symmetric m×m inverse of the packed upper triangle; None = singular
-    val invUdf = udf((s: Seq[Double]) =>
-      try {
-        val im = DenseMatrix.tabulate(m, m)((a, b) =>
-          s(triOf(math.min(a, b), math.max(a, b))))
-        Some(breeze.linalg.inv(im).data.toSeq)
-      } catch { case _: Throwable => None })
+    // sorted index into the fully-symmetric third-order tensor
+    val triples = for { i <- 0 until m; j <- i until m; l <- j until m } yield (i, j, l)
+    val t3 = triples.zipWithIndex.toMap
 
     // state frame: (gkey, beta[m], conv, failed) — one penalized
     // Newton loop; fixZero >= 0 holds that coefficient (LRT null fit)
     def firthLoop(init: DataFrame, fixZero: Int): DataFrame = {
       val free = (0 until m).filter(_ != fixZero).toArray
       val nf = free.length
-      val stepUdf = udf((b: Seq[Double], s: Seq[Double], g: Seq[Double]) =>
+      val stepUdf = udf((b: Seq[Double], s: Seq[Double], g1: Seq[Double], t: Seq[Double]) =>
         try {
+          val im = DenseMatrix.tabulate(m, m)((a, c) =>
+            s(triOf(math.min(a, c), math.max(a, c))))
+          val covm: DenseMatrix[Double] = breeze.linalg.inv(im)
+          // Firth-modified score reconstructed from the symmetric
+          // tensor: scoreⱼ = g1ⱼ + Σ_ab inv_ab·T_jab (the hat-diagonal
+          // term with the row sum pushed into T)
+          val score = new Array[Double](m)
+          var sj = 0
+          while (sj < m) {
+            var acc = g1(sj)
+            var a = 0
+            while (a < m) {
+              var c = 0
+              while (c < m) {
+                val lo = math.min(sj, math.min(a, c))
+                val hi = math.max(sj, math.max(a, c))
+                acc += covm(a, c) * t(t3((lo, sj + a + c - lo - hi, hi)))
+                c += 1
+              }
+              a += 1
+            }
+            score(sj) = acc
+            sj += 1
+          }
           val infoF = DenseMatrix.tabulate(nf, nf)((a, c) =>
             s(triOf(math.min(free(a), free(c)), math.max(free(a), free(c)))))
-          val scoreF = DenseVector.tabulate(nf)(a => g(free(a)))
+          val scoreF = DenseVector.tabulate(nf)(a => score(free(a)))
           val deltaF = infoF \ scoreF
           val mx = breeze.linalg.max(breeze.numerics.abs(deltaF))
           val scale = if (mx > maxStep) maxStep / mx else 1.0
@@ -636,49 +685,33 @@ object Association {
           while (j2 < nf) { gmax = math.max(gmax, math.abs(scoreF(j2))); j2 += 1 }
           FirthStepR(nb.toSeq, mx * scale < xtol && gmax < gtol, null)
         } catch {
-          case e: Throwable =>
-            FirthStepR(b, conv = false, Option(e.getMessage).getOrElse(e.toString))
+          case e: Throwable => FirthStepR(b, conv = false, failureReason(e))
         })
       var state = init.localCheckpoint(true)
       var it = 0
       var active = state.filter(!col("conv") && col("failed").isNull).count()
       while (it < cfg.maxIter && active > 0) {
         val actSt = state.filter(!col("conv") && col("failed").isNull).select("gkey", "beta")
-        // pass 1: information matrix under the current beta
-        val infoStats = withPW(keyedDf.join(broadcast(actSt), "gkey"))
-          .groupBy("gkey").agg(
-            pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") }.head,
-            pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") }.tail: _*)
+        // the ONE aggregation pass: X'WX, first-order score, and the
+        // third-order tensor reduce map-side from the same scan
+        val scanned = withPW(keyedDf.join(broadcast(actSt), "gkey"))
+          .withColumn("u", col("w") * (lit(0.5) - col("p")))
+          .withColumn("r1", col("v")(1) - col("p"))
+        val aggs =
+          pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") } ++
+          (0 until m).map(i => sum(f(i) * col("r1")).as(s"g_$i")) ++
+          triples.map { case (i, j, l) =>
+            sum(col("u") * f(i) * f(j) * f(l)).as(s"t_${i}_${j}_$l") }
+        val stats = scanned.groupBy("gkey").agg(aggs.head, aggs.tail: _*)
           .select(col("gkey"),
-            array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*).as("s"))
-          .withColumn("invd", invUdf(col("s")))
-          .localCheckpoint(true)
-        // pass 2: Firth-modified score, hat diagonal as a quadratic form
-        val withInv = keyedDf.join(
-          broadcast(infoStats.filter(col("invd").isNotNull).select("gkey", "invd")
-            .join(actSt, "gkey")), "gkey")
-        val q = pairs.map { case (i, j) =>
-          val c = if (i == j) lit(1.0) else lit(2.0)
-          c * col("invd")(i * m + j) * f(i) * f(j)
-        }.reduce(_ + _)
-        val scored = withPW(withInv)
-          .withColumn("h", col("w") * q)
-          .withColumn("rstar",
-            col("v")(1) - col("p") + col("h") * (lit(0.5) - col("p")))
-        val scoreStats = scored.groupBy("gkey").agg(
-            (0 until m).map(i => sum(f(i) * col("rstar")).as(s"g_$i")).head,
-            (0 until m).map(i => sum(f(i) * col("rstar")).as(s"g_$i")).tail: _*)
-          .select(col("gkey"), array((0 until m).map(i => col(s"g_$i")): _*).as("g"))
+            array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*).as("s"),
+            array((0 until m).map(i => col(s"g_$i")): _*).as("g"),
+            array(triples.map { case (i, j, l) => col(s"t_${i}_${j}_$l") }: _*).as("t"))
         state = state
-          .join(infoStats, Seq("gkey"), "left")
-          .join(scoreStats, Seq("gkey"), "left")
+          .join(stats, Seq("gkey"), "left")
           .select(col("gkey"),
-            when(col("failed").isNull && !col("conv") && col("s").isNotNull &&
-                col("invd").isNull,
-              struct(col("beta").as("beta"), lit(false).as("conv"),
-                lit("Singular information matrix.").as("failed")))
-              .when(col("failed").isNull && !col("conv") && col("g").isNotNull,
-                stepUdf(col("beta"), col("s"), col("g")))
+            when(col("failed").isNull && !col("conv") && col("s").isNotNull,
+              stepUdf(col("beta"), col("s"), col("g"), col("t")))
               .otherwise(struct(col("beta").as("beta"), col("conv").as("conv"),
                 col("failed").as("failed"))).as("u"))
           .select(col("gkey"), col("u.beta").as("beta"), col("u.conv").as("conv"),
@@ -704,7 +737,7 @@ object Association {
         FirthFinalR(ll + 0.5 * logDet, se0, null)
       } catch {
         case e: Throwable =>
-          FirthFinalR(Double.NaN, Double.NaN, Option(e.getMessage).getOrElse(e.toString))
+          FirthFinalR(Double.NaN, Double.NaN, failureReason(e))
       })
     def finalStats(state: DataFrame): DataFrame = {
       val pc = greatest(least(col("p"), lit(1.0 - 1e-15)), lit(1e-15))
@@ -742,10 +775,10 @@ object Association {
       .join(nullStats.select(col("gkey"), col("fin").as("nfin")), Seq("gkey"), "left")
       .join(nullState.select(col("gkey"), col("conv").as("nconv"),
         col("failed").as("nfailed")), Seq("gkey"), "left")
-      .join(counts.select("gkey", "cases", "n"), "gkey")
+      .join(counts.select("gkey", "cases", "n", "ckeep"), "gkey")
       .as[(Long, Seq[Double], Boolean, String, FirthFinalR, FirthFinalR,
-        Boolean, String, Long, Long)]
-      .map { case (gkey, b, conv, failed, fin, nfin, nconv, nfailed, cases, n) =>
+        Boolean, String, Long, Long, Seq[Boolean])]
+      .map { case (gkey, b, conv, failed, fin, nfin, nconv, nfailed, cases, n, ckeep) =>
         val pred = predictors((gkey / dependents.length).toInt)
         val dep = dependents((gkey % dependents.length).toInt)
         val reason = Seq(Option(failed), Option(nfailed),
@@ -760,13 +793,19 @@ object Association {
             val pval = graft.functions.Numerics.chi2Sf(stat, 1.0)
             val b0 = b.head
             val se0 = fin.se0
+            // kept (per-pair non-constant) covariates only — the same
+            // equation the in-task fitter reports (analysis.py:73
+            // semantics); trailing "+ " with zero kept covs mirrors
+            // the reference
+            val keptNames = covNames.zip(ckeep).collect { case (nm, true) => nm }
             BinResult(pred, dep, pval, b0, se0, math.exp(b0),
               b0 - z975 * se0, b0 + z975 * se0,
               cases, n - cases, n, converged = conv && nconv, "nan",
-              s"$dep ~ $pred + ${covNames.mkString(" + ")}")
+              s"$dep ~ $pred + ${keptNames.mkString(" + ")}")
         }
       }.toDF()
     val failedRows = counts.filter(col("failed_reason").isNotNull)
+      .select("gkey", "cases", "n", "failed_reason")
       .as[(Long, Long, Long, String)]
       .map { case (gkey, _, _, reason) =>
         BinResult(predictors((gkey / dependents.length).toInt),
