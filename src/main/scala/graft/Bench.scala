@@ -12,9 +12,14 @@ import graft.operators.Association
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // iteration aid: SPARK_GRAFT_BENCH_ONLY=mas skips the per-query
-    // sweep and times just the MAS headline shapes
-    val masOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("mas")
+    // iteration aids: SPARK_GRAFT_BENCH_ONLY=mas skips the per-query
+    // sweep and times just the MAS headline shapes; any other value is
+    // a comma-separated list of query names to sweep (min-of-2, warm
+    // JVM) with the headline/probe/scale segments skipped
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val masOnly = benchOnly.contains("mas")
+    val onlyNames = benchOnly.filterNot(_ == "mas")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.get()
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -45,7 +50,7 @@ object Bench {
     // a probe body that throws must NOT report its time-to-exception
     // as a compile-cost number — omit the key instead
     val probes =
-      if (masOnly || !new java.io.File(probeDir).isDirectory) Seq.empty
+      if (masOnly || onlyNames.isDefined || !new java.io.File(probeDir).isDirectory) Seq.empty
       else probeNames.flatMap { name =>
         val t0 = System.nanoTime()
         val ok =
@@ -73,28 +78,42 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = (if (masOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted).map { name =>
-      name -> math.min(timed(run(name)), timed(run(name)))
-    }
+    val results = (if (masOnly) Seq.empty[String]
+      else SparkEntry.queries.keys.toSeq.sorted.filter(n => onlyNames.forall(_.contains(n))))
+      .map { name =>
+        name -> math.min(timed(run(name)), timed(run(name)))
+      }
     val loadPostSweep = loadAvg()
-    // dedup scale slope: the three banded dedup queries at sf0.01 vs
-    // their sf-sweep point (one shot each; these are the "linear,
-    // shuffle-bounded" claims — two SF points turn the claim into a
-    // measured slope; codegen_probe at sf0.001 is the fixed cost to
-    // subtract). docs[] carries the corpus row counts for docs/sec.
-    val scaleNames = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh", "d10_semdedup")
+    // scale slope: the three banded dedup queries + BPE tokenization
+    // at sf0.01 vs their sf-sweep point (one shot each; these are the
+    // "linear, shuffle-bounded" claims — two SF points turn the claim
+    // into a measured slope; codegen_probe at sf0.001 is the fixed
+    // cost to subtract). docs[] carries the corpus row counts for
+    // docs/sec. A query that fails (or is missing from the sweep)
+    // OMITS its pair — time-to-exception is not a scale measurement.
+    val scaleNames = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh",
+      "d10_semdedup", "t13_bpe_tokens")
     val smallDir = parentDir + "/sf0.01"
     val dedupScale =
-      if (masOnly || !new java.io.File(smallDir).isDirectory) None
+      if (masOnly || onlyNames.isDefined || !new java.io.File(smallDir).isDirectory) None
       else {
         val docsSmall = spark.read.parquet(smallDir + "/documents.parquet").count()
         val docsBig = spark.read.parquet(sfDir + "/documents.parquet").count()
-        val pts = scaleNames.map { name =>
-          val tSmall = timed(
-            SparkEntry.queries(name)(spark, smallDir)
-              .write.format("noop").mode("overwrite").save())
-          val tBig = results.toMap.getOrElse(name, 0.0)
-          s""""${shortId(name)}":[${"%.2f".formatLocal(java.util.Locale.ROOT, tSmall)},${"%.2f".formatLocal(java.util.Locale.ROOT, tBig)}]"""
+        val pts = scaleNames.flatMap { name =>
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              SparkEntry.queries(name)(spark, smallDir)
+                .write.format("noop").mode("overwrite").save()
+              true
+            } catch { case _: Throwable => false }
+          val tSmall = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          results.toMap.get(name) match {
+            case Some(tBig) if ok =>
+              Some(s""""${shortId(name)}":[${"%.2f".formatLocal(java.util.Locale.ROOT, tSmall)},${"%.2f".formatLocal(java.util.Locale.ROOT, tBig)}]""")
+            case _ => None
+          }
         }
         Some(s""""docs":[$docsSmall,$docsBig],${pts.mkString(",")}""")
       }
@@ -136,7 +155,8 @@ object Bench {
         body
         (System.nanoTime() - t0) / 1e9
       }
-    val masTime = {
+    val masTime: (Seq[Double], Seq[Double], Seq[Double], Seq[Double]) =
+    if (onlyNames.isDefined) (Nil, Nil, Nil, Nil) else {
       val n = 5000; val d = 1800
       val melted5 = masMelted(n, d, 5)
       val firthReps = reps3 {
@@ -154,15 +174,25 @@ object Bench {
         Association.linear(melted5, masCfg(d, 5).copy(model = "linear"))
           .write.format("noop").mode("overwrite").save()
       }
-      (firthReps, firth20Reps, linReps)
+      // same shape through the DISTRIBUTED Firth path (a17's engine):
+      // tracks the scan-per-iteration overhead vs the in-task headline
+      // — the price of not materializing any pair's cohort in one task
+      val gramReps = reps3 {
+        Association.firthGram(melted5, masCfg(d, 5))
+          .write.format("noop").mode("overwrite").save()
+      }
+      (firthReps, firth20Reps, linReps, gramReps)
     }
     // headline = min of reps: on this shared host identical code has
     // measured 2 s quiet and 158 s at load ~28 (external tenants), so
     // the min is the least-contended estimate of the engine's cost;
     // the raw reps + load_avg below let a reader judge the spread.
-    val all = results :+ ("mas_firth_5000x1800x5cov" -> masTime._1.min) :+
-      ("mas_firth_5000x1800x20cov" -> masTime._2.min) :+
-      ("mas_linear_5000x1800x5cov" -> masTime._3.min)
+    val masHeads = if (onlyNames.isDefined) Seq.empty else Seq(
+      "mas_firth_5000x1800x5cov" -> masTime._1.min,
+      "mas_firth_5000x1800x20cov" -> masTime._2.min,
+      "mas_linear_5000x1800x5cov" -> masTime._3.min,
+      "mas_firth_gram_5000x1800x5cov" -> masTime._4.min)
+    val all = results ++ masHeads
     def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     // per-query times compress to 2 dp with trailing zeros trimmed
     // ("1.5", "12.17", "3") — the whole JSON line must stay under the
@@ -177,7 +207,8 @@ object Bench {
     val total = all.map(_._2).sum
     val reps = s""""mas_firth_reps":[${masTime._1.map(f3).mkString(",")}],""" +
       s""""mas_firth20_reps":[${masTime._2.map(f3).mkString(",")}],""" +
-      s""""mas_linear_reps":[${masTime._3.map(f3).mkString(",")}]"""
+      s""""mas_linear_reps":[${masTime._3.map(f3).mkString(",")}],""" +
+      s""""mas_firth_gram_reps":[${masTime._4.map(f3).mkString(",")}]"""
     // codegen_probe: the same three dedup queries at sf0.001 — their
     // time there IS the Janino compile cost the sweep no longer pays
     val probeJson = probes.map { case (k, v) => "\"" + k + "\":" + fq(v) }

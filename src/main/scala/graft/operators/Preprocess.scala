@@ -190,22 +190,26 @@ object Preprocess {
   val MaxOneHotLevels = 1000
 
   /** Dummy-encode categoricals with >2 levels, dropping the first
-    * level (preprocessing.py:82-108). Levels are collected (bounded by
-    * category cardinality, like the reference's unique()) and sorted
+    * level (preprocessing.py:82-108). Levels are collected in ONE
+    * bounded pass — distinct().limit(cap+1), so the driver can never
+    * receive more than cap+1 rows even for a high-cardinality column
+    * (an ID passed as a categorical by mistake), which fails fast
+    * without the extra countDistinct scan a previous revision paid.
+    * NULL is not a level (the missing-value step resolves missing
+    * covariates BEFORE encoding; countDistinct would also have
+    * ignored it, NPE'd below, and under-counted the cap). Levels sort
     * for determinism; the encoding itself is a pivot-free CASE WHEN
-    * projection Catalyst folds into the scan. A high-cardinality
-    * column (an ID passed as a categorical by mistake) fails fast on
-    * a one-row countDistinct BEFORE the level collect can flood the
-    * driver. */
+    * projection Catalyst folds into the scan. */
   def oneHot(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (d, c) =>
-      val nLevels = d.agg(countDistinct(col(c))).head().getLong(0)
-      require(nLevels <= MaxOneHotLevels,
-        s"categorical covariate '$c' has $nLevels distinct levels " +
-          s"(cap $MaxOneHotLevels) — one-hot encoding it would add " +
-          s"$nLevels columns to the design matrix; this is almost " +
-          "certainly an ID column passed as categorical")
-      val levels = d.select(c).distinct().collect().map(_.get(0).toString).sorted
+      val collected = d.select(c).filter(col(c).isNotNull)
+        .distinct().limit(MaxOneHotLevels + 1).collect()
+      require(collected.length <= MaxOneHotLevels,
+        s"categorical covariate '$c' has more than $MaxOneHotLevels " +
+          "distinct levels — one-hot encoding it would add that many " +
+          "columns to the design matrix; this is almost certainly an " +
+          "ID column passed as categorical")
+      val levels = collected.map(_.get(0).toString).sorted
       if (levels.length <= 2) d
       else {
         val dummies = levels.drop(1).map(v =>

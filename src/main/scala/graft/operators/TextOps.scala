@@ -106,11 +106,18 @@ object TextOps {
 
   // ------------------------------------------------------- t13 BPE
 
-  /** BPE training size knobs — shared with the generated oracle SQL,
-    * so change them in lockstep. Training reads only the TOP-K rows
-    * of the word-frequency table (bounded driver state, the k-means-
-    * codebook altitude): the merge table is model state, the corpus
-    * never leaves the executors. */
+  /** BPE training size DEFAULTS — shared with the generated oracle
+    * SQL, so change them in lockstep. Training reads only the TOP-K
+    * rows of the word-frequency table (bounded driver state, the
+    * k-means-codebook altitude): the merge table is model state, the
+    * corpus never leaves the executors. Driver memory is bounded by
+    * trainWords × (avg word length × 2 B + object overhead) — 1e6
+    * train words ≈ tens of MB; nMerges costs nMerges passes over
+    * those same rows, never over the corpus. Corpus-scale runs
+    * override both per session via `spark.graft.bpe.merges` /
+    * `spark.graft.bpe.trainWords` (t13BpeTokens reads them); the
+    * registered query keeps the defaults because the generated
+    * oracle bakes the same constants. */
   private[graft] val BpeMerges = 20
   private[graft] val BpeTrainWords = 500
 
@@ -132,8 +139,37 @@ object TextOps {
     s
   }
 
-  private[graft] def bpeSeg(w: String): String =
-    " " + w.map(_.toString).mkString(" ") + " "
+  /** Initial segmentation, one symbol per CODE POINT — `w.map` over
+    * chars would split supplementary-plane characters into surrogate
+    * halves, while the DuckDB oracle's string functions index by code
+    * point; segmenting by code point keeps engine and oracle aligned
+    * on any corpus, not just ASCII/BMP. */
+  private[graft] def bpeSeg(w: String): String = {
+    val sb = new java.lang.StringBuilder(" ")
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      sb.appendCodePoint(cp).append(' ')
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Code-point lexicographic compare — the same order as UTF-8
+    * binary (DuckDB's collation); plain String.compareTo is UTF-16
+    * code-UNIT order, which ranks supplementary characters BELOW
+    * some BMP ones and would break cross-engine tie-break parity. */
+  private def cpCompare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length, b.length)
+  }
 
   /** Train `nMerges` BPE merges on a (word, freq) table — the classic
     * Sennrich algorithm: count adjacent symbol pairs weighted by word
@@ -160,8 +196,15 @@ object TextOps {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val (a, b) = counts.toSeq
-          .minBy { case ((x, y), c) => (-c, x + " " + y) }._1
+        // argmax count, ties on the pair string in CODE-POINT order
+        val (a, b) = counts.foldLeft(Option.empty[((String, String), Long)]) {
+          case (best, cur) =>
+            val better = best.forall { b0 =>
+              cur._2 > b0._2 || (cur._2 == b0._2 &&
+                cpCompare(cur._1._1 + " " + cur._1._2, b0._1._1 + " " + b0._1._2) < 0)
+            }
+            if (better) Some(cur) else best
+        }.get._1
         merges += ((a, b))
         seg = seg.map { case (s, f) => (bpeApplyMerge(s, a, b), f) }
       }
@@ -214,7 +257,10 @@ object TextOps {
   }
 
   def t13BpeTokens(spark: SparkSession, dir: String): DataFrame =
-    bpeTokens(Tables.documents(spark, dir)).orderBy("doc_id")
+    bpeTokens(Tables.documents(spark, dir),
+      nMerges = spark.conf.get("spark.graft.bpe.merges", BpeMerges.toString).toInt,
+      trainWords = spark.conf.get("spark.graft.bpe.trainWords", BpeTrainWords.toString).toInt)
+      .orderBy("doc_id")
 
   // -------------------------------------------------- t14 line stats
 
@@ -550,6 +596,28 @@ object TextOps {
 
   def t12CharEntropyAgg(spark: SparkSession, dir: String): DataFrame =
     charEntropyAgg(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Alphabet threshold above which the O(len·|alphabet|) projection
+    * (t09) is the wrong plan and the aggregate twin (t12) routes in —
+    * ~an ASCII/Latin-ish ceiling; CJK corpora blow far past it. */
+  private[graft] val EntropyAlphabetGuard = 256
+
+  /** Automatic t09→t12 routing: estimates the corpus alphabet from a
+    * BOUNDED doc sample (one scalar to the driver, cost independent
+    * of corpus size) and picks the pure projection under the guard,
+    * the explode+aggregate twin over it. The twins are spec-proven
+    * output-equal, so routing never changes results — only the plan.
+    * A sampled estimate can under-count a rare alphabet tail, but a
+    * corpus whose FIRST `sampleDocs` docs are ASCII and whose tail is
+    * CJK still computes correctly on the projection, just slower —
+    * the guard is a performance gate, not a correctness gate. */
+  def charEntropyAuto(docs: DataFrame, sampleDocs: Int = 1000): DataFrame = {
+    val alphabet = docs.limit(sampleDocs)
+      .select(explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .agg(countDistinct(col("c"))).head().getLong(0)
+    if (alphabet > EntropyAlphabetGuard) charEntropyAgg(docs) else charEntropy(docs)
+  }
 
   // ------------------------------------------------------ t08 repetition
 
