@@ -286,29 +286,34 @@ object TextOps {
    * paragraph fraction, and the terminal-punctuation line ratio (C4
    * keeps only lines ending in terminal punctuation).
    *
-   * Shape (the t12 altitude): explode lines → two-level aggregate —
-   * per-(doc, line) counts collapse map-side, then a per-doc
-   * aggregate; paragraphs run the same pipeline at a wider window;
-   * one join by doc_id. Nothing is row-proportional on the driver and
-   * every stage is a hash aggregate.
+   * Shape (the t12 altitude): ONE corpus scan explodes BOTH
+   * granularities as level-tagged rows (round 8 ran the line and
+   * paragraph pipelines as two separate scans — the plan audit showed
+   * the corpus read twice; concat-before-explode halves the IO), then
+   * the two-level aggregate: per-(doc, level, line) counts collapse
+   * map-side, then one per-doc aggregate with conditional sums per
+   * level. Nothing is row-proportional on the driver and every stage
+   * is a hash aggregate — no join at all.
    */
   def lineStats(docs: DataFrame, lineWords: Int = 3, paraWords: Int = 12): DataFrame = {
-    def level(n: Int, prefix: String): DataFrame = {
-      val lines = docs.select(col("doc_id"),
-          explode(transform(split(relined(n), "\n"), l => trim(l))).as("l"))
-        .filter(length(col("l")) > 0)
-      val perLine = lines.groupBy("doc_id", "l").agg(count(lit(1)).as("cnt"))
-      perLine.groupBy("doc_id").agg(
-        sum("cnt").cast("long").as(s"${prefix}n"),
-        count(lit(1)).as(s"${prefix}distinct"),
-        sum((col("cnt") - 1) * length(col("l"))).as(s"${prefix}dup_chars"),
-        sum(col("cnt") * length(col("l"))).as(s"${prefix}tot_chars"),
-        sum(when(substring(col("l"), -1, 1).isin(".", "!", "?", "\""), col("cnt"))
-          .otherwise(0L)).cast("long").as(s"${prefix}punct"))
-    }
-    val ln = level(lineWords, "l_")
-    val pr = level(paraWords, "p_")
-    ln.join(pr, "doc_id").select(
+    def seg(n: Int, lvl: String) =
+      transform(split(relined(n), "\n"), l => struct(lit(lvl).as("lvl"), trim(l).as("l")))
+    val lines = docs.select(col("doc_id"),
+        explode(concat(seg(lineWords, "l"), seg(paraWords, "p"))).as("e"))
+      .select(col("doc_id"), col("e.lvl").as("lvl"), col("e.l").as("l"))
+      .filter(length(col("l")) > 0)
+    val perLine = lines.groupBy("doc_id", "lvl", "l").agg(count(lit(1)).as("cnt"))
+    def lv(tag: String)(c: Column): Column = when(col("lvl") === tag, c)
+    val perDoc = perLine.groupBy("doc_id").agg(
+      sum(lv("l")(col("cnt"))).cast("long").as("l_n"),
+      count(lv("l")(lit(1))).as("l_distinct"),
+      sum(lv("l")((col("cnt") - 1) * length(col("l")))).as("l_dup_chars"),
+      sum(lv("l")(col("cnt") * length(col("l")))).as("l_tot_chars"),
+      sum(lv("l")(when(substring(col("l"), -1, 1).isin(".", "!", "?", "\""), col("cnt"))
+        .otherwise(0L))).cast("long").as("l_punct"),
+      sum(lv("p")(col("cnt"))).cast("long").as("p_n"),
+      count(lv("p")(lit(1))).as("p_distinct"))
+    perDoc.select(
       col("doc_id"),
       col("l_n").as("n_lines"),
       round((col("l_n") - col("l_distinct")).cast("double") / col("l_n"), 4)

@@ -75,6 +75,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == streamed)
   }
 
+  test("attribution join state stays bounded: watermark evicts old rows, late data is dropped") {
+    // e08's streaming twin under sustained input: three waves of
+    // impression/click traffic 100 minutes apart. The 30-min watermark
+    // + 10-min join window bound each side's buffered state, so wave N
+    // must be evicted once wave N+1 advances the watermark — without
+    // eviction a 100 TB/day attribution stream OOMs its state store.
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(Long, Long, Timestamp)]
+    val clk = MemoryStream[(Long, Long, Timestamp)]
+    def named(df: org.apache.spark.sql.DataFrame) = df.toDF("user_id", "event_id", "ts")
+    val query = StreamingOps.streamStreamJoin(named(imp.toDF()), named(clk.toDF()))
+      .writeStream.format("memory").queryName("attr_state").outputMode("append").start()
+    def stateRows: Long = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    try {
+      val waveStarts = Seq(100L, 200L, 300L)
+      val perWave = 10
+      var maxState = 0L
+      for (w0 <- waveStarts) {
+        imp.addData((0 until perWave).map(u => (u.toLong, w0 * 100 + u, ts(w0))): _*)
+        clk.addData((0 until perWave).map(u => (u.toLong, w0 * 100 + 50 + u, ts(w0 + 5))): _*)
+        query.processAllAvailable()
+        maxState = math.max(maxState, stateRows)
+      }
+      // one more empty-ish batch so the final watermark commit evicts
+      imp.addData((99L, 99999L, ts(400L)))
+      query.processAllAvailable()
+      val fedRows = 2L * perWave * waveStarts.size
+      // bounded: never holds more than ~one wave per side (+ margin),
+      // and far less than everything ever fed
+      assert(maxState <= 3L * perWave,
+        s"state grew to $maxState rows (fed $fedRows) — watermark not evicting")
+      assert(stateRows <= 2L * perWave + 1, // + the watermark-push row
+        s"final state $stateRows rows — old waves not evicted")
+      // late click (event time far behind the watermark) is dropped,
+      // produces no output and no state growth
+      val before = stateRows
+      val outBefore = spark.table("attr_state").count()
+      clk.addData((0L, 777777L, ts(105L)))
+      query.processAllAvailable()
+      assert(spark.table("attr_state").count() == outBefore, "late click must not join")
+      assert(stateRows <= before + 1, "late click must not be buffered")
+      // on-time results equal the batch replay of the SAME on-time rows
+      val impRows = waveStarts.flatMap(w0 =>
+        (0 until perWave).map(u => (u.toLong, w0 * 100 + u, ts(w0)))) :+ (99L, 99999L, ts(400L))
+      val clkRows = waveStarts.flatMap(w0 =>
+        (0 until perWave).map(u => (u.toLong, w0 * 100 + 50 + u, ts(w0 + 5))))
+      val streamed = spark.table("attr_state").select("imp_id", "click_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      val batch = StreamingOps.streamStreamJoin(named(impRows.toDF()), named(clkRows.toDF()))
+        .select("imp_id", "click_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(streamed == batch && streamed.size == perWave * waveStarts.size)
+    } finally query.stop()
+  }
+
   test("streaming exact dedup keeps the first arrival per normalized text") {
     val sess = spark
     import sess.implicits._
