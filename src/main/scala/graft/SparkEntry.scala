@@ -87,6 +87,7 @@ object SparkEntry {
     "m02_chunk" -> (Multimodal.m02Chunk _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "m04_media_stats" -> (Multimodal.m04MediaStats _),
+    "m05_wav_header" -> (Multimodal.m05WavHeader _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),

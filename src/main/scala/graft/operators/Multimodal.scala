@@ -105,6 +105,67 @@ object Multimodal {
     } else None
   }
 
+  /** Parsed WAV facts: `dataBytes` is the data chunk's declared size,
+    * `headerLen` the byte offset where sample data begins. */
+  final case class WavHeader(
+      channels: Int, sampleRate: Int, bitsPerSample: Int,
+      dataBytes: Int, headerLen: Int)
+
+  /**
+   * Real RIFF/WAVE header parser (public byte format): "RIFF" +
+   * u32le riff size + "WAVE", then a chunk walk — each chunk is a
+   * 4-byte id + u32le size (+ pad byte when odd, per the spec) —
+   * until both the "fmt " chunk (PCM: audio format u16le, channels
+   * u16le, sample rate u32le, byte rate, block align, bits per
+   * sample) and the "data" chunk header are seen. Unknown chunks
+   * (LIST, cue, bext…) are skipped by their declared size.
+   */
+  def parseWavHeader(b: Array[Byte]): Option[WavHeader] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= b.length && (0 until 4).forall(j => b(i + j) == s.charAt(j).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    while (i + 8 <= b.length) {
+      val size = u32(i + 4).toInt
+      if (size < 0) return None
+      if (tag(i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22)))
+      } else if (tag(i, "data")) {
+        return fmt.map { case (ch, sr, bits) =>
+          WavHeader(ch, sr, bits, size, i + 8)
+        }
+      }
+      i += 8 + size + (size & 1) // chunks pad to even length
+    }
+    None
+  }
+
+  /** Minimal REAL PCM WAV container: RIFF/WAVE + canonical 16-byte
+    * fmt chunk + data chunk header, `data` standing in for samples.
+    * Header is exactly 44 bytes (the classic canonical WAV layout). */
+  def buildWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val byteRate = sampleRate * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++ le32(byteRate) ++
+      le16(blockAlign) ++ le16(bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+
   private def be32(v: Int): Array[Byte] =
     Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
       ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -194,6 +255,62 @@ object Multimodal {
         MediaRow(id, bytes, if (id % 2 == 0) "image/png" else "image/jpeg", bytes.length)
       }
   }
+
+  /** Per-asset audio features parsed from the real WAV header. */
+  final case class WavFeature(
+      doc_id: Long, channels: Int, sample_rate: Int, bits: Int,
+      n_samples: Long, duration_ms: Long, data_sum: Long)
+
+  /** Audio table synthesized from documents: text bytes standing in
+    * for PCM samples behind a REAL canonical 44-byte WAV header whose
+    * channel/rate layout derives from doc_id in closed form (the m01
+    * imageTable pattern for audio). */
+  def wavTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"wavTable: non-ASCII text in doc_id=$id (m05 oracle sums bytes as ords)")
+        val bytes = buildWav(wavChannels(id), wavSampleRate(id), 16,
+          text.getBytes("US-ASCII"))
+        MediaRow(id, bytes, "audio/wav", bytes.length)
+      }
+  }
+
+  private[graft] def wavChannels(id: Long): Int = 1 + (id % 2).toInt
+  private[graft] def wavSampleRate(id: Long): Int =
+    Array(8000, 16000, 22050, 44100)(((id / 2) % 4).toInt)
+
+  /** Typed per-partition WAV decode: header facts + sample-section
+    * checksum; unparseable payloads degrade to zeroed fields with a
+    * whole-payload checksum (the m01 contract). */
+  def extractWavFeatures(media: Dataset[MediaRow]): Dataset[WavFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val hdr = parseWavHeader(r.media)
+      val off = hdr.map(_.headerLen).getOrElse(0)
+      var sum = 0L
+      var i = off
+      while (i < r.media.length) { sum += (r.media(i) & 0xff); i += 1 }
+      hdr match {
+        case Some(h) =>
+          val blockAlign = math.max(h.channels * h.bitsPerSample / 8, 1)
+          val ns = h.dataBytes.toLong / blockAlign
+          WavFeature(r.doc_id, h.channels, h.sampleRate, h.bitsPerSample,
+            ns, ns * 1000L / math.max(h.sampleRate, 1), sum)
+        case None => WavFeature(r.doc_id, 0, 0, 0, 0L, 0L, sum)
+      }
+    })
+  }
+
+  /** m05: WAV header decode — channel layout, sample rate, sample and
+    * duration math all parsed from the real RIFF bytes; the oracle
+    * recomputes the generator's closed form (build→parse round-trip,
+    * the m01 gate applied to audio). */
+  def m05WavHeader(spark: SparkSession, dir: String): DataFrame =
+    extractWavFeatures(wavTable(spark, dir)).toDF().orderBy("doc_id")
 
   /**
    * Decode one batch (one codec init per batch): parse the REAL
@@ -337,6 +454,22 @@ object Multimodal {
         |  round(avg(n_bytes), 4) + 0 AS avg_bytes,
         |  CAST(max(n_bytes) AS INT) AS max_bytes
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+    // Recomputes the WAV generator's closed form — Spark must build
+    // AND parse the RIFF bytes correctly for this to match.
+    "m05_wav_header" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CASE CAST((doc_id // 2) % 4 AS INT)
+        |      WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |      ELSE 44100 END AS sr,
+        |    octet_length(encode(text)) // (2 * (1 + doc_id % 2)) AS ns
+        |  FROM documents
+        |)
+        |SELECT doc_id, channels, CAST(sr AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits, CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(ns * 1000 // sr AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS BIGINT) AS data_sum
+        |FROM g ORDER BY doc_id""".stripMargin,
     // Recomputes the image generator's closed form (dims/channels from
     // doc_id, header length from format+components) — Spark must BUILD
     // the header bytes correctly AND PARSE them back for this to match.

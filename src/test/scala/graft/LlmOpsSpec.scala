@@ -323,6 +323,43 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parseImageHeader(Array(0xff, 0xd8, 0x12, 0x34, 0x56, 0x78).map(_.toByte)).isEmpty)
   }
 
+  test("parseWavHeader walks RIFF chunks: hand-built bytes, LIST skip, odd-size pad") {
+    import Multimodal.{parseWavHeader, WavHeader, buildWav}
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def t(s: String) = s.getBytes("US-ASCII")
+    // hand-written (NOT via the builder): RIFF/WAVE with a 3-byte LIST
+    // chunk (odd size -> pad byte) BEFORE fmt, then fmt(stereo,
+    // 16 kHz, 16-bit) and a 12-byte data chunk
+    val wav = t("RIFF") ++ le32(60) ++ t("WAVE") ++
+      t("LIST") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++ // odd size + pad
+      t("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(16000) ++
+      le32(64000) ++ le16(4) ++ le16(16) ++
+      t("data") ++ le32(12) ++ Array.fill[Byte](12)(7)
+    val parsed = parseWavHeader(wav)
+    assert(parsed.contains(WavHeader(2, 16000, 16, 12, wav.length - 12)))
+    // builder round-trip
+    val built = buildWav(1, 44100, 16, "samples!".getBytes)
+    assert(parseWavHeader(built).contains(WavHeader(1, 44100, 16, 8, 44)))
+    assert(built.length == 52) // canonical 44-byte header + 8 data bytes
+    // unparseable: wrong magic, truncated, data before fmt
+    assert(parseWavHeader(t("RIFX") ++ wav.drop(4)).isEmpty)
+    assert(parseWavHeader(wav.take(30)).isEmpty)
+    assert(parseWavHeader(t("RIFF") ++ le32(20) ++ t("WAVE") ++
+      t("data") ++ le32(4) ++ Array.fill[Byte](4)(1)).isEmpty)
+    // m05 end-to-end: closed-form geometry round-trips through real bytes
+    val feats = Multimodal.m05WavHeader(spark, dir).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == Multimodal.wavChannels(id), s"doc $id channels")
+      assert(r.getInt(2) == Multimodal.wavSampleRate(id), s"doc $id rate")
+      assert(r.getInt(3) == 16)
+      assert(r.getLong(5) == r.getLong(4) * 1000L / r.getInt(2), s"doc $id duration")
+    }
+  }
+
   test("multimodal decode: real headers round-trip and batching preserves features") {
     val media = Multimodal.imageTable(spark, dir).toDF()
     val feats1 = Multimodal.extractFeatures(media, batchSize = 64).collect()
