@@ -36,6 +36,7 @@ object SparkEntry {
     "a17_assoc_firth_gram" -> (Mas.a17AssocFirthGram _),
     "t13_bpe_tokens" -> (TextOps.t13BpeTokens _),
     "t14_line_stats" -> (TextOps.t14LineStats _),
+    "t15_bigram_logprob" -> (TextOps.t15BigramLogprob _),
     "s05_phecode_annotate" -> (Mas.s05PhecodeAnnotate _),
     "p01_select_index" -> (Preprocess.p01SelectIndex _),
     "p02_sex_filter" -> (Preprocess.p02SexFilter _),

@@ -536,6 +536,58 @@ object TextOps {
   def t11UnigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprob(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  // ------------------------------------------------- t15 bigram xent
+
+  /**
+   * Per-document BIGRAM cross-entropy against the corpus's own
+   * conditional bigram distribution P(w2|w1) = c(w1,w2)/c(w1·) —
+   * t11's perplexity-filter shape with one token of context, which
+   * catches the failure unigrams can't: docs whose words are all
+   * individually common but strung together implausibly (shuffled
+   * text, keyword-stuffed spam, bad OCR segmentation).
+   *
+   * xent = −Σ tf·ln P(w2|w1) / n_bigrams. Plan shape: bigram pairs
+   * come from a per-row zip of the token array with itself shifted
+   * (a pure projection — no positions explode), then the (doc,
+   * bigram) term-frequency aggregate is checkpointed once and feeds
+   * BOTH the corpus LM aggregate and the per-doc score join (the t11
+   * single-tokenization rule). Shuffle ∝ distinct (doc, bigram); the
+   * LM table is Zipf²-bounded (≪ corpus at scale); trained and
+   * scored on the same corpus every doc bigram has LM mass — no
+   * smoothing branch. Swap the LM aggregates for a real LM's bigram
+   * head and the scoring join is unchanged.
+   */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(norm(col("text")), " "), w => length(w) > 0).as("ws"))
+    val bigrams = toks
+      .select(col("doc_id"), explode(when(size(col("ws")) >= 2,
+        // sequence() flips to a DESCENDING range when stop < start,
+        // so the <2-token guard is load-bearing, not cosmetic
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val lm = tf.groupBy("w1", "w2").agg(sum("tf").as("cnt"))
+    val ctx = lm.groupBy("w1").agg(sum("cnt").as("ctx"))
+    val perDoc = tf.join(lm, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(col("tf") * log(col("cnt") / col("ctx").cast("double"))).as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Norm.r4(-col("lp") / col("n_bigrams")).as("bigram_xent"))
+    // docs with <2 tokens have no bigrams: null score, 0 count
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_xent"))
+  }
+
+  def t15BigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprob(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ----------------------------------------------------- t09 entropy
 
   /**
@@ -757,6 +809,28 @@ object TextOps {
            |)
            |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
            |  round(-lp / p.n_tokens, 4) + 0 AS unigram_xent
+           |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "t15_bigram_logprob" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split($normSql, ' '), w -> length(w) > 0) AS ws
+           |  FROM documents
+           |), bg AS (
+           |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+           |  FROM toks, unnest(range(1, len(ws))) AS t(i)
+           |  WHERE len(ws) >= 2
+           |), tf AS (
+           |  SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+           |), lm AS (SELECT w1, w2, sum(tf) AS cnt FROM tf GROUP BY 1, 2),
+           |ctx AS (SELECT w1, sum(cnt) AS ctx FROM lm GROUP BY 1),
+           |p AS (
+           |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+           |    sum(tf.tf * ln(lm.cnt / CAST(ctx.ctx AS DOUBLE))) AS lp
+           |  FROM tf JOIN lm USING (w1, w2) JOIN ctx USING (w1)
+           |  GROUP BY 1
+           |)
+           |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+           |  round(-lp / p.n_bigrams, 4) + 0 AS bigram_xent
            |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
       "t12_char_entropy_agg" ->
         """WITH ch AS (

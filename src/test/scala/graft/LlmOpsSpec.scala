@@ -216,6 +216,34 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigramLogprob: hand-checked conditional xent, short docs null out") {
+    val sess = spark
+    import sess.implicits._
+    // corpus bigrams: (a,b)x3 [doc1 x2, doc2 x1], (b,a)x2 [1 each],
+    // (b,c)x1 [doc2]; contexts: a->3, b->3
+    val docs = Seq(
+      (1L, "a b a b"),     // bigrams ab, ba, ab
+      (2L, "b a b c"),     // bigrams ba, ab, bc
+      (3L, "single"),      // no bigrams
+      (4L, "")             // empty
+    ).toDF("doc_id", "text")
+    val out = operators.TextOps.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(3L) == ((0L, None)) && out(4L) == ((0L, None)))
+    // P(b|a)=3/3=1, P(a|b)=2/3, P(c|b)=1/3
+    val d1 = -(2 * math.log(1.0) + 1 * math.log(2.0 / 3)) / 3
+    val d2 = -(math.log(2.0 / 3) + math.log(1.0) + math.log(1.0 / 3)) / 3
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2.get - d1) < 5e-5)
+    assert(out(2L)._1 == 3L && math.abs(out(2L)._2.get - d2) < 5e-5)
+    // context makes the signal: a doc of common-but-shuffled words
+    // scores worse than the same words in corpus order
+    val corpus = (0 until 50).map(i => (i.toLong, "the quick brown fox jumps")) ++
+      Seq(50L -> "the quick brown fox jumps", 51L -> "fox the jumps brown quick quick the")
+    val scored = operators.TextOps.bigramLogprob(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(scored(51L).get > scored(50L).get)
+  }
+
   test("charEntropyAuto routes by sampled alphabet size: projection under the guard, aggregate over it") {
     val sess = spark
     import sess.implicits._
