@@ -55,6 +55,7 @@ object SparkEntry {
     "p15_quantile_bin" -> (Preprocess.p15QuantileBin _),
     "p16_yeo_johnson" -> (Preprocess.p16YeoJohnson _),
     "p17_corr_matrix" -> (Preprocess.p17CorrMatrix _),
+    "p18_vif" -> (Preprocess.p18Vif _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),

@@ -575,6 +575,47 @@ object Preprocess {
       .select(col("s.col1"), col("s.col2"), Norm.r4(col("s.r")).as("r"))
   }
 
+  /**
+   * Variance inflation factors — the multicollinearity screen run
+   * before association (a near-collinear covariate silently inflates
+   * every fit's se): VIF_i = diag(R⁻¹)_i with R the covariate
+   * correlation matrix. ONE pairwise-corr aggregation pass reduces
+   * the frame to k(k−1)/2 doubles (model state, never rows), the k×k
+   * inverse runs driver-side, k rows come out — the p17 altitude
+   * with a tiny solve on top. Correlations are quantized to the 1e-6
+   * grid (half-away-from-zero — the fixed-point-oracle rule) before
+   * inverting, so engine and oracle invert IDENTICAL inputs and the
+   * 4-dp hash can't drift on an engine ulp.
+   */
+  def vif(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"vif: need >= 2 columns, got $cols")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = cols.size
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      corr(col(cols(i)).cast("double"), col(cols(j)).cast("double")).as(s"__c_${i}_$j") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def q6(x: Double): Double =
+      (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+    val r = breeze.linalg.DenseMatrix.eye[Double](k)
+    pairs.zipWithIndex.foreach { case ((i, j), p) =>
+      val v = q6(row.getDouble(p))
+      r(i, j) = v
+      r(j, i) = v
+    }
+    val inv = breeze.linalg.inv(r)
+    cols.zipWithIndex.map { case (c, i) => (c, inv(i, i)) }
+      .toDF("covariate", "vif")
+      .select(col("covariate"), Norm.r4(col("vif")).as("vif"))
+  }
+
+  /** p18: VIFs of the customer numeric columns. */
+  def p18Vif(spark: SparkSession, dir: String): DataFrame =
+    vif(Tables.customer(spark, dir),
+      Seq("c_custkey", "c_nationkey", "c_acctbal"))
+      .orderBy("covariate")
+
   /** p17: correlation of the customer numeric columns. */
   def p17CorrMatrix(spark: SparkSession, dir: String): DataFrame =
     corrMatrix(Tables.customer(spark, dir),
@@ -778,6 +819,26 @@ object Preprocess {
         |  round(corr(CAST(c_nationkey AS DOUBLE), CAST(c_acctbal AS DOUBLE)), 4) + 0
         |FROM customer
         |ORDER BY col1, col2""".stripMargin,
+    // Cramer 3x3 cofactor form of diag(R^-1) over the SAME 1e-6-
+    // quantized correlations the engine inverts — identical inputs,
+    // so the 4-dp hash is stable against engine ulps
+    "p18_vif" ->
+      """WITH c AS (
+        |  SELECT
+        |    round(corr(CAST(c_custkey AS DOUBLE), CAST(c_nationkey AS DOUBLE)), 6) AS r12,
+        |    round(corr(CAST(c_custkey AS DOUBLE), CAST(c_acctbal AS DOUBLE)), 6) AS r13,
+        |    round(corr(CAST(c_nationkey AS DOUBLE), CAST(c_acctbal AS DOUBLE)), 6) AS r23
+        |  FROM customer
+        |), d AS (
+        |  SELECT r12, r13, r23,
+        |    1 + 2*r12*r13*r23 - r12*r12 - r13*r13 - r23*r23 AS det
+        |  FROM c
+        |)
+        |SELECT covariate, round(vif, 4) + 0 AS vif FROM (
+        |  SELECT 'c_custkey' AS covariate, (1 - r23*r23) / det AS vif FROM d
+        |  UNION ALL SELECT 'c_nationkey', (1 - r13*r13) / det FROM d
+        |  UNION ALL SELECT 'c_acctbal', (1 - r12*r12) / det FROM d
+        |) ORDER BY covariate""".stripMargin,
     "p16_yeo_johnson" ->
       """SELECT c_custkey,
         |  round(CASE WHEN c_acctbal >= 0

@@ -186,4 +186,31 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(l1(1L) - 3.0) < 1e-12 && math.abs(l1(2L) - -3.0) < 1e-12)
     Seq(l0, l1, l2).foreach(m => assert(m(3L) == 0.0))
   }
+
+  test("vif flags collinear covariates, two-column case matches 1/(1-r^2)") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 2000).map { _ =>
+      val x1 = rng.nextGaussian()
+      val x2 = rng.nextGaussian()
+      // x3 nearly collinear with x1 + x2
+      (x1, x2, x1 + x2 + 0.05 * rng.nextGaussian())
+    }
+    val df = rows.toDF("x1", "x2", "x3")
+    val v = Preprocess.vif(df, Seq("x1", "x2", "x3")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independents stay moderate, the near-collinear column blows up
+    assert(v("x3") > 10.0, s"collinear VIF ${v("x3")}")
+    assert(v("x1") > 1.0 && v("x2") > 1.0)
+    // two-column closed form: both VIFs are 1/(1-r^2)
+    val two = Preprocess.vif(df, Seq("x1", "x3")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r = df.agg(org.apache.spark.sql.functions.corr($"x1", $"x3")).head().getDouble(0)
+    val expect = 1.0 / (1.0 - r * r)
+    assert(math.abs(two("x1") - expect) < 5e-4 && math.abs(two("x3") - expect) < 5e-4)
+    // independent pair: VIF ~= 1
+    val ind = Preprocess.vif(df, Seq("x1", "x2")).collect().map(_.getDouble(1))
+    assert(ind.forall(x => x >= 1.0 && x < 1.05))
+  }
 }
