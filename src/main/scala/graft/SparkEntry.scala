@@ -90,6 +90,7 @@ object SparkEntry {
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "m04_media_stats" -> (Multimodal.m04MediaStats _),
     "m05_wav_header" -> (Multimodal.m05WavHeader _),
+    "m06_mp4_header" -> (Multimodal.m06Mp4Header _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
     "c02_shard_pack" -> (Corpus.c02ShardPack _),
+    "c06_pack_tokens" -> (Corpus.c06PackTokens _),
     "c03_split" -> (Corpus.c03Split _),
     "c04_mixture_sample" -> (Corpus.c04MixtureSample _),
     "c05_weighted_sample" -> (Corpus.c05WeightedSample _),

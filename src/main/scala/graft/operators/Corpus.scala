@@ -79,25 +79,61 @@ object Corpus {
   def shardPack(df: DataFrame, orderCol: String, valueCol: String,
       target: Long): DataFrame = {
     require(target > 0, s"shardPack: target must be positive, got $target")
+    prefixScan(df, orderCol, valueCol, Seq("shard")) { (start, _) =>
+      Seq(start / target)
+    }
+  }
+
+  /**
+   * Concat-and-chop sequence packing — the GPT-style pretraining
+   * batch-prep step shardPack's whole-doc bin fill is NOT: documents
+   * concatenate into one token stream in `orderCol` order and the
+   * stream is chopped into fixed `seqLen`-token training sequences,
+   * docs SPLITTING across sequence boundaries. Emits per doc the
+   * first/last sequence it lands in and how many it spans (null for
+   * empty docs). Same distributed two-pass prefix sum as shardPack —
+   * no single-partition window at any corpus size.
+   */
+  def packSequences(df: DataFrame, orderCol: String, valueCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
+    prefixScan(df, orderCol, valueCol, Seq("seq_start", "seq_end", "n_seqs")) {
+      (start, v) =>
+        if (v == 0) Seq(null, null, null)
+        else {
+          val s = start / seqLen
+          val e = (start + v - 1) / seqLen
+          Seq(s, e, e - s + 1)
+        }
+    }
+  }
+
+  /** Shared distributed EXCLUSIVE prefix sum over `valueCol` in
+    * ascending `orderCol` order: pass 1 reduces per-partition totals
+    * (#partitions longs to the driver), pass 2 maps each row with its
+    * carried running-sum start; `emit(start, value)` returns the
+    * derived long columns appended under `outCols` (nullable). */
+  private def prefixScan(df: DataFrame, orderCol: String, valueCol: String,
+      outCols: Seq[String])(emit: (Long, Long) => Seq[Any]): DataFrame = {
     val spark = df.sparkSession
     // normalize up front so the RDD passes below can't hit a
     // mid-job ClassCastException (int value column) or NPE (null
     // value): widen INTEGRAL types to long and reject nulls with a
     // named error. Fractional/other types fail fast HERE — a blind
     // cast would silently floor-truncate double sizes and overshoot
-    // every shard budget
+    // every budget
     df.schema(valueCol).dataType match {
       case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
            _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
       case other => throw new IllegalArgumentException(
-        s"shardPack: value column '$valueCol' must be integral, got $other")
+        s"prefixScan: value column '$valueCol' must be integral, got $other")
     }
     val src = df.withColumn(valueCol, col(valueCol).cast(LongType))
     val schema = src.schema
     val vIdx = schema.fieldIndex(valueCol)
     def getValue(r: Row): Long = {
       require(!r.isNullAt(vIdx),
-        s"shardPack: null in value column '$valueCol' (row $r)")
+        s"prefixScan: null in value column '$valueCol' (row $r)")
       r.getLong(vIdx)
     }
     val sorted = src.orderBy(col(orderCol).asc).rdd
@@ -120,12 +156,14 @@ object Corpus {
     val out = sorted.mapPartitionsWithIndex { (pi2, it) =>
       var run = bcOffsets.value(pi2)
       it.map { r =>
-        val shard = run / target
-        run += getValue(r)
-        Row.fromSeq(r.toSeq :+ shard)
+        val v = getValue(r)
+        val extra = emit(run, v)
+        run += v
+        Row.fromSeq(r.toSeq ++ extra)
       }
     }
-    spark.createDataFrame(out, schema.add("shard", LongType))
+    spark.createDataFrame(out,
+      outCols.foldLeft(schema)((s, c) => s.add(c, LongType, nullable = true)))
   }
 
   /**
@@ -197,6 +235,17 @@ object Corpus {
     shardPack(Tables.documents(spark, dir).select("doc_id", "n_chars"),
       "doc_id", "n_chars", target = 10000L)
       .select("doc_id", "n_chars", "shard")
+      .orderBy("doc_id")
+
+  /** c06: concat-and-chop packing of the document token stream into
+    * 512-token training sequences (whitespace tokens over normalized
+    * text — swap in t13's BPE counts for a trained tokenizer). */
+  def c06PackTokens(spark: SparkSession, dir: String): DataFrame =
+    packSequences(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        size(filter(split(Dedup.normText(col("text")), " "),
+          w => length(w) > 0)).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", seqLen = 512L)
       .orderBy("doc_id")
 
   /** c03: 80/10/10 train/val/test assignment over documents — stable
@@ -293,5 +342,25 @@ object Corpus {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) // 10000 AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c06_pack_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      w -> length(w) > 0)) AS n_tokens
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |    ELSE CAST(st // 512 AS BIGINT) END AS seq_start,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |    ELSE CAST((st + n_tokens - 1) // 512 AS BIGINT) END AS seq_end,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |    ELSE CAST((st + n_tokens - 1) // 512 - st // 512 + 1 AS BIGINT) END AS n_seqs
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

@@ -145,6 +145,93 @@ object Multimodal {
     None
   }
 
+  /** Parsed MP4 facts from the moov/mvhd box: `duration` is in
+    * `timescale` units; `headerLen` is where mdat payload begins. */
+  final case class Mp4Header(
+      timescale: Int, duration: Long, dataBytes: Int, headerLen: Int)
+
+  /**
+   * Real ISO-BMFF/MP4 box parser (public byte format): top-level
+   * boxes are u32be size + 4cc type (size 1 → u64 largesize follows,
+   * size 0 → box runs to EOF); the movie header lives at
+   * moov > mvhd, where version 0 carries timescale u32 / duration
+   * u32 and version 1 (64-bit times) carries them at +8 with a u64
+   * duration. Unknown boxes (ftyp, free, …) skip by declared size;
+   * mdat supplies the payload extent.
+   */
+  def parseMp4Header(b: Array[Byte]): Option[Mp4Header] = {
+    def u32(i: Int): Long = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= b.length && (0 until 4).forall(j => b(i + j) == s.charAt(j).toByte)
+    var i = 0
+    var mvhd: Option[(Int, Long)] = None
+    var data: Option[(Int, Int)] = None
+    var bad = false
+    while (!bad && (mvhd.isEmpty || data.isEmpty) && i + 8 <= b.length) {
+      val size0 = u32(i)
+      val hdr = if (size0 == 1) 16 else 8
+      val size: Long =
+        if (size0 == 0) b.length - i
+        else if (size0 == 1) { if (i + 16 <= b.length) u64(i + 8) else -1 }
+        else size0
+      if (size < hdr || i + size > b.length) bad = true
+      else {
+        if (tag(i + 4, "moov")) {
+          var j = i + hdr
+          val end = i + size.toInt
+          while (!bad && mvhd.isEmpty && j + 8 <= end) {
+            val csz = u32(j)
+            if (csz < 8 || j + csz > end) bad = true
+            else {
+              if (tag(j + 4, "mvhd")) {
+                (b(j + 8) & 0xff) match {
+                  case 0 if j + 28 <= end => mvhd = Some((u32(j + 20).toInt, u32(j + 24)))
+                  case 1 if j + 40 <= end => mvhd = Some((u32(j + 28).toInt, u64(j + 32)))
+                  case _ => bad = true
+                }
+              }
+              j += csz.toInt
+            }
+          }
+        } else if (tag(i + 4, "mdat")) {
+          data = Some(((size - hdr).toInt, i + hdr))
+        }
+        i += size.toInt
+      }
+    }
+    if (bad) None
+    else for { (ts, dur) <- mvhd; (db, hl) <- data } yield Mp4Header(ts, dur, db, hl)
+  }
+
+  private def be64(v: Long): Array[Byte] =
+    be32((v >>> 32).toInt) ++ be32((v & 0xffffffffL).toInt)
+
+  /** Minimal REAL MP4 container: ftyp + moov(mvhd v0 or v1, with
+    * genuine rate/volume/matrix fields) + mdat carrying `data`.
+    * mvhd v0 is the canonical 108-byte box, v1 the 120-byte 64-bit
+    * variant — building both exercises both parser arms. */
+  def buildMp4(timescale: Int, duration: Long, v1: Boolean,
+      data: Array[Byte]): Array[Byte] = {
+    def t(s: String) = s.getBytes("US-ASCII")
+    val ftyp = be32(20) ++ t("ftyp") ++ t("isom") ++ be32(0) ++ t("isom")
+    val times =
+      if (v1) be64(0L) ++ be64(0L) ++ be32(timescale) ++ be64(duration)
+      else be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration.toInt)
+    val mvhdBody = Array[Byte](if (v1) 1 else 0, 0, 0, 0) ++ times ++
+      be32(0x00010000) ++ be16(0x0100) ++ Array.fill[Byte](10)(0) ++
+      // identity transformation matrix (fixed-point per the spec)
+      (be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)) ++
+      Array.fill[Byte](24)(0) ++ be32(1)
+    val mvhd = be32(8 + mvhdBody.length) ++ t("mvhd") ++ mvhdBody
+    val moov = be32(8 + mvhd.length) ++ t("moov") ++ mvhd
+    val mdat = be32(8 + data.length) ++ t("mdat") ++ data
+    ftyp ++ moov ++ mdat
+  }
+
   /** Minimal REAL PCM WAV container: RIFF/WAVE + canonical 16-byte
     * fmt chunk + data chunk header, `data` standing in for samples.
     * Header is exactly 44 bytes (the classic canonical WAV layout). */
@@ -312,6 +399,53 @@ object Multimodal {
   def m05WavHeader(spark: SparkSession, dir: String): DataFrame =
     extractWavFeatures(wavTable(spark, dir)).toDF().orderBy("doc_id")
 
+  /** Per-asset video features parsed from the real MP4 boxes. */
+  final case class Mp4Feature(
+      doc_id: Long, timescale: Int, duration: Long, duration_ms: Long,
+      data_bytes: Int, data_sum: Long)
+
+  private[graft] def mp4Timescale(id: Long): Int =
+    Array(600, 1000, 90000, 48000)(((id / 2) % 4).toInt)
+  private[graft] def mp4Duration(id: Long): Long = 100 + (id * 13) % 9000
+
+  /** Video table synthesized from documents: text bytes standing in
+    * for the encoded stream behind REAL ftyp/moov(mvhd)/mdat boxes;
+    * odd doc_ids get the 64-bit mvhd v1 layout so both parser arms
+    * run on the corpus. */
+  def mp4Table(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"mp4Table: non-ASCII text in doc_id=$id (m06 oracle sums bytes as ords)")
+        val bytes = buildMp4(mp4Timescale(id), mp4Duration(id), v1 = id % 2 == 1,
+          text.getBytes("US-ASCII"))
+        MediaRow(id, bytes, "video/mp4", bytes.length)
+      }
+  }
+
+  /** m06: MP4 movie-header decode — timescale/duration (and the ms
+    * conversion a shard planner budgets with) parsed from the real
+    * box structure; the m01 gate applied to video. */
+  def m06Mp4Header(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    mp4Table(spark, dir).mapPartitions(_.map { r =>
+      val hdr = parseMp4Header(r.media)
+      val off = hdr.map(_.headerLen).getOrElse(0)
+      var sum = 0L
+      var i = off
+      while (i < r.media.length) { sum += (r.media(i) & 0xff); i += 1 }
+      hdr match {
+        case Some(h) =>
+          Mp4Feature(r.doc_id, h.timescale, h.duration,
+            h.duration * 1000L / math.max(h.timescale, 1), h.dataBytes, sum)
+        case None => Mp4Feature(r.doc_id, 0, 0L, 0L, 0, sum)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
   /**
    * Decode one batch (one codec init per batch): parse the REAL
    * container header for format/dimensions/channels, checksum the
@@ -454,6 +588,23 @@ object Multimodal {
         |  round(avg(n_bytes), 4) + 0 AS avg_bytes,
         |  CAST(max(n_bytes) AS INT) AS max_bytes
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+    // Recomputes the MP4 generator's closed form — Spark must build
+    // AND parse the box structure correctly for this to match.
+    "m06_mp4_header" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    CASE CAST((doc_id // 2) % 4 AS INT)
+        |      WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 90000
+        |      ELSE 48000 END AS ts,
+        |    100 + (doc_id * 13) % 9000 AS dur
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(ts AS INT) AS timescale,
+        |  CAST(dur AS BIGINT) AS duration,
+        |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(octet_length(encode(text)) AS INT) AS data_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS BIGINT) AS data_sum
+        |FROM g ORDER BY doc_id""".stripMargin,
     // Recomputes the WAV generator's closed form — Spark must build
     // AND parse the RIFF bytes correctly for this to match.
     "m05_wav_header" ->

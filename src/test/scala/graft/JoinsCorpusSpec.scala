@@ -299,4 +299,31 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         "doc_id", "n_chars", 10000L)
     }
   }
+
+  test("packSequences: docs split across sequence boundaries, empty docs null, any parallelism") {
+    val sess = spark
+    import sess.implicits._
+    // stream: 3 +4 +0 +10 +3 tokens, seqLen 5
+    // starts:  0  3  7  7   17 -> seqs [0,0] [0,1] null [1,3] [3,3]
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 0L), (4L, 10L), (5L, 3L))
+      .toDF("doc_id", "n_tokens")
+    def run(parts: Int) =
+      Corpus.packSequences(docs.repartition(parts), "doc_id", "n_tokens", 5L)
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    val expect = Map(
+      1L -> ((Some(0L), Some(0L), Some(1L))),
+      2L -> ((Some(0L), Some(1L), Some(2L))),
+      3L -> ((None, None, None)),
+      4L -> ((Some(1L), Some(3L), Some(3L))),
+      5L -> ((Some(3L), Some(3L), Some(1L))))
+    assert(run(1) == expect)
+    assert(run(7) == expect) // partition-count invariant
+    // conservation: every sequence index in [0, ceil(total/len)) is
+    // covered by some doc's [seq_start, seq_end] span
+    val covered = run(3).values.collect {
+      case (Some(s: Long), Some(e: Long), _) => s to e
+    }.flatten.toSet
+    assert(covered == (0L to 3L).toSet)
+  }
 }

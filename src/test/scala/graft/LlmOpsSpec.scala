@@ -388,6 +388,42 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("parseMp4Header walks boxes: hand-built v0/v1 mvhd, largesize, truncation") {
+    import Multimodal.{parseMp4Header, Mp4Header, buildMp4}
+    def be32(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def t(s: String) = s.getBytes("US-ASCII")
+    // hand-written (NOT via the builder): free box, then moov with a
+    // skipped child ahead of a minimal v0 mvhd, then mdat
+    val mvhd = be32(8 + 24) ++ t("mvhd") ++
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(2500) ++ be32(0)
+    val child = be32(12) ++ t("udta") ++ be32(0)
+    val moov = be32(8 + child.length + mvhd.length) ++ t("moov") ++ child ++ mvhd
+    val free = be32(10) ++ t("free") ++ Array[Byte](1, 2)
+    val mdat = be32(8 + 5) ++ t("mdat") ++ Array.fill[Byte](5)(9)
+    val mp4 = free ++ moov ++ mdat
+    assert(parseMp4Header(mp4).contains(
+      Mp4Header(1000, 2500L, 5, mp4.length - 5)))
+    // builder round-trip: both mvhd versions
+    val data = "frames!".getBytes("US-ASCII")
+    assert(parseMp4Header(buildMp4(90000, 123456789L, v1 = false, data))
+      .exists(h => h.timescale == 90000 && h.duration == 123456789L && h.dataBytes == 7))
+    assert(parseMp4Header(buildMp4(48000, 1L << 33, v1 = true, data))
+      .exists(h => h.timescale == 48000 && h.duration == (1L << 33)))
+    // unparseable: garbage, truncated moov, missing mdat
+    assert(parseMp4Header("certainly not an mp4 file here".getBytes).isEmpty)
+    assert(parseMp4Header(mp4.take(free.length + 10)).isEmpty)
+    assert(parseMp4Header(free ++ moov).isEmpty)
+    // m06 end-to-end: closed form round-trips through real boxes
+    val feats = Multimodal.m06Mp4Header(spark, dir).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == Multimodal.mp4Timescale(id), s"doc $id timescale")
+      assert(r.getLong(2) == Multimodal.mp4Duration(id), s"doc $id duration")
+    }
+  }
+
   test("multimodal decode: real headers round-trip and batching preserves features") {
     val media = Multimodal.imageTable(spark, dir).toDF()
     val feats1 = Multimodal.extractFeatures(media, batchSize = 64).collect()
