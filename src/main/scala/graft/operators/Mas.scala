@@ -311,10 +311,11 @@ object Mas {
   /** a17: the DISTRIBUTED Firth IRLS (Association.firthGram) on the
     * same 2×2 tables as a04 — the scale path for the reference's
     * DEFAULT model: beta stays a DataFrame, penalized Newton solves
-    * run executor-side, two aggregation scans per iteration (the hat
-    * diagonal costs the extra pass). Same Haldane closed-form
-    * beta/OR oracle as a04; equality with the in-task fitter is
-    * spec-pinned (AssociationSpec). */
+    * run executor-side, ONE aggregation scan per iteration (the
+    * hat-diagonal score reconstructs from the same scan's
+    * third-order moment tensor). Same Haldane closed-form beta/OR
+    * oracle as a04; equality with the in-task fitter is spec-pinned
+    * (SourcesAndGramSpec, incl. a multi-covariate shape). */
   def a17AssocFirthGram(spark: SparkSession, dir: String): DataFrame = {
     val cfg = Association.Config(Seq("xbin"), Seq("d_urgent", "d_open", "d_big", "d_many"),
       model = "firth", minCaseCount = 5, maxIter = 200, tol = 1e-11)
