@@ -64,6 +64,7 @@ object SparkEntry {
     "s07_qq_expected" -> (Postprocess.s07QqExpected _),
     "s08_qvalues" -> (Postprocess.s08Qvalues _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
+    "d12_para_dedup" -> (Dedup.d12ParaDedup _),
     "d02_dedup_ngram" -> (Dedup.d02DedupNgram _),
     "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),
     "d04_dedup_simhash" -> (Dedup.d04DedupSimhash _),

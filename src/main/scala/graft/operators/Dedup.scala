@@ -207,6 +207,50 @@ object Dedup {
   def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
     exactDupClasses(corpus(spark, dir)).orderBy("keep_id")
 
+  // ------------------------------------------- d12 paragraph dedup
+
+  /**
+   * C4-style cross-document duplicate-PARAGRAPH removal — the
+   * sub-document dedup the whole-doc operators (d01–d11) don't do:
+   * each normalized paragraph keeps only its FIRST occurrence in
+   * (doc_id, position) order corpus-wide; later copies (boilerplate
+   * banners, quoted spans, mirrored chunks) drop while the rest of
+   * their document survives. On this corpus the injected mutated
+   * twins (upper-case, doubled spaces) normalize to exact paragraph
+   * dups of their originals, so they come out with n_kept = 0.
+   *
+   * Shape: posexplode paragraphs → ONE window exchange PARTITIONED BY
+   * the paragraph text (shuffle ∝ paragraphs; row_number streams, no
+   * per-partition buffering) → per-doc aggregate rebuilds the kept
+   * text in position order and fingerprints it. The synthetic corpus
+   * has no newlines, so the t14 deterministic re-lining stands in
+   * for real paragraph breaks; real data splits on its own \n\n.
+   */
+  def paraDedup(docs: DataFrame, paraWords: Int = 12): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), posexplode(transform(
+        split(TextOps.relined(paraWords), "\n"),
+        l => normText(trim(l)))).as(Seq("idx", "p")))
+      .filter(length(col("p")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p").orderBy("doc_id", "idx")
+    val ranked = paras.withColumn("rn", row_number().over(w))
+    val perDoc = ranked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_paras"),
+      count(when(col("rn") === 1, 1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(
+        when(col("rn") === 1, struct(col("idx"), col("p"))))),
+        s => s.getField("p")), "\n").as("kept_text"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_kept") > 0, md5(encode(col("kept_text"), "UTF-8"))).as("kept_md5"))
+  }
+
+  def d12ParaDedup(spark: SparkSession, dir: String): DataFrame =
+    paraDedup(corpus(spark, dir)).orderBy("doc_id")
+
   // -------------------------------------------- d02 shingle Jaccard
 
   /**
@@ -749,6 +793,30 @@ object Dedup {
           |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM corpus)
           |GROUP BY h HAVING count(*) > 1 ORDER BY keep_id""".stripMargin),
+    "d12_para_dedup" ->
+      (corpusSql +
+        s""", ps AS (
+          |  SELECT doc_id, string_split(${TextOps.relinedSql(12)}, chr(10)) AS arr
+          |  FROM corpus
+          |), paras AS (
+          |  SELECT doc_id, i - 1 AS idx,
+          |    lower(regexp_replace(trim(arr[i]), '\\s+', ' ', 'g')) AS p
+          |  FROM ps, unnest(range(1, len(arr) + 1)) AS t(i)
+          |  WHERE length(lower(regexp_replace(trim(arr[i]), '\\s+', ' ', 'g'))) > 0
+          |), ranked AS (
+          |  SELECT doc_id, idx, p,
+          |    row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rn
+          |  FROM paras
+          |), per AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+          |    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+          |    md5(string_agg(p, chr(10) ORDER BY idx) FILTER (WHERE rn = 1)) AS kept_md5
+          |  FROM ranked GROUP BY doc_id
+          |)
+          |SELECT c.doc_id, coalesce(per.n_paras, 0) AS n_paras,
+          |  coalesce(per.n_kept, 0) AS n_kept, per.kept_md5
+          |FROM (SELECT DISTINCT doc_id FROM corpus) c
+          |LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
     "d07_contamination" ->
       """WITH norm AS (
         |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents

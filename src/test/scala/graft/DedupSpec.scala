@@ -122,4 +122,33 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getLong(1) == 2L))
     assert(out.forall(_.getLong(0) % 10 == 0))
   }
+
+  test("paraDedup keeps first occurrence per paragraph, drops later copies in place") {
+    val sess = spark
+    import sess.implicits._
+    def words(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val shared = words("s")
+    val docs = Seq(
+      (1L, s"$shared ${words("a")}"),              // paras: shared, a
+      (2L, s"${words("b")} $shared"),              // paras: b, shared(dup)
+      (3L, shared.toUpperCase.replace(" ", "  ")), // normalizes to shared -> all dup
+      (4L, words("c"))                             // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.paraDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 2)      // first occurrence keeps both
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1)      // shared para dropped
+    assert(out(3L) == ((1L, 0L, None)))             // whole doc was boilerplate
+    assert(out(4L)._1 == 1 && out(4L)._2 == 1)
+    // doc 2's surviving fingerprint is exactly its unique paragraph
+    val md5b = java.security.MessageDigest.getInstance("MD5")
+      .digest(words("b").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(2L)._3.contains(md5b))
+    // on the corpus: mutated twins (+100000) normalize to pure dups
+    val corpus = Dedup.d12ParaDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    corpus.filter(_._1 >= 100000L).foreach { case (id, kept) =>
+      assert(kept == 0L, s"mutated doc $id kept $kept paragraphs")
+    }
+  }
 }
