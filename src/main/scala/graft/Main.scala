@@ -28,7 +28,9 @@ object Main {
   /** argparse-style store_true flags (cli.py). */
   private val boolFlags = Set(
     "dry-run", "quantitative", "rint", "logt", "phewas", "flipwas",
-    "male-only", "female-only", "verbose", "quiet")
+    "male-only", "female-only", "verbose", "quiet",
+    // graft extension (not in the reference CLI): distributed IRLS
+    "distributed")
 
   /** Short aliases, exactly the reference's (cli.py). */
   private val shortAliases = Map(
@@ -92,7 +94,8 @@ object Main {
       orderCol = m.getOrElse("order-col", ""),
       output = m.getOrElse("output", ""),
       outputType = outputType,
-      dryRun = m.getOrElse("dry-run", "false").toBoolean)
+      dryRun = m.getOrElse("dry-run", "false").toBoolean,
+      distributed = m.getOrElse("distributed", "false").toBoolean)
   }
 
   def main(args: Array[String]): Unit = {

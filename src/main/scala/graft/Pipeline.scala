@@ -48,6 +48,10 @@ final case class GraftConfig(
     output: String = "",                  // output PREFIX; empty = don't write
     outputType: String = "csv",           // reference default (cli.py:61-68)
     dryRun: Boolean = false,
+    distributed: Boolean = false,         // graft extension: route binary fits
+                                          // through the Gram IRLS paths (cohorts
+                                          // too large for one task); linear is
+                                          // always distributed (sufficient stats)
     annotateDefs: Option[DataFrame] = None, // direct defs override (tests/composition)
     annotateOn: String = "dependent",
     annotateKey: String = "phecode")
@@ -106,7 +110,7 @@ object Pipeline {
     s"""Configuration summary:
        |  Input file: ${cfg.input}
        |  Output prefix: ${cfg.output}
-       |  Model: ${cfg.model}
+       |  Model: ${cfg.model}${if (cfg.distributed) " (distributed IRLS)" else ""}
        |  Predictors:  ${fmt(predictors)}
        |  Dependents:  ${fmt(dependents)}
        |  Covariates:  ${fmt(covariates)}""".stripMargin
@@ -206,7 +210,16 @@ object Pipeline {
     // associate
     val assocCfg = Association.Config(predictors, dependents, covariates,
       model = cfg.model, minCaseCount = cfg.minCaseCount)
-    val results = Association.assoc(df, assocCfg)
+    val results =
+      if (cfg.distributed && cfg.model != "linear") {
+        // same melt, same viability gates, same output schema — only
+        // the fit topology changes (one aggregation scan per Newton
+        // step instead of one task per pair); spec-pinned equal to
+        // the in-task fitters
+        val melted = Association.melt(df, assocCfg)
+        if (cfg.model == "firth") Association.firthGram(melted, assocCfg)
+        else Association.logisticGram(melted, assocCfg)
+      } else Association.assoc(df, assocCfg)
 
     // postprocess: Bonferroni, PheCode/custom annotate, sort, write
     var out = Postprocess.bonferroni(results)

@@ -48,6 +48,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Double]("beta") > 0.5)
   }
 
+  test("--distributed routes binary fits through the Gram paths with identical results") {
+    def run(dist: Boolean, model: String) = Pipeline.run(cohortDf, GraftConfig(
+      input = "", predictors = "x", dependents = "d1,d2",
+      covariates = "z", model = model, minCaseCount = 10,
+      distributed = dist))
+      .collect().map(r => r.getAs[String]("dependent") -> r).toMap
+    for (model <- Seq("firth", "logistic")) {
+      val inTask = run(dist = false, model)
+      val gram = run(dist = true, model)
+      assert(gram.keySet == inTask.keySet, model)
+      for (d <- gram.keys; c <- Seq("pval", "beta", "se", "OR")) {
+        assert(math.abs(gram(d).getAs[Double](c) - inTask(d).getAs[Double](c)) < 1e-5,
+          s"$model $d $c")
+      }
+      for (d <- gram.keys) {
+        assert(gram(d).getAs[String]("equation") == inTask(d).getAs[String]("equation"),
+          s"$model $d equation")
+      }
+    }
+    // CLI flag parses (graft extension, not a reference flag)
+    assert(Main.parseArgs(Array("-i", "a", "-p", "p", "-d", "d", "--distributed")).distributed)
+    assert(!Main.parseArgs(Array("-i", "a", "-p", "p", "-d", "d")).distributed)
+  }
+
   test("--phewas with no --phecode-defs annotates from the bundled public catalog") {
     val sess = spark
     import sess.implicits._
