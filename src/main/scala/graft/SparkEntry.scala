@@ -63,6 +63,7 @@ object SparkEntry {
     "s06_lambda_gc" -> (Postprocess.s06LambdaGc _),
     "s07_qq_expected" -> (Postprocess.s07QqExpected _),
     "s08_qvalues" -> (Postprocess.s08Qvalues _),
+    "s09_meta_analysis" -> (Postprocess.s09MetaAnalysis _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d12_para_dedup" -> (Dedup.d12ParaDedup _),
     "d02_dedup_ngram" -> (Dedup.d02DedupNgram _),

@@ -259,6 +259,67 @@ object Postprocess {
         round(col("q_value"), 6).as("q_value"), round(col("pi0"), 6).as("pi0"))
       .orderBy("o_orderkey")
 
+  /**
+   * Fixed-effect inverse-variance meta-analysis — the standard
+   * multi-cohort MAS consolidation step (pool each test's per-cohort
+   * (beta, se) into one estimate) plus Cochran's Q and I²
+   * heterogeneity. Weights w = 1/se²:
+   *   β_FE = Σwβ/Σw,  se_FE = √(1/Σw),  z = β_FE/se_FE,
+   *   Q = Σwβ² − (Σwβ)²/Σw,  I² = max(0, (Q−(k−1))/Q).
+   * ONE map-side-combined aggregate over the stacked results tables —
+   * pooling a thousand cohorts' worth of 10M-pair outputs shuffles
+   * four doubles per (test, map partition), never result rows. Rows
+   * with null/non-positive se are excluded (failed fits carry NaN/
+   * null stats and must not poison the pool).
+   */
+  def metaAnalysis(results: DataFrame, keyCols: Seq[String],
+      betaCol: String = "beta", seCol: String = "se"): DataFrame = {
+    require(keyCols.nonEmpty, "metaAnalysis: need at least one key column")
+    val w = lit(1.0) / (col(seCol) * col(seCol))
+    val q = col("swb2") - col("swb") * col("swb") / col("sw")
+    results
+      .filter(col(seCol).isNotNull && col(seCol) > 0 &&
+        col(betaCol).isNotNull && !isnan(col(betaCol)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("k_cohorts"),
+        sum(w).as("sw"),
+        sum(w * col(betaCol)).as("swb"),
+        sum(w * col(betaCol) * col(betaCol)).as("swb2"))
+      .select(keyCols.map(col) ++ Seq(
+        col("k_cohorts"),
+        Norm.r4(col("swb") / col("sw")).as("beta_fe"),
+        Norm.r4(sqrt(lit(1.0) / col("sw"))).as("se_fe"),
+        Norm.r4((col("swb") / col("sw")) / sqrt(lit(1.0) / col("sw"))).as("z"),
+        Norm.r4(greatest(q, lit(0.0))).as("q_stat"),
+        Norm.r4(when(col("k_cohorts") > 1 && q > 0,
+          greatest((q - (col("k_cohorts") - 1)) / q, lit(0.0)))
+          .otherwise(0.0)).as("i2")): _*)
+  }
+
+  /** Pseudo per-cohort association results synthesized from orders
+    * (hash-derived betas/ses, 5 cohorts × 3000 tests) — shared with
+    * the s09 oracle SQL verbatim. */
+  private def pseudoCohortResults(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      (col("o_orderkey") % 3000).as("test_id"),
+      (col("o_orderkey") % 5).as("cohort"),
+      (((col("o_orderkey") * 2654435761L) % 2000001L) / 1000000.0 - 1.0).as("beta"),
+      when(col("o_orderkey") % 89 === 0, lit(null)) // failed fits: se null
+        .otherwise(lit(0.05) + ((col("o_orderkey") * 1597334677L) % 1000000L) / 2000000.0)
+        .as("se"))
+
+  private val pseudoCohortResultsSql =
+    """SELECT o_orderkey % 3000 AS test_id, o_orderkey % 5 AS cohort,
+      |  ((o_orderkey * 2654435761) % 2000001) / 1000000.0 - 1.0 AS beta,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN NULL
+      |    ELSE 0.05 + ((o_orderkey * 1597334677) % 1000000) / 2000000.0 END AS se
+      |FROM orders""".stripMargin
+
+  /** s09: fixed-effect pooling of the pseudo cohort results. */
+  def s09MetaAnalysis(spark: SparkSession, dir: String): DataFrame =
+    metaAnalysis(pseudoCohortResults(spark, dir), Seq("test_id"))
+      .orderBy("test_id")
+
   /** s03: definitions annotate — synthesized public dim from nation
     * (code/phenotype/category), broadcast left join on dependent. */
   def s03Annotate(spark: SparkSession, dir: String): DataFrame = {
@@ -286,6 +347,26 @@ object Postprocess {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    "s09_meta_analysis" ->
+      s"""WITH r AS ($pseudoCohortResultsSql),
+         |g AS (
+         |  SELECT test_id, count(*) AS k_cohorts,
+         |    sum(1.0 / (se * se)) AS sw,
+         |    sum(beta / (se * se)) AS swb,
+         |    sum(beta * beta / (se * se)) AS swb2
+         |  FROM r WHERE se IS NOT NULL AND se > 0 AND beta IS NOT NULL
+         |  GROUP BY test_id
+         |)
+         |SELECT test_id, k_cohorts,
+         |  round(swb / sw, 4) + 0 AS beta_fe,
+         |  round(sqrt(1.0 / sw), 4) + 0 AS se_fe,
+         |  round((swb / sw) / sqrt(1.0 / sw), 4) + 0 AS z,
+         |  round(greatest(swb2 - swb * swb / sw, 0.0), 4) + 0 AS q_stat,
+         |  round(CASE WHEN k_cohorts > 1 AND swb2 - swb * swb / sw > 0
+         |    THEN greatest(((swb2 - swb * swb / sw) - (k_cohorts - 1))
+         |      / (swb2 - swb * swb / sw), 0.0)
+         |    ELSE 0.0 END, 4) + 0 AS i2
+         |FROM g ORDER BY test_id""".stripMargin,
     "s06_lambda_gc" ->
       s"""WITH p AS ($pseudoPvalsSql),
          |z AS (

@@ -118,4 +118,42 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getDouble(0) -> r.getDouble(r.fieldIndex("p_adj"))).toMap
     assert(q.forall { case (p, v) => math.abs(v - padj(p)) < 1e-12 })
   }
+
+  test("metaAnalysis matches closed forms: pooling, Q, I2, failed-fit exclusion") {
+    val sess = spark
+    import sess.implicits._
+    val results = Seq(
+      // test A: two cohorts, equal weight (se=1) -> beta = mean, se = 1/sqrt(2)
+      ("A", "c1", 0.4, Some(1.0)),
+      ("A", "c2", 0.8, Some(1.0)),
+      // test B: precise and noisy cohorts DISAGREE -> pool leans
+      // precise, heterogeneity is real (Q >> k-1)
+      ("B", "c1", 0.2, Some(0.1)),
+      ("B", "c2", 2.0, Some(0.5)),
+      // test C: single cohort (after its null-se twin is excluded)
+      ("C", "c1", -0.5, Some(0.25)),
+      ("C", "c2", 9.9, None)
+    ).toDF("test_id", "cohort", "beta", "se")
+    val out = Postprocess.metaAnalysis(results, Seq("test_id")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def f(t: String, c: String) = out(t).getAs[Double](c)
+    assert(out("A").getAs[Long]("k_cohorts") == 2)
+    assert(math.abs(f("A", "beta_fe") - 0.6) < 1e-9)
+    assert(math.abs(f("A", "se_fe") - 1.0 / math.sqrt(2)) < 5e-5)
+    // A: Q = w1(b1-b)^2 + w2(b2-b)^2 = 0.04 + 0.04 = 0.08; I2 = 0 (Q < k-1)
+    assert(math.abs(f("A", "q_stat") - 0.08) < 5e-5)
+    assert(f("A", "i2") == 0.0)
+    // B closed form: w = (100, 4) -> beta = (100*0.2 + 4*2.0)/104
+    val bB = (100.0 * 0.2 + 4.0 * 2.0) / 104.0
+    assert(math.abs(f("B", "beta_fe") - bB) < 5e-5)
+    assert(math.abs(f("B", "se_fe") - 1.0 / math.sqrt(104.0)) < 5e-5)
+    val qB = 100.0 * math.pow(0.2 - bB, 2) + 4.0 * math.pow(2.0 - bB, 2)
+    assert(math.abs(f("B", "q_stat") - qB) < 5e-4)
+    assert(math.abs(f("B", "i2") - (qB - 1) / qB) < 5e-4) // heterogeneous
+    // C: failed fit excluded -> k=1, Q=0, I2=0, pooled == the lone cohort
+    assert(out("C").getAs[Long]("k_cohorts") == 1)
+    assert(math.abs(f("C", "beta_fe") - -0.5) < 1e-9)
+    assert(f("C", "q_stat") == 0.0 && f("C", "i2") == 0.0)
+    assert(math.abs(f("C", "z") - -0.5 / 0.25) < 5e-4)
+  }
 }
