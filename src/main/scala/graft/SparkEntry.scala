@@ -78,6 +78,7 @@ object SparkEntry {
     "d10_semdedup" -> (Similarity.d10SemDedup _),
     "d11_containment" -> (Dedup.d11Containment _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
+    "n07_knn_classify" -> (Similarity.n07KnnClassify _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
     "n06_ann_ivfpq" -> (Similarity.n06AnnIvfPq _),

@@ -47,6 +47,34 @@ object Similarity {
       .orderBy("query_id", "rnk")
 
   /**
+   * k-NN majority-vote classification — the auto-labeling /
+   * semi-supervised tagging step a labeled seed set bootstraps a
+   * corpus with: each query's top-k cosine neighbors vote with
+   * their label; most votes wins, ties break to the
+   * lexicographically smallest label (deterministic in both
+   * engines). Rides n01's broadcast top-k shape, then one
+   * (query, label) vote aggregate and a query-partitioned argmax
+   * window — per-query state is its own k votes, nothing corpus-
+   * sized shuffles beyond the neighbor search itself (swap in
+   * n02/n03's bucketed search for the 100 TB path; the vote plan is
+   * unchanged).
+   */
+  def knnClassify(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val nbrs = knnBrute(emb, queryPred, k)
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = nbrs.join(labels, "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+  }
+
+  def n07KnnClassify(spark: SparkSession, dir: String): DataFrame =
+    knnClassify(embeddings(spark, dir), col("vec_id") < 25, k = 5)
+      .orderBy("query_id")
+
+  /**
    * Radius (threshold) search: every corpus vector within cosine ≥
    * `tau` of each query — retrieval's "give me everything similar
    * enough" counterpart to n01's fixed top-k. Same broadcast shape
@@ -725,6 +753,33 @@ object Similarity {
         |)
         |SELECT query_id, neighbor_id, rnk, round(cos, 4) + 0 AS cos
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // n01's CTE chain + a label join, vote aggregate and argmax
+    // window with the same (votes desc, label asc) tie-break
+    "n07_knn_classify" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        |),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 25),
+        |s AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qe, n.e) AS cos
+        |  FROM q JOIN emb n ON q.query_id <> n.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s
+        |), v AS (
+        |  SELECT r.query_id, l.label, count(*) AS n_votes
+        |  FROM r JOIN embeddings l ON r.neighbor_id = l.vec_id
+        |  WHERE r.rnk <= 5 GROUP BY 1, 2
+        |), top AS (
+        |  SELECT query_id, label,
+        |    CAST(n_votes AS BIGINT) AS n_votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS rn
+        |  FROM v
+        |)
+        |SELECT query_id, label AS pred_label, n_votes
+        |FROM top WHERE rn = 1 ORDER BY query_id""".stripMargin,
     // full LSH replay: the same polyHyperplanes sign matrix (squared
     // multiplicative hash of the flat plane*64+dim index), the same
     // 8-band × 3-bit buckets, the same candidate join + exact cosine

@@ -216,6 +216,32 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("knnClassify votes with top-k labels and breaks ties lexicographically") {
+    val sess = spark
+    import sess.implicits._
+    // 2-D embeddings: queries 0/1 sit in opposite clusters; vec 10-12
+    // labeled "pos" near +x, vec 20-22 labeled "neg" near -x; vec 30
+    // ("zzz") equidistant-ish but outside everyone's top-3
+    val emb = Seq(
+      (0L, "q", Seq(1.0, 0.05)), (1L, "q", Seq(-1.0, -0.05)),
+      (10L, "pos", Seq(1.0, 0.1)), (11L, "pos", Seq(0.9, 0.0)), (12L, "pos", Seq(1.0, -0.1)),
+      (20L, "neg", Seq(-1.0, 0.1)), (21L, "neg", Seq(-0.9, 0.0)), (22L, "neg", Seq(-1.0, -0.1)),
+      (30L, "zzz", Seq(0.0, 1.0))
+    ).toDF("vec_id", "label", "e")
+    val out = Similarity.knnClassify(emb, col("vec_id") < 2, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == (("pos", 3L)))
+    assert(out(1L) == (("neg", 3L)))
+    // forced 2-2 vote tie at k=4 -> lexicographically smaller label wins
+    val tie = Seq(
+      (0L, "q", Seq(1.0, 0.0)),
+      (1L, "bbb", Seq(1.0, 0.1)), (2L, "aaa", Seq(1.0, -0.1)),
+      (3L, "bbb", Seq(0.9, 0.1)), (4L, "aaa", Seq(0.9, -0.1))
+    ).toDF("vec_id", "label", "e")
+    val t = Similarity.knnClassify(tie, col("vec_id") === 0, k = 4).collect()
+    assert(t.length == 1 && t.head.getString(1) == "aaa" && t.head.getLong(2) == 2L)
+  }
+
   test("bigramLogprob: hand-checked conditional xent, short docs null out") {
     val sess = spark
     import sess.implicits._
