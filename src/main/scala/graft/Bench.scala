@@ -115,7 +115,9 @@ object Bench {
             case _ => None
           }
         }
-        Some(s""""docs":[$docsSmall,$docsBig],${pts.mkString(",")}""")
+        // single mkString over docs + pts: no trailing comma if every
+        // scale query failed and pts is empty
+        Some((s""""docs":[$docsSmall,$docsBig]""" +: pts).mkString(","))
       }
     // MAS headlines: the reference's TWO published benchmark tables
     // (/root/reference/benchmarks/README.md) at the 5,000 × ~1,800
