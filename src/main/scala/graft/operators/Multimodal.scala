@@ -130,17 +130,19 @@ object Multimodal {
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None
     while (i + 8 <= b.length) {
-      val size = u32(i + 4).toInt
-      if (size < 0) return None
+      val size = u32(i + 4) // u32le as Long: a 2³¹-scale declared size
+      // must not overflow the cursor into negative indexing
       if (tag(i, "fmt ")) {
         if (size < 16 || i + 8 + 16 > b.length) return None
         fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22)))
       } else if (tag(i, "data")) {
-        return fmt.map { case (ch, sr, bits) =>
-          WavHeader(ch, sr, bits, size, i + 8)
+        return fmt.collect { case (ch, sr, bits) if size <= Int.MaxValue =>
+          WavHeader(ch, sr, bits, size.toInt, i + 8)
         }
       }
-      i += 8 + size + (size & 1) // chunks pad to even length
+      val advance = 8L + size + (size & 1L) // chunks pad to even length
+      if (i + advance > b.length) return None // declared past EOF: corrupt
+      i = (i + advance).toInt
     }
     None
   }

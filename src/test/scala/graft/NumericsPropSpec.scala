@@ -80,4 +80,67 @@ class NumericsPropSpec extends AnyFunSuite {
       assert(h(a + b) == expected)
     }
   }
+
+  test("container-header parsers never throw on arbitrary bytes (fuzz)") {
+    import graft.operators.Multimodal
+    val bytes = Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    forAll(bytes, n = 2000) { b =>
+      // total functions on untrusted input: None, never an exception
+      Multimodal.parseImageHeader(b)
+      Multimodal.parseWavHeader(b)
+      Multimodal.parseMp4Header(b)
+    }
+    // adversarial magic prefixes: valid signatures + garbage tails
+    val prefixes = Seq[Array[Byte]](
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8).map(_.toByte),
+      "RIFF".getBytes ++ Array.fill[Byte](4)(0x7f) ++ "WAVE".getBytes,
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes)
+    forAll(Gen.zip(Gen.choose(0, prefixes.size - 1), bytes), n = 2000) {
+      case (pi, tail) =>
+        val payload = prefixes(pi) ++ tail
+        Multimodal.parseImageHeader(payload)
+        Multimodal.parseWavHeader(payload)
+        Multimodal.parseMp4Header(payload)
+    }
+    // the overflow regression: a WAV chunk declaring a ~2^31 size must
+    // parse to None, not wrap the cursor into negative indexing
+    val evil = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ Array(0xff, 0xff, 0xff, 0x7f).map(_.toByte) ++
+      Array.fill[Byte](64)(1)
+    assert(Multimodal.parseWavHeader(evil).isEmpty)
+  }
+
+  test("valid container builds round-trip through their parsers (fuzz)") {
+    import graft.operators.Multimodal
+    val dims = Gen.zip(Gen.choose(1, 65535), Gen.choose(1, 65535))
+    val data = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    forAll(Gen.zip(dims, Gen.oneOf(0, 2, 4, 6), data), n = 300) {
+      case ((w, h), ct, d) =>
+        val parsed = Multimodal.parseImageHeader(Multimodal.buildPng(w, h, ct, d))
+        assert(parsed.exists(p => p.width == w && p.height == h))
+    }
+    forAll(Gen.zip(dims, Gen.oneOf(1, 3), Gen.oneOf(true, false), data), n = 300) {
+      case ((w, h), nc, prog, d) =>
+        val parsed = Multimodal.parseImageHeader(Multimodal.buildJpeg(w, h, nc, prog, d))
+        assert(parsed.exists(p => p.width == w && p.height == h && p.channels == nc))
+    }
+    forAll(Gen.zip(Gen.choose(1, 8), Gen.choose(1, 192000), data), n = 300) {
+      case (ch, sr, d) =>
+        val parsed = Multimodal.parseWavHeader(Multimodal.buildWav(ch, sr, 16, d))
+        assert(parsed.exists(p => p.channels == ch && p.sampleRate == sr &&
+          p.dataBytes == d.length))
+    }
+    forAll(Gen.zip(Gen.choose(1, 200000), Gen.choose(1L, 1L << 40),
+      Gen.oneOf(true, false), data), n = 300) {
+      case (ts, dur, v1, d) =>
+        // v0 stores duration as u32: constrain to the layout's range
+        val dd = if (v1) dur else dur % 0xffffffffL
+        val parsed = Multimodal.parseMp4Header(Multimodal.buildMp4(ts, dd, v1, d))
+        assert(parsed.exists(p => p.timescale == ts && p.duration == dd &&
+          p.dataBytes == d.length))
+    }
+  }
 }
