@@ -37,6 +37,7 @@ object SparkEntry {
     "t13_bpe_tokens" -> (TextOps.t13BpeTokens _),
     "t14_line_stats" -> (TextOps.t14LineStats _),
     "t15_bigram_logprob" -> (TextOps.t15BigramLogprob _),
+    "t16_topk_cms" -> (TextOps.t16TopkCms _),
     "s05_phecode_annotate" -> (Mas.s05PhecodeAnnotate _),
     "p01_select_index" -> (Preprocess.p01SelectIndex _),
     "p02_sex_filter" -> (Preprocess.p02SexFilter _),

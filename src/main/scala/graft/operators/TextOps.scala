@@ -366,6 +366,64 @@ object TextOps {
   def t05TopkNgrams(spark: SparkSession, dir: String): DataFrame =
     topkNgrams(Tables.documents(spark, dir), n = 2, k = 20)
 
+  // --------------------------------------------- t16 CMS heavy hitters
+
+  /** Count-Min-Sketch geometry — D independent rows × W counters.
+    * Row-d hash of gram g: ((A_d·key + B_d) mod P) mod W over the
+    * gram's polynomial rolling hash `key`; every step is integer
+    * arithmetic DuckDB replays verbatim (the n02 LSH-replay rule
+    * applied to a sketch). Constants are the classic LCG multipliers
+    * (public folklore values), fixed so re-runs sketch identically. */
+  private val CmsD = 4
+  private val CmsW = 1024L
+  private val CmsP = 1000000007L
+  private val CmsA = Array(1103515245L, 214013L, 69069L, 1664525L)
+  private val CmsB = Array(12345L, 2531011L, 362437L, 1013904223L)
+
+  private def cmsHash(d: Int, key: Column): Column =
+    pmod(pmod(key * CmsA(d) + CmsB(d), lit(CmsP)), lit(CmsW))
+
+  /**
+   * t16: heavy hitters (top-k word bigrams) through a Count-Min
+   * Sketch — the BOUNDED-MEMORY scale twin of t05's exact top-k.
+   * The sketch is D×W counters no matter the corpus size: gram
+   * occurrences reduce map-side into ≤ D·W cells (one tiny
+   * aggregate; the shuffle carries at most D·W rows per map
+   * partition), and estimates are min over the D cells — the classic
+   * CMS guarantee: est ≥ true count, collisions only inflate.
+   * Candidate enumeration uses the distinct-gram table (Zipf-bounded
+   * ≪ the occurrence stream, the t10/t11 altitude); at scales where
+   * even distinct grams hurt, candidates sample or threshold — the
+   * sketch side stays D·W regardless. Deterministic polynomial
+   * hashes make the whole path (key, cells, estimates, ranking)
+   * replayable in the DuckDB oracle.
+   */
+  def topkCms(docs: DataFrame, k: Int): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val grams = docs.select(words.as("w"))
+      .select(explode(expr(
+        "if(size(w) >= 2, transform(sequence(1, size(w) - 1), " +
+          "i -> array_join(slice(w, i, 2), ' ')), array())")).as("ngram"))
+    val keyed = grams.withColumn("key", GraftFunctions.rollingHash(col("ngram")))
+    // build: one aggregate bounded by D*W cells at any corpus size
+    val cells = keyed
+      .select(posexplode(array((0 until CmsD).map(d => cmsHash(d, col("key"))): _*))
+        .as(Seq("d", "h")))
+      .groupBy("d", "h").agg(count(lit(1)).as("cnt"))
+    // probe: distinct grams query their D cells, estimate = min
+    val probes = keyed.select("ngram", "key").distinct()
+      .select(col("ngram"),
+        posexplode(array((0 until CmsD).map(d => cmsHash(d, col("key"))): _*))
+          .as(Seq("d", "h")))
+    probes.join(broadcast(cells), Seq("d", "h"))
+      .groupBy("ngram").agg(min("cnt").as("est"))
+      .orderBy(col("est").desc, col("ngram"))
+      .limit(k)
+  }
+
+  def t16TopkCms(spark: SparkSession, dir: String): DataFrame =
+    topkCms(Tables.documents(spark, dir), k = 20)
+
   // ----------------------------------------------------------- t07 PII
 
   // patterns chosen to mean the same thing in Java regex (Spark) and
@@ -1012,6 +1070,38 @@ object TextOps {
           |)
           |SELECT ngram, count(*) AS cnt FROM g
           |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+      // full CMS replay: same rolling-hash key, same LCG row hashes,
+      // same D x W cells, same min-estimate and ranking
+      "t16_topk_cms" ->
+        """WITH w AS (
+          |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+          |), g AS (
+          |  SELECT unnest(list_transform(range(1, len(w)),
+          |    i -> w[i] || ' ' || w[i+1])) AS ngram
+          |  FROM w
+          |), kg AS (
+          |  SELECT ngram, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(string_split(ngram, ''), x -> CAST(ord(x) AS BIGINT))),
+          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS key
+          |  FROM g
+          |), hashed AS (
+          |  SELECT ngram, key, t.d,
+          |    ((key * (CASE t.d WHEN 0 THEN 1103515245 WHEN 1 THEN 214013
+          |        WHEN 2 THEN 69069 ELSE 1664525 END)
+          |      + (CASE t.d WHEN 0 THEN 12345 WHEN 1 THEN 2531011
+          |        WHEN 2 THEN 362437 ELSE 1013904223 END))
+          |     % 1000000007) % 1024 AS h
+          |  FROM kg, unnest(range(0, 4)) AS t(d)
+          |), cells AS (
+          |  SELECT d, h, count(*) AS cnt FROM hashed GROUP BY 1, 2
+          |), pe AS (
+          |  SELECT DISTINCT ngram, d, h FROM hashed
+          |), est AS (
+          |  SELECT pe.ngram, min(cells.cnt) AS est
+          |  FROM pe JOIN cells USING (d, h) GROUP BY 1
+          |)
+          |SELECT ngram, CAST(est AS BIGINT) AS est FROM est
+          |ORDER BY est DESC, ngram LIMIT 20""".stripMargin,
     )
   }
 }

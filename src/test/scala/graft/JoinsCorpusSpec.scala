@@ -182,6 +182,25 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq("b a" -> 2L, "a b" -> 1L))
   }
 
+  test("topkCms: estimates dominate true counts, clear heavy hitters surface") {
+    val sess = spark
+    import sess.implicits._
+    // 60 copies of one bigram-rich doc + distinct tail docs
+    val docs = ((0 until 60).map(i => (i.toLong, "the cat sat here")) ++
+      (60 until 90).map(i => (i.toLong, s"unique$i words$i and$i more$i"))).toDF("doc_id", "text")
+    val est = operators.TextOps.topkCms(docs, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = operators.TextOps.topkNgrams(docs, n = 2, k = 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS overestimate guarantee on every returned gram
+    est.foreach { case (g, e) =>
+      assert(e >= exact(g), s"'$g': est $e < true ${exact(g)}")
+    }
+    // the unambiguous heavy hitters dominate the sketch's top ranks
+    assert(est.keySet.intersect(Set("the cat", "cat sat", "sat here")).size == 3)
+    assert(est("the cat") >= 60 && est("cat sat") >= 60)
+  }
+
   test("bm25 matches the closed form on a two-document corpus") {
     val sess = spark
     import sess.implicits._
