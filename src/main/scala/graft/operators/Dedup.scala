@@ -219,12 +219,15 @@ object Dedup {
    * twins (upper-case, doubled spaces) normalize to exact paragraph
    * dups of their originals, so they come out with n_kept = 0.
    *
-   * Shape: posexplode paragraphs → ONE window exchange PARTITIONED BY
-   * the paragraph text (shuffle ∝ paragraphs; row_number streams, no
-   * per-partition buffering) → per-doc aggregate rebuilds the kept
-   * text in position order and fingerprints it. The synthetic corpus
-   * has no newlines, so the t14 deterministic re-lining stands in
-   * for real paragraph breaks; real data splits on its own \n\n.
+   * Shape: posexplode paragraphs → first-occurrence via a MAP-SIDE-
+   * COMBINABLE min(struct(doc_id, idx)) aggregate joined back on the
+   * paragraph (NOT a row_number window: a boilerplate paragraph
+   * duplicated 10⁹ times would sort inside one window task, and AQE
+   * can split a skewed JOIN partition but never a skewed window) →
+   * per-doc aggregate rebuilds the kept text in position order and
+   * fingerprints it. The synthetic corpus has no newlines, so the
+   * t14 deterministic re-lining stands in for real paragraph breaks;
+   * real data splits on its own \n\n.
    */
   def paraDedup(docs: DataFrame, paraWords: Int = 12): DataFrame = {
     val paras = docs
@@ -232,14 +235,16 @@ object Dedup {
         split(TextOps.relined(paraWords), "\n"),
         l => normText(trim(l)))).as(Seq("idx", "p")))
       .filter(length(col("p")) > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("p").orderBy("doc_id", "idx")
-    val ranked = paras.withColumn("rn", row_number().over(w))
+    val first = paras.groupBy("p")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val ranked = paras.join(first, "p")
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
     val perDoc = ranked.groupBy("doc_id").agg(
       count(lit(1)).as("n_paras"),
-      count(when(col("rn") === 1, 1)).as("n_kept"),
+      count(when(col("keep"), 1)).as("n_kept"),
       array_join(transform(array_sort(collect_list(
-        when(col("rn") === 1, struct(col("idx"), col("p"))))),
+        when(col("keep"), struct(col("idx"), col("p"))))),
         s => s.getField("p")), "\n").as("kept_text"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
