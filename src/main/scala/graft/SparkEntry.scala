@@ -109,6 +109,7 @@ object SparkEntry {
     "q12_scd2" -> (Relational.q12Scd2 _),
     "q13_json" -> (Relational.q13Json _),
     "q14_merge_upsert" -> (Relational.q14MergeUpsert _),
+    "q15_hll_distinct" -> (Relational.q15HllDistinct _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
     "e06_funnel" -> (Relational.e06Funnel _),
@@ -223,6 +224,39 @@ object SparkEntry {
         |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
         |    AS is_current
         |FROM ev ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // full HLL replay: same xor-fold/LCG hashes, same lowest-set-bit
+    // rho, same register max, same bias constant and small-range
+    // correction — Σ2^(-M_j) is exact binary-fraction arithmetic, so
+    // the register sum is order-independent in BOTH engines
+    "q15_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ((xor(user_id, user_id >> 31) % 1000000007) * 2654435761) % 1000000007 AS base
+         |  FROM events
+         |), hw AS (
+         |  SELECT event_type, ((base * base) % 1000000007) % 256 AS j,
+         |    (((((base * 1103515245 + 12345) % 1000000007)
+         |       * ((base * 1103515245 + 12345) % 1000000007)) % 1000000007))
+         |      % ${1L << 22} AS w
+         |  FROM h
+         |), regs AS (
+         |  SELECT event_type, j,
+         |    max(CASE WHEN w = 0 THEN 23.0
+         |      ELSE 1.0 + floor(log2(CAST(w & -w AS DOUBLE))) END) AS mj
+         |  FROM hw GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT event_type, sum(power(2.0, -mj)) AS s_present,
+         |    count(*) AS present
+         |  FROM regs GROUP BY 1
+         |)
+         |SELECT event_type,
+         |  round(CASE WHEN CAST(${graft.operators.Relational.HllAlpha} AS DOUBLE) * 256 * 256
+         |      / (s_present + (256 - present)) <= 2.5 * 256 AND present < 256
+         |    THEN 256.0 * ln(256.0 / (256 - present))
+         |    ELSE CAST(${graft.operators.Relational.HllAlpha} AS DOUBLE) * 256 * 256
+         |      / (s_present + (256 - present)) END, 4) + 0 AS hll_distinct,
+         |  CAST(256 - present AS BIGINT) AS empty_registers
+         |FROM agg ORDER BY event_type""".stripMargin,
     "q13_json" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -405,4 +405,65 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
       .orderBy("window_start", "event_type")
+
+  /** HLL geometry: m registers, rho from a 22-bit hash window.
+    * alpha is the standard HyperLogLog bias constant for m = 256,
+    * PRE-computed and embedded as the same literal in the oracle so
+    * both engines scale with an identical double. */
+  private[graft] val HllM = 256
+  private[graft] val HllAlpha = 0.7213 / (1.0 + 1.079 / 256)
+  private[graft] val HllWBits = 22
+
+  /**
+   * q15: approximate distinct counting via a deterministic
+   * HyperLogLog — the sketch that answers "how many distinct
+   * users/URLs/sessions per group" over 100 TB in ONE pass with
+   * m=256 integers of state per group (exact countDistinct re-scans
+   * or holds every key; the sketch never does). Register index and
+   * rank come from the c01 xor-fold + LCG integer hashes (not an
+   * RNG), rho = position of the lowest set bit in a 22-bit window —
+   * every step integer arithmetic both engines compute identically,
+   * and Σ2^(−M_j) is a sum of exact binary fractions spanning < 53
+   * mantissa bits, so even the FP reduction is ORDER-INDEPENDENT:
+   * the estimate is bit-reproducible at any partition count and
+   * replays verbatim in the DuckDB oracle. Small-range correction
+   * (E ≤ 2.5m with empty registers → m·ln(m/V)) matches the
+   * published algorithm; the 32-bit large-range branch is out of
+   * hash range here and documented away.
+   */
+  def hllDistinct(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val m = HllM
+    val p = lit(1000000007L)
+    val folded = col(idCol).bitwiseXOR(shiftright(col(idCol), 31))
+    val base = pmod(pmod(folded, p) * lit(2654435761L), p)
+    val h2 = pmod(base * lit(1103515245L) + lit(12345L), p)
+    // SQUARE before the register/window modulos: the raw LCG values
+    // step arithmetically with consecutive ids (zero register
+    // collisions -> linear counting overestimates ~27%); squaring mod
+    // P breaks the progression (the polyHyperplanes mixing rule) and
+    // lands the empirical error inside HLL's 1.04/sqrt(m) envelope
+    val regs = df
+      .select(col(groupCol),
+        pmod(pmod(base * base, p), lit(m.toLong)).as("j"),
+        pmod(pmod(h2 * h2, p), lit(1L << HllWBits)).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit((HllWBits + 1).toDouble))
+          .otherwise(lit(1.0) + floor(log2(col("w").bitwiseAND(-col("w"))))))
+      .groupBy(groupCol, "j").agg(max("rho").as("mj"))
+    val raw = lit(HllAlpha) * m * m /
+      (col("s_present") + (lit(m) - col("present")))
+    val v = lit(m) - col("present") // empty registers
+    regs.groupBy(groupCol).agg(
+        sum(pow(lit(2.0), -col("mj"))).as("s_present"),
+        count(lit(1)).as("present"))
+      .select(col(groupCol),
+        round(when(raw <= 2.5 * m && v > 0, lit(m.toDouble) * log(lit(m.toDouble) / v))
+          .otherwise(raw), 4).as("hll_distinct"),
+        v.cast("long").as("empty_registers"))
+  }
+
+  /** q15: approximate distinct users per event type. */
+  def q15HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllDistinct(Tables.events(spark, dir), "event_type", "user_id")
+      .orderBy("event_type")
 }

@@ -182,6 +182,26 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq("b a" -> 2L, "a b" -> 1L))
   }
 
+  test("hllDistinct: estimates within HLL error bounds, partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    // groups with known cardinalities spanning both correction regimes:
+    // small (correction branch, n << m) and large (raw branch, n >> 2.5m)
+    val rows = (1 to 100).map(u => ("small", u.toLong)) ++
+      (1 to 5000).flatMap(u => Seq(("large", u.toLong), ("large", u.toLong))) // dups don't count
+    val df = rows.toDF("grp", "user_id")
+    def run(parts: Int) = operators.Relational
+      .hllDistinct(df.repartition(parts), "grp", "user_id").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val est = run(8)
+    // m=256 -> typical relative error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est("small") - 100) / 100.0 < 0.2, s"small: ${est("small")}")
+    assert(math.abs(est("large") - 5000) / 5000.0 < 0.2, s"large: ${est("large")}")
+    // deterministic hashes + order-independent register sums:
+    // bit-identical at any partition count
+    assert(run(1) == est && run(32) == est)
+  }
+
   test("topkCms: estimates dominate true counts, clear heavy hitters surface") {
     val sess = spark
     import sess.implicits._
