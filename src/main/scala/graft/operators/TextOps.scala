@@ -270,7 +270,7 @@ object TextOps {
     * is non-overlapping left-to-right in Java regex and RE2 alike).
     * Used because the synthetic corpus carries no newlines; on real
     * data pass the text through unchanged and split on its own \n. */
-  private[operators] def relined(n: Int): Column = regexp_replace(col("text"),
+  private[graft] def relined(n: Int): Column = regexp_replace(col("text"),
     "(\\S+" + "\\s+\\S+" * (n - 1) + ")\\s+", "$1\n")
 
   private[operators] def relinedSql(n: Int): String = {

@@ -49,6 +49,33 @@ object StreamingOps {
   }
 
   /**
+   * Streaming PARAGRAPH dedup — d12's sub-document semantics over a
+   * document stream: explode paragraphs (the t14 re-lining for the
+   * newline-free test corpus; real data splits on its own \n\n),
+   * normalize, keep each paragraph hash's first arrival, evict state
+   * once the watermark passes it. Emits the KEPT (doc_id, idx,
+   * paragraph) rows — the streaming building block; per-doc
+   * reassembly/fingerprinting is the batch operator's job. Same
+   * horizon contract as streamDedupExact: duplicates are dropped
+   * only within the watermark delay of the first copy. Batch
+   * fallback degenerates to global one-per-hash (arbitrary
+   * representative — use Dedup.paraDedup for first-by-position batch
+   * semantics).
+   */
+  def streamParaDedup(docs: DataFrame, paraWords: Int = 12,
+      watermark: String = "1 hour"): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"), col("ts"), posexplode(transform(
+        split(graft.operators.TextOps.relined(paraWords), "\n"),
+        l => graft.operators.Dedup.normText(trim(l)))).as(Seq("idx", "p")))
+      .filter(length(col("p")) > 0)
+      .withColumn("h", md5(col("p")))
+    if (docs.isStreaming)
+      paras.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("h")
+    else paras.dropDuplicates("h")
+  }
+
+  /**
    * Watermarked stream-stream inner join: enrich a click stream with
    * the impression that preceded it by at most `joinWindow` (the ad
    * attribution / request-response correlation shape). BOTH sides

@@ -162,6 +162,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchKept == Set(1L, 3L))
   }
 
+  test("streaming paragraph dedup keeps first arrival per paragraph across docs") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val shared = words("s")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(
+      (1L, ts(10), s"$shared ${words("a")}"),            // paras: shared, a
+      (2L, ts(11), s"${words("b")} $shared"),            // b + dup of shared
+      (3L, ts(12), shared.toUpperCase.replace(" ", "  ")) // normalizes to dup
+    )
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamingOps.streamParaDedup(df)
+      .writeStream.format("memory").queryName("para_out").outputMode("append").start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    val kept = spark.table("para_out").select("doc_id", "p").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    // each distinct paragraph surfaces exactly once, from its first doc
+    assert(kept == Set(
+      1L -> shared.toLowerCase, 1L -> words("a").toLowerCase,
+      2L -> words("b").toLowerCase))
+    // batch fallback: one representative per distinct paragraph
+    val batch = StreamingOps.streamParaDedup(
+      Seq((1L, ts(10), s"$shared ${words("a")}"), (2L, ts(11), shared))
+        .toDF("doc_id", "ts", "text"))
+      .select("p").collect().map(_.getString(0)).toSet
+    assert(batch == Set(shared.toLowerCase, words("a").toLowerCase))
+  }
+
   test("streaming sessionization closes sessions on gap and flushes on watermark") {
     val sess = spark
     import sess.implicits._
