@@ -116,6 +116,7 @@ object SparkEntry {
     "e02_stream_window" -> (Relational.e02StreamWindow _),
     "e05_session_window" -> (Relational.e05SessionWindow _),
     "e08_attribution" -> (Relational.e08Attribution _),
+    "e09_windowed_topk" -> (Relational.e09WindowedTopK _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
@@ -395,5 +396,23 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 6h buckets floor from the epoch origin exactly like Spark's
+    // window(); DuckDB's // on DOUBLE is TRUE division, so the floor
+    // must be explicit
+    "e09_windowed_topk" ->
+      """WITH b AS (
+        |  SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600)
+        |    AS BIGINT) * 21600) AS TIMESTAMP) AS window_start, event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT window_start, event_type, count(*) AS n FROM b GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+        |  FROM c
+        |)
+        |SELECT window_start, CAST(rnk AS INT) AS rnk, event_type,
+        |  CAST(n AS BIGINT) AS n
+        |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
   )
 }

@@ -406,6 +406,31 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
       .orderBy("window_start", "event_type")
 
+  /**
+   * e09: windowed top-k — "what's trending each hour": per tumbling
+   * window, the k most frequent event types with counts and rank.
+   * ONE partial/final aggregate on (window, type) then a rank window
+   * PARTITIONED BY the time window (state per partition = |types|
+   * rows — never user- or event-proportional); ties break on the
+   * type name. The batch shape of a streaming trending dashboard —
+   * the same aggregate runs under a watermark incrementally.
+   */
+  def windowedTopK(events: DataFrame, windowDur: String, k: Int): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), windowDur).getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("window_start", "rnk", "event_type", "n")
+  }
+
+  def e09WindowedTopK(spark: SparkSession, dir: String): DataFrame =
+    windowedTopK(Tables.events(spark, dir), "6 hours", k = 3)
+      .orderBy("window_start", "rnk")
+
   /** HLL geometry: m registers, rho from a 22-bit hash window.
     * alpha is the standard HyperLogLog bias constant for m = 256,
     * PRE-computed and embedded as the same literal in the oracle so
