@@ -74,7 +74,10 @@ object Multimodal {
           case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
           case _ => -1
         }
-        if (channels < 0 || w <= 0 || h <= 0 || ihdrLen != 13) None
+        // w/h in (2³¹, 2³²) would wrap negative at toInt — the PNG
+        // spec caps dimensions at 2³¹−1, so larger is hostile input
+        if (channels < 0 || w <= 0 || h <= 0 ||
+            w > Int.MaxValue || h > Int.MaxValue || ihdrLen != 13) None
         // signature + (length + type + 13 data + CRC)
         else Some(ImageHeader("png", w.toInt, h.toInt, channels, 8 + 12 + ihdrLen))
       }
@@ -86,8 +89,11 @@ object Multimodal {
         if (u8(i) != 0xff) bad = true
         else {
           val marker = u8(i + 1)
-          // standalone markers (no length field): TEM, RSTn, EOI
-          if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          // EOI ends the image: scanning past it would parse appended
+          // trailer bytes (crafted fake SOF) as the frame header
+          if (marker == 0xd9) bad = true
+          // standalone markers (no length field): TEM, RSTn, SOI
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
           else {
             val segLen = u16(i + 2)
             if (segLen < 2 || i + 2 + segLen > b.length) bad = true

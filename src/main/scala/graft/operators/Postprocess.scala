@@ -278,7 +278,9 @@ object Postprocess {
     val w = lit(1.0) / (col(seCol) * col(seCol))
     val q = col("swb2") - col("swb") * col("swb") / col("sw")
     results
-      .filter(col(seCol).isNotNull && col(seCol) > 0 &&
+      // NaN se would PASS `> 0` (Spark sorts NaN above every number),
+      // then poison sw/swb/swb2 — exclude it explicitly like NaN beta
+      .filter(col(seCol).isNotNull && !isnan(col(seCol)) && col(seCol) > 0 &&
         col(betaCol).isNotNull && !isnan(col(betaCol)))
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("k_cohorts"),

@@ -587,8 +587,14 @@ object Preprocess {
    * inverting, so engine and oracle invert IDENTICAL inputs and the
    * 4-dp hash can't drift on an engine ulp.
    */
-  def vif(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def vif(df: DataFrame, cols: Seq[String], maxCols: Int = 100): DataFrame = {
     require(cols.size >= 2, s"vif: need >= 2 columns, got $cols")
+    // the k×k inverse runs DRIVER-side: fine at covariate count but
+    // not unbounded — past ~100 columns use corrMatrix (p17) to screen
+    // near-collinear pairs distributively before inverting
+    require(cols.size <= maxCols,
+      s"vif: ${cols.size} columns exceeds maxCols=$maxCols (driver-side k×k inverse); " +
+        "screen with corrMatrix first or raise maxCols explicitly")
     val spark = df.sparkSession
     import spark.implicits._
     val k = cols.size

@@ -338,8 +338,22 @@ object TextOps {
       md5(norm(col("text"))).as("fp_md5"),
       GraftFunctions.rollingHash(norm(col("text"))).as("roll_hash"))
 
+  /** The t04/t16 DuckDB oracles recompute RollingHash with per-CHARACTER
+    * ord() (code points) while the Spark expression hashes UTF-8 BYTES —
+    * identical only on ASCII text. That assumption is load-bearing for
+    * the hash gate, so the gate queries assert it per row (the m01
+    * mediaTable pattern): a non-ASCII corpus fails loudly instead of
+    * silently hash-diverging. Library ops (fingerprint/topkCms) stay
+    * unguarded — byte-hashing is the right production semantics. */
+  private def asciiGuarded(docs: DataFrame, opName: String): DataFrame =
+    docs.withColumn("text",
+      when(octet_length(col("text")) === length(col("text")), col("text"))
+        .otherwise(raise_error(concat(
+          lit(s"$opName: non-ASCII text in doc_id="), col("doc_id"),
+          lit(" (oracle replays the rolling hash over code points)")))))
+
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    fingerprint(Tables.documents(spark, dir)).orderBy("doc_id")
+    fingerprint(asciiGuarded(Tables.documents(spark, dir), "t04")).orderBy("doc_id")
 
   // ---------------------------------------------------- t05 top-k ngrams
 
@@ -422,7 +436,7 @@ object TextOps {
   }
 
   def t16TopkCms(spark: SparkSession, dir: String): DataFrame =
-    topkCms(Tables.documents(spark, dir), k = 20)
+    topkCms(asciiGuarded(Tables.documents(spark, dir), "t16"), k = 20)
 
   // ----------------------------------------------------------- t07 PII
 
