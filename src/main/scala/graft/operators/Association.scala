@@ -389,6 +389,160 @@ object Association {
 
   // ----------------------------------------- distributed logistic IRLS
 
+  /** Per-row input for the IRLS moment aggregator: the packed value
+    * array [x, y, covs…] and the pair's current beta (broadcast-
+    * joined alongside it). */
+  private[operators] final case class IrlsRow(v: Array[Double], beta: Array[Double])
+
+  /** Fused IRLS moment buffer: X'WX upper triangle, first-order
+    * score, and (Firth only) the fully-symmetric third-order tensor. */
+  private[operators] final case class IrlsMomState(
+      s: Array[Double], g: Array[Double], t: Array[Double])
+
+  /**
+   * ONE fused per-(pair, fit) moment aggregator for the distributed
+   * fitters: all m(m+1)/2 information sums, m score sums, and (for
+   * Firth) m(m+1)(m+2)/6 tensor sums accumulate into a single flat
+   * buffer per group instead of 100+ independent declarative `sum`
+   * columns — the CoMoment lesson applied to the iterative path (one
+   * stateful buffer with map-side combine profiled ~4× faster than
+   * the per-column aggregate plan at the MAS bench shape; with m=7
+   * the per-iteration scan carries 119 aggregate expressions
+   * otherwise). Per-row arithmetic reproduces the previous Column
+   * expressions product-for-product (same fold order for eta, same
+   * (w·xᵢ)·xⱼ and ((u·xᵢ)·xⱼ)·x_l associativity, same weight floor),
+   * so iterate sequences are unchanged up to partial-merge order —
+   * the same tolerance class as partition count, which the registry
+   * is verified invariant under.
+   */
+  private[operators] final class IrlsMoment(m: Int, wFloor: Double, tensor: Boolean)
+      extends Aggregator[IrlsRow, IrlsMomState, IrlsMomState] {
+    private val nS = m * (m + 1) / 2
+    private val nT = if (tensor) m * (m + 1) * (m + 2) / 6 else 0
+    def zero: IrlsMomState =
+      IrlsMomState(new Array[Double](nS), new Array[Double](m), new Array[Double](nT))
+    def reduce(st: IrlsMomState, row: IrlsRow): IrlsMomState = {
+      val v = row.v
+      val b = row.beta
+      val k = m - 2
+      // design features [x, covs…, 1] from the packed [x, y, covs…]
+      val x = new Array[Double](m)
+      x(0) = v(0)
+      var c = 0
+      while (c < k) { x(c + 1) = v(c + 2); c += 1 }
+      x(m - 1) = 1.0
+      var eta = 0.0
+      var i = 0
+      while (i < m) { eta += x(i) * b(i); i += 1 }
+      val p = 1.0 / (1.0 + math.exp(-eta))
+      val w = math.max(p * (1.0 - p), wFloor)
+      val r1 = v(1) - p
+      var idx = 0
+      i = 0
+      while (i < m) {
+        val wi = w * x(i)
+        var j = i
+        while (j < m) { st.s(idx) += wi * x(j); idx += 1; j += 1 }
+        st.g(i) += x(i) * r1
+        i += 1
+      }
+      if (tensor) {
+        val u = w * (0.5 - p)
+        var ti = 0
+        i = 0
+        while (i < m) {
+          val ui = u * x(i)
+          var j = i
+          while (j < m) {
+            val uij = ui * x(j)
+            var l = j
+            while (l < m) { st.t(ti) += uij * x(l); ti += 1; l += 1 }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      st
+    }
+    def merge(a: IrlsMomState, b: IrlsMomState): IrlsMomState = {
+      var i = 0
+      while (i < nS) { a.s(i) += b.s(i); i += 1 }
+      i = 0
+      while (i < m) { a.g(i) += b.g(i); i += 1 }
+      i = 0
+      while (i < nT) { a.t(i) += b.t(i); i += 1 }
+      a
+    }
+    def finish(st: IrlsMomState): IrlsMomState = st
+    def bufferEncoder: Encoder[IrlsMomState] = Encoders.product[IrlsMomState]
+    def outputEncoder: Encoder[IrlsMomState] = Encoders.product[IrlsMomState]
+  }
+
+  /** First-pass buffer: β=0 moments (p=½ exactly, so w=¼ and the
+    * Firth tensor is identically zero) PLUS the viability facts —
+    * count, case sum, per-covariate min/max. One scan serves the
+    * viability gate AND Newton step 1. */
+  private[operators] final case class FirstPassState(
+      s: Array[Double], g: Array[Double], var n: Long, var ySum: Double,
+      cmin: Array[Double], cmax: Array[Double])
+
+  /** β=0 moment + viability aggregator (see FirstPassState). Per-row
+    * products keep IrlsMoment's associativity — (w·xᵢ)·xⱼ with
+    * w = ¼ exactly — so step 1 is bit-compatible with a beta-joined
+    * first iteration. */
+  private[operators] final class FirstMoment(m: Int)
+      extends Aggregator[Array[Double], FirstPassState, FirstPassState] {
+    private val nS = m * (m + 1) / 2
+    private val k = m - 2
+    def zero: FirstPassState = FirstPassState(
+      new Array[Double](nS), new Array[Double](m), 0L, 0.0,
+      Array.fill(k)(Double.PositiveInfinity), Array.fill(k)(Double.NegativeInfinity))
+    def reduce(st: FirstPassState, v: Array[Double]): FirstPassState = {
+      st.n += 1
+      st.ySum += v(1)
+      val x = new Array[Double](m)
+      x(0) = v(0)
+      var c = 0
+      while (c < k) {
+        val vc = v(c + 2)
+        x(c + 1) = vc
+        if (vc < st.cmin(c)) st.cmin(c) = vc
+        if (vc > st.cmax(c)) st.cmax(c) = vc
+        c += 1
+      }
+      x(m - 1) = 1.0
+      val r1 = v(1) - 0.5
+      var idx = 0
+      var i = 0
+      while (i < m) {
+        val wi = 0.25 * x(i)
+        var j = i
+        while (j < m) { st.s(idx) += wi * x(j); idx += 1; j += 1 }
+        st.g(i) += x(i) * r1
+        i += 1
+      }
+      st
+    }
+    def merge(a: FirstPassState, b: FirstPassState): FirstPassState = {
+      var i = 0
+      while (i < nS) { a.s(i) += b.s(i); i += 1 }
+      i = 0
+      while (i < m) { a.g(i) += b.g(i); i += 1 }
+      i = 0
+      while (i < k) {
+        if (b.cmin(i) < a.cmin(i)) a.cmin(i) = b.cmin(i)
+        if (b.cmax(i) > a.cmax(i)) a.cmax(i) = b.cmax(i)
+        i += 1
+      }
+      a.n += b.n
+      a.ySum += b.ySum
+      a
+    }
+    def finish(st: FirstPassState): FirstPassState = st
+    def bufferEncoder: Encoder[FirstPassState] = Encoders.product[FirstPassState]
+    def outputEncoder: Encoder[FirstPassState] = Encoders.product[FirstPassState]
+  }
+
   /** Executor-side IRLS step result (beta stays a DataFrame column). */
   private[operators] final case class IrlsStep(
       beta: Seq[Double], delta: Double, info: Seq[Double], failed: String)
@@ -446,7 +600,11 @@ object Association {
     val minCase = cfg.minCaseCount
     val covNames = cfg.covariates
     val tol = cfg.tol
+    // every IRLS iteration re-scans this frame — persist it for the
+    // life of the fit (the firthGram rationale; spill-to-disk persist
+    // of [long, (k+2) doubles] rows is the standard iterative-ML trade)
     val keyedDf = keyed(melted, cfg).toDF("gkey", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // packed value layout is [x, y, covs…]; design features [x, covs…, 1]
     def f(i: Int): Column =
       if (i == 0) col("v")(0) else if (i <= k) col("v")(i + 1) else lit(1.0)
@@ -474,21 +632,16 @@ object Association {
 
     var it = 0
     var maxDelta = Double.MaxValue
+    // ONE fused buffer per pair per iteration (see IrlsMoment) — the
+    // plain-logistic weight floor is 1e-10, no third-order tensor
+    val moment = udaf(new IrlsMoment(m, wFloor = 1e-10, tensor = false))
     while (it < cfg.maxIter && maxDelta >= tol) {
-      val joined = keyedDf.join(
-        broadcast(beta.filter(col("solve_failed").isNull).select("gkey", "beta")), "gkey")
-      val eta = (0 until m).map(i => f(i) * col("beta")(i)).reduce(_ + _)
-      val withW = joined
-        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-eta)))
-        .withColumn("w", greatest(col("p") * (lit(1.0) - col("p")), lit(1e-10)))
-        .withColumn("r", col("v")(1) - col("p"))
-      val aggCols: Seq[Column] =
-        pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") } ++
-          (0 until m).map(i => sum(f(i) * col("r")).as(s"g_$i"))
-      val stats = withW.groupBy("gkey").agg(aggCols.head, aggCols.tail: _*)
+      val stats = keyedDf.join(
+          broadcast(beta.filter(col("solve_failed").isNull).select("gkey", "beta")), "gkey")
+        .groupBy("gkey")
+        .agg(moment(col("v"), col("beta")).as("st"))
         .select(col("gkey"),
-          array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*).as("s"),
-          array((0 until m).map(i => col(s"g_$i")): _*).as("g"))
+          col("st").getField("s").as("s"), col("st").getField("g").as("g"))
       beta = beta.join(stats, Seq("gkey"), "left")
         .select(col("gkey"),
           when(col("s").isNotNull && col("solve_failed").isNull,
@@ -502,6 +655,7 @@ object Association {
       maxDelta = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
       it += 1
     }
+    keyedDf.unpersist()
 
     // final inference, executor-side; grid completion restores no-data pairs
     val solvedViable = beta.join(counts.select("gkey", "cases", "n"), "gkey")
@@ -561,7 +715,15 @@ object Association {
    * over the melted frame (round 8 ran two — X'WX, then a second scan
    * for the hat-diagonal score once the inverse was known; the fusion
    * halves the per-iteration job count, which dominates at toy scale
-   * and halves scan IO at 100 TB). Under the current per-pair beta
+   * and halves scan IO at 100 TB). The melted/packed frame is
+   * persisted MEMORY_AND_DISK for the life of the fit — every Newton
+   * step re-scans it, and without the persist each scan re-runs the
+   * melt projection and the upstream source read (at the bench shape
+   * that recompute was the dominant per-iteration cost; at 100 TB
+   * spill-to-disk persist of [long, (k+2) doubles] rows is the
+   * standard iterative-ML trade, and a deployment that prefers
+   * re-reading parquet over local disk can drop the persist without
+   * touching the algorithm). Under the current per-pair beta
    * (broadcast joined), the scan reduces, map-side-combined, O(m³)
    * doubles per pair:
    *
@@ -576,13 +738,29 @@ object Association {
    * reordered, so no second scan needs the inverse.
    *
    * The Newton solve (restricted to free coordinates, step-capped)
-   * runs in a UDF over the stats frame; beta never exists
-   * driver-side. The driver reads ONE scalar per iteration (the
-   * count of still-active pairs); converged pairs freeze and drop out
-   * of later scans, so per-pair iteration counts — and therefore the
-   * fitted values — match the in-task fitter exactly (modulo FP
-   * associativity of the distributed sums). Per-iteration
-   * `localCheckpoint` cuts the growing lineage.
+   * runs in a UDF over the stats frame. Per-iteration driver traffic
+   * is the pair-count-BOUNDED active-beta table — the same bytes a
+   * BroadcastExchange would stage through the driver — read once per
+   * step to serve both the convergence check and the broadcast side
+   * (one job, not two); nothing row-proportional ever leaves the
+   * executors. Converged pairs freeze and drop out of later scans,
+   * so per-pair iteration counts — and therefore the fitted values —
+   * match the in-task fitter exactly (modulo FP associativity of the
+   * distributed sums). Per-iteration `localCheckpoint` cuts the
+   * growing lineage.
+   *
+   * The full fit and the LRT-null fit are FUSED into one loop (round
+   * 9 ran them back-to-back): state holds one row per (pair, fit),
+   * and a pair's null fit spawns — warm-started from that pair's own
+   * full solution with the predictor zeroed, exactly the sequential
+   * semantics — the moment its full fit finishes. A pair has at most
+   * one active fit at a time, so each step is still one broadcast
+   * join + one aggregation pass over the same persisted frame; pairs
+   * whose full fit converged early run null iterations while slower
+   * pairs are still on the full fit. Per-pair iterate sequences are
+   * unchanged; the job count drops from max(full)+max(null) loop
+   * passes to max over pairs of (full+null), and the two final
+   * log-likelihood/information scans collapse into one.
    *
    * Like `logisticGram`: no per-pair constant-covariate drop (a
    * constant covariate makes X'WX singular → that pair reports
@@ -600,23 +778,52 @@ object Association {
     val gtol = cfg.tol
     val xtol = cfg.tol
     val maxStep = 5.0 // logistf maxstep
-    val keyedDf = keyed(melted, cfg).toDF("gkey", "v")
+    // spark.graft.gram.persist caches the packed frame for the life of
+    // the fit: right when the upstream is a real source scan (every
+    // Newton step re-reads it otherwise — at 100 TB that is ~15 full
+    // corpus reads), wrong when the upstream is a cheap codegen'd
+    // projection that recomputes faster than the columnar cache scans
+    val doPersist = melted.sparkSession.conf
+      .get("spark.graft.gram.persist", "true").toBoolean
+    val keyedDf0 = keyed(melted, cfg).toDF("gkey", "v")
+    // the cache stores FLAT primitive double columns, not the packed
+    // array: InMemoryRelation encodes array cells generically (per-row
+    // UnsafeArrayData decode on every scan — and this frame is
+    // re-scanned every Newton step) while primitive columns read back
+    // vectorized; the packed array the aggregator consumes is
+    // re-assembled by a codegen'd projection on top, so the per-row
+    // values — and the iterate sequence — are unchanged
+    val flat = keyedDf0.select(
+      col("gkey") +: (0 until m).map(i => col("v")(i).as(s"v$i")): _*)
+    val cached =
+      if (doPersist) flat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else flat
+    val keyedDf = cached.select(col("gkey"),
+      array((0 until m).map(i => col(s"v$i")): _*).as("v"))
     // packed value layout is [x, y, covs…]; design features [x, covs…, 1]
     def f(i: Int): Column =
       if (i == 0) col("v")(0) else if (i <= k) col("v")(i + 1) else lit(1.0)
     def triOf(i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
     val pairs = for { i <- 0 until m; j <- i until m } yield (i, j)
 
-    // same viability gate as logisticGram; ckeep marks per-pair
-    // NON-CONSTANT covariates so the reported equation matches the
-    // in-task fitter's kept-covariate logic (it drops constants from
-    // the design; this path fails such pairs as singular instead, but
-    // the equation string must agree for the pairs both paths fit)
-    val counts = keyedDf.groupBy("gkey").agg(
-        sum(col("v")(1)).cast("long").as("cases"), count(lit(1)).as("n"),
+    // ONE first-pass scan serves the viability gate AND Newton step 1
+    // (FirstMoment: at β=0 the weights are exactly ¼ and the tensor
+    // vanishes, so step-1 moments need no beta join). ckeep marks
+    // per-pair NON-CONSTANT covariates so the reported equation
+    // matches the in-task fitter's kept-covariate logic (it drops
+    // constants from the design; this path fails such pairs as
+    // singular instead, but the equation string must agree for the
+    // pairs both paths fit)
+    val firstMoment = udaf(new FirstMoment(m))
+    val firstAgg = keyedDf.groupBy("gkey")
+      .agg(firstMoment(col("v")).as("st"))
+      .localCheckpoint(true)
+    val counts = firstAgg.select(col("gkey"),
+        col("st").getField("ySum").cast("long").as("cases"),
+        col("st").getField("n").as("n"),
         (if (k == 0) typedlit(Seq.empty[Boolean])
          else array((0 until k).map(c =>
-           min(col("v")(c + 2)) < max(col("v")(c + 2))): _*)).as("ckeep"))
+           col("st").getField("cmin")(c) < col("st").getField("cmax")(c)): _*)).as("ckeep"))
       .withColumn("failed_reason",
         when(col("cases") < minCase,
           concat(lit("Insufficient case count ("), col("cases").cast("string"), lit(" cases).")))
@@ -624,7 +831,8 @@ object Association {
             concat(lit("Insufficient control count ("),
               (col("n") - col("cases")).cast("string"), lit(" controls).")))
           .when(col("cases") === col("n"), lit("All observations are cases.")))
-      .localCheckpoint(true)
+    // no own checkpoint: counts is a shallow projection over the
+    // checkpointed firstAgg
 
     // p under eta, W floored at 1e-12 (Models.etaPW's floor — NOT the
     // 1e-10 plain-logistic floor; matching the in-task Firth fitter
@@ -640,12 +848,15 @@ object Association {
     val triples = for { i <- 0 until m; j <- i until m; l <- j until m } yield (i, j, l)
     val t3 = triples.zipWithIndex.toMap
 
-    // state frame: (gkey, beta[m], conv, failed) — one penalized
-    // Newton loop; fixZero >= 0 holds that coefficient (LRT null fit)
-    def firthLoop(init: DataFrame, fixZero: Int): DataFrame = {
-      val free = (0 until m).filter(_ != fixZero).toArray
-      val nf = free.length
-      val stepUdf = udf((b: Seq[Double], s: Seq[Double], g1: Seq[Double], t: Seq[Double]) =>
+    // state frame: (gkey, fit, beta[m], conv, failed, its) — one FUSED
+    // penalized Newton loop over both fits; fit 0 = full (all m coords
+    // free), fit 1 = LRT null (predictor held at 0). The per-fit free
+    // coordinate sets are resolved inside the step UDF.
+    val freeByFit = Array((0 until m).toArray, (1 until m).toArray)
+    val stepUdf = udf((fit: Int, b: Seq[Double], s: Seq[Double], g1: Seq[Double], t: Seq[Double]) =>
+      {
+        val free = freeByFit(fit)
+        val nf = free.length
         try {
           val im = DenseMatrix.tabulate(m, m)((a, c) =>
             s(triOf(math.min(a, c), math.max(a, c))))
@@ -686,41 +897,99 @@ object Association {
           FirthStepR(nb.toSeq, mx * scale < xtol && gmax < gtol, null)
         } catch {
           case e: Throwable => FirthStepR(b, conv = false, failureReason(e))
-        })
-      var state = init.localCheckpoint(true)
-      var it = 0
-      var active = state.filter(!col("conv") && col("failed").isNull).count()
-      while (it < cfg.maxIter && active > 0) {
-        val actSt = state.filter(!col("conv") && col("failed").isNull).select("gkey", "beta")
-        // the ONE aggregation pass: X'WX, first-order score, and the
-        // third-order tensor reduce map-side from the same scan
-        val scanned = withPW(keyedDf.join(broadcast(actSt), "gkey"))
-          .withColumn("u", col("w") * (lit(0.5) - col("p")))
-          .withColumn("r1", col("v")(1) - col("p"))
-        val aggs =
-          pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") } ++
-          (0 until m).map(i => sum(f(i) * col("r1")).as(s"g_$i")) ++
-          triples.map { case (i, j, l) =>
-            sum(col("u") * f(i) * f(j) * f(l)).as(s"t_${i}_${j}_$l") }
-        val stats = scanned.groupBy("gkey").agg(aggs.head, aggs.tail: _*)
-          .select(col("gkey"),
-            array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*).as("s"),
-            array((0 until m).map(i => col(s"g_$i")): _*).as("g"),
-            array(triples.map { case (i, j, l) => col(s"t_${i}_${j}_$l") }: _*).as("t"))
-        state = state
-          .join(stats, Seq("gkey"), "left")
-          .select(col("gkey"),
-            when(col("failed").isNull && !col("conv") && col("s").isNotNull,
-              stepUdf(col("beta"), col("s"), col("g"), col("t")))
-              .otherwise(struct(col("beta").as("beta"), col("conv").as("conv"),
-                col("failed").as("failed"))).as("u"))
-          .select(col("gkey"), col("u.beta").as("beta"), col("u.conv").as("conv"),
-            col("u.failed").as("failed"))
-          .localCheckpoint(true)
-        active = state.filter(!col("conv") && col("failed").isNull).count()
-        it += 1
+        }
+      })
+
+    // a fit is active until it converges, fails, or exhausts the
+    // per-fit Newton budget (its counts THIS fit's steps — the null
+    // fit starts a fresh budget, exactly as the sequential loops did)
+    def activeCond: Column =
+      !col("conv") && col("failed").isNull && col("its") < cfg.maxIter
+    var state = counts.filter(col("failed_reason").isNull)
+      .select(col("gkey"), lit(0).as("fit"),
+        typedlit(Seq.fill(m)(0.0)).as("beta"),
+        lit(false).as("conv"), lit(null).cast("string").as("failed"),
+        lit(0).as("its"))
+      .localCheckpoint(true)
+    val moment = udaf(new IrlsMoment(m, wFloor = 1e-12, tensor = true))
+    // iteration 1 consumes the first-pass moments (β=0 for every
+    // pair): no beta join, tensor exactly zero — the same scan that
+    // gated viability already produced step 1's stats
+    val nT = m * (m + 1) * (m + 2) / 6
+    var firstStats: Option[DataFrame] = Some(firstAgg.select(
+      col("gkey"), lit(0).as("fit"),
+      col("st").getField("s").as("s"), col("st").getField("g").as("g"),
+      typedlit(Seq.fill(nT)(0.0)).as("t")))
+    var cont = true
+    while (cont) {
+      // ONE cheap read of the (pair-count-bounded) checkpointed state
+      // serves both the continue-check and the broadcast side — the
+      // collected bytes are exactly what BroadcastExchange would move
+      // through the driver anyway, one job instead of two per step
+      val actRows = state.filter(activeCond).select("gkey", "fit", "beta").collect()
+      cont = actRows.nonEmpty
+      if (!cont) {
+        if (sys.env.contains("GRAFT_FIRTH_DEBUG"))
+          System.err.println(s"[firthGram] loop done t=${System.nanoTime() / 1e9}")
+      } else {
+      // the ONE aggregation pass: X'WX, first-order score, and the
+      // third-order tensor reduce map-side from the same scan into
+      // ONE fused buffer per (pair, fit) — see IrlsMoment. Each pair
+      // has at most one active fit, so the gkey join stays 1:1; fit
+      // rides along to key the stats back to the right state row.
+      val stats = firstStats match {
+        case Some(fs) => firstStats = None; fs
+        case None =>
+          // LocalRelation, not parallelize: the broadcast build then
+          // runs driver-side with no extra cluster job per iteration
+          val actSt = spark.createDataFrame(
+            java.util.Arrays.asList(actRows: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("gkey", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("fit", org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("beta",
+                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+          keyedDf.join(broadcast(actSt), "gkey")
+            .groupBy("gkey", "fit")
+            .agg(moment(col("v"), col("beta")).as("st"))
+            .select(col("gkey"), col("fit"),
+              col("st").getField("s").as("s"), col("st").getField("g").as("g"),
+              col("st").getField("t").as("t"))
       }
-      state
+      val stepped = state
+        .join(stats, Seq("gkey", "fit"), "left")
+        .select(col("gkey"), col("fit"), col("its"),
+          col("s").isNotNull.as("stepped"),
+          when(col("failed").isNull && !col("conv") && col("s").isNotNull,
+            stepUdf(col("fit"), col("beta"), col("s"), col("g"), col("t")))
+            .otherwise(struct(col("beta").as("beta"), col("conv").as("conv"),
+              col("failed").as("failed"))).as("u"))
+        .select(col("gkey"), col("fit"),
+          col("u.beta").as("beta"), col("u.conv").as("conv"),
+          col("u.failed").as("failed"),
+          (col("its") + when(col("stepped"), 1).otherwise(0)).as("its"),
+          col("stepped"))
+        // checkpoint BEFORE the spawn branch reuses this frame: the
+        // union's two branches would otherwise each evaluate the full
+        // aggregation-scan subtree — two 9M-row scans per iteration
+        .localCheckpoint(true)
+      // a full fit that JUST finished (stepped this round into
+      // converged / failed / out-of-budget) spawns its pair's LRT null
+      // fit: warm-started from the full solution with the predictor
+      // zeroed (firthRaw:250-252) — the Jeffreys penalty stays on the
+      // FULL design, only the step UDF's free set shrinks
+      val spawns = stepped
+        .filter(col("fit") === 0 && col("stepped") &&
+          (col("conv") || col("failed").isNotNull || col("its") >= cfg.maxIter))
+        .select(col("gkey"), lit(1).as("fit"),
+          transform(col("beta"), (x, i) => when(i === 0, lit(0.0)).otherwise(x)).as("beta"),
+          lit(false).as("conv"), col("failed"), lit(0).as("its"))
+      // both branches are shallow ops over the checkpoint — no second
+      // checkpoint needed, lineage stays flat across iterations
+      state = stepped.drop("stepped").unionByName(spawns)
+      if (sys.env.contains("GRAFT_FIRTH_DEBUG"))
+        System.err.println(s"[firthGram] iter done n_act=${actRows.length} t=${System.nanoTime() / 1e9}")
+      }
     }
 
     // one scan at the FINAL beta: log-likelihood + information matrix
@@ -739,35 +1008,30 @@ object Association {
         case e: Throwable =>
           FirthFinalR(Double.NaN, Double.NaN, failureReason(e))
       })
-    def finalStats(state: DataFrame): DataFrame = {
-      val pc = greatest(least(col("p"), lit(1.0 - 1e-15)), lit(1e-15))
-      withPW(keyedDf.join(
-          broadcast(state.filter(col("failed").isNull).select("gkey", "beta")), "gkey"))
-        .withColumn("lli",
-          col("v")(1) * log(pc) + (lit(1.0) - col("v")(1)) * log(lit(1.0) - pc))
-        .groupBy("gkey").agg(
-          (pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") } :+
-            sum(col("lli")).as("ll")).head,
-          (pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") }.tail :+
-            sum(col("lli")).as("ll")): _*)
-        .select(col("gkey"),
-          finalUdf(array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*), col("ll"))
-            .as("fin"))
-    }
+    // ONE scan at BOTH final betas (the fused state carries full and
+    // null rows): each payload row fans out to its pair's two
+    // broadcast beta rows — same arithmetic as two separate scans,
+    // half the scan IO
+    val pc = greatest(least(col("p"), lit(1.0 - 1e-15)), lit(1e-15))
+    val finAll = withPW(keyedDf.join(
+        broadcast(state.filter(col("failed").isNull).select("gkey", "fit", "beta")), "gkey"))
+      .withColumn("lli",
+        col("v")(1) * log(pc) + (lit(1.0) - col("v")(1)) * log(lit(1.0) - pc))
+      .groupBy("gkey", "fit").agg(
+        (pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") } :+
+          sum(col("lli")).as("ll")).head,
+        (pairs.map { case (i, j) => sum(col("w") * f(i) * f(j)).as(s"s_${i}_$j") }.tail :+
+          sum(col("lli")).as("ll")): _*)
+      .select(col("gkey"), col("fit"),
+        finalUdf(array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*), col("ll"))
+          .as("fin"))
+      .localCheckpoint(true)
+    if (doPersist) cached.unpersist()
 
-    val init = counts.filter(col("failed_reason").isNull)
-      .select(col("gkey"), typedlit(Seq.fill(m)(0.0)).as("beta"),
-        lit(false).as("conv"), lit(null).cast("string").as("failed"))
-    val fullState = firthLoop(init, fixZero = -1)
-    val fullStats = finalStats(fullState).localCheckpoint(true)
-    // LRT null fit: predictor held at zero, warm-started from the full
-    // solution (firthRaw:250-252) — the Jeffreys penalty stays on the
-    // FULL design
-    val nullInit = fullState.select(col("gkey"),
-      transform(col("beta"), (x, i) => when(i === 0, lit(0.0)).otherwise(x)).as("beta"),
-      lit(false).as("conv"), col("failed"))
-    val nullState = firthLoop(nullInit, fixZero = 0)
-    val nullStats = finalStats(nullState).localCheckpoint(true)
+    val fullState = state.filter(col("fit") === 0).select("gkey", "beta", "conv", "failed")
+    val nullState = state.filter(col("fit") === 1).select("gkey", "beta", "conv", "failed")
+    val fullStats = finAll.filter(col("fit") === 0).select("gkey", "fin")
+    val nullStats = finAll.filter(col("fit") === 1).select("gkey", "fin")
 
     val z975 = 1.959963984540054
     val solvedViable = fullState
