@@ -117,6 +117,7 @@ object SparkEntry {
     "e05_session_window" -> (Relational.e05SessionWindow _),
     "e08_attribution" -> (Relational.e08Attribution _),
     "e09_windowed_topk" -> (Relational.e09WindowedTopK _),
+    "e10_stream_para_dedup" -> (graft.streaming.StreamingOps.e10StreamParaDedup _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),

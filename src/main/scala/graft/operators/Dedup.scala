@@ -822,6 +822,26 @@ object Dedup {
           |  coalesce(per.n_kept, 0) AS n_kept, per.kept_md5
           |FROM (SELECT DISTINCT doc_id FROM corpus) c
           |LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // e10: the streaming replay keeps each paragraph's first ARRIVAL;
+    // arrival order is (doc_id, idx), so the batch window mirror is
+    // exact — same first-occurrence CTEs as d12, kept rows emitted
+    "e10_stream_para_dedup" ->
+      (corpusSql +
+        s""", ps AS (
+          |  SELECT doc_id, string_split(${TextOps.relinedSql(12)}, chr(10)) AS arr
+          |  FROM corpus
+          |), paras AS (
+          |  SELECT doc_id, i - 1 AS idx,
+          |    lower(regexp_replace(trim(arr[i]), '\\s+', ' ', 'g')) AS p
+          |  FROM ps, unnest(range(1, len(arr) + 1)) AS t(i)
+          |  WHERE length(lower(regexp_replace(trim(arr[i]), '\\s+', ' ', 'g'))) > 0
+          |), ranked AS (
+          |  SELECT doc_id, idx, p,
+          |    row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rn
+          |  FROM paras
+          |)
+          |SELECT doc_id, CAST(idx AS INT) AS idx, md5(p) AS p_md5
+          |FROM ranked WHERE rn = 1 ORDER BY doc_id, idx""".stripMargin),
     "d07_contamination" ->
       """WITH norm AS (
         |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents

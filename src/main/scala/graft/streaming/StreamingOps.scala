@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -73,6 +74,51 @@ object StreamingOps {
     if (docs.isStreaming)
       paras.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("h")
     else paras.dropDuplicates("h")
+  }
+
+  /**
+   * e10 — the DRIVER-GATE batch replay of [[streamParaDedup]]: the d12
+   * corpus re-plays through the REAL Structured Streaming path
+   * (MemoryStream source → watermark → dropDuplicatesWithinWatermark
+   * state store → memory sink) in deterministic event-time order, and
+   * the kept paragraphs land under the same first-occurrence oracle
+   * d12 mirrors — the engine side of this CORRECTNESS entry actually
+   * executes the streaming machinery, not a batch twin.
+   *
+   * Determinism: event time is doc_id MILLISECONDS, so the corpus
+   * spans ~100 s of event time — far inside the 1 h watermark
+   * horizon, which makes the horizon contract coincide with global
+   * first-occurrence dedup (the oracle's semantics). Docs feed in
+   * doc_id order, one single-partition block per micro-batch,
+   * processed before the next block is added: rows keep their order
+   * within the partition and every dedup key's rows reach one state
+   * reducer from one upstream block per batch, so "first arrival" is
+   * exactly first (doc_id, idx). The driver-side collect is the
+   * replay HARNESS (test-corpus-sized), not the operator — production
+   * runs the same transform over `readStream` sources.
+   */
+  def e10StreamParaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val docs = graft.operators.Dedup.corpus(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    // +1 h: event-time 0 would sit ON the initial watermark and be
+    // dropped as late (the sessionize-spec lesson)
+    val src = input.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_millis(col("doc_id") + lit(3600000L)))
+    val sinkName = "graft_e10_sink"
+    spark.catalog.dropTempView(sinkName) // re-runs in one session (bench min-of-2)
+    val q = streamParaDedup(src).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try {
+      docs.grouped(500).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sinkName)
+      .select(col("doc_id"), col("idx"),
+        md5(encode(col("p"), "UTF-8")).as("p_md5"))
+      .orderBy("doc_id", "idx")
   }
 
   /**
