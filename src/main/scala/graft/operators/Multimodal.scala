@@ -296,6 +296,132 @@ object Multimodal {
     soi ++ app0 ++ sof ++ data
   }
 
+  /** Parsed PPM facts: `headerLen` is where the binary RGB raster
+    * begins. */
+  final case class PpmHeader(width: Int, height: Int, maxval: Int, headerLen: Int)
+
+  /**
+   * Real binary-PPM (P6) header parser over the public netpbm format:
+   * "P6", then width, height, maxval as ASCII decimals separated by
+   * whitespace runs — each of which may carry `#` comments to end of
+   * line — then exactly ONE whitespace byte before the raster of
+   * 3·w·h channel-interleaved bytes (1 byte/sample while maxval
+   * < 256). Returns None for anything unparseable (wrong magic,
+   * missing fields, maxval > 255, dims ≤ 0 or overflowing).
+   */
+  def parsePpmHeader(b: Array[Byte]): Option[PpmHeader] = {
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0x0b || c == 0x0c
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def skipWs(): Boolean = {
+      var progressed = false
+      var cont = true
+      while (cont && i < b.length) {
+        if (isWs(b(i))) { i += 1; progressed = true }
+        else if (b(i) == '#') {
+          while (i < b.length && b(i) != '\n') i += 1
+          progressed = true
+        } else cont = false
+      }
+      progressed
+    }
+    def readInt(): Int = {
+      var v = -1
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (b(i) - '0')
+        if (v > (1 << 30)) return -1 // decimal overflow: hostile input
+        i += 1
+      }
+      v
+    }
+    if (!skipWs()) return None
+    val w = readInt()
+    if (w <= 0 || !skipWs()) return None
+    val h = readInt()
+    if (h <= 0 || !skipWs()) return None
+    val mv = readInt()
+    if (mv <= 0 || mv > 255) return None
+    if (i >= b.length || !isWs(b(i))) return None // the single raster separator
+    i += 1
+    if (w.toLong * h > Int.MaxValue / 3) None // raster size must fit an Int
+    else Some(PpmHeader(w, h, mv, i))
+  }
+
+  /** Minimal REAL P6 PPM: canonical "P6\nW H\n255\n" header + the
+    * channel-interleaved RGB raster. */
+  def buildPpm(width: Int, height: Int, raster: Array[Byte]): Array[Byte] =
+    s"P6\n$width $height\n255\n".getBytes("US-ASCII") ++ raster
+
+  /** Per-asset pixel statistics decoded from the real PPM raster —
+    * the one modality whose PAYLOAD (not just container header) is an
+    * open uncompressed format, so the per-batch decode hook runs
+    * end-to-end on real pixels with no codec dependency. */
+  final case class PpmFeature(
+      doc_id: Long, format: String, width: Int, height: Int,
+      n_pixels: Long, mean_r: Option[Double], mean_g: Option[Double],
+      mean_b: Option[Double])
+
+  private[graft] def ppmWidth(id: Long): Int = 4 + (id % 13).toInt
+  private[graft] def ppmHeight(id: Long): Int = 3 + (id % 7).toInt
+
+  /** PPM table synthesized from documents: doc_id-derived geometry,
+    * raster bytes tiled from the doc's ASCII bytes — closed form on
+    * BOTH sides, so the oracle checks the full build→decode
+    * round-trip including every pixel byte. */
+  def ppmTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"ppmTable: empty or non-ASCII text in doc_id=$id (m07 oracle tiles byte ords)")
+        val data = text.getBytes("US-ASCII")
+        val raster = Array.tabulate(3 * ppmWidth(id) * ppmHeight(id))(j => data(j % data.length))
+        val bytes = buildPpm(ppmWidth(id), ppmHeight(id), raster)
+        MediaRow(id, bytes, "image/x-portable-pixmap", bytes.length)
+      }
+  }
+
+  /** Batched per-partition PPM decode (the m01 hook shape: one
+    * decoder init per batch amortizes at scale): parse the header,
+    * deinterleave the raster, per-channel means over the REAL pixel
+    * bytes. Unparseable or truncated payloads degrade to
+    * format="unknown" with null means. */
+  def extractPpmFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[PpmFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      parsePpmHeader(r.media) match {
+        case Some(h) if r.media.length - h.headerLen >= 3L * h.width * h.height =>
+          val n = h.width * h.height
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var off = h.headerLen
+          var j = 0
+          while (j < n) {
+            sr += r.media(off) & 0xff
+            sg += r.media(off + 1) & 0xff
+            sb += r.media(off + 2) & 0xff
+            off += 3; j += 1
+          }
+          PpmFeature(r.doc_id, "ppm", h.width, h.height, n.toLong,
+            Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n))
+        case _ => PpmFeature(r.doc_id, "unknown", 0, 0, 0L, None, None, None)
+      }
+    }))
+  }
+
+  /** m07: pixel-level decode under the gate — per-channel means over
+    * the real P6 raster (the last declared decode boundary proven
+    * end-to-end on an uncompressed public format). */
+  def m07PpmPixels(spark: SparkSession, dir: String): DataFrame =
+    extractPpmFeatures(ppmTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_pixels"),
+        Norm.r4(col("mean_r")).as("mean_r"),
+        Norm.r4(col("mean_g")).as("mean_g"),
+        Norm.r4(col("mean_b")).as("mean_b"))
+      .orderBy("doc_id")
+
   /** Media table synthesized from documents: UTF-8 payload bytes +
     * metadata. A real pipeline reads (path, bytes, mime) from a
     * manifest; the schema and downstream plumbing are identical.
@@ -583,6 +709,27 @@ object Multimodal {
   /** Text is ASCII, so byte_sum ≡ codepoint sum in DuckDB (and string
     * substrings ≡ byte slices for m02). */
   val oracleSql: Map[String, String] = Map(
+    // Recomputes the PPM generator's closed form over every tiled
+    // pixel byte — Spark must build the raster AND decode it back
+    // pixel-for-pixel for the channel means to match.
+    "m07_ppm_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, CAST(i % 3 AS INT) AS c,
+        |    ord(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, 3 * w * h)) AS t(i)
+        |)
+        |SELECT doc_id, 'ppm' AS format, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg(CASE WHEN c = 0 THEN b END), 4) + 0 AS mean_r,
+        |  round(avg(CASE WHEN c = 1 THEN b END), 4) + 0 AS mean_g,
+        |  round(avg(CASE WHEN c = 2 THEN b END), 4) + 0 AS mean_b
+        |FROM px GROUP BY 1, 3, 4
+        |ORDER BY doc_id""".stripMargin,
     "m04_media_stats" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -479,4 +479,32 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.extractFeatures(media.repartition(2), batchSize = 8)
       .collect().map(_.batch_id).max > 0)
   }
+
+  test("parsePpmHeader reads hand-built P6 bytes; pixel decode means are exact") {
+    import Multimodal.{parsePpmHeader, PpmHeader}
+    // hand-written (NOT via the builder) header with comments and
+    // mixed whitespace runs — the general netpbm grammar, not just
+    // the canonical layout buildPpm emits
+    val golden = ("P6 # binary rgb\n" +
+      "# a full-line comment\n  2\t1 # dims\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val hdr = parsePpmHeader(golden)
+    assert(hdr.contains(PpmHeader(2, 1, 255, golden.length - 6)))
+    // exact per-channel means over the known raster
+    val sess = spark
+    import sess.implicits._
+    val ds = Seq(Multimodal.MediaRow(1L, golden, "image/x-portable-pixmap", golden.length)).toDS()
+    val f = Multimodal.extractPpmFeatures(ds).collect().head
+    assert(f.format == "ppm" && f.n_pixels == 2L)
+    assert(f.mean_r.contains(25.0) && f.mean_g.contains(35.0) && f.mean_b.contains(45.0))
+    // unparseable/truncated: wrong magic, maxval > 255, zero dim,
+    // raster shorter than 3wh -> degrade, never throw
+    assert(parsePpmHeader("P5\n2 1\n255\n".getBytes).isEmpty)
+    assert(parsePpmHeader("P6\n2 1\n65535\n".getBytes).isEmpty)
+    assert(parsePpmHeader("P6\n0 1\n255\n".getBytes).isEmpty)
+    val short = Multimodal.buildPpm(4, 4, Array[Byte](1, 2, 3))
+    val g = Multimodal.extractPpmFeatures(
+      Seq(Multimodal.MediaRow(2L, short, "x", short.length)).toDS()).collect().head
+    assert(g.format == "unknown" && g.mean_r.isEmpty)
+  }
 }

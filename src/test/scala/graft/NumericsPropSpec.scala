@@ -90,19 +90,22 @@ class NumericsPropSpec extends AnyFunSuite {
       Multimodal.parseImageHeader(b)
       Multimodal.parseWavHeader(b)
       Multimodal.parseMp4Header(b)
+      Multimodal.parsePpmHeader(b)
     }
     // adversarial magic prefixes: valid signatures + garbage tails
     val prefixes = Seq[Array[Byte]](
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
       Array(0xff, 0xd8).map(_.toByte),
       "RIFF".getBytes ++ Array.fill[Byte](4)(0x7f) ++ "WAVE".getBytes,
-      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes)
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes,
+      "P6\n".getBytes)
     forAll(Gen.zip(Gen.choose(0, prefixes.size - 1), bytes), n = 2000) {
       case (pi, tail) =>
         val payload = prefixes(pi) ++ tail
         Multimodal.parseImageHeader(payload)
         Multimodal.parseWavHeader(payload)
         Multimodal.parseMp4Header(payload)
+        Multimodal.parsePpmHeader(payload)
     }
     // the overflow regression: a WAV chunk declaring a ~2^31 size must
     // parse to None, not wrap the cursor into negative indexing
@@ -132,6 +135,13 @@ class NumericsPropSpec extends AnyFunSuite {
         val parsed = Multimodal.parseWavHeader(Multimodal.buildWav(ch, sr, 16, d))
         assert(parsed.exists(p => p.channels == ch && p.sampleRate == sr &&
           p.dataBytes == d.length))
+    }
+    forAll(Gen.zip(Gen.choose(1, 96), Gen.choose(1, 96), data), n = 300) {
+      case (w, h, d) =>
+        // raster tiled to exactly 3wh bytes, like ppmTable
+        val raster = Array.tabulate(3 * w * h)(j => if (d.isEmpty) 7.toByte else d(j % d.length))
+        val parsed = Multimodal.parsePpmHeader(Multimodal.buildPpm(w, h, raster))
+        assert(parsed.exists(p => p.width == w && p.height == h && p.maxval == 255))
     }
     forAll(Gen.zip(Gen.choose(1, 200000), Gen.choose(1L, 1L << 40),
       Gen.oneOf(true, false), data), n = 300) {
