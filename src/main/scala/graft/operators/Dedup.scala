@@ -235,8 +235,24 @@ object Dedup {
         split(TextOps.relined(paraWords), "\n"),
         l => normText(trim(l)))).as(Seq("idx", "p")))
       .filter(length(col("p")) > 0)
-    val first = paras.groupBy("p")
+    val first0 = paras.groupBy("p")
       .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    // Hot-paragraph protection by regime (SkewSpec proves both):
+    // map-side-combined min means `first` itself never skews, and in
+    // the COMMON case it fits the broadcast threshold, so the paras
+    // side never shuffles on p at all — a 10⁹-copy paragraph can't
+    // straggle. When `first` outgrows broadcast the join turns
+    // sort-merge, and AQE can only skew-split it if both sides are
+    // plain shuffle stages — the min-aggregate sitting directly under
+    // the join blocks the pattern (measured skew=false). This knob
+    // materializes `first` so its side becomes a fresh shuffle stage
+    // and the hot paras partition splits (measured skew=true): turn
+    // it on at corpus scale, where one extra pass over the
+    // distinct-paragraph table is noise next to a straggling sort.
+    val first = if (docs.sparkSession.conf
+        .get("spark.graft.paraDedup.checkpointFirst", "false").toBoolean)
+      first0.localCheckpoint(true)
+    else first0
     val ranked = paras.join(first, "p")
       .withColumn("keep",
         col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Relational}
+
+/**
+ * Proves the skew machinery ENGAGES, not just that results are right:
+ *  - q09's explicit salting must fan a hot key's rows across many
+ *    (key, salt) shuffle buckets and keep the join keyed on both,
+ *  - d12's first-occurrence JOIN (chosen over a window precisely so
+ *    AQE can split a hot paragraph) must actually get skew-split by
+ *    AQE when one paragraph floods one shuffle partition.
+ * Result equality alone can't distinguish "the mitigation worked"
+ * from "the mitigation silently never ran" — these assert on the
+ * executed plan / the salt distribution itself.
+ */
+class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("4").appName("skew-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("saltedJoin fans a hot key over many salts, joins on (key, salt), result = plain join") {
+    val sess = spark
+    import sess.implicits._
+    // one pathological user: 100k events; 50 normal users with 10 each
+    val hot = sess.range(100000).select(lit(7L).as("user_id"), col("id").as("event_id"),
+      lit(1.0).as("value"))
+    val rest = sess.range(500).select((col("id") % 50 + 100).as("user_id"),
+      (col("id") + 1000000).as("event_id"), lit(2.0).as("value"))
+    val ev = hot.unionAll(rest)
+    val dim = sess.range(200).select(col("id").as("user_id"),
+      concat(lit("seg"), (col("id") % 5).cast("string")).as("seg"))
+
+    // the salt distribution the shuffle sees: the hot key's rows must
+    // spread over (nearly) all 16 buckets instead of funneling into 1
+    val saltsHit = ev.filter(col("user_id") === 7)
+      .select(pmod(xxhash64(col("event_id")), lit(16)).cast("int").as("s"))
+      .distinct().count()
+    assert(saltsHit >= 12, s"hot key hit only $saltsHit/16 salts")
+
+    val salted = Relational.saltedJoin(ev.hint("merge"), dim, "user_id",
+      salts = 16, saltBy = xxhash64(col("event_id")))
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("value").as("v"))
+    // the executed join must be keyed on (user_id, __salt) — that IS
+    // the mitigation; a plan that dropped the salt from the keys
+    // would funnel the hot key through one task again
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column absent from executed plan:\n$plan")
+    // and it must be result-invisible vs the plain join
+    val plain = ev.join(dim, "user_id")
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val a = salted.orderBy("seg").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val b = plain.orderBy("seg").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+  }
+
+  /** One boilerplate paragraph on 30k docs (the hot key) + 2k
+    * distinct paragraphs, as a documents frame for paraDedup. */
+  private def hotCorpus(sess: SparkSession) =
+    sess.range(32000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 30000, lit("subscribe to our newsletter for more great content"))
+        .otherwise(concat(lit("unique paragraph text number "), col("id"))).as("text"))
+
+  test("d12 common case: first-occurrence dim broadcasts, so the hot key never shuffles") {
+    // with default thresholds the distinct-paragraph table is tiny ->
+    // the paras side must NOT shuffle on p (broadcast join): a
+    // 10^9-copy paragraph cannot straggle a shuffle that doesn't exist
+    val out = Dedup.paraDedup(hotCorpus(spark))
+    // collect THIS execution (AQE finalizes the plan at runtime; a
+    // noop .write would plan and run a separate QueryExecution)
+    assert(out.collect().length == 32000)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast first-occurrence join in:\n$plan")
+  }
+
+  test("d12 at-scale regime: AQE skew-split engages on the hot-paragraph join") {
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // tuned so toy volumes trip the same machinery 100 TB would:
+    // a partition is skewed when > max(16 KB, 2 x median) and splits
+    // into ~8 KB reads; broadcast is off to mirror `first` outgrowing
+    // the threshold (the regime skew-split exists for), and the
+    // checkpointFirst knob breaks the agg-under-join stage so the
+    // skew pattern can apply at all
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.graft.paraDedup.checkpointFirst", "true")
+
+    val out = Dedup.paraDedup(hotCorpus(sess))
+    // correctness: every doc keeps its unique content; the boilerplate
+    // paragraph survives only in doc 0
+    val rows = out.collect()
+    assert(rows.length == 32000)
+    assert(rows.count(r => r.getLong(2) > 0) == 2001) // n_kept > 0: doc 0 + 2k uniques
+    // the FINAL adaptive plan must contain a skew-split join node —
+    // Spark marks the SMJ and its AQEShuffleRead with "skew=true"
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not skew-split the hot-paragraph join:\n$plan")
+  }
+}
