@@ -81,44 +81,16 @@ object Bench {
     val results = (if (masOnly) Seq.empty[String]
       else SparkEntry.queries.keys.toSeq.sorted.filter(n => onlyNames.forall(_.contains(n))))
       .map { name =>
-        name -> math.min(timed(run(name)), timed(run(name)))
+        val r1 = timed(run(name))
+        val r2 = timed(run(name))
+        val mn = math.min(r1, r2)
+        // adaptive 3rd rep: a >40% spread between reps is the host-
+        // contention signature, and min-of-2 still reports the spike
+        // if BOTH reps landed on it — one more rep bounds that
+        name -> (if (mn > 0.15 && math.abs(r1 - r2) / mn > 0.4)
+          math.min(mn, timed(run(name))) else mn)
       }
     val loadPostSweep = loadAvg()
-    // scale slope: the three banded dedup queries + BPE tokenization
-    // at sf0.01 vs their sf-sweep point (one shot each; these are the
-    // "linear, shuffle-bounded" claims — two SF points turn the claim
-    // into a measured slope; codegen_probe at sf0.001 is the fixed
-    // cost to subtract). docs[] carries the corpus row counts for
-    // docs/sec. A query that fails (or is missing from the sweep)
-    // OMITS its pair — time-to-exception is not a scale measurement.
-    val scaleNames = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh",
-      "d10_semdedup", "t13_bpe_tokens")
-    val smallDir = parentDir + "/sf0.01"
-    val dedupScale =
-      if (masOnly || onlyNames.isDefined || !new java.io.File(smallDir).isDirectory) None
-      else {
-        val docsSmall = spark.read.parquet(smallDir + "/documents.parquet").count()
-        val docsBig = spark.read.parquet(sfDir + "/documents.parquet").count()
-        val pts = scaleNames.flatMap { name =>
-          val t0 = System.nanoTime()
-          val ok =
-            try {
-              SparkEntry.queries(name)(spark, smallDir)
-                .write.format("noop").mode("overwrite").save()
-              true
-            } catch { case _: Throwable => false }
-          val tSmall = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          results.toMap.get(name) match {
-            case Some(tBig) if ok =>
-              Some(s""""${shortId(name)}":[${"%.2f".formatLocal(java.util.Locale.ROOT, tSmall)},${"%.2f".formatLocal(java.util.Locale.ROOT, tBig)}]""")
-            case _ => None
-          }
-        }
-        // single mkString over docs + pts: no trailing comma if every
-        // scale query failed and pts is empty
-        Some((s""""docs":[$docsSmall,$docsBig]""" +: pts).mkString(","))
-      }
     // MAS headlines: the reference's TWO published benchmark tables
     // (/root/reference/benchmarks/README.md) at the 5,000 × ~1,800
     // shape — sample-size table row (5 covariates: 22.2 s) and
@@ -189,11 +161,142 @@ object Bench {
     // measured 2 s quiet and 158 s at load ~28 (external tenants), so
     // the min is the least-contended estimate of the engine's cost;
     // the raw reps + load_avg below let a reader judge the spread.
+    // scale_slope: every headline family timed at TWO points an order
+    // of magnitude apart, so the "amortizes at scale" arguments are
+    // measured slopes instead of design reasoning. One shot per
+    // point; a query that fails OMITS its pair — time-to-exception is
+    // not a scale measurement.
+    //  - corpus family (d03/d05b/d10/t13): the sf-sweep point vs a
+    //    10× corpus derived from it once into /tmp: documents get 10
+    //    deterministic word-REMIXED replicas (word multiset — and so
+    //    token statistics — preserved; shingle sets broken, so
+    //    replicas are NOT artificial near-dup clusters), embeddings
+    //    get 10 per-replica random-sign-flip copies (an orthogonal
+    //    transform: within-replica cosine geometry is exactly the
+    //    original's, cross-replica similarity is scrambled).
+    //  - t13 runs BOTH points under corpus-scale BPE knobs
+    //    (spark.graft.bpe.*: 200 merges / 20k train words) so the
+    //    driver-memory-bounded training table is exercised, not the
+    //    toy default.
+    //  - MAS family: the 5k-sample headline reps vs ONE run at
+    //    50 000 × 1800 × 5cov (90M melted rows) through the in-task
+    //    Firth, the Gram linear path, and the distributed Firth —
+    //    the a04-vs-a17 crossover direction in data.
+    def scale10xDir(): Option[String] =
+      try {
+        val out = "/tmp/graft_scale10x_v2"
+        val marker = new java.io.File(out + "/_GRAFT_DONE")
+        if (!marker.exists()) {
+          val docs = spark.read.parquet(sfDir + "/documents.parquet")
+          val reps = explode(array((0 until 10).map(lit): _*)).as("r")
+          // permutation key depends on (replica, pos) ONLY — same-length
+          // near-dup docs get the SAME rearrangement, so the corpus's
+          // real near-dup pair density survives within every replica
+          // (a per-doc key would scramble dup pairs apart and make the
+          // 10× point artificially easy — measured: d03 ran FASTER at
+          // 10×). Replica 0 keeps the original order outright.
+          docs.select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
+            .select(col("doc_id"), col("lang"), col("source"), col("r"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+            .withColumn("h", when(col("r") === 0, col("pos").cast("long"))
+              .otherwise(xxhash64(col("r"), col("pos"))))
+            .groupBy("doc_id", "lang", "source", "r")
+            .agg(array_join(transform(array_sort(collect_list(struct(col("h"), col("w")))),
+              s => s.getField("w")), " ").as("text"))
+            .select((col("doc_id") + col("r").cast("long") * 1000000L).as("doc_id"),
+              col("text"), col("lang"), col("source"), length(col("text")).as("n_chars"))
+            .write.mode("overwrite").parquet(out + "/documents.parquet")
+          spark.read.parquet(sfDir + "/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"), col("label"), reps)
+            .select((col("vec_id") + col("r").cast("long") * 1000000L).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                when(pmod(xxhash64(col("r"), i), lit(2)) === 0, x).otherwise(-x))
+                .as("embedding"),
+              col("label"))
+            .write.mode("overwrite").parquet(out + "/embeddings.parquet")
+          marker.createNewFile()
+        }
+        Some(out)
+      } catch { case _: Throwable => None }
+    def oneShot(body: => Unit): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok = try { body; true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      if (ok) Some(dt) else None
+    }
+    def pair(key: String, p: Option[(Double, Double)]): Option[String] =
+      p.map { case (a, b) =>
+        s""""$key":[${"%.2f".formatLocal(java.util.Locale.ROOT, a)},${"%.2f".formatLocal(java.util.Locale.ROOT, b)}]"""
+      }
+    def scaleSlope(): Option[String] =
+      if (masOnly || onlyNames.isDefined) None
+      else scale10xDir().map { bigDir =>
+        val docsBase = spark.read.parquet(sfDir + "/documents.parquet").count()
+        // the 10× point runs each operator AS YOU'D CONFIGURE IT at
+        // that scale (the documented operating rule, same as picking
+        // shuffle partitions): d10's cluster count scales with the
+        // corpus so cluster SIZE — and the quadratic within-cluster
+        // pass — stays constant (fixed lists=16 at 10× measured 77 s
+        // of pure oversized-cluster pairing); d05b gains 3 bucket
+        // bits per decade for the same reason. d03's banding needs no
+        // knob — its candidate volume follows real dup density.
+        val bigBodies: Map[String, () => Unit] = Map(
+          "d03_dedup_minhash" -> (() =>
+            SparkEntry.queries("d03_dedup_minhash")(spark, bigDir)
+              .write.format("noop").mode("overwrite").save()),
+          "d05b_dedup_embedding_lsh" -> (() =>
+            graft.operators.Dedup.embeddingLshDupPairs(
+              graft.operators.Dedup.embCorpus(spark, bigDir), 0.85, bitsPerBand = 9)
+              .write.format("noop").mode("overwrite").save()),
+          "d10_semdedup" -> (() =>
+            graft.operators.Similarity.semDedup(
+              graft.operators.Dedup.embCorpus(spark, bigDir).select("vec_id", "e"),
+              lists = 160, iters = 2, tau = 0.85)
+              .write.format("noop").mode("overwrite").save()))
+        val corpusPairs = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh",
+          "d10_semdedup").flatMap { name =>
+          pair(shortId(name), results.toMap.get(name)
+            .flatMap(t1 => oneShot(bigBodies(name)())
+              .map(tBig => (t1, tBig))))
+        }
+        spark.conf.set("spark.graft.bpe.merges", "200")
+        spark.conf.set("spark.graft.bpe.trainWords", "20000")
+        val t13 = pair("t13", for {
+          a <- oneShot(run("t13_bpe_tokens"))
+          b <- oneShot(SparkEntry.queries("t13_bpe_tokens")(spark, bigDir)
+            .write.format("noop").mode("overwrite").save())
+        } yield (a, b))
+        spark.conf.unset("spark.graft.bpe.merges")
+        spark.conf.unset("spark.graft.bpe.trainWords")
+        val masPairs =
+          if (masTime._1.isEmpty) Seq.empty
+          else {
+            val big = masMelted(50000, 1800, 5)
+            Seq(
+              pair("mas_firth", oneShot(
+                Association.binary(big, masCfg(1800, 5))
+                  .write.format("noop").mode("overwrite").save())
+                .map(t => (masTime._1.min, t))),
+              pair("mas_linear", oneShot(
+                Association.linear(big, masCfg(1800, 5).copy(model = "linear"))
+                  .write.format("noop").mode("overwrite").save())
+                .map(t => (masTime._3.min, t))),
+              pair("mas_firth_gram", oneShot(
+                Association.firthGram(big, masCfg(1800, 5))
+                  .write.format("noop").mode("overwrite").save())
+                .map(t => (masTime._4.min, t)))).flatten
+          }
+        ((s""""docs":[$docsBase,${docsBase * 10}]""" +:
+          corpusPairs) ++ t13.toSeq ++ masPairs).mkString(",")
+      }
     val masHeads = if (onlyNames.isDefined) Seq.empty else Seq(
       "mas_firth_5000x1800x5cov" -> masTime._1.min,
       "mas_firth_5000x1800x20cov" -> masTime._2.min,
       "mas_linear_5000x1800x5cov" -> masTime._3.min,
       "mas_firth_gram_5000x1800x5cov" -> masTime._4.min)
+    // runs AFTER the headline reps (it reuses their min as point 1)
+    val scaleSlopeJson = scaleSlope()
     val all = results ++ masHeads
     def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     // per-query times compress to 2 dp with trailing zeros trimmed
@@ -207,10 +310,11 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + shortId(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    val reps = s""""mas_firth_reps":[${masTime._1.map(f3).mkString(",")}],""" +
-      s""""mas_firth20_reps":[${masTime._2.map(f3).mkString(",")}],""" +
-      s""""mas_linear_reps":[${masTime._3.map(f3).mkString(",")}],""" +
-      s""""mas_firth_gram_reps":[${masTime._4.map(f3).mkString(",")}]"""
+    // 2 dp: the whole line must clear the driver's tail buffer
+    val reps = s""""mas_firth_reps":[${masTime._1.map(fq).mkString(",")}],""" +
+      s""""mas_firth20_reps":[${masTime._2.map(fq).mkString(",")}],""" +
+      s""""mas_linear_reps":[${masTime._3.map(fq).mkString(",")}],""" +
+      s""""mas_firth_gram_reps":[${masTime._4.map(fq).mkString(",")}]"""
     // codegen_probe: the same three dedup queries at sf0.001 — their
     // time there IS the Janino compile cost the sweep no longer pays
     val probeJson = probes.map { case (k, v) => "\"" + k + "\":" + fq(v) }
@@ -218,7 +322,7 @@ object Bench {
     // load_sweep brackets the per-query segment; load_avg is sampled
     // at the end (the MAS headline segment) — together they say which
     // segment a host spike hit
-    val scaleJson = dedupScale.map(s => s""""dedup_scale":{$s},""").getOrElse("")
+    val scaleJson = scaleSlopeJson.map(s => s""""scale_slope":{$s},""").getOrElse("")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""codegen_probe":$probeJson,$scaleJson""" +
       s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +

@@ -113,7 +113,10 @@ object StreamingOps {
     val q = streamParaDedup(src).writeStream
       .format("memory").queryName(sinkName).outputMode("append").start()
     try {
-      docs.grouped(500).foreach { b => input.addData(b); q.processAllAvailable() }
+      // 2000 docs/micro-batch: enough batches to exercise cross-batch
+      // state, few enough that per-batch state-store commit overhead
+      // doesn't dominate the gate/bench runs
+      docs.grouped(2000).foreach { b => input.addData(b); q.processAllAvailable() }
     } finally q.stop()
     spark.table(sinkName)
       .select(col("doc_id"), col("idx"),
