@@ -189,22 +189,24 @@ object Bench {
         if (!marker.exists()) {
           val docs = spark.read.parquet(sfDir + "/documents.parquet")
           val reps = explode(array((0 until 10).map(lit): _*)).as("r")
-          // permutation key depends on (replica, pos) ONLY — same-length
-          // near-dup docs get the SAME rearrangement, so the corpus's
-          // real near-dup pair density survives within every replica
-          // (a per-doc key would scramble dup pairs apart and make the
-          // 10× point artificially easy — measured: d03 ran FASTER at
-          // 10×). Replica 0 keeps the original order outright.
+          // replica r > 0 applies a per-replica VOCABULARY SUBSTITUTION
+          // (every word gets an r-derived suffix): a bijection on
+          // words, so word sequences, n-gram structure, and every
+          // within-replica Jaccard similarity are preserved EXACTLY —
+          // the corpus's real near-dup pair density scales 10×, which
+          // is the point — while replica vocabularies are disjoint, so
+          // no artificial cross-replica near-dups appear. (Earlier
+          // word-remix constructions measurably DESTROYED dup pairs —
+          // d03 ran faster at 10× — because positional permutations
+          // break insert-shifted near-dups.)
           docs.select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
-            .select(col("doc_id"), col("lang"), col("source"), col("r"),
-              posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-            .withColumn("h", when(col("r") === 0, col("pos").cast("long"))
-              .otherwise(xxhash64(col("r"), col("pos"))))
-            .groupBy("doc_id", "lang", "source", "r")
-            .agg(array_join(transform(array_sort(collect_list(struct(col("h"), col("w")))),
-              s => s.getField("w")), " ").as("text"))
             .select((col("doc_id") + col("r").cast("long") * 1000000L).as("doc_id"),
-              col("text"), col("lang"), col("source"), length(col("text")).as("n_chars"))
+              when(col("r") === 0, col("text")).otherwise(
+                array_join(transform(split(col("text"), " "),
+                  w => concat(w, lit("zq"), col("r").cast("string"))), " ")).as("text"),
+              col("lang"), col("source"))
+            .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              length(col("text")).as("n_chars"))
             .write.mode("overwrite").parquet(out + "/documents.parquet")
           spark.read.parquet(sfDir + "/embeddings.parquet")
             .select(col("vec_id"), col("embedding"), col("label"), reps)
@@ -238,9 +240,12 @@ object Bench {
         // shuffle partitions): d10's cluster count scales with the
         // corpus so cluster SIZE — and the quadratic within-cluster
         // pass — stays constant (fixed lists=16 at 10× measured 77 s
-        // of pure oversized-cluster pairing); d05b gains 3 bucket
-        // bits per decade for the same reason. d03's banding needs no
-        // knob — its candidate volume follows real dup density.
+        // of pure oversized-cluster pairing), and its codebook trains
+        // on a 10% sample (full-corpus training is n·k·dims — growing
+        // n AND k makes it quadratic in scale; measured 33 s);
+        // d05b gains 3 bucket bits per decade for the same reason.
+        // d03's banding needs no knob — its candidate volume follows
+        // real dup density.
         val bigBodies: Map[String, () => Unit] = Map(
           "d03_dedup_minhash" -> (() =>
             SparkEntry.queries("d03_dedup_minhash")(spark, bigDir)
@@ -252,7 +257,7 @@ object Bench {
           "d10_semdedup" -> (() =>
             graft.operators.Similarity.semDedup(
               graft.operators.Dedup.embCorpus(spark, bigDir).select("vec_id", "e"),
-              lists = 160, iters = 2, tau = 0.85)
+              lists = 160, iters = 2, tau = 0.85, trainFrac = 0.1)
               .write.format("noop").mode("overwrite").save()))
         val corpusPairs = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh",
           "d10_semdedup").flatMap { name =>

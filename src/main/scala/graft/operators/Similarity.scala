@@ -459,9 +459,21 @@ object Similarity {
    * codebook means the cluster assignment — and therefore the dup
    * set — is reproducible run to run, engine to engine.
    */
-  def semDedup(emb: DataFrame, lists: Int, iters: Int, tau: Double): DataFrame = {
+  def semDedup(emb: DataFrame, lists: Int, iters: Int, tau: Double,
+      trainFrac: Double = 1.0): DataFrame = {
     val withN = quantized(emb).localCheckpoint(true)
-    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters)
+    // trainFrac < 1 trains the codebook on a deterministic hash-sample
+    // of the corpus — the standard at-scale k-means config: centroid
+    // training costs n·k·dims per iteration, so growing BOTH the
+    // corpus and the cluster count (the constant-cluster-size rule)
+    // makes full-corpus training quadratic in scale; sampled training
+    // restores linearity and every vector is still ASSIGNED. The
+    // oracle-gated d10 keeps trainFrac = 1 (full replay).
+    val trainSet =
+      if (trainFrac >= 1.0) withN
+      else withN.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) < (trainFrac * 1000000L).toLong)
+    val cents = ivfCentroidsQ(trainSet.select("vec_id", "q"), lists, iters)
     // assignment materializes once: `clustered` is referenced by both
     // pair-join sides AND the output frame — without the checkpoint
     // the k×dims argmax UDF would re-run over the corpus three times
