@@ -187,6 +187,72 @@ object Dedup {
         Norm.r4(col("n_shared").cast("double") / col("n_shingles")))
   }
 
+  /**
+   * Exact-substring duplicate-SPAN detection — the "dedup training
+   * data at substring granularity" operator (the published
+   * exact-substring method: any w-token run occurring more than once
+   * corpus-wide is duplicated text): w-word rolling windows with
+   * positions → md5 per window → occurrence counts (ONE map-side-
+   * combined aggregate over distinct windows) → occurrences of
+   * multiply-occurring windows mark (doc, pos) as duplicated → the
+   * overlapping windows COALESCE into maximal spans per doc (the
+   * interval-union: a running max-end window PARTITIONED BY DOC, so
+   * state is bounded by document length, never corpus size — this is
+   * not the d12 hot-key shape) → per-doc span count, duplicated-token
+   * coverage, and coverage fraction.
+   *
+   * Scale shape: the only corpus-sized shuffles are the window-hash
+   * aggregate and the count join — both partition on the hash, so
+   * Catalyst reuses one exchange; the span-merge window is per-doc
+   * bounded. Windows of boilerplate text ARE hot hashes, but they
+   * meet a one-row count side (the aggregate collapsed it), not a
+   * quadratic pairing.
+   */
+  def dupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      split(normText(trim(col("text"))), " ").as("ws"))
+    val wins = toks
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${w - 1}), i -> array_join(slice(ws, i, $w), ' '))"))
+        .as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), md5(col("win")).as("h"))
+    val cnts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val dups = wins.join(cnts, "h").filter(col("cnt") > 1).select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dups
+      .withColumn("prev_end", max(col("pos") + w)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("span_id", sum("new_span")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val perDoc = spans.groupBy("doc_id", "span_id")
+      .agg((max(col("pos")) + w - min(col("pos"))).as("span_tokens"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+    val winStats = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dupWinStats = dups.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    toks.select(col("doc_id"), size(col("ws")).as("n_tokens"))
+      .join(winStats, Seq("doc_id"), "left")
+      .join(dupWinStats, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        Norm.r4(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens")).as("dup_frac"))
+  }
+
+  /** d13: duplicate 8-token spans over the mutated-copy corpus —
+    * each mutated copy normalizes back to its original's token
+    * stream, so whole-doc spans exist by construction alongside the
+    * natural boilerplate floor. */
+  def d13DupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(corpus(spark, dir)).orderBy("doc_id")
+
   /** d09: dup-shingle profile over the mutated-copy corpus (dup
     * classes exist by construction, so shared fractions near 1.0
     * appear alongside the natural near-dup noise floor). */
@@ -838,6 +904,55 @@ object Dedup {
           |  coalesce(per.n_kept, 0) AS n_kept, per.kept_md5
           |FROM (SELECT DISTINCT doc_id FROM corpus) c
           |LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // d13: window-function mirror of the rolling-window span dedup —
+    // same md5 window keys, same interval-union via running max-end
+    "d13_dup_spans" ->
+      (corpusSql +
+        """, tk AS (
+          |  SELECT doc_id,
+          |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+          |  FROM corpus
+          |), wins AS (
+          |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+          |  FROM tk, unnest(range(1, len(ws) - 6)) AS t(i)
+          |  WHERE len(ws) >= 8
+          |), cnts AS (
+          |  SELECT h, count(*) AS cnt FROM wins GROUP BY h
+          |), dups AS (
+          |  SELECT doc_id, pos FROM wins JOIN cnts USING (h) WHERE cnt > 1
+          |), marked AS (
+          |  SELECT doc_id, pos,
+          |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM dups
+          |), sp AS (
+          |  SELECT doc_id, pos,
+          |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+          |  FROM marked
+          |), per_doc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+          |  FROM (
+          |    SELECT doc_id, span_id, max(pos) + 8 - min(pos) AS span_tokens
+          |    FROM sp GROUP BY 1, 2
+          |  ) GROUP BY 1
+          |), winstats AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY 1
+          |), dupstats AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM dups GROUP BY 1
+          |)
+          |SELECT tk.doc_id,
+          |  CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
+          |  CAST(coalesce(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+          |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          |  round(coalesce(p.dup_tokens, 0) * 1.0 / len(tk.ws), 4) + 0 AS dup_frac
+          |FROM tk
+          |LEFT JOIN winstats w USING (doc_id)
+          |LEFT JOIN dupstats d USING (doc_id)
+          |LEFT JOIN per_doc p USING (doc_id)
+          |ORDER BY tk.doc_id""".stripMargin),
     // e10: the streaming replay keeps each paragraph's first ARRIVAL;
     // arrival order is (doc_id, idx), so the batch window mirror is
     // exact — same first-occurrence CTEs as d12, kept rows emitted

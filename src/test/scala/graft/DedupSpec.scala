@@ -151,4 +151,35 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(kept == 0L, s"mutated doc $id kept $kept paragraphs")
     }
   }
+
+  test("dupSpans coalesces overlapping dup windows into maximal spans") {
+    val sess = spark
+    import sess.implicits._
+    // w1..w10 is a 10-word run shared by docs 1 and 2 -> three
+    // overlapping 8-word dup windows per doc MUST merge to ONE span
+    // covering 10 tokens. Doc 3 shares nothing (distinct vocabulary),
+    // doc 4 is shorter than the window. Doc 5 repeats doc 1's run AND
+    // doc 3's closer words, separated by unique filler -> 2 spans.
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"pre1 pre2 $run post1 post2"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+      (4L, "too short for a window"),
+      (5L, s"$run f1 f2 f3 f4 f5 f6 f7 f8 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 11 windows total (18 words), 3 dup windows, 1 span, 10 tokens
+    assert(out(1L) == ((11L, 3L, 1L, 10L)))
+    // doc 2: run at offset 2 -> same 3 dup windows, one 10-token span
+    assert(out(2L) == ((7L, 3L, 1L, 10L)))
+    // doc 3: its 12-word stream reappears inside doc 5 -> all 5
+    // windows dup, one 12-token span
+    assert(out(3L) == ((5L, 5L, 1L, 12L)))
+    // doc 4: shorter than w -> all zeros
+    assert(out(4L) == ((0L, 0L, 0L, 0L)))
+    // doc 5: two separated dup regions -> exactly 2 spans, 10+12 tokens
+    assert(out(5L)._3 == 2L && out(5L)._4 == 22L)
+  }
 }
