@@ -82,6 +82,7 @@ object SparkEntry {
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n07_knn_classify" -> (Similarity.n07KnnClassify _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
+    "n08_ann_recall" -> (Similarity.n08AnnRecall _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
     "n06_ann_ivfpq" -> (Similarity.n06AnnIvfPq _),
     "n04_label_centroids" -> (Similarity.n04LabelCentroids _),

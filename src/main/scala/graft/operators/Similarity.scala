@@ -185,6 +185,41 @@ object Similarity {
     annLsh(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
 
+  /**
+   * Recall@k of an approximate neighbor table against the exact one —
+   * the EVAL every ANN deployment runs before trusting an index (the
+   * §4 recall-vs-cost trade as a measurement, not an assertion).
+   * Inputs are any two (query_id, neighbor_id) result tables; one
+   * inner join on the pair + two per-query counts, all
+   * map-side-combined — evaluating a billion-query index shuffles
+   * counts, not candidate lists. In practice the exact side runs on a
+   * held-out QUERY SAMPLE (n01's cost is the reason ANN exists); the
+   * eval itself is oblivious to how either table was produced.
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select("query_id", "neighbor_id")
+    val hits = e.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        Norm.r4(coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("recall"))
+  }
+
+  /** n08: recall@5 of the hyperplane-LSH index (n02) against the
+    * exact top-5 (n01) on the standard query set — both sides are
+    * deterministic (fixed hyperplanes, raw-cosine tie-breaks), so the
+    * measured recall is oracle-replayable. */
+  def n08AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    recallAtK(
+      knnBrute(emb, col("vec_id") < 25, k = 5),
+      annLsh(emb, col("vec_id") < 25, k = 5))
+      .orderBy("query_id")
+  }
+
   // ------------------------------------------------------------ n03 IVF
 
   /** Fixed-point grid for the IVF codebook: unit vectors and centroids
@@ -796,6 +831,62 @@ object Similarity {
     // multiplicative hash of the flat plane*64+dim index), the same
     // 8-band × 3-bit buckets, the same candidate join + exact cosine
     // re-rank — so the ANN path itself sits under the hash gate
+    // n08: n01's exact chain + n02's full LSH replay, inner-joined on
+    // (query, neighbor) — recall is deterministic because both sides
+    // tie-break on raw cosine then neighbor_id in both engines
+    "n08_ann_recall" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        |), q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 25),
+        |s AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qe, n.e) AS cos
+        |  FROM q JOIN emb n ON q.query_id <> n.vec_id
+        |), re AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s
+        |), exact AS (
+        |  SELECT query_id, neighbor_id FROM re WHERE rnk <= 5
+        |), planes AS (
+        |  SELECT p.p AS p, list_transform(range(0, 64), d ->
+        |    CASE WHEN ((((((p.p * 64 + d + 1) * 2654435761) % 1000000007)
+        |                * (((p.p * 64 + d + 1) * 2654435761) % 1000000007))
+        |                % 1000000007 >> 7) & 1) = 1
+        |      THEN 1.0 ELSE -1.0 END) AS pv
+        |  FROM (SELECT unnest(range(0, 24)) AS p) p
+        |), sig AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(e.e, pl.pv) > 0
+        |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM emb e, planes pl GROUP BY 1
+        |), banded AS (
+        |  SELECT s2.vec_id, b.b AS band, (s2.sig >> (b.b * 3)) & 7 AS bv
+        |  FROM sig s2, (SELECT unnest(range(0, 8)) AS b) b
+        |), cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM banded qb JOIN banded n ON qb.band = n.band AND qb.bv = n.bv
+        |  WHERE qb.vec_id < 25 AND qb.vec_id <> n.vec_id
+        |), scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(a.e, b.e) AS cos
+        |  FROM cand c
+        |  JOIN emb a ON a.vec_id = c.query_id
+        |  JOIN emb b ON b.vec_id = c.neighbor_id
+        |), ra AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored
+        |), approx AS (
+        |  SELECT query_id, neighbor_id FROM ra WHERE rnk <= 5
+        |), hit AS (
+        |  SELECT e2.query_id, count(*) AS n_hit
+        |  FROM exact e2 JOIN approx a2 USING (query_id, neighbor_id) GROUP BY 1
+        |), ex AS (
+        |  SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1
+        |)
+        |SELECT query_id, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(coalesce(n_hit, 0) * 1.0 / n_exact, 4) + 0 AS recall
+        |FROM ex LEFT JOIN hit USING (query_id) ORDER BY query_id""".stripMargin,
     "n02_ann_lsh" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

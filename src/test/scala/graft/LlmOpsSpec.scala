@@ -507,4 +507,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Multimodal.MediaRow(2L, short, "x", short.length)).toDS()).collect().head
     assert(g.format == "unknown" && g.mean_r.isEmpty)
   }
+
+  test("recallAtK: identity is 1.0, partial overlap counts per query") {
+    val sess = spark
+    import sess.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    // approx: query 1 finds 2 of 4 (plus a non-exact extra that must
+    // NOT count), query 2 finds none
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((4L, 2L, 0.5)))
+    assert(r(2L) == ((2L, 0L, 0.0)))
+    // an index evaluated against itself has perfect recall
+    assert(Similarity.recallAtK(exact, exact).collect()
+      .forall(_.getDouble(3) == 1.0))
+  }
 }
