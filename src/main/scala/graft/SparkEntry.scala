@@ -121,6 +121,7 @@ object SparkEntry {
     "e08_attribution" -> (Relational.e08Attribution _),
     "e09_windowed_topk" -> (Relational.e09WindowedTopK _),
     "e10_stream_para_dedup" -> (graft.streaming.StreamingOps.e10StreamParaDedup _),
+    "e11_stream_window_gate" -> (graft.streaming.StreamingOps.e11StreamWindowAgg _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
@@ -397,6 +398,12 @@ object SparkEntry {
         |  attributed
         |FROM p ORDER BY event_id""".stripMargin,
     "e02_stream_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e11: the STREAMING state machinery must reproduce the batch
+    // aggregate exactly — same oracle as e02 by design
+    "e11_stream_window_gate" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

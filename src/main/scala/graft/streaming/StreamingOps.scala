@@ -22,9 +22,14 @@ object StreamingOps {
       watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowDur).getField("start").as("window_start"),
-        col("event_type"))
+      // group on the window() column ITSELF and project .start after
+      // the agg: extracting the field inside groupBy severs the
+      // watermark linkage, and append-mode streaming aggregation is
+      // then rejected as unwatermarked
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w").getField("start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
 
   /**
    * Streaming exact dedup — the d01 semantics over a document stream:
@@ -122,6 +127,43 @@ object StreamingOps {
       .select(col("doc_id"), col("idx"),
         md5(encode(col("p"), "UTF-8")).as("p_md5"))
       .orderBy("doc_id", "idx")
+  }
+
+  /**
+   * e11 — the e10 treatment applied to the windowed aggregate: the
+   * events table replays through the REAL streaming path
+   * (MemoryStream → watermark → windowed agg state store → memory
+   * sink, APPEND mode so a window row emits exactly once, when the
+   * watermark closes it). Events feed in event-time order, so
+   * nothing is late-dropped; a single `__flush` sentinel far past
+   * the horizon advances the watermark over every real window so the
+   * final windows close too (its own row is filtered out). The
+   * result is then EXACTLY e02's batch aggregate — same oracle —
+   * but produced by the incremental state machinery.
+   */
+  def e11StreamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .as[(Long, String, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._1))
+    val maxTs = rows.iterator.map(_._3.getTime).max
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
+    val sinkName = "graft_e11_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = tumblingWindowAgg(src).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try {
+      rows.grouped(5000).foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(Seq((-1L, "__flush",
+        new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sinkName)
+      .filter(col("event_type") =!= "__flush")
+      .orderBy("window_start", "event_type")
   }
 
   /**
