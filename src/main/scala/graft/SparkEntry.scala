@@ -113,6 +113,8 @@ object SparkEntry {
     "q13_json" -> (Relational.q13Json _),
     "q14_merge_upsert" -> (Relational.q14MergeUpsert _),
     "q15_hll_distinct" -> (Relational.q15HllDistinct _),
+    "q16_grouping_sets" -> (Relational.q16GroupingSets _),
+    "e12_transitions" -> (Relational.e12Transitions _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
     "e06_funnel" -> (Relational.e06Funnel _),
@@ -127,6 +129,7 @@ object SparkEntry {
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
     "c02_shard_pack" -> (Corpus.c02ShardPack _),
     "c06_pack_tokens" -> (Corpus.c06PackTokens _),
+    "c07_token_budget" -> (Corpus.c07TokenBudget _),
     "c03_split" -> (Corpus.c03Split _),
     "c04_mixture_sample" -> (Corpus.c04MixtureSample _),
     "c05_weighted_sample" -> (Corpus.c05WeightedSample _),
@@ -263,6 +266,32 @@ object SparkEntry {
          |      / (s_present + (256 - present)) END, 4) + 0 AS hll_distinct,
          |  CAST(256 - present AS BIGINT) AS empty_registers
          |FROM agg ORDER BY event_type""".stripMargin,
+    "q16_grouping_sets" ->
+      """WITH li AS (
+        |  SELECT *, CAST(year(l_shipdate) AS VARCHAR) AS ship_year FROM lineitem
+        |)
+        |SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  coalesce(ship_year, 'ALL') AS ship_year,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "e12_transitions" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |), seqd AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM ev
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM seqd
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) + 0 AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q13_json" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -217,6 +217,42 @@ object Corpus {
       .drop("__n", "__rate")
   }
 
+  /**
+   * Per-source token-budget selection — the data-mix step where
+   * budgets are DENOMINATED IN TOKENS and exact: each source
+   * contributes documents in deterministic hash-priority order until
+   * its token budget is exhausted (c04 hits a target mix only in
+   * expectation; this hits it to the straddling document). The
+   * priority hash makes the selection re-runnable and top-up-stable,
+   * like every sampler here.
+   *
+   * Scale shape: a per-source `sum() OVER` would sort each source in
+   * ONE task — a 20-source 100 TB corpus means 5 TB windows. Instead
+   * the rows range-sort ONCE on the composite (source, priority, id)
+   * key and the shared two-pass `prefixScan` carries partition
+   * offsets; per-source running positions recover by subtracting the
+   * source's global start (one |sources|-row aggregate, broadcast
+   * back). A document is selected iff its source-local stream
+   * position starts inside the budget.
+   */
+  def tokenBudget(df: DataFrame, idCol: String, strataCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"tokenBudget: budget must be positive, got $budget")
+    val prio = hashBucket(col(idCol), 1000003L)
+    val ordered = df.withColumn("__ord", concat_ws("|",
+      col(strataCol),
+      lpad(prio.cast("string"), 7, "0"),
+      lpad(col(idCol).cast("string"), 12, "0")))
+    val scanned = prefixScan(ordered, "__ord", valueCol, Seq("__gstart")) {
+      (start, _) => Seq(start)
+    }
+    val bases = scanned.groupBy(strataCol).agg(min("__gstart").as("__base"))
+    scanned.join(broadcast(bases), strataCol)
+      .withColumn("tok_before", col("__gstart") - col("__base"))
+      .filter(col("tok_before") < budget)
+      .drop("__ord", "__gstart", "__base")
+  }
+
   // ------------------------------------------------------------ queries
 
   /** c01: language-stratified deterministic document sample — English
@@ -246,6 +282,17 @@ object Corpus {
         size(filter(split(Dedup.normText(col("text")), " "),
           w => length(w) > 0)).cast("long").as("n_tokens")),
       "doc_id", "n_tokens", seqLen = 512L)
+      .orderBy("doc_id")
+
+  /** c07: 800 whitespace-tokens-per-source selection over documents
+    * (same token definition as c06, so the two budgets compose). */
+  def c07TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+        size(filter(split(Dedup.normText(col("text")), " "),
+          w => length(w) > 0)).cast("long").as("n_tokens")),
+      "doc_id", "source", "n_tokens", budget = 800L)
+      .select("doc_id", "source", "n_tokens", "tok_before")
       .orderBy("doc_id")
 
   /** c03: 80/10/10 train/val/test assignment over documents — stable
@@ -304,6 +351,23 @@ object Corpus {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    "c07_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+         |      w -> length(w) > 0)) AS BIGINT) AS n_tokens,
+         |    ${hashBucketSql("doc_id", 1000003L)} AS prio
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY prio, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_before
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_tokens, tok_before
+         |FROM p WHERE tok_before < 800 ORDER BY doc_id""".stripMargin,
     "c05_weighted_sample" ->
       s"""WITH keyed AS (
          |  SELECT doc_id, lang, n_chars,

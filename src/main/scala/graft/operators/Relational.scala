@@ -491,4 +491,55 @@ object Relational {
   def q15HllDistinct(spark: SparkSession, dir: String): DataFrame =
     hllDistinct(Tables.events(spark, dir), "event_type", "user_id")
       .orderBy("event_type")
+
+  /**
+   * q16: GROUPING SETS — the general form rollup (q07) and cube (q10)
+   * are special cases of: an explicit list of grouping combinations
+   * evaluated in ONE pass over the fact table (Catalyst expands the
+   * sets and shares the scan; the alternative — one query per
+   * combination UNION ALL'd — reads the 100 TB input once per set).
+   * The three sets here are deliberately NOT a rollup prefix chain:
+   * (returnflag, linestatus) for the detail matrix, (ship_year) for
+   * an orthogonal time marginal, and () for the grand total.
+   */
+  def q16GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("ship_year", year(col("l_shipdate")).cast("string"))
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("ship_year")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        coalesce(col("ship_year"), lit("ALL")).as("ship_year"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus", "ship_year")
+  }
+
+  /**
+   * e12: behavioral transition matrix — first-order Markov counts
+   * P(next event type | current) from per-user ordered event
+   * sequences. One `lead` window PARTITIONED BY user (state bounded
+   * by a single user's history, never the corpus), then a
+   * map-side-combined (from, to) count; the row-normalizing
+   * denominator is a second window over the |types|² count table, so
+   * nothing row-proportional is re-scanned. The input shape of churn
+   * prediction / next-action models over 100 TB of clickstream.
+   */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    val seq = Window.partitionBy(userCol).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    pairs.withColumn("prob", Norm.r4(col("n") / sum("n").over(byFrom)))
+  }
+
+  /** e12: event-type transition matrix over the events table. */
+  def e12Transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.events(spark, dir), "user_id", "event_type")
+      .orderBy("from_type", "to_type")
 }

@@ -365,4 +365,45 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.flatten.toSet
     assert(covered == (0L to 3L).toSet)
   }
+
+  test("tokenBudget: per-source cutoff is exact, straddler kept, partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    // source A: enough docs to exhaust a 10-token budget; B fits whole
+    val docs = (1L to 8L).map(i => (i, "A", 4L)) ++ Seq((20L, "B", 3L), (21L, "B", 2L))
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    def run(parts: Int) =
+      Corpus.tokenBudget(df.repartition(parts), "doc_id", "source", "n_tokens", 10L)
+        .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+          r.getLong(r.fieldIndex("tok_before")))).toMap
+    val out = run(1)
+    // selection is priority-ordered: exactly 3 A-docs start inside the
+    // 10-token budget (0, 4, 8 — the 8-start doc STRADDLES and is kept),
+    // and all of B (5 tokens total) fits
+    val aSel = out.keys.filter(_ <= 8L)
+    assert(aSel.size == 3)
+    assert(out.keys.count(_ >= 20L) == 2)
+    // starts within a source are the exclusive prefix sums 0,4,8
+    assert(aSel.map(out).toSeq.sorted == Seq(0L, 4L, 8L))
+    assert(run(5) == out) // partition-count invariant
+  }
+
+  test("transitionMatrix: counts and row-normalized probabilities from ordered sequences") {
+    val sess = spark
+    import sess.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    // user 1: a->b->a->b ; user 2: a->b  => a->b: 3, b->a: 1
+    val ev = Seq(
+      (1L, 1L, at(0), "a"), (2L, 1L, at(1), "b"),
+      (3L, 1L, at(2), "a"), (4L, 1L, at(3), "b"),
+      (5L, 2L, at(0), "a"), (6L, 2L, at(1), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = operators.Relational.transitionMatrix(ev, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) == ((3L, 1.0)))   // a only ever goes to b
+    assert(out(("b", "a")) == ((1L, 1.0)))   // b's one transition
+    assert(out.size == 2)                     // last events emit nothing
+  }
 }
