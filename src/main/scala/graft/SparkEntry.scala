@@ -23,6 +23,8 @@ object SparkEntry {
     "a13_assoc_interaction" -> (Mas.a13AssocInteraction _),
     "a14_assoc_wls" -> (Mas.a14AssocWls _),
     "a15_assoc_poisson" -> (Mas.a15AssocPoisson _),
+    "a18_assoc_negbin" -> (Mas.a18AssocNegbin _),
+    "a19_logrank" -> (Mas.a19Logrank _),
     "a16_cmh" -> (Mas.a16Cmh _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),
     "a04_assoc_firth" -> (Mas.a04AssocFirth _),

@@ -2,7 +2,7 @@ package graft.operators
 
 import breeze.linalg.{DenseMatrix, DenseVector}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.models.Models
 
@@ -1235,6 +1235,85 @@ object Association {
     else (Double.NaN, Double.NaN, false)
   }
 
+  /**
+   * Negative-binomial (NB2, fixed dispersion θ) log-linear fit for
+   * one predictor + intercept: y ~ NB(mean exp(α + βx), var μ+μ²/θ)
+   * — the OVERDISPERSED count family a Poisson fit (a15) understates
+   * se for (real count data is nearly always overdispersed: episode
+   * counts, utilization counts). Fisher scoring on the fixed-θ
+   * score Σx(y−μ)/(1+μ/θ) with information Σxx'μ/(1+μ/θ); same
+   * allocation-light flat-array kernel shape as `poissonFit`. On a
+   * saturated binary design the score zeroes at the group means
+   * regardless of θ (the per-group weight is constant), so the MLE
+   * is the same closed-form rate ratio β = ln(ȳ₁/ȳ₀) as Poisson
+   * while the se widens to √(1/I₀ + 1/I₁) with
+   * I_g = n_g·μ_g/(1+μ_g/θ) — which is what the DuckDB oracle
+   * replays.
+   */
+  private[graft] def negbinFit(x: Array[Double], y: Array[Double], theta: Double,
+      maxIter: Int = 25, tol: Double = 1e-10): (Double, Double, Boolean) = {
+    require(theta > 0, s"negbinFit: dispersion theta must be positive, got $theta")
+    var a = math.log(math.max(y.sum / y.length, 1e-12))
+    var b = 0.0
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      var s0 = 0.0; var s1 = 0.0
+      var i00 = 0.0; var i01 = 0.0; var i11 = 0.0
+      var i = 0
+      while (i < x.length) {
+        val mu = math.exp(a + b * x(i))
+        val w = 1.0 / (1.0 + mu / theta)
+        val r = (y(i) - mu) * w
+        s0 += r; s1 += r * x(i)
+        val wmu = mu * w
+        i00 += wmu; i01 += wmu * x(i); i11 += wmu * x(i) * x(i)
+        i += 1
+      }
+      val det = i00 * i11 - i01 * i01
+      if (det <= 0) { it = maxIter }
+      else {
+        val da = (i11 * s0 - i01 * s1) / det
+        val db = (i00 * s1 - i01 * s0) / det
+        a += da; b += db
+        converged = math.abs(da) < tol && math.abs(db) < tol
+      }
+      it += 1
+    }
+    var i00 = 0.0; var i01 = 0.0; var i11 = 0.0
+    var i = 0
+    while (i < x.length) {
+      val mu = math.exp(a + b * x(i))
+      val wmu = mu / (1.0 + mu / theta)
+      i00 += wmu; i01 += wmu * x(i); i11 += wmu * x(i) * x(i)
+      i += 1
+    }
+    val det = i00 * i11 - i01 * i01
+    if (det > 0) (b, math.sqrt(i00 / det), converged)
+    else (Double.NaN, Double.NaN, false)
+  }
+
+  /** Per-group negative-binomial association (fixed dispersion):
+    * the a15 execution shape — groups parallelize via `mapGroups`,
+    * one group's (x, y) arrays per task. */
+  def negbin(df: DataFrame, xCol: String, yCol: String, byCol: String,
+      theta: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(byCol).cast("string"), col(xCol).cast("double"), col(yCol).cast("double"))
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(yCol) >= 0)
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (grp, it) =>
+        val rows = it.toArray
+        val (beta, se, conv) = negbinFit(rows.map(_._2), rows.map(_._3), theta)
+        (grp, rows.length.toLong,
+          if (beta.isNaN) None else Some(beta),
+          if (se.isNaN) None else Some(se), conv)
+      }
+      .toDF(byCol, "n", "beta", "se", "converged")
+  }
+
   /** Per-group Poisson association: groups parallelize across
     * executors via `mapGroups` (the a03/a04 execution shape); each
     * task holds one group's (x, y) arrays. */
@@ -1256,6 +1335,63 @@ object Association {
           if (se.isNaN) None else Some(se), conv)
       }
       .toDF(byCol, "n", "beta", "se", "converged")
+  }
+
+  /**
+   * Log-rank (Mantel–Cox) survival association of a binary exposure,
+   * per stratum — the TIME-TO-EVENT family (age at diagnosis,
+   * time-to-churn) none of the other fitters cover, in its
+   * regression-free score form: at each distinct event time t the
+   * observed exposed-event count d₁ compares against its
+   * hypergeometric expectation d·n₁/n over the risk set, giving
+   * U = Σ(d₁ − d·n₁/n) and V = Σ d·(n₁/n)(1−n₁/n)(n−d)/(n−1).
+   * χ² = U²/V is the log-rank test, and because U and V are exactly
+   * the Cox partial-likelihood score and information at β=0 (Breslow
+   * ties), β̂ = U/V is the standard one-step Cox estimate with
+   * se = 1/√V — the association measure GWAS-style survival scans
+   * report without iterating.
+   *
+   * Scale shape: one map-side-combined (stratum, time) aggregate
+   * (bounded by distinct event times, not subjects), risk sets from
+   * a time-DESC cumulative window PARTITIONED BY stratum over that
+   * bounded table, then a per-stratum terminal aggregate. Nothing
+   * subject-proportional crosses a window; censored subjects count
+   * into risk sets and never into event terms.
+   */
+  def logrank(df: DataFrame, timeCol: String, eventCol: String,
+      xCol: String, byCol: String): DataFrame = {
+    val perTime = df
+      .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
+        col(eventCol).isin(0.0, 1.0) && col(xCol).isin(0.0, 1.0))
+      .groupBy(col(byCol), col(timeCol).as("t"))
+      .agg(
+        sum(col(eventCol)).as("d"),
+        sum(col(eventCol) * col(xCol)).as("d1"),
+        count(lit(1)).cast("double").as("c"),
+        sum(col(xCol)).as("c1"))
+    // risk set at t = everyone with time >= t: reverse-cumulative sums
+    // over the per-time table (bounded by |distinct times| per stratum)
+    val w = Window.partitionBy(byCol).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = perTime
+      .withColumn("n", sum("c").over(w))
+      .withColumn("n1", sum("c1").over(w))
+      .filter(col("d") > 0)
+      .select(col(byCol),
+        col("d").as("events_t"),
+        (col("d1") - col("d") * col("n1") / col("n")).as("ome"),
+        when(col("n") > 1,
+          col("d") * (col("n1") / col("n")) * (lit(1.0) - col("n1") / col("n")) *
+            (col("n") - col("d")) / (col("n") - 1)).otherwise(lit(0.0)).as("v"))
+    terms.groupBy(byCol).agg(
+        sum("events_t").cast("long").as("events"),
+        sum("ome").as("u_score"),
+        sum("v").as("v_info"))
+      .select(col(byCol),
+        col("events"), col("u_score"), col("v_info"),
+        when(col("v_info") > 0, col("u_score") * col("u_score") / col("v_info")).as("chi2"),
+        when(col("v_info") > 0, col("u_score") / col("v_info")).as("beta_1step"),
+        when(col("v_info") > 0, lit(1.0) / sqrt(col("v_info"))).as("se"))
   }
 
   /** Pairs whose rows all dropped produce no group — restore the full

@@ -169,6 +169,48 @@ object Mas {
       .orderBy("grp")
   }
 
+  /** a18: negative-binomial count-model association (NB2, fixed
+    * dispersion θ=2) — same design as a15 but with the overdispersion
+    * real count data has: the MLE beta equals Poisson's closed-form
+    * rate ratio on the saturated binary design (the per-group score
+    * weight is constant) while the se correctly WIDENS to
+    * √(1/I₀+1/I₁), I_g = n_g·ȳ_g/(1+ȳ_g/θ). */
+  def a18AssocNegbin(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("grp"),
+      when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("x"),
+      col("l_quantity").cast("double").as("y"))
+    Association.negbin(df, "x", "y", "grp", theta = 2.0)
+      .select(col("grp"), col("n"), r4(col("beta")).as("beta"),
+        r4(col("se")).as("se"), col("converged"))
+      .orderBy("grp")
+  }
+
+  /** a19: log-rank survival association per market segment — urgent
+    * orders as the exposure, order finalization as the event,
+    * follow-up from order date to the 2001-08-02 administrative
+    * censor date (open/pending orders censor). U and V are the Cox
+    * score and information at β=0, so beta_1step = U/V is the
+    * one-step Cox estimate with se = 1/√V. */
+  def a19Logrank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val subjects = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+        o("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_mktsegment").as("grp"),
+        (datediff(lit("2001-08-02").cast("date"), col("o_orderdate")) + 1)
+          .cast("double").as("time"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("event"),
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"))
+    Association.logrank(subjects, "time", "event", "x", "grp")
+      .select(col("grp"), col("events"),
+        r4(col("u_score")).as("u_score"), r4(col("v_info")).as("v_info"),
+        r4(col("chi2")).as("chi2"), r4(col("beta_1step")).as("beta_1step"),
+        r4(col("se")).as("se"))
+      .orderBy("grp")
+  }
+
   /** a16: CMH pooled odds ratio — deep-discount exposure vs
     * high-quantity outcome, stratified by returnflag (the
     * confounder). One row out; oracle replays the MH weights and
@@ -557,6 +599,69 @@ object Mas {
         |  round(sqrt(1.0 / s1 + 1.0 / s0), 4) + 0 AS se,
         |  TRUE AS converged
         |FROM g ORDER BY grp""".stripMargin,
+    // hypergeometric log-rank terms over reverse-cumulative risk sets;
+    // U,V are the Cox score/information at beta=0 (Breslow ties)
+    "a19_logrank" ->
+      """WITH s AS (
+        |  SELECT c.c_mktsegment AS grp,
+        |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate IS NOT NULL
+        |), pt AS (
+        |  SELECT grp, t, sum(ev) AS d, sum(ev * x) AS d1,
+        |    CAST(count(*) AS DOUBLE) AS c, sum(x) AS c1
+        |  FROM s GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT *,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY t DESC
+        |      ROWS UNBOUNDED PRECEDING) AS n,
+        |    sum(c1) OVER (PARTITION BY grp ORDER BY t DESC
+        |      ROWS UNBOUNDED PRECEDING) AS n1
+        |  FROM pt
+        |), terms AS (
+        |  SELECT grp, d, d1 - d * n1 / n AS ome,
+        |    CASE WHEN n > 1
+        |      THEN d * (n1 / n) * (1.0 - n1 / n) * (n - d) / (n - 1)
+        |      ELSE 0.0 END AS v
+        |  FROM rs WHERE d > 0
+        |), g AS (
+        |  SELECT grp, CAST(sum(d) AS BIGINT) AS events,
+        |    sum(ome) AS u, sum(v) AS vv
+        |  FROM terms GROUP BY grp
+        |)
+        |SELECT grp, events, round(u, 4) + 0 AS u_score, round(vv, 4) + 0 AS v_info,
+        |  CASE WHEN vv > 0 THEN round(u * u / vv, 4) + 0 END AS chi2,
+        |  CASE WHEN vv > 0 THEN round(u / vv, 4) + 0 END AS beta_1step,
+        |  CASE WHEN vv > 0 THEN round(1.0 / sqrt(vv), 4) + 0 END AS se
+        |FROM g ORDER BY grp""".stripMargin,
+    // saturated binary NB2: same rate-ratio MLE as Poisson, se from
+    // the fixed-theta Fisher information I_g = n_g*m_g/(1+m_g/theta)
+    "a18_assoc_negbin" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS x,
+        |    CAST(l_quantity AS DOUBLE) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_quantity >= 0
+        |), g AS (
+        |  SELECT grp, count(*) AS n,
+        |    sum(CASE WHEN x = 1.0 THEN y END) / count(CASE WHEN x = 1.0 THEN 1 END) AS m1,
+        |    count(CASE WHEN x = 1.0 THEN 1 END) AS n1,
+        |    sum(CASE WHEN x = 0.0 THEN y END) / count(CASE WHEN x = 0.0 THEN 1 END) AS m0,
+        |    count(CASE WHEN x = 0.0 THEN 1 END) AS n0
+        |  FROM v GROUP BY grp
+        |), i AS (
+        |  SELECT grp, n, ln(m1 / m0) AS beta,
+        |    n0 * m0 / (1.0 + m0 / 2.0) AS i0,
+        |    n1 * m1 / (1.0 + m1 / 2.0) AS i1
+        |  FROM g
+        |)
+        |SELECT grp, n, round(beta, 4) + 0 AS beta,
+        |  round(sqrt(1.0 / i0 + 1.0 / i1), 4) + 0 AS se,
+        |  TRUE AS converged
+        |FROM i ORDER BY grp""".stripMargin,
     "a14_assoc_wls" ->
       """WITH v AS (
         |  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,

@@ -273,6 +273,74 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out2.getAs[Double]("beta") - b2) < 1e-10)
   }
 
+  test("negbin: binary MLE equals Poisson's rate ratio, se widens by the NB information") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 400).map { i =>
+      val x = if (i % 3 == 0) 1.0 else 0.0
+      val lam = math.exp(1.0 + 0.7 * x)
+      var u = (rng.nextDouble() * 0.999) + 0.0005
+      var k = 0; var p = math.exp(-lam); var cdf = p
+      while (cdf < u && k < 60) { k += 1; p *= lam / k; cdf += p }
+      ("g", x, k.toDouble)
+    }
+    val df = rows.toDF("grp", "x", "y")
+    val theta = 2.0
+    val out = operators.Association.negbin(df, "x", "y", "grp", theta).head()
+    assert(out.getAs[Boolean]("converged"))
+    val beta = out.getAs[Double]("beta")
+    val se = out.getAs[Double]("se")
+    // saturated binary design: same point estimate as Poisson...
+    val (g1, g0) = rows.partition(_._2 == 1.0)
+    val m1 = g1.map(_._3).sum / g1.size; val m0 = g0.map(_._3).sum / g0.size
+    assert(math.abs(beta - math.log(m1 / m0)) < 1e-8)
+    // ...with the closed-form NB2 information se
+    val i1 = g1.size * m1 / (1.0 + m1 / theta)
+    val i0 = g0.size * m0 / (1.0 + m0 / theta)
+    assert(math.abs(se - math.sqrt(1.0 / i0 + 1.0 / i1)) < 1e-8)
+    // overdispersion must WIDEN the interval vs the Poisson fit
+    val sePois = operators.Association.poisson(df, "x", "y", "grp")
+      .head().getAs[Double]("se")
+    assert(se > sePois)
+    // theta -> infinity recovers Poisson (weight 1/(1+mu/theta) -> 1)
+    val outInf = operators.Association.negbin(df, "x", "y", "grp", 1e12).head()
+    assert(math.abs(outInf.getAs[Double]("se") - sePois) < 1e-6)
+  }
+
+  test("logrank: hand-computed O-E/variance terms, censoring in risk sets only") {
+    val sess = spark
+    import sess.implicits._
+    // x=1: events at t=1,2, censored at 3; x=0: events at t=1,4, censored at 5
+    // t=1: d=2 d1=1 n=6 n1=3 -> ome=0,   v=2*.5*.5*4/5=0.4
+    // t=2: d=1 d1=1 n=4 n1=2 -> ome=0.5, v=1*.5*.5*3/3=0.25
+    // t=4: d=1 d1=0 n=2 n1=0 -> ome=0,   v=0
+    val df = Seq(
+      ("g", 1.0, 1.0, 1.0), ("g", 2.0, 1.0, 1.0), ("g", 3.0, 0.0, 1.0),
+      ("g", 1.0, 1.0, 0.0), ("g", 4.0, 1.0, 0.0), ("g", 5.0, 0.0, 0.0)
+    ).toDF("grp", "time", "event", "x")
+    val out = operators.Association.logrank(df, "time", "event", "x", "grp").head()
+    assert(out.getAs[Long]("events") == 4L)
+    assert(math.abs(out.getAs[Double]("u_score") - 0.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("v_info") - 0.65) < 1e-12)
+    assert(math.abs(out.getAs[Double]("chi2") - 0.25 / 0.65) < 1e-12)
+    assert(math.abs(out.getAs[Double]("beta_1step") - 0.5 / 0.65) < 1e-12)
+    assert(math.abs(out.getAs[Double]("se") - 1.0 / math.sqrt(0.65)) < 1e-12)
+    // identical survival in both groups -> U = 0 (no signal)
+    val sym = Seq(
+      ("g", 1.0, 1.0, 1.0), ("g", 2.0, 1.0, 1.0),
+      ("g", 1.0, 1.0, 0.0), ("g", 2.0, 1.0, 0.0)
+    ).toDF("grp", "time", "event", "x")
+    val s = operators.Association.logrank(sym, "time", "event", "x", "grp").head()
+    assert(math.abs(s.getAs[Double]("u_score")) < 1e-12)
+    // strata are independent: a second stratum doesn't change the first
+    val two = df.union(Seq(("h", 1.0, 1.0, 1.0), ("h", 2.0, 1.0, 0.0))
+      .toDF("grp", "time", "event", "x"))
+    val g = operators.Association.logrank(two, "time", "event", "x", "grp")
+      .filter(org.apache.spark.sql.functions.col("grp") === "g").head()
+    assert(math.abs(g.getAs[Double]("u_score") - 0.5) < 1e-12)
+  }
+
   test("wls: unit weights reproduce OLS; weighted beta matches the normal equations") {
     val sess = spark
     import sess.implicits._
