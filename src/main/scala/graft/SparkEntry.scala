@@ -77,6 +77,7 @@ object SparkEntry {
     "d05b_dedup_embedding_lsh" -> (Dedup.d05bDedupEmbeddingLsh _),
     "d06_dedup_components" -> (Dedup.d06DedupComponents _),
     "d07_contamination" -> (Dedup.d07Contamination _),
+    "d14_bloom_contamination" -> (Dedup.d14BloomContamination _),
     "d08_url_dedup" -> (Dedup.d08UrlDedup _),
     "d09_dup_shingles" -> (Dedup.d09DupShingles _),
     "d10_semdedup" -> (Similarity.d10SemDedup _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "e09_windowed_topk" -> (Relational.e09WindowedTopK _),
     "e10_stream_para_dedup" -> (graft.streaming.StreamingOps.e10StreamParaDedup _),
     "e11_stream_window_gate" -> (graft.streaming.StreamingOps.e11StreamWindowAgg _),
+    "g01_pagerank" -> (Graph.g01Pagerank _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
@@ -148,7 +150,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Mas.oracleSql ++ Preprocess.oracleSql ++ Postprocess.oracleSql ++ Dedup.oracleSql ++
       TextOps.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      Joins.oracleSql ++ Corpus.oracleSql ++ Map(
+      Joins.oracleSql ++ Corpus.oracleSql ++ Graph.oracleSql ++ Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -108,6 +108,66 @@ object Dedup {
       minShared = 3)
       .orderBy("bench_id", "corpus_id")
 
+  /**
+   * Bloom-filter decontamination — d07's exact posting join replaced
+   * by the SKETCH a production tagger ships to its workers: the
+   * benchmark's shingle set compresses into an m-bit Bloom filter
+   * (k=3 positions per shingle from disjoint md5 hex windows), and
+   * corpus shingles test membership against it. The filter is ≤ m
+   * rows / m bits of state REGARDLESS of benchmark size — at 100 TB
+   * the corpus side streams through three broadcast hash joins
+   * against the tiny position table and shuffles only the per-doc
+   * count aggregate, never a posting list. Completes the
+   * deterministic-sketch family (HLL q15, CMS t16).
+   *
+   * False positives are the sketch's documented trade (≈ density³
+   * per shingle with k=3); m is deliberately small in the registered
+   * instance so the FP path is EXERCISED, not just argued. Every
+   * hash step is md5-hex arithmetic both engines compute
+   * identically, so the full filter build + probe replays in the
+   * oracle.
+   */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+      mBits: Int, flagFrac: Double): DataFrame = {
+    require(mBits == 4096, "bloomContamination: positions are 12-bit md5 windows (m=4096)")
+    def positions(shingled: DataFrame): Seq[org.apache.spark.sql.Column] =
+      (0 until 3).map(j => conv(substring(md5(col("s")), 1 + 3 * j, 3), 16, 10)
+        .cast("long").as(s"p$j"))
+    val bench = withShingles(benchmark, "text", "sh")
+      .select(explode(col("sh")).as("s"))
+    val filterPos = (0 until 3).map(j =>
+        bench.select(positions(bench)(j).as("fp")))
+      .reduce(_ union _).distinct()
+    val corp = withShingles(corpus, "text", "sh")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val probed = positions(corp).zipWithIndex.foldLeft(
+        corp.select(col("doc_id") +: positions(corp): _*)) {
+      case (df, (_, j)) =>
+        df.join(broadcast(filterPos.select(col("fp").as(s"fp$j"),
+          lit(1).as(s"hit$j"))), df(s"p$j") === col(s"fp$j"), "left")
+    }
+    probed
+      .withColumn("in_filter",
+        col("hit0").isNotNull && col("hit1").isNotNull && col("hit2").isNotNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("in_filter"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits") / col("n_shingles"), 4).as("hit_frac"),
+        (col("n_hits") / col("n_shingles") >= flagFrac).as("flagged"))
+  }
+
+  /** d14: the d07 benchmark/corpus split probed through a 4096-bit
+    * k=3 Bloom filter — ~2/3 bit density at this benchmark size, so
+    * per-shingle FPs genuinely occur (~30%) while the 50% flag
+    * threshold still separates true contamination from the FP floor. */
+  def d14BloomContamination(spark: SparkSession, dir: String): DataFrame =
+    bloomContamination(
+      graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25),
+      graft.Tables.documents(spark, dir).filter(col("doc_id") < 25),
+      mBits = 4096, flagFrac = 0.5)
+      .orderBy("doc_id")
+
   // --------------------------------------------------- d08 URL dedup
 
   /**
@@ -973,6 +1033,52 @@ object Dedup {
           |)
           |SELECT doc_id, CAST(idx AS INT) AS idx, md5(p) AS p_md5
           |FROM ranked WHERE rn = 1 ORDER BY doc_id, idx""".stripMargin),
+    // full Bloom replay: same md5 hex windows -> 8-bit positions
+    // (nibbles via strpos on the hex alphabet), same k=3 AND-probe
+    "d14_bloom_contamination" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+        |), words AS (
+        |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM words
+        |), ex AS (
+        |  SELECT doc_id, md5(unnest(shingles)) AS h FROM sh WHERE len(shingles) > 0
+        |), bp AS (
+        |  SELECT DISTINCT
+        |    ((strpos('0123456789abcdef', substr(h, 3*j+1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 3*j+2, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 3*j+3, 1)) - 1 AS fp
+        |  FROM ex CROSS JOIN (VALUES (0), (1), (2)) AS t(j)
+        |  WHERE doc_id < 25
+        |), cp AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS p0,
+        |    ((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS p1,
+        |    ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 9, 1)) - 1 AS p2
+        |  FROM ex WHERE doc_id >= 25
+        |), pr AS (
+        |  SELECT doc_id,
+        |    (p0 IN (SELECT fp FROM bp) AND p1 IN (SELECT fp FROM bp)
+        |      AND p2 IN (SELECT fp FROM bp)) AS in_filter
+        |  FROM cp
+        |), g AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN in_filter THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM pr GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_shingles, n_hits,
+        |  round(n_hits * 1.0 / n_shingles, 4) + 0 AS hit_frac,
+        |  n_hits * 1.0 / n_shingles >= 0.5 AS flagged
+        |FROM g ORDER BY doc_id""".stripMargin,
     "d07_contamination" ->
       """WITH norm AS (
         |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents

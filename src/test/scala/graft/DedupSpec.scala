@@ -117,6 +117,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L }) // block-scoped
   }
 
+  test("bloomContamination: exact copy fully hits, disjoint text can only FP, never FN") {
+    val sess = spark
+    import sess.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, benchText), // exact copy: every shingle is IN the filter (no FN)
+      (101L, "totally different words about unrelated topics entirely here now then")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomContamination(corpus, bench, 4096, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // Bloom filters have no false negatives: the copy hits 100%
+    val (n100, h100, f100) = out(100L)
+    assert(n100 == 8 && h100 == 8 && f100)
+    // the disjoint doc's hits are FPs only — with ≤24 set bits of
+    // 4096 the 3-AND FP rate (~2e-7) cannot reach the 50% flag bar
+    val (n101, h101, f101) = out(101L)
+    assert(n101 == 8 && h101 <= n101 && !f101)
+  }
+
   test("exact dedup classes cover exactly the mutated docs") {
     val out = Dedup.d01DedupExact(spark, dir).collect()
     assert(out.forall(_.getLong(1) == 2L))

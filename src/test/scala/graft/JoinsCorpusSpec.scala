@@ -388,6 +388,31 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5) == out) // partition-count invariant
   }
 
+  test("pagerank: hand-checked iteration with a dangling node, symmetry, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // a->b, b->a, a->c ; c dangles. N=3, r0=333333, teleport=50000.
+    // contrib: a gives 166666 to b and c; b gives 333333 to a; dm=333333
+    // r'(a)=50000+round(.85*(333333+111111))=427777
+    // r'(b)=r'(c)=50000+round(.85*(166666+111111))=286110
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    val out = operators.Graph.pagerank(e, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 427777L, "b" -> 286110L, "c" -> 286110L))
+    // symmetric 2-cycle: both vertices stay at exactly half the mass
+    val sym = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val s = operators.Graph.pagerank(sym, iters = 4)
+      .collect().map(r => r.getLong(1))
+    assert(s.toSeq == Seq(500000L, 500000L))
+    // partition-count invariance (integer-grid reductions)
+    val big = (1L to 60L).map(i => (s"n$i", s"n${i % 20 + 1}")).toDF("src", "dst")
+    val r1 = operators.Graph.pagerank(big.repartition(1), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r8 = operators.Graph.pagerank(big.repartition(8), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r8)
+  }
+
   test("transitionMatrix: counts and row-normalized probabilities from ordered sequences") {
     val sess = spark
     import sess.implicits._
