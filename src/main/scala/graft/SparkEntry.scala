@@ -128,6 +128,8 @@ object SparkEntry {
     "e10_stream_para_dedup" -> (graft.streaming.StreamingOps.e10StreamParaDedup _),
     "e11_stream_window_gate" -> (graft.streaming.StreamingOps.e11StreamWindowAgg _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
+    "g02_triangles" -> (Graph.g02Triangles _),
+    "g03_label_prop" -> (Graph.g03LabelProp _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),

@@ -32,9 +32,13 @@ object Graph {
    *   dangling mass = Σ r(u) over outdeg-0 vertices (one 1-row
    *   aggregate, broadcast-cross-joined);
    *   r'(v) = teleport + round(d · (contrib(v) + dangling/N)).
-   * The edge join shuffles on vertex id; rank state is one long per
-   * vertex; each round cuts lineage with localCheckpoint (the d06
-   * rule — cache() alone grows the plan exponentially).
+   * outdeg rides INSIDE the rank state (joined once at setup), so an
+   * iteration is exactly one shuffle join with the edge list on src
+   * plus one shuffle aggregate on dst — no per-vertex table is ever
+   * broadcast (|V| is cluster-scale; only the 1-row dangling
+   * aggregate broadcasts). Each round cuts lineage with
+   * localCheckpoint (the d06 rule — cache() alone grows the plan
+   * exponentially).
    *
    * `edges` must be (src, dst) pairs; vertices = edge endpoints.
    */
@@ -42,26 +46,30 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"pagerank: iters in [1,50], got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
     val n = nodes.count()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val teleport = math.round(0.15 * Scale.toDouble / n)
     val r0 = Scale / n // uniform start, floor to the grid
-    var rank = nodes.withColumn("r", lit(r0))
+    // state = (node, outdeg, r): one shuffle join here, then outdeg
+    // travels with the rank vector for the whole run
+    var rank = nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        lit(r0).as("r"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val withDeg = rank.join(broadcast(outdeg),
-        rank("node") === outdeg("src"), "left")
-      val contrib = withDeg.filter(col("outdeg").isNotNull)
+      val contrib = rank.filter(col("outdeg") > 0)
         .select(col("node"), expr("r div outdeg").as("c"))
         .join(e, col("node") === e("src"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
-      val dangling = withDeg.filter(col("outdeg").isNull)
+      val dangling = rank.filter(col("outdeg") === 0)
         .agg(coalesce(sum("r"), lit(0L)).as("dm"))
-      rank = nodes.join(contrib, Seq("node"), "left")
+      rank = rank.select(col("node"), col("outdeg"))
+        .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (lit(teleport) + round(lit(0.85) *
             (coalesce(col("contrib"), lit(0L)) + expr(s"dm div ${n}L")))
             .cast("long")).as("r"))
@@ -91,6 +99,105 @@ object Graph {
       .select(concat(lit("c"), col("o_custkey")).as("c"),
         concat(lit("s"), col("l_suppkey")).as("s"))
       .distinct()
+
+  // ------------------------------------------------- co-order graph
+
+  /** Undirected co-order part graph: two parts are adjacent when some
+    * order contains both. The projection self-join is keyed on
+    * l_orderkey, so its fan-out is bounded by ORDER SIZE (≤7 lines in
+    * TPC-H shapes) — a projection that stays safe at 100 TB, unlike
+    * projecting through a hub key (a popular part never multiplies
+    * anything; only its own order memberships do). */
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint(true)
+  }
+
+  /**
+   * Triangle counting by DEGREE ORIENTATION: each undirected edge is
+   * oriented from its (degree, id)-smaller endpoint to the larger, so
+   * the wedge self-join fans out over a vertex's oriented OUT-list,
+   * whose size is O(√E) regardless of how hot the vertex is — the
+   * classic bound that keeps hub vertices from exploding the join at
+   * scale (a raw adjacency self-join is Σdeg², degree-oriented is
+   * Σoutdeg² ≤ E^1.5). Each triangle materializes exactly once as
+   * (x→y, x→z, y→z): the closing-edge join can only match the
+   * orientation-consistent wedge, so no post-hoc dedup is needed.
+   * All joins shuffle on vertex keys; nothing is collected.
+   */
+  def triangles(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val g = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
+    val e1 = g.select(col("src").as("s1"), col("dst").as("d1"))
+    val e2 = g.select(col("src").as("s2"), col("dst").as("d2"))
+    val e3 = g.select(col("src").as("s3"), col("dst").as("d3"))
+    val tri = e1.join(e2, col("s1") === col("s2") && col("d1") =!= col("d2"))
+      .join(e3, col("d1") === col("s3") && col("d2") === col("d3"))
+      .select(col("s1").as("x"), col("d1").as("y"), col("d2").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** g02: per-part triangle participation in the co-order graph,
+    * top-20 most clustered parts. */
+  def g02Triangles(spark: SparkSession, dir: String): DataFrame =
+    triangles(coOrderEdges(spark, dir))
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(20)
+
+  /**
+   * Synchronous label propagation, fixed `iters` rounds: every vertex
+   * starts labeled by its own id; each round it adopts the MODE of
+   * its neighbors' labels, ties broken by minimum label — both rules
+   * deterministic, so the fixed loop unrolls verbatim as DuckDB CTEs.
+   * The per-round argmax is a map-side-combinable `max(struct(cnt,
+   * -lbl))` aggregate, NOT a window, so a hub vertex's neighbor-label
+   * counts partial-aggregate before the shuffle. State is one (node,
+   * label) row per vertex; one shuffle join + one shuffle aggregate
+   * per round, lineage cut per round.
+   */
+  def labelProp(und: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"labelProp: iters in [1,20], got $iters")
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var lab = adj.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val counts = adj.join(lab, adj("b") === lab("node"))
+        .select(adj("a").as("node"), col("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+      lab = counts
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lab.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"))
+  }
+
+  /** g03: label-propagation communities of the co-order part graph,
+    * 3 synchronous rounds, top-20 communities by size. */
+  def g03LabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelProp(coOrderEdges(spark, dir), iters = 3)
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
 
   // --------------------------------------------------------- oracle SQL
 
@@ -145,6 +252,76 @@ object Graph {
          |FROM r$iters ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Shared co-order-graph CTEs (edges + degrees). */
+  private val coOrderCtes: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), und AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |), deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      |  ) GROUP BY node
+      |)""".stripMargin
+
+  /** Unrolled synchronous LPA rounds: mode-of-neighbor-labels with
+    * min-label tie-break — row_number(cnt DESC, lbl ASC) is the same
+    * total order as Spark's max(struct(cnt, -lbl)). */
+  private def labelPropSql(iters: Int): String = {
+    val head = coOrderCtes +
+      """, adj AS (
+        |  SELECT u AS a, v AS b FROM und
+        |  UNION ALL SELECT v AS a, u AS b FROM und
+        |), l0 AS (
+        |  SELECT DISTINCT a AS node, a AS lbl FROM adj
+        |)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s""", c$i AS (
+         |  SELECT adj.a AS node, p.lbl AS lbl, count(*) AS cnt
+         |  FROM adj JOIN $prev p ON adj.b = p.node
+         |  GROUP BY adj.a, p.lbl
+         |), l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY cnt DESC, lbl ASC) AS rn
+         |    FROM c$i
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |FROM l$iters GROUP BY lbl
+         |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "g01_pagerank" -> pagerankSql(5))
+    "g01_pagerank" -> pagerankSql(5),
+    // degree-oriented triangle enumeration: identical orientation rule
+    // and closing-edge join, per-vertex counts via unnest
+    "g02_triangles" -> (coOrderCtes +
+      """, g AS (
+        |  SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+        |      THEN und.u ELSE und.v END AS src,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+        |      THEN und.v ELSE und.u END AS dst
+        |  FROM und
+        |  JOIN deg d1 ON und.u = d1.node
+        |  JOIN deg d2 ON und.v = d2.node
+        |), tri AS (
+        |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM g e1
+        |  JOIN g e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+        |  JOIN g e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        |), pv AS (
+        |  SELECT unnest([x, y, z]) AS node FROM tri
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM pv GROUP BY node
+        |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin),
+    "g03_label_prop" -> labelPropSql(3))
 }

@@ -413,6 +413,48 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("triangles: K4 per-vertex counts, triangle-free square, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // K4: 4 triangles, every vertex sits in C(3,2)=3 of them
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val out = operators.Graph.triangles(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 4-cycle without diagonals: no triangles at all
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    assert(operators.Graph.triangles(square).count() == 0)
+    // wheel W8 (hub 0 + 8-cycle): 8 triangles, hub in all of them,
+    // each rim vertex in 2; partition-count invariant
+    val wheel = ((1L to 8L).map(i => (0L, i)) ++
+      (1L to 7L).map(i => (i, i + 1)) :+ (1L, 8L)).toDF("u", "v")
+    val r1 = operators.Graph.triangles(wheel.repartition(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r8 = operators.Graph.triangles(wheel.repartition(8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(0L) == 8L && (1L to 8L).forall(i => r1(i) == 2L))
+    assert(r1 == r8)
+  }
+
+  test("labelProp: disjoint triangles converge to min-id communities, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // hand-traced: round 1 sends node 1 to label 2 (tie of {2,3} → min),
+    // nodes 2,3 to label 1; round 2 pulls node 1 back to 1; stable by
+    // round 3 — each triangle becomes one community under its min id
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val out = operators.Graph.labelProp(und, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 10L -> 3L))
+    val r1 = operators.Graph.labelProp(und.repartition(1), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r8 = operators.Graph.labelProp(und.repartition(8), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r8)
+  }
+
   test("transitionMatrix: counts and row-normalized probabilities from ordered sequences") {
     val sess = spark
     import sess.implicits._
