@@ -86,6 +86,7 @@ object SparkEntry {
     "n07_knn_classify" -> (Similarity.n07KnnClassify _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n08_ann_recall" -> (Similarity.n08AnnRecall _),
+    "n09_pca_power" -> (Similarity.n09PcaPower _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
     "n06_ann_ivfpq" -> (Similarity.n06AnnIvfPq _),
     "n04_label_centroids" -> (Similarity.n04LabelCentroids _),
@@ -130,12 +131,14 @@ object SparkEntry {
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
+    "g04_link_predict" -> (Graph.g04LinkPredict _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
     "c02_shard_pack" -> (Corpus.c02ShardPack _),
     "c06_pack_tokens" -> (Corpus.c06PackTokens _),
     "c07_token_budget" -> (Corpus.c07TokenBudget _),
+    "c08_mixture_weights" -> (Corpus.c08MixtureWeights _),
     "c03_split" -> (Corpus.c03Split _),
     "c04_mixture_sample" -> (Corpus.c04MixtureSample _),
     "c05_weighted_sample" -> (Corpus.c05WeightedSample _),

@@ -295,6 +295,34 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "tok_before")
       .orderBy("doc_id")
 
+  /**
+   * Temperature-scaled domain mixture weights (α = 0.5, the T5/GPT
+   * data-recipe rule w_d ∝ tokens_d^α): upweights small domains so a
+   * giant crawl can't drown the curated sources. One map-side-
+   * combined per-source aggregate (|sources| groups at ANY corpus
+   * size) → per-source sqrt on the 1e-6 grid — sqrt is IEEE-exact in
+   * both engines and the grid point is an exact integer, so the
+   * normalizing total is an ORDER-INDEPENDENT integer sum, not a
+   * float reduction that could drift with partitioning.
+   */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"),
+        size(filter(split(Dedup.normText(col("text")), " "),
+          w => length(w) > 0)).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_tokens")) * lit(1000000.0)).cast("long"))
+    val tot = per.agg(sum("w_micro").as("w_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_micro") / col("w_total"), 6).as("weight"))
+  }
+
+  /** c08: α=0.5 mixture weights over the documents corpus by source. */
+  def c08MixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeights(Tables.documents(spark, dir)).orderBy("source")
+
   /** c03: 80/10/10 train/val/test assignment over documents — stable
     * under corpus growth, no shuffle. */
   def c03Split(spark: SparkSession, dir: String): DataFrame =
@@ -351,6 +379,21 @@ object Corpus {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    "c08_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+        |  FROM t GROUP BY source
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  round(w_micro * 1.0 / (SELECT sum(w_micro) FROM per), 6) + 0 AS weight
+        |FROM per ORDER BY source""".stripMargin,
     "c07_token_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

@@ -199,6 +199,49 @@ object Graph {
       .orderBy(col("n_members").desc, col("community"))
       .limit(20)
 
+  /**
+   * Common-neighbor / Jaccard link prediction: score NON-adjacent
+   * vertex pairs by |N(u)∩N(v)| / |N(u)∪N(v)|. Every wedge centered
+   * at x (full adjacency, both directions — unlike [[triangles]],
+   * which only needs the one orientation class) contributes its
+   * center once to the id-ordered pair (u,v); |union| then needs
+   * only the degree table, and existing edges anti-join away (a
+   * predicted link should be NEW). The wedge join is Σdeg²-bounded
+   * and shuffles on the center vertex, so one hub key is one AQE-
+   * splittable partition; at crawl scale the standard cap (exclude
+   * centers with deg > K, the d02 maxDf rule — a neighbor shared by
+   * everyone predicts nothing) bounds it further without changing
+   * the plan.
+   */
+  def linkPredict(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("u").as("x"), col("v").as("n"))
+      .union(und.select(col("v").as("x"), col("u").as("n")))
+      .localCheckpoint(true)
+    val w1 = adj.select(col("x"), col("n").as("a"))
+    val w2 = adj.select(col("x"), col("n").as("b"))
+    // each unordered pair (a,b), a<b by id, counted once per common
+    // neighbor x
+    val common = w1.join(w2, Seq("x")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val und2 = und.select(col("u").as("a"), col("v").as("b"))
+    val cand = common.join(und2, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common") / (col("da") + col("db") - col("common")), 4)
+          .as("jaccard"))
+  }
+
+  /** g04: top-20 predicted new co-order part links by Jaccard. */
+  def g04LinkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredict(coOrderEdges(spark, dir))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+
   // --------------------------------------------------------- oracle SQL
 
   /** Unrolled power iterations as generated CTEs — same integer
@@ -323,5 +366,26 @@ object Graph {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM pv GROUP BY node
         |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin),
-    "g03_label_prop" -> labelPropSql(3))
+    "g03_label_prop" -> labelPropSql(3),
+    // full-adjacency wedge counts, id-ordered pairs, existing edges
+    // anti-joined, |union| from the degree table
+    "g04_link_predict" -> (coOrderCtes +
+      """, adj AS (
+        |  SELECT u AS x, v AS n FROM und
+        |  UNION ALL SELECT v AS x, u AS n FROM und
+        |), cn AS (
+        |  SELECT w1.n AS a, w2.n AS b, CAST(count(*) AS BIGINT) AS common
+        |  FROM adj w1 JOIN adj w2 ON w1.x = w2.x AND w1.n < w2.n
+        |  GROUP BY w1.n, w2.n
+        |), cand AS (
+        |  SELECT cn.a, cn.b, cn.common FROM cn
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM und WHERE und.u = cn.a AND und.v = cn.b)
+        |)
+        |SELECT c.a, c.b, c.common,
+        |  round(c.common * 1.0 / (d1.deg + d2.deg - c.common), 4) + 0 AS jaccard
+        |FROM cand c
+        |JOIN deg d1 ON c.a = d1.node
+        |JOIN deg d2 ON c.b = d2.node
+        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin))
 }

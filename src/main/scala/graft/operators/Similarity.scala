@@ -220,6 +220,74 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  // ------------------------------------------------------------ n09 PCA
+
+  /**
+   * Dominant principal component by POWER ITERATION on the centered
+   * Gram matrix — the whitening/dim-reduction primitive an embedding
+   * pipeline runs before clustering or semantic dedup. Distributed
+   * work is exactly two corpus scans, both map-side-combinable:
+   * per-dim sums (d longs) and centered pair-products (d(d+1)/2
+   * integer sums via one in-row HOF pair explode — no self-join, no
+   * shuffle wider than d² groups). The d×d matrix is bounded MODEL
+   * state on the driver (the codebook rule), where `iters` fixed
+   * max-norm power steps run in exact BigInt arithmetic on the 1e-6
+   * grid: every division is truncation-toward-zero applied to
+   * NON-NEGATIVE operands (sign split off first), so the DuckDB
+   * replay — HUGEINT matvec CTEs unrolled per iteration — lands on
+   * identical micro-unit loadings.
+   *
+   * Long-exactness bound: |centered| ≤ 2e6 on the grid → per-row
+   * products ≤ 4e12, so Long partial sums hold to ~2e6 rows
+   * (enforced). At 100 TB the same plan upgrades the pair-product
+   * sums to DECIMAL(38,0) — still exact, still order-independent —
+   * with nothing else changing.
+   */
+  def pcaPower(emb: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"pcaPower: iters in [1,20], got $iters")
+    val q = quantized(emb).select(col("vec_id"), col("q")).localCheckpoint(true)
+    val d = q.select(size(col("q"))).head().getInt(0)
+    val n = q.count()
+    require(n > 0 && n <= 2000000L,
+      s"pcaPower: Long-exact Gram bound is n <= 2e6 (got $n); use the DECIMAL(38) variant beyond")
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // JVM Long '/' truncates toward zero; the oracle mirrors with a
+    // sign-split '//' on non-negative operands
+    val mu = Array.tabulate(d)(i => sums(i) / n)
+    val muCol = array(mu.toIndexedSeq.map(lit(_)): _*)
+    val cx = q.withColumn("cx", zip_with(col("q"), muCol, (x, m) => x - m))
+    val pairExpr = expr(
+      s"""flatten(transform(sequence(0, ${d - 1}), i ->
+         |  transform(sequence(i, ${d - 1}), j ->
+         |    named_struct('i', i, 'j', j,
+         |      'p', element_at(cx, i + 1) * element_at(cx, j + 1)))))""".stripMargin)
+    val cov = cx.select(explode(pairExpr).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def C(i: Int, j: Int): BigInt = BigInt(if (i <= j) cov((i, j)) else cov((j, i)))
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => C(i, j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > 0, "pcaPower: zero covariance matrix")
+      v = w.map(x => x.sign * (x.abs * 1000000 / m))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    v.toIndexedSeq.zipWithIndex.map { case (x, i) => (i, x.toLong) }
+      .toDF("dim", "loading_micro")
+      .select(col("dim"), col("loading_micro"),
+        round(col("loading_micro") / lit(1000000.0), 4).as("loading"))
+  }
+
+  /** n09: top principal direction of the natural embeddings, 8 power
+    * steps, per-dim micro-grid loadings. */
+  def n09PcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPower(embeddings(spark, dir), iters = 8).orderBy("dim")
+
   // ------------------------------------------------------------ n03 IVF
 
   /** Fixed-point grid for the IVF codebook: unit vectors and centroids
@@ -730,7 +798,58 @@ object Similarity {
       ivfProbes(dims, coarseIters, nprobe, queryMax) + pqHead + pqLoop + tail
   }
 
+  /** Full n09 replay: quantize (ivfHead's q expression), per-dim mean
+    * via sign-split integer division, centered pair-product HUGEINT
+    * Gram, then `iters` unrolled max-norm matvec steps — every
+    * division truncation-toward-zero on non-negative operands, same
+    * as the driver's BigInt loop. */
+  private def pcaPowerSql(dims: Int, iters: Int): String = {
+    val head = defaultEmbSql +
+      s""", uq AS (
+         |  SELECT vec_id, list_transform(e, x ->
+         |    CAST(round(x / sqrt(list_sum(list_transform(e, y -> y * y))) * $GridS) AS BIGINT)) AS q
+         |  FROM emb
+         |), cnt AS (SELECT count(*) AS n FROM uq),
+         |tr AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS x FROM uq
+         |), mu AS (
+         |  SELECT i, CASE WHEN s < 0 THEN -((-s) // (SELECT n FROM cnt))
+         |    ELSE s // (SELECT n FROM cnt) END AS mu
+         |  FROM (SELECT i, sum(x) AS s FROM tr GROUP BY i)
+         |), ctr AS (
+         |  SELECT t.vec_id, t.i, t.x - m.mu AS cx FROM tr t JOIN mu m ON t.i = m.i
+         |), cov AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(sum(a.cx * b.cx) AS HUGEINT) AS c
+         |  FROM ctr a JOIN ctr b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY a.i, b.i
+         |), covf AS MATERIALIZED (
+         |  SELECT i, j, c FROM cov
+         |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j
+         |), v0 AS (
+         |  SELECT unnest(range(0, $dims)) AS dim, CAST(1000000 AS HUGEINT) AS v
+         |)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val prev = s"v${k - 1}"
+      s""", w$k AS MATERIALIZED (
+         |  SELECT cf.i AS dim, sum(cf.c * p.v) AS w
+         |  FROM covf cf JOIN $prev p ON cf.j = p.dim GROUP BY cf.i
+         |), m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT dim, CASE WHEN w < 0
+         |    THEN -((-w) * 1000000 // (SELECT m FROM m$k))
+         |    ELSE w * 1000000 // (SELECT m FROM m$k) END AS v
+         |  FROM w$k
+         |)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT dim, CAST(v AS BIGINT) AS loading_micro,
+         |  round(CAST(v AS BIGINT) / 1000000.0, 4) + 0 AS loading
+         |FROM v$iters ORDER BY dim""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "n09_pca_power" -> pcaPowerSql(dims = 64, iters = 8),
     "n03_ann_ivf" -> ivfOracleSql(lists = 16, nprobe = 4, iters = 4,
       dims = 64, queryMax = 25),
     "n06_ann_ivfpq" -> pqOracleSql(lists = 16, nprobe = 4, coarseIters = 2,

@@ -455,6 +455,50 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("linkPredict: path closes, square diagonals score 1.0, clique predicts nothing") {
+    val sess = spark
+    import sess.implicits._
+    // path 1-2-3: the only candidate is (1,3) via center 2, jaccard 1.0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val p = operators.Graph.linkPredict(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(p == Map((1L, 3L) -> ((1L, 1.0))))
+    // 4-cycle: both diagonals share 2 of 2 neighbors; edges never appear
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val s = operators.Graph.linkPredict(square).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(s == Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+    // complete graph: every pair already adjacent -> nothing to predict
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    assert(operators.Graph.linkPredict(k3).count() == 0)
+    val r1 = operators.Graph.linkPredict(square.repartition(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val r8 = operators.Graph.linkPredict(square.repartition(8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r1 == r8)
+  }
+
+  test("mixtureWeights: sqrt-temperature weights with exact grid arithmetic") {
+    val sess = spark
+    import sess.implicits._
+    // 4 vs 16 tokens -> sqrt weights 2:4 -> 1/3 and 2/3
+    val docs = Seq(
+      ("web", "a b c d"),
+      ("books", "w x y z w x y z w x y z w x y z")).toDF("source", "text")
+    val out = operators.Corpus.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("web") == ((1L, 4L, 0.333333)))
+    assert(out("books") == ((1L, 16L, 0.666667)))
+    // weights sum to ~1 and a bigger corpus is partition-invariant
+    val many = (1 to 200).map(i => (s"s${i % 5}", ("tok " * (i % 37 + 1)).trim))
+      .toDF("source", "text")
+    val r1 = operators.Corpus.mixtureWeights(many.repartition(1)).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val r8 = operators.Corpus.mixtureWeights(many.repartition(8)).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(r1 == r8 && math.abs(r1.values.sum - 1.0) < 1e-4)
+  }
+
   test("transitionMatrix: counts and row-normalized probabilities from ordered sequences") {
     val sess = spark
     import sess.implicits._

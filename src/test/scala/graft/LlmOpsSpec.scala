@@ -525,4 +525,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.recallAtK(exact, exact).collect()
       .forall(_.getDouble(3) == 1.0))
   }
+
+  test("pcaPower: axis-aligned exact case, dominant axis wins, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // two antipodal x-axis unit vectors: mean 0, cov = diag(2e12, 0)
+    // -> loadings exactly (1e6, 0), sign fixed by the all-ones start
+    val ax = Seq((1L, Seq(3.0, 0.0)), (2L, Seq(-5.0, 0.0)))
+      .toDF("vec_id", "e")
+    val out = Similarity.pcaPower(ax, iters = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(0 -> 1000000L, 1 -> 0L))
+    // x-spread dominates y-spread: top component concentrates on dim 0
+    val mix = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 0.0)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "e")
+    val m = Similarity.pcaPower(mix, iters = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m(0) == 1000000L && math.abs(m(1)) < 1000L)
+    // deterministic 3-D cloud: identical loadings at any partition count
+    val cloud = (1 to 40).map(i =>
+      (i.toLong, Seq(i.toDouble, (i * i % 17).toDouble, 1.0)))
+      .toDF("vec_id", "e")
+    val r1 = Similarity.pcaPower(cloud.repartition(1), 6)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val r8 = Similarity.pcaPower(cloud.repartition(8), 6)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r1 == r8)
+  }
 }
