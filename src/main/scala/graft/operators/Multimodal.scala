@@ -422,6 +422,58 @@ object Multimodal {
         Norm.r4(col("mean_b")).as("mean_b"))
       .orderBy("doc_id")
 
+  /**
+   * 12-bit block-luminance perceptual hash (aHash family) from a REAL
+   * P6 raster: pixels map to a 3×4 cell grid (gr = 3y div h, gc = 4x
+   * div w — every cell non-empty for the table's w≥4, h≥3), and a
+   * cell's bit is set iff its luminance mean exceeds the image mean.
+   * Both comparisons are EXACT integer cross-multiplications
+   * (cell_sum·n_total > total_sum·n_cell) — no per-cell division, so
+   * no float drift and the DuckDB replay is bit-identical. Images
+   * whose hashes collide are perceptual near-duplicates even when
+   * their byte payloads (and dimensions) differ — the image-space
+   * analogue of d01's text classes.
+   */
+  private[graft] def ppmAHash(b: Array[Byte]): Option[Long] =
+    parsePpmHeader(b) match {
+      case Some(h) if b.length - h.headerLen >= 3L * h.width * h.height =>
+        val cs = Array.fill(12)(0L); val cn = Array.fill(12)(0L)
+        var p = 0
+        val n = h.width * h.height
+        while (p < n) {
+          val y = p / h.width; val x = p % h.width
+          val cell = (y * 3 / h.height) * 4 + (x * 4 / h.width)
+          val off = h.headerLen + 3 * p
+          cs(cell) += (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
+          cn(cell) += 1L
+          p += 1
+        }
+        val ts = cs.sum; val tn = cn.sum
+        var hash = 0L
+        var c = 0
+        while (c < 12) {
+          if (cs(c) * tn > ts * cn(c)) hash |= (1L << c)
+          c += 1
+        }
+        Some(hash)
+      case _ => None
+    }
+
+  /** m08: perceptual-duplicate image classes — aHash every PPM via
+    * the batched decode hook, group equal hashes (a shuffle of one
+    * 12-bit key + doc id per image, never pixels), top-20 classes. */
+  def m08PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ppmTable(spark, dir)
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap(r =>
+        ppmAHash(r.media).map(h => (r.doc_id, h)))))
+      .toDF("doc_id", "phash")
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_images"), min("doc_id").as("rep_doc"))
+      .orderBy(col("n_images").desc, col("phash"))
+      .limit(20)
+  }
+
   /** Media table synthesized from documents: UTF-8 payload bytes +
     * metadata. A real pipeline reads (path, bytes, mime) from a
     * manifest; the schema and downstream plumbing are identical.
@@ -712,6 +764,36 @@ object Multimodal {
     // Recomputes the PPM generator's closed form over every tiled
     // pixel byte — Spark must build the raster AND decode it back
     // pixel-for-pixel for the channel means to match.
+    // same px tiling as m07; cells by integer grid mapping, bits by
+    // integer cross-multiplication, classes by hash
+    "m08_phash_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, CAST(i AS BIGINT) AS i,
+        |    ord(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, 3 * w * h)) AS t(i)
+        |), cells AS (
+        |  SELECT doc_id,
+        |    ((((i // 3) // w) * 3) // h) * 4 + (((i // 3) % w) * 4) // w AS cell,
+        |    CAST(sum(b) AS BIGINT) AS cs, CAST(count(*) AS BIGINT) AS cn
+        |  FROM px GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, sum(cs) AS ts, sum(cn) AS tn FROM cells GROUP BY doc_id
+        |), ph AS (
+        |  SELECT c.doc_id,
+        |    CAST(sum(CASE WHEN c.cs * t.tn > t.ts * c.cn
+        |      THEN 1 << CAST(c.cell AS INT) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+        |  GROUP BY c.doc_id
+        |)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+        |  min(doc_id) AS rep_doc
+        |FROM ph GROUP BY phash
+        |ORDER BY n_images DESC, phash LIMIT 20""".stripMargin,
     "m07_ppm_pixels" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

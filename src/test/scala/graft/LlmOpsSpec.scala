@@ -508,6 +508,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.format == "unknown" && g.mean_r.isEmpty)
   }
 
+  test("ppmAHash: gradient golden hash, pattern survives dimension change, uniform is zero") {
+    import Multimodal._
+    // left half dark (10), right half bright (200): bright cells are
+    // gc∈{2,3} for every gr -> bits 2,3,6,7,10,11 = 0xCCC
+    def mk(w: Int, h: Int): Array[Byte] = {
+      val raster = Array.tabulate(3 * w * h) { j =>
+        val x = (j / 3) % w
+        if (x < w / 2) 10.toByte else 200.toByte
+      }
+      buildPpm(w, h, raster)
+    }
+    assert(ppmAHash(mk(8, 6)).contains(0xCCCL))
+    // same pattern at different dimensions -> SAME perceptual hash,
+    // though the byte payloads differ (the point of the operator)
+    assert(ppmAHash(mk(4, 3)).contains(0xCCCL))
+    // uniform image: no cell exceeds the mean strictly -> hash 0
+    assert(ppmAHash(buildPpm(4, 3, Array.fill(36)(77.toByte))).contains(0L))
+    // unparseable/truncated degrade to None, never throw
+    assert(ppmAHash("P5\nnope".getBytes).isEmpty)
+    assert(ppmAHash(buildPpm(4, 3, Array[Byte](1, 2, 3))).isEmpty)
+  }
+
   test("recallAtK: identity is 1.0, partial overlap counts per query") {
     val sess = spark
     import sess.implicits._
