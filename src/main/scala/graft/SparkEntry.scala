@@ -129,6 +129,7 @@ object SparkEntry {
     "e09_windowed_topk" -> (Relational.e09WindowedTopK _),
     "e10_stream_para_dedup" -> (graft.streaming.StreamingOps.e10StreamParaDedup _),
     "e11_stream_window_gate" -> (graft.streaming.StreamingOps.e11StreamWindowAgg _),
+    "e13_stream_join_gate" -> (graft.streaming.StreamingOps.e13StreamJoinGate _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
@@ -446,6 +447,24 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e13: the streaming two-sided join state must reproduce the
+    // batch range join exactly — boundary-inclusive on both ends
+    "e13_stream_join_gate" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |  FROM events
+        |), i AS (
+        |  SELECT event_id AS imp_id, ts AS imp_ts, user_id
+        |  FROM ev WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT event_id AS click_id, ts AS click_ts, user_id
+        |  FROM ev WHERE event_type = 'click'
+        |)
+        |SELECT i.imp_id, c.click_id, i.user_id, i.imp_ts, c.click_ts
+        |FROM i JOIN c ON i.user_id = c.user_id
+        |  AND c.click_ts >= i.imp_ts
+        |  AND c.click_ts <= i.imp_ts + INTERVAL 240 MINUTE
+        |ORDER BY imp_id, click_id""".stripMargin,
     // 6h buckets floor from the epoch origin exactly like Spark's
     // window(); DuckDB's // on DOUBLE is TRUE division, so the floor
     // must be explicit

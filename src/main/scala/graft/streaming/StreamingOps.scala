@@ -173,6 +173,47 @@ object StreamingOps {
   }
 
   /**
+   * e13 — the replay harness applied to the STREAM-STREAM JOIN, the
+   * last streaming surface not under the gate: 'view' impressions
+   * joined to the clicks that followed within 4 hours for the
+   * same user, through the real two-sided join state store. Both
+   * sides feed in event-time order in time-aligned slices, so both
+   * rows of every match are in state before the watermark could
+   * evict either (an inner join emits a match in the micro-batch
+   * that completes it; the watermark only governs state cleanup).
+   * The final sink is then EXACTLY the batch range join — one plain
+   * SQL oracle.
+   */
+  def e13StreamJoinGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .filter(col("event_type").isin("view", "click"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(r => (r._2.getTime, r._1))
+    val impIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clkIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def named(s: MemoryStream[(Long, java.sql.Timestamp, Long)]): DataFrame =
+      s.toDF().toDF("event_id", "ts", "user_id")
+    val sinkName = "graft_e13_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = streamStreamJoin(named(impIn), named(clkIn),
+      joinWindow = "240 minutes", watermark = "6 hours").writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try {
+      // the e11 rule: ≤4 time-aligned slices, ≥2000 rows each
+      val batch = math.max(2000, (ev.length + 3) / 4)
+      ev.grouped(batch).foreach { b =>
+        impIn.addData(b.filter(_._4 == "view").map(r => (r._1, r._2, r._3)))
+        clkIn.addData(b.filter(_._4 == "click").map(r => (r._1, r._2, r._3)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sinkName).orderBy("imp_id", "click_id")
+  }
+
+  /**
    * Watermarked stream-stream inner join: enrich a click stream with
    * the impression that preceded it by at most `joinWindow` (the ad
    * attribution / request-response correlation shape). BOTH sides
