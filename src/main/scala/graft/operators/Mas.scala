@@ -211,6 +211,55 @@ object Mas {
       .orderBy("grp")
   }
 
+  /**
+   * a20: ORDINAL (3-level) association by pooled cumulative logits —
+   * the proportional-odds estimate a severity-graded phenotype needs
+   * where a03's binary dichotomy throws information away: dichotomize
+   * the ordered outcome at each of its J-1 thresholds, take the
+   * closed-form Haldane-corrected log-odds-ratio per threshold (the
+   * a04 rule, so empty extreme cells stay defined), and pool by
+   * inverse variance (the s09 meta-analysis rule applied across
+   * thresholds — the standard closed-form approximation to the
+   * proportional-odds MLE, and EXACTLY equal to it under
+   * proportionality as n→∞). ONE map-side-combined aggregation
+   * computes all 2·(J-1)·4 cells + n per predictor; everything after
+   * is a one-row projection, so the 100 TB cost is one scan.
+   */
+  def a20AssocOrdinal(spark: SparkSession, dir: String): DataFrame =
+    ordinalPooled(
+      cohort(spark, dir).withColumn("sev",
+        when(col("y_cnt") >= 18, 2.0).when(col("y_cnt") >= 14, 1.0).otherwise(0.0)),
+      Seq("xbin", "xpar"))
+
+  /** Pooled-cumulative-logit core over a frame with a 3-level `sev`
+    * column (0/1/2) and binary predictors — see [[a20AssocOrdinal]]. */
+  def ordinalPooled(base: DataFrame, preds: Seq[String],
+      dependent: String = "sev_cnt"): DataFrame = {
+    def branch(p: String): DataFrame = {
+      def cell(thr: Int, xv: Int, yv: Int) = {
+        val yc = if (yv == 1) col("sev") >= thr else col("sev") < thr
+        sum(when(col(p) === xv.toDouble && yc, 1.0).otherwise(0.0))
+          .as(s"c$xv${yv}_$thr")
+      }
+      val agg = base.filter(col(p).isNotNull).agg(
+        cell(1, 1, 1), cell(1, 1, 0), cell(1, 0, 1), cell(1, 0, 0),
+        cell(2, 1, 1), cell(2, 1, 0), cell(2, 0, 1), cell(2, 0, 0),
+        count(lit(1)).as("n"))
+      def b(t: Int) = log((col(s"c11_$t") + 0.5) * (col(s"c00_$t") + 0.5)
+        / ((col(s"c10_$t") + 0.5) * (col(s"c01_$t") + 0.5)))
+      def v(t: Int) = lit(1.0) / (col(s"c11_$t") + 0.5) +
+        lit(1.0) / (col(s"c10_$t") + 0.5) +
+        lit(1.0) / (col(s"c01_$t") + 0.5) +
+        lit(1.0) / (col(s"c00_$t") + 0.5)
+      val beta = (b(1) / v(1) + b(2) / v(2)) / (lit(1.0) / v(1) + lit(1.0) / v(2))
+      val se = sqrt(lit(1.0) / (lit(1.0) / v(1) + lit(1.0) / v(2)))
+      agg.select(lit(p).as("predictor"), lit(dependent).as("dependent"),
+        r4(beta).as("beta"), r4(se).as("se"),
+        r4(exp(beta)).as("or_pooled"), col("n").cast("long").as("total_n"))
+    }
+    preds.map(branch).reduce(_ union _).orderBy("predictor")
+  }
+
   /** a16: CMH pooled odds ratio — deep-discount exposure vs
     * high-quantity outcome, stratified by returnflag (the
     * confounder). One row out; oracle replays the MH weights and
@@ -516,6 +565,37 @@ object Mas {
        |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS total_n
        |FROM ${cells(dep)}""".stripMargin
 
+  /** a20 branch: per-threshold Haldane log-OR + Woolf variance over
+    * the severity-augmented cohort, inverse-variance pooled — same
+    * operation order as the Spark projection, round4 both sides. */
+  private def ordBranch(p: String): String =
+    s"""SELECT '$p' AS predictor, 'sev_cnt' AS dependent,
+       |  round((b1/v1 + b2/v2) / (1.0/v1 + 1.0/v2), 4) + 0 AS beta,
+       |  round(sqrt(1.0 / (1.0/v1 + 1.0/v2)), 4) + 0 AS se,
+       |  round(exp((b1/v1 + b2/v2) / (1.0/v1 + 1.0/v2)), 4) + 0 AS or_pooled,
+       |  CAST(n AS BIGINT) AS total_n
+       |FROM (
+       |  SELECT
+       |    ln((c11_1+0.5)*(c00_1+0.5)/((c10_1+0.5)*(c01_1+0.5))) AS b1,
+       |    1.0/(c11_1+0.5) + 1.0/(c10_1+0.5) + 1.0/(c01_1+0.5) + 1.0/(c00_1+0.5) AS v1,
+       |    ln((c11_2+0.5)*(c00_2+0.5)/((c10_2+0.5)*(c01_2+0.5))) AS b2,
+       |    1.0/(c11_2+0.5) + 1.0/(c10_2+0.5) + 1.0/(c01_2+0.5) + 1.0/(c00_2+0.5) AS v2,
+       |    n
+       |  FROM (
+       |    SELECT
+       |      sum(CASE WHEN $p = 1.0 AND sev >= 1 THEN 1.0 ELSE 0.0 END) AS c11_1,
+       |      sum(CASE WHEN $p = 1.0 AND sev < 1 THEN 1.0 ELSE 0.0 END) AS c10_1,
+       |      sum(CASE WHEN $p = 0.0 AND sev >= 1 THEN 1.0 ELSE 0.0 END) AS c01_1,
+       |      sum(CASE WHEN $p = 0.0 AND sev < 1 THEN 1.0 ELSE 0.0 END) AS c00_1,
+       |      sum(CASE WHEN $p = 1.0 AND sev >= 2 THEN 1.0 ELSE 0.0 END) AS c11_2,
+       |      sum(CASE WHEN $p = 1.0 AND sev < 2 THEN 1.0 ELSE 0.0 END) AS c10_2,
+       |      sum(CASE WHEN $p = 0.0 AND sev >= 2 THEN 1.0 ELSE 0.0 END) AS c01_2,
+       |      sum(CASE WHEN $p = 0.0 AND sev < 2 THEN 1.0 ELSE 0.0 END) AS c00_2,
+       |      count(*) AS n
+       |    FROM sevcoh WHERE $p IS NOT NULL
+       |  )
+       |)""".stripMargin
+
   private def countsBranch(dep: String, minCase: Int): String =
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
        |  CAST(sum($dep) AS BIGINT) AS cases,
@@ -697,6 +777,16 @@ object Mas {
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(logisticBranch)
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a20_assoc_ordinal" ->
+      (cohortSql +
+        """, sevcoh AS (
+          |  SELECT *, CASE WHEN y_cnt >= 18 THEN 2.0
+          |    WHEN y_cnt >= 14 THEN 1.0 ELSE 0.0 END AS sev
+          |  FROM cohort
+          |)
+          |""".stripMargin +
+        Seq("xbin", "xpar").map(ordBranch)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY predictor")),
     "a04_assoc_firth" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(firthBranch)

@@ -384,4 +384,28 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val clean = operators.Association.wls(withBad, "x", "y", "w", Seq("grp")).head()
     assert(math.abs(clean.getAs[Double]("beta") - betaw) < 1e-9)
   }
+
+  test("ordinalPooled: identical distributions give beta 0 exactly; shift gives beta > 0") {
+    val sess = spark
+    import sess.implicits._
+    // x=1 and x=0 with IDENTICAL severity distributions: every
+    // cumulative table has c11=c01 and c10=c00, so each Haldane OR is
+    // exactly 1 and the pooled beta is exactly 0
+    def rows(xv: Double, lo: Int, mid: Int, hi: Int) =
+      Seq.fill(lo)((xv, 0.0)) ++ Seq.fill(mid)((xv, 1.0)) ++ Seq.fill(hi)((xv, 2.0))
+    val same = (rows(1.0, 10, 5, 5) ++ rows(0.0, 10, 5, 5)).toDF("xb", "sev")
+    val s = operators.Mas.ordinalPooled(same, Seq("xb")).head()
+    assert(s.getAs[Double]("beta") == 0.0 && s.getAs[Double]("or_pooled") == 1.0)
+    assert(s.getAs[Long]("total_n") == 40L)
+    // exposed group shifted toward high severity -> positive pooled
+    // log-OR; the x=0 zero cell at sev=2 stays finite (Haldane)
+    val shifted = (rows(1.0, 2, 8, 10) ++ rows(0.0, 12, 8, 0)).toDF("xb", "sev")
+    val t = operators.Mas.ordinalPooled(shifted, Seq("xb")).head()
+    assert(t.getAs[Double]("beta") > 0.5)
+    assert(t.getAs[Double]("se") > 0.0 && !t.getAs[Double]("se").isNaN)
+    // partition invariance of the single-pass cell aggregate
+    val r1 = operators.Mas.ordinalPooled(shifted.repartition(1), Seq("xb")).head()
+    val r8 = operators.Mas.ordinalPooled(shifted.repartition(8), Seq("xb")).head()
+    assert(r1.getAs[Double]("beta") == r8.getAs[Double]("beta"))
+  }
 }
