@@ -135,6 +135,8 @@ object SparkEntry {
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
     "g04_link_predict" -> (Graph.g04LinkPredict _),
+    "g05_assortativity" -> (Graph.g05Assortativity _),
+    "t17_readability" -> (TextOps.t17Readability _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),

@@ -242,6 +242,57 @@ object Graph {
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(20)
 
+  /**
+   * Degree assortativity (Newman's r): Pearson correlation of
+   * endpoint degrees over all DIRECTED edge stubs — positive when
+   * hubs attach to hubs, negative for hub-and-spoke. Every moment
+   * (Σd_u, Σd_u², Σd_u·d_v over stubs) is an exact INTEGER sum —
+   * degree products of longs — so the reduction is
+   * partition-order-proof and the one FP step (the final Pearson
+   * ratio) runs on identical integers in both engines. Plan: degree
+   * aggregate + two shuffle joins to tag endpoints + ONE map-side-
+   * combined moment aggregate; nothing collects but a 1-row summary.
+   */
+  def assortativity(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val stubs = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b"))) // both stubs
+    val tagged = stubs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val m = tagged.agg(
+      count(lit(1)).as("n_stubs"),
+      sum("da").as("sx"), sum(col("da") * col("da")).as("sxx"),
+      sum(col("da") * col("db")).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max("deg").as("max_deg"), sum("deg").as("sum_deg"))
+    // symmetric stubs: x and y moments coincide, so Pearson reduces to
+    // (m·Sxy − Sx²) / (m·Sxx − Sx²). The moments are exact integer
+    // sums; the final products go through DOUBLE (identically ordered
+    // in both engines — m·Sxy can pass 2^63 on a dense graph, and
+    // BIGINT overflow would throw in DuckDB where Long silently wraps)
+    m.crossJoin(broadcast(nodes)).select(
+      col("n_nodes"),
+      (col("n_stubs") / 2).cast("long").as("n_edges"),
+      col("max_deg"),
+      round(col("sum_deg") / col("n_nodes"), 4).as("avg_deg"), {
+        // a REGULAR graph has zero degree variance: Pearson is
+        // undefined -> NaN explicitly (ANSI `/` throws on 0 divisor)
+        val num = col("n_stubs").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sx")
+        val den = col("n_stubs").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx")
+        round(when(den =!= 0.0, num / den).otherwise(lit(Double.NaN)), 4)
+          .as("assortativity")
+      })
+  }
+
+  /** g05: degree-mixing summary of the co-order part graph. */
+  def g05Assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativity(coOrderEdges(spark, dir))
+
   // --------------------------------------------------------- oracle SQL
 
   /** Unrolled power iterations as generated CTEs — same integer
@@ -367,6 +418,35 @@ object Graph {
         |FROM pv GROUP BY node
         |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin),
     "g03_label_prop" -> labelPropSql(3),
+    // both stubs per edge; integer moments; same reduced Pearson
+    "g05_assortativity" -> (coOrderCtes +
+      """, stubs AS (
+        |  SELECT u AS a, v AS b FROM und
+        |  UNION ALL SELECT v AS a, u AS b FROM und
+        |), tagged AS (
+        |  SELECT d1.deg AS da, d2.deg AS db
+        |  FROM stubs s
+        |  JOIN deg d1 ON s.a = d1.node
+        |  JOIN deg d2 ON s.b = d2.node
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_stubs,
+        |    CAST(sum(da) AS BIGINT) AS sx,
+        |    CAST(sum(da * da) AS BIGINT) AS sxx,
+        |    CAST(sum(da * db) AS BIGINT) AS sxy
+        |  FROM tagged
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(max(deg) AS BIGINT) AS max_deg,
+        |    CAST(sum(deg) AS BIGINT) AS sum_deg
+        |  FROM deg
+        |)
+        |SELECT nn.n_nodes, CAST(m.n_stubs / 2 AS BIGINT) AS n_edges,
+        |  nn.max_deg,
+        |  round(nn.sum_deg * 1.0 / nn.n_nodes, 4) + 0 AS avg_deg,
+        |  round((m.n_stubs * 1.0 * m.sxy - m.sx * 1.0 * m.sx) /
+        |    (m.n_stubs * 1.0 * m.sxx - m.sx * 1.0 * m.sx), 4) + 0
+        |    AS assortativity
+        |FROM m, nn""".stripMargin),
     // full-adjacency wedge counts, id-ordered pairs, existing edges
     // anti-joined, |union| from the degree table
     "g04_link_predict" -> (coOrderCtes +

@@ -104,6 +104,33 @@ object TextOps {
   def t03Tokens(spark: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /**
+   * Flesch reading-ease quality signal — the readability band a
+   * curriculum / quality-mix pipeline filters on: 206.835 −
+   * 1.015·(words/sentences) − 84.6·(syllables/words), with
+   * deterministic regex proxies (sentences = terminal-punctuation
+   * runs, floor 1; syllables = vowel-group runs — the standard
+   * heuristic, identical under Java regex and RE2). Pure codegen'd
+   * projection, no shuffle; the band label is decided on the
+   * 4-dp-ROUNDED score in both engines (the n05 boundary rule).
+   */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val words = greatest(size(split(trim(t), "\\s+")), lit(1)).cast("double")
+    val sents = greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("double")
+    val sylls = greatest(regexp_count(lower(t), lit("[aeiouy]+")), lit(1)).cast("double")
+    val score = round(lit(206.835) - lit(1.015) * (words / sents)
+      - lit(84.6) * (sylls / words), 4)
+    docs.select(col("doc_id"),
+      words.cast("long").as("n_words"), sents.cast("long").as("n_sentences"),
+      sylls.cast("long").as("n_syllables"), score.as("flesch"),
+      when(score >= 70, "easy").when(score >= 50, "medium")
+        .when(score >= 30, "hard").otherwise("very_hard").as("band"))
+  }
+
+  def t17Readability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------- t13 BPE
 
   /** BPE training size DEFAULTS — shared with the generated oracle
@@ -867,6 +894,26 @@ object TextOps {
       words.map(w => occSql("p", w)).mkString(" + ") + s" AS ${lang}_score"
     }.mkString(",\n    ")
     Map(
+      // same regex proxies (RE2 ≡ Java for these classes), same
+      // operation order, band on the rounded score
+      "t17_readability" ->
+        """WITH f AS (
+          |  SELECT doc_id,
+          |    greatest(len(string_split_regex(trim(text), '\s+')), 1) * 1.0 AS w,
+          |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) * 1.0 AS s,
+          |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) * 1.0 AS y
+          |  FROM documents
+          |), g AS (
+          |  SELECT doc_id, w, s, y,
+          |    round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) + 0 AS flesch
+          |  FROM f
+          |)
+          |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+          |  CAST(s AS BIGINT) AS n_sentences, CAST(y AS BIGINT) AS n_syllables,
+          |  flesch,
+          |  CASE WHEN flesch >= 70 THEN 'easy' WHEN flesch >= 50 THEN 'medium'
+          |    WHEN flesch >= 30 THEN 'hard' ELSE 'very_hard' END AS band
+          |FROM g ORDER BY doc_id""".stripMargin,
       "t11_unigram_logprob" ->
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS w FROM documents

@@ -478,6 +478,46 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("assortativity: star is exactly -1, regular graph degenerates to NaN") {
+    val sess = spark
+    import sess.implicits._
+    // K1,4 star: hubs only attach to leaves -> perfectly disassortative
+    val star = (1L to 4L).map(i => (0L, i)).toDF("u", "v")
+    val s = operators.Graph.assortativity(star).head()
+    assert(s.getAs[Long]("n_nodes") == 5L && s.getAs[Long]("n_edges") == 4L)
+    assert(s.getAs[Long]("max_deg") == 4L && s.getAs[Double]("avg_deg") == 1.6)
+    assert(s.getAs[Double]("assortativity") == -1.0)
+    // 5-cycle: every degree equal -> zero variance, Pearson undefined
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L)).toDF("u", "v")
+    assert(operators.Graph.assortativity(cyc).head()
+      .getAs[Double]("assortativity").isNaN)
+    // integer moments: identical at any partition count
+    val mixed = (star.collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      Seq((1L, 2L), (2L, 3L))).toSeq.toDF("u", "v")
+    val r1 = operators.Graph.assortativity(mixed.repartition(1)).head()
+    val r8 = operators.Graph.assortativity(mixed.repartition(8)).head()
+    assert(r1.getAs[Double]("assortativity") == r8.getAs[Double]("assortativity"))
+  }
+
+  test("readability: hand-computed Flesch score, punctuation-free floor") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllable groups
+      (2L, "no terminal punctuation here")).toDF("doc_id", "text")
+    val out = operators.TextOps.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Long]("n_words") == 6L && a.getAs[Long]("n_sentences") == 2L
+      && a.getAs[Long]("n_syllables") == 6L)
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(a.getAs[Double]("flesch") == 119.19 && a.getAs[String]("band") == "easy")
+    // sentence floor 1; "no terminal punctuation here": 4 words,
+    // vowel groups: o,e,i,a,u,u,a,io,e,e -> counted by the regex
+    val b = out(2L)
+    assert(b.getAs[Long]("n_sentences") == 1L && b.getAs[Long]("n_words") == 4L)
+  }
+
   test("mixtureWeights: sqrt-temperature weights with exact grid arithmetic") {
     val sess = spark
     import sess.implicits._
