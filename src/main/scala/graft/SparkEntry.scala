@@ -458,10 +458,10 @@ object SparkEntry {
         |  FROM events
         |), i AS (
         |  SELECT event_id AS imp_id, ts AS imp_ts, user_id
-        |  FROM ev WHERE event_type = 'view'
+        |  FROM ev WHERE event_type = 'view' AND user_id % 3 = 0
         |), c AS (
         |  SELECT event_id AS click_id, ts AS click_ts, user_id
-        |  FROM ev WHERE event_type = 'click'
+        |  FROM ev WHERE event_type = 'click' AND user_id % 3 = 0
         |)
         |SELECT i.imp_id, c.click_id, i.user_id, i.imp_ts, c.click_ts
         |FROM i JOIN c ON i.user_id = c.user_id

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -200,33 +200,37 @@ object Graph {
       .limit(20)
 
   /**
-   * Common-neighbor / Jaccard link prediction: score NON-adjacent
-   * vertex pairs by |N(u)∩N(v)| / |N(u)∪N(v)|. Every wedge centered
-   * at x (full adjacency, both directions — unlike [[triangles]],
-   * which only needs the one orientation class) contributes its
-   * center once to the id-ordered pair (u,v); |union| then needs
-   * only the degree table, and existing edges anti-join away (a
-   * predicted link should be NEW). The wedge join is Σdeg²-bounded
-   * and shuffles on the center vertex, so one hub key is one AQE-
-   * splittable partition; at crawl scale the standard cap (exclude
-   * centers with deg > K, the d02 maxDf rule — a neighbor shared by
-   * everyone predicts nothing) bounds it further without changing
-   * the plan.
+   * Common-neighbor / Jaccard link prediction FOR A TARGET SET:
+   * score each target vertex's non-adjacent companions by
+   * |N(a)∩N(b)| / |N(a)∪N(b)| — the production shape (a recommender
+   * scores links for this batch's working set, never all-pairs;
+   * that is also what bounds the cost on a DENSE graph, where the
+   * co-order degrees are uniform and a hub-center cap has nothing
+   * to cut). Wedges centered at x (full adjacency, both directions
+   * — unlike [[triangles]], which needs only one orientation class)
+   * with the target-side leg filtered FIRST, so the join is
+   * Σ(deg_targets∩N(x) · deg(x)) — |targets|/|V| of the full Σdeg².
+   * |union| needs only the degree table; existing edges anti-join
+   * away (a predicted link should be NEW). Shuffles on the center
+   * vertex: a hot center is one AQE-splittable partition.
    */
-  def linkPredict(und: DataFrame): DataFrame = {
+  def linkPredict(und: DataFrame, targetPred: Column): DataFrame = {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val adj = und.select(col("u").as("x"), col("v").as("n"))
       .union(und.select(col("v").as("x"), col("u").as("n")))
       .localCheckpoint(true)
-    val w1 = adj.select(col("x"), col("n").as("a"))
+    val w1 = adj.select(col("x"), col("n").as("a")).filter(targetPred)
     val w2 = adj.select(col("x"), col("n").as("b"))
-    // each unordered pair (a,b), a<b by id, counted once per common
-    // neighbor x
-    val common = w1.join(w2, Seq("x")).filter(col("a") < col("b"))
+    // (a, b): a a target, b any other vertex, counted once per
+    // common neighbor x
+    val common = w1.join(w2, Seq("x")).filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    // anti-join existing edges in both stored orientations (und is
+    // canonical u<v; pairs here are target-directed)
     val und2 = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
     val cand = common.join(und2, Seq("a", "b"), "left_anti")
     cand
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
@@ -236,9 +240,10 @@ object Graph {
           .as("jaccard"))
   }
 
-  /** g04: top-20 predicted new co-order part links by Jaccard. */
+  /** g04: top-20 predicted new co-order links for the low-id part
+    * working set (the batch a recommender scores). */
   def g04LinkPredict(spark: SparkSession, dir: String): DataFrame =
-    linkPredict(coOrderEdges(spark, dir))
+    linkPredict(coOrderEdges(spark, dir), col("a") < 500)
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(20)
 
@@ -447,20 +452,23 @@ object Graph {
         |    (m.n_stubs * 1.0 * m.sxx - m.sx * 1.0 * m.sx), 4) + 0
         |    AS assortativity
         |FROM m, nn""".stripMargin),
-    // full-adjacency wedge counts, id-ordered pairs, existing edges
-    // anti-joined, |union| from the degree table
+    // target-filtered wedge counts, target-directed pairs, existing
+    // edges anti-joined in both orientations
     "g04_link_predict" -> (coOrderCtes +
       """, adj AS (
         |  SELECT u AS x, v AS n FROM und
         |  UNION ALL SELECT v AS x, u AS n FROM und
         |), cn AS (
         |  SELECT w1.n AS a, w2.n AS b, CAST(count(*) AS BIGINT) AS common
-        |  FROM adj w1 JOIN adj w2 ON w1.x = w2.x AND w1.n < w2.n
+        |  FROM adj w1 JOIN adj w2 ON w1.x = w2.x AND w1.n <> w2.n
+        |  WHERE w1.n < 500
         |  GROUP BY w1.n, w2.n
         |), cand AS (
         |  SELECT cn.a, cn.b, cn.common FROM cn
         |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM und WHERE und.u = cn.a AND und.v = cn.b)
+        |    SELECT 1 FROM und
+        |    WHERE (und.u = cn.a AND und.v = cn.b)
+        |       OR (und.u = cn.b AND und.v = cn.a))
         |)
         |SELECT c.a, c.b, c.common,
         |  round(c.common * 1.0 / (d1.deg + d2.deg - c.common), 4) + 0 AS jaccard

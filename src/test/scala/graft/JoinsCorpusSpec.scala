@@ -458,22 +458,28 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("linkPredict: path closes, square diagonals score 1.0, clique predicts nothing") {
     val sess = spark
     import sess.implicits._
-    // path 1-2-3: the only candidate is (1,3) via center 2, jaccard 1.0
+    val all = lit(true)
+    // path 1-2-3: candidates are (1,3) and (3,1) via center 2, jaccard 1.0
     val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
-    val p = operators.Graph.linkPredict(path).collect()
+    val p = operators.Graph.linkPredict(path, all).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-    assert(p == Map((1L, 3L) -> ((1L, 1.0))))
+    assert(p == Map((1L, 3L) -> ((1L, 1.0)), (3L, 1L) -> ((1L, 1.0))))
+    // target-set filter keeps only the target-side rows
+    val pt = operators.Graph.linkPredict(path, col("a") < 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(pt == Map((1L, 3L) -> ((1L, 1.0))))
     // 4-cycle: both diagonals share 2 of 2 neighbors; edges never appear
     val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
-    val s = operators.Graph.linkPredict(square).collect()
+    val s = operators.Graph.linkPredict(square, all).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-    assert(s == Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+    assert(s == Map((1L, 3L) -> ((2L, 1.0)), (3L, 1L) -> ((2L, 1.0)),
+      (2L, 4L) -> ((2L, 1.0)), (4L, 2L) -> ((2L, 1.0))))
     // complete graph: every pair already adjacent -> nothing to predict
     val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
-    assert(operators.Graph.linkPredict(k3).count() == 0)
-    val r1 = operators.Graph.linkPredict(square.repartition(1)).collect()
+    assert(operators.Graph.linkPredict(k3, all).count() == 0)
+    val r1 = operators.Graph.linkPredict(square.repartition(1), all).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val r8 = operators.Graph.linkPredict(square.repartition(8)).collect()
+    val r8 = operators.Graph.linkPredict(square.repartition(8), all).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(r1 == r8)
   }
