@@ -120,6 +120,7 @@ object SparkEntry {
     "q14_merge_upsert" -> (Relational.q14MergeUpsert _),
     "q15_hll_distinct" -> (Relational.q15HllDistinct _),
     "q16_grouping_sets" -> (Relational.q16GroupingSets _),
+    "q17_hist_quantiles" -> (Relational.q17HistQuantiles _),
     "e12_transitions" -> (Relational.e12Transitions _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "e05_session_window" -> (Relational.e05SessionWindow _),
     "e08_attribution" -> (Relational.e08Attribution _),
     "e09_windowed_topk" -> (Relational.e09WindowedTopK _),
+    "e14_burst" -> (Relational.e14Burst _),
     "e10_stream_para_dedup" -> (graft.streaming.StreamingOps.e10StreamParaDedup _),
     "e11_stream_window_gate" -> (graft.streaming.StreamingOps.e11StreamWindowAgg _),
     "e13_stream_join_gate" -> (graft.streaming.StreamingOps.e13StreamJoinGate _),
@@ -136,6 +138,7 @@ object SparkEntry {
     "g03_label_prop" -> (Graph.g03LabelProp _),
     "g04_link_predict" -> (Graph.g04LinkPredict _),
     "g05_assortativity" -> (Graph.g05Assortativity _),
+    "g06_kcore" -> (Graph.g06Kcore _),
     "t17_readability" -> (TextOps.t17Readability _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
@@ -291,6 +294,46 @@ object SparkEntry {
         |FROM li
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
         |ORDER BY 1, 2, 3""".stripMargin,
+    // q17: bin index, width, and interpolation mirror the Spark
+    // expressions operand-for-operand; cum runs over <=256 rows per
+    // group; p cast to DOUBLE so the literal never lands as DECIMAL
+    "q17_hist_quantiles" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem
+        |), stats AS (
+        |  SELECT g, min(x) AS mn, max(x) AS mx,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM src GROUP BY g
+        |), binned AS (
+        |  SELECT src.g,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |      ELSE least(CAST(floor((src.x - s.mn)
+        |        / ((s.mx - s.mn) / 256.0)) AS BIGINT), 255) END AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM src JOIN stats s ON src.g = s.g
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum
+        |  FROM binned
+        |), targets AS (
+        |  SELECT g, n_rows, mn, mx, CAST(p AS DOUBLE) AS p,
+        |    CAST(ceil(CAST(p AS DOUBLE) * n_rows) AS BIGINT) AS r
+        |  FROM stats, (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+        |), pick AS (
+        |  SELECT c.g, t.p, t.r, t.n_rows, t.mn, t.mx,
+        |    c.bin, c.cum - c.cnt AS cum_prev, c.cnt,
+        |    row_number() OVER (PARTITION BY c.g, t.p ORDER BY c.bin) AS rn
+        |  FROM cum c JOIN targets t ON c.g = t.g
+        |  WHERE c.cum >= t.r
+        |)
+        |SELECT g AS l_returnflag, p, n_rows,
+        |  round(CASE WHEN mx = mn THEN mn
+        |    ELSE mn + ((mx - mn) / 256.0)
+        |      * (bin + (r - cum_prev) / cnt) END, 4) + 0 AS q_est
+        |FROM pick WHERE rn = 1
+        |ORDER BY l_returnflag, p""".stripMargin,
     "e12_transitions" ->
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
@@ -444,6 +487,29 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e14: integer moments per type over the bounded window-count
+    // table; mean/variance/z written with the SAME operand order as
+    // the Spark expression so the doubles are bit-identical, and the
+    // UNROUNDED z feeds the threshold in both engines
+    "e14_burst" ->
+      """WITH cnt AS (
+        |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |    AS window_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nw,
+        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM cnt GROUP BY event_type
+        |)
+        |SELECT c.event_type, c.window_start, c.n,
+        |  round(s.s1 / s.nw, 4) + 0 AS mean_n,
+        |  round((c.n - s.s1 / s.nw)
+        |    / sqrt(s.s2 / s.nw - (s.s1 / s.nw) * (s.s1 / s.nw)), 4) + 0 AS z
+        |FROM cnt c JOIN stats s ON c.event_type = s.event_type
+        |WHERE s.s2 / s.nw - (s.s1 / s.nw) * (s.s1 / s.nw) > 0
+        |  AND (c.n - s.s1 / s.nw)
+        |    / sqrt(s.s2 / s.nw - (s.s1 / s.nw) * (s.s1 / s.nw)) > 2.0
+        |ORDER BY c.event_type, c.window_start""".stripMargin,
     // e11: the STREAMING state machinery must reproduce the batch
     // aggregate exactly — same oracle as e02 by design
     "e11_stream_window_gate" ->

@@ -298,6 +298,48 @@ object Graph {
   def g05Assortativity(spark: SparkSession, dir: String): DataFrame =
     assortativity(coOrderEdges(spark, dir))
 
+  /**
+   * k-core peeling, a FIXED number of synchronous rounds: each round
+   * drops every vertex whose degree in the surviving subgraph is
+   * < k, then every edge touching a dropped vertex. A fixed round
+   * count (not a convergence test) keeps the loop oracle-unrollable
+   * — extra rounds after the core stabilizes are deterministic
+   * no-ops, and "the subgraph after R peels" is well-defined whether
+   * or not it has converged. Per round: one map-side-combined degree
+   * aggregate over edge stubs + two semi-joins (edges shuffle on
+   * each endpoint) — state is the surviving edge list, lineage cut
+   * per round (the d06 rule). The degree aggregate partial-combines,
+   * so a hub vertex never concentrates a round's work in one task.
+   */
+  def kcore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"kcore: k >= 1, got $k")
+    require(rounds >= 1 && rounds <= 20, s"kcore: rounds in [1,20], got $rounds")
+    var e = und.select(col("u"), col("v")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      e = e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** g06: the co-order part graph's dense core — 4 peel rounds at
+    * k = 90 (just under the bulk degree: the cascade strips ~3/4 of
+    * the vertices and a genuinely dense core survives; co-order
+    * degree is scale-invariant, so the cut behaves the same at any
+    * SF), top-20 surviving parts by within-core degree. */
+  def g06Kcore(spark: SparkSession, dir: String): DataFrame =
+    kcore(coOrderEdges(spark, dir), k = 90, rounds = 4)
+      .orderBy(col("core_deg").desc, col("node"))
+      .limit(20)
+
   // --------------------------------------------------------- oracle SQL
 
   /** Unrolled power iterations as generated CTEs — same integer
@@ -397,8 +439,34 @@ object Graph {
          |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }
 
+  /** Unrolled peel rounds: degree filter + two endpoint semi-joins
+    * per round, identical to the Spark loop. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val head = coOrderCtes + "\n, e0 AS (SELECT u, v FROM und)"
+    val peels = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s""", d$i AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM $prev UNION ALL SELECT v AS node FROM $prev
+         |  ) GROUP BY node
+         |), k$i AS (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS (
+         |  SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT node FROM k$i)
+         |    AND v IN (SELECT node FROM k$i)
+         |)""".stripMargin
+    }.mkString
+    head + peels +
+      s"""
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT u AS node FROM e$rounds UNION ALL SELECT v AS node FROM e$rounds
+         |) GROUP BY node
+         |ORDER BY core_deg DESC, node LIMIT 20""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> pagerankSql(5),
+    "g06_kcore" -> kcoreSql(90, 4),
     // degree-oriented triangle enumeration: identical orientation rule
     // and closing-edge join, per-vertex counts via unnest
     "g02_triangles" -> (coOrderCtes +

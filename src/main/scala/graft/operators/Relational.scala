@@ -431,6 +431,97 @@ object Relational {
     windowedTopK(Tables.events(spark, dir), "6 hours", k = 3)
       .orderBy("window_start", "rnk")
 
+  /**
+   * e14: burst detection — per event type, flag tumbling windows
+   * whose event count sits more than `zThresh` population standard
+   * deviations above that type's own mean window count (the
+   * monitoring/alerting shape of e02's aggregate: "this hour is
+   * anomalous for this stream"). Both moments (Σcnt, Σcnt²) are
+   * exact INTEGER sums over the per-window count table — a bounded
+   * model-state relation (windows × types, never event-proportional)
+   * — so the one FP step (mean/variance/z, written with an identical
+   * operand order in the oracle) runs on identical integers in both
+   * engines. The |types|-row stats side broadcasts; zero-variance
+   * types (a perfectly steady stream has no bursts) are excluded
+   * before the division. The unrounded z feeds the threshold compare
+   * in BOTH engines, so the flag set can't split on rounding.
+   */
+  def burstDetect(events: DataFrame, windowDur: String, zThresh: Double): DataFrame = {
+    val cnt = events
+      .groupBy(window(col("ts"), windowDur).getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = cnt.groupBy("event_type").agg(
+      count(lit(1)).as("nw"), sum("n").as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1") / col("nw")
+    val variance = col("s2") / col("nw") - (col("s1") / col("nw")) * (col("s1") / col("nw"))
+    val z = (col("n") - col("s1") / col("nw")) / sqrt(variance)
+    cnt.join(broadcast(stats), Seq("event_type"))
+      .filter(variance > 0 && z > zThresh)
+      .select(col("event_type"), col("window_start"), col("n"),
+        (round(mean, 4) + lit(0)).as("mean_n"),
+        (round(z, 4) + lit(0)).as("z"))
+  }
+
+  def e14Burst(spark: SparkSession, dir: String): DataFrame =
+    burstDetect(Tables.events(spark, dir), "1 hour", zThresh = 2.0)
+      .orderBy("event_type", "window_start")
+
+  /**
+   * q17: equi-width histogram quantile SKETCH — two corpus scans
+   * (per-group min/max/count, then per-(group, bin) integer counts)
+   * and every later relation bounded by bins × |groups| rows; the
+   * single-pass-state answer to p11's exact sort-based quantiles,
+   * completing the production sketch family (HLL q15, CMS t16, Bloom
+   * d14). Estimate: first bin whose running count reaches rank
+   * r = ceil(p·n), linearly interpolated at (r − cum_prev)/cnt into
+   * the bin. The bin index and the estimate are DOUBLE expressions
+   * mirrored operand-for-operand in the oracle (width = (mx−mn)/B,
+   * identical division order), the running count is over ≤B rows per
+   * group (a bounded window, never row-proportional), and the
+   * degenerate constant group short-circuits to bin 0 before the
+   * zero-width divide.
+   */
+  def histQuantiles(df: DataFrame, grpCol: String, valCol: String,
+      bins: Int, ps: Seq[Double]): DataFrame = {
+    require(bins >= 2 && bins <= 100000, s"histQuantiles: bins in [2,1e5], got $bins")
+    val w = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val stats = df.groupBy(col(grpCol).as("g")).agg(
+      min(valCol).as("mn"), max(valCol).as("mx"), count(lit(1)).as("n_rows"))
+    val binned = df.select(col(grpCol).as("g"), col(valCol).as("x"))
+      .join(broadcast(stats), Seq("g"))
+      .select(col("g"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("x") - col("mn")) / w), lit(bins - 1L)))
+          .as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = binned
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("g").orderBy("bin")))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val targets = stats.select(col("g"), col("n_rows"), col("mn"), col("mx"),
+        explode(array(ps.map(p => lit(p)): _*)).as("p"))
+      .withColumn("r", ceil(col("p") * col("n_rows")).cast("long"))
+    cum.join(broadcast(targets), Seq("g"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("g"), col("p"), col("r"), col("n_rows"), col("mn"), col("mx"))
+      .agg(min(struct(col("bin"), col("cum_prev"), col("cnt"))).as("s"))
+      .select(col("g").as(grpCol), col("p"), col("n_rows"),
+        (round(when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") + w *
+            (col("s.bin") + (col("r") - col("s.cum_prev")) / col("s.cnt"))), 4)
+          + lit(0)).as("q_est"))
+  }
+
+  /** q17: p50/p90/p99 of l_extendedprice per return flag via a
+    * 256-bin histogram sketch. */
+  def q17HistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    histQuantiles(
+      Tables.lineitem(spark, dir).select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", bins = 256, ps = Seq(0.5, 0.9, 0.99))
+      .orderBy("l_returnflag", "p")
+
   /** HLL geometry: m registers, rho from a 22-bit hash window.
     * alpha is the standard HyperLogLog bias constant for m = 256,
     * PRE-computed and embedded as the same literal in the oracle so

@@ -16,6 +16,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StreamingOps {
 
+  /** Every stateful streaming operator commits ONE state store per
+    * shuffle partition per micro-batch, so a replay's fixed cost is
+    * n_partitions × n_batches × n_stateful_ops regardless of how
+    * little state it holds — at 32 partitions the commits dominate
+    * the gate-sized replays. Run them at 8: results are
+    * partition-count-invariant (hash-verified at local[1]/[4]/[32];
+    * each dedup/agg/join key still reaches exactly one state
+    * reducer), and production sizes this knob to REAL state volume,
+    * not to the host's core count. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Tumbling-window event aggregate (e02's shape) with a watermark
     * for state eviction when the input is a stream. */
   def tumblingWindowAgg(events: DataFrame, windowDur: String = "1 hour",
@@ -115,14 +131,16 @@ object StreamingOps {
       .withColumn("ts", timestamp_millis(col("doc_id") + lit(3600000L)))
     val sinkName = "graft_e10_sink"
     spark.catalog.dropTempView(sinkName) // re-runs in one session (bench min-of-2)
-    val q = streamParaDedup(src).writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
-    try {
-      // 2000 docs/micro-batch: enough batches to exercise cross-batch
-      // state, few enough that per-batch state-store commit overhead
-      // doesn't dominate the gate/bench runs
-      docs.grouped(2000).foreach { b => input.addData(b); q.processAllAvailable() }
-    } finally q.stop()
+    withShufflePartitions(spark, 8) {
+      val q = streamParaDedup(src).writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      try {
+        // 2000 docs/micro-batch: enough batches to exercise cross-batch
+        // state, few enough that per-batch state-store commit overhead
+        // doesn't dominate the gate/bench runs
+        docs.grouped(2000).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    }
     spark.table(sinkName)
       .select(col("doc_id"), col("idx"),
         md5(encode(col("p"), "UTF-8")).as("p_md5"))
@@ -153,20 +171,22 @@ object StreamingOps {
     val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
     val sinkName = "graft_e11_sink"
     spark.catalog.dropTempView(sinkName)
-    val q = tumblingWindowAgg(src).writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
-    try {
-      // ≥5000 rows per micro-batch AND ≤4 batches: cross-batch state is
-      // still exercised (the sf0.01 gate keeps its 2-batch shape), but
-      // per-batch state-store commit cost stops scaling with corpus
-      // size — 20 sequential micro-batches at sf0.1 cost 41 s of pure
-      // commit overhead for an identical final sink
-      val batch = math.max(5000, (rows.length + 3) / 4)
-      rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
-      input.addData(Seq((-1L, "__flush",
-        new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
-      q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(spark, 8) {
+      val q = tumblingWindowAgg(src).writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      try {
+        // ≥5000 rows per micro-batch AND ≤4 batches: cross-batch state is
+        // still exercised (the sf0.01 gate keeps its 2-batch shape), but
+        // per-batch state-store commit cost stops scaling with corpus
+        // size — 20 sequential micro-batches at sf0.1 cost 41 s of pure
+        // commit overhead for an identical final sink
+        val batch = math.max(5000, (rows.length + 3) / 4)
+        rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
+        input.addData(Seq((-1L, "__flush",
+          new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table(sinkName)
       .filter(col("event_type") =!= "__flush")
       .orderBy("window_start", "event_type")
@@ -202,18 +222,20 @@ object StreamingOps {
       s.toDF().toDF("event_id", "ts", "user_id")
     val sinkName = "graft_e13_sink"
     spark.catalog.dropTempView(sinkName)
-    val q = streamStreamJoin(named(impIn), named(clkIn),
-      joinWindow = "240 minutes", watermark = "6 hours").writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
-    try {
-      // the e11 rule: ≤4 time-aligned slices, ≥2000 rows each
-      val batch = math.max(2000, (ev.length + 3) / 4)
-      ev.grouped(batch).foreach { b =>
-        impIn.addData(b.filter(_._4 == "view").map(r => (r._1, r._2, r._3)))
-        clkIn.addData(b.filter(_._4 == "click").map(r => (r._1, r._2, r._3)))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withShufflePartitions(spark, 8) {
+      val q = streamStreamJoin(named(impIn), named(clkIn),
+        joinWindow = "240 minutes", watermark = "6 hours").writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      try {
+        // the e11 rule: ≤4 time-aligned slices, ≥2000 rows each
+        val batch = math.max(2000, (ev.length + 3) / 4)
+        ev.grouped(batch).foreach { b =>
+          impIn.addData(b.filter(_._4 == "view").map(r => (r._1, r._2, r._3)))
+          clkIn.addData(b.filter(_._4 == "click").map(r => (r._1, r._2, r._3)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(sinkName).orderBy("imp_id", "click_id")
   }
 

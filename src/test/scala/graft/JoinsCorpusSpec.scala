@@ -505,6 +505,74 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getAs[Double]("assortativity") == r8.getAs[Double]("assortativity"))
   }
 
+  test("kcore: pendant chain peels off a K4 in two rounds, path dissolves, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // K4 on 1-4 plus pendant chain 1-5-6: round 1 drops 6 (deg 1),
+    // round 2 drops the now-degree-1 vertex 5, round 3 is a no-op —
+    // the 2-core is exactly the clique, every survivor at degree 3
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L)).toDF("u", "v")
+    val out = operators.Graph.kcore(g, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a path has no 2-core: the ends peel, then the middle is bare
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(operators.Graph.kcore(path, k = 2, rounds = 2).count() == 0)
+    val r1 = operators.Graph.kcore(g.repartition(1), 2, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r8 = operators.Graph.kcore(g.repartition(8), 2, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r8)
+  }
+
+  test("histQuantiles: hand-computed interpolation, constant group short-circuits") {
+    val sess = spark
+    import sess.implicits._
+    // group a: 0..9 into 5 bins over [0,9], width 1.8 -> two per bin;
+    // p50: r=5 lands in bin 2 (cum 6, prev 4) -> 1.8*(2 + 1/2) = 4.5;
+    // p90: r=9 lands in bin 4 (cum 10, prev 8) -> 1.8*(4 + 1/2) = 8.1
+    val df = ((0 to 9).map(i => ("a", i.toDouble)) ++
+      Seq.fill(4)(("c", 7.0))).toDF("g", "x")
+    val out = operators.Relational.histQuantiles(df, "g", "x", 5, Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("a", 0.5) -> ((10L, 4.5)), ("a", 0.9) -> ((10L, 8.1)),
+      ("c", 0.5) -> ((4L, 7.0)), ("c", 0.9) -> ((4L, 7.0))))
+    val r1 = operators.Relational.histQuantiles(df.repartition(1), "g", "x", 5, Seq(0.5, 0.9))
+      .collect().map(_.toString).sorted.toSeq
+    val r8 = operators.Relational.histQuantiles(df.repartition(8), "g", "x", 5, Seq(0.5, 0.9))
+      .collect().map(_.toString).sorted.toSeq
+    assert(r1 == r8)
+  }
+
+  test("burstDetect: hand-computed z flags only the spike, steady stream excluded") {
+    val sess = spark
+    import sess.implicits._
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // type a: counts [1,1,1,1,1,10] over 6 hourly windows ->
+    // mean 2.5, var 105/6 - 6.25 = 11.25, z(10) = 7.5/sqrt(11.25) = sqrt(5)
+    val a = (0 to 4).map(h => (t(h, 30), "a")) ++ (0 until 10).map(m => (t(5, m), "a"))
+    // type b: constant 3 per window -> zero variance, never flagged
+    val b = for (h <- 0 to 2; m <- Seq(5, 15, 25)) yield (t(h, m), "b")
+    val ev = (a ++ b).toDF("ts", "event_type")
+    val out = operators.Relational.burstDetect(ev, "1 hour", 2.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") == "a")
+    assert(r.getAs[java.sql.Timestamp]("window_start") == t(5, 0))
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("mean_n") == 2.5)
+    assert(r.getAs[Double]("z") == 2.2361) // round(sqrt(5), 4)
+    // integer moments: identical flag set at any partition count
+    val r1 = operators.Relational.burstDetect(ev.repartition(1), "1 hour", 2.0)
+      .collect().map(_.toString).sorted.toSeq
+    val r8 = operators.Relational.burstDetect(ev.repartition(8), "1 hour", 2.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(r1 == r8)
+  }
+
   test("readability: hand-computed Flesch score, punctuation-free floor") {
     val sess = spark
     import sess.implicits._
