@@ -133,6 +133,7 @@ object SparkEntry {
     "e10_stream_para_dedup" -> (graft.streaming.StreamingOps.e10StreamParaDedup _),
     "e11_stream_window_gate" -> (graft.streaming.StreamingOps.e11StreamWindowAgg _),
     "e13_stream_join_gate" -> (graft.streaming.StreamingOps.e13StreamJoinGate _),
+    "e15_stream_session_gate" -> (graft.streaming.StreamingOps.e15StreamSessionGate _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
@@ -516,6 +517,30 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e15: the flatMapGroupsWithState sessionizer floors event time
+    // to seconds, so the gap rule runs on floor(epoch(ts)); ms-ties
+    // share a floored second and can't split a session either way
+    "e15_stream_session_gate" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS fs, value
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts, fs, value,
+        |    CASE WHEN lag(fs) OVER w IS NULL
+        |      OR fs - lag(fs) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, fs, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, min(fs) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // e13: the streaming two-sided join state must reproduce the
     // batch range join exactly — boundary-inclusive on both ends
     "e13_stream_join_gate" ->

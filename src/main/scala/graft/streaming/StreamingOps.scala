@@ -240,6 +240,58 @@ object StreamingOps {
   }
 
   /**
+   * e15 — the replay harness applied to SESSIONIZATION, the fourth
+   * and last streaming state surface (after dedup e10, windowed agg
+   * e11, stream-stream join e13): the events table replays through
+   * the REAL `flatMapGroupsWithState` path — per-user session state,
+   * event-time timeout — and the emitted sessions must equal e01's
+   * batch gap rule. Events feed in event-time order (nothing is
+   * late-dropped), and a far-future sentinel advances the watermark
+   * so every open session times out and emits. Consistency argument
+   * for the two close paths: a session closes EITHER by a gap break
+   * (a later event of the same user) or by timeout; with an in-order
+   * feed the watermark only passes lastTs+gap after the global feed
+   * time is ≥ gap past it, so any later event of that user would
+   * have broken the gap anyway — both paths emit the identical
+   * session row, and state removal on timeout precludes double
+   * emission. The sessionizer floors event time to SECONDS
+   * (getTime/1000), so the oracle's gap rule runs on
+   * floor(epoch(ts)) — ms-ties inside one floored second cannot
+   * split a session in either engine.
+   */
+  def e15StreamSessionGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._2.getTime, r._1))
+    val maxTs = rows.iterator.map(_._2.getTime).max
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val src = input.toDF().toDF("user_id", "ts", "value").as[Event]
+    val sinkName = "graft_e15_sink"
+    spark.catalog.dropTempView(sinkName)
+    withShufflePartitions(spark, 8) {
+      val q = sessionize(src).writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      try {
+        val batch = math.max(5000, (rows.length + 3) / 4)
+        rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
+        // sentinel 48 h past the horizon: watermark sweeps past every
+        // pending timeout; its own open session is filtered below
+        input.addData(Seq((-1L,
+          new java.sql.Timestamp(maxTs + 48L * 3600 * 1000), 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table(sinkName)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("start_ts").as("session_start"),
+        col("n_events"), round(col("session_value"), 4).as("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /**
    * Watermarked stream-stream inner join: enrich a click stream with
    * the impression that preceded it by at most `joinWindow` (the ad
    * attribution / request-response correlation shape). BOTH sides
