@@ -417,6 +417,120 @@ object Mas {
       .orderBy("dependent")
   }
 
+  /** Half-away-from-zero to the 1e-6 grid — the Similarity.qMicro
+    * rule, so driver-side Newton steps land on the same doubles as
+    * DuckDB `round(x, 6)`. */
+  private def q6(x: Double): Double =
+    (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+
+  /**
+   * GWAS-style SCORE-TEST screen — the association engine's true
+   * 100 TB path (REGENIE/SAIGE-style step-1/step-2 split): fit the
+   * covariate-only logistic NULL model once per dependent (never per
+   * predictor), then score EVERY predictor from ONE aggregation pass
+   * — per-variant cost is one grouped sum, not 6–8 Newton scans, so
+   * screening a million variants costs what fitting eight does.
+   * Survivors go to the exact a04/a17 Firth fits.
+   *
+   * Determinism contract (the fixed-point-oracle rule applied to
+   * IRLS): a FIXED 4 Newton iterations (not a convergence test), β
+   * quantized to the 1e-6 grid after every step, and p̂ itself
+   * quantized to micro units — so every score-pass reduction
+   * (U, x'Wx, x'WZ, Z'WZ) is an EXACT integer sum over
+   * (pμ, wμ = pμ(1e6−pμ), integer-valued x/s/y), order-independent
+   * at any partition count and replayed verbatim by unrolled DuckDB
+   * CTEs. The only cross-engine FP surface is exp() inside the
+   * sigmoid (identical inputs; a mismatch would need the true value
+   * within ~1e-10 of a rounding boundary) and the final closed-form
+   * χ² expression, mirrored operand-for-operand.
+   *
+   * V = x'Wx − (x'WZ)(Z'WZ)⁻¹(Z'Wx) with Z = [1, s]: the 2×2
+   * inverse is closed-form, so the executor/projection needs no
+   * linear algebra. χ² = U²/V (1 df).
+   *
+   * `df` needs integer-valued double columns: `preds`/`deps` 0/1,
+   * `sCol` small-integer covariate. Long-overflow bound: Σwμs² ≤
+   * 2.5e11·s²·n — fine to n ≈ 10⁶ per partition-sum at s ≤ 4;
+   * beyond that, scale wμ down one decade.
+   */
+  private[graft] def scoreScreen(df: DataFrame, sCol: String,
+      preds: Seq[String], deps: Seq[String], iters: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val melted = df.select(Seq(col(sCol).as("s")) ++ preds.map(col) ++
+        Seq(explode(map(deps.flatMap(d => Seq(lit(d), col(d))): _*))
+          .as(Seq("dep", "y"))): _*)
+      .localCheckpoint(true) // reused 4+1 times: cut the scan lineage
+    def withP(b: DataFrame): DataFrame =
+      melted.join(broadcast(b), Seq("dep"))
+        .withColumn("pmu",
+          round(lit(1000000.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("s")))))
+            .cast("long"))
+        .withColumn("wmu", col("pmu") * (lit(1000000L) - col("pmu")))
+        .withColumn("sL", col("s").cast("long"))
+        .withColumn("ymu", col("y").cast("long") * lit(1000000L))
+    // null fit: 4 fixed IRLS steps, ALL dependents in one grouped
+    // scan per step; β is 2·|deps| doubles of bounded model state
+    var betas: Map[String, (Double, Double)] = deps.map(_ -> ((0.0, 0.0))).toMap
+    for (_ <- 1 to iters) {
+      val sums = withP(betas.toSeq.map { case (d, (b0, b1)) => (d, b0, b1) }
+          .toDF("dep", "b0", "b1"))
+        .groupBy("dep").agg(
+          sum("wmu").as("sw"),
+          sum(col("wmu") * col("sL")).as("sws"),
+          sum(col("wmu") * col("sL") * col("sL")).as("swss"),
+          sum(col("ymu") - col("pmu")).as("u0"),
+          sum(col("sL") * (col("ymu") - col("pmu"))).as("u1"))
+        .collect()
+      betas = sums.map { r =>
+        val dep = r.getString(0)
+        val a = r.getLong(1) / 1.0e12; val b = r.getLong(2) / 1.0e12
+        val c = r.getLong(3) / 1.0e12
+        val u0 = r.getLong(4) / 1.0e6; val u1 = r.getLong(5) / 1.0e6
+        val det = a * c - b * b
+        val (b0, b1) = betas(dep)
+        dep -> ((q6(b0 + (c * u0 - b * u1) / det),
+          q6(b1 + (a * u1 - b * u0) / det)))
+      }.toMap
+    }
+    // score pass: ONE aggregation for every (predictor, dependent)
+    // pair — all sums exact integers on the micro grid
+    val scored = withP(betas.toSeq.map { case (d, (b0, b1)) => (d, b0, b1) }
+        .toDF("dep", "b0", "b1"))
+      .select(col("dep"), col("s"), col("sL"), col("y"), col("pmu"),
+        col("wmu"), col("ymu"),
+        explode(map(preds.flatMap(p => Seq(lit(p), col(p))): _*))
+          .as(Seq("pred", "xv")))
+      .withColumn("xL", col("xv").cast("long"))
+      .groupBy("pred", "dep").agg(
+        count(lit(1)).as("total_n"),
+        sum(col("y").cast("long")).as("cases"),
+        sum(col("xL") * (col("ymu") - col("pmu"))).as("umu"),
+        sum(col("xL") * col("wmu")).as("sxw"),
+        sum(col("xL") * col("wmu") * col("sL")).as("sxws"),
+        sum("wmu").as("sw"),
+        sum(col("wmu") * col("sL")).as("sws"),
+        sum(col("wmu") * col("sL") * col("sL")).as("swss"))
+    val a = col("sw") / lit(1.0e12); val b = col("sws") / lit(1.0e12)
+    val c = col("swss") / lit(1.0e12)
+    val v0 = col("sxw") / lit(1.0e12); val v1 = col("sxws") / lit(1.0e12)
+    val det = a * c - b * b
+    val vv = col("sxw") / lit(1.0e12) -
+      (c * v0 * v0 - lit(2.0) * b * v0 * v1 + a * v1 * v1) / det
+    val u = col("umu") / lit(1.0e6)
+    scored.select(col("pred").as("predictor"), col("dep").as("dependent"),
+      col("cases"), (col("total_n") - col("cases")).as("controls"),
+      col("total_n"), (round(u * u / vv, 4) + lit(0)).as("score_chi2"))
+  }
+
+  /** a21: score-screen xbin/xpar against the binary dependents under
+    * a z2-adjusted logistic null — the screening stage whose
+    * survivors route to a04/a17. */
+  def a21ScoreScreen(spark: SparkSession, dir: String): DataFrame =
+    scoreScreen(cohort(spark, dir), "z2", Seq("xbin", "xpar"),
+      Seq("d_urgent", "d_open", "d_big", "d_many"))
+      .orderBy("predictor", "dependent")
+
   /** a05: per-pair case/control counts + viability flag
     * (analysis.py:168-193) as a pure aggregate — no fit. */
   def a05CaseCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -610,7 +724,77 @@ object Mas {
        |  CAST(coalesce(sum($dep), 0) AS BIGINT) AS cases
        |FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL""".stripMargin
 
+  /** Unrolled score-screen replay: melt → fixed IRLS CTE chain
+    * (pμ/wμ on the micro grid, β re-rounded to 1e-6 per step — the
+    * Spark driver does the identical arithmetic) → one score
+    * aggregation; every sum BIGINT-exact, the closed-form χ²
+    * mirrored operand-for-operand. */
+  private def scoreScreenSql(iters: Int): String = {
+    val deps = Seq("d_urgent", "d_open", "d_big", "d_many")
+    val melt = deps.map(d =>
+        s"SELECT id, z2 AS s, xbin, xpar, '$d' AS dep, $d AS y FROM cohort")
+      .mkString("\n  UNION ALL\n  ")
+    val head = cohortSql +
+      s""", melt AS (
+         |  $melt
+         |), b0 AS (
+         |  SELECT DISTINCT dep, 0.0 AS b0, 0.0 AS b1 FROM melt
+         |)""".stripMargin
+    val e12 = "1000000000000.0"
+    val its = (1 to iters).map { i =>
+      s""", p$i AS (
+         |  SELECT m.*, CAST(round(1000000.0 / (1 + exp(-(b.b0 + b.b1 * m.s)))) AS BIGINT) AS pmu
+         |  FROM melt m JOIN b${i - 1} b USING (dep)
+         |), s$i AS (
+         |  SELECT dep,
+         |    CAST(sum(pmu * (1000000 - pmu)) AS BIGINT) AS sw,
+         |    CAST(sum(pmu * (1000000 - pmu) * CAST(s AS BIGINT)) AS BIGINT) AS sws,
+         |    CAST(sum(pmu * (1000000 - pmu) * CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT) AS swss,
+         |    CAST(sum(CAST(y AS BIGINT) * 1000000 - pmu) AS BIGINT) AS u0,
+         |    CAST(sum(CAST(s AS BIGINT) * (CAST(y AS BIGINT) * 1000000 - pmu)) AS BIGINT) AS u1
+         |  FROM p$i GROUP BY dep
+         |), b$i AS (
+         |  SELECT s$i.dep,
+         |    round(b.b0 + ((s$i.swss/$e12)*(s$i.u0/1000000.0) - (s$i.sws/$e12)*(s$i.u1/1000000.0))
+         |      / ((s$i.sw/$e12)*(s$i.swss/$e12) - (s$i.sws/$e12)*(s$i.sws/$e12)), 6) AS b0,
+         |    round(b.b1 + ((s$i.sw/$e12)*(s$i.u1/1000000.0) - (s$i.sws/$e12)*(s$i.u0/1000000.0))
+         |      / ((s$i.sw/$e12)*(s$i.swss/$e12) - (s$i.sws/$e12)*(s$i.sws/$e12)), 6) AS b1
+         |  FROM s$i JOIN b${i - 1} b USING (dep)
+         |)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+         |, pf AS (
+         |  SELECT m.*, CAST(round(1000000.0 / (1 + exp(-(b.b0 + b.b1 * m.s)))) AS BIGINT) AS pmu
+         |  FROM melt m JOIN b$iters b USING (dep)
+         |), mp AS (
+         |  SELECT 'xbin' AS pred, xbin AS xv, dep, s, y, pmu FROM pf
+         |  UNION ALL
+         |  SELECT 'xpar' AS pred, xpar AS xv, dep, s, y, pmu FROM pf
+         |), agg AS (
+         |  SELECT pred, dep,
+         |    CAST(count(*) AS BIGINT) AS total_n,
+         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS cases,
+         |    CAST(sum(CAST(xv AS BIGINT) * (CAST(y AS BIGINT) * 1000000 - pmu)) AS BIGINT) AS umu,
+         |    CAST(sum(CAST(xv AS BIGINT) * pmu * (1000000 - pmu)) AS BIGINT) AS sxw,
+         |    CAST(sum(CAST(xv AS BIGINT) * pmu * (1000000 - pmu) * CAST(s AS BIGINT)) AS BIGINT) AS sxws,
+         |    CAST(sum(pmu * (1000000 - pmu)) AS BIGINT) AS sw,
+         |    CAST(sum(pmu * (1000000 - pmu) * CAST(s AS BIGINT)) AS BIGINT) AS sws,
+         |    CAST(sum(pmu * (1000000 - pmu) * CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT) AS swss
+         |  FROM mp GROUP BY pred, dep
+         |)
+         |SELECT pred AS predictor, dep AS dependent, cases,
+         |  total_n - cases AS controls, total_n,
+         |  round((umu/1000000.0)*(umu/1000000.0) / (sxw/$e12 -
+         |    ((swss/$e12)*(sxw/$e12)*(sxw/$e12)
+         |     - 2.0*(sws/$e12)*(sxw/$e12)*(sxws/$e12)
+         |     + (sw/$e12)*(sxws/$e12)*(sxws/$e12))
+         |    / ((sw/$e12)*(swss/$e12) - (sws/$e12)*(sws/$e12))), 4) + 0 AS score_chi2
+         |FROM agg ORDER BY predictor, dependent""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "a21_score_screen" -> scoreScreenSql(4),
     "a01_assoc_linear" ->
       (cohortSql + "\n" +
         Seq("y_avg", "y_max", "y_cnt").map(linBranch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),

@@ -526,6 +526,33 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("scoreScreen: perfect association scores chi2 = n, independence scores 0") {
+    val sess = spark
+    import sess.implicits._
+    // balanced y ⟂ s: every IRLS step leaves beta at (0,0) exactly, so
+    // p=0.5 and the score test reduces to the closed Pearson form —
+    // x1 = y gives chi2 = n = 8; x2 ⟂ y gives U = 0 hence chi2 = 0
+    val rows = Seq(
+      // (id, s, x1=y, x2 indep, y) — y and x2 balanced within each s
+      (1L, 0.0, 1.0, 1.0, 1.0), (2L, 0.0, 0.0, 1.0, 0.0),
+      (3L, 1.0, 1.0, 0.0, 1.0), (4L, 1.0, 0.0, 0.0, 0.0),
+      (5L, 0.0, 1.0, 0.0, 1.0), (6L, 0.0, 0.0, 0.0, 0.0),
+      (7L, 1.0, 1.0, 1.0, 1.0), (8L, 1.0, 0.0, 1.0, 0.0))
+      .toDF("id", "s", "x1", "x2", "y1")
+    val out = operators.Mas.scoreScreen(rows, "s", Seq("x1", "x2"), Seq("y1"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x1").getAs[Double]("score_chi2") == 8.0)
+    assert(out("x1").getAs[Long]("cases") == 4L &&
+      out("x1").getAs[Long]("total_n") == 8L)
+    assert(out("x2").getAs[Double]("score_chi2") == 0.0)
+    // exact integer reductions: identical at any partition count
+    val r1 = operators.Mas.scoreScreen(rows.repartition(1), "s", Seq("x1"), Seq("y1"))
+      .collect().map(_.toString).toSeq
+    val r8 = operators.Mas.scoreScreen(rows.repartition(8), "s", Seq("x1"), Seq("y1"))
+      .collect().map(_.toString).toSeq
+    assert(r1 == r8)
+  }
+
   test("histQuantiles: hand-computed interpolation, constant group short-circuits") {
     val sess = spark
     import sess.implicits._
