@@ -398,6 +398,71 @@ object Dedup {
   def d12ParaDedup(spark: SparkSession, dir: String): DataFrame =
     paraDedup(corpus(spark, dir)).orderBy("doc_id")
 
+  // ------------------------------------------ d15 boilerplate lines
+
+  /**
+   * CCNet/RefinedWeb-style cross-document BOILERPLATE-line removal —
+   * the policy d12's first-occurrence rule can't express: a line
+   * whose normalized form occurs in ≥ `minDocs` DISTINCT documents
+   * is boilerplate (nav bars, cookie banners, per-domain footers) and
+   * drops from EVERY document, including the first; genuinely-shared
+   * content below the threshold (e.g. a quoted pair) keeps all its
+   * copies. t14 measures within-doc line repetition; this is the
+   * corpus-wide counterpart that actually rewrites the docs.
+   *
+   * Shape: posexplode lines → distinct (line, doc) pairs collapse
+   * map-side → document frequency per line is ONE hash aggregate
+   * (bounded by distinct lines, and a 10⁹-copy footer is ONE row of
+   * it) → df joins back to the line stream → per-doc rebuild +
+   * fingerprint, identical to d12's. The df side is an aggregate
+   * directly under the join, so the common case broadcasts; at
+   * corpus scale the d12 lesson applies verbatim — set
+   * spark.graft.lineDedup.checkpointFirst to materialize the df
+   * table so AQE can skew-split the probe side.
+   */
+  def lineDedup(docs: DataFrame, lineWords: Int = 12,
+      minDocs: Int = 5): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(transform(
+        split(TextOps.relined(lineWords), "\n"),
+        l => normText(trim(l)))).as(Seq("idx", "l")))
+      .filter(length(col("l")) > 0)
+    val dfreq0 = lines.select("l", "doc_id").distinct()
+      .groupBy("l").agg(count(lit(1)).as("df"))
+    val dfreq = if (docs.sparkSession.conf
+        .get("spark.graft.lineDedup.checkpointFirst", "false").toBoolean)
+      dfreq0.localCheckpoint(true)
+    else dfreq0
+    val tagged = lines.join(dfreq, "l")
+      .withColumn("keep", col("df") < minDocs)
+    val perDoc = tagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      count(when(col("keep"), 1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(
+        when(col("keep"), struct(col("idx"), col("l"))))),
+        s => s.getField("l")), "\n").as("kept_text"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_kept") > 0, md5(encode(col("kept_text"), "UTF-8"))).as("kept_md5"))
+  }
+
+  /** d15: the corpus has no real boilerplate, so the registered query
+    * prepends a per-SOURCE 12-word footer line (mirrored exactly by
+    * the oracle — the d08 synthesis pattern): each footer occurs in
+    * all ~25+ docs of its source and is dropped everywhere, while the
+    * mutated-twin content lines sit at df = 2 < 5 and survive. The
+    * footer is exactly `lineWords` words so the re-lining boundary
+    * stays clean between footer and document body. */
+  def d15LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val withBoiler = corpus(spark, dir).select(col("doc_id"),
+      concat(lit("subscribe to the "), col("source"),
+        lit(" newsletter for free daily updates and breaking stories\n"),
+        col("text")).as("text"))
+    lineDedup(withBoiler).orderBy("doc_id")
+  }
+
   // -------------------------------------------- d02 shingle Jaccard
 
   /**
@@ -961,6 +1026,36 @@ object Dedup {
           |  FROM ranked GROUP BY doc_id
           |)
           |SELECT c.doc_id, coalesce(per.n_paras, 0) AS n_paras,
+          |  coalesce(per.n_kept, 0) AS n_kept, per.kept_md5
+          |FROM (SELECT DISTINCT doc_id FROM corpus) c
+          |LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // d15: same re-lining/normalization CTEs as d12, with the
+    // per-source footer synthesized identically to the engine side;
+    // keep-rule is document frequency < 5 instead of first-occurrence
+    "d15_line_dedup" ->
+      (corpusSql +
+        s""", bl AS (
+          |  SELECT doc_id, 'subscribe to the ' || source ||
+          |    ' newsletter for free daily updates and breaking stories' ||
+          |    chr(10) || text AS text
+          |  FROM corpus
+          |), ps AS (
+          |  SELECT doc_id, string_split(${TextOps.relinedSql(12)}, chr(10)) AS arr
+          |  FROM bl
+          |), lns AS (
+          |  SELECT doc_id, i - 1 AS idx,
+          |    lower(regexp_replace(trim(arr[i]), '\\s+', ' ', 'g')) AS l
+          |  FROM ps, unnest(range(1, len(arr) + 1)) AS t(i)
+          |  WHERE length(lower(regexp_replace(trim(arr[i]), '\\s+', ' ', 'g'))) > 0
+          |), dfq AS (
+          |  SELECT l, count(DISTINCT doc_id) AS df FROM lns GROUP BY l
+          |), per AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          |    CAST(count(*) FILTER (WHERE df < 5) AS BIGINT) AS n_kept,
+          |    md5(string_agg(l, chr(10) ORDER BY idx) FILTER (WHERE df < 5)) AS kept_md5
+          |  FROM lns JOIN dfq USING (l) GROUP BY doc_id
+          |)
+          |SELECT c.doc_id, coalesce(per.n_lines, 0) AS n_lines,
           |  coalesce(per.n_kept, 0) AS n_kept, per.kept_md5
           |FROM (SELECT DISTINCT doc_id FROM corpus) c
           |LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),

@@ -173,6 +173,42 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lineDedup drops lines at df >= minDocs everywhere, keeps below-threshold copies") {
+    val sess = spark
+    import sess.implicits._
+    def words(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val boiler = words("nav")
+    val quoted = words("q")
+    val docs = Seq(
+      (1L, s"$boiler ${words("a")}"),   // nav + unique a
+      (2L, s"$boiler ${words("b")}"),   // nav + unique b
+      (3L, s"$boiler $quoted"),         // nav + quoted (df=2, kept)
+      (4L, s"$boiler $quoted"),         // nav + quoted copy (kept too)
+      (5L, boiler)                      // pure boilerplate -> nothing left
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, minDocs = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, out(1L)._3)) && out(1L)._3.isDefined)
+    assert(out(2L)._2 == 1L)
+    // boilerplate dropped from EVERY doc, including df-threshold edge:
+    // nav appears in 5 distinct docs = minDocs -> dropped
+    assert(out(5L) == ((1L, 0L, None)))
+    // the quoted pair sits at df=2 < 5: BOTH copies survive (the
+    // policy difference vs d12, which would drop doc 4's copy)
+    assert(out(3L)._2 == 1L && out(4L)._2 == 1L)
+    val md5q = java.security.MessageDigest.getInstance("MD5")
+      .digest(quoted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(3L)._3.contains(md5q) && out(4L)._3.contains(md5q))
+    // on the corpus: every synthesized per-source footer is dropped
+    // (df ~ docs-per-source >= 5) so n_kept < n_lines for every doc
+    val corpus = Dedup.d15LineDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (id, n, kept) =>
+      assert(kept < n, s"doc $id kept all $n lines (footer not dropped)")
+    }
+  }
+
   test("dupSpans coalesces overlapping dup windows into maximal spans") {
     val sess = spark
     import sess.implicits._
