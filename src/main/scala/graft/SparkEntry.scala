@@ -106,6 +106,7 @@ object SparkEntry {
     "m06_mp4_header" -> (Multimodal.m06Mp4Header _),
     "m07_ppm_pixels" -> (Multimodal.m07PpmPixels _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
+    "m09_pcm_stats" -> (Multimodal.m09PcmStats _),
     "q01_agg" -> (Relational.q01Agg _),
     "q02_filter_project" -> (Relational.q02FilterProject _),
     "q03_join" -> (Relational.q03Join _),

@@ -585,6 +585,97 @@ object Multimodal {
   def m05WavHeader(spark: SparkSession, dir: String): DataFrame =
     extractWavFeatures(wavTable(spark, dir)).toDF().orderBy("doc_id")
 
+  /** Per-asset PCM sample statistics decoded from real i16 frames. */
+  final case class PcmFeature(
+      doc_id: Long, channels: Int, sample_rate: Int, n_frames: Long,
+      peak: Int, sum_sq: Long, zero_cross: Long, rms: Double)
+
+  private[graft] def pcmFrames(id: Long): Int = 200 + (id % 300).toInt
+  /** Closed-form i16 sample value for interleaved value index k —
+    * integer arithmetic only, so the oracle replays it verbatim. */
+  private[graft] def pcmVal(id: Long, k: Long): Int =
+    ((id * 9176 + k * 31 + (k * k % 257) * 97) % 65536 - 32768).toInt
+
+  /** Audio table with REAL little-endian 16-bit PCM payloads: sample
+    * values derive from (doc_id, index) in closed form, serialized as
+    * genuine two's-complement LE frames behind the m05 canonical
+    * header — so the oracle checks byte-level encode→decode, not just
+    * header fields (the m07 pixel pattern applied to audio). */
+  def pcmWavTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val nVals = pcmFrames(id) * wavChannels(id)
+        val data = new Array[Byte](2 * nVals)
+        var k = 0
+        while (k < nVals) {
+          val v = pcmVal(id, k)
+          data(2 * k) = (v & 0xff).toByte
+          data(2 * k + 1) = ((v >> 8) & 0xff).toByte
+          k += 1
+        }
+        val bytes = buildWav(wavChannels(id), wavSampleRate(id), 16, data)
+        MediaRow(id, bytes, "audio/wav", bytes.length)
+      }
+  }
+
+  /**
+   * Batched per-partition PCM decode — the audio analogue of m07's
+   * pixel path: parse the RIFF header, then walk the data section as
+   * interleaved little-endian signed 16-bit frames computing peak
+   * amplitude, exact integer energy (sum of squares), per-channel
+   * zero crossings (sign changes between CONSECUTIVE frames of the
+   * same channel — comparisons stride by blockAlign), and RMS. Only
+   * per-asset stat rows leave the executor; payload bytes never
+   * shuffle. Non-16-bit or unparseable payloads degrade to zeroed
+   * stats (the m01 contract).
+   */
+  def extractPcmFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[PcmFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      parseWavHeader(r.media) match {
+        case Some(h) if h.bitsPerSample == 16 && h.channels >= 1 =>
+          val avail = math.min(h.dataBytes.toLong, (r.media.length - h.headerLen).toLong)
+          val nFrames = avail / (2L * h.channels)
+          val nVals = nFrames * h.channels
+          var peak = 0
+          var sumSq = 0L
+          var zc = 0L
+          var prevNeg: Array[Boolean] = null
+          var k = 0L
+          while (k < nVals) {
+            val off = h.headerLen + 2 * k.toInt
+            val v = ((r.media(off + 1) << 8) | (r.media(off) & 0xff)).toShort.toInt
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v.toLong * v
+            val ch = (k % h.channels).toInt
+            val neg = v < 0
+            if (prevNeg == null) prevNeg = new Array[Boolean](h.channels)
+            if (k >= h.channels && prevNeg(ch) != neg) zc += 1
+            prevNeg(ch) = neg
+            k += 1
+          }
+          val rms = if (nVals > 0) math.sqrt(sumSq.toDouble / nVals) else 0.0
+          PcmFeature(r.doc_id, h.channels, h.sampleRate, nFrames,
+            peak, sumSq, zc, rms)
+        case _ => PcmFeature(r.doc_id, 0, 0, 0L, 0, 0L, 0L, 0.0)
+      }
+    }))
+  }
+
+  /** m09: sample-level audio decode under the gate — peak / energy /
+    * zero-crossing / RMS over real two's-complement PCM frames; the
+    * oracle replays the closed-form generator, so any byte-order or
+    * sign-extension mistake in EITHER direction breaks the hash. */
+  def m09PcmStats(spark: SparkSession, dir: String): DataFrame =
+    extractPcmFeatures(pcmWavTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("channels"), col("sample_rate"),
+        col("n_frames"), col("peak"), col("sum_sq"), col("zero_cross"),
+        Norm.r4(col("rms")).as("rms"))
+      .orderBy("doc_id")
+
   /** Per-asset video features parsed from the real MP4 boxes. */
   final case class Mp4Feature(
       doc_id: Long, timescale: Int, duration: Long, duration_ms: Long,
@@ -844,6 +935,33 @@ object Multimodal {
         |FROM g ORDER BY doc_id""".stripMargin,
     // Recomputes the WAV generator's closed form — Spark must build
     // AND parse the RIFF bytes correctly for this to match.
+    // m09: replays the closed-form PCM generator — Spark must encode
+    // AND decode genuine two's-complement LE frames for this to match
+    "m09_pcm_stats" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 300 AS BIGINT) AS n,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(CASE ((doc_id // 2) % 4) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS rate
+        |  FROM documents
+        |), vals AS (
+        |  SELECT doc_id, n, ch, k,
+        |    (doc_id * 9176 + k * 31 + (k * k % 257) * 97) % 65536 - 32768 AS v
+        |  FROM g, unnest(range(0, n * ch)) AS t(k)
+        |), w AS (
+        |  SELECT *, lead(v) OVER (PARTITION BY doc_id, k % ch ORDER BY k) AS nv
+        |  FROM vals
+        |), per AS (
+        |  SELECT doc_id,
+        |    CAST(max(abs(v)) AS INT) AS peak,
+        |    CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |    CAST(count(*) FILTER (WHERE nv IS NOT NULL AND (v < 0) <> (nv < 0)) AS BIGINT) AS zero_cross
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT g.doc_id, g.ch AS channels, g.rate AS sample_rate,
+        |  g.n AS n_frames, per.peak, per.sum_sq, per.zero_cross,
+        |  round(sqrt(per.sum_sq * 1.0 / (g.n * g.ch)), 4) + 0 AS rms
+        |FROM g JOIN per USING (doc_id) ORDER BY g.doc_id""".stripMargin,
     "m05_wav_header" ->
       """WITH g AS (
         |  SELECT doc_id, text, CAST(1 + doc_id % 2 AS INT) AS channels,

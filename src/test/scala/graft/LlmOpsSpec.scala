@@ -508,6 +508,41 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.format == "unknown" && g.mean_r.isEmpty)
   }
 
+  test("PCM decode: golden stereo frames give exact peak/energy/zero-crossings") {
+    val sess = spark
+    import sess.implicits._
+    // stereo, 2 frames: ch0 = [1000, -1000] (one sign change),
+    // ch1 = [-2, 3] (one sign change) — interleaved LE i16
+    def le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val data = le(1000) ++ le(-2) ++ le(-1000) ++ le(3)
+    val wav = Multimodal.buildWav(2, 8000, 16, data)
+    val f = Multimodal.extractPcmFeatures(
+      Seq(Multimodal.MediaRow(1L, wav, "audio/wav", wav.length)).toDS()).collect().head
+    assert(f.channels == 2 && f.sample_rate == 8000 && f.n_frames == 2L)
+    assert(f.peak == 1000)
+    assert(f.sum_sq == 1000L * 1000 + 2L * 2 + 1000L * 1000 + 3L * 3)
+    assert(f.zero_cross == 2L)
+    assert(math.abs(f.rms - math.sqrt(f.sum_sq.toDouble / 4)) < 1e-12)
+    // trailing odd byte is ignored, not mis-decoded as a frame
+    val odd = Multimodal.buildWav(1, 8000, 16, le(7) ++ Array(1.toByte))
+    val g = Multimodal.extractPcmFeatures(
+      Seq(Multimodal.MediaRow(2L, odd, "audio/wav", odd.length)).toDS()).collect().head
+    assert(g.n_frames == 1L && g.sum_sq == 49L)
+    // 8-bit payloads and garbage degrade to zeroed stats, never throw
+    val eightBit = Multimodal.buildWav(1, 8000, 8, Array[Byte](1, 2))
+    val h = Multimodal.extractPcmFeatures(
+      Seq(Multimodal.MediaRow(3L, eightBit, "audio/wav", eightBit.length),
+        Multimodal.MediaRow(4L, "nope".getBytes, "x", 4)).toDS()).collect()
+    assert(h.forall(x => x.channels == 0 && x.n_frames == 0L))
+    // round-trip: the table's encoded bytes decode back to pcmVal
+    val row = Multimodal.pcmWavTable(spark, dir).filter(_.doc_id == 3L).head()
+    val ff = Multimodal.extractPcmFeatures(Seq(row).toDS()).collect().head
+    val n = Multimodal.pcmFrames(3L) * 2 // doc 3 is stereo (1 + 3%2)
+    val vals = (0L until n.toLong).map(k => Multimodal.pcmVal(3L, k))
+    assert(ff.peak == vals.map(math.abs).max)
+    assert(ff.sum_sq == vals.map(v => v.toLong * v).sum)
+  }
+
   test("ppmAHash: gradient golden hash, pattern survives dimension change, uniform is zero") {
     import Multimodal._
     // left half dark (10), right half bright (200): bright cells are
