@@ -27,6 +27,7 @@ object SparkEntry {
     "a19_logrank" -> (Mas.a19Logrank _),
     "a20_assoc_ordinal" -> (Mas.a20AssocOrdinal _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),
+    "a22_prs" -> (Mas.a22Prs _),
     "a16_cmh" -> (Mas.a16Cmh _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),
     "a04_assoc_firth" -> (Mas.a04AssocFirth _),

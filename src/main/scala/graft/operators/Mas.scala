@@ -531,6 +531,38 @@ object Mas {
       Seq("d_urgent", "d_open", "d_big", "d_many"))
       .orderBy("predictor", "dependent")
 
+  /**
+   * a22: POLYGENIC SCORE — the standard downstream of an association
+   * scan, and faithfully so: real PRS applies PUBLISHED weights from
+   * an external study (fitting is a01–a17's job), so the operator
+   * takes a fixed (predictor → beta) map and scores every sample in
+   * ONE projection with a FIXED left-to-right term order. Literal
+   * decimal weights parse to the same binary double in both engines
+   * and neither reassociates float adds, so the score is
+   * bit-reproducible — no data-order aggregation touches it. (An
+   * earlier fitted-weights variant died on an exact 4-decimal
+   * rounding boundary: beta 623.97035 rounded opposite ways in the
+   * two engines — published-weight scoring has no such cliff.) At
+   * 100 TB the weights stay k literals and scoring is a pure map —
+   * zero shuffles.
+   */
+  def prs(coh: DataFrame, weights: Seq[(String, Double)]): DataFrame = {
+    val score = weights.map { case (p, b) => lit(b) * col(p) }
+      .reduceLeft(_ + _)
+    coh.select(col("id"), r4(score).as("prs"))
+  }
+
+  /** The a22 "published study" weight vector (mirrored literally in
+    * the oracle SQL). */
+  val prsWeights: Seq[(String, Double)] = Seq(
+    "x" -> 0.05, "xbin" -> -150.25, "xpar" -> 80.5,
+    "z1" -> 12.75, "z2" -> -9.125)
+
+  /** a22: score every sample with the published weights over the five
+    * cohort predictors. */
+  def a22Prs(spark: SparkSession, dir: String): DataFrame =
+    prs(cohort(spark, dir), prsWeights).orderBy("id")
+
   /** a05: per-pair case/control counts + viability flag
     * (analysis.py:168-193) as a pure aggregate — no fit. */
   def a05CaseCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -795,6 +827,14 @@ object Mas {
 
   val oracleSql: Map[String, String] = Map(
     "a21_score_screen" -> scoreScreenSql(4),
+    // a22: the published weight vector as literal decimals (parse to
+    // the same binary doubles) in the same fixed term order
+    "a22_prs" ->
+      (cohortSql +
+        """
+          |SELECT id,
+          |  round(0.05*x + -150.25*xbin + 80.5*xpar + 12.75*z1 + -9.125*z2, 4) + 0 AS prs
+          |FROM cohort ORDER BY id""".stripMargin),
     "a01_assoc_linear" ->
       (cohortSql + "\n" +
         Seq("y_avg", "y_max", "y_cnt").map(linBranch).mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),

@@ -22,6 +22,22 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def near(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol
 
+  test("prs scores samples with published weights in fixed term order") {
+    val sess = spark
+    import sess.implicits._
+    val rows = (0 until 50).map { i =>
+      (i.toLong, i * 1.25, (i % 3).toDouble)
+    }
+    val df = rows.toDF("id", "p1", "p2")
+    val w = Seq("p1" -> 2.5, "p2" -> -0.75)
+    val out = operators.Mas.prs(df, w).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, p1, p2) =>
+      val expect = 2.5 * p1 + -0.75 * p2 // binary-exact operands
+      assert(near(out(id), expect, 1e-12), s"id=$id got ${out(id)} want $expect")
+    }
+  }
+
   test("linear path matches closed-form simple regression incl. pval") {
     val sess = spark
     import sess.implicits._
