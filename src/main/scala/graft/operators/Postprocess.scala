@@ -235,6 +235,51 @@ object Postprocess {
         Norm.r4(-log10(col("expected_p"))).as("exp_nlp"))
       .orderBy("o_orderkey")
 
+  /**
+   * Distance-window CLUMPING — the post-GWAS step after s01/s02: of
+   * the suprathreshold hits, an INDEX hit is one with no stronger hit
+   * (smaller p, position tie-break) within ±`window` positions; its
+   * neighbors are shadows of the same signal. This is the
+   * distributed-friendly LOCAL-MINIMUM variant of PLINK's greedy
+   * clumping (greedy is inherently sequential — each pick mutates the
+   * candidate set; the local-minimum rule is order-free, so it
+   * parallelizes, and every greedy index is also a local minimum
+   * within the window).
+   *
+   * Shape: threshold first (hits ≪ results), then the e04 bucket
+   * trick — each hit replicates to its 3 neighbor buckets of width
+   * `window` and joins hits on the bucket, so comparisons shuffle ∝
+   * hits × local density, never the n² pair matrix; domination is a
+   * map-side-combinable bool_or. At 10M-pair flipwas scale the hit
+   * table after α = 0.01 is 100k rows — this runs in one small join.
+   */
+  def clump(df: DataFrame, pvalCol: String, posCol: String,
+      window: Long, alpha: Double): DataFrame = {
+    val hits = df.filter(col(pvalCol).isNotNull && col(pvalCol) < alpha)
+      .select(col(posCol).as("pos"), col(pvalCol).as("p"))
+    val withB = hits.withColumn("bkt", floor(col("pos") / window))
+    val probe = withB.select(col("pos"), col("p"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("nbkt"))
+    val other = withB.select(col("bkt").as("nbkt"), col("pos").as("pos2"),
+      col("p").as("p2"))
+    val dominated = probe.join(other, "nbkt")
+      .filter(abs(col("pos2") - col("pos")) <= window &&
+        (col("p2") < col("p") ||
+          (col("p2") === col("p") && col("pos2") < col("pos"))))
+      .groupBy("pos").agg(first("p").as("_p"))
+      .select(col("pos"), lit(true).as("dom"))
+    hits.join(dominated, Seq("pos"), "left")
+      .select(col("pos"), col("p"), coalesce(col("dom"), lit(false)).as("dom"))
+  }
+
+  /** s10: clump the pseudo p-value table on the o_orderkey axis
+    * (α = 0.01, window 2000). */
+  def s10Clump(spark: SparkSession, dir: String): DataFrame =
+    clump(pseudoPvals(spark, dir), "pval", "o_orderkey", 2000L, 0.01)
+      .select(col("pos").as("o_orderkey"), round(col("p"), 6).as("pval"),
+        (!col("dom")).as("is_index"))
+      .orderBy("o_orderkey")
+
   /** s01: Bonferroni significance flag over pseudo p-values. */
   def s01Bonferroni(spark: SparkSession, dir: String): DataFrame =
     bonferroni(pseudoPvals(spark, dir))
@@ -390,6 +435,18 @@ object Postprocess {
          |  round(-log10(pval), 4) + 0 AS obs_nlp,
          |  round(-log10((rnk - 0.5) / m.m), 4) + 0 AS exp_nlp
          |FROM r, m ORDER BY o_orderkey""".stripMargin,
+    // s10: quadratic EXISTS mirror of the bucketed domination join —
+    // exact at oracle scale since hits ≪ results after the threshold
+    "s10_clump" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |hits AS (SELECT o_orderkey, pval FROM p
+         |         WHERE pval IS NOT NULL AND pval < 0.01)
+         |SELECT a.o_orderkey, round(a.pval, 6) AS pval,
+         |  NOT EXISTS (SELECT 1 FROM hits b
+         |    WHERE abs(b.o_orderkey - a.o_orderkey) <= 2000
+         |      AND (b.pval < a.pval OR
+         |        (b.pval = a.pval AND b.o_orderkey < a.o_orderkey))) AS is_index
+         |FROM hits a ORDER BY a.o_orderkey""".stripMargin,
     "s01_bonferroni" ->
       s"""WITH p AS ($pseudoPvalsSql),
          |n AS (SELECT count(pval) AS n_tests FROM p)
