@@ -1,19 +1,23 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-provided test data layout. */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS): read as long ns (see GraftSession)
-    // and truncate to µs TimestampType, matching a DuckDB
-    // CAST(ts AS TIMESTAMP).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    // events.ts arrives in whatever physical type the generator used:
+    // TIMESTAMP(NANOS) → long ns (see GraftSession), naive µs →
+    // TIMESTAMP_NTZ. Normalize both to µs TimestampType (session tz is
+    // UTC, so the NTZ cast is value-preserving), matching a DuckDB
+    // CAST(ts AS TIMESTAMP); downstream epoch math (unix_micros,
+    // cast-to-double) rejects NTZ outright in Spark 4.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 
