@@ -220,16 +220,22 @@ object Bench {
         }
         Some(out)
       } catch { case _: Throwable => None }
-    def oneShot(body: => Unit): Option[Double] = {
+    // one-shot 10× points are load-contaminated on this shared host
+    // (r11 ran at load 24 with an 8× rep spread and the slopes moved
+    // 46-200% with zero code change) — stamp each point with the load
+    // average sampled right after it, so a reader can discount spikes
+    // without paying min-of-2 on 100+ s runs
+    def oneShot(body: => Unit): Option[(Double, Double)] = {
       val t0 = System.nanoTime()
       val ok = try { body; true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val ld = loadAvg()
       spark.catalog.clearCache()
-      if (ok) Some(dt) else None
+      if (ok) Some((dt, ld)) else None
     }
-    def pair(key: String, p: Option[(Double, Double)]): Option[String] =
-      p.map { case (a, b) =>
-        s""""$key":[${"%.2f".formatLocal(java.util.Locale.ROOT, a)},${"%.2f".formatLocal(java.util.Locale.ROOT, b)}]"""
+    def pair(key: String, p: Option[(Double, Double, Double)]): Option[String] =
+      p.map { case (a, b, ld) =>
+        s""""$key":[${"%.2f".formatLocal(java.util.Locale.ROOT, a)},${"%.2f".formatLocal(java.util.Locale.ROOT, b)},${"%.1f".formatLocal(java.util.Locale.ROOT, ld)}]"""
       }
     def scaleSlope(): Option[String] =
       if (masOnly || onlyNames.isDefined) None
@@ -263,7 +269,7 @@ object Bench {
           "d10_semdedup").flatMap { name =>
           pair(shortId(name), results.toMap.get(name)
             .flatMap(t1 => oneShot(bigBodies(name)())
-              .map(tBig => (t1, tBig))))
+              .map { case (tBig, ld) => (t1, tBig, ld) }))
         }
         spark.conf.set("spark.graft.bpe.merges", "200")
         spark.conf.set("spark.graft.bpe.trainWords", "20000")
@@ -271,7 +277,7 @@ object Bench {
           a <- oneShot(run("t13_bpe_tokens"))
           b <- oneShot(SparkEntry.queries("t13_bpe_tokens")(spark, bigDir)
             .write.format("noop").mode("overwrite").save())
-        } yield (a, b))
+        } yield (a._1, b._1, b._2))
         spark.conf.unset("spark.graft.bpe.merges")
         spark.conf.unset("spark.graft.bpe.trainWords")
         val masPairs =
@@ -282,15 +288,15 @@ object Bench {
               pair("mas_firth", oneShot(
                 Association.binary(big, masCfg(1800, 5))
                   .write.format("noop").mode("overwrite").save())
-                .map(t => (masTime._1.min, t))),
+                .map { case (t, ld) => (masTime._1.min, t, ld) }),
               pair("mas_linear", oneShot(
                 Association.linear(big, masCfg(1800, 5).copy(model = "linear"))
                   .write.format("noop").mode("overwrite").save())
-                .map(t => (masTime._3.min, t))),
+                .map { case (t, ld) => (masTime._3.min, t, ld) }),
               pair("mas_firth_gram", oneShot(
                 Association.firthGram(big, masCfg(1800, 5))
                   .write.format("noop").mode("overwrite").save())
-                .map(t => (masTime._4.min, t)))).flatten
+                .map { case (t, ld) => (masTime._4.min, t, ld) })).flatten
           }
         ((s""""docs":[$docsBase,${docsBase * 10}]""" +:
           corpusPairs) ++ t13.toSeq ++ masPairs).mkString(",")
@@ -328,14 +334,30 @@ object Bench {
     // at the end (the MAS headline segment) — together they say which
     // segment a host spike hit
     val scaleJson = scaleSlopeJson.map(s => s""""scale_slope":{$s},""").getOrElse("")
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-      s""""codegen_probe":$probeJson,$scaleJson""" +
+    // The driver parses the LAST stdout line through a 2000-char tail
+    // buffer: at 147 per-query keys the full line overflows it (BENCH
+    // r10/r11 parsed null). So the full detail (per-query sweep +
+    // codegen probe) goes to an EARLIER line and a file, and the last
+    // line is a compact headline JSON — headlines, scale_slope (with
+    // per-point load stamps), loads, reps, sweep total.
+    val detailJson =
+      s"""{"metric":"detail","unit":"sec","queries":$qs,""" +
+      s""""codegen_probe":$probeJson,"sf":"$sfDir"}"""
+    val masHeadJson = masHeads.map { case (k, v) => "\"" + k + "\":" + fq(v) }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":$masHeadJson,$scaleJson""" +
       s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
       s""""load_avg":${f3(loadAvg())},$reps,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      try w.println(detailJson) finally w.close()
+    } catch { case _: Throwable => () }
     // ERROR level from here on: Spark's stop/shutdown-hook INFO lines
     // must not print after the JSON — the driver parses the last line.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(detailJson)
     println(json)
   }
 }

@@ -70,6 +70,9 @@ object SparkEntry {
     "s07_qq_expected" -> (Postprocess.s07QqExpected _),
     "s08_qvalues" -> (Postprocess.s08Qvalues _),
     "s09_meta_analysis" -> (Postprocess.s09MetaAnalysis _),
+    "s10_clump" -> (Postprocess.s10Clump _),
+    "s11_icd_phecode" -> (Mas.s11IcdPhecode _),
+    "s12_manhattan" -> (Postprocess.s12Manhattan _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d12_para_dedup" -> (Dedup.d12ParaDedup _),
     "d13_dup_spans" -> (Dedup.d13DupSpans _),

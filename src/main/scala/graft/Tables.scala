@@ -16,7 +16,15 @@ object Tables {
     // cast-to-double) rejects NTZ outright in Spark 4.
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case Some(TimestampNTZType) =>
+        // the NTZ→TimestampType cast reinterprets the naive value in
+        // the SESSION zone: value-preserving only under UTC. A session
+        // built outside GraftSession with a local zone would silently
+        // shift every epoch downstream — fail loudly instead.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables: events.ts is TIMESTAMP_NTZ; the cast to TimestampType is only " +
+            "value-preserving with spark.sql.session.timeZone=UTC (use GraftSession)")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

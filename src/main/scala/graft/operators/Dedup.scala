@@ -628,14 +628,46 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true)
     val sigs = withSh.withColumn("sig", sigUdf(col("sh")))
-    val buckets = sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
-      .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
-      .localCheckpoint(true)
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .distinct()
+    // Candidate dedup strategy: a pair colliding in k bands appears k
+    // times in the bucket-join output, and `distinct()` shuffles that
+    // k-fold stream (map-side combine removes ~nothing — duplicates of
+    // a pair live in DIFFERENT (band, bh) partitions). The minBand
+    // variant dedups AT THE SOURCE: each bucket row carries the doc's
+    // full band-hash array (bands×4 B) and a pair is emitted only from
+    // its MINIMAL colliding band — exactly-once globally, no distinct,
+    // no pair-stream exchange. Trade: the bucket-join shuffle widens by
+    // the array; wins when collisions/pair is high (dup-dense corpora),
+    // loses when the corpus is dup-sparse and the pair stream is tiny.
+    val minBand = spark.conf.getOption("spark.graft.minhash.minBand")
+      .exists(_.toBoolean)
+    val cand =
+      if (minBand) {
+        val bandArrUdf = udf((sig: Seq[Long]) =>
+          (0 until bands).map(bi =>
+            scala.util.hashing.MurmurHash3.orderedHash(
+              sig.slice(bi * rows, bi * rows + rows))).toArray)
+        val buckets = sigs.select(col("doc_id"), bandArrUdf(col("sig")).as("bhs"))
+          .select(col("doc_id"), col("bhs"),
+            posexplode(col("bhs")).as(Seq("band", "bh")))
+          .localCheckpoint(true)
+        buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              // first index where the band hashes agree (1-based)
+              col("x.band") === array_position(
+                zip_with(col("x.bhs"), col("y.bhs"), (a, b) => a === b),
+                lit(true)) - 1)
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      } else {
+        val buckets = sigs.select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
+          .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
+          .localCheckpoint(true)
+        buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .distinct()
+      }
     val sh1 = withSh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val sh2 = withSh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     cand.join(sh1, "id1").join(sh2, "id2")

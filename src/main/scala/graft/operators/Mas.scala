@@ -383,6 +383,48 @@ object Mas {
 
   private[graft] val PhecodeDefsPath = "/root/repo/data/phecode_definitions_test.csv"
 
+  /**
+   * ICD→PheCode mapping — the PheWAS on-ramp the reference's README
+   * roadmap plans (/root/reference/README.md:165-175 "ICD code to
+   * PheCode mapping support"): raw diagnosis rows (person, ICD code,
+   * date) join a published ICD→phecode map (the Phecode Map 1.2
+   * layout: icd, flag, phecode; a synthetic copy committed under
+   * data/), then per-(person, phecode) DISTINCT-DATE counts feed the
+   * standard min-code-count case rule that defines PheWAS phenotypes.
+   *
+   * Scale shape: the map is a published catalog (~100k rows at most)
+   * — broadcast, so a 100 TB diagnosis table never shuffles for the
+   * join; one ICD mapping to several phecodes fans out naturally.
+   * The only shuffle is the (person, phecode) count aggregate, which
+   * is map-side combinable. Unmapped ICDs drop (inner join), exactly
+   * like the published mapping tools.
+   */
+  def icdToPhecode(diagnoses: DataFrame, icdMap: DataFrame,
+      personCol: String = "person_id", icdCol: String = "icd",
+      dateCol: String = "date", minCount: Int = 2): DataFrame = {
+    val m = icdMap.select(col("icd").as("__map_icd"), col("phecode"))
+    diagnoses.join(broadcast(m), diagnoses(icdCol) === m("__map_icd"))
+      .groupBy(col(personCol), col("phecode"))
+      .agg(countDistinct(col(dateCol)).as("n_dates"))
+      .withColumn("is_case", col("n_dates") >= minCount)
+  }
+
+  private[graft] val IcdMapPath = "/root/repo/data/icd_phecode_map_test.csv"
+
+  /** s11: ICD→PheCode mapping end-to-end — synthetic diagnoses derived
+    * from events (person = user_id, code = 'D' || event_id % 120, date
+    * = calendar day of ts), ICD-10 rows of the committed map
+    * (flag = 10); codes 97-119 are deliberately unmapped and drop. */
+  def s11IcdPhecode(spark: SparkSession, dir: String): DataFrame = {
+    val diag = Tables.events(spark, dir).select(
+      col("user_id").as("person_id"),
+      concat(lit("D"), (col("event_id") % 120).cast("string")).as("icd"),
+      to_date(col("ts")).as("date"))
+    val icdMap = spark.read.option("header", "true").csv(IcdMapPath)
+      .filter(col("flag") === "10")
+    icdToPhecode(diag, icdMap).orderBy("person_id", "phecode")
+  }
+
   /** a10: the DISTRIBUTED logistic IRLS (Association.logisticGram) on
     * the same 2×2 tables as a03 — beta stays a DataFrame, Newton
     * solves run executor-side, one aggregation scan per iteration.
@@ -827,6 +869,24 @@ object Mas {
 
   val oracleSql: Map[String, String] = Map(
     "a21_score_screen" -> scoreScreenSql(4),
+    // s11: same map CSV read by both engines; 'D' || int renders
+    // identically; CAST-to-DATE of a UTC-naive timestamp matches
+    // Spark's to_date under the pinned UTC session zone
+    "s11_icd_phecode" ->
+      s"""WITH map AS (
+         |  SELECT icd, phecode
+         |  FROM read_csv('$IcdMapPath', all_varchar=true) WHERE flag = '10'
+         |), diag AS (
+         |  SELECT user_id AS person_id,
+         |    'D' || CAST(event_id % 120 AS VARCHAR) AS icd,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+         |  FROM events
+         |)
+         |SELECT dg.person_id, m.phecode,
+         |  CAST(count(DISTINCT dg.d) AS BIGINT) AS n_dates,
+         |  count(DISTINCT dg.d) >= 2 AS is_case
+         |FROM diag dg JOIN map m ON dg.icd = m.icd
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // a22: the published weight vector as literal decimals (parse to
     // the same binary doubles) in the same fixed term order
     "a22_prs" ->

@@ -226,6 +226,50 @@ object Postprocess {
     spark.createDataFrame(out, schema.add("expected_p", DoubleType))
   }
 
+  /**
+   * Manhattan-plot coordinates — the category-axis companion to s07
+   * (reference README roadmap "Manhattan and QQ plot generation";
+   * rendering is out of scope for an engine, coordinates are its
+   * job): each result gets a contiguous global x position ordered by
+   * (category, tie-breaks) and its −log10 p height, so categories
+   * form contiguous colored blocks on the x axis. Ranks come from
+   * the s07 distributed range-sort + `zipWithIndex` — no
+   * single-partition window, a 10M-pair flipwas plots in parallel.
+   */
+  def manhattan(results: DataFrame, pvalCol: String, catCol: String,
+      tieBreak: Seq[String]): DataFrame = {
+    val spark = results.sparkSession
+    val nonNull = results.filter(col(pvalCol).isNotNull && col(pvalCol) > 0)
+    val schema = nonNull.schema
+    // localCheckpoint: same two-job determinism rationale as
+    // qqCoordinates (the rank scan must read the sorted blocks)
+    val sorted = nonNull
+      .orderBy((col(catCol) +: tieBreak.map(col)): _*).rdd
+    sorted.localCheckpoint()
+    val out = sorted.zipWithIndex().map { case (r, rank0) =>
+      Row.fromSeq(r.toSeq :+ (rank0 + 1))
+    }
+    spark.createDataFrame(out,
+        schema.add("x", org.apache.spark.sql.types.LongType))
+      .withColumn("nlp", -log10(col(pvalCol)))
+  }
+
+  /** s12: Manhattan coordinates over the pseudo p-values annotated
+    * with the s03 synthetic category dim (phecode = PH(o_orderkey %
+    * 25), category = that nation's region). */
+  def s12Manhattan(spark: SparkSession, dir: String): DataFrame = {
+    val res = pseudoPvals(spark, dir)
+      .withColumn("dependent", concat(lit("PH"), col("o_orderkey") % 25))
+    val defs = Tables.nation(spark, dir).select(
+      concat(lit("PH"), col("n_nationkey")).as("phecode"),
+      col("n_regionkey").as("category_number"))
+    manhattan(annotate(res, defs, "dependent", "phecode"),
+        "pval", "category_number", Seq("dependent", "o_orderkey"))
+      .select(col("o_orderkey"), col("dependent"), col("category_number"),
+        col("x"), round(col("pval"), 6).as("pval"), Norm.r4(col("nlp")).as("nlp"))
+      .orderBy("x")
+  }
+
   /** s07: QQ coordinates over the pseudo p-values (o_orderkey breaks
     * ties exactly like the oracle's row_number). */
   def s07QqExpected(spark: SparkSession, dir: String): DataFrame =
@@ -435,6 +479,28 @@ object Postprocess {
          |  round(-log10(pval), 4) + 0 AS obs_nlp,
          |  round(-log10((rnk - 0.5) / m.m), 4) + 0 AS exp_nlp
          |FROM r, m ORDER BY o_orderkey""".stripMargin,
+    // s12: row_number over the same (category, dependent, id) order;
+    // 'PH' || int renders identically in both engines, binary string
+    // collation matches Spark's UTF8 ordering
+    "s12_manhattan" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |res AS (
+         |  SELECT o_orderkey, pval, 'PH' || (o_orderkey % 25) AS dependent
+         |  FROM p WHERE pval IS NOT NULL AND pval > 0
+         |), defs AS (
+         |  SELECT 'PH' || n_nationkey AS phecode,
+         |    n_regionkey AS category_number
+         |  FROM nation
+         |), a AS (
+         |  SELECT r.o_orderkey, r.dependent, d.category_number, r.pval
+         |  FROM res r LEFT JOIN defs d ON r.dependent = d.phecode
+         |)
+         |SELECT o_orderkey, dependent, category_number,
+         |  CAST(row_number() OVER (
+         |    ORDER BY category_number, dependent, o_orderkey) AS BIGINT) AS x,
+         |  round(pval, 6) AS pval,
+         |  round(-log10(pval), 4) + 0 AS nlp
+         |FROM a ORDER BY x""".stripMargin,
     // s10: quadratic EXISTS mirror of the bucketed domination join —
     // exact at oracle scale since hits ≪ results after the threshold
     "s10_clump" ->

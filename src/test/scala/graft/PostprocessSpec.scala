@@ -156,4 +156,48 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f("C", "q_stat") == 0.0 && f("C", "i2") == 0.0)
     assert(math.abs(f("C", "z") - -0.5 / 0.25) < 5e-4)
   }
+
+  test("manhattan assigns contiguous x by (category, tie-break) and -log10 heights") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      // (id, category, pval) — category 1 before 2; within a
+      // category, the id tie-break orders
+      (3, 2, 0.001), (1, 1, 0.1), (2, 1, 0.01),
+      (4, 2, 1.0e-8), (5, 1, 0.0), (6, 2, Double.NaN))
+      .toDF("id", "cat", "pval")
+      .withColumn("pval", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.isnan($"pval"), null).otherwise($"pval"))
+    val out = Postprocess.manhattan(df, "pval", "cat", Seq("id")).collect()
+      .map(r => r.getAs[Int]("id") -> r).toMap
+    // p = 0 and null rows are excluded (log10 domain)
+    assert(out.keySet == Set(1, 2, 3, 4))
+    assert(out(1).getAs[Long]("x") == 1 && out(2).getAs[Long]("x") == 2)
+    assert(out(3).getAs[Long]("x") == 3 && out(4).getAs[Long]("x") == 4)
+    assert(math.abs(out(2).getAs[Double]("nlp") - 2.0) < 1e-12)
+    assert(math.abs(out(4).getAs[Double]("nlp") - 8.0) < 1e-12)
+  }
+
+  test("icdToPhecode maps via the catalog, counts distinct dates, fans out multi-maps") {
+    val sess = spark
+    import sess.implicits._
+    val diag = Seq(
+      // person 1: D1 on two distinct days (case), plus an unmapped code
+      (1L, "D1", "2020-01-01"), (1L, "D1", "2020-01-02"), (1L, "ZZZ", "2020-01-03"),
+      // person 2: D1 twice on the SAME day (count 1 -> control)
+      (2L, "D1", "2020-02-01"), (2L, "D1", "2020-02-01"),
+      // person 3: D9 maps to TWO phecodes -> both rows appear
+      (3L, "D9", "2020-03-01"))
+      .toDF("person_id", "icd", "date")
+    val icdMap = Seq(("D1", "100"), ("D9", "200.1"), ("D9", "999"))
+      .toDF("icd", "phecode")
+    val out = graft.operators.Mas.icdToPhecode(diag, icdMap).collect()
+      .map(r => (r.getAs[Long]("person_id"), r.getAs[String]("phecode")) ->
+        (r.getAs[Long]("n_dates"), r.getAs[Boolean]("is_case"))).toMap
+    assert(out.size == 4) // ZZZ dropped; D9 fans out to two phecodes
+    assert(out((1L, "100")) == ((2L, true)))
+    assert(out((2L, "100")) == ((1L, false)))
+    assert(out((3L, "200.1")) == ((1L, false)))
+    assert(out((3L, "999")) == ((1L, false)))
+  }
 }
