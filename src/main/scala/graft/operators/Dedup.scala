@@ -639,6 +639,7 @@ object Dedup {
     // the array; wins when collisions/pair is high (dup-dense corpora),
     // loses when the corpus is dup-sparse and the pair stream is tiny.
     val minBand = spark.conf.getOption("spark.graft.minhash.minBand")
+      .orElse(sys.env.get("SPARK_GRAFT_MINHASH_MINBAND"))
       .exists(_.toBoolean)
     val cand =
       if (minBand) {
