@@ -166,6 +166,7 @@ object SparkEntry {
     "t10_tfidf_keywords" -> (TextOps.t10TfidfKeywords _),
     "t11_unigram_logprob" -> (TextOps.t11UnigramLogprob _),
     "t12_char_entropy_agg" -> (TextOps.t12CharEntropyAgg _),
+    "t18_dsir" -> (TextOps.t18Dsir _),
   )
 
   def oracleSql: Map[String, String] =

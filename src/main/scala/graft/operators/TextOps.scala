@@ -687,6 +687,68 @@ object TextOps {
   def t15BigramLogprob(spark: SparkSession, dir: String): DataFrame =
     bigramLogprob(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  // ------------------------------------------------------- t18 DSIR
+
+  /**
+   * DSIR-style importance weights (Data Selection via Importance
+   * Resampling, Xie et al. 2023 — the published pretraining-data
+   * selection method): score every raw document by how much more
+   * likely its tokens are under a TARGET-domain hashed unigram LM
+   * than under the RAW-corpus LM,
+   *   logw(doc) = Σ_tok [ln p_t(bucket(tok)) − ln p_r(bucket(tok))],
+   * add-one smoothing over a FIXED hashed vocabulary (`buckets`
+   * bins). The hashing is the scale trick: both LMs are exactly
+   * `buckets` rows no matter the corpus size, so they BROADCAST —
+   * scoring 100 TB of documents costs one (doc, bucket) tf
+   * aggregate and two broadcast joins, never an LM-side shuffle.
+   * Docs with logw > 0 look more target-like than raw-like
+   * (DSIR then importance-resamples on these weights — feed
+   * `selected`/`logw` straight into c05's weighted sampler).
+   *
+   * The bucket hash is the codegen'd [[graft.functions.RollingHash]]
+   * (DuckDB-mirrorable, the t04 pattern); tokenization is t11's.
+   */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(split(norm(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("is_t"),
+        (GraftFunctions.rollingHash(col("w")) % buckets).as("b"))
+    // one tokenization: tf feeds both LM aggregates and the score join
+    val tf = toks.groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val tLm = tf.filter(col("is_t")).groupBy("b").agg(sum("tf").as("tc"))
+    val rLm = tf.groupBy("b").agg(sum("tf").as("rc"))
+    val tTot = tf.filter(col("is_t")).agg(sum("tf").as("tt"))
+    val rTot = tf.agg(sum("tf").as("rt"))
+    // rLm join is inner: every doc bucket was counted into the raw LM
+    // by construction; tLm is left (bucket may be absent from target)
+    val perDoc = tf
+      .join(broadcast(tLm), Seq("b"), "left")
+      .join(broadcast(rLm), Seq("b"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        sum(col("tf") *
+          (log((coalesce(col("tc"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
+            log((col("rc") + 1.0) / (col("rt") + buckets)))).as("logw"))
+    // the UNROUNDED logw feeds the threshold (the e14 rule); empty
+    // docs carry null logw/selected, 0 tokens
+    docs.select(col("doc_id"), isTarget.as("is_target"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        Norm.r4(col("logw")).as("logw"),
+        (col("logw") > 0).as("selected"))
+  }
+
+  /** t18: DSIR weights with sources src1-src3 as the target domain. */
+  def t18Dsir(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir),
+      col("source").isin("src1", "src2", "src3")).orderBy("doc_id")
+
   // ----------------------------------------------------- t09 entropy
 
   /**
@@ -914,6 +976,37 @@ object TextOps {
           |  CASE WHEN flesch >= 70 THEN 'easy' WHEN flesch >= 50 THEN 'medium'
           |    WHEN flesch >= 30 THEN 'hard' ELSE 'very_hard' END AS band
           |FROM g ORDER BY doc_id""".stripMargin,
+      // t18: same rolling-hash bucket mirror as t04 (per-word), same
+      // tokenization as t11; operand order of the smoothed log-ratio
+      // matches the Spark expression term-for-term, and the UNROUNDED
+      // logw feeds the selected threshold in both engines
+      "t18_dsir" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, source IN ('src1', 'src2', 'src3') AS is_t,
+           |    unnest(string_split($normSql, ' ')) AS w
+           |  FROM documents
+           |), w2 AS (
+           |  SELECT doc_id, is_t,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(w, ''), x -> CAST(ord(x) AS BIGINT))),
+           |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS b
+           |  FROM w WHERE length(w) > 0
+           |), tf AS (SELECT doc_id, is_t, b, count(*) AS tf FROM w2 GROUP BY 1, 2, 3),
+           |tl AS (SELECT b, sum(tf) AS tc FROM tf WHERE is_t GROUP BY b),
+           |rl AS (SELECT b, sum(tf) AS rc FROM tf GROUP BY b),
+           |tt AS (SELECT sum(tf) AS tt FROM tf WHERE is_t),
+           |rt AS (SELECT sum(tf) AS rt FROM tf),
+           |p AS (
+           |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           |    sum(tf.tf * (ln((coalesce(tl.tc, 0) + 1.0) / (tt.tt + 4096))
+           |      - ln((rl.rc + 1.0) / (rt.rt + 4096)))) AS logw
+           |  FROM tf LEFT JOIN tl USING (b) JOIN rl USING (b), tt, rt
+           |  GROUP BY 1
+           |)
+           |SELECT d.doc_id, d.source IN ('src1', 'src2', 'src3') AS is_target,
+           |  coalesce(p.n_tokens, 0) AS n_tokens,
+           |  round(p.logw, 4) + 0 AS logw, p.logw > 0 AS selected
+           |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
       "t11_unigram_logprob" ->
         s"""WITH w AS (
            |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS w FROM documents

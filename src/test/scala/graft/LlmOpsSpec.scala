@@ -609,4 +609,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(r1 == r8)
   }
+
+  test("dsirWeights: target-like docs score positive, raw-like negative, math matches") {
+    val sess = spark
+    import sess.implicits._
+    // target docs are all "foo bar"; raw-only docs are all "qux zap".
+    // Counts must DOMINATE the add-one smoothing mass (64 buckets) for
+    // the sign intuition to hold — with 2-token docs the smoothing
+    // dilutes the tiny target LM and everything scores raw-like (the
+    // first draft of this test proved that arithmetic the hard way) —
+    // so each doc repeats its pair 50x. foo/bar/qux/zap land in
+    // distinct buckets at 64 bins (6/19/20/41).
+    val rep = Array.fill(50)("foo bar").mkString(" ")
+    val rawRep = Array.fill(50)("qux zap").mkString(" ")
+    val docs = Seq(
+      (1L, rep, "t"), (2L, rep, "t"),
+      (3L, rawRep, "r"), (4L, rep, "r"), (5L, "", "r"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps.dsirWeights(docs, col("source") === "t", 64)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1).getAs[Boolean]("is_target"))
+    assert(out(1).getAs[Double]("logw") > 0 && out(1).getAs[Boolean]("selected"))
+    assert(out(4).getAs[Double]("logw") > 0) // target words, raw source
+    assert(out(3).getAs[Double]("logw") < 0 && !out(3).getAs[Boolean]("selected"))
+    assert(out(5).getAs[Long]("n_tokens") == 0 && out(5).isNullAt(
+      out(5).fieldIndex("logw")))
+    // closed form for doc 3: target LM foo=100, bar=100, tt=200; raw
+    // LM foo=150, bar=150, qux=50, zap=50, rt=400. Per qux/zap token:
+    //   ln((0+1)/(200+64)) - ln((50+1)/(400+64)),  100 tokens total
+    val expected = 100.0 * (math.log(1.0 / 264.0) - math.log(51.0 / 464.0))
+    assert(math.abs(out(3).getAs[Double]("logw") - expected) < 5e-4,
+      s"${out(3).getAs[Double]("logw")} vs $expected")
+  }
 }
