@@ -175,12 +175,13 @@ object StreamingOps {
       val q = tumblingWindowAgg(src).writeStream
         .format("memory").queryName(sinkName).outputMode("append").start()
       try {
-        // ≥5000 rows per micro-batch AND ≤4 batches: cross-batch state is
-        // still exercised (the sf0.01 gate keeps its 2-batch shape), but
+        // ≥5000 rows per micro-batch AND ≤2 batches (+ the flush
+        // sentinel): cross-batch state is still exercised, but
         // per-batch state-store commit cost stops scaling with corpus
         // size — 20 sequential micro-batches at sf0.1 cost 41 s of pure
-        // commit overhead for an identical final sink
-        val batch = math.max(5000, (rows.length + 3) / 4)
+        // commit overhead for an identical final sink, and halving 4→2
+        // slices shaved another ~20% off every stateful gate (r12)
+        val batch = math.max(5000, (rows.length + 1) / 2)
         rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
         input.addData(Seq((-1L, "__flush",
           new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
@@ -227,8 +228,10 @@ object StreamingOps {
         joinWindow = "240 minutes", watermark = "6 hours").writeStream
         .format("memory").queryName(sinkName).outputMode("append").start()
       try {
-        // the e11 rule: ≤4 time-aligned slices, ≥2000 rows each
-        val batch = math.max(2000, (ev.length + 3) / 4)
+        // the e11 rule: ≤2 time-aligned slices, ≥2000 rows each
+        // (fewer slices is strictly SAFER for the both-sides-in-state
+        // argument — more of each side is in state before any eviction)
+        val batch = math.max(2000, (ev.length + 1) / 2)
         ev.grouped(batch).foreach { b =>
           impIn.addData(b.filter(_._4 == "view").map(r => (r._1, r._2, r._3)))
           clkIn.addData(b.filter(_._4 == "click").map(r => (r._1, r._2, r._3)))
@@ -275,7 +278,7 @@ object StreamingOps {
       val q = sessionize(src).writeStream
         .format("memory").queryName(sinkName).outputMode("append").start()
       try {
-        val batch = math.max(5000, (rows.length + 3) / 4)
+        val batch = math.max(5000, (rows.length + 1) / 2)
         rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
         // sentinel 48 h past the horizon: watermark sweeps past every
         // pending timeout; its own open session is filtered below
