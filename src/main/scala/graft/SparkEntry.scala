@@ -84,6 +84,7 @@ object SparkEntry {
     "d05b_dedup_embedding_lsh" -> (Dedup.d05bDedupEmbeddingLsh _),
     "d06_dedup_components" -> (Dedup.d06DedupComponents _),
     "d07_contamination" -> (Dedup.d07Contamination _),
+    "d16_fuzzy_contamination" -> (Dedup.d16FuzzyContamination _),
     "d14_bloom_contamination" -> (Dedup.d14BloomContamination _),
     "d08_url_dedup" -> (Dedup.d08UrlDedup _),
     "d09_dup_shingles" -> (Dedup.d09DupShingles _),

@@ -109,6 +109,51 @@ object Dedup {
       .orderBy("bench_id", "corpus_id")
 
   /**
+   * FUZZY benchmark decontamination — d07's NORMALIZED twin: flag
+   * (benchmark item, corpus doc) pairs whose shared distinct
+   * 3-shingle count covers ≥ `tau` of the BENCHMARK item's shingle
+   * set (containment |B∩C|/|B|). d07's absolute minShared threshold
+   * depends on item length; the containment fraction transfers
+   * across benchmarks (the published decontamination rule — Dolma /
+   * GPT-3-style n-gram overlap fractions) and ranks partially
+   * embedded or lightly paraphrased items that sit above any fixed
+   * absolute cutoff's noise floor. Same broadcast shape as d07: the
+   * benchmark postings AND its per-item sizes broadcast (eval sets
+   * are thousands of items; the corpus is the 100 TB side), corpus
+   * shingles stream through the hash join, and the only exchange is
+   * the matched-pair count aggregate. The UNROUNDED fraction feeds
+   * the threshold (the e14 rule).
+   */
+  def containmentContamination(corpus: DataFrame, benchmark: DataFrame,
+      tau: Double): DataFrame = {
+    val bsh = withShingles(benchmark, "text", "sh")
+      .select(col("doc_id").as("bench_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    val bPost = bsh.select(col("bench_id"), explode(col("sh")).as("s"))
+    val bSize = bsh.select(col("bench_id"), size(col("sh")).as("nb"))
+    val c = withShingles(corpus, "text", "sh")
+      .select(col("doc_id").as("corpus_id"), explode(col("sh")).as("s"))
+    c.join(broadcast(bPost), "s")
+      .groupBy("bench_id", "corpus_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(bSize), "bench_id")
+      .filter(col("shared").cast("double") / col("nb") >= tau)
+      .select(col("bench_id"), col("corpus_id"), col("shared"),
+        round(col("shared").cast("double") / col("nb"), 4).as("containment"))
+  }
+
+  /** d16: the d07 benchmark/corpus split under the containment rule
+    * at τ = 0.1 — catches the near-full copy (containment 0.99 at
+    * sf0.01) plus the borderline 0.11-0.22 band, over a ≤0.08 noise
+    * floor. */
+  def d16FuzzyContamination(spark: SparkSession, dir: String): DataFrame =
+    containmentContamination(
+      graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25),
+      graft.Tables.documents(spark, dir).filter(col("doc_id") < 25),
+      tau = 0.1)
+      .orderBy("bench_id", "corpus_id")
+
+  /**
    * Bloom-filter decontamination — d07's exact posting join replaced
    * by the SKETCH a production tagger ships to its workers: the
    * benchmark's shingle set compresses into an m-bit Bloom filter
@@ -1207,6 +1252,32 @@ object Dedup {
         |  round(n_hits * 1.0 / n_shingles, 4) + 0 AS hit_frac,
         |  n_hits * 1.0 / n_shingles >= 0.5 AS flagged
         |FROM g ORDER BY doc_id""".stripMargin,
+    // d16: d07's shingle CTEs + per-bench sizes; the UNROUNDED
+    // fraction feeds the threshold in both engines
+    "d16_fuzzy_contamination" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+        |), words AS (
+        |  SELECT doc_id, string_split(t, ' ') AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM words
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+        |), szs AS (
+        |  SELECT doc_id, len(shingles) AS nb FROM sh WHERE len(shingles) > 0
+        |), p AS (
+        |  SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id, count(*) AS shared
+        |  FROM ex b JOIN ex c ON b.s = c.s
+        |  WHERE b.doc_id < 25 AND c.doc_id >= 25
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.bench_id, p.corpus_id, CAST(p.shared AS BIGINT) AS shared,
+        |  round(CAST(p.shared AS DOUBLE) / s.nb, 4) + 0 AS containment
+        |FROM p JOIN szs s ON p.bench_id = s.doc_id
+        |WHERE CAST(p.shared AS DOUBLE) / s.nb >= 0.1
+        |ORDER BY bench_id, corpus_id""".stripMargin,
     "d07_contamination" ->
       """WITH norm AS (
         |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents

@@ -150,6 +150,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n101 == 8 && h101 <= n101 && !f101)
   }
 
+  test("containmentContamination normalizes by the BENCHMARK shingle count") {
+    val sess = spark
+    import sess.implicits._
+    // bench item: 10 words -> 8 distinct shingles
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // the item embedded inside a longer doc: ALL 8 bench shingles
+      // present -> containment 1.0 regardless of the doc's extra text
+      (100L, s"intro words before $benchText and trailing words after"),
+      // half the item (first 5 words -> shingles 1-3 of 8): 3/8
+      (101L, "alpha beta gamma delta epsilon unrelated filler text here"),
+      // disjoint doc: no shared shingles -> no output row
+      (102L, "totally different words about unrelated topics entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentContamination(corpus, bench, tau = 0.3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(100L) == ((8L, 1.0)))
+    assert(out(101L) == ((3L, 0.375)))
+    assert(!out.contains(102L))
+    // tau above 3/8 drops the partial copy but keeps the full embed
+    val strict = Dedup.containmentContamination(corpus, bench, tau = 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(strict == Set(100L))
+  }
+
   test("exact dedup classes cover exactly the mutated docs") {
     val out = Dedup.d01DedupExact(spark, dir).collect()
     assert(out.forall(_.getLong(1) == 2L))
