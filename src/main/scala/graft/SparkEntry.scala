@@ -142,6 +142,7 @@ object SparkEntry {
     "e11_stream_window_gate" -> (graft.streaming.StreamingOps.e11StreamWindowAgg _),
     "e13_stream_join_gate" -> (graft.streaming.StreamingOps.e13StreamJoinGate _),
     "e15_stream_session_gate" -> (graft.streaming.StreamingOps.e15StreamSessionGate _),
+    "e16_stream_static_gate" -> (graft.streaming.StreamingOps.e16StreamStaticGate _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
@@ -520,6 +521,9 @@ object SparkEntry {
         |  AND (c.n - s.s1 / s.nw)
         |    / sqrt(s.s2 / s.nw - (s.s1 / s.nw) * (s.s1 / s.nw)) > 2.0
         |ORDER BY c.event_type, c.window_start""".stripMargin,
+    // e16: the stream-static tagging must reproduce the batch
+    // contamination exactly — same oracle as d07 by design
+    "e16_stream_static_gate" -> graft.operators.Dedup.oracleSql("d07_contamination"),
     // e11: the STREAMING state machinery must reproduce the batch
     // aggregate exactly — same oracle as e02 by design
     "e11_stream_window_gate" ->

@@ -243,6 +243,79 @@ object StreamingOps {
   }
 
   /**
+   * Streaming decontamination tagging — the STREAM-STATIC broadcast
+   * join, the production shape of a contamination tagger on an
+   * ingest stream: incoming documents explode to shingles and join a
+   * STATIC benchmark postings table (broadcast; Structured
+   * Streaming's static-side contract re-plans it per micro-batch),
+   * then the shared-shingle count aggregates per (bench, doc) inside
+   * an event-time window so append mode can emit each flagged pair
+   * exactly once when the watermark closes it. The watermark is
+   * assigned on the SOURCE frame — before the shingle explode — so a
+   * shingle-free sentinel document still advances event time (an
+   * exploded empty array drops the row before any downstream node
+   * would see its timestamp). Batch mode: watermark and window
+   * degenerate and this is exactly [[graft.operators.Dedup.contamination]].
+   */
+  def streamContamination(docs: DataFrame, benchPostings: DataFrame,
+      minShared: Int, windowDur: String = "1 day",
+      watermark: String = "1 hour"): DataFrame = {
+    val shingled = docs
+      .withWatermark("ts", watermark)
+    val exploded = graft.operators.Dedup.withShingles(shingled, "text", "sh")
+      .select(col("doc_id").as("corpus_id"), col("ts"), explode(col("sh")).as("s"))
+    exploded.join(broadcast(benchPostings), "s")
+      .groupBy(window(col("ts"), windowDur).as("w"), col("bench_id"),
+        col("corpus_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .select(col("bench_id"), col("corpus_id"), col("shared_ngrams"))
+  }
+
+  /**
+   * e16 — the replay harness applied to the STREAM-STATIC join, the
+   * fifth streaming surface (after dedup e10, windowed agg e11,
+   * stream-stream join e13, sessionization e15): the d07
+   * benchmark/corpus split replays with the corpus as a document
+   * STREAM (event time = doc_id ms, the e10 rule) tagged against the
+   * static benchmark postings, through the real windowed-aggregate
+   * state store in append mode. All real docs land in one 1-day
+   * window; a far-future shingle-free sentinel advances the
+   * watermark past it so the window closes and emits — the sink is
+   * then EXACTLY d07's batch contamination, same oracle.
+   */
+  def e16StreamStaticGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val bPost = graft.operators.Dedup.withShingles(
+        graft.Tables.documents(spark, dir).filter(col("doc_id") < 25),
+        "text", "sh")
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+    val docs = graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    // +1 h: event-time 0 would sit ON the initial watermark (e10 rule)
+    val src = input.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_millis(col("doc_id") + lit(3600000L)))
+    val sinkName = "graft_e16_sink"
+    spark.catalog.dropTempView(sinkName)
+    withShufflePartitions(spark, 8) {
+      val q = streamContamination(src, bPost, minShared = 3).writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      try {
+        val batch = math.max(2000, (docs.length + 1) / 2)
+        docs.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
+        // sentinel ts ≈ 115 days: far past window end + delay; its
+        // empty text has no shingles, so it can never reach the sink
+        input.addData(Seq((10000000000L, "")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table(sinkName).orderBy("bench_id", "corpus_id")
+  }
+
+  /**
    * e15 — the replay harness applied to SESSIONIZATION, the fourth
    * and last streaming state surface (after dedup e10, windowed agg
    * e11, stream-stream join e13): the events table replays through

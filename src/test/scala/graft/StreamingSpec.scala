@@ -225,4 +225,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.contains((2L, 6060L, 1L, 9.0)))
     } finally query.stop()
   }
+
+  test("streamContamination in batch mode equals the batch contamination op") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.Dedup
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta plus extra"),
+      (101L, "alpha beta gamma then something else entirely different here"),
+      (102L, "no overlap at all with anything benchmark related words"))
+      .toDF("doc_id", "text")
+    val bPost = Dedup.withShingles(bench, "text", "sh")
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+    val streamed = graft.streaming.StreamingOps.streamContamination(
+        corpus.withColumn("ts", timestamp_millis(col("doc_id"))), bPost, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.contamination(corpus, bench, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // doc 100 embeds the full item (all 6 shingles); 101 shares only 1
+    assert(batch.contains((1L, 100L, 6L)) && !batch.exists(_._2 == 101L))
+  }
 }
