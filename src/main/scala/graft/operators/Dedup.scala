@@ -781,12 +781,26 @@ object Dedup {
         struct(lit(k).as("bank"),
           shiftright(col("sim"), k * 15).bitwiseAND(lit(0x7fffL)).as("bv"))): _*)).as("b"))
       .select(col("doc_id"), col("sim"), col("b.bank"), col("b.bv"))
+    // Min-bank emission: a pair colliding in k banks would appear k
+    // times, and deduping that stream costs a full (id1, id2) shuffle
+    // (`distinct()`); instead emit ONLY from the minimal colliding
+    // bank — derivable for free since both full signatures are
+    // already in the join output (unlike d03, where the equivalent
+    // trick must carry a band-hash array and measured even) — so each
+    // pair is emitted exactly once and the distinct exchange
+    // disappears.
+    def bankEq(j: Int) =
+      shiftright(col("x.sim"), j * 15).bitwiseAND(lit(0x7fffL)) ===
+        shiftright(col("y.sim"), j * 15).bitwiseAND(lit(0x7fffL))
+    val isMinBank = when(col("x.bank") === 0, lit(true))
+      .when(col("x.bank") === 1, !bankEq(0))
+      .when(col("x.bank") === 2, !bankEq(0) && !bankEq(1))
+      .otherwise(!bankEq(0) && !bankEq(1) && !bankEq(2))
     val cand = banks.as("x").join(banks.as("y"),
         col("x.bank") === col("y.bank") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && isMinBank)
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
         col("x.sim").as("s1"), col("y.sim").as("s2"))
-      .distinct()
     cand.withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("hamming") <= radius)
       .select("id1", "id2", "hamming")
