@@ -83,6 +83,26 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast first-occurrence join in:\n$plan")
   }
 
+  test("s11 and t18 plan shape: catalog and LM sides broadcast, corpus never shuffles for them") {
+    val dir = "/root/testdata/sf0.001"
+    // s11: the ICD->phecode catalog must reach the diagnosis stream as
+    // a broadcast — a shuffled map join would move the 100 TB side
+    val s11 = graft.operators.Mas.s11IcdPhecode(spark, dir)
+    assert(s11.collect().nonEmpty)
+    val p11 = s11.queryExecution.executedPlan.toString
+    assert(p11.contains("BroadcastHashJoin"),
+      s"expected broadcast catalog join in:\n$p11")
+    // t18: both hashed unigram LMs are bucket-count-sized and must
+    // broadcast into the tf stream (no LM-side SortMergeJoin)
+    val t18 = graft.operators.TextOps.t18Dsir(spark, dir)
+    assert(t18.collect().nonEmpty)
+    val p18 = t18.queryExecution.executedPlan.toString
+    assert(p18.contains("BroadcastHashJoin"),
+      s"expected broadcast LM joins in:\n$p18")
+    assert(!p18.contains("SortMergeJoin"),
+      s"an LM join fell back to SortMergeJoin:\n$p18")
+  }
+
   test("d12 at-scale regime: AQE skew-split engages on the hot-paragraph join") {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.adaptive.enabled", "true")
