@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Association
 
@@ -18,9 +18,30 @@ object Bench {
     // JVM) with the headline/probe/scale segments skipped
     val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val masOnly = benchOnly.contains("mas")
-    val onlyNames = benchOnly.filterNot(_ == "mas")
+    // "slope" runs ONLY the scale_slope segment (1x points re-measured
+    // as one-shots since the sweep is skipped) — the knob that lets a
+    // slope regression be adjudicated without paying the full sweep
+    val slopeOnly = benchOnly.contains("slope")
+    val onlyNames = benchOnly.filterNot(v => v == "mas" || v == "slope")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.get()
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Load gate: a sweep started at load > 8 produces numbers a reader
+    // must re-measure to trust (the committed r12 sweep ran at 22.9 and
+    // its four scariest per-query times were 2-5x host contention).
+    // Wait for the host to quiet down — up to 10 min by default — and
+    // record how the gate resolved; the run proceeds either way (a
+    // driver round must still produce a BENCH file) but carries the
+    // stamp that says whether to believe it.
+    val gateStart = loadAvg()
+    val gateWaitMax = sys.env.get("SPARK_GRAFT_LOAD_GATE_WAIT")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(600)
+    var gateWaited = 0
+    while (loadAvg() > 8.0 && gateWaited < gateWaitMax) {
+      Thread.sleep(30000); gateWaited += 30
+    }
+    val gateJson = s""""load_gate":[${"%.1f".formatLocal(java.util.Locale.ROOT, gateStart)},$gateWaited,${"%.1f".formatLocal(java.util.Locale.ROOT, loadAvg())}]"""
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
     // per-query keys compress to the canonical short id (a01, q12,
@@ -45,12 +66,11 @@ object Bench {
     val parentDir = new java.io.File(sfDir).getAbsoluteFile.getParent
     val probeDir = parentDir + "/sf0.001"
     val probeNames = Seq("d03_dedup_minhash", "d04_dedup_simhash", "d06_dedup_components")
-    def loadAvg(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     // a probe body that throws must NOT report its time-to-exception
     // as a compile-cost number — omit the key instead
     val probes =
-      if (masOnly || onlyNames.isDefined || !new java.io.File(probeDir).isDirectory) Seq.empty
+      if (masOnly || slopeOnly || onlyNames.isDefined ||
+        !new java.io.File(probeDir).isDirectory) Seq.empty
       else probeNames.flatMap { name =>
         val t0 = System.nanoTime()
         val ok =
@@ -78,7 +98,11 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = (if (masOnly) Seq.empty[String]
+    // each sweep entry also stamps the load average sampled right after
+    // its reps: the r12 sweep ran at load 22.9 and its per-query times
+    // were 2-5x inflated mid-sweep — the stamp is what lets a reader
+    // discount a spike without re-running (same rule as scale_slope)
+    val sweep3 = (if (masOnly || slopeOnly) Seq.empty[String]
       else SparkEntry.queries.keys.toSeq.sorted.filter(n => onlyNames.forall(_.contains(n))))
       .map { name =>
         val r1 = timed(run(name))
@@ -87,9 +111,12 @@ object Bench {
         // adaptive 3rd rep: a >40% spread between reps is the host-
         // contention signature, and min-of-2 still reports the spike
         // if BOTH reps landed on it — one more rep bounds that
-        name -> (if (mn > 0.15 && math.abs(r1 - r2) / mn > 0.4)
-          math.min(mn, timed(run(name))) else mn)
+        val t = if (mn > 0.15 && math.abs(r1 - r2) / mn > 0.4)
+          math.min(mn, timed(run(name))) else mn
+        (name, t, loadAvg())
       }
+    val results = sweep3.map { case (n, t, _) => n -> t }
+    val queriesLoad = sweep3.map { case (n, _, l) => n -> l }
     val loadPostSweep = loadAvg()
     // MAS headlines: the reference's TWO published benchmark tables
     // (/root/reference/benchmarks/README.md) at the 5,000 × ~1,800
@@ -123,14 +150,18 @@ object Bench {
     // code has measured 2 s on a quiet host and 80+ s at system
     // load ~20 (external tenants), and the per-rep spread + load
     // average tell those apart.
-    def reps3(body: => Unit): Seq[Double] =
+    // every rep stamps the load average sampled right after it (r12
+    // verdict: reps [5.04, 4.79, 50.73] were unstamped, so a reader
+    // could not tell the 50.73 was a host spike without re-running)
+    def reps3(body: => Unit): Seq[(Double, Double)] =
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         body
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, loadAvg())
       }
-    val masTime: (Seq[Double], Seq[Double], Seq[Double], Seq[Double]) =
-    if (onlyNames.isDefined) (Nil, Nil, Nil, Nil) else {
+    val masTime: (Seq[(Double, Double)], Seq[(Double, Double)],
+        Seq[(Double, Double)], Seq[(Double, Double)]) =
+    if (onlyNames.isDefined || slopeOnly) (Nil, Nil, Nil, Nil) else {
       val n = 5000; val d = 1800
       val melted5 = masMelted(n, d, 5)
       val firthReps = reps3 {
@@ -184,7 +215,8 @@ object Bench {
     //    the a04-vs-a17 crossover direction in data.
     def scale10xDir(): Option[String] =
       try {
-        val out = "/tmp/graft_scale10x_v2"
+        // v3: adds the graph-family edge corpora (r13)
+        val out = "/tmp/graft_scale10x_v3"
         val marker = new java.io.File(out + "/_GRAFT_DONE")
         if (!marker.exists()) {
           val docs = spark.read.parquet(sfDir + "/documents.parquet")
@@ -216,6 +248,31 @@ object Bench {
                 .as("embedding"),
               col("label"))
             .write.mode("overwrite").parquet(out + "/embeddings.parquet")
+          // graph family: the co-order and trade edge lists at 1x, and
+          // a 10x DISJOINT-UNION replica (per-replica vertex-id offset).
+          // Disjoint union preserves the degree distribution and every
+          // within-replica wedge/triangle EXACTLY, so edge count, wedge
+          // volume (Σoutdeg²), and triangle count all scale 10x — the
+          // honest "10x the edges at the same shape" point. BOTH points
+          // read precomputed parquet, so the lineitem projection join
+          // that BUILDS the graph is billed to neither.
+          val co = graft.operators.Graph.coOrderEdges(spark, sfDir)
+            .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+          co.write.mode("overwrite").parquet(out + "/coorder_edges_1x.parquet")
+          spark.read.parquet(out + "/coorder_edges_1x.parquet")
+            .select(col("u"), col("v"), reps)
+            .select((col("u") + col("r").cast("long") * 100000000L).as("u"),
+              (col("v") + col("r").cast("long") * 100000000L).as("v"))
+            .write.mode("overwrite").parquet(out + "/coorder_edges_10x.parquet")
+          val trade = graft.operators.Graph.tradeEdges(spark, sfDir)
+          val bi = trade.select(col("c").as("src"), col("s").as("dst"))
+            .union(trade.select(col("s").as("src"), col("c").as("dst")))
+          bi.write.mode("overwrite").parquet(out + "/trade_edges_1x.parquet")
+          spark.read.parquet(out + "/trade_edges_1x.parquet")
+            .select(col("src"), col("dst"), reps)
+            .select(concat(col("src"), lit("#"), col("r").cast("string")).as("src"),
+              concat(col("dst"), lit("#"), col("r").cast("string")).as("dst"))
+            .write.mode("overwrite").parquet(out + "/trade_edges_10x.parquet")
           marker.createNewFile()
         }
         Some(out)
@@ -233,9 +290,26 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some((dt, ld)) else None
     }
+    // SPARK_GRAFT_SLOPE_MIN2=d03,... re-runs the named 10x points
+    // min-of-2 — the adjudication knob for a suspect slope (a 100+ s
+    // point is too expensive to pay twice on every full bench, but one
+    // targeted re-run settles whether a drift was load or code)
+    val slopeMin2 = sys.env.get("SPARK_GRAFT_SLOPE_MIN2")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    def oneShotN(key: String)(body: => Unit): Option[(Double, Double)] =
+      if (!slopeMin2.contains(key)) oneShot(body)
+      else for { a <- oneShot(body); b <- oneShot(body) }
+        yield (math.min(a._1, b._1), math.max(a._2, b._2))
+    // slope entries render [t1, t10, load10] when the 1x point is the
+    // (already load-bracketed) sweep min, and [t1, t10, load1, load10]
+    // when BOTH points are one-shots — per-point stamps everywhere
     def pair(key: String, p: Option[(Double, Double, Double)]): Option[String] =
       p.map { case (a, b, ld) =>
         s""""$key":[${"%.2f".formatLocal(java.util.Locale.ROOT, a)},${"%.2f".formatLocal(java.util.Locale.ROOT, b)},${"%.1f".formatLocal(java.util.Locale.ROOT, ld)}]"""
+      }
+    def pair4(key: String, p: Option[((Double, Double), (Double, Double))]): Option[String] =
+      p.map { case ((a, l1), (b, l2)) =>
+        s""""$key":[${"%.2f".formatLocal(java.util.Locale.ROOT, a)},${"%.2f".formatLocal(java.util.Locale.ROOT, b)},${"%.1f".formatLocal(java.util.Locale.ROOT, l1)},${"%.1f".formatLocal(java.util.Locale.ROOT, l2)}]"""
       }
     def scaleSlope(): Option[String] =
       if (masOnly || onlyNames.isDefined) None
@@ -265,19 +339,67 @@ object Bench {
               graft.operators.Dedup.embCorpus(spark, bigDir).select("vec_id", "e"),
               lists = 160, iters = 2, tau = 0.85, trainFrac = 0.1)
               .write.format("noop").mode("overwrite").save()))
+        // 1x point: the sweep min when the sweep ran; a fresh one-shot
+        // (with its own load stamp) in slope-only mode
+        def corpusEntry(name: String, body1x: => Unit, body10x: => Unit): Option[String] = {
+          val key = shortId(name)
+          results.toMap.get(name) match {
+            case Some(t1) =>
+              pair(key, oneShotN(key)(body10x).map { case (tBig, ld) => (t1, tBig, ld) })
+            case None =>
+              pair4(key, for {
+                a <- oneShot(body1x)
+                b <- oneShotN(key)(body10x)
+              } yield (a, b))
+          }
+        }
         val corpusPairs = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh",
           "d10_semdedup").flatMap { name =>
-          pair(shortId(name), results.toMap.get(name)
-            .flatMap(t1 => oneShot(bigBodies(name)())
-              .map { case (tBig, ld) => (t1, tBig, ld) }))
+          corpusEntry(name, run(name), bigBodies(name)())
         }
+        // contamination + streaming-gate families (r12 verdict: no 10x
+        // point). Both read only documents.parquet, so the 10x corpus
+        // applies directly: the stream/corpus side scales 10x while the
+        // benchmark side (doc_id < 25 — replica offsets keep replicas
+        // out of it) stays fixed, exactly the production shape of a
+        // decontamination tagger on a growing ingest.
+        val gatePairs = Seq("d16_fuzzy_contamination", "e16_stream_static_gate")
+          .flatMap { name =>
+            corpusEntry(name, run(name),
+              SparkEntry.queries(name)(spark, bigDir)
+                .write.format("noop").mode("overwrite").save())
+          }
+        // graph family: both points read precomputed edge parquet (see
+        // scale10xDir) — g02's Σoutdeg² wedge volume and g01's
+        // per-iteration shuffle both scale 10x under disjoint union, so
+        // ~linear measured slope is the pass bar for both
+        def graphBody(edges: String)(f: DataFrame => DataFrame): Unit =
+          f(spark.read.parquet(s"$bigDir/$edges"))
+            .write.format("noop").mode("overwrite").save()
+        def g02Body(edges: String): Unit = graphBody(edges) { e =>
+          graft.operators.Graph.triangles(e)
+            .orderBy(col("n_triangles").desc, col("node")).limit(20)
+        }
+        def g01Body(edges: String): Unit = graphBody(edges) { e =>
+          graft.operators.Graph.pagerank(e, iters = 5)
+            .orderBy(col("rank_micro").desc, col("node")).limit(20)
+        }
+        val graphPairs = Seq(
+          pair4("g02", for {
+            a <- oneShot(g02Body("coorder_edges_1x.parquet"))
+            b <- oneShotN("g02")(g02Body("coorder_edges_10x.parquet"))
+          } yield (a, b)),
+          pair4("g01", for {
+            a <- oneShot(g01Body("trade_edges_1x.parquet"))
+            b <- oneShotN("g01")(g01Body("trade_edges_10x.parquet"))
+          } yield (a, b))).flatten
         spark.conf.set("spark.graft.bpe.merges", "200")
         spark.conf.set("spark.graft.bpe.trainWords", "20000")
-        val t13 = pair("t13", for {
+        val t13 = pair4("t13", for {
           a <- oneShot(run("t13_bpe_tokens"))
-          b <- oneShot(SparkEntry.queries("t13_bpe_tokens")(spark, bigDir)
+          b <- oneShotN("t13")(SparkEntry.queries("t13_bpe_tokens")(spark, bigDir)
             .write.format("noop").mode("overwrite").save())
-        } yield (a._1, b._1, b._2))
+        } yield (a, b))
         spark.conf.unset("spark.graft.bpe.merges")
         spark.conf.unset("spark.graft.bpe.trainWords")
         val masPairs =
@@ -288,24 +410,24 @@ object Bench {
               pair("mas_firth", oneShot(
                 Association.binary(big, masCfg(1800, 5))
                   .write.format("noop").mode("overwrite").save())
-                .map { case (t, ld) => (masTime._1.min, t, ld) }),
+                .map { case (t, ld) => (masTime._1.map(_._1).min, t, ld) }),
               pair("mas_linear", oneShot(
                 Association.linear(big, masCfg(1800, 5).copy(model = "linear"))
                   .write.format("noop").mode("overwrite").save())
-                .map { case (t, ld) => (masTime._3.min, t, ld) }),
+                .map { case (t, ld) => (masTime._3.map(_._1).min, t, ld) }),
               pair("mas_firth_gram", oneShot(
                 Association.firthGram(big, masCfg(1800, 5))
                   .write.format("noop").mode("overwrite").save())
-                .map { case (t, ld) => (masTime._4.min, t, ld) })).flatten
+                .map { case (t, ld) => (masTime._4.map(_._1).min, t, ld) })).flatten
           }
         ((s""""docs":[$docsBase,${docsBase * 10}]""" +:
-          corpusPairs) ++ t13.toSeq ++ masPairs).mkString(",")
+          corpusPairs) ++ gatePairs ++ graphPairs ++ t13.toSeq ++ masPairs).mkString(",")
       }
-    val masHeads = if (onlyNames.isDefined) Seq.empty else Seq(
-      "mas_firth_5000x1800x5cov" -> masTime._1.min,
-      "mas_firth_5000x1800x20cov" -> masTime._2.min,
-      "mas_linear_5000x1800x5cov" -> masTime._3.min,
-      "mas_firth_gram_5000x1800x5cov" -> masTime._4.min)
+    val masHeads = if (onlyNames.isDefined || slopeOnly) Seq.empty else Seq(
+      "mas_firth_5000x1800x5cov" -> masTime._1.map(_._1).min,
+      "mas_firth_5000x1800x20cov" -> masTime._2.map(_._1).min,
+      "mas_linear_5000x1800x5cov" -> masTime._3.map(_._1).min,
+      "mas_firth_gram_5000x1800x5cov" -> masTime._4.map(_._1).min)
     // runs AFTER the headline reps (it reuses their min as point 1)
     val scaleSlopeJson = scaleSlope()
     val all = results ++ masHeads
@@ -321,11 +443,19 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + shortId(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    // 2 dp: the whole line must clear the driver's tail buffer
-    val reps = s""""mas_firth_reps":[${masTime._1.map(fq).mkString(",")}],""" +
-      s""""mas_firth20_reps":[${masTime._2.map(fq).mkString(",")}],""" +
-      s""""mas_linear_reps":[${masTime._3.map(fq).mkString(",")}],""" +
-      s""""mas_firth_gram_reps":[${masTime._4.map(fq).mkString(",")}]"""
+    // 2 dp: the whole line must clear the driver's tail buffer. Each
+    // rep's load stamp goes to the DETAIL file (mas_reps_loads), so a
+    // spiked rep is attributable without bloating the compact line.
+    val reps = s""""mas_firth_reps":[${masTime._1.map(r => fq(r._1)).mkString(",")}],""" +
+      s""""mas_firth20_reps":[${masTime._2.map(r => fq(r._1)).mkString(",")}],""" +
+      s""""mas_linear_reps":[${masTime._3.map(r => fq(r._1)).mkString(",")}],""" +
+      s""""mas_firth_gram_reps":[${masTime._4.map(r => fq(r._1)).mkString(",")}]"""
+    val repsLoads = Seq("mas_firth" -> masTime._1, "mas_firth20" -> masTime._2,
+        "mas_linear" -> masTime._3, "mas_firth_gram" -> masTime._4)
+      .map { case (k, v) =>
+        "\"" + k + "\":[" + v.map(r => "%.1f".formatLocal(java.util.Locale.ROOT, r._2))
+          .mkString(",") + "]"
+      }.mkString("{", ",", "}")
     // codegen_probe: the same three dedup queries at sf0.001 — their
     // time there IS the Janino compile cost the sweep no longer pays
     val probeJson = probes.map { case (k, v) => "\"" + k + "\":" + fq(v) }
@@ -340,15 +470,19 @@ object Bench {
     // codegen probe) goes to an EARLIER line and a file, and the last
     // line is a compact headline JSON — headlines, scale_slope (with
     // per-point load stamps), loads, reps, sweep total.
+    val qsLoad = queriesLoad.map { case (k, v) =>
+      "\"" + shortId(k) + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"detail","unit":"sec","queries":$qs,""" +
+      s""""queries_load":$qsLoad,"mas_reps_loads":$repsLoads,$gateJson,""" +
       s""""codegen_probe":$probeJson,"sf":"$sfDir"}"""
     val masHeadJson = masHeads.map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":$masHeadJson,$scaleJson""" +
       s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
-      s""""load_avg":${f3(loadAvg())},$reps,"sf":"$sfDir"}"""
+      s""""load_avg":${f3(loadAvg())},$gateJson,$reps,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detailJson) finally w.close()

@@ -26,6 +26,8 @@ object SparkEntry {
     "a18_assoc_negbin" -> (Mas.a18AssocNegbin _),
     "a19_logrank" -> (Mas.a19Logrank _),
     "a20_assoc_ordinal" -> (Mas.a20AssocOrdinal _),
+    "a23_cox_ph" -> (Mas.a23CoxPh _),
+    "a24_assoc_ordinal4" -> (Mas.a24AssocOrdinal4 _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),
     "a22_prs" -> (Mas.a22Prs _),
     "a16_cmh" -> (Mas.a16Cmh _),
@@ -143,6 +145,7 @@ object SparkEntry {
     "e13_stream_join_gate" -> (graft.streaming.StreamingOps.e13StreamJoinGate _),
     "e15_stream_session_gate" -> (graft.streaming.StreamingOps.e15StreamSessionGate _),
     "e16_stream_static_gate" -> (graft.streaming.StreamingOps.e16StreamStaticGate _),
+    "e17_stream_file_gate" -> (graft.streaming.StreamingOps.e17StreamFileGate _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
@@ -524,6 +527,12 @@ object SparkEntry {
     // e16: the stream-static tagging must reproduce the batch
     // contamination exactly — same oracle as d07 by design
     "e16_stream_static_gate" -> graft.operators.Dedup.oracleSql("d07_contamination"),
+    // e17: the FILE-sink emission path must land the same rows the
+    // memory-sink gate (e11) proves — same oracle as e11/e02 by design
+    "e17_stream_file_gate" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // e11: the STREAMING state machinery must reproduce the batch
     // aggregate exactly — same oracle as e02 by design
     "e11_stream_window_gate" ->

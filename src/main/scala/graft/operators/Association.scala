@@ -1394,6 +1394,105 @@ object Association {
         when(col("v_info") > 0, lit(1.0) / sqrt(col("v_info"))).as("se"))
   }
 
+  /**
+   * Full Cox proportional-hazards fit (Breslow ties) of a BINARY
+   * exposure, per stratum — a19's one-step estimate iterated to the
+   * partial-likelihood MLE, the age-at-onset PheWAS measure
+   * (time-to-diagnosis hazard ratios) that the one-step form only
+   * approximates when the true β is far from 0.
+   *
+   * For binary x the risk-set sums S_k(β) = Σ_{risk} x^k·exp(βx)
+   * collapse to closed forms over the SAME bounded per-time table a19
+   * builds — S0 = n0 + n1·e^β, S1 = S2 = n1·e^β with (n, n1) the
+   * risk-set total/exposed counts — so each Newton step on the
+   * Breslow partial likelihood is one pass over distinct event times:
+   *   U(β) = Σ_t [d1 − d·n1·e^β / S0]
+   *   I(β) = Σ_t  d·(n1·e^β·n0) / S0²
+   *   β ← grid(β + U/I)      (1e-6 floor-to-grid, the a21/g01 rule,
+   *                           so the DuckDB oracle unrolls the exact
+   *                           trajectory as CTEs)
+   * `iters` is FIXED (not a convergence test) for oracle replay; at
+   * iters = 1 and untied event times β equals a19's `beta_1step`
+   * (with ties the log-rank V carries the hypergeometric (n−d)/(n−1)
+   * factor Breslow information does not — spec-pinned).
+   *
+   * Scale shape: identical to a19 — the only subject-proportional
+   * work is the (stratum, time) aggregate; each task then holds one
+   * stratum's per-time table (bounded by distinct EVENT TIMES, not
+   * subjects), and every Newton iteration is an in-task array pass,
+   * so 6 iterations cost the same one shuffle as the score test.
+   * Strata with zero events emit nothing (there is no likelihood);
+   * degenerate information (n1 ≡ 0 or ≡ n) yields null β/se.
+   */
+  def coxPh(df: DataFrame, timeCol: String, eventCol: String,
+      xCol: String, byCol: String, iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"coxPh: iters in [1,20], got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perTime = df
+      .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
+        col(eventCol).isin(0.0, 1.0) && col(xCol).isin(0.0, 1.0))
+      .groupBy(col(byCol).cast("string").as("g"), col(timeCol).cast("double").as("t"))
+      .agg(
+        sum(col(eventCol)).as("d"),
+        sum(col(eventCol) * col(xCol)).as("d1"),
+        count(lit(1)).cast("double").as("c"),
+        sum(col(xCol)).as("c1"))
+      .as[(String, Double, Double, Double, Double, Double)]
+    perTime.groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        // t DESC so risk sets are prefix sums; the sort also pins the
+        // in-task summation order at any partition count
+        val rows = it.toArray.sortBy(r => -r._2)
+        var n = 0.0; var n1 = 0.0
+        val ev = Array.newBuilder[(Double, Double, Double, Double)]
+        rows.foreach { case (_, _, d, d1, c, c1) =>
+          n += c; n1 += c1
+          if (d > 0) ev += ((d, d1, n, n1))
+        }
+        val evs = ev.result()
+        if (evs.isEmpty) Iterator.empty
+        else {
+          val events = evs.iterator.map(_._1).sum.toLong
+          var beta = 0.0
+          var dead = false
+          var k = 0
+          while (k < iters && !dead) {
+            val eb = math.exp(beta)
+            var u = 0.0; var inf = 0.0
+            evs.foreach { case (d, d1, nn, nn1) =>
+              val n0 = nn - nn1
+              val s0 = n0 + nn1 * eb
+              u += d1 - d * nn1 * eb / s0
+              inf += d * (nn1 * eb * n0) / (s0 * s0)
+            }
+            if (inf <= 0) dead = true
+            else beta = math.floor((beta + u / inf) * 1e6 + 0.5) / 1e6
+            k += 1
+          }
+          val infFin =
+            if (dead) 0.0
+            else {
+              val eb = math.exp(beta)
+              var inf = 0.0
+              evs.foreach { case (d, _, nn, nn1) =>
+                val n0 = nn - nn1
+                val s0 = n0 + nn1 * eb
+                inf += d * (nn1 * eb * n0) / (s0 * s0)
+              }
+              inf
+            }
+          if (infFin <= 0)
+            Iterator.single((grp, events, None: Option[Double],
+              None: Option[Double], None: Option[Double]))
+          else
+            Iterator.single((grp, events, Some(beta),
+              Some(1.0 / math.sqrt(infFin)), Some(beta * beta * infFin)))
+        }
+      }
+      .toDF(byCol, "events", "beta", "se", "chi2")
+  }
+
   /** Pairs whose rows all dropped produce no group — restore the full
     * predictor × dependent grid with reference default values
     * (analysis.py:113-121, schema defaults :228-260). The grid is a

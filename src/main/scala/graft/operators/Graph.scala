@@ -92,7 +92,7 @@ object Graph {
       .limit(20)
   }
 
-  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def tradeEdges(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
@@ -108,7 +108,7 @@ object Graph {
     * TPC-H shapes) — a projection that stays safe at 100 TB, unlike
     * projecting through a hub key (a popular part never multiplies
     * anything; only its own order memberships do). */
-  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()

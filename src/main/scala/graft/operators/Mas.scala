@@ -193,9 +193,21 @@ object Mas {
     * score and information at β=0, so beta_1step = U/V is the
     * one-step Cox estimate with se = 1/√V. */
   def a19Logrank(spark: SparkSession, dir: String): DataFrame = {
+    Association.logrank(survivalSubjects(spark, dir), "time", "event", "x", "grp")
+      .select(col("grp"), col("events"),
+        r4(col("u_score")).as("u_score"), r4(col("v_info")).as("v_info"),
+        r4(col("chi2")).as("chi2"), r4(col("beta_1step")).as("beta_1step"),
+        r4(col("se")).as("se"))
+      .orderBy("grp")
+  }
+
+  /** The a19/a23 cohort: urgent orders as the binary exposure, order
+    * finalization as the event, follow-up from order date to the
+    * 2001-08-02 administrative censor date, per market segment. */
+  private def survivalSubjects(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    val subjects = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+    o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
         o("o_custkey") === col("c_custkey"))
       .select(
         col("c_mktsegment").as("grp"),
@@ -203,13 +215,20 @@ object Mas {
           .cast("double").as("time"),
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("event"),
         when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"))
-    Association.logrank(subjects, "time", "event", "x", "grp")
-      .select(col("grp"), col("events"),
-        r4(col("u_score")).as("u_score"), r4(col("v_info")).as("v_info"),
-        r4(col("chi2")).as("chi2"), r4(col("beta_1step")).as("beta_1step"),
-        r4(col("se")).as("se"))
-      .orderBy("grp")
   }
+
+  /** a23: the FULL Cox proportional-hazards fit (Breslow partial
+    * likelihood, 6 Newton steps on the 1e-6 grid) on the a19 cohort —
+    * the iterated hazard-ratio estimate where a19 reports the
+    * one-step score form. Same single shuffle; the oracle unrolls the
+    * identical Newton trajectory as DuckDB CTEs (the a21 rule). */
+  def a23CoxPh(spark: SparkSession, dir: String): DataFrame =
+    Association.coxPh(survivalSubjects(spark, dir), "time", "event", "x", "grp",
+        iters = 6)
+      .select(col("grp"), col("events"), r4(col("beta")).as("beta"),
+        r4(col("se")).as("se"), r4(col("chi2")).as("chi2"),
+        r4(exp(col("beta"))).as("hr"))
+      .orderBy("grp")
 
   /**
    * a20: ORDINAL (3-level) association by pooled cumulative logits —
@@ -231,34 +250,56 @@ object Mas {
         when(col("y_cnt") >= 18, 2.0).when(col("y_cnt") >= 14, 1.0).otherwise(0.0)),
       Seq("xbin", "xpar"))
 
-  /** Pooled-cumulative-logit core over a frame with a 3-level `sev`
-    * column (0/1/2) and binary predictors — see [[a20AssocOrdinal]]. */
+  /** Pooled-cumulative-logit core over a frame with a J-level `sev`
+    * column (0..levels-1) and binary predictors — one threshold
+    * dichotomy per cut t ∈ [1, levels), Haldane log-OR + Woolf
+    * variance each, inverse-variance pooled across all J−1 cuts (the
+    * left-assoc reduce keeps the J=3 operand order bit-identical to
+    * the original two-threshold form). Still ONE map-side-combined
+    * aggregation — 2·(J−1)·4 cells + n per predictor — so general J
+    * changes the projection width, not the scan count. */
   def ordinalPooled(base: DataFrame, preds: Seq[String],
-      dependent: String = "sev_cnt"): DataFrame = {
+      dependent: String = "sev_cnt", levels: Int = 3): DataFrame = {
+    require(levels >= 2 && levels <= 9,
+      s"ordinalPooled: levels in [2,9], got $levels")
+    val thrs = 1 until levels
     def branch(p: String): DataFrame = {
       def cell(thr: Int, xv: Int, yv: Int) = {
         val yc = if (yv == 1) col("sev") >= thr else col("sev") < thr
         sum(when(col(p) === xv.toDouble && yc, 1.0).otherwise(0.0))
           .as(s"c$xv${yv}_$thr")
       }
-      val agg = base.filter(col(p).isNotNull).agg(
-        cell(1, 1, 1), cell(1, 1, 0), cell(1, 0, 1), cell(1, 0, 0),
-        cell(2, 1, 1), cell(2, 1, 0), cell(2, 0, 1), cell(2, 0, 0),
-        count(lit(1)).as("n"))
+      val cells = thrs.flatMap(t =>
+        Seq(cell(t, 1, 1), cell(t, 1, 0), cell(t, 0, 1), cell(t, 0, 0)))
+      val agg = base.filter(col(p).isNotNull)
+        .agg(cells.head, (cells.tail :+ count(lit(1)).as("n")): _*)
       def b(t: Int) = log((col(s"c11_$t") + 0.5) * (col(s"c00_$t") + 0.5)
         / ((col(s"c10_$t") + 0.5) * (col(s"c01_$t") + 0.5)))
       def v(t: Int) = lit(1.0) / (col(s"c11_$t") + 0.5) +
         lit(1.0) / (col(s"c10_$t") + 0.5) +
         lit(1.0) / (col(s"c01_$t") + 0.5) +
         lit(1.0) / (col(s"c00_$t") + 0.5)
-      val beta = (b(1) / v(1) + b(2) / v(2)) / (lit(1.0) / v(1) + lit(1.0) / v(2))
-      val se = sqrt(lit(1.0) / (lit(1.0) / v(1) + lit(1.0) / v(2)))
+      val wsum = thrs.map(t => b(t) / v(t)).reduce(_ + _)
+      val wtot = thrs.map(t => lit(1.0) / v(t)).reduce(_ + _)
+      val beta = wsum / wtot
+      val se = sqrt(lit(1.0) / wtot)
       agg.select(lit(p).as("predictor"), lit(dependent).as("dependent"),
         r4(beta).as("beta"), r4(se).as("se"),
         r4(exp(beta)).as("or_pooled"), col("n").cast("long").as("total_n"))
     }
     preds.map(branch).reduce(_ union _).orderBy("predictor")
   }
+
+  /** a24: the J-LEVEL generalization of a20 — a 4-level severity grade
+    * (three threshold dichotomies pooled) over the same cohort. The
+    * r12 verdict's "general J is a loop bound, not a new design" made
+    * registerable: same scan shape, one more cut. */
+  def a24AssocOrdinal4(spark: SparkSession, dir: String): DataFrame =
+    ordinalPooled(
+      cohort(spark, dir).withColumn("sev",
+        when(col("y_cnt") >= 21, 3.0).when(col("y_cnt") >= 18, 2.0)
+          .when(col("y_cnt") >= 14, 1.0).otherwise(0.0)),
+      Seq("xbin", "xpar"), levels = 4)
 
   /** a16: CMH pooled odds ratio — deep-discount exposure vs
     * high-quantity outcome, stratified by returnflag (the
@@ -411,18 +452,43 @@ object Mas {
 
   private[graft] val IcdMapPath = "/root/repo/data/icd_phecode_map_test.csv"
 
-  /** s11: ICD→PheCode mapping end-to-end — synthetic diagnoses derived
-    * from events (person = user_id, code = 'D' || event_id % 120, date
-    * = calendar day of ts), ICD-10 rows of the committed map
-    * (flag = 10); codes 97-119 are deliberately unmapped and drop. */
+  /** The bundled REAL-code catalog: a hand-curated subset of the
+    * public PheWAS-catalog Phecode Map (ICD-9 rows flag 9, ICD-10
+    * rows flag 10 — canonical mappings like ICD-9 401.1 → phecode
+    * 401.1 essential hypertension, E11.9 → 250.2 type 2 diabetes),
+    * bundled the same way the reference redistributes
+    * phecode_definitions1.2.csv (constants.py:6-16). This offline
+    * environment cannot fetch the full published CSV (~100k rows);
+    * the complete catalog drops in via `spark.graft.icdMapPath`
+    * unchanged — same layout, same code path. */
+  private[graft] val IcdMapSubsetPath = "/root/repo/data/icd_phecode_map_subset.csv"
+
+  /** s11: ICD→PheCode mapping end-to-end ON THE REAL-CODE CATALOG —
+    * synthetic diagnoses draw real ICD-9/ICD-10 codes from the
+    * bundled map by index (event_id % 100 picks the n-th distinct
+    * code; indices past the catalog become UNMAPPED_* codes that
+    * exercise the inner-join drop), then per-(person, phecode)
+    * distinct-date counts feed the min-code-count case rule.
+    * `spark.graft.icdMapPath` swaps in the full published catalog
+    * (or the synthetic layout-test file). The index assignment is a
+    * row_number over the catalog — catalog-sized, one tiny window,
+    * broadcast everywhere else. */
   def s11IcdPhecode(spark: SparkSession, dir: String): DataFrame = {
+    val mapPath = spark.conf.getOption("spark.graft.icdMapPath")
+      .getOrElse(IcdMapSubsetPath)
+    val icdMap = spark.read.option("header", "true").csv(mapPath)
+    val codes = icdMap.select(col("icd")).distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("icd")) - 1)
     val diag = Tables.events(spark, dir).select(
       col("user_id").as("person_id"),
-      concat(lit("D"), (col("event_id") % 120).cast("string")).as("icd"),
+      (col("event_id") % 100).cast("int").as("ci"),
       to_date(col("ts")).as("date"))
-    val icdMap = spark.read.option("header", "true").csv(IcdMapPath)
-      .filter(col("flag") === "10")
-    icdToPhecode(diag, icdMap).orderBy("person_id", "phecode")
+    val coded = diag.join(broadcast(codes), diag("ci") === codes("rn"), "left")
+      .select(col("person_id"),
+        coalesce(col("icd"), concat(lit("UNMAPPED_"), col("ci"))).as("icd"),
+        col("date"))
+    icdToPhecode(coded, icdMap).orderBy("person_id", "phecode")
   }
 
   /** a10: the DISTRIBUTED logistic IRLS (Association.logisticGram) on
@@ -784,6 +850,101 @@ object Mas {
        |  )
        |)""".stripMargin
 
+  /** a24 branch: ordBranch generalized to J levels — per-threshold
+    * Haldane log-OR + Woolf variance for every cut t ∈ [1, J), pooled
+    * by inverse variance with the same left-assoc sum order as the
+    * Spark reduce. */
+  private def ordBranchJ(p: String, levels: Int): String = {
+    val thrs = 1 until levels
+    val cellSql = thrs.flatMap { t =>
+      Seq(
+        s"sum(CASE WHEN $p = 1.0 AND sev >= $t THEN 1.0 ELSE 0.0 END) AS c11_$t",
+        s"sum(CASE WHEN $p = 1.0 AND sev < $t THEN 1.0 ELSE 0.0 END) AS c10_$t",
+        s"sum(CASE WHEN $p = 0.0 AND sev >= $t THEN 1.0 ELSE 0.0 END) AS c01_$t",
+        s"sum(CASE WHEN $p = 0.0 AND sev < $t THEN 1.0 ELSE 0.0 END) AS c00_$t")
+    }.mkString(",\n      ")
+    val bvSql = thrs.map { t =>
+      s"""ln((c11_$t+0.5)*(c00_$t+0.5)/((c10_$t+0.5)*(c01_$t+0.5))) AS b$t,
+         |    1.0/(c11_$t+0.5) + 1.0/(c10_$t+0.5) + 1.0/(c01_$t+0.5) + 1.0/(c00_$t+0.5) AS v$t""".stripMargin
+    }.mkString(",\n    ")
+    val wsum = thrs.map(t => s"b$t/v$t").mkString(" + ")
+    val wtot = thrs.map(t => s"1.0/v$t").mkString(" + ")
+    s"""SELECT '$p' AS predictor, 'sev_cnt' AS dependent,
+       |  round(($wsum) / ($wtot), 4) + 0 AS beta,
+       |  round(sqrt(1.0 / ($wtot)), 4) + 0 AS se,
+       |  round(exp(($wsum) / ($wtot)), 4) + 0 AS or_pooled,
+       |  CAST(n AS BIGINT) AS total_n
+       |FROM (
+       |  SELECT $bvSql, n
+       |  FROM (
+       |    SELECT
+       |      $cellSql,
+       |      count(*) AS n
+       |    FROM sevcoh WHERE $p IS NOT NULL
+       |  )
+       |)""".stripMargin
+  }
+
+  /** a23 oracle: the a19 per-time/risk-set CTEs, then the 6-step
+    * Newton trajectory UNROLLED as CTE pairs (score/information sums
+    * st_k → grid-rounded beta it_k — the a21 IRLS-replay rule applied
+    * to the Breslow partial likelihood). Null information latches
+    * beta NULL through the chain, matching the fitter's dead-group
+    * path; strata with zero events never enter evt, matching
+    * flatMapGroups' empty emission. */
+  private def coxPhSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""st$k AS (
+         |  SELECT e.grp, i.beta,
+         |    sum(d1 - d * n1 * exp(i.beta) / ((n - n1) + n1 * exp(i.beta))) AS u,
+         |    sum(d * (n1 * exp(i.beta) * (n - n1))
+         |      / ((((n - n1) + n1 * exp(i.beta))) * (((n - n1) + n1 * exp(i.beta))))) AS i2
+         |  FROM evt e JOIN $prev i ON e.grp = i.grp GROUP BY 1, 2
+         |), it$k AS (
+         |  SELECT grp, CASE WHEN i2 > 0
+         |    THEN floor((beta + u / i2) * 1000000 + 0.5) / 1000000.0 END AS beta
+         |  FROM st$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH s AS (
+       |  SELECT c.c_mktsegment AS grp,
+       |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+       |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+       |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE o.o_orderdate IS NOT NULL
+       |), pt AS (
+       |  SELECT grp, t, sum(ev) AS d, sum(ev * x) AS d1,
+       |    CAST(count(*) AS DOUBLE) AS c, sum(x) AS c1
+       |  FROM s GROUP BY 1, 2
+       |), rs AS (
+       |  SELECT *,
+       |    sum(c) OVER (PARTITION BY grp ORDER BY t DESC
+       |      ROWS UNBOUNDED PRECEDING) AS n,
+       |    sum(c1) OVER (PARTITION BY grp ORDER BY t DESC
+       |      ROWS UNBOUNDED PRECEDING) AS n1
+       |  FROM pt
+       |), evt AS (
+       |  SELECT grp, d, d1, n, n1 FROM rs WHERE d > 0
+       |), evn AS (
+       |  SELECT grp, CAST(sum(d) AS BIGINT) AS events FROM evt GROUP BY grp
+       |), it0 AS (
+       |  SELECT DISTINCT grp, 0.0 AS beta FROM evt
+       |), $steps, fin AS (
+       |  SELECT e.grp, i.beta,
+       |    sum(d * (n1 * exp(i.beta) * (n - n1))
+       |      / ((((n - n1) + n1 * exp(i.beta))) * (((n - n1) + n1 * exp(i.beta))))) AS i2
+       |  FROM evt e JOIN it$iters i ON e.grp = i.grp GROUP BY 1, 2
+       |)
+       |SELECT f.grp, v.events,
+       |  CASE WHEN f.i2 > 0 THEN round(f.beta, 4) + 0 END AS beta,
+       |  CASE WHEN f.i2 > 0 THEN round(1.0 / sqrt(f.i2), 4) + 0 END AS se,
+       |  CASE WHEN f.i2 > 0 THEN round(f.beta * f.beta * f.i2, 4) + 0 END AS chi2,
+       |  CASE WHEN f.i2 > 0 THEN round(exp(f.beta), 4) + 0 END AS hr
+       |FROM fin f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
+  }
+
   private def countsBranch(dep: String, minCase: Int): String =
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
        |  CAST(sum($dep) AS BIGINT) AS cases,
@@ -869,23 +1030,32 @@ object Mas {
 
   val oracleSql: Map[String, String] = Map(
     "a21_score_screen" -> scoreScreenSql(4),
-    // s11: same map CSV read by both engines; 'D' || int renders
-    // identically; CAST-to-DATE of a UTC-naive timestamp matches
-    // Spark's to_date under the pinned UTC session zone
+    // s11: same bundled real-code map CSV read by both engines; the
+    // row_number code-index runs over plain-ASCII icd strings so the
+    // ORDER BY icd collation is identical; CAST-to-DATE of a UTC-naive
+    // timestamp matches Spark's to_date under the pinned UTC zone
     "s11_icd_phecode" ->
       s"""WITH map AS (
          |  SELECT icd, phecode
-         |  FROM read_csv('$IcdMapPath', all_varchar=true) WHERE flag = '10'
+         |  FROM read_csv('$IcdMapSubsetPath', all_varchar=true)
+         |), codes AS (
+         |  SELECT icd, row_number() OVER (ORDER BY icd) - 1 AS rn
+         |  FROM (SELECT DISTINCT icd FROM map)
          |), diag AS (
          |  SELECT user_id AS person_id,
-         |    'D' || CAST(event_id % 120 AS VARCHAR) AS icd,
+         |    CAST(event_id % 100 AS INT) AS ci,
          |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
          |  FROM events
+         |), coded AS (
+         |  SELECT dg.person_id,
+         |    coalesce(c.icd, 'UNMAPPED_' || CAST(dg.ci AS VARCHAR)) AS icd,
+         |    dg.d
+         |  FROM diag dg LEFT JOIN codes c ON dg.ci = c.rn
          |)
-         |SELECT dg.person_id, m.phecode,
-         |  CAST(count(DISTINCT dg.d) AS BIGINT) AS n_dates,
-         |  count(DISTINCT dg.d) >= 2 AS is_case
-         |FROM diag dg JOIN map m ON dg.icd = m.icd
+         |SELECT cd.person_id, m.phecode,
+         |  CAST(count(DISTINCT cd.d) AS BIGINT) AS n_dates,
+         |  count(DISTINCT cd.d) >= 2 AS is_case
+         |FROM coded cd JOIN map m ON cd.icd = m.icd
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // a22: the published weight vector as literal decimals (parse to
     // the same binary doubles) in the same fixed term order
@@ -1071,6 +1241,18 @@ object Mas {
           |""".stripMargin +
         Seq("xbin", "xpar").map(ordBranch)
           .mkString("", "\nUNION ALL\n", "\nORDER BY predictor")),
+    "a24_assoc_ordinal4" ->
+      (cohortSql +
+        """, sevcoh AS (
+          |  SELECT *, CASE WHEN y_cnt >= 21 THEN 3.0
+          |    WHEN y_cnt >= 18 THEN 2.0
+          |    WHEN y_cnt >= 14 THEN 1.0 ELSE 0.0 END AS sev
+          |  FROM cohort
+          |)
+          |""".stripMargin +
+        Seq("xbin", "xpar").map(ordBranchJ(_, 4))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY predictor")),
+    "a23_cox_ph" -> coxPhSql(6),
     "a04_assoc_firth" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(firthBranch)

@@ -207,7 +207,10 @@ object Postprocess {
   def qqCoordinates(df: DataFrame, pvalCol: String = "pval",
       tieBreak: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
-    val nonNull = df.filter(col(pvalCol).isNotNull && col(pvalCol) > 0)
+    // !isnan: NaN compares greater-than-all in Spark's ordering, so a
+    // NaN p-value would pass `> 0` and surface as a NaN coordinate row
+    val nonNull = df.filter(col(pvalCol).isNotNull && !isnan(col(pvalCol)) &&
+      col(pvalCol) > 0)
     val schema = nonNull.schema
     // pin the sorted data before counting: count() and the rank scan
     // are two jobs, and on a nondeterministic input a recomputed plan
@@ -239,7 +242,10 @@ object Postprocess {
   def manhattan(results: DataFrame, pvalCol: String, catCol: String,
       tieBreak: Seq[String]): DataFrame = {
     val spark = results.sparkSession
-    val nonNull = results.filter(col(pvalCol).isNotNull && col(pvalCol) > 0)
+    // !isnan: same guard as qqCoordinates — a NaN p would pass `> 0`
+    // under NaN-greater-than-all ordering and emit a NaN nlp row
+    val nonNull = results.filter(col(pvalCol).isNotNull && !isnan(col(pvalCol)) &&
+      col(pvalCol) > 0)
     val schema = nonNull.schema
     // localCheckpoint: same two-job determinism rationale as
     // qqCoordinates (the rank scan must read the sorted blocks)

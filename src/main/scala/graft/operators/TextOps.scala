@@ -721,7 +721,10 @@ object TextOps {
       .localCheckpoint(true)
     val tLm = tf.filter(col("is_t")).groupBy("b").agg(sum("tf").as("tc"))
     val rLm = tf.groupBy("b").agg(sum("tf").as("rc"))
-    val tTot = tf.filter(col("is_t")).agg(sum("tf").as("tt"))
+    // coalesce: an empty target partition must degrade the smoothed
+    // target LM to uniform (add-1 over buckets), not null every logw
+    val tTot = tf.filter(col("is_t"))
+      .agg(coalesce(sum("tf"), lit(0L)).as("tt"))
     val rTot = tf.agg(sum("tf").as("rt"))
     // rLm join is inner: every doc bucket was counted into the raw LM
     // by construction; tLm is left (bucket may be absent from target)

@@ -194,6 +194,54 @@ object StreamingOps {
   }
 
   /**
+   * e17 — e11's windowed aggregate re-gated through a FILE (parquet)
+   * sink: the five streaming gates all materialize through Spark's
+   * driver-side MEMORY sink, but production writes files — this gate
+   * proves the production EMISSION path too. The same MemoryStream →
+   * watermark → windowed-agg state store pipeline commits each closed
+   * window to a parquet sink (append mode, exactly-once via the
+   * checkpoint's file manifest), and the sink DIRECTORY is read back
+   * as the result — so the rows that land on disk, not the rows in
+   * driver memory, are what the oracle hashes (same oracle as
+   * e11/e02 by design). Sink + checkpoint dirs are wiped per run: a
+   * retained checkpoint would make a re-run resume an old stream and
+   * emit nothing.
+   */
+  def e17StreamFileGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .as[(Long, String, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._3.getTime, r._1))
+    val maxTs = rows.iterator.map(_._3.getTime).max
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
+    val outDir = "/tmp/graft_e17_sink"
+    val cpDir = "/tmp/graft_e17_cp"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(cpDir), true)
+    withShufflePartitions(spark, 8) {
+      val q = tumblingWindowAgg(src).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", cpDir)
+        .outputMode("append").start()
+      try {
+        // the e11 slicing rule: ≤2 micro-batches + the flush sentinel
+        val batch = math.max(5000, (rows.length + 1) / 2)
+        rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
+        input.addData(Seq((-1L, "__flush",
+          new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "__flush")
+      .orderBy("window_start", "event_type")
+  }
+
+  /**
    * e13 — the replay harness applied to the STREAM-STREAM JOIN, the
    * last streaming surface not under the gate: 'view' impressions
    * joined to the clicks that followed within 4 hours for the

@@ -424,4 +424,116 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r8 = operators.Mas.ordinalPooled(shifted.repartition(8), Seq("xb")).head()
     assert(r1.getAs[Double]("beta") == r8.getAs[Double]("beta"))
   }
+
+  test("ordinalPooled general J: J=4 pools three thresholds to the hand-computed estimate") {
+    val sess = spark
+    import sess.implicits._
+    // 4-level severity, exposed shifted upward; J=4 must pool the
+    // Haldane log-OR of ALL THREE cumulative dichotomies
+    def rows(xv: Double, c: Seq[Int]) =
+      c.zipWithIndex.flatMap { case (n, sev) => Seq.fill(n)((xv, sev.toDouble)) }
+    val data = rows(1.0, Seq(4, 8, 10, 8)) ++ rows(0.0, Seq(12, 10, 6, 2))
+    val df = data.toDF("xb", "sev")
+    val out = operators.Mas.ordinalPooled(df, Seq("xb"), levels = 4).head()
+    // independent hand computation (plain Scala, no Spark)
+    val bv = (1 to 3).map { t =>
+      val c11 = data.count(r => r._1 == 1.0 && r._2 >= t) + 0.5
+      val c10 = data.count(r => r._1 == 1.0 && r._2 < t) + 0.5
+      val c01 = data.count(r => r._1 == 0.0 && r._2 >= t) + 0.5
+      val c00 = data.count(r => r._1 == 0.0 && r._2 < t) + 0.5
+      (math.log(c11 * c00 / (c10 * c01)),
+        1 / c11 + 1 / c10 + 1 / c01 + 1 / c00)
+    }
+    val beta = bv.map { case (b, v) => b / v }.sum / bv.map { case (_, v) => 1.0 / v }.sum
+    val se = math.sqrt(1.0 / bv.map { case (_, v) => 1.0 / v }.sum)
+    assert(math.abs(out.getAs[Double]("beta") - beta) < 1e-4)
+    assert(math.abs(out.getAs[Double]("se") - se) < 1e-4)
+    // identical distributions are exactly null at J=4 too
+    val same = (rows(1.0, Seq(5, 5, 5, 5)) ++ rows(0.0, Seq(5, 5, 5, 5)))
+      .toDF("xb", "sev")
+    val s4 = operators.Mas.ordinalPooled(same, Seq("xb"), levels = 4).head()
+    assert(s4.getAs[Double]("beta") == 0.0)
+    // J=3 through the generalized loop is bit-identical to the
+    // original two-threshold form (left-assoc reduce, same operands)
+    val mixed = (rows(1.0, Seq(2, 8, 10)) ++ rows(0.0, Seq(12, 8, 1))).toDF("xb", "sev")
+    val j3 = operators.Mas.ordinalPooled(mixed, Seq("xb"), levels = 3).head()
+    val j3d = operators.Mas.ordinalPooled(mixed, Seq("xb")).head()
+    assert(j3.getAs[Double]("beta") == j3d.getAs[Double]("beta"))
+  }
+
+  test("coxPh: one step equals log-rank on untied data; MLE zeroes the independent Breslow score") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(42)
+    // continuous times -> untied w.p. 1; exposed hazard doubled
+    val rows = (0 until 120).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val t = -math.log(1 - rng.nextDouble()) / (if (x == 1.0) 2.0 else 1.0)
+      val ev = if (rng.nextDouble() < 0.8) 1.0 else 0.0
+      ("g", t + 0.01, ev, x)
+    }
+    val df = rows.toDF("grp", "time", "event", "x")
+    // (1) iters=1 from beta=0 == a19's one-step estimate when no event
+    // time is tied (Breslow information == log-rank V exactly there;
+    // 1e-5 tolerance is the 1e-6 grid rounding)
+    val one = operators.Association.coxPh(df, "time", "event", "x", "grp", iters = 1).head()
+    val lr = operators.Association.logrank(df, "time", "event", "x", "grp").head()
+    assert(math.abs(one.getAs[Double]("beta") - lr.getAs[Double]("beta_1step")) < 1e-5)
+    assert(one.getAs[Long]("events") == lr.getAs[Long]("events"))
+    // (2) the fitted beta zeroes the Breslow partial-likelihood score,
+    // computed INDEPENDENTLY subject-level (O(n^2) risk sets, no
+    // per-time table), and agrees with the bisected root of that score
+    val fit = operators.Association.coxPh(df, "time", "event", "x", "grp", iters = 8).head()
+    val beta = fit.getAs[Double]("beta")
+    def score(b: Double): Double =
+      rows.filter(_._3 == 1.0).map { case (_, t, _, xi) =>
+        val risk = rows.filter(_._2 >= t)
+        val s0 = risk.map(r => math.exp(b * r._4)).sum
+        val s1 = risk.map(r => r._4 * math.exp(b * r._4)).sum
+        xi - s1 / s0
+      }.sum
+    assert(math.abs(score(beta)) < 1e-3)
+    var lo = -3.0; var hi = 3.0
+    for (_ <- 0 until 60) {
+      val mid = (lo + hi) / 2
+      if (score(mid) > 0) lo = mid else hi = mid
+    }
+    assert(math.abs(beta - (lo + hi) / 2) < 1e-4)
+    // se is the inverse root information at the fit; hr/chi2 finite
+    assert(fit.getAs[Double]("se") > 0)
+    assert(fit.getAs[Double]("chi2") >= 0)
+    // (3) TIED data: the same subject-level Breslow score (shared risk
+    // set per tied event) must still be zeroed by the fit
+    val tied = Seq(
+      ("g", 1.0, 1.0, 1.0), ("g", 1.0, 1.0, 0.0), ("g", 2.0, 1.0, 1.0),
+      ("g", 2.0, 0.0, 0.0), ("g", 3.0, 1.0, 0.0), ("g", 3.0, 0.0, 1.0),
+      ("g", 4.0, 1.0, 1.0), ("g", 5.0, 0.0, 0.0))
+    val ft = operators.Association.coxPh(tied.toDF("grp", "time", "event", "x"),
+      "time", "event", "x", "grp", iters = 12).head()
+    def scoreT(b: Double): Double =
+      tied.filter(_._3 == 1.0).map { case (_, t, _, xi) =>
+        val risk = tied.filter(_._2 >= t)
+        val s0 = risk.map(r => math.exp(b * r._4)).sum
+        val s1 = risk.map(r => r._4 * math.exp(b * r._4)).sum
+        xi - s1 / s0
+      }.sum
+    assert(math.abs(scoreT(ft.getAs[Double]("beta"))) < 1e-3)
+    // (4) zero-event stratum emits nothing (no likelihood to fit)
+    val cen = Seq(("z", 1.0, 0.0, 1.0), ("z", 2.0, 0.0, 0.0))
+      .toDF("grp", "time", "event", "x")
+    assert(operators.Association.coxPh(cen, "time", "event", "x", "grp").count() == 0L)
+    // (5) single-class exposure: zero information -> null beta/se,
+    // events still reported
+    val deg = Seq(("d", 1.0, 1.0, 1.0), ("d", 2.0, 1.0, 1.0))
+      .toDF("grp", "time", "event", "x")
+    val dRow = operators.Association.coxPh(deg, "time", "event", "x", "grp").head()
+    assert(dRow.getAs[Long]("events") == 2L && dRow.isNullAt(dRow.fieldIndex("beta")))
+    // (6) partition invariance: integer-exact per-time cells + sorted
+    // in-task sums -> bit-identical at any partition count
+    val p1 = operators.Association.coxPh(df.repartition(1), "time", "event", "x", "grp",
+      iters = 8).head().getAs[Double]("beta")
+    val p8 = operators.Association.coxPh(df.repartition(8), "time", "event", "x", "grp",
+      iters = 8).head().getAs[Double]("beta")
+    assert(p1 == p8 && p1 == beta)
+  }
 }

@@ -200,4 +200,35 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((3L, "200.1")) == ((1L, false)))
     assert(out((3L, "999")) == ((1L, false)))
   }
+
+  test("s11 runs on the bundled real-code catalog: 401.1->401.1, unmapped drop, flag override") {
+    // the bundled catalog is REAL codes (Phecode Map layout): the
+    // canonical hypertension row must be present verbatim
+    val map = spark.read.option("header", "true")
+      .csv(graft.operators.Mas.IcdMapSubsetPath)
+    val rows = map.collect().map(r =>
+      (r.getAs[String]("icd"), r.getAs[String]("flag"), r.getAs[String]("phecode")))
+    assert(rows.contains(("401.1", "9", "401.1")))   // ICD-9 essential HTN
+    assert(rows.contains(("I10", "10", "401.1")))    // its ICD-10 twin
+    assert(rows.contains(("E11.9", "10", "250.2")))  // type 2 diabetes
+    val mapped = rows.map(_._3).toSet
+    val out = graft.operators.Mas.s11IcdPhecode(spark, "/root/testdata/sf0.001")
+    val got = out.collect()
+    assert(got.nonEmpty)
+    val phecodes = got.map(_.getAs[String]("phecode")).toSet
+    // every emitted phecode comes from the catalog; indices past the
+    // catalog (UNMAPPED_*) were dropped by the inner join
+    assert(phecodes.subsetOf(mapped))
+    // the event_id % 100 index sweep covers the whole catalog, so the
+    // hypertension phecode is assigned to someone
+    assert(phecodes.contains("401.1"))
+    // flag override: the synthetic layout-test file still runs through
+    // the same path and yields ITS phecodes, none of the real ones
+    spark.conf.set("spark.graft.icdMapPath", graft.operators.Mas.IcdMapPath)
+    try {
+      val syn = graft.operators.Mas.s11IcdPhecode(spark, "/root/testdata/sf0.001")
+        .collect().map(_.getAs[String]("phecode")).toSet
+      assert(syn.nonEmpty && syn.intersect(Set("401.1", "250.2")).isEmpty)
+    } finally spark.conf.unset("spark.graft.icdMapPath")
+  }
 }

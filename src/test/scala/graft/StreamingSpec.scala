@@ -248,4 +248,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 100 embeds the full item (all 6 shingles); 101 shares only 1
     assert(batch.contains((1L, 100L, 6L)) && !batch.exists(_._2 == 101L))
   }
+
+  test("e17 file-sink gate: the parquet rows on disk equal the memory-sink gate (e11)") {
+    // the gate pair under test: e11 proves the STATE machinery, e17
+    // proves the EMISSION path — same pipeline, sink swapped; the
+    // rows read back from the sink directory must be identical
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(r.fieldIndex("window_start")),
+        r.getString(r.fieldIndex("event_type")),
+        r.getLong(r.fieldIndex("n")),
+        r.getDouble(r.fieldIndex("total_value")))
+    val mem = StreamingOps.e11StreamWindowAgg(spark, dir).collect().map(key).toSeq
+    val file = StreamingOps.e17StreamFileGate(spark, dir).collect().map(key).toSeq
+    assert(file.nonEmpty && file == mem)
+    // re-running must not resume the old checkpoint or double-append:
+    // a second run over the same dirs yields the same rows
+    val again = StreamingOps.e17StreamFileGate(spark, dir).collect().map(key).toSeq
+    assert(again == file)
+  }
 }
