@@ -1493,6 +1493,134 @@ object Association {
       .toDF(byCol, "events", "beta", "se", "chi2")
   }
 
+  /**
+   * Covariate-ADJUSTED Cox proportional-hazards fit (Breslow ties) of
+   * a binary exposure plus one integer-leveled covariate, per stratum
+   * — the "iterated, with covariates" extension of [[coxPh]]: the
+   * age-at-onset PheWAS hazard ratio where calendar-time (or age-band)
+   * confounding must be adjusted out, not stratified away.
+   *
+   * The design KEEPS a23's bounded-table shape by stratifying the
+   * risk-set counts on the covariate's levels: with x ∈ {0,1} and
+   * z ∈ {0..zMax}, the Breslow risk sums collapse to closed forms
+   * over per-(time, x, z) counts —
+   *   S0  = Σ_z (n0z + n1z·e^βx)·e^(βz·z)      S1x = S2xx = Σ_z n1z·e^βx·e^(βz·z)
+   *   S1z = Σ_z z·(n0z + n1z·e^βx)·e^(βz·z)    S2xz = Σ_z z·n1z·e^βx·e^(βz·z)
+   *   S2zz = Σ_z z²·(n0z + n1z·e^βx)·e^(βz·z)
+   * — so the ONLY subject-proportional work is one (stratum, time, x,
+   * z) count aggregate (≤ 2·(zMax+1) cells per distinct time), each
+   * task holds one stratum's bounded table, and every 2×2 Newton step
+   * on the partial likelihood is an in-task array pass. Both β's are
+   * re-rounded to the 1e-6 grid per step (the a21/a23 replay rule) so
+   * the DuckDB oracle unrolls the exact trajectory as CTE pairs.
+   * `iters` is FIXED for oracle replay. Singular / non-PD information
+   * (det ≤ 0, a diagonal ≤ 0) latches β to null; zero-event strata
+   * emit nothing. At 100 TB this costs the same ONE shuffle as a19 —
+   * the covariate widens the per-time table, not the scan count.
+   */
+  def coxPhCov(df: DataFrame, timeCol: String, eventCol: String,
+      xCol: String, zCol: String, byCol: String, zMax: Int,
+      iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"coxPhCov: iters in [1,20], got $iters")
+    require(zMax >= 1 && zMax <= 64, s"coxPhCov: zMax in [1,64], got $zMax")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perCell = df
+      .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
+        col(eventCol).isin(0.0, 1.0) && col(xCol).isin(0.0, 1.0) &&
+        col(zCol).isNotNull && col(zCol) === floor(col(zCol)) &&
+        col(zCol) >= 0 && col(zCol) <= zMax)
+      .groupBy(col(byCol).cast("string").as("g"),
+        col(timeCol).cast("double").as("t"),
+        col(xCol).cast("int").as("x"), col(zCol).cast("int").as("z"))
+      .agg(count(lit(1)).cast("double").as("c"), sum(col(eventCol)).as("d"))
+      .as[(String, Double, Int, Int, Double, Double)]
+    perCell.groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        // t DESC; every cell of a tied time joins the risk set BEFORE
+        // the event entry is recorded (Breslow: ties share the risk
+        // set). The (x, z) tiebreak pins the in-task order at any
+        // partition count; all count arithmetic is integer-exact.
+        val rows = it.toArray.sortBy(r => (-r._2, r._3, r._4))
+        val k1 = zMax + 1
+        val n = Array.ofDim[Double](2, k1)
+        // (d, dx, dz, risk n0[z], risk n1[z]) per event time — bounded
+        // by distinct EVENT times, not subjects
+        val ev = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Double, Double, Array[Double], Array[Double])]
+        var i = 0
+        while (i < rows.length) {
+          val t = rows(i)._2
+          var dT = 0.0; var dxT = 0.0; var dzT = 0.0
+          while (i < rows.length && rows(i)._2 == t) {
+            val r = rows(i)
+            n(r._3)(r._4) += r._5
+            dT += r._6; dxT += r._6 * r._3; dzT += r._6 * r._4
+            i += 1
+          }
+          if (dT > 0) ev += ((dT, dxT, dzT, n(0).clone(), n(1).clone()))
+        }
+        if (ev.isEmpty) Iterator.empty
+        else {
+          val events = ev.iterator.map(_._1).sum.toLong
+          var bx = 0.0; var bz = 0.0; var dead = false
+          // (ux, uz, ixx, ixz, izz) at the current (bx, bz) — the z
+          // loop and every operand order mirror the oracle's generated
+          // left-assoc SQL term-for-term
+          def pass(): Array[Double] = {
+            val ex = math.exp(bx)
+            var ux = 0.0; var uz = 0.0
+            var ixx = 0.0; var ixz = 0.0; var izz = 0.0
+            ev.foreach { case (d, dx, dz, n0, n1) =>
+              var s0 = 0.0; var s1x = 0.0; var s1z = 0.0
+              var s2xz = 0.0; var s2zz = 0.0
+              var z = 0
+              while (z < k1) {
+                val ezv = math.exp(bz * z)
+                val both = (n0(z) + n1(z) * ex) * ezv
+                val x1 = n1(z) * ex * ezv
+                s0 += both; s1x += x1; s1z += z * both
+                s2xz += z * x1; s2zz += (z * z) * both
+                z += 1
+              }
+              ux += dx - d * s1x / s0
+              uz += dz - d * s1z / s0
+              ixx += d * (s1x / s0 - (s1x / s0) * (s1x / s0))
+              ixz += d * (s2xz / s0 - (s1x / s0) * (s1z / s0))
+              izz += d * (s2zz / s0 - (s1z / s0) * (s1z / s0))
+            }
+            Array(ux, uz, ixx, ixz, izz)
+          }
+          var k = 0
+          while (k < iters && !dead) {
+            val a = pass()
+            val det = a(2) * a(4) - a(3) * a(3)
+            if (det <= 0 || a(2) <= 0) dead = true
+            else {
+              val nbx = math.floor((bx + (a(4) * a(0) - a(3) * a(1)) / det) * 1e6 + 0.5) / 1e6
+              val nbz = math.floor((bz + (a(2) * a(1) - a(3) * a(0)) / det) * 1e6 + 0.5) / 1e6
+              bx = nbx; bz = nbz
+            }
+            k += 1
+          }
+          val none = None: Option[Double]
+          if (dead)
+            Iterator.single((grp, events, none, none, none, none, none))
+          else {
+            val a = pass()
+            val det = a(2) * a(4) - a(3) * a(3)
+            if (det <= 0 || a(2) <= 0 || a(4) <= 0)
+              Iterator.single((grp, events, none, none, none, none, none))
+            else
+              Iterator.single((grp, events, Some(bx),
+                Some(math.sqrt(a(4) / det)), Some(bz),
+                Some(math.sqrt(a(2) / det)), Some(bx * bx * det / a(4))))
+          }
+        }
+      }
+      .toDF(byCol, "events", "beta_x", "se_x", "beta_z", "se_z", "chi2")
+  }
+
   /** Pairs whose rows all dropped produce no group — restore the full
     * predictor × dependent grid with reference default values
     * (analysis.py:113-121, schema defaults :228-260). The grid is a

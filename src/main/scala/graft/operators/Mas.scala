@@ -201,9 +201,14 @@ object Mas {
       .orderBy("grp")
   }
 
-  /** The a19/a23 cohort: urgent orders as the binary exposure, order
-    * finalization as the event, follow-up from order date to the
-    * 2001-08-02 administrative censor date, per market segment. */
+  /** The a19/a23/a25 cohort: urgent orders as the binary exposure,
+    * order finalization as the event, follow-up from order date to the
+    * 2001-08-02 administrative censor date, per market segment. The
+    * order-size band z = min(⌊totalprice/75k⌋, 6) ∈ {0..6} (a25 only —
+    * the size covariate the urgency hazard ratio is adjusted for;
+    * a19/a23 ignore the column. NOT a date function: with a fixed
+    * administrative censor date any f(orderdate) is determined by the
+    * follow-up time itself and the Cox fit degenerates). */
   private def survivalSubjects(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
@@ -214,7 +219,8 @@ object Mas {
         (datediff(lit("2001-08-02").cast("date"), col("o_orderdate")) + 1)
           .cast("double").as("time"),
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("event"),
-        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"))
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"),
+        least(floor(col("o_totalprice") / 75000), lit(6)).cast("int").as("z"))
   }
 
   /** a23: the FULL Cox proportional-hazards fit (Breslow partial
@@ -228,6 +234,22 @@ object Mas {
       .select(col("grp"), col("events"), r4(col("beta")).as("beta"),
         r4(col("se")).as("se"), r4(col("chi2")).as("chi2"),
         r4(exp(col("beta"))).as("hr"))
+      .orderBy("grp")
+
+  /** a25: the covariate-ADJUSTED Cox fit ([[Association.coxPhCov]]) on
+    * the a19 cohort — urgency hazard ratio adjusted for order-size
+    * band (z ∈ {0..6}), 6 Newton steps of the 2-parameter Breslow
+    * partial likelihood on the 1e-6 grid. Same single shuffle as a19/a23; the
+    * oracle unrolls the identical 2×2 Newton trajectory as DuckDB
+    * CTEs over (x, z)-stratified risk-count windows. */
+  def a25CoxPhCov(spark: SparkSession, dir: String): DataFrame =
+    Association.coxPhCov(survivalSubjects(spark, dir), "time", "event", "x", "z",
+        "grp", zMax = 6, iters = 6)
+      .select(col("grp"), col("events"),
+        r4(col("beta_x")).as("beta_x"), r4(col("se_x")).as("se_x"),
+        r4(exp(col("beta_x"))).as("hr_x"),
+        r4(col("beta_z")).as("beta_z"), r4(col("se_z")).as("se_z"),
+        r4(col("chi2")).as("chi2"))
       .orderBy("grp")
 
   /**
@@ -945,6 +967,91 @@ object Mas {
        |FROM fin f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
   }
 
+  /** Unrolled a25 replay: (x, z)-stratified per-time risk counts via
+    * 2·(zMax+1) DESC-window cumulative sums, then `iters` 2×2 Newton
+    * CTE pairs whose S-sum operand order mirrors the Scala kernel's z
+    * loop term-for-term (left-assoc), both betas floor-gridded to 1e-6
+    * per step. Singular information (det ≤ 0, ixx ≤ 0) latches betas
+    * NULL through the chain, matching the fitter's dead path. */
+  private def coxPhCovSql(iters: Int, zMax: Int): String = {
+    val zs = 0 to zMax
+    val cells = zs.flatMap(z => Seq(0, 1).map(x =>
+      s"sum(CASE WHEN x = $x AND z = $z THEN 1.0 ELSE 0.0 END) AS c$x$z"))
+      .mkString(",\n    ")
+    val wins = zs.flatMap(z => Seq(0, 1).map(x =>
+      s"sum(c$x$z) OVER (PARTITION BY grp ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n$x$z"))
+      .mkString(",\n    ")
+    val ncols = zs.flatMap(z => Seq(0, 1).map(x => s"n$x$z")).mkString(", ")
+    // per-event S sums at the iterate i's (bx, bz) — operand order is
+    // the kernel's z loop: both = (n0z + n1z·e^bx)·e^(bz·z), x1 = n1z·e^bx·e^(bz·z)
+    val s0 = zs.map(z => s"(n0$z + n1$z * exp(i.bx)) * exp(i.bz * $z)").mkString(" + ")
+    val s1x = zs.map(z => s"n1$z * exp(i.bx) * exp(i.bz * $z)").mkString(" + ")
+    val s1z = zs.map(z =>
+      s"$z * ((n0$z + n1$z * exp(i.bx)) * exp(i.bz * $z))").mkString(" + ")
+    val s2xz = zs.map(z =>
+      s"$z * (n1$z * exp(i.bx) * exp(i.bz * $z))").mkString(" + ")
+    val s2zz = zs.map(z =>
+      s"${z * z} * ((n0$z + n1$z * exp(i.bx)) * exp(i.bz * $z))").mkString(" + ")
+    def sums = // the five score/information aggregates (S2xx == S1x)
+      s"""    sum(e.dx - e.d * ($s1x) / ($s0)) AS ux,
+         |    sum(e.dz - e.d * ($s1z) / ($s0)) AS uz,
+         |    sum(e.d * (($s1x) / ($s0) - (($s1x) / ($s0)) * (($s1x) / ($s0)))) AS ixx,
+         |    sum(e.d * (($s2xz) / ($s0) - (($s1x) / ($s0)) * (($s1z) / ($s0)))) AS ixz,
+         |    sum(e.d * (($s2zz) / ($s0) - (($s1z) / ($s0)) * (($s1z) / ($s0)))) AS izz""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""st$k AS (
+         |  SELECT e.grp, i.bx, i.bz,
+         |$sums
+         |  FROM evt e JOIN $prev i ON e.grp = i.grp GROUP BY 1, 2, 3
+         |), it$k AS (
+         |  SELECT grp,
+         |    CASE WHEN ixx * izz - ixz * ixz > 0 AND ixx > 0 THEN
+         |      floor((bx + (izz * ux - ixz * uz) / (ixx * izz - ixz * ixz)) * 1000000 + 0.5) / 1000000.0 END AS bx,
+         |    CASE WHEN ixx * izz - ixz * ixz > 0 AND ixx > 0 THEN
+         |      floor((bz + (ixx * uz - ixz * ux) / (ixx * izz - ixz * ixz)) * 1000000 + 0.5) / 1000000.0 END AS bz
+         |  FROM st$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH s AS (
+       |  SELECT c.c_mktsegment AS grp,
+       |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+       |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+       |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x,
+       |    CAST(least(floor(o.o_totalprice / 75000), 6) AS INTEGER) AS z
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE o.o_orderdate IS NOT NULL
+       |), pt AS (
+       |  SELECT grp, t, sum(ev) AS d, sum(ev * x) AS dx, sum(ev * z) AS dz,
+       |    $cells
+       |  FROM s GROUP BY 1, 2
+       |), rs AS (
+       |  SELECT grp, t, d, dx, dz,
+       |    $wins
+       |  FROM pt
+       |), evt AS (
+       |  SELECT grp, d, dx, dz, $ncols FROM rs WHERE d > 0
+       |), evn AS (
+       |  SELECT grp, CAST(sum(d) AS BIGINT) AS events FROM evt GROUP BY grp
+       |), it0 AS (
+       |  SELECT DISTINCT grp, 0.0 AS bx, 0.0 AS bz FROM evt
+       |), $steps, fin AS (
+       |  SELECT e.grp, i.bx, i.bz,
+       |$sums
+       |  FROM evt e JOIN it$iters i ON e.grp = i.grp GROUP BY 1, 2, 3
+       |), fd AS (
+       |  SELECT grp, bx, bz, ixx, izz, ixx * izz - ixz * ixz AS det FROM fin
+       |)
+       |SELECT f.grp, v.events,
+       |  CASE WHEN f.det > 0 AND f.ixx > 0 AND f.izz > 0 THEN round(f.bx, 4) + 0 END AS beta_x,
+       |  CASE WHEN f.det > 0 AND f.ixx > 0 AND f.izz > 0 THEN round(sqrt(f.izz / f.det), 4) + 0 END AS se_x,
+       |  CASE WHEN f.det > 0 AND f.ixx > 0 AND f.izz > 0 THEN round(exp(f.bx), 4) + 0 END AS hr_x,
+       |  CASE WHEN f.det > 0 AND f.ixx > 0 AND f.izz > 0 THEN round(f.bz, 4) + 0 END AS beta_z,
+       |  CASE WHEN f.det > 0 AND f.ixx > 0 AND f.izz > 0 THEN round(sqrt(f.ixx / f.det), 4) + 0 END AS se_z,
+       |  CASE WHEN f.det > 0 AND f.ixx > 0 AND f.izz > 0 THEN round(f.bx * f.bx * f.det / f.izz, 4) + 0 END AS chi2
+       |FROM fd f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
+  }
+
   private def countsBranch(dep: String, minCase: Int): String =
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
        |  CAST(sum($dep) AS BIGINT) AS cases,
@@ -1253,6 +1360,7 @@ object Mas {
         Seq("xbin", "xpar").map(ordBranchJ(_, 4))
           .mkString("", "\nUNION ALL\n", "\nORDER BY predictor")),
     "a23_cox_ph" -> coxPhSql(6),
+    "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
     "a04_assoc_firth" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(firthBranch)

@@ -536,4 +536,82 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       iters = 8).head().getAs[Double]("beta")
     assert(p1 == p8 && p1 == beta)
   }
+
+  test("coxPhCov: MLE zeroes the independent 2-param Breslow score; singular designs null; partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(7)
+    // hazard ∝ exp(0.7·x + 0.25·z), z ∈ {0,1,2}; continuous times → untied
+    val rows = (0 until 150).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val z = (i % 3).toDouble
+      val t = -math.log(1 - rng.nextDouble()) / math.exp(0.7 * x + 0.25 * z)
+      val ev = if (rng.nextDouble() < 0.85) 1.0 else 0.0
+      ("g", t + 0.01, ev, x, z)
+    }
+    val df = rows.toDF("grp", "time", "event", "x", "z")
+    val fit = operators.Association.coxPhCov(df, "time", "event", "x", "z", "grp",
+      zMax = 2, iters = 10).head()
+    val bx = fit.getAs[Double]("beta_x"); val bz = fit.getAs[Double]("beta_z")
+    // the 2-param Breslow score, computed INDEPENDENTLY subject-level
+    // (O(n²) risk sets, no per-time table, no level stratification)
+    def score(b1: Double, b2: Double): (Double, Double) = {
+      val terms = rows.filter(_._3 == 1.0).map { case (_, t, _, xi, zi) =>
+        val risk = rows.filter(_._2 >= t)
+        val w = risk.map(r => math.exp(b1 * r._4 + b2 * r._5))
+        val s0 = w.sum
+        val s1x = risk.zip(w).map { case (r, wi) => r._4 * wi }.sum
+        val s1z = risk.zip(w).map { case (r, wi) => r._5 * wi }.sum
+        (xi - s1x / s0, zi - s1z / s0)
+      }
+      (terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    val (ux, uz) = score(bx, bz)
+    assert(math.abs(ux) < 1e-3 && math.abs(uz) < 1e-3)
+    // the fit recovers the simulated effects within sampling error
+    assert(math.abs(bx - 0.7) < 0.5 && math.abs(bz - 0.25) < 0.5)
+    assert(fit.getAs[Double]("se_x") > 0 && fit.getAs[Double]("se_z") > 0)
+    // TIED data: shared-risk-set Breslow score still zeroed
+    val tied = rows.map { case (g, t, ev, x, z) => (g, math.ceil(t * 2) / 2, ev, x, z) }
+    val ft = operators.Association.coxPhCov(tied.toDF("grp", "time", "event", "x", "z"),
+      "time", "event", "x", "z", "grp", zMax = 2, iters = 12).head()
+    def scoreT(b1: Double, b2: Double): (Double, Double) = {
+      val terms = tied.filter(_._3 == 1.0).map { case (_, t, _, xi, zi) =>
+        val risk = tied.filter(_._2 >= t)
+        val w = risk.map(r => math.exp(b1 * r._4 + b2 * r._5))
+        val s0 = w.sum
+        val s1x = risk.zip(w).map { case (r, wi) => r._4 * wi }.sum
+        val s1z = risk.zip(w).map { case (r, wi) => r._5 * wi }.sum
+        (xi - s1x / s0, zi - s1z / s0)
+      }
+      (terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    val (utx, utz) = scoreT(ft.getAs[Double]("beta_x"), ft.getAs[Double]("beta_z"))
+    assert(math.abs(utx) < 1e-3 && math.abs(utz) < 1e-3)
+    // COLLINEAR design (z == x): singular information → null betas, events kept
+    val colin = rows.map { case (g, t, ev, x, _) => (g, t, ev, x, x) }
+      .toDF("grp", "time", "event", "x", "z")
+    val cr = operators.Association.coxPhCov(colin, "time", "event", "x", "z", "grp",
+      zMax = 2, iters = 6).head()
+    assert(cr.getAs[Long]("events") > 0 && cr.isNullAt(cr.fieldIndex("beta_x")))
+    // CONSTANT covariate (z ≡ 1): zero z-information → null betas
+    val const = rows.map { case (g, t, ev, x, _) => (g, t, ev, x, 1.0) }
+      .toDF("grp", "time", "event", "x", "z")
+    val kr = operators.Association.coxPhCov(const, "time", "event", "x", "z", "grp",
+      zMax = 2, iters = 6).head()
+    assert(kr.isNullAt(kr.fieldIndex("beta_x")))
+    // zero-event stratum emits nothing
+    val cen = Seq(("z", 1.0, 0.0, 1.0, 0.0), ("z", 2.0, 0.0, 0.0, 1.0))
+      .toDF("grp", "time", "event", "x", "z")
+    assert(operators.Association.coxPhCov(cen, "time", "event", "x", "z", "grp",
+      zMax = 2).count() == 0L)
+    // partition invariance: integer-exact cells + sorted in-task pass
+    val p1c = operators.Association.coxPhCov(df.repartition(1), "time", "event", "x", "z",
+      "grp", zMax = 2, iters = 10).head()
+    val p8c = operators.Association.coxPhCov(df.repartition(8), "time", "event", "x", "z",
+      "grp", zMax = 2, iters = 10).head()
+    assert(p1c.getAs[Double]("beta_x") == p8c.getAs[Double]("beta_x") &&
+      p1c.getAs[Double]("beta_x") == bx &&
+      p1c.getAs[Double]("beta_z") == p8c.getAs[Double]("beta_z"))
+  }
 }
