@@ -29,6 +29,7 @@ object SparkEntry {
     "a23_cox_ph" -> (Mas.a23CoxPh _),
     "a24_assoc_ordinal4" -> (Mas.a24AssocOrdinal4 _),
     "a25_cox_ph_cov" -> (Mas.a25CoxPhCov _),
+    "t19_gopher_gate" -> (TextOps.t19GopherGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),
     "a22_prs" -> (Mas.a22Prs _),
     "a16_cmh" -> (Mas.a16Cmh _),

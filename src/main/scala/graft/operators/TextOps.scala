@@ -131,6 +131,69 @@ object TextOps {
   def t17Readability(spark: SparkSession, dir: String): DataFrame =
     readability(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  // ------------------------------------------------ t19 gopher gate
+
+  /** The eight Gopher stop words whose presence rule 7 counts. */
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * t19: the Gopher DOC-LEVEL quality GATE (Rae et al. 2021, app. A1)
+   * — where t02/t14 report raw signals, this is the published rule
+   * set as a keep/drop DECISION with per-rule evidence columns, the
+   * operator a filtering pipeline composes directly:
+   *   r1: 50 ≤ words ≤ 100 000        r2: 3 ≤ mean word length ≤ 10
+   *   r3: symbol-to-word ratio (# or …) < 0.1
+   *   r4: < 90% of lines bullet-led   r5: < 30% of lines ellipsis-ended
+   *   r6: > 80% of words contain an alphabetic character
+   *   r7: ≥ 2 distinct Gopher stop words present (space-delimited
+   *       token presence on the normalized text — punctuation-attached
+   *       occurrences don't count, identically in both engines)
+   * Pure codegen'd projection — ONE corpus scan, no shuffle, so the
+   * 100 TB cost is the read itself. Every ratio is decided on its
+   * 4-dp-ROUNDED value (the n05 boundary rule) and lines come from
+   * the t14 deterministic re-lining, so the keep bit is
+   * hash-reproducible cross-engine; empty text short-circuits rule 1
+   * to false before any ratio divides.
+   */
+  def gopherGate(docs: DataFrame, lineWords: Int = 12): DataFrame = {
+    val t = col("text")
+    val nw = when(length(trim(t)) === 0, 0.0)
+      .otherwise(size(split(trim(t), "\\s+")).cast("double"))
+    val nonWs = length(regexp_replace(t, "\\s", "")).cast("double")
+    val symbols = occ(t, "#") + occ(t, "...")
+    val alphaW = size(filter(split(trim(t), "\\s+"),
+      w => w.rlike("[A-Za-z]"))).cast("double")
+    val lines = split(relined(lineWords), "\n")
+    val nLines = size(lines).cast("double")
+    val bulletL = size(filter(lines, l => trim(l).rlike("^[-*] "))).cast("double")
+    val ellipL = size(filter(lines,
+      l => substring(trim(l), -3, 3) === "...")).cast("double")
+    val padded = concat(lit(" "), norm(t), lit(" "))
+    val stopHits = gopherStops.map(w =>
+      when(occ(padded, s" $w ") > 0, 1).otherwise(0)).reduce(_ + _)
+    val meanW = when(nw > 0, round(nonWs / nw, 4) + lit(0.0))
+    val symR = when(nw > 0, round(symbols / nw, 4) + lit(0.0))
+    val alpR = when(nw > 0, round(alphaW / nw, 4) + lit(0.0))
+    val bulR = round(bulletL / nLines, 4) + lit(0.0)
+    val ellR = round(ellipL / nLines, 4) + lit(0.0)
+    val rules = Seq(
+      nw >= 50 && nw <= 100000, meanW >= 3 && meanW <= 10,
+      symR < 0.1, bulR < 0.9, ellR < 0.3, alpR > 0.8, stopHits >= 2)
+    // n_failed grades HOW far a doc is from passing (null rule on
+    // empty text counts failed); keep is the published all-rules AND
+    val nFailed = rules.map(r =>
+      when(coalesce(r, lit(false)), 0).otherwise(1)).reduce(_ + _)
+    docs.select(col("doc_id"), nw.cast("long").as("n_words"),
+      meanW.as("mean_wlen"), symR.as("symbol_ratio"),
+      bulR.as("bullet_frac"), ellR.as("ellipsis_frac"),
+      alpR.as("alpha_frac"), stopHits.cast("long").as("stop_hits"),
+      nFailed.cast("long").as("n_failed"),
+      rules.reduce(_ && _).as("keep"))
+  }
+
+  def t19GopherGate(spark: SparkSession, dir: String): DataFrame =
+    gopherGate(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------- t13 BPE
 
   /** BPE training size DEFAULTS — shared with the generated oracle
@@ -979,6 +1042,59 @@ object TextOps {
           |  CASE WHEN flesch >= 70 THEN 'easy' WHEN flesch >= 50 THEN 'medium'
           |    WHEN flesch >= 30 THEN 'hard' ELSE 'very_hard' END AS band
           |FROM g ORDER BY doc_id""".stripMargin,
+      // t19: same occ length-arithmetic, same re-lining, same regex
+      // classes (RE2 ≡ Java here); every ratio rounded before the
+      // threshold compare so the keep bit can't straddle an engine ulp
+      "t19_gopher_gate" -> {
+        val wsArr = """string_split_regex(trim(text), '\s+')"""
+        val nonwsSql = """length(regexp_replace(text, '\s', '', 'g'))"""
+        val rl = relinedSql(12)
+        val stopSql = gopherStops.map(w =>
+          s"(CASE WHEN ${occSql("p", s" $w ")} > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT doc_id, text, $paddedSql AS p FROM documents
+           |), f AS (
+           |  SELECT doc_id,
+           |    CASE WHEN trim(text) = '' THEN 0.0
+           |      ELSE len($wsArr) * 1.0 END AS nw,
+           |    $nonwsSql * 1.0 AS nonws,
+           |    ${occSql("text", "#")} + ${occSql("text", "...")} AS sym,
+           |    CASE WHEN trim(text) = '' THEN 0.0
+           |      ELSE len(list_filter($wsArr,
+           |        w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 END AS alphaw,
+           |    len(str_split($rl, chr(10))) * 1.0 AS nlines,
+           |    len(list_filter(str_split($rl, chr(10)),
+           |      l -> regexp_matches(trim(l), '^[-*] '))) * 1.0 AS bulletl,
+           |    len(list_filter(str_split($rl, chr(10)),
+           |      l -> right(trim(l), 3) = '...')) * 1.0 AS ellipl,
+           |    $stopSql AS stop_hits
+           |  FROM b
+           |), g AS (
+           |  SELECT doc_id, nw, stop_hits,
+           |    CASE WHEN nw > 0 THEN round(nonws / nw, 4) + 0 END AS mean_wlen,
+           |    CASE WHEN nw > 0 THEN round(sym / nw, 4) + 0 END AS symbol_ratio,
+           |    round(bulletl / nlines, 4) + 0 AS bullet_frac,
+           |    round(ellipl / nlines, 4) + 0 AS ellipsis_frac,
+           |    CASE WHEN nw > 0 THEN round(alphaw / nw, 4) + 0 END AS alpha_frac
+           |  FROM f
+           |)
+           |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mean_wlen, symbol_ratio,
+           |  bullet_frac, ellipsis_frac, alpha_frac,
+           |  CAST(stop_hits AS BIGINT) AS stop_hits,
+           |  CAST((CASE WHEN coalesce(nw >= 50 AND nw <= 100000, false) THEN 0 ELSE 1 END)
+           |    + (CASE WHEN coalesce(mean_wlen >= 3 AND mean_wlen <= 10, false) THEN 0 ELSE 1 END)
+           |    + (CASE WHEN coalesce(symbol_ratio < 0.1, false) THEN 0 ELSE 1 END)
+           |    + (CASE WHEN coalesce(bullet_frac < 0.9, false) THEN 0 ELSE 1 END)
+           |    + (CASE WHEN coalesce(ellipsis_frac < 0.3, false) THEN 0 ELSE 1 END)
+           |    + (CASE WHEN coalesce(alpha_frac > 0.8, false) THEN 0 ELSE 1 END)
+           |    + (CASE WHEN coalesce(stop_hits >= 2, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+           |  (nw >= 50 AND nw <= 100000 AND mean_wlen >= 3 AND mean_wlen <= 10
+           |    AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+           |    AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+           |    AND stop_hits >= 2) AS keep
+           |FROM g ORDER BY doc_id""".stripMargin
+      },
       // t18: same rolling-hash bucket mirror as t04 (per-word), same
       // tokenization as t11; operand order of the smoothed log-ratio
       // matches the Spark expression term-for-term, and the UNROUNDED

@@ -162,6 +162,45 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("dup_para_frac") == 0.0)
   }
 
+  test("gopherGate: each rule trips on its constructed doc, clean doc keeps") {
+    import operators.TextOps
+    val sess = spark
+    import sess.implicits._
+    val stops = "the be to of and that have with" // all 8 stop words
+    // 0: clean 56-word doc → every rule passes
+    val good = (stops + " ") * 7
+    // 1: 9 words (mean length 28/9 ≥ 3) → r1 (word count ≥ 50) fails only
+    val short = stops + " gone"
+    // 2: 56 words, one symbol per word → r3 (symbol ratio < 0.1) fails
+    val symb = ((stops.split(" ").map(_ + " #").mkString(" ") + " ") * 7).trim
+    // 3: every 8-word line bullet-led → r4 (< 90% bulleted) fails
+    val bullet = (("- " + stops.split(" ").take(7).mkString(" ") + " ") * 8).trim
+    // 4: every 8-word line ellipsis-ended → r5 (< 30% ellipsis) fails
+    val ellip = ((stops.split(" ").take(7).mkString(" ") + " done... ") * 8).trim
+    // 5: 56 numeric words → r6 (alpha frac > 0.8) and r7 fail
+    val nums = (("1 2 3 4 5 6 7 8" + " ") * 7).trim
+    // 6: empty text → r1 fails, ratio rules null out (counted failed)
+    val docs = Seq((0L, good), (1L, short), (2L, symb), (3L, bullet),
+      (4L, ellip), (5L, nums), (6L, "")).toDF("doc_id", "text")
+    val r = TextOps.gopherGate(docs, lineWords = 8).orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("keep") && r(0).getAs[Long]("n_failed") == 0L)
+    assert(r(0).getAs[Long]("stop_hits") == 8L)
+    assert(!r(1).getAs[Boolean]("keep") && r(1).getAs[Long]("n_words") == 9L &&
+      r(1).getAs[Long]("n_failed") == 1L)
+    assert(!r(2).getAs[Boolean]("keep") &&
+      r(2).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(!r(3).getAs[Boolean]("keep") &&
+      r(3).getAs[Double]("bullet_frac") >= 0.9)
+    assert(!r(4).getAs[Boolean]("keep") &&
+      r(4).getAs[Double]("ellipsis_frac") >= 0.3)
+    assert(!r(5).getAs[Boolean]("keep") &&
+      r(5).getAs[Double]("alpha_frac") == 0.0 &&
+      r(5).getAs[Long]("stop_hits") == 0L)
+    assert(!r(6).getAs[Boolean]("keep") && r(6).getAs[Long]("n_words") == 0L &&
+      r(6).isNullAt(r(6).fieldIndex("mean_wlen")) &&
+      r(6).getAs[Long]("n_failed") == 5L)
+  }
+
   test("unigramLogprob: hand-checked xent, rare tokens score higher, empty doc nulls") {
     val sess = spark
     import sess.implicits._
