@@ -29,7 +29,9 @@ object SparkEntry {
     "a23_cox_ph" -> (Mas.a23CoxPh _),
     "a24_assoc_ordinal4" -> (Mas.a24AssocOrdinal4 _),
     "a25_cox_ph_cov" -> (Mas.a25CoxPhCov _),
+    "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "t19_gopher_gate" -> (TextOps.t19GopherGate _),
+    "t20_repetition_gate" -> (TextOps.t20RepetitionGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),
     "a22_prs" -> (Mas.a22Prs _),
     "a16_cmh" -> (Mas.a16Cmh _),

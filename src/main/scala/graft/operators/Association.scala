@@ -1621,6 +1621,58 @@ object Association {
       .toDF(byCol, "events", "beta_x", "se_x", "beta_z", "se_z", "chi2")
   }
 
+  /**
+   * Kaplan–Meier product-limit survival curve per stratum, with
+   * Greenwood standard errors — the nonparametric survival DESCRIPTION
+   * that accompanies a19/a23/a25's hazard-ratio tests (the
+   * age-at-onset curve a time-to-event PheWAS reports alongside the
+   * Cox fit). One row per (stratum, distinct EVENT time):
+   *   S(t)  = Π_{t_i ≤ t} (1 − d_i/n_i)
+   *   se(t) = S(t)·√( Σ_{t_i ≤ t} d_i / (n_i·(n_i − d_i)) )
+   *
+   * Shapes: the only subject-proportional work is the (stratum, time)
+   * count aggregate (map-side combined, a19's table); risk sets come
+   * from ONE reverse-cumulative window over that bounded table and
+   * the curve from ONE forward-cumulative window — both bounded by
+   * distinct event times, so a 100 TB cohort costs one shuffle plus
+   * two windows over thousands of rows. The cumulative product runs
+   * in the log domain (exp∘Σln) so operand order is identical
+   * (ascending t, left-assoc) in engine and oracle. If the curve hits
+   * zero (d = n: the entire remaining risk set fails — necessarily
+   * the last event time), surv is EXACT 0 and Greenwood se is null
+   * (its denominator vanishes) rather than feeding ln(0) downstream.
+   */
+  def kaplanMeier(df: DataFrame, timeCol: String, eventCol: String,
+      byCol: String): DataFrame = {
+    val perTime = df
+      .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
+        col(eventCol).isin(0.0, 1.0))
+      .groupBy(col(byCol), col(timeCol).as("t"))
+      .agg(sum(col(eventCol)).as("d"), count(lit(1)).cast("double").as("c"))
+    val wDesc = Window.partitionBy(byCol).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy(byCol).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTime
+      .withColumn("n", sum("c").over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("lterm", when(col("d") < col("n"),
+        log(lit(1.0) - col("d") / col("n"))).otherwise(lit(0.0)))
+      .withColumn("gterm", when(col("d") < col("n"),
+        col("d") / (col("n") * (col("n") - col("d")))).otherwise(lit(0.0)))
+      .withColumn("zeroed",
+        max(when(col("d") >= col("n"), 1).otherwise(0)).over(wAsc))
+      .withColumn("lsum", sum("lterm").over(wAsc))
+      .withColumn("gsum", sum("gterm").over(wAsc))
+      .select(col(byCol), col("t"),
+        col("n").cast("long").as("n_risk"),
+        col("d").cast("long").as("d_events"),
+        when(col("zeroed") === 1, lit(0.0))
+          .otherwise(exp(col("lsum"))).as("surv"),
+        when(col("zeroed") === 1, lit(null).cast("double"))
+          .otherwise(exp(col("lsum")) * sqrt(col("gsum"))).as("se"))
+  }
+
   /** Pairs whose rows all dropped produce no group — restore the full
     * predictor × dependent grid with reference default values
     * (analysis.py:113-121, schema defaults :228-260). The grid is a

@@ -252,6 +252,17 @@ object Mas {
         r4(col("chi2")).as("chi2"))
       .orderBy("grp")
 
+  /** a26: Kaplan–Meier product-limit survival curves
+    * ([[Association.kaplanMeier]]) on the a19 cohort — per-segment
+    * order-finalization curves with Greenwood standard errors, one
+    * row per (segment, distinct event time). The descriptive
+    * companion to a19/a23/a25's hazard-ratio tests. */
+  def a26KaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    Association.kaplanMeier(survivalSubjects(spark, dir), "time", "event", "grp")
+      .select(col("grp"), col("t"), col("n_risk"), col("d_events"),
+        r4(col("surv")).as("surv"), r4(col("se")).as("se"))
+      .orderBy("grp", "t")
+
   /**
    * a20: ORDINAL (3-level) association by pooled cumulative logits —
    * the proportional-odds estimate a severity-graded phenotype needs
@@ -967,6 +978,49 @@ object Mas {
        |FROM fin f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
   }
 
+  /** a26 oracle: the a19/a23 per-time/risk-set CTEs, then the KM
+    * curve as ONE ascending cumulative window in the log domain —
+    * identical operand order (ascending t, left-assoc) to the
+    * engine's window sums. The d = n terminal row (whole risk set
+    * fails) short-circuits to surv 0 / se NULL on both sides instead
+    * of reaching ln(0). */
+  private val kaplanMeierSql: String =
+    """WITH s AS (
+      |  SELECT c.c_mktsegment AS grp,
+      |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+      |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_orderdate IS NOT NULL
+      |), pt AS (
+      |  SELECT grp, t, sum(ev) AS d, CAST(count(*) AS DOUBLE) AS c
+      |  FROM s GROUP BY 1, 2
+      |), rs AS (
+      |  SELECT *,
+      |    sum(c) OVER (PARTITION BY grp ORDER BY t DESC
+      |      ROWS UNBOUNDED PRECEDING) AS n
+      |  FROM pt
+      |), evt AS (
+      |  SELECT grp, t, d, n,
+      |    CASE WHEN d < n THEN ln(1.0 - d / n) ELSE 0.0 END AS lterm,
+      |    CASE WHEN d < n THEN d / (n * (n - d)) ELSE 0.0 END AS gterm,
+      |    CASE WHEN d >= n THEN 1 ELSE 0 END AS z
+      |  FROM rs WHERE d > 0
+      |), cum AS (
+      |  SELECT grp, t, n, d,
+      |    sum(lterm) OVER (PARTITION BY grp ORDER BY t ASC
+      |      ROWS UNBOUNDED PRECEDING) AS lsum,
+      |    sum(gterm) OVER (PARTITION BY grp ORDER BY t ASC
+      |      ROWS UNBOUNDED PRECEDING) AS gsum,
+      |    max(z) OVER (PARTITION BY grp ORDER BY t ASC
+      |      ROWS UNBOUNDED PRECEDING) AS zeroed
+      |  FROM evt
+      |)
+      |SELECT grp, t, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+      |  CASE WHEN zeroed = 1 THEN 0.0 ELSE round(exp(lsum), 4) + 0 END AS surv,
+      |  CASE WHEN zeroed = 1 THEN NULL
+      |    ELSE round(exp(lsum) * sqrt(gsum), 4) + 0 END AS se
+      |FROM cum ORDER BY grp, t""".stripMargin
+
   /** Unrolled a25 replay: (x, z)-stratified per-time risk counts via
     * 2·(zMax+1) DESC-window cumulative sums, then `iters` 2×2 Newton
     * CTE pairs whose S-sum operand order mirrors the Scala kernel's z
@@ -1361,6 +1415,7 @@ object Mas {
           .mkString("", "\nUNION ALL\n", "\nORDER BY predictor")),
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
+    "a26_kaplan_meier" -> kaplanMeierSql,
     "a04_assoc_firth" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(firthBranch)

@@ -194,6 +194,140 @@ object TextOps {
   def t19GopherGate(spark: SparkSession, dir: String): DataFrame =
     gopherGate(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  // ------------------------------------------- t20 repetition gate
+
+  /** Published Gopher repetition thresholds (Rae et al. 2021,
+    * appendix A1, repetition table): a document is KEPT while each
+    * fraction stays ≤ its threshold. Shared with the generated oracle
+    * SQL — change in lockstep. */
+  private[graft] val topGramThr = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private[graft] val dupGramThr =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+  private[graft] val lineParaThr = Seq(
+    "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+    "dup_para_frac" -> 0.30, "dup_para_char_frac" -> 0.20)
+
+  /**
+   * t20: the FULL Gopher repetition rule set (Rae et al. 2021, app.
+   * A1) as a keep/drop DECISION — the companion gate to t19's
+   * doc-level quality rules, covering the repetition table t08/t14
+   * only sample: duplicate line/paragraph fraction (≤ 0.30) and
+   * duplicate line/paragraph CHARACTER fraction (≤ 0.20) over the t14
+   * deterministic re-lining, top-{2,3,4}-gram character fraction
+   * (≤ 0.20/0.18/0.16) and duplicate-{5..10}-gram character fraction
+   * (≤ 0.15/0.14/0.13/0.12/0.11/0.10), plus `n_failed`.
+   *
+   * Definitional choices (documented because the paper's prose leaves
+   * them open; every rule decides on its 4-dp-ROUNDED value — the
+   * n05/t19 boundary rule):
+   *  - duplicate-character fractions count characters in occurrences
+   *    BEYOND the first of each repeated line/gram ((c−1)·len — the
+   *    "excess" convention of the public RedPajama-v2 signals), over
+   *    total line chars (lines) / normalized doc chars (grams), capped
+   *    at 1 (overlapping gram occurrences can overshoot);
+   *  - the top-n-gram is the max-count gram with ties broken to the
+   *    LONGEST (integer compare — no cross-engine collation risk); a
+   *    top gram occurring ONCE contributes 0 chars (not repetition);
+   *  - a rule with no evidence (doc shorter than n words, empty text)
+   *    PASSES — unlike t19's coverage rules, absent repetition is a
+   *    clean pass, so short docs aren't dropped for being short.
+   *
+   * Shapes: ONE corpus scan explodes all 9 gram sizes as (n, gram)
+   * tagged rows into a single map-side-combined (doc, n, gram) count
+   * (the t14 concat-before-explode altitude — 9 rule families, one
+   * shuffle); per-(doc, n) argmax via a bounded self-join on the
+   * count table; lines and paragraphs ride t14's two-level tagged
+   * aggregate. Nothing is corpus-global: every stage keys on doc_id,
+   * so 100 TB scales by adding executors.
+   */
+  def repetitionGate(docs: DataFrame, lineWords: Int = 3,
+      paraWords: Int = 12): DataFrame = {
+    val ns = topGramThr.map(_._1) ++ dupGramThr.map(_._1)
+    val w = col("__w")
+    def grams(n: Int): Column =
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+    val base = docs
+      .withColumn("__nt", Dedup.normText(col("text")))
+      .withColumn("__w", split(col("__nt"), " "))
+    val tagged = base.select(col("doc_id"),
+        explode(concat(ns.map(n => transform(grams(n), g =>
+          struct(lit(n).as("n"), g.as("g")))): _*)).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), col("e.g").as("g"))
+    val cnt = tagged.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val mx = cnt.groupBy("doc_id", "n").agg(
+      max("c").as("mc"),
+      sum(when(col("c") > 1, (col("c") - 1) * length(col("g")))
+        .otherwise(0L)).as("dupch"))
+    val win = cnt.join(mx.select("doc_id", "n", "mc"), Seq("doc_id", "n"))
+      .filter(col("c") === col("mc"))
+      .groupBy("doc_id", "n").agg(max(length(col("g"))).as("wlen"))
+    // a top gram occurring ONCE is not repetition: its char count is
+    // 0, so singleton-top docs pass instead of failing on one gram's
+    // length (matters below ~45 words, where one n-gram can exceed
+    // the threshold share of a short doc)
+    val gAggs = topGramThr.map { case (n, _) =>
+      max(when(col("n") === n,
+        when(col("mc") > 1, col("mc") * col("wlen")).otherwise(0L)))
+        .as(s"top${n}c")
+    } ++ dupGramThr.map { case (n, _) =>
+      max(when(col("n") === n, col("dupch"))).as(s"dup${n}c")
+    }
+    val gstats = mx.join(win, Seq("doc_id", "n"))
+      .groupBy("doc_id").agg(gAggs.head, gAggs.tail: _*)
+    // lines + paragraphs: t14's two-level tagged explode, widened
+    // with the paragraph character sums the gate needs
+    def seg(n: Int, lvl: String) =
+      transform(split(relined(n), "\n"), l => struct(lit(lvl).as("lvl"), trim(l).as("l")))
+    val lines = docs.select(col("doc_id"),
+        explode(concat(seg(lineWords, "l"), seg(paraWords, "p"))).as("e"))
+      .select(col("doc_id"), col("e.lvl").as("lvl"), col("e.l").as("l"))
+      .filter(length(col("l")) > 0)
+    val perLine = lines.groupBy("doc_id", "lvl", "l").agg(count(lit(1)).as("cnt"))
+    def lv(tag: String)(c: Column): Column = when(col("lvl") === tag, c)
+    val lstats = perLine.groupBy("doc_id").agg(
+      sum(lv("l")(col("cnt"))).as("l_n"),
+      count(lv("l")(lit(1))).as("l_d"),
+      sum(lv("l")((col("cnt") - 1) * length(col("l")))).as("l_dupch"),
+      sum(lv("l")(col("cnt") * length(col("l")))).as("l_totch"),
+      sum(lv("p")(col("cnt"))).as("p_n"),
+      count(lv("p")(lit(1))).as("p_d"),
+      sum(lv("p")((col("cnt") - 1) * length(col("l")))).as("p_dupch"),
+      sum(lv("p")(col("cnt") * length(col("l")))).as("p_totch"))
+    val joined = base.select(col("doc_id"),
+        length(col("__nt")).cast("double").as("tot"))
+      .join(lstats, Seq("doc_id"), "left")
+      .join(gstats, Seq("doc_id"), "left")
+    // least/greatest IGNORE nulls (Postgres semantics, both engines):
+    // an absent numerator must stay null (no-evidence pass), not
+    // collapse to least(1.0, null) = 1.0
+    def ratio(num: Column, den: Column): Column =
+      Norm.r4(when(den > 0 && num.isNotNull,
+        least(lit(1.0), num.cast("double") / den)))
+    val fracs: Seq[(String, Column, Double)] = Seq(
+      ("dup_line_frac", ratio(col("l_n") - col("l_d"), col("l_n")), 0.30),
+      ("dup_line_char_frac", ratio(col("l_dupch"), col("l_totch")), 0.20),
+      ("dup_para_frac", ratio(col("p_n") - col("p_d"), col("p_n")), 0.30),
+      ("dup_para_char_frac", ratio(col("p_dupch"), col("p_totch")), 0.20)) ++
+      topGramThr.map { case (n, thr) =>
+        (s"top_${n}gram_char_frac", ratio(col(s"top${n}c"), col("tot")), thr)
+      } ++
+      dupGramThr.map { case (n, thr) =>
+        (s"dup_${n}gram_char_frac", ratio(col(s"dup${n}c"), col("tot")), thr)
+      }
+    val rules = fracs.map { case (_, c, thr) => c <= thr }
+    val nFailed = rules.map(r =>
+      when(coalesce(r, lit(true)), 0).otherwise(1)).reduce(_ + _)
+    joined.select(col("doc_id") +:
+      fracs.map { case (nm, c, _) => c.as(nm) } :+
+      nFailed.cast("long").as("n_failed") :+
+      rules.map(r => coalesce(r, lit(true))).reduce(_ && _).as("keep"): _*)
+  }
+
+  def t20RepetitionGate(spark: SparkSession, dir: String): DataFrame =
+    repetitionGate(Tables.documents(spark, dir)).orderBy("doc_id")
+
   // ------------------------------------------------------- t13 BPE
 
   /** BPE training size DEFAULTS — shared with the generated oracle
@@ -1094,6 +1228,98 @@ object TextOps {
            |    AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
            |    AND stop_hits >= 2) AS keep
            |FROM g ORDER BY doc_id""".stripMargin
+      },
+      // t20: full mirror of the repetition-gate pipeline — tagged
+      // gram union, (doc, n, gram) counts, longest-top-gram argmax
+      // via the same bounded count-table join, t14's two-level
+      // line/para aggregate, every frac rounded BEFORE its threshold
+      "t20_repetition_gate" -> {
+        val ns = topGramThr.map(_._1) ++ dupGramThr.map(_._1)
+        val gramSel = ns.map { n =>
+          val cat = (0 until n).map(j =>
+            if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+          s"""  SELECT doc_id, $n AS n, unnest(
+             |    CASE WHEN len(w) < $n THEN CAST([] AS VARCHAR[])
+             |    ELSE list_transform(range(1, len(w) - $n + 2), i -> $cat) END) AS g
+             |  FROM b""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val gsCols = (topGramThr.map { case (n, _) =>
+          s"max(CASE WHEN m.n = $n THEN " +
+            s"CASE WHEN m.mc > 1 THEN m.mc * w.wlen ELSE 0 END END) AS top${n}c"
+        } ++ dupGramThr.map { case (n, _) =>
+          s"max(CASE WHEN m.n = $n THEN m.dupch END) AS dup${n}c"
+        }).mkString(",\n    ")
+        def ratio(num: String, den: String) = // least ignores NULLs: guard
+          s"CASE WHEN $den > 0 AND ($num) IS NOT NULL " +
+            s"THEN round(least(1.0, ($num) * 1.0 / $den), 4) + 0 END"
+        val fracSql: Seq[(String, String, Double)] = Seq(
+          ("dup_line_frac", ratio("l_n - l_d", "l_n"), 0.30),
+          ("dup_line_char_frac", ratio("l_dupch", "l_totch"), 0.20),
+          ("dup_para_frac", ratio("p_n - p_d", "p_n"), 0.30),
+          ("dup_para_char_frac", ratio("p_dupch", "p_totch"), 0.20)) ++
+          topGramThr.map { case (n, thr) =>
+            (s"top_${n}gram_char_frac", ratio(s"top${n}c", "tot"), thr) } ++
+          dupGramThr.map { case (n, thr) =>
+            (s"dup_${n}gram_char_frac", ratio(s"dup${n}c", "tot"), thr) }
+        val fracCols = fracSql.map { case (nm, ex, _) => s"$ex AS $nm" }
+          .mkString(",\n    ")
+        val nFail = fracSql.map { case (nm, _, thr) =>
+          s"(CASE WHEN coalesce($nm <= $thr, true) THEN 0 ELSE 1 END)"
+        }.mkString("\n    + ")
+        val keep = fracSql.map { case (nm, _, thr) =>
+          s"coalesce($nm <= $thr, true)" }.mkString("\n    AND ")
+        s"""WITH d AS (
+           |  SELECT doc_id, text, $normSql AS nt FROM documents
+           |), b AS (
+           |  SELECT doc_id, string_split(nt, ' ') AS w FROM d
+           |), gr AS (
+           |$gramSel
+           |), cnt AS (
+           |  SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3
+           |), mx AS (
+           |  SELECT doc_id, n, max(c) AS mc,
+           |    sum(CASE WHEN c > 1 THEN (c - 1) * length(g) ELSE 0 END) AS dupch
+           |  FROM cnt GROUP BY 1, 2
+           |), win AS (
+           |  SELECT c.doc_id, c.n, max(length(c.g)) AS wlen
+           |  FROM cnt c JOIN mx m ON c.doc_id = m.doc_id AND c.n = m.n AND c.c = m.mc
+           |  GROUP BY 1, 2
+           |), gs AS (
+           |  SELECT m.doc_id,
+           |    $gsCols
+           |  FROM mx m JOIN win w ON m.doc_id = w.doc_id AND m.n = w.n
+           |  GROUP BY 1
+           |), seg AS (
+           |  SELECT doc_id, 'l' AS lvl, trim(l) AS l FROM (
+           |    SELECT doc_id, unnest(str_split(${relinedSql(3)}, chr(10))) AS l FROM d)
+           |  UNION ALL
+           |  SELECT doc_id, 'p', trim(l) FROM (
+           |    SELECT doc_id, unnest(str_split(${relinedSql(12)}, chr(10))) AS l FROM d)
+           |), pl AS (
+           |  SELECT doc_id, lvl, l, count(*) AS cnt FROM seg
+           |  WHERE length(l) > 0 GROUP BY 1, 2, 3
+           |), ls AS (
+           |  SELECT doc_id,
+           |    sum(CASE WHEN lvl = 'l' THEN cnt END) AS l_n,
+           |    count(CASE WHEN lvl = 'l' THEN 1 END) AS l_d,
+           |    sum(CASE WHEN lvl = 'l' THEN (cnt - 1) * length(l) END) AS l_dupch,
+           |    sum(CASE WHEN lvl = 'l' THEN cnt * length(l) END) AS l_totch,
+           |    sum(CASE WHEN lvl = 'p' THEN cnt END) AS p_n,
+           |    count(CASE WHEN lvl = 'p' THEN 1 END) AS p_d,
+           |    sum(CASE WHEN lvl = 'p' THEN (cnt - 1) * length(l) END) AS p_dupch,
+           |    sum(CASE WHEN lvl = 'p' THEN cnt * length(l) END) AS p_totch
+           |  FROM pl GROUP BY 1
+           |), f AS (
+           |  SELECT t.doc_id,
+           |    $fracCols
+           |  FROM (SELECT doc_id, length(nt) * 1.0 AS tot FROM d) t
+           |  LEFT JOIN ls ON t.doc_id = ls.doc_id
+           |  LEFT JOIN gs ON t.doc_id = gs.doc_id
+           |)
+           |SELECT doc_id, ${fracSql.map(_._1).mkString(", ")},
+           |  CAST($nFail AS BIGINT) AS n_failed,
+           |  ($keep) AS keep
+           |FROM f ORDER BY doc_id""".stripMargin
       },
       // t18: same rolling-hash bucket mirror as t04 (per-word), same
       // tokenization as t11; operand order of the smoothed log-ratio

@@ -537,6 +537,54 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1 == p8 && p1 == beta)
   }
 
+  test("kaplanMeier: Freireich 6-MP textbook curve + Greenwood se; zero-hit terminal row; partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    // The 6-MP arm of Freireich et al. 1963 (the canonical KM example):
+    // 21 patients, remission lengths in weeks, * = censored.
+    val times = Seq(
+      6.0 -> 1.0, 6.0 -> 1.0, 6.0 -> 1.0, 6.0 -> 0.0, 7.0 -> 1.0,
+      9.0 -> 0.0, 10.0 -> 1.0, 10.0 -> 0.0, 11.0 -> 0.0, 13.0 -> 1.0,
+      16.0 -> 1.0, 17.0 -> 0.0, 19.0 -> 0.0, 20.0 -> 0.0, 22.0 -> 1.0,
+      23.0 -> 1.0, 25.0 -> 0.0, 32.0 -> 0.0, 32.0 -> 0.0, 34.0 -> 0.0,
+      35.0 -> 0.0)
+    val df = times.map { case (t, e) => ("mp6", t, e) }.toDF("grp", "time", "event")
+    val out = operators.Association.kaplanMeier(df, "time", "event", "grp")
+      .orderBy("t").collect()
+    // textbook survival values and Greenwood standard errors (4 dp)
+    val expect = Seq( // (t, n_risk, d, S, se)
+      (6.0, 21L, 3L, 0.8571, 0.0764), (7.0, 17L, 1L, 0.8067, 0.0869),
+      (10.0, 15L, 1L, 0.7529, 0.0963), (13.0, 12L, 1L, 0.6902, 0.1068),
+      (16.0, 11L, 1L, 0.6275, 0.1141), (22.0, 7L, 1L, 0.5378, 0.1282),
+      (23.0, 6L, 1L, 0.4482, 0.1346))
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (r, (t, n, d, s, se)) =>
+      assert(r.getAs[Double]("t") == t)
+      assert(r.getAs[Long]("n_risk") == n && r.getAs[Long]("d_events") == d)
+      assert(near(r.getAs[Double]("surv"), s, 5e-5), s"S($t)=${r.getAs[Double]("surv")}")
+      assert(near(r.getAs[Double]("se"), se, 5e-5), s"se($t)=${r.getAs[Double]("se")}")
+    }
+    // curve monotone non-increasing
+    out.map(_.getAs[Double]("surv")).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a); case _ => ()
+    }
+    // terminal d = n row: surv exact 0, Greenwood se null (denominator
+    // vanishes) — not ln(0) leakage
+    val zdf = Seq(("z", 1.0, 1.0), ("z", 2.0, 1.0), ("z", 2.0, 1.0))
+      .toDF("grp", "time", "event")
+    val z = operators.Association.kaplanMeier(zdf, "time", "event", "grp")
+      .orderBy("t").collect()
+    assert(near(z(0).getAs[Double]("surv"), 2.0 / 3.0, 1e-12))
+    assert(z(1).getAs[Double]("surv") == 0.0 && z(1).isNullAt(z(1).fieldIndex("se")))
+    // partition invariance: integer-exact per-time cells, ordered
+    // window sums -> bit-identical at any partition count
+    val p1 = operators.Association.kaplanMeier(df.repartition(1), "time", "event", "grp")
+      .orderBy("t").collect().map(_.getAs[Double]("surv"))
+    val p7 = operators.Association.kaplanMeier(df.repartition(7), "time", "event", "grp")
+      .orderBy("t").collect().map(_.getAs[Double]("surv"))
+    assert(p1.sameElements(p7))
+  }
+
   test("coxPhCov: MLE zeroes the independent 2-param Breslow score; singular designs null; partition-invariant") {
     val sess = spark
     import sess.implicits._

@@ -201,6 +201,51 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r(6).getAs[Long]("n_failed") == 5L)
   }
 
+  test("repetitionGate: hand-computed gram/line/para fracs, singleton tops pass, no-evidence passes") {
+    import operators.TextOps
+    val sess = spark
+    import sess.implicits._
+    // 0: "x y x y x y" — tot 11 chars; top 2-gram "x y"×3 (9/11),
+    //    top 3-gram ×2 len5 (10/11), top 4-gram ×2 len7 (14/11→cap 1),
+    //    5-grams distinct → dup5 0; lines "x y x"/"y x y" distinct
+    val a = "x y x y x y"
+    // 1: 3-word lines duplicate pairwise → dup_line_frac 0.5,
+    //    dup_line_char_frac 10/20 = 0.5; 4-grams all singletons → top4 0
+    val c = "p q r p q r s t u s t u"
+    // 2: two identical 12-word paragraphs → para fracs 0.5
+    val dWords = (1 to 12).map(i => f"w$i%02d").mkString(" ")
+    val d = dWords + " " + dWords
+    // 3: 60 distinct words → everything passes
+    val e = (1 to 60).map(i => f"v$i%02d").mkString(" ")
+    val docs = Seq((0L, a), (1L, c), (2L, d), (3L, e), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextOps.repetitionGate(docs).orderBy("doc_id").collect()
+    def g(i: Int, c: String) = r(i).getAs[Double](c)
+    // doc 0: exact rounded fractions
+    assert(g(0, "top_2gram_char_frac") == 0.8182)
+    assert(g(0, "top_3gram_char_frac") == 0.9091)
+    assert(g(0, "top_4gram_char_frac") == 1.0)
+    assert(g(0, "dup_5gram_char_frac") == 0.0)
+    assert(r(0).isNullAt(r(0).fieldIndex("dup_7gram_char_frac"))) // no 7-grams
+    assert(g(0, "dup_line_frac") == 0.0)
+    assert(!r(0).getAs[Boolean]("keep") && r(0).getAs[Long]("n_failed") == 3L)
+    // doc 1: line duplication + top-2/3 fail; singleton 4-grams → 0
+    assert(g(1, "dup_line_frac") == 0.5 && g(1, "dup_line_char_frac") == 0.5)
+    assert(g(1, "top_2gram_char_frac") == 0.2609) // 2·3 / 23
+    assert(g(1, "top_3gram_char_frac") == 0.4348) // 2·5 / 23
+    assert(g(1, "top_4gram_char_frac") == 0.0)    // mc = 1 → not repetition
+    assert(!r(1).getAs[Boolean]("keep") && r(1).getAs[Long]("n_failed") == 4L)
+    // doc 2: paragraph rules fire (both count and char fraction)
+    assert(g(2, "dup_para_frac") == 0.5 && g(2, "dup_para_char_frac") == 0.5)
+    assert(!r(2).getAs[Boolean]("keep"))
+    // doc 3: clean — all rules pass
+    assert(r(3).getAs[Boolean]("keep") && r(3).getAs[Long]("n_failed") == 0L)
+    // doc 4: empty — every frac null = no evidence → PASSES (unlike
+    // t19's coverage rules, absent repetition is a clean pass)
+    assert(r(4).getAs[Boolean]("keep") && r(4).getAs[Long]("n_failed") == 0L)
+    assert(r(4).isNullAt(r(4).fieldIndex("dup_line_frac")))
+  }
+
   test("unigramLogprob: hand-checked xent, rare tokens score higher, empty doc nulls") {
     val sess = spark
     import sess.implicits._
