@@ -323,6 +323,68 @@ object Corpus {
   def c08MixtureWeights(spark: SparkSession, dir: String): DataFrame =
     mixtureWeights(Tables.documents(spark, dir)).orderBy("source")
 
+  /**
+   * Materialize a token-budgeted training mixture with CAPPED EPOCH
+   * repetition (the data-constrained-scaling recipe: when a domain's
+   * target share exceeds its corpus, repeat it up to `maxEpochs`
+   * rather than letting the mixture silently drift): per source,
+   * target tokens t_s = ⌊budget · w_s⌋ under c08's α = 0.5 weights,
+   * full epochs = min(maxEpochs, ⌊t_s / tokens_s⌋), and the token
+   * remainder fills ONE fractional epoch by the c07 greedy
+   * hash-priority rule (docs in hashBucket order until the remainder
+   * is spent — overshoot allowed on the boundary doc, same
+   * convention). Emits one row per (doc, epoch) — the replicated
+   * corpus a shard-packer downstream consumes.
+   *
+   * Scale shapes: weights/targets are a |sources|-row broadcast; the
+   * remainder fill is the c07 DISTRIBUTED prefix scan (range-sort +
+   * per-partition offsets — never a one-partition window); epoch
+   * replication is a per-row `explode` of an int sequence (pure
+   * projection, output ∝ epochs × corpus, which is the product being
+   * built). All epoch arithmetic is INTEGER (`div` on micro-grid
+   * weights), so engine and oracle agree exactly at any partitioning.
+   */
+  def repeatEpochs(docs: DataFrame, budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    require(budgetTokens > 0, s"repeatEpochs: budget must be positive, got $budgetTokens")
+    require(maxEpochs >= 1 && maxEpochs <= 64,
+      s"repeatEpochs: maxEpochs in [1,64], got $maxEpochs")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(filter(split(Dedup.normText(col("text")), " "),
+        w => length(w) > 0)).cast("long").as("n_tokens"))
+    val per = toks.groupBy("source").agg(sum("n_tokens").as("tok"))
+      .withColumn("w_micro", round(sqrt(col("tok")) * lit(1000000.0)).cast("long"))
+    val tot = per.agg(sum("w_micro").as("wtot"))
+    val tgt = per.crossJoin(broadcast(tot))
+      .withColumn("t_s", expr(s"(${budgetTokens}L * w_micro) div wtot"))
+      .withColumn("efull",
+        least(lit(maxEpochs), expr("t_s div tok")).cast("int"))
+      .withColumn("rem", when(col("efull") < maxEpochs,
+        col("t_s") - col("efull") * col("tok")).otherwise(lit(0L)))
+      .select("source", "efull", "rem")
+    val prio = hashBucket(col("doc_id"), 1000003L)
+    val ordered = toks.withColumn("__ord", concat_ws("|",
+      col("source"), lpad(prio.cast("string"), 7, "0"),
+      lpad(col("doc_id").cast("string"), 12, "0")))
+    val scanned = prefixScan(ordered, "__ord", "n_tokens", Seq("__gstart")) {
+      (start, _) => Seq(start)
+    }
+    val bases = scanned.groupBy("source").agg(min("__gstart").as("__base"))
+    scanned.join(broadcast(bases), Seq("source"))
+      .join(broadcast(tgt), Seq("source"))
+      .withColumn("extra",
+        (col("__gstart") - col("__base") < col("rem")).cast("int"))
+      .withColumn("n_epochs", col("efull") + col("extra"))
+      .filter(col("n_epochs") >= 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
+  }
+
+  /** c09: the documents corpus materialized at a 100k-token budget,
+    * α = 0.5 source weights, epochs capped at 4. */
+  def c09RepeatEpochs(spark: SparkSession, dir: String): DataFrame =
+    repeatEpochs(Tables.documents(spark, dir), budgetTokens = 100000L, maxEpochs = 4)
+      .orderBy("doc_id", "epoch")
+
   /** c03: 80/10/10 train/val/test assignment over documents — stable
     * under corpus growth, no shuffle. */
   def c03Split(spark: SparkSession, dir: String): DataFrame =
@@ -379,6 +441,43 @@ object Corpus {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    // c09: same integer micro-grid weight/target/epoch arithmetic
+    // (// is DuckDB integer div), same c07 hash-priority remainder
+    // window, per-row range() unnest for the epoch replication
+    "c09_repeat_epochs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+         |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), per AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok,
+         |    CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+         |  FROM t GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(w_micro) AS BIGINT) AS wtot FROM per
+         |), tgt AS (
+         |  SELECT source, tok, (100000 * w_micro) // wtot AS t_s FROM per, tot
+         |), tg2 AS (
+         |  SELECT source, CAST(least(4, t_s // tok) AS INT) AS efull,
+         |    CASE WHEN least(4, t_s // tok) < 4
+         |      THEN t_s - least(4, t_s // tok) * tok ELSE 0 END AS rem
+         |  FROM tgt
+         |), sc AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ${hashBucketSql("doc_id", 1000003L)}, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_before
+         |  FROM t
+         |), mk AS (
+         |  SELECT s.doc_id, s.source, s.n_tokens,
+         |    g.efull + (CASE WHEN s.tok_before < g.rem THEN 1 ELSE 0 END) AS n_epochs
+         |  FROM sc s JOIN tg2 g ON s.source = g.source
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(unnest(range(0, n_epochs)) AS INT) AS epoch
+         |FROM mk ORDER BY doc_id, epoch""".stripMargin,
     "c08_mixture_weights" ->
       """WITH t AS (
         |  SELECT source,

@@ -388,6 +388,34 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5) == out) // partition-count invariant
   }
 
+  test("repeatEpochs: closed-form epoch counts, cap binds, remainder fill, partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    // A: 4 docs x 10 tokens (tok 40); B: 1 doc x 10 tokens (tok 10).
+    // w_micro: A 6324555, B 3162278 (sqrt grid); wtot 9486833.
+    // budget 150: t_A = (150*6324555) div wtot = 99 -> efull 2, rem 19;
+    //             t_B = 50 -> 50 div 10 = 5 CAPPED at 4, rem 0.
+    val ten = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = ((1L to 4L).map(i => (i, ten, "A")) :+ (9L, ten, "B"))
+      .toDF("doc_id", "text", "source")
+    def run(parts: Int) =
+      Corpus.repeatEpochs(docs.repartition(parts), budgetTokens = 150L, maxEpochs = 4)
+        .collect().map(r => (r.getLong(0), r.getAs[Int]("epoch"))).sorted.toSeq
+    val out = run(1)
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // B: capped at 4 full epochs, no fractional (rem latched to 0)
+    assert(perDoc(9L) == Seq(0, 1, 2, 3))
+    // A: every doc gets the 2 full epochs; the 19-token remainder
+    // admits exactly TWO docs (starts 0 and 10 < 19; 20 does not) into
+    // the fractional third epoch — c07's straddler-kept convention
+    val aCounts = (1L to 4L).map(i => perDoc(i).size)
+    assert(aCounts.count(_ == 3) == 2 && aCounts.count(_ == 2) == 2)
+    assert((1L to 4L).forall(i => perDoc(i).take(2) == Seq(0, 1)))
+    // emitted A tokens = 100 (99-token target, one-doc overshoot)
+    assert(out.count(_._1 <= 4L) * 10 == 100)
+    assert(run(5) == out) // partition-count invariant
+  }
+
   test("pagerank: hand-checked iteration with a dangling node, symmetry, invariance") {
     val sess = spark
     import sess.implicits._
