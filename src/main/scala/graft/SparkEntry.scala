@@ -79,6 +79,7 @@ object SparkEntry {
     "s10_clump" -> (Postprocess.s10Clump _),
     "s11_icd_phecode" -> (Mas.s11IcdPhecode _),
     "s12_manhattan" -> (Postprocess.s12Manhattan _),
+    "s13_gc_correct" -> (Postprocess.s13GcCorrect _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d12_para_dedup" -> (Dedup.d12ParaDedup _),
     "d13_dup_spans" -> (Dedup.d13DupSpans _),

@@ -195,6 +195,53 @@ object Postprocess {
     lambdaGC(pseudoPvals(spark, dir))
 
   /**
+   * Genomic-control CORRECTION — s06's λ applied back to every test
+   * (the standard GWAS/PheWAS deflation step when λ_GC > 1 flags
+   * test-statistic inflation): χ²_adj = χ²/λ with λ = max(1,
+   * median(χ²)/qchisq(½,1)) (deflation is never "corrected" up), and
+   * the adjusted p = 2·(1 − Φ(√χ²_adj)) via the Zelen–Severo normal
+   * tail (A&S 26.2.17, |ε| < 7.5e-8 ≪ the 6-dp output grid) — the
+   * same Horner operand order in engine and oracle, because DuckDB
+   * has no erfc to mirror the exact tail against. λ is quantized to
+   * the 1e-6 grid BEFORE the division so both engines divide by the
+   * identical double.
+   *
+   * Scale shapes: χ² is a pure codegen'd projection (the s06 qnorm
+   * Expression); λ is the EXACT distributed median (p11 machinery —
+   * one range-sort, no single-partition window) broadcast back as a
+   * 1-row literal; the correction itself is again a projection. Two
+   * passes over a 10M-pair flipwas results table, nothing driver-side.
+   */
+  def gcCorrect(df: DataFrame, pvalCol: String = "pval",
+      idCol: String = "o_orderkey"): DataFrame = {
+    val np = df.filter(col(pvalCol).isNotNull && !isnan(col(pvalCol)) &&
+      col(pvalCol) > 0)
+    val z = graft.functions.GraftFunctions.qnorm(lit(1.0) - col(pvalCol) / 2.0)
+    val c = np.select(col(idCol), col(pvalCol), (z * z).as("chi2"))
+    val chiMedian = 0.45493642311957283 // qchisq(0.5, 1)
+    val lam = Preprocess.quantilesExact(c.select("chi2"), "chi2", Seq(0.5))
+      .select(greatest(lit(1.0),
+        floor((col("value") / chiMedian) * 1000000 + 0.5) / 1000000.0).as("lam"))
+    val a = c.crossJoin(broadcast(lam))
+      .withColumn("chi2_adj", col("chi2") / col("lam"))
+      .withColumn("x", sqrt(col("chi2_adj")))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("x")))
+    val poly = col("t") * (lit(0.319381530) + col("t") * (lit(-0.356563782) +
+      col("t") * (lit(1.781477937) + col("t") * (lit(-1.821255978) +
+        col("t") * lit(1.330274429)))))
+    a.select(col(idCol), round(col(pvalCol), 6).as("pval"),
+      Norm.r4(col("chi2")).as("chi2"),
+      Norm.r4(col("chi2_adj")).as("chi2_adj"),
+      round(col("lam"), 6).as("lambda_used"),
+      round(lit(2.0) * exp(lit(-0.5) * col("x") * col("x")) *
+        lit(0.3989422804014327) * poly, 6).as("p_adj"))
+  }
+
+  /** s13: GC-corrected p-values over the pseudo p-value results. */
+  def s13GcCorrect(spark: SparkSession, dir: String): DataFrame =
+    gcCorrect(pseudoPvals(spark, dir)).orderBy("o_orderkey")
+
+  /**
    * QQ-plot coordinates — λ_GC's companion diagnostic (per-result,
    * not one scalar): observed −log10(p) paired with the expected
    * −log10((rank − ½)/m) under the uniform null. Ranks come from the
@@ -473,6 +520,35 @@ object Postprocess {
          |SELECT round(quantile_cont(chi2, 0.5), 4) + 0 AS median_chi2,
          |  round(quantile_cont(chi2, 0.5) / 0.45493642311957283, 4) + 0 AS lambda_gc
          |FROM c""".stripMargin,
+    // s13: same qnorm projection, same grid-rounded lambda from the
+    // exact median, same Zelen-Severo Horner tail term-for-term
+    "s13_gc_correct" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |np AS (SELECT o_orderkey, pval FROM p
+         |       WHERE pval IS NOT NULL AND pval > 0),
+         |c AS (
+         |  SELECT o_orderkey, pval,
+         |    ${Preprocess.qnormSql("1 - pval / 2")} * ${Preprocess.qnormSql("1 - pval / 2")} AS chi2
+         |  FROM np
+         |), l AS (
+         |  SELECT greatest(1.0, floor((quantile_cont(chi2, 0.5)
+         |    / 0.45493642311957283) * 1000000 + 0.5) / 1000000.0) AS lam
+         |  FROM c
+         |), a AS (
+         |  SELECT o_orderkey, pval, chi2, chi2 / lam AS chi2_adj, lam,
+         |    sqrt(chi2 / lam) AS x
+         |  FROM c, l
+         |), g AS (
+         |  SELECT *, 1.0 / (1.0 + 0.2316419 * x) AS t FROM a
+         |)
+         |SELECT o_orderkey, round(pval, 6) AS pval,
+         |  round(chi2, 4) + 0 AS chi2,
+         |  round(chi2_adj, 4) + 0 AS chi2_adj,
+         |  round(lam, 6) AS lambda_used,
+         |  round(2.0 * exp(-0.5 * x * x) * 0.3989422804014327
+         |    * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+         |      + t * (-1.821255978 + t * 1.330274429))))), 6) AS p_adj
+         |FROM g ORDER BY o_orderkey""".stripMargin,
     "s07_qq_expected" ->
       s"""WITH p AS ($pseudoPvalsSql),
          |np AS (SELECT o_orderkey, pval FROM p

@@ -97,6 +97,42 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lamInf > 1.5, s"inflated lambda=$lamInf")
   }
 
+  test("gcCorrect: lambda from median chi2, p_adj matches independent erfc tail, uniform is identity") {
+    val sess = spark
+    import sess.implicits._
+    import graft.functions.Numerics
+    def tail(x: Double) = Numerics.erfc(x / math.sqrt(2.0)) // 2(1-Phi(x))
+    // inflated set: median chi2 = qnorm(0.9)^2 = 1.642374 -> lambda 3.610558
+    val df = Seq(1L -> 0.1, 2L -> 0.2, 3L -> 0.3).toDF("o_orderkey", "pval")
+    val out = Postprocess.gcCorrect(df).orderBy("o_orderkey").collect()
+    val lam = out(0).getAs[Double]("lambda_used")
+    val zz = Numerics.qnorm(0.9); val expLam = zz * zz / 0.45493642311957283
+    assert(math.abs(lam - expLam) < 2e-6, s"lambda $lam vs $expLam")
+    out.foreach { r =>
+      val p = r.getAs[Double]("pval")
+      val z = Numerics.qnorm(1.0 - p / 2.0)
+      val expAdj = tail(math.sqrt(z * z / lam))
+      // Zelen-Severo |eps| < 7.5e-8, plus the 6-dp output rounding
+      assert(math.abs(r.getAs[Double]("p_adj") - expAdj) < 1e-6,
+        s"p=$p p_adj=${r.getAs[Double]("p_adj")} want $expAdj")
+      // chi2_adj = chi2 / lambda on the rounded grid
+      assert(math.abs(r.getAs[Double]("chi2_adj") - z * z / lam) < 1e-4)
+      // correction only weakens significance when lambda > 1
+      assert(r.getAs[Double]("p_adj") >= p - 1e-6)
+    }
+    // deflated set (median chi2 below qchisq(.5,1)): lambda clamps to 1
+    // and the corrected p returns the original (within tail approx)
+    val df2 = Seq(1L -> 0.5, 2L -> 0.6, 3L -> 0.7).toDF("o_orderkey", "pval")
+    val out2 = Postprocess.gcCorrect(df2).orderBy("o_orderkey").collect()
+    assert(out2.forall(_.getAs[Double]("lambda_used") == 1.0))
+    out2.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p_adj") - r.getAs[Double]("pval")) < 1e-5)
+    }
+    // p_adj monotone in p
+    val ps = out.map(_.getAs[Double]("p_adj"))
+    assert(ps.sameElements(ps.sorted))
+  }
+
   test("qvalues = pi0 x BH suffix-min, scaled BEFORE the clamp") {
     val sess = spark
     import sess.implicits._
