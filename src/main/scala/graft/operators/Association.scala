@@ -1673,6 +1673,52 @@ object Association {
           .otherwise(exp(col("lsum")) * sqrt(col("gsum"))).as("se"))
   }
 
+  /**
+   * 1:1 matched-pair CONDITIONAL logistic association — the matched
+   * case-control design (each case paired with one control on age /
+   * sex / site) where an unconditional a03 fit is biased by the
+   * per-pair nuisance intercepts: for a binary exposure the
+   * conditional MLE has the McNemar CLOSED FORM — only DISCORDANT
+   * pairs carry information, β̂ = ln(n10/n01), se = √(1/n10 + 1/n01),
+   * with the Haldane ½ correction when a discordant cell is empty
+   * (the a04 rule: estimates stay defined), plus the McNemar
+   * χ² = (n10−n01)²/(n10+n01) on the RAW counts and its Wald p from
+   * the Zelen–Severo normal tail (the s13 machinery).
+   *
+   * One row in = one matched pair (case exposure, control exposure);
+   * the whole fit is ONE map-side-combined aggregate per stratum —
+   * 2 longs of state per (stratum, partition), so a 100 TB pair table
+   * costs a single scan, no iteration, no per-pair rows shuffled.
+   */
+  def matchedPairs(pairs: DataFrame, caseXCol: String, ctrlXCol: String,
+      byCol: String): DataFrame = {
+    val cells = pairs
+      .filter(col(caseXCol).isin(0.0, 1.0) && col(ctrlXCol).isin(0.0, 1.0))
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col(caseXCol) === 1.0 && col(ctrlXCol) === 0.0, 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(col(caseXCol) === 0.0 && col(ctrlXCol) === 1.0, 1L)
+          .otherwise(0L)).as("n01"))
+    val h = col("n10") === 0 || col("n01") === 0
+    val a = col("n10") + when(h, 0.5).otherwise(0.0)
+    val b = col("n01") + when(h, 0.5).otherwise(0.0)
+    val z = log(a / b) / sqrt(lit(1.0) / a + lit(1.0) / b)
+    val x = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    cells.select(col(byCol), col("n_pairs"), col("n10"), col("n01"),
+      log(a / b).as("beta"),
+      sqrt(lit(1.0) / a + lit(1.0) / b).as("se"),
+      (a / b).as("or"),
+      when(col("n10") + col("n01") > 0,
+        (col("n10") - col("n01")) * (col("n10") - col("n01"))
+          / (col("n10") + col("n01")).cast("double")).as("mcnemar_chi2"),
+      (lit(2.0) * exp(lit(-0.5) * x * x) * lit(0.3989422804014327) * poly)
+        .as("p_wald"))
+  }
+
   /** Pairs whose rows all dropped produce no group — restore the full
     * predictor × dependent grid with reference default values
     * (analysis.py:113-121, schema defaults :228-260). The grid is a

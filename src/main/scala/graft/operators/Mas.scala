@@ -263,6 +263,44 @@ object Mas {
         r4(col("surv")).as("surv"), r4(col("se")).as("se"))
       .orderBy("grp", "t")
 
+  /** a27: 1:1 matched-pair conditional logistic
+    * ([[Association.matchedPairs]]) — within each customer (the
+    * natural 1:1 match), the HIGHEST-price order is the case and the
+    * LOWEST-price order the matched control (deterministic tie-break
+    * on orderkey), exposure = urgency, stratified by market segment.
+    * Customers with a single order carry no pair and drop. The pair
+    * construction is one customer-partitioned window (case and
+    * control ranks in the same pass) + a per-customer aggregate that
+    * REUSES the window's partitioning — one shuffle end to end before
+    * the tiny per-segment cell aggregate. */
+  def a27MatchedPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val j = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+        o("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("cust"), col("c_mktsegment").as("grp"),
+        col("o_orderkey").as("okey"), col("o_totalprice").as("price"),
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"))
+    val wd = Window.partitionBy("cust").orderBy(col("price").desc, col("okey"))
+    val wa = Window.partitionBy("cust").orderBy(col("price").asc, col("okey"))
+    val pairs = j
+      .withColumn("rd", row_number().over(wd))
+      .withColumn("ra", row_number().over(wa))
+      .groupBy("cust")
+      .agg(first(col("grp")).as("grp"),
+        max(when(col("rd") === 1, col("x"))).as("x_case"),
+        max(when(col("ra") === 1, col("x"))).as("x_ctrl"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    Association.matchedPairs(pairs, "x_case", "x_ctrl", "grp")
+      .select(col("grp"), col("n_pairs"), col("n10"), col("n01"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
+        r4(col("or")).as("or"), r4(col("mcnemar_chi2")).as("mcnemar_chi2"),
+        round(col("p_wald"), 6).as("p_wald"))
+      .orderBy("grp")
+  }
+
   /**
    * a20: ORDINAL (3-level) association by pooled cumulative logits —
    * the proportional-odds estimate a severity-graded phenotype needs
@@ -1416,6 +1454,51 @@ object Mas {
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
     "a26_kaplan_meier" -> kaplanMeierSql,
+    // a27: same window-ranked pair construction, same Haldane cells,
+    // same Zelen-Severo Horner tail term-for-term
+    "a27_matched_pairs" ->
+      """WITH j AS (
+        |  SELECT c.c_custkey AS cust, c.c_mktsegment AS grp,
+        |    o.o_orderkey AS okey, o.o_totalprice AS price,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY cust ORDER BY price DESC, okey) AS rd,
+        |    row_number() OVER (PARTITION BY cust ORDER BY price ASC, okey) AS ra
+        |  FROM j
+        |), p AS (
+        |  SELECT cust, max(grp) AS grp,
+        |    max(CASE WHEN rd = 1 THEN x END) AS x_case,
+        |    max(CASE WHEN ra = 1 THEN x END) AS x_ctrl,
+        |    count(*) AS n_orders
+        |  FROM r GROUP BY cust
+        |), cells AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN x_case = 1.0 AND x_ctrl = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN x_case = 0.0 AND x_ctrl = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n01
+        |  FROM p WHERE n_orders >= 2 GROUP BY grp
+        |), hb AS (
+        |  SELECT *,
+        |    n10 + (CASE WHEN n10 = 0 OR n01 = 0 THEN 0.5 ELSE 0.0 END) AS a,
+        |    n01 + (CASE WHEN n10 = 0 OR n01 = 0 THEN 0.5 ELSE 0.0 END) AS b
+        |  FROM cells
+        |), g AS (
+        |  SELECT *, abs(ln(a / b) / sqrt(1.0 / a + 1.0 / b)) AS xv FROM hb
+        |), g2 AS (
+        |  SELECT *, 1.0 / (1.0 + 0.2316419 * xv) AS t FROM g
+        |)
+        |SELECT grp, n_pairs, n10, n01,
+        |  round(ln(a / b), 4) + 0 AS beta,
+        |  round(sqrt(1.0 / a + 1.0 / b), 4) + 0 AS se,
+        |  round(a / b, 4) + 0 AS "or",
+        |  CASE WHEN n10 + n01 > 0 THEN
+        |    round((n10 - n01) * (n10 - n01) / CAST(n10 + n01 AS DOUBLE), 4) + 0 END
+        |    AS mcnemar_chi2,
+        |  round(2.0 * exp(-0.5 * xv * xv) * 0.3989422804014327
+        |    * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+        |      + t * (-1.821255978 + t * 1.330274429))))), 6) AS p_wald
+        |FROM g2 ORDER BY grp""".stripMargin,
     "a04_assoc_firth" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many").map(firthBranch)

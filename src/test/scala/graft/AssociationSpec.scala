@@ -537,6 +537,37 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1 == p8 && p1 == beta)
   }
 
+  test("matchedPairs: McNemar closed form, Haldane on empty cells, concordant pairs uninformative") {
+    val sess = spark
+    import sess.implicits._
+    // stratum g: 20 pairs — n11=5, n00=4, n10=8, n01=3
+    val g = Seq.fill(5)((1.0, 1.0)) ++ Seq.fill(4)((0.0, 0.0)) ++
+      Seq.fill(8)((1.0, 0.0)) ++ Seq.fill(3)((0.0, 1.0))
+    val df = g.map { case (a, b) => ("g", a, b) }.toDF("grp", "x_case", "x_ctrl")
+    val r = operators.Association.matchedPairs(df, "x_case", "x_ctrl", "grp").head()
+    assert(r.getAs[Long]("n_pairs") == 20L)
+    assert(r.getAs[Long]("n10") == 8L && r.getAs[Long]("n01") == 3L)
+    assert(near(r.getAs[Double]("beta"), math.log(8.0 / 3.0), 1e-12))
+    assert(near(r.getAs[Double]("se"), math.sqrt(1.0 / 8 + 1.0 / 3), 1e-12))
+    assert(near(r.getAs[Double]("mcnemar_chi2"), 25.0 / 11.0, 1e-12))
+    // Wald p against the independent erfc tail
+    val z = math.log(8.0 / 3.0) / math.sqrt(1.0 / 8 + 1.0 / 3)
+    val pw = graft.functions.Numerics.erfc(math.abs(z) / math.sqrt(2.0))
+    assert(near(r.getAs[Double]("p_wald"), pw, 1e-6))
+    // concordant-only extra pairs change NOTHING except n_pairs
+    val df2 = (g ++ Seq.fill(10)((1.0, 1.0))).map { case (a, b) => ("g", a, b) }
+      .toDF("grp", "x_case", "x_ctrl")
+    val r2 = operators.Association.matchedPairs(df2, "x_case", "x_ctrl", "grp").head()
+    assert(r2.getAs[Long]("n_pairs") == 30L &&
+      r2.getAs[Double]("beta") == r.getAs[Double]("beta"))
+    // empty n01 cell: Haldane 1/2 keeps the estimate defined
+    val df3 = (Seq.fill(4)((1.0, 0.0)) ++ Seq.fill(2)((1.0, 1.0)))
+      .map { case (a, b) => ("h", a, b) }.toDF("grp", "x_case", "x_ctrl")
+    val r3 = operators.Association.matchedPairs(df3, "x_case", "x_ctrl", "grp").head()
+    assert(near(r3.getAs[Double]("beta"), math.log(4.5 / 0.5), 1e-12))
+    assert(near(r3.getAs[Double]("mcnemar_chi2"), 4.0, 1e-12)) // raw counts
+  }
+
   test("kaplanMeier: Freireich 6-MP textbook curve + Greenwood se; zero-hit terminal row; partition-invariant") {
     val sess = spark
     import sess.implicits._
