@@ -334,6 +334,9 @@ object Bench {
             graft.operators.Dedup.embeddingLshDupPairs(
               graft.operators.Dedup.embCorpus(spark, bigDir), 0.85, bitsPerBand = 9)
               .write.format("noop").mode("overwrite").save()),
+          "t20_repetition_gate" -> (() =>
+            SparkEntry.queries("t20_repetition_gate")(spark, bigDir)
+              .write.format("noop").mode("overwrite").save()),
           "d10_semdedup" -> (() =>
             graft.operators.Similarity.semDedup(
               graft.operators.Dedup.embCorpus(spark, bigDir).select("vec_id", "e"),
@@ -353,8 +356,13 @@ object Bench {
               } yield (a, b))
           }
         }
+        // t20 joins the corpus family (r13): no scale knob — the
+        // vocabulary-substitution replicas preserve n-gram structure
+        // exactly (a word bijection), so the 10x point measures the
+        // tagged-gram shuffle's real scaling on the sweep's most
+        // expensive text query
         val corpusPairs = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh",
-          "d10_semdedup").flatMap { name =>
+          "d10_semdedup", "t20_repetition_gate").flatMap { name =>
           corpusEntry(name, run(name), bigBodies(name)())
         }
         // contamination + streaming-gate families (r12 verdict: no 10x

@@ -31,6 +31,7 @@ object SparkEntry {
     "a25_cox_ph_cov" -> (Mas.a25CoxPhCov _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
+    "a28_trend_test" -> (Mas.a28TrendTest _),
     "t19_gopher_gate" -> (TextOps.t19GopherGate _),
     "t20_repetition_gate" -> (TextOps.t20RepetitionGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),

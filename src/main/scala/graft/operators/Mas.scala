@@ -302,6 +302,64 @@ object Mas {
   }
 
   /**
+   * Cochran–Armitage TREND test — the GWAS per-variant standard for a
+   * binary outcome against an additively-coded genotype dosage
+   * g ∈ {0,1,2} (where a03 would either dichotomize the dosage or pay
+   * a logistic fit, the CA score test is the locally-most-powerful
+   * test of the additive alternative in CLOSED FORM): with n_i / r_i
+   * the per-dose totals / cases, R = Σr, N = Σn and weights w = i,
+   *   T = Σ i·r_i − (Σ i·n_i)·R/N
+   *   Var(T) = (R/N)(1 − R/N)·(Σ i²·n_i − (Σ i·n_i)²/N)
+   *   z = T/√Var, χ² = z², two-sided p via the Zelen–Severo tail.
+   * ONE map-side-combined aggregation after the dependent melt yields
+   * the 8 sufficient counts for EVERY dependent; everything after is
+   * a one-row projection — a million-variant trend screen costs one
+   * grouped sum per variant, the a21 altitude. Degenerate margins
+   * (Var ≤ 0: single dose level or all/no cases) yield null z/p.
+   */
+  def trendTest(df: DataFrame, doseCol: String, depCols: Seq[String]): DataFrame = {
+    val melted = df.select(col(doseCol).cast("int").as("g"),
+        explode(array(depCols.map(d =>
+          struct(lit(d).as("dep"), col(d).cast("double").as("y"))): _*)).as("e"))
+      .select(col("g"), col("e.dep").as("dependent"), col("e.y").as("y"))
+      .filter(col("y").isin(0.0, 1.0) && col("g").isin(0, 1, 2))
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("y")).as("r")) ++
+      (0 to 2).flatMap(i => Seq(
+        sum(when(col("g") === i, 1.0).otherwise(0.0)).as(s"n$i"),
+        sum(when(col("g") === i, col("y")).otherwise(0.0)).as(s"r$i")))
+    val cells = melted.groupBy("dependent").agg(aggs.head, aggs.tail: _*)
+    val sw = col("n1") + lit(2.0) * col("n2")   // sum w_i n_i
+    val sw2 = col("n1") + lit(4.0) * col("n2")  // sum w_i^2 n_i
+    val tstat = col("r1") + lit(2.0) * col("r2") - sw * col("r") / col("n")
+    val vt = (col("r") / col("n")) * (lit(1.0) - col("r") / col("n")) *
+      (sw2 - sw * sw / col("n"))
+    val z = tstat / sqrt(vt)
+    val x = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    cells.select(col("dependent"),
+      col("n").cast("long").as("total_n"), col("r").cast("long").as("cases"),
+      col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"),
+      r4(col("r0")).as("r0"), r4(col("r1")).as("r1"), r4(col("r2")).as("r2"),
+      when(vt > 0, r4(tstat)).as("t_stat"),
+      when(vt > 0, r4(z)).as("z"),
+      when(vt > 0, r4(z * z)).as("chi2"),
+      when(vt > 0, round(lit(2.0) * exp(lit(-0.5) * x * x) *
+        lit(0.3989422804014327) * poly, 6)).as("p_trend"))
+  }
+
+  /** a28: CA trend of urgency/openness/size outcomes on the
+    * deterministic 3-level dosage g = id mod 3. */
+  def a28TrendTest(spark: SparkSession, dir: String): DataFrame =
+    trendTest(cohort(spark, dir).withColumn("gdose", col("id") % 3),
+        "gdose", Seq("d_urgent", "d_open", "d_big", "d_many"))
+      .orderBy("dependent")
+
+  /**
    * a20: ORDINAL (3-level) association by pooled cumulative logits —
    * the proportional-odds estimate a severity-graded phenotype needs
    * where a03's binary dichotomy throws information away: dichotomize
@@ -1454,6 +1512,47 @@ object Mas {
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
     "a26_kaplan_meier" -> kaplanMeierSql,
+    // a28: per-dependent CA cells as UNION ALL branches over the
+    // cohort CTE, trend/variance/tail arithmetic mirrored
+    // term-for-term (left-assoc products, Horner tail)
+    "a28_trend_test" ->
+      (cohortSql + ", br AS (\n" +
+        Seq("d_urgent", "d_open", "d_big", "d_many").map { d =>
+          s"""  SELECT '$d' AS dependent, count(*) * 1.0 AS n, sum($d) AS r,
+             |    sum(CASE WHEN id % 3 = 0 THEN 1.0 ELSE 0.0 END) AS n0,
+             |    sum(CASE WHEN id % 3 = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+             |    sum(CASE WHEN id % 3 = 2 THEN 1.0 ELSE 0.0 END) AS n2,
+             |    sum(CASE WHEN id % 3 = 0 THEN $d ELSE 0.0 END) AS r0,
+             |    sum(CASE WHEN id % 3 = 1 THEN $d ELSE 0.0 END) AS r1,
+             |    sum(CASE WHEN id % 3 = 2 THEN $d ELSE 0.0 END) AS r2
+             |  FROM cohort WHERE $d IN (0.0, 1.0)""".stripMargin
+        }.mkString("\nUNION ALL\n") +
+        """
+          |), calc AS (
+          |  SELECT *,
+          |    r1 + 2.0 * r2 - (n1 + 2.0 * n2) * r / n AS ts,
+          |    (r / n) * (1.0 - r / n)
+          |      * ((n1 + 4.0 * n2) - (n1 + 2.0 * n2) * (n1 + 2.0 * n2) / n) AS vt
+          |  FROM br
+          |), zc AS (
+          |  SELECT *, ts / sqrt(vt) AS zv, abs(ts / sqrt(vt)) AS x FROM calc
+          |), g2 AS (
+          |  SELECT *, 1.0 / (1.0 + 0.2316419 * x) AS tt FROM zc
+          |)
+          |SELECT dependent, CAST(n AS BIGINT) AS total_n,
+          |  CAST(r AS BIGINT) AS cases,
+          |  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+          |  CAST(n2 AS BIGINT) AS n2,
+          |  round(r0, 4) + 0 AS r0, round(r1, 4) + 0 AS r1,
+          |  round(r2, 4) + 0 AS r2,
+          |  CASE WHEN vt > 0 THEN round(ts, 4) + 0 END AS t_stat,
+          |  CASE WHEN vt > 0 THEN round(zv, 4) + 0 END AS z,
+          |  CASE WHEN vt > 0 THEN round(zv * zv, 4) + 0 END AS chi2,
+          |  CASE WHEN vt > 0 THEN
+          |    round(2.0 * exp(-0.5 * x * x) * 0.3989422804014327
+          |      * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+          |        + tt * (-1.821255978 + tt * 1.330274429))))), 6) END AS p_trend
+          |FROM g2 ORDER BY dependent""".stripMargin),
     // a27: same window-ranked pair construction, same Haldane cells,
     // same Zelen-Severo Horner tail term-for-term
     "a27_matched_pairs" ->

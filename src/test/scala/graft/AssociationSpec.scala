@@ -537,6 +537,36 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1 == p8 && p1 == beta)
   }
 
+  test("trendTest: hand-computed 2x3 table, flat table scores 0, degenerate margins null") {
+    val sess = spark
+    import sess.implicits._
+    // dose rows: controls (30,20,10), cases (10,20,30)
+    // N=120 R=60, T = (20+2*30) - (40+2*40)*0.5 = 20
+    // Var = .25*(200 - 120) = 20 -> z = 20/sqrt(20) = 4.4721, chi2 = 20
+    def rows(cc: Seq[Int], cs: Seq[Int]) =
+      cc.zipWithIndex.flatMap { case (k, g) => Seq.fill(k)((g, 0.0)) } ++
+        cs.zipWithIndex.flatMap { case (k, g) => Seq.fill(k)((g, 1.0)) }
+    val df = rows(Seq(30, 20, 10), Seq(10, 20, 30)).map { case (g, y) => (g, y) }
+      .toDF("gdose", "d1")
+    val r = operators.Mas.trendTest(df, "gdose", Seq("d1")).head()
+    assert(r.getAs[Long]("total_n") == 120L && r.getAs[Long]("cases") == 60L)
+    assert(near(r.getAs[Double]("t_stat"), 20.0, 1e-12))
+    assert(near(r.getAs[Double]("chi2"), 20.0, 1e-9))
+    assert(near(r.getAs[Double]("z"), 20.0 / math.sqrt(20.0), 5e-5))
+    val pw = graft.functions.Numerics.erfc((20.0 / math.sqrt(20.0)) / math.sqrt(2.0))
+    assert(near(r.getAs[Double]("p_trend"), pw, 1e-6))
+    // no trend: identical case fraction at every dose -> T = 0, p = 1
+    val flat = rows(Seq(20, 20, 20), Seq(10, 10, 10)).map { case (g, y) => (g, y) }
+      .toDF("gdose", "d1")
+    val rf = operators.Mas.trendTest(flat, "gdose", Seq("d1")).head()
+    assert(rf.getAs[Double]("t_stat") == 0.0 && near(rf.getAs[Double]("p_trend"), 1.0, 1e-6))
+    // degenerate: all cases -> Var = 0 -> null z/chi2/p, counts kept
+    val deg = rows(Seq(0, 0, 0), Seq(5, 5, 5)).map { case (g, y) => (g, y) }
+      .toDF("gdose", "d1")
+    val rd = operators.Mas.trendTest(deg, "gdose", Seq("d1")).head()
+    assert(rd.getAs[Long]("cases") == 15L && rd.isNullAt(rd.fieldIndex("z")))
+  }
+
   test("matchedPairs: McNemar closed form, Haldane on empty cells, concordant pairs uninformative") {
     val sess = spark
     import sess.implicits._
