@@ -32,6 +32,7 @@ object SparkEntry {
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
+    "a29_hwe" -> (Mas.a29Hwe _),
     "t19_gopher_gate" -> (TextOps.t19GopherGate _),
     "t20_repetition_gate" -> (TextOps.t20RepetitionGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),

@@ -360,6 +360,62 @@ object Mas {
       .orderBy("dependent")
 
   /**
+   * Hardy–Weinberg equilibrium χ² — the per-variant GENOTYPING-QC
+   * gate every GWAS runs before association (HWE failure flags
+   * genotyping error / population structure; a28's trend test assumes
+   * the dosage passed it): from genotype counts (n₀, n₁, n₂) the
+   * allele frequency p̂ = (2n₂+n₁)/2N, expected counts N·(1-p̂)²,
+   * 2N·p̂(1-p̂), N·p̂² and the 1-df χ² = Σ(obs−exp)²/exp, p via the
+   * Zelen–Severo tail on √χ² (χ²₁ tail = 2(1−Φ(√x))). The variant
+   * melt + ONE map-side-combined aggregation yields 3 counts per
+   * variant; everything after is a one-row projection — a
+   * million-variant QC pass is one grouped sum (the a21/a28 altitude).
+   * Monomorphic variants (p̂ ∈ {0,1}) have no 1-df test → null χ²/p.
+   */
+  def hwe(df: DataFrame, variantCols: Seq[String]): DataFrame = {
+    val melted = df.select(
+        explode(array(variantCols.map(v =>
+          struct(lit(v).as("variant"), col(v).cast("int").as("g"))): _*)).as("e"))
+      .select(col("e.variant").as("variant"), col("e.g").as("g"))
+      .filter(col("g").isin(0, 1, 2))
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      (0 to 2).map(i =>
+        sum(when(col("g") === i, 1.0).otherwise(0.0)).as(s"n$i"))
+    val cells = melted.groupBy("variant").agg(aggs.head, aggs.tail: _*)
+    val p = (lit(2.0) * col("n2") + col("n1")) / (lit(2.0) * col("n"))
+    val q = lit(1.0) - p
+    val e0 = col("n") * q * q
+    val e1 = lit(2.0) * col("n") * p * q
+    val e2 = col("n") * p * p
+    val chi2 = (col("n0") - e0) * (col("n0") - e0) / e0 +
+      (col("n1") - e1) * (col("n1") - e1) / e1 +
+      (col("n2") - e2) * (col("n2") - e2) / e2
+    val x = sqrt(chi2)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val poly2 = lit(2.0) * exp(lit(-0.5) * x * x) * lit(0.3989422804014327) * poly
+    val ok = p > 0 && p < 1
+    cells.select(col("variant"),
+      col("n").cast("long").as("total_n"),
+      col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"),
+      round(p, 6).as("allele_freq"),
+      when(ok, r4(chi2)).as("chi2"),
+      when(ok, round(poly2, 6)).as("p_hwe"))
+  }
+
+  /** a29: HWE QC over three deterministic pseudo-variants of the
+    * cohort (integer residue dosages — exact in both engines). */
+  def a29Hwe(spark: SparkSession, dir: String): DataFrame =
+    hwe(cohort(spark, dir)
+        .withColumn("v1", col("id") % 3)
+        .withColumn("v2", (col("id") * 7 + 1) % 3)
+        .withColumn("v3", pmod(col("id") * col("id") + col("id"), lit(3))),
+      Seq("v1", "v2", "v3"))
+      .orderBy("variant")
+
+  /**
    * a20: ORDINAL (3-level) association by pooled cumulative logits —
    * the proportional-odds estimate a severity-graded phenotype needs
    * where a03's binary dichotomy throws information away: dichotomize
@@ -1512,6 +1568,45 @@ object Mas {
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
     "a26_kaplan_meier" -> kaplanMeierSql,
+    // a29: variant melt as UNION ALL, genotype cells, HWE expected
+    // counts and chi2 mirrored left-assoc term-for-term, Horner tail
+    "a29_hwe" ->
+      (cohortSql +
+        """, mv AS (
+          |  SELECT 'v1' AS variant, CAST(id % 3 AS INT) AS g FROM cohort
+          |  UNION ALL
+          |  SELECT 'v2', CAST((id * 7 + 1) % 3 AS INT) FROM cohort
+          |  UNION ALL
+          |  SELECT 'v3', CAST((id * id + id) % 3 AS INT) FROM cohort
+          |), cells AS (
+          |  SELECT variant, count(*) * 1.0 AS n,
+          |    sum(CASE WHEN g = 0 THEN 1.0 ELSE 0.0 END) AS n0,
+          |    sum(CASE WHEN g = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+          |    sum(CASE WHEN g = 2 THEN 1.0 ELSE 0.0 END) AS n2
+          |  FROM mv WHERE g IN (0, 1, 2) GROUP BY 1
+          |), c0 AS (
+          |  SELECT *, (2.0 * n2 + n1) / (2.0 * n) AS p FROM cells
+          |), c1 AS (
+          |  SELECT *, n * (1.0 - p) * (1.0 - p) AS e0,
+          |    2.0 * n * p * (1.0 - p) AS e1,
+          |    n * p * p AS e2
+          |  FROM c0
+          |), c2 AS (
+          |  SELECT *, (n0 - e0) * (n0 - e0) / e0 + (n1 - e1) * (n1 - e1) / e1
+          |    + (n2 - e2) * (n2 - e2) / e2 AS chi2
+          |  FROM c1
+          |), c3 AS (SELECT *, sqrt(chi2) AS x FROM c2
+          |), c4 AS (SELECT *, 1.0 / (1.0 + 0.2316419 * x) AS tt FROM c3)
+          |SELECT variant, CAST(n AS BIGINT) AS total_n,
+          |  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+          |  CAST(n2 AS BIGINT) AS n2,
+          |  round(p, 6) AS allele_freq,
+          |  CASE WHEN p > 0 AND p < 1 THEN round(chi2, 4) + 0 END AS chi2,
+          |  CASE WHEN p > 0 AND p < 1 THEN
+          |    round(2.0 * exp(-0.5 * x * x) * 0.3989422804014327
+          |      * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+          |        + tt * (-1.821255978 + tt * 1.330274429))))), 6) END AS p_hwe
+          |FROM c4 ORDER BY variant""".stripMargin),
     // a28: per-dependent CA cells as UNION ALL branches over the
     // cohort CTE, trend/variance/tail arithmetic mirrored
     // term-for-term (left-assoc products, Horner tail)

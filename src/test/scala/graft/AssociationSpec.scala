@@ -567,6 +567,31 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rd.getAs[Long]("cases") == 15L && rd.isNullAt(rd.fieldIndex("z")))
   }
 
+  test("hwe: exact-HWE counts score 0, chi2 matches first-principles arithmetic, monomorphic nulls") {
+    val sess = spark
+    import sess.implicits._
+    def geno(n0: Int, n1: Int, n2: Int, v: String) =
+      Seq.fill(n0)(0) ++ Seq.fill(n1)(1) ++ Seq.fill(n2)(2) map (g => (v, g))
+    // perfect HWE: p = 0.5, counts (25, 50, 25) = N(q2, 2pq, p2) exactly
+    val df = geno(25, 50, 25, "v").toDF("v_ignored", "v1")
+    val r = operators.Mas.hwe(df, Seq("v1")).head()
+    assert(r.getAs[Double]("allele_freq") == 0.5)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(near(r.getAs[Double]("p_hwe"), 1.0, 1e-6))
+    // violated HWE: counts (40, 20, 40), N=100, p=0.5 ->
+    // exp (25, 50, 25); chi2 = 9 + 18 + 9 = 36; p ~ 2(1-Phi(6))
+    val df2 = geno(40, 20, 40, "v").toDF("v_ignored", "v1")
+    val r2 = operators.Mas.hwe(df2, Seq("v1")).head()
+    assert(near(r2.getAs[Double]("chi2"), 36.0, 1e-9))
+    val pw = graft.functions.Numerics.erfc(6.0 / math.sqrt(2.0))
+    assert(near(r2.getAs[Double]("p_hwe"), pw, 1e-6))
+    // monomorphic: all genotype 0 -> p = 0, no test
+    val df3 = geno(10, 0, 0, "v").toDF("v_ignored", "v1")
+    val r3 = operators.Mas.hwe(df3, Seq("v1")).head()
+    assert(r3.getAs[Double]("allele_freq") == 0.0 &&
+      r3.isNullAt(r3.fieldIndex("chi2")))
+  }
+
   test("matchedPairs: McNemar closed form, Haldane on empty cells, concordant pairs uninformative") {
     val sess = spark
     import sess.implicits._
