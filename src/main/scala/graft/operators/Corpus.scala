@@ -351,7 +351,11 @@ object Corpus {
     val toks = docs.select(col("doc_id"), col("source"),
       size(filter(split(Dedup.normText(col("text")), " "),
         w => length(w) > 0)).cast("long").as("n_tokens"))
+    // tok = 0 guard: `div` by zero is null, and least() SKIPS nulls
+    // (Postgres semantics) — an all-empty source would silently get
+    // maxEpochs full epochs instead of none
     val per = toks.groupBy("source").agg(sum("n_tokens").as("tok"))
+      .filter(col("tok") > 0)
       .withColumn("w_micro", round(sqrt(col("tok")) * lit(1000000.0)).cast("long"))
     val tot = per.agg(sum("w_micro").as("wtot"))
     val tgt = per.crossJoin(broadcast(tot))
@@ -453,7 +457,7 @@ object Corpus {
          |), per AS (
          |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok,
          |    CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
-         |  FROM t GROUP BY 1
+         |  FROM t GROUP BY 1 HAVING sum(n_tokens) > 0
          |), tot AS (
          |  SELECT CAST(sum(w_micro) AS BIGINT) AS wtot FROM per
          |), tgt AS (

@@ -396,7 +396,9 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // budget 150: t_A = (150*6324555) div wtot = 99 -> efull 2, rem 19;
     //             t_B = 50 -> 50 div 10 = 5 CAPPED at 4, rem 0.
     val ten = (1 to 10).map(i => s"tok$i").mkString(" ")
-    val docs = ((1L to 4L).map(i => (i, ten, "A")) :+ (9L, ten, "B"))
+    // source C is all-empty: zero tokens must mean zero epochs, not
+    // the div-null/least-null-skip maxEpochs trap
+    val docs = ((1L to 4L).map(i => (i, ten, "A")) :+ (9L, ten, "B") :+ (11L, "", "C"))
       .toDF("doc_id", "text", "source")
     def run(parts: Int) =
       Corpus.repeatEpochs(docs.repartition(parts), budgetTokens = 150L, maxEpochs = 4)
@@ -413,6 +415,7 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 4L).forall(i => perDoc(i).take(2) == Seq(0, 1)))
     // emitted A tokens = 100 (99-token target, one-doc overshoot)
     assert(out.count(_._1 <= 4L) * 10 == 100)
+    assert(!perDoc.contains(11L)) // empty source emits nothing
     assert(run(5) == out) // partition-count invariant
   }
 
