@@ -671,6 +671,60 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1.sameElements(p7))
   }
 
+  test("kaplanMeier/trendTest/hwe: random-data crosscheck vs brute-force subject-level references") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(1234)
+    // --- KM vs a direct O(n^2) product over subjects ---
+    val surv = (0 until 200).map { i =>
+      ("g" + (i % 2), (rng.nextInt(40) + 1).toDouble,
+        if (rng.nextDouble() < 0.7) 1.0 else 0.0)
+    }
+    val kmOut = operators.Association.kaplanMeier(
+        surv.toDF("grp", "time", "event"), "time", "event", "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("t")) ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d_events"),
+          r.getAs[Double]("surv"))).toMap
+    for (g <- Seq("g0", "g1")) {
+      val sub = surv.filter(_._1 == g)
+      val eventTimes = sub.filter(_._3 == 1.0).map(_._2).distinct.sorted
+      var s = 1.0
+      eventTimes.foreach { t =>
+        val n = sub.count(_._2 >= t)
+        val d = sub.count(x => x._2 == t && x._3 == 1.0)
+        s *= 1.0 - d.toDouble / n
+        val (nr, de, sv) = kmOut((g, t))
+        assert(nr == n && de == d, s"cells at ($g,$t)")
+        assert(near(sv, s, 1e-9), s"S($g,$t)=$sv want $s")
+      }
+    }
+    // --- CA trend vs brute-force cell arithmetic ---
+    val tr = (0 until 300).map { i =>
+      (rng.nextInt(3), if (rng.nextDouble() < 0.3 + 0.1 * (i % 3)) 1.0 else 0.0)
+    }
+    val trOut = operators.Mas.trendTest(
+      tr.toDF("gdose", "d1"), "gdose", Seq("d1")).head()
+    val nT = tr.size.toDouble; val rT = tr.map(_._2).sum
+    val ni = (0 to 2).map(g => tr.count(_._1 == g).toDouble)
+    val ri = (0 to 2).map(g => tr.filter(_._1 == g).map(_._2).sum)
+    val tS = ri(1) + 2 * ri(2) - (ni(1) + 2 * ni(2)) * rT / nT
+    val vS = (rT / nT) * (1 - rT / nT) *
+      (ni(1) + 4 * ni(2) - math.pow(ni(1) + 2 * ni(2), 2) / nT)
+    assert(near(trOut.getAs[Double]("t_stat"), tS, 1e-4))
+    assert(near(trOut.getAs[Double]("chi2"), tS * tS / vS, 1e-3))
+    // --- HWE vs brute-force expected-count chi2 ---
+    val hw = (0 until 250).map(_ => ("v1", rng.nextInt(3)))
+    val hwOut = operators.Mas.hwe(hw.toDF("vn", "v1"), Seq("v1")).head()
+    val hn = hw.size.toDouble
+    val h = (0 to 2).map(g => hw.count(_._2 == g).toDouble)
+    val pA = (2 * h(2) + h(1)) / (2 * hn)
+    val es = Seq(hn * (1 - pA) * (1 - pA), 2 * hn * pA * (1 - pA), hn * pA * pA)
+    val chi = (0 to 2).map(g => (h(g) - es(g)) * (h(g) - es(g)) / es(g)).sum
+    assert(near(hwOut.getAs[Double]("chi2"), chi, 1e-3))
+    assert(near(hwOut.getAs[Double]("allele_freq"), pA, 1e-6))
+  }
+
   test("coxPhCov: MLE zeroes the independent 2-param Breslow score; singular designs null; partition-invariant") {
     val sess = spark
     import sess.implicits._
