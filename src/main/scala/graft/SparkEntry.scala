@@ -33,6 +33,7 @@ object SparkEntry {
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
     "a29_hwe" -> (Mas.a29Hwe _),
+    "a30_breslow_day" -> (Mas.a30BreslowDay _),
     "t19_gopher_gate" -> (TextOps.t19GopherGate _),
     "t20_repetition_gate" -> (TextOps.t20RepetitionGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),

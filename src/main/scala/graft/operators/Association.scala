@@ -1674,6 +1674,86 @@ object Association {
   }
 
   /**
+   * Breslow–Day test of ODDS-RATIO HOMOGENEITY across strata — the
+   * validity check for a16's Mantel–Haenszel pooling (a pooled OR is
+   * only meaningful if the per-stratum ORs are compatible; BD is the
+   * standard companion test, e.g. PLINK's --bd): under H0 every
+   * stratum shares the MH pooled ψ, the expected exposed-case cell E
+   * solves the quadratic E(n−r1−m1+E) = ψ(r1−E)(m1−E) with fixed
+   * margins (the root keeping all four expected cells non-negative —
+   * exactly one does; at ψ = 1 the quadratic degenerates to the
+   * independence value r1·m1/n), V is the inverse sum of reciprocal
+   * expected cells, and χ²_BD = Σ_k (a_k − E_k)²/V_k with K−1 df.
+   *
+   * Determinism: cells are exact integer counts; ψ is grid-rounded to
+   * 1e-6 BEFORE the quadratic so both engines solve the identical
+   * equation, and each stratum's χ² term is grid-rounded before the
+   * cross-strata sum (order-independent reduction). The tail is the
+   * even-df chi-square closed form exp(−x/2)·Σ_{i<df/2}(x/2)^i/i!,
+   * emitted for df ≤ 8 (odd/larger df → null, documented). Strata
+   * with a degenerate margin carry no homogeneity information and are
+   * excluded (standard practice).
+   *
+   * Scale shape: ONE map-side-combined cell aggregate (|strata| rows
+   * at any data size), a 1-row ψ broadcast back, per-stratum
+   * closed-form arithmetic, one |strata|-row terminal aggregate.
+   */
+  def breslowDay(df: DataFrame, xCol: String, yCol: String,
+      strataCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    val cells = df
+      .filter(x.isin(0.0, 1.0) && y.isin(0.0, 1.0))
+      .groupBy(strataCol).agg(
+        sum(when(x === 1.0 && y === 1.0, 1.0).otherwise(0.0)).as("a"),
+        sum(when(x === 1.0 && y === 0.0, 1.0).otherwise(0.0)).as("b"),
+        sum(when(x === 0.0 && y === 1.0, 1.0).otherwise(0.0)).as("c"),
+        sum(when(x === 0.0 && y === 0.0, 1.0).otherwise(0.0)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("m1", col("a") + col("c"))
+      .filter(col("r1") > 0 && col("n") - col("r1") > 0 &&
+        col("m1") > 0 && col("n") - col("m1") > 0)
+    val psi = cells
+      .select((col("a") * col("d") / col("n")).as("R"),
+        (col("b") * col("c") / col("n")).as("S"))
+      .agg(sum("R").as("sR"), sum("S").as("sS"))
+      .select(when(col("sR") > 0 && col("sS") > 0,
+        floor((col("sR") / col("sS")) * 1000000 + 0.5) / 1000000.0).as("psi"))
+    val p = col("psi")
+    val qA = lit(1.0) - p
+    val qB = (col("n") - col("r1") - col("m1")) + p * (col("r1") + col("m1"))
+    val qC = -p * col("r1") * col("m1")
+    val disc = qB * qB - lit(4.0) * qA * qC
+    val e1 = (-qB + sqrt(disc)) / (lit(2.0) * qA)
+    val e2 = (-qB - sqrt(disc)) / (lit(2.0) * qA)
+    def valid(e: Column) = e >= 0 && col("r1") - e >= 0 &&
+      col("m1") - e >= 0 && col("n") - col("r1") - col("m1") + e >= 0
+    val terms = cells.crossJoin(broadcast(psi))
+      .filter(p.isNotNull)
+      .withColumn("E", when(p === 1.0, col("r1") * col("m1") / col("n"))
+        .otherwise(when(valid(e1), e1).otherwise(e2)))
+      .withColumn("V", lit(1.0) / (lit(1.0) / col("E")
+        + lit(1.0) / (col("r1") - col("E"))
+        + lit(1.0) / (col("m1") - col("E"))
+        + lit(1.0) / (col("n") - col("r1") - col("m1") + col("E"))))
+      .withColumn("term", floor(((col("a") - col("E")) * (col("a") - col("E"))
+        / col("V")) * 1000000 + 0.5) / 1000000.0)
+    val out = terms.agg(
+        count(lit(1)).as("k"), first("psi").as("or_mh"),
+        sum("term").as("chi2"))
+      .withColumn("df", (col("k") - 1).cast("long"))
+    val h = col("chi2") / 2.0
+    val pTail = when(col("df") === 2, exp(-h))
+      .when(col("df") === 4, exp(-h) * (lit(1.0) + h))
+      .when(col("df") === 6, exp(-h) * (lit(1.0) + h + h * h / lit(2.0)))
+      .when(col("df") === 8,
+        exp(-h) * (lit(1.0) + h + h * h / lit(2.0) + h * h * h / lit(6.0)))
+    out.select(col("k").as("n_strata"), col("or_mh"),
+      col("chi2").as("chi2_bd"), col("df"),
+      when(col("df") >= 1, pTail).as("p_bd"))
+  }
+
+  /**
    * 1:1 matched-pair CONDITIONAL logistic association — the matched
    * case-control design (each case paired with one control on age /
    * sex / site) where an unconditional a03 fit is biased by the

@@ -500,6 +500,21 @@ object Mas {
         r4(col("se_ln_or")).as("se_ln_or"))
   }
 
+  /** a30: Breslow–Day OR-homogeneity test ([[Association.breslowDay]])
+    * on a16's exact lineitem strata — validates that a16's pooled
+    * discount→quantity OR is meaningful across return-flag strata
+    * (3 strata → df = 2, the even-df closed-form tail). */
+  def a30BreslowDay(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir).select(
+      when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("x"),
+      when(col("l_quantity") > 25, 1.0).otherwise(0.0).as("y"),
+      col("l_returnflag").as("s"))
+    Association.breslowDay(df, "x", "y", "s")
+      .select(col("n_strata"), r4(col("or_mh")).as("or_mh"),
+        r4(col("chi2_bd")).as("chi2_bd"), col("df"),
+        round(col("p_bd"), 6).as("p_bd"))
+  }
+
   /** a03: logistic association of a binary predictor — the 2×2
     * saturated model, whose MLE is the sample log-odds-ratio, so the
     * oracle is closed-form SQL over the contingency cells. Tight
@@ -1568,6 +1583,69 @@ object Mas {
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
     "a26_kaplan_meier" -> kaplanMeierSql,
+    // a30: same exact cells as a16, grid-rounded MH psi, identical
+    // quadratic-root selection CASE, per-stratum grid-rounded terms
+    // (order-independent sum), even-df closed-form tail
+    "a30_breslow_day" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS x,
+        |    CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y,
+        |    l_returnflag AS s FROM lineitem
+        |), cells AS (
+        |  SELECT s,
+        |    sum(CASE WHEN x = 1.0 AND y = 1.0 THEN 1.0 ELSE 0.0 END) AS a,
+        |    sum(CASE WHEN x = 1.0 AND y = 0.0 THEN 1.0 ELSE 0.0 END) AS b,
+        |    sum(CASE WHEN x = 0.0 AND y = 1.0 THEN 1.0 ELSE 0.0 END) AS c,
+        |    sum(CASE WHEN x = 0.0 AND y = 0.0 THEN 1.0 ELSE 0.0 END) AS d
+        |  FROM s GROUP BY 1
+        |), cm AS (
+        |  SELECT *, a + b + c + d AS n, a + b AS r1, a + c AS m1 FROM cells
+        |), cf AS (
+        |  SELECT * FROM cm WHERE r1 > 0 AND n - r1 > 0 AND m1 > 0 AND n - m1 > 0
+        |), ps AS (
+        |  SELECT CASE WHEN sum(a * d / n) > 0 AND sum(b * c / n) > 0 THEN
+        |    floor((sum(a * d / n) / sum(b * c / n)) * 1000000 + 0.5) / 1000000.0
+        |  END AS psi FROM cf
+        |), qd AS (
+        |  SELECT cf.*, ps.psi,
+        |    1.0 - psi AS qa,
+        |    (n - r1 - m1) + psi * (r1 + m1) AS qb,
+        |    -psi * r1 * m1 AS qc
+        |  FROM cf, ps WHERE ps.psi IS NOT NULL
+        |), rt AS (
+        |  SELECT *,
+        |    (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) AS ee1,
+        |    (-qb - sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) AS ee2
+        |  FROM qd
+        |), ev AS (
+        |  SELECT *, CASE WHEN psi = 1.0 THEN r1 * m1 / n
+        |    WHEN ee1 >= 0 AND r1 - ee1 >= 0 AND m1 - ee1 >= 0
+        |      AND n - r1 - m1 + ee1 >= 0 THEN ee1
+        |    ELSE ee2 END AS E
+        |  FROM rt
+        |), tv AS (
+        |  SELECT *, 1.0 / (1.0 / E + 1.0 / (r1 - E) + 1.0 / (m1 - E)
+        |    + 1.0 / (n - r1 - m1 + E)) AS V
+        |  FROM ev
+        |), tm AS (
+        |  SELECT *, floor(((a - E) * (a - E) / V) * 1000000 + 0.5) / 1000000.0 AS term
+        |  FROM tv
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata, max(psi) AS or_mh,
+        |    sum(term) AS chi2, CAST(count(*) - 1 AS BIGINT) AS df
+        |  FROM tm
+        |)
+        |SELECT n_strata, round(or_mh, 4) + 0 AS or_mh,
+        |  round(chi2, 4) + 0 AS chi2_bd, df,
+        |  CASE WHEN df = 2 THEN round(exp(-chi2 / 2.0), 6)
+        |    WHEN df = 4 THEN round(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 6)
+        |    WHEN df = 6 THEN round(exp(-chi2 / 2.0)
+        |      * (1.0 + chi2 / 2.0 + (chi2 / 2.0) * (chi2 / 2.0) / 2.0), 6)
+        |    WHEN df = 8 THEN round(exp(-chi2 / 2.0)
+        |      * (1.0 + chi2 / 2.0 + (chi2 / 2.0) * (chi2 / 2.0) / 2.0
+        |        + (chi2 / 2.0) * (chi2 / 2.0) * (chi2 / 2.0) / 6.0), 6)
+        |  END AS p_bd
+        |FROM agg""".stripMargin,
     // a29: variant melt as UNION ALL, genotype cells, HWE expected
     // counts and chi2 mirrored left-assoc term-for-term, Horner tail
     "a29_hwe" ->

@@ -592,6 +592,58 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       r3.isNullAt(r3.fieldIndex("chi2")))
   }
 
+  test("breslowDay: zero on homogeneous ORs, independence path, fires on heterogeneity") {
+    val sess = spark
+    import sess.implicits._
+    def stratum(g: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((g, 1.0, 1.0)) ++ Seq.fill(b)((g, 1.0, 0.0)) ++
+        Seq.fill(c)((g, 0.0, 1.0)) ++ Seq.fill(d)((g, 0.0, 0.0))
+    // three strata, identical OR = 4 at different sizes:
+    // psi = 4 exactly, expected cell solves to the observed -> chi2 = 0
+    val hom = (stratum("s1", 20, 10, 10, 20) ++ stratum("s2", 40, 20, 20, 40) ++
+      stratum("s3", 10, 5, 5, 10)).toDF("s", "x", "y")
+    val r = operators.Association.breslowDay(hom, "x", "y", "s").head()
+    assert(r.getAs[Long]("n_strata") == 3L && r.getAs[Long]("df") == 2L)
+    assert(near(r.getAs[Double]("or_mh"), 4.0, 1e-6))
+    assert(near(r.getAs[Double]("chi2_bd"), 0.0, 1e-5))
+    assert(near(r.getAs[Double]("p_bd"), 1.0, 1e-5))
+    // independence in every stratum: psi = 1 -> degenerate-quadratic
+    // path, E = r1*m1/n = observed -> chi2 = 0
+    val ind = (stratum("s1", 10, 10, 10, 10) ++ stratum("s2", 20, 20, 20, 20) ++
+      stratum("s3", 5, 5, 5, 5)).toDF("s", "x", "y")
+    val ri = operators.Association.breslowDay(ind, "x", "y", "s").head()
+    assert(near(ri.getAs[Double]("or_mh"), 1.0, 1e-6))
+    assert(near(ri.getAs[Double]("chi2_bd"), 0.0, 1e-5))
+    // strongly heterogeneous ORs (4, 1/4, 1): the test fires
+    val het = (stratum("s1", 40, 10, 10, 40) ++ stratum("s2", 10, 40, 40, 10) ++
+      stratum("s3", 25, 25, 25, 25)).toDF("s", "x", "y")
+    val rh = operators.Association.breslowDay(het, "x", "y", "s").head()
+    assert(rh.getAs[Double]("chi2_bd") > 10.0)
+    assert(rh.getAs[Double]("p_bd") < 0.01)
+    // expected cells stay consistent: chi2 matches a direct quadratic
+    // replay at the reported psi
+    val psi = rh.getAs[Double]("or_mh")
+    val cellsH = Seq((40.0, 10.0, 10.0, 40.0), (10.0, 40.0, 40.0, 10.0),
+      (25.0, 25.0, 25.0, 25.0))
+    val chiRef = cellsH.map { case (a, b, c, d) =>
+      val n = a + b + c + d; val r1 = a + b; val m1 = a + c
+      // opposite ORs cancel to pooled psi = 1 exactly (Simpson-style
+      // masking — exactly what BD exists to catch): independence path
+      val e = if (psi == 1.0) r1 * m1 / n else {
+        val qa = 1.0 - psi; val qb = (n - r1 - m1) + psi * (r1 + m1)
+        val qc = -psi * r1 * m1
+        val disc = math.sqrt(qb * qb - 4 * qa * qc)
+        Seq((-qb + disc) / (2 * qa), (-qb - disc) / (2 * qa))
+          .find(e => e >= 0 && r1 - e >= 0 && m1 - e >= 0 &&
+            n - r1 - m1 + e >= 0).get
+      }
+      val v = 1.0 / (1.0 / e + 1.0 / (r1 - e) + 1.0 / (m1 - e)
+        + 1.0 / (n - r1 - m1 + e))
+      (a - e) * (a - e) / v
+    }.sum
+    assert(near(rh.getAs[Double]("chi2_bd"), chiRef, 1e-3))
+  }
+
   test("matchedPairs: McNemar closed form, Haldane on empty cells, concordant pairs uninformative") {
     val sess = spark
     import sess.implicits._
