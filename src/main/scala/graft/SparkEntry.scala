@@ -34,6 +34,7 @@ object SparkEntry {
     "a28_trend_test" -> (Mas.a28TrendTest _),
     "a29_hwe" -> (Mas.a29Hwe _),
     "a30_breslow_day" -> (Mas.a30BreslowDay _),
+    "m10_ppm_resize" -> (Multimodal.m10PpmResize _),
     "t19_gopher_gate" -> (TextOps.t19GopherGate _),
     "t20_repetition_gate" -> (TextOps.t20RepetitionGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),

