@@ -32,6 +32,44 @@ class NumericsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("Zelen-Severo tail (the s13/a27/a28/a29 oracle form) stays within its 7.5e-8 bound of erfc") {
+    // the exact Horner form the operators and their DuckDB oracles
+    // share — any edit there must keep this bound or the docs lie
+    def zsTail(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * x)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      2.0 * math.exp(-0.5 * x * x) * 0.3989422804014327 * poly
+    }
+    forAll(Gen.choose(0.0, 8.0), n = 2000) { x =>
+      val exact = Numerics.erfc(x / math.sqrt(2.0)) // 2(1 - Phi(x))
+      assert(math.abs(zsTail(x) - exact) < 1.5e-7, // 2x the one-sided A&S bound
+        s"x=$x zs=${zsTail(x)} erfc=$exact")
+    }
+    // the even-df chi-square tail (a30) vs numerically-integrated truth
+    def chiTailEven(x: Double, df: Int): Double = {
+      val h = x / 2.0
+      val m = df / 2
+      math.exp(-h) * (0 until m).map(i =>
+        math.pow(h, i) / (1 to i).map(_.toDouble).product).sum
+    }
+    // df=2: exp(-x/2) exactly; df=4 vs Simpson integration of the density
+    forAll(Gen.choose(0.1, 30.0), n = 200) { x =>
+      assert(math.abs(chiTailEven(x, 2) - math.exp(-x / 2)) < 1e-15)
+      val steps = 4000
+      val hi = x + 60.0
+      val w = (hi - x) / steps
+      // chi2_4 density: (x/4)exp(-x/2)
+      def dens(v: Double) = v / 4.0 * math.exp(-v / 2.0)
+      val simpson = (0 until steps).map { i =>
+        val a = x + i * w
+        (dens(a) + 4 * dens(a + w / 2) + dens(a + w)) * w / 6
+      }.sum
+      assert(math.abs(chiTailEven(x, 4) - simpson) < 1e-6,
+        s"x=$x closed=${chiTailEven(x, 4)} simpson=$simpson")
+    }
+  }
+
   test("erfc symmetry: erfc(-x) = 2 - erfc(x)") {
     forAll(Gen.choose(-6.0, 6.0)) { x =>
       assert(math.abs(Numerics.erfc(-x) - (2.0 - Numerics.erfc(x))) < 1e-13)

@@ -132,4 +132,30 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("skew=true"),
       s"AQE did not skew-split the hot-paragraph join:\n$plan")
   }
+
+  test("round-13 plan shapes hold: a27 shuffles rows once, s13 broadcasts lambda") {
+    val sess = spark
+    val dir = "/root/testdata/sf0.001"
+    // a27's SURVEY claim: the customer window's partitioning is reused
+    // by the per-customer aggregate — exactly THREE shuffle exchanges
+    // total (cust window partition, per-segment cells, output sort);
+    // a fourth would mean the aggregate re-shuffled the rows
+    val mp = operators.Mas.a27MatchedPairs(sess, dir)
+    mp.collect()
+    // AQE's toString appends an "== Initial Plan ==" copy — count
+    // shuffles in the FINAL plan section only
+    val mpPlan = mp.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(mpPlan).size
+    assert(shuffles == 3, s"a27 expected 3 shuffle exchanges, saw $shuffles:\n$mpPlan")
+    // s13's claim: lambda reaches the per-row correction as a 1-row
+    // BROADCAST (nested-loop cross join), never a shuffle join
+    import sess.implicits._
+    val pv = (1 to 200).map(i => (i.toLong, (i % 97 + 1) / 100.0))
+      .toDF("o_orderkey", "pval")
+    val gc = operators.Postprocess.gcCorrect(pv)
+    gc.collect()
+    val gcPlan = gc.queryExecution.executedPlan.toString
+    assert(gcPlan.contains("BroadcastNestedLoopJoin"),
+      s"s13 lambda not broadcast:\n$gcPlan")
+  }
 }
