@@ -35,6 +35,7 @@ object SparkEntry {
     "a29_hwe" -> (Mas.a29Hwe _),
     "a30_breslow_day" -> (Mas.a30BreslowDay _),
     "m10_ppm_resize" -> (Multimodal.m10PpmResize _),
+    "a31_ks_drift" -> (Mas.a31KsDrift _),
     "t19_gopher_gate" -> (TextOps.t19GopherGate _),
     "t20_repetition_gate" -> (TextOps.t20RepetitionGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),

@@ -1754,6 +1754,67 @@ object Association {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov DRIFT test per stratum, on BINNED
+   * ECDFs — the distribution-level check the mean-based tests miss
+   * (has this feature's distribution shifted between cohorts /
+   * snapshots / exposure groups?), doubling as the training-data
+   * drift monitor between corpus versions. Values quantize to
+   * ⌊v/binWidth⌋ first — at 100 TB an ECDF over raw continuous
+   * values is one unbounded window partition per stratum (the
+   * anti-pattern); on bins the window runs over a BOUNDED table and
+   * D is the exact KS statistic of the binned distributions (the
+   * standard at-scale practice; bin width trades resolution, not
+   * correctness of the bound). D = max|F₁−F₀| over bin edges from
+   * one cumulative window; p via the asymptotic Kolmogorov series
+   * Q(λ) = 2Σ(−1)^{k−1}e^{−2k²λ²} at the finite-sample
+   * λ = (√nₑ + 0.12 + 0.11/√nₑ)·D, nₑ = n₁n₀/(n₁+n₀), truncated at
+   * 8 terms with the standard small-λ short-circuit: below λ = 0.32
+   * the alternating series converges too slowly but Q(λ) = 1 to
+   * within ~1e-5 (theta-function dual form), so p latches 1 there —
+   * above it, term 9 is < 1e-7 and the truncation is exact to the
+   * 6-dp output grid.
+   *
+   * Shapes: ONE map-side-combined (stratum, bin) count aggregate,
+   * totals broadcast back, one bounded cumulative window, a one-row
+   * projection per stratum. Strata with an empty side emit null D/p.
+   */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+      byCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"ksDrift: binWidth must be positive, got $binWidth")
+    val g = col(groupCol)
+    val bins = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)) &&
+        g.isin(0.0, 1.0))
+      .select(col(byCol), g.as("g"),
+        floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .groupBy(col(byCol), col("bin"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1.0) - col("g")).as("c0"))
+    val tot = bins.groupBy(byCol)
+      .agg(sum("c1").as("n1"), sum("c0").as("n0"))
+    val w = Window.partitionBy(byCol).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = bins.join(broadcast(tot), Seq(byCol))
+      // ANSI mode: guard the empty-side division (null ecdf -> null D)
+      .withColumn("f1", when(col("n1") > 0, sum("c1").over(w) / col("n1")))
+      .withColumn("f0", when(col("n0") > 0, sum("c0").over(w) / col("n0")))
+      .groupBy(byCol)
+      .agg(first("n1").as("n1"), first("n0").as("n0"),
+        max(abs(col("f1") - col("f0"))).as("d_stat"))
+    val ne = col("n1") * col("n0") / (col("n1") + col("n0"))
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * col("d_stat")
+    val pKs = (1 to 8).map { k =>
+      val s = if (k % 2 == 1) 1.0 else -1.0
+      lit(2.0 * s) * exp(lit(-2.0 * k * k) * lam * lam)
+    }.reduce(_ + _)
+    d.select(col(byCol),
+      col("n1").cast("long").as("n1"), col("n0").cast("long").as("n0"),
+      when(col("n1") > 0 && col("n0") > 0, col("d_stat")).as("d_stat"),
+      when(col("n1") > 0 && col("n0") > 0,
+        when(lam < 0.32, lit(1.0))
+          .otherwise(least(lit(1.0), greatest(lit(0.0), pKs)))).as("p_ks"))
+  }
+
+  /**
    * 1:1 matched-pair CONDITIONAL logistic association — the matched
    * case-control design (each case paired with one control on age /
    * sex / site) where an unconditional a03 fit is biased by the

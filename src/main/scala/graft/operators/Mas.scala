@@ -515,6 +515,25 @@ object Mas {
         round(col("p_bd"), 6).as("p_bd"))
   }
 
+  /** a31: KS drift of the order-price distribution between urgent and
+    * non-urgent orders per market segment ([[Association.ksDrift]],
+    * 10k-price bins) — the distribution-level companion to the
+    * mean-level tests, and the template for corpus-version feature
+    * drift monitoring. */
+  def a31KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val df = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+        o("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("grp"),
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("g"),
+        col("o_totalprice").as("v"))
+    Association.ksDrift(df, "v", "g", "grp", binWidth = 10000.0)
+      .select(col("grp"), col("n1"), col("n0"),
+        r4(col("d_stat")).as("d_stat"), round(col("p_ks"), 6).as("p_ks"))
+      .orderBy("grp")
+  }
+
   /** a03: logistic association of a binary predictor — the 2×2
     * saturated model, whose MLE is the sample log-odds-ratio, so the
     * oracle is closed-form SQL over the contingency cells. Tight
@@ -1583,6 +1602,48 @@ object Mas {
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
     "a26_kaplan_meier" -> kaplanMeierSql,
+    // a31: same binning/window/series arithmetic — the 8 Kolmogorov
+    // terms generated with identical signed literals and left-assoc
+    // chaining, same small-lambda latch
+    "a31_ks_drift" -> {
+      val neSql = "n1 * n0 / (n1 + n0)"
+      val series = (1 to 8).map { k =>
+        val coef = if (k % 2 == 1) "2.0" else "-2.0"
+        s"$coef * exp(${-2.0 * k * k} * lam * lam)"
+      }.mkString(" + ")
+      s"""WITH j AS (
+         |  SELECT c.c_mktsegment AS grp,
+         |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS g,
+         |    o.o_totalprice AS v
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |), b AS (
+         |  SELECT grp, CAST(floor(v / 10000.0) AS BIGINT) AS bin,
+         |    sum(g) AS c1, sum(1.0 - g) AS c0
+         |  FROM j WHERE v IS NOT NULL GROUP BY 1, 2
+         |), t AS (
+         |  SELECT grp, sum(c1) AS n1, sum(c0) AS n0 FROM b GROUP BY 1
+         |), f AS (
+         |  SELECT b.grp, t.n1, t.n0,
+         |    sum(c1) OVER (PARTITION BY b.grp ORDER BY bin ASC
+         |      ROWS UNBOUNDED PRECEDING) / t.n1 AS f1,
+         |    sum(c0) OVER (PARTITION BY b.grp ORDER BY bin ASC
+         |      ROWS UNBOUNDED PRECEDING) / t.n0 AS f0
+         |  FROM b JOIN t ON b.grp = t.grp
+         |), d AS (
+         |  SELECT grp, max(n1) AS n1, max(n0) AS n0,
+         |    max(abs(f1 - f0)) AS d_stat
+         |  FROM f GROUP BY 1
+         |), l AS (
+         |  SELECT *, (sqrt($neSql) + 0.12 + 0.11 / sqrt($neSql)) * d_stat AS lam
+         |  FROM d
+         |)
+         |SELECT grp, CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+         |  CASE WHEN n1 > 0 AND n0 > 0 THEN round(d_stat, 4) + 0 END AS d_stat,
+         |  CASE WHEN n1 > 0 AND n0 > 0 THEN
+         |    round(CASE WHEN lam < 0.32 THEN 1.0
+         |      ELSE least(1.0, greatest(0.0, $series)) END, 6) END AS p_ks
+         |FROM l ORDER BY grp""".stripMargin
+    },
     // a30: same exact cells as a16, grid-rounded MH psi, identical
     // quadratic-root selection CASE, per-stratum grid-rounded terms
     // (order-independent sum), even-df closed-form tail

@@ -592,6 +592,40 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       r3.isNullAt(r3.fieldIndex("chi2")))
   }
 
+  test("ksDrift: hand-computed binned D, identical samples score D=0 p=1, shift detected") {
+    val sess = spark
+    import sess.implicits._
+    // group 1: values in bins {0,0,1,2}; group 0: bins {0,2,2,2}
+    // F1 = .5, .75, 1 ; F0 = .25, .25, 1 -> D = max(.25,.5,0) = .5
+    val rows = Seq((0.5, 1.0), (0.9, 1.0), (1.5, 1.0), (2.5, 1.0),
+      (0.1, 0.0), (2.2, 0.0), (2.4, 0.0), (2.9, 0.0))
+      .map { case (v, g) => ("s", v, g) }
+    val r = operators.Association.ksDrift(rows.toDF("grp", "v", "g"),
+      "v", "g", "grp", binWidth = 1.0).head()
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n0") == 4L)
+    assert(near(r.getAs[Double]("d_stat"), 0.5, 1e-12))
+    // lambda = (sqrt(2)+0.12+0.11/sqrt(2))*0.5 = 0.8152 -> series p
+    val lam = (math.sqrt(2.0) + 0.12 + 0.11 / math.sqrt(2.0)) * 0.5
+    val pRef = (1 to 8).map(k =>
+      2.0 * (if (k % 2 == 1) 1 else -1) * math.exp(-2.0 * k * k * lam * lam)).sum
+    assert(near(r.getAs[Double]("p_ks"), pRef, 1e-9))
+    // identical distributions: D = 0, small-lambda latch -> p = 1
+    val same = (1 to 40).flatMap(i => Seq(("s", i * 0.1, 1.0), ("s", i * 0.1, 0.0)))
+    val r2 = operators.Association.ksDrift(same.toDF("grp", "v", "g"),
+      "v", "g", "grp", binWidth = 1.0).head()
+    assert(r2.getAs[Double]("d_stat") == 0.0 && r2.getAs[Double]("p_ks") == 1.0)
+    // strong shift at n=200/side: tiny p
+    val shift = (1 to 200).map(i => ("s", i * 0.01, 1.0)) ++
+      (1 to 200).map(i => ("s", 10.0 + i * 0.01, 0.0))
+    val r3 = operators.Association.ksDrift(shift.toDF("grp", "v", "g"),
+      "v", "g", "grp", binWidth = 1.0).head()
+    assert(r3.getAs[Double]("d_stat") == 1.0 && r3.getAs[Double]("p_ks") < 1e-6)
+    // one-sided stratum: null stats, counts kept
+    val oneSide = Seq(("z", 1.0, 1.0), ("z", 2.0, 1.0)).toDF("grp", "v", "g")
+    val r4r = operators.Association.ksDrift(oneSide, "v", "g", "grp", 1.0).head()
+    assert(r4r.getAs[Long]("n0") == 0L && r4r.isNullAt(r4r.fieldIndex("d_stat")))
+  }
+
   test("breslowDay: zero on homogeneous ORs, independence path, fires on heterogeneity") {
     val sess = spark
     import sess.implicits._
