@@ -172,6 +172,7 @@ object SparkEntry {
     "c07_token_budget" -> (Corpus.c07TokenBudget _),
     "c08_mixture_weights" -> (Corpus.c08MixtureWeights _),
     "c09_repeat_epochs" -> (Corpus.c09RepeatEpochs _),
+    "c10_dataset_card" -> (Corpus.c10DatasetCard _),
     "c03_split" -> (Corpus.c03Split _),
     "c04_mixture_sample" -> (Corpus.c04MixtureSample _),
     "c05_weighted_sample" -> (Corpus.c05WeightedSample _),

@@ -383,6 +383,45 @@ object Corpus {
         explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
   }
 
+  /**
+   * Per-source DATASET CARD — the profiling report a corpus release
+   * ships with (and the first thing a mixture designer reads): doc
+   * and token counts, mean and EXACT median tokens per doc, language
+   * spread (distinct langs + modal lang, ties broken to the largest
+   * code — pure ASCII compare), and the short-doc fraction (the
+   * Gopher <50-word rule as a summary rate). Everything is one
+   * map-side-combined per-source aggregate plus a bounded
+   * (source, lang) count table for the mode — |sources| rows out at
+   * any corpus size; the exact median uses Spark's exact `percentile`
+   * aggregate (quantile_cont interpolation semantics, mirrored
+   * verbatim), whose per-group state is bounded by docs-per-source.
+   */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"), col("lang"),
+      size(filter(split(Dedup.normText(col("text")), " "),
+        w => length(w) > 0)).cast("long").as("n_tokens"))
+    val per = toks.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      expr("percentile(n_tokens, 0.5)").as("med0"),
+      countDistinct("lang").as("n_langs"),
+      avg(when(col("n_tokens") < 50, 1.0).otherwise(0.0)).as("short0"))
+    val lc = toks.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val mx = lc.groupBy("source").agg(max("c").as("mc"))
+    val win = lc.join(mx, Seq("source")).filter(col("c") === col("mc"))
+      .groupBy("source").agg(max("lang").as("top_lang"))
+    per.join(win, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("n_docs"), 4).as("mean_doc_tokens"),
+        round(col("med0"), 4).as("median_doc_tokens"),
+        col("n_langs"), col("top_lang"),
+        round(col("short0"), 4).as("short_doc_frac"))
+  }
+
+  /** c10: the release card of the documents corpus. */
+  def c10DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCard(Tables.documents(spark, dir)).orderBy("source")
+
   /** c09: the documents corpus materialized at a 100k-token budget,
     * α = 0.5 source weights, epochs capped at 4. */
   def c09RepeatEpochs(spark: SparkSession, dir: String): DataFrame =
@@ -445,6 +484,37 @@ object Corpus {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    // c10: same tokenization, quantile_cont == Spark exact percentile
+    // interpolation, modal lang via the bounded count-table argmax
+    "c10_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    quantile_cont(n_tokens, 0.5) AS med0,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    avg(CASE WHEN n_tokens < 50 THEN 1.0 ELSE 0.0 END) AS short0
+        |  FROM t GROUP BY 1
+        |), lc AS (
+        |  SELECT source, lang, count(*) AS c FROM t GROUP BY 1, 2
+        |), mx AS (
+        |  SELECT source, max(c) AS mc FROM lc GROUP BY 1
+        |), win AS (
+        |  SELECT l.source, max(l.lang) AS top_lang
+        |  FROM lc l JOIN mx m ON l.source = m.source AND l.c = m.mc
+        |  GROUP BY 1
+        |)
+        |SELECT p.source, p.n_docs, p.n_tokens,
+        |  round(p.n_tokens * 1.0 / p.n_docs, 4) + 0 AS mean_doc_tokens,
+        |  round(p.med0, 4) + 0 AS median_doc_tokens,
+        |  p.n_langs, w.top_lang,
+        |  round(p.short0, 4) + 0 AS short_doc_frac
+        |FROM per p JOIN win w ON p.source = w.source
+        |ORDER BY p.source""".stripMargin,
     // c09: same integer micro-grid weight/target/epoch arithmetic
     // (// is DuckDB integer div), same c07 hash-priority remainder
     // window, per-row range() unnest for the epoch replication

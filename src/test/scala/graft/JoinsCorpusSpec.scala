@@ -419,6 +419,31 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5) == out) // partition-count invariant
   }
 
+  test("datasetCard: hand-built card — counts, exact median, modal lang tie-break, short fraction") {
+    val sess = spark
+    import sess.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // source A: 4 docs of 10/20/30/60 tokens, langs en,en,de,fr
+    //   median = (20+30)/2 = 25; short (<50) = 3/4; modal lang en
+    // source B: 2 docs of 5/100 tokens, langs zh,de (tie) -> top 'zh'
+    val docs = Seq(
+      (1L, doc(10), "en", "A"), (2L, doc(20), "en", "A"),
+      (3L, doc(30), "de", "A"), (4L, doc(60), "fr", "A"),
+      (5L, doc(5), "zh", "B"), (6L, doc(100), "de", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.datasetCard(docs).orderBy("source").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_docs") == 4L && a.getAs[Long]("n_tokens") == 120L)
+    assert(a.getAs[Double]("mean_doc_tokens") == 30.0)
+    assert(a.getAs[Double]("median_doc_tokens") == 25.0)
+    assert(a.getAs[Long]("n_langs") == 3L && a.getAs[String]("top_lang") == "en")
+    assert(a.getAs[Double]("short_doc_frac") == 0.75)
+    val b = out(1)
+    assert(b.getAs[Double]("median_doc_tokens") == 52.5)
+    assert(b.getAs[String]("top_lang") == "zh") // tie broken to largest code
+    assert(b.getAs[Double]("short_doc_frac") == 0.5)
+  }
+
   test("pagerank: hand-checked iteration with a dangling node, symmetry, invariance") {
     val sess = spark
     import sess.implicits._
