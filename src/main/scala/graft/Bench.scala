@@ -20,9 +20,14 @@ object Bench {
     val masOnly = benchOnly.contains("mas")
     // "slope" runs ONLY the scale_slope segment (1x points re-measured
     // as one-shots since the sweep is skipped) — the knob that lets a
-    // slope regression be adjudicated without paying the full sweep
-    val slopeOnly = benchOnly.contains("slope")
-    val onlyNames = benchOnly.filterNot(v => v == "mas" || v == "slope")
+    // slope regression be adjudicated without paying the full sweep.
+    // "slopemas" additionally runs the MAS headline reps so the mas_*
+    // 10x pairs (which reuse the headline min as their 1x point) are
+    // measurable without the full sweep — the quiet-re-measurement
+    // knob the r13 verdict asked for.
+    val slopeMas = benchOnly.contains("slopemas")
+    val slopeOnly = benchOnly.contains("slope") || slopeMas
+    val onlyNames = benchOnly.filterNot(v => v == "mas" || v == "slope" || v == "slopemas")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.get()
     def loadAvg(): Double = java.lang.management.ManagementFactory
@@ -42,6 +47,26 @@ object Bench {
       Thread.sleep(30000); gateWaited += 30
     }
     val gateJson = s""""load_gate":[${"%.1f".formatLocal(java.util.Locale.ROOT, gateStart)},$gateWaited,${"%.1f".formatLocal(java.util.Locale.ROOT, loadAvg())}]"""
+    // SPARK_GRAFT_SLOPE_COOLDOWN=<secs>: before each one-shot slope
+    // point (and each MAS headline shape), wait — up to the budget —
+    // for the 1-min load average to decay below 3.5, and stamp the
+    // PRE-point load instead of the post-point one. Rationale (r14):
+    // the post-point stamp of a 100-s 32-thread point mostly measures
+    // the point's OWN burst — the r13 slope files stamped
+    // g02/g01/t13/mas at 19-32 on a host whose external load was < 1
+    // (load_gate [0.9,0,0.9]) purely because the preceding points'
+    // bursts hadn't decayed out of the trailing average. The
+    // pre-point stamp after a cool-down is the honest "was anyone
+    // else on the box when this point STARTED" measure; slope_stamp
+    // in the JSON records which convention a file used.
+    val coolSecs = sys.env.get("SPARK_GRAFT_SLOPE_COOLDOWN")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+    def coolWait(): Unit = {
+      var waited = 0
+      while (coolSecs > 0 && loadAvg() > 3.5 && waited < coolSecs) {
+        Thread.sleep(15000); waited += 15
+      }
+    }
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
     // per-query keys compress to the canonical short id (a01, q12,
@@ -155,13 +180,16 @@ object Bench {
     // could not tell the 50.73 was a host spike without re-running)
     def reps3(body: => Unit): Seq[(Double, Double)] =
       (1 to 3).map { _ =>
+        coolWait()
+        val ldPre = loadAvg()
         val t0 = System.nanoTime()
         body
-        ((System.nanoTime() - t0) / 1e9, loadAvg())
+        ((System.nanoTime() - t0) / 1e9,
+          if (coolSecs > 0) ldPre else loadAvg())
       }
     val masTime: (Seq[(Double, Double)], Seq[(Double, Double)],
         Seq[(Double, Double)], Seq[(Double, Double)]) =
-    if (onlyNames.isDefined || slopeOnly) (Nil, Nil, Nil, Nil) else {
+    if (onlyNames.isDefined || (slopeOnly && !slopeMas)) (Nil, Nil, Nil, Nil) else {
       val n = 5000; val d = 1800
       val melted5 = masMelted(n, d, 5)
       val firthReps = reps3 {
@@ -283,10 +311,12 @@ object Bench {
     // average sampled right after it, so a reader can discount spikes
     // without paying min-of-2 on 100+ s runs
     def oneShot(body: => Unit): Option[(Double, Double)] = {
+      coolWait()
+      val ldPre = loadAvg()
       val t0 = System.nanoTime()
       val ok = try { body; true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      val ld = loadAvg()
+      val ld = if (coolSecs > 0) ldPre else loadAvg()
       spark.catalog.clearCache()
       if (ok) Some((dt, ld)) else None
     }
@@ -431,7 +461,7 @@ object Bench {
         ((s""""docs":[$docsBase,${docsBase * 10}]""" +:
           corpusPairs) ++ gatePairs ++ graphPairs ++ t13.toSeq ++ masPairs).mkString(",")
       }
-    val masHeads = if (onlyNames.isDefined || slopeOnly) Seq.empty else Seq(
+    val masHeads = if (onlyNames.isDefined || (slopeOnly && !slopeMas)) Seq.empty else Seq(
       "mas_firth_5000x1800x5cov" -> masTime._1.map(_._1).min,
       "mas_firth_5000x1800x20cov" -> masTime._2.map(_._1).min,
       "mas_linear_5000x1800x5cov" -> masTime._3.map(_._1).min,
@@ -487,8 +517,10 @@ object Bench {
       s""""codegen_probe":$probeJson,"sf":"$sfDir"}"""
     val masHeadJson = masHeads.map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
+    val stampConv = if (coolSecs > 0) "pre-point-after-cooldown" else "post-point"
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":$masHeadJson,$scaleJson""" +
+      s""""slope_stamp":"$stampConv",""" +
       s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
       s""""load_avg":${f3(loadAvg())},$gateJson,$reps,"sf":"$sfDir"}"""
     try {

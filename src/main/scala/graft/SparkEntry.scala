@@ -157,6 +157,7 @@ object SparkEntry {
     "e15_stream_session_gate" -> (graft.streaming.StreamingOps.e15StreamSessionGate _),
     "e16_stream_static_gate" -> (graft.streaming.StreamingOps.e16StreamStaticGate _),
     "e17_stream_file_gate" -> (graft.streaming.StreamingOps.e17StreamFileGate _),
+    "e18_stream_rocksdb_gate" -> (graft.streaming.StreamingOps.e18StreamRocksdbGate _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
@@ -543,6 +544,13 @@ object SparkEntry {
     // e17: the FILE-sink emission path must land the same rows the
     // memory-sink gate (e11) proves — same oracle as e11/e02 by design
     "e17_stream_file_gate" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e18: e11's pipeline on the ROCKSDB state store provider — the
+    // production out-of-heap state backend must land the identical
+    // sink; same oracle as e11/e02 by design
+    "e18_stream_rocksdb_gate" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

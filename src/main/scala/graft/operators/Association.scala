@@ -635,9 +635,17 @@ object Association {
     // ONE fused buffer per pair per iteration (see IrlsMoment) — the
     // plain-logistic weight floor is 1e-10, no third-order tensor
     val moment = udaf(new IrlsMoment(m, wFloor = 1e-10, tensor = false))
+    // same big-pair gate as firthGram: above the threshold the beta
+    // table stops staging through the driver as a broadcast and joins
+    // as a shuffle hash join instead (the continue-check here is
+    // already a distributed agg, no change needed)
+    val bcastMaxPairs = spark.conf
+      .get("spark.graft.irls.broadcastPairs", "2000000").toLong
+    val shuffleBeta = beta.count() > bcastMaxPairs
     while (it < cfg.maxIter && maxDelta >= tol) {
+      val actSt = beta.filter(col("solve_failed").isNull).select("gkey", "beta")
       val stats = keyedDf.join(
-          broadcast(beta.filter(col("solve_failed").isNull).select("gkey", "beta")), "gkey")
+          if (shuffleBeta) actSt.hint("shuffle_hash") else broadcast(actSt), "gkey")
         .groupBy("gkey")
         .agg(moment(col("v"), col("beta")).as("st"))
         .select(col("gkey"),
@@ -738,12 +746,21 @@ object Association {
    * reordered, so no second scan needs the inverse.
    *
    * The Newton solve (restricted to free coordinates, step-capped)
-   * runs in a UDF over the stats frame. Per-iteration driver traffic
-   * is the pair-count-BOUNDED active-beta table — the same bytes a
-   * BroadcastExchange would stage through the driver — read once per
-   * step to serve both the convergence check and the broadcast side
-   * (one job, not two); nothing row-proportional ever leaves the
-   * executors. Converged pairs freeze and drop out of later scans,
+   * runs in a UDF over the stats frame. The per-iteration beta state
+   * is pair-count-bounded and its distribution is GATED on the pair
+   * count (`spark.graft.irls.broadcastPairs`, default 2M): below the
+   * threshold it is collected once per step and broadcast — the same
+   * bytes a BroadcastExchange would stage through the driver, one job
+   * serving both the convergence check and the build side; above it
+   * (~10⁷ simultaneously-active pairs, where neither the collect nor
+   * the broadcast fits on the driver) the state joins as a shuffle
+   * hash join and the convergence check is a distributed count —
+   * nothing row- OR pair-proportional touches the driver. Both
+   * regimes run the identical step UDF over the same per-pair moment
+   * sums, so the iterate sequences agree up to the FP summation
+   * order of the shuffled scan (the regime spec in
+   * SourcesAndGramSpec pins agreement to 1e-8 on every inference
+   * column). Converged pairs freeze and drop out of later scans,
    * so per-pair iteration counts — and therefore the fitted values —
    * match the in-task fitter exactly (modulo FP associativity of the
    * distributed sums). Per-iteration `localCheckpoint` cuts the
@@ -920,14 +937,28 @@ object Association {
       col("gkey"), lit(0).as("fit"),
       col("st").getField("s").as("s"), col("st").getField("g").as("g"),
       typedlit(Seq.fill(nT)(0.0)).as("t")))
+    // Beta-state distribution regime, gated ONCE on the pair count
+    // (r13 verdict item 2). Below the threshold the active state is
+    // collected and broadcast each step — the collected bytes equal
+    // what BroadcastExchange would move through the driver anyway, and
+    // one job serves both the continue-check and the build side. Above
+    // it (~10^7 simultaneously-active pairs ≈ GBs of beta vectors)
+    // neither the collect nor the broadcast fits on the driver, so the
+    // state side joins as a SHUFFLE hash join (no driver materialize)
+    // and the continue-check becomes a count over the checkpointed
+    // state — two cheap distributed jobs instead of one driver-sized
+    // one. Both regimes step the same state frame with the same UDF
+    // (agreement pinned by the regime spec in SourcesAndGramSpec).
+    val bcastMaxPairs = spark.conf
+      .get("spark.graft.irls.broadcastPairs", "2000000").toLong
+    val shuffleBeta = state.count() > bcastMaxPairs
     var cont = true
     while (cont) {
-      // ONE cheap read of the (pair-count-bounded) checkpointed state
-      // serves both the continue-check and the broadcast side — the
-      // collected bytes are exactly what BroadcastExchange would move
-      // through the driver anyway, one job instead of two per step
-      val actRows = state.filter(activeCond).select("gkey", "fit", "beta").collect()
-      cont = actRows.nonEmpty
+      val actDf = state.filter(activeCond).select("gkey", "fit", "beta")
+      val actRows: Array[org.apache.spark.sql.Row] =
+        if (shuffleBeta) null else actDf.collect()
+      val nAct: Long = if (shuffleBeta) actDf.count() else actRows.length.toLong
+      cont = nAct > 0
       if (!cont) {
         if (sys.env.contains("GRAFT_FIRTH_DEBUG"))
           System.err.println(s"[firthGram] loop done t=${System.nanoTime() / 1e9}")
@@ -940,16 +971,26 @@ object Association {
       val stats = firstStats match {
         case Some(fs) => firstStats = None; fs
         case None =>
-          // LocalRelation, not parallelize: the broadcast build then
-          // runs driver-side with no extra cluster job per iteration
-          val actSt = spark.createDataFrame(
-            java.util.Arrays.asList(actRows: _*),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("gkey", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("fit", org.apache.spark.sql.types.IntegerType),
-              org.apache.spark.sql.types.StructField("beta",
-                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
-          keyedDf.join(broadcast(actSt), "gkey")
+          val joined =
+            if (shuffleBeta)
+              // big-pair regime: the state never touches the driver;
+              // shuffle_hash keeps the (small-per-partition) state as
+              // the build side without a broadcast
+              keyedDf.join(actDf.hint("shuffle_hash"), "gkey")
+            else {
+              // LocalRelation, not parallelize: the broadcast build
+              // then runs driver-side with no extra cluster job per
+              // iteration
+              val actSt = spark.createDataFrame(
+                java.util.Arrays.asList(actRows: _*),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("gkey", org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField("fit", org.apache.spark.sql.types.IntegerType),
+                  org.apache.spark.sql.types.StructField("beta",
+                    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+              keyedDf.join(broadcast(actSt), "gkey")
+            }
+          joined
             .groupBy("gkey", "fit")
             .agg(moment(col("v"), col("beta")).as("st"))
             .select(col("gkey"), col("fit"),
@@ -988,7 +1029,7 @@ object Association {
       // checkpoint needed, lineage stays flat across iterations
       state = stepped.drop("stepped").unionByName(spawns)
       if (sys.env.contains("GRAFT_FIRTH_DEBUG"))
-        System.err.println(s"[firthGram] iter done n_act=${actRows.length} t=${System.nanoTime() / 1e9}")
+        System.err.println(s"[firthGram] iter done n_act=$nAct t=${System.nanoTime() / 1e9}")
       }
     }
 
@@ -1494,6 +1535,130 @@ object Association {
   }
 
   /**
+   * Full Cox proportional-hazards fit with EFRON tie handling of a
+   * binary exposure, per stratum — a23's fit under the tie convention
+   * R's `coxph` defaults to (r13 verdict item 6). Breslow lets every
+   * tied event at time t see the full risk-set sums; Efron discounts
+   * the l-th of d tied events by l/d of the EVENT subjects' own
+   * hazard mass, which is visibly different exactly in the tied-time
+   * strata day-grained cohorts generate. For binary x the per-tie
+   * sums stay closed-form over a23's bounded per-time table — with
+   * e = exp(β), S0 = n0 + n1·e, S1 = n1·e over the risk set and
+   * s0e = d0 + d1·e, s1e = d1·e over the d tied events:
+   *   U(β) = Σ_t [ d1 − Σ_{l<d} (S1 − (l/d)·s1e) / (S0 − (l/d)·s0e) ]
+   *   I(β) = Σ_t   Σ_{l<d} r_l·(1 − r_l),  r_l the U ratio above
+   * (binary x makes S2 = S1 and s2e = s1e, so the information term
+   * collapses to r(1−r)). At d = 1 every term reduces to Breslow's —
+   * untied strata fit identically (spec-pinned). β steps on the 1e-6
+   * grid, fixed `iters`, so the DuckDB oracle unrolls the exact
+   * trajectory — the inner Σ_l as an in-order `list_sum` over
+   * `generate_series`, the same left-to-right order as the kernel's
+   * l loop. Scale shape identical to a23: one (stratum, time)
+   * aggregate, in-task Newton over the bounded table; the l loop adds
+   * O(ties) work per event time, never another shuffle.
+   */
+  def coxPhEfron(df: DataFrame, timeCol: String, eventCol: String,
+      xCol: String, byCol: String, iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"coxPhEfron: iters in [1,20], got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perTime = df
+      .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
+        col(eventCol).isin(0.0, 1.0) && col(xCol).isin(0.0, 1.0))
+      .groupBy(col(byCol).cast("string").as("g"), col(timeCol).cast("double").as("t"))
+      .agg(
+        sum(col(eventCol)).as("d"),
+        sum(col(eventCol) * col(xCol)).as("d1"),
+        count(lit(1)).cast("double").as("c"),
+        sum(col(xCol)).as("c1"))
+      .as[(String, Double, Double, Double, Double, Double)]
+    perTime.groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val rows = it.toArray.sortBy(r => -r._2)
+        var n = 0.0; var n1 = 0.0
+        val ev = Array.newBuilder[(Double, Double, Double, Double)]
+        rows.foreach { case (_, _, d, d1, c, c1) =>
+          n += c; n1 += c1
+          if (d > 0) ev += ((d, d1, n, n1))
+        }
+        val evs = ev.result()
+        if (evs.isEmpty) Iterator.empty
+        else {
+          val events = evs.iterator.map(_._1).sum.toLong
+          // (U, I) at beta — the l loop's operand order mirrors the
+          // oracle's generate_series list_sum term-for-term
+          def pass(beta: Double): (Double, Double) = {
+            val eb = math.exp(beta)
+            var u = 0.0; var inf = 0.0
+            evs.foreach { case (d, d1, nn, nn1) =>
+              val s0 = (nn - nn1) + nn1 * eb
+              val s1 = nn1 * eb
+              val s0e = (d - d1) + d1 * eb
+              val s1e = d1 * eb
+              var rs = 0.0; var is = 0.0
+              val dd = d.toInt
+              var l = 0
+              while (l < dd) {
+                val f = l / d
+                val r = (s1 - f * s1e) / (s0 - f * s0e)
+                rs += r; is += r * (1.0 - r)
+                l += 1
+              }
+              u += d1 - rs
+              inf += is
+            }
+            (u, inf)
+          }
+          var beta = 0.0; var dead = false; var k = 0
+          while (k < iters && !dead) {
+            val (u, inf) = pass(beta)
+            if (inf <= 0) dead = true
+            else beta = math.floor((beta + u / inf) * 1e6 + 0.5) / 1e6
+            k += 1
+          }
+          val infFin = if (dead) 0.0 else pass(beta)._2
+          if (infFin <= 0)
+            Iterator.single((grp, events, None: Option[Double],
+              None: Option[Double], None: Option[Double]))
+          else
+            Iterator.single((grp, events, Some(beta),
+              Some(1.0 / math.sqrt(infFin)), Some(beta * beta * infFin)))
+        }
+      }
+      .toDF(byCol, "events", "beta", "se", "chi2")
+  }
+
+  /**
+   * Covariate-ADJUSTED Cox fit over a CONTINUOUS covariate, by
+   * quantile-binning z first (r13 verdict item 5 — the a31/p15
+   * quantize-first rule): `bins`−1 exact global quantile cut-points
+   * (type-7 interpolation, the p15 machinery — a bounded collect of
+   * bins−1 doubles), level = Σ 1{z ≥ cut}, then [[coxPhCov]] on the
+   * integer levels with zMax = bins−1. The per-time table stays
+   * bounded at 2·bins cells per distinct time regardless of z's
+   * cardinality — the same resolution-for-boundedness trade a31
+   * makes for the KS ECDF, and the standard way a production Cox
+   * adjusts for a continuous confounder at 100 TB without giving up
+   * the closed-form risk sums. The binning is GLOBAL (not
+   * per-stratum), so strata share comparable adjustment levels.
+   */
+  def coxPhCovBinned(df: DataFrame, timeCol: String, eventCol: String,
+      xCol: String, zCol: String, byCol: String, bins: Int,
+      iters: Int = 6): DataFrame = {
+    require(bins >= 2 && bins <= 65, s"coxPhCovBinned: bins in [2,65], got $bins")
+    val base = df.filter(col(zCol).isNotNull)
+    val cuts = graft.operators.Preprocess.quantilesExact(
+        base, zCol, (1 until bins).map(_.toDouble / bins))
+      .orderBy("q").collect().map(_.getDouble(1))
+    val v = col(zCol).cast("double")
+    val lvl = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(v >= lit(c), 1).otherwise(0)
+    }
+    coxPhCov(base.withColumn("__zq", lvl), timeCol, eventCol, xCol, "__zq",
+      byCol, zMax = bins - 1, iters = iters)
+  }
+
+  /**
    * Covariate-ADJUSTED Cox proportional-hazards fit (Breslow ties) of
    * a binary exposure plus one integer-leveled covariate, per stratum
    * — the "iterated, with covariates" extension of [[coxPh]]: the
@@ -1684,6 +1849,12 @@ object Association {
    * exactly one does; at ψ = 1 the quadratic degenerates to the
    * independence value r1·m1/n), V is the inverse sum of reciprocal
    * expected cells, and χ²_BD = Σ_k (a_k − E_k)²/V_k with K−1 df.
+   * Because ψ is the MH estimate from the SAME table, the plain BD
+   * statistic is slightly anti-conservative; the output also carries
+   * TARONE's corrected form χ²_T = χ²_BD − (Σ_k(a_k−E_k))²/Σ_k V_k
+   * (the SAS / modern-package default) as `chi2_tarone`, same df.
+   * `chi2_bd` is kept as the primary column for PLINK `--bd`
+   * compatibility.
    *
    * Determinism: cells are exact integer counts; ψ is grid-rounded to
    * 1e-6 BEFORE the quadratic so both engines solve the identical
@@ -1740,8 +1911,18 @@ object Association {
         / col("V")) * 1000000 + 0.5) / 1000000.0)
     val out = terms.agg(
         count(lit(1)).as("k"), first("psi").as("or_mh"),
-        sum("term").as("chi2"))
+        sum("term").as("chi2"),
+        sum(col("a") - col("E")).as("sae"),
+        sum("V").as("sv"))
       .withColumn("df", (col("k") - 1).cast("long"))
+      // Tarone's correction (r13 advice): BD with the MH pooled psi is
+      // slightly anti-conservative because psi is estimated from the
+      // same table — SAS and modern packages subtract (Σ(a−E))²/ΣV.
+      // Grid-rounded like the per-stratum terms so the oracle mirrors
+      // the subtraction exactly.
+      .withColumn("tarone_adj", when(col("sv") > 0,
+        floor((col("sae") * col("sae") / col("sv")) * 1000000 + 0.5) / 1000000.0)
+        .otherwise(lit(0.0)))
     val h = col("chi2") / 2.0
     val pTail = when(col("df") === 2, exp(-h))
       .when(col("df") === 4, exp(-h) * (lit(1.0) + h))
@@ -1749,7 +1930,9 @@ object Association {
       .when(col("df") === 8,
         exp(-h) * (lit(1.0) + h + h * h / lit(2.0) + h * h * h / lit(6.0)))
     out.select(col("k").as("n_strata"), col("or_mh"),
-      col("chi2").as("chi2_bd"), col("df"),
+      col("chi2").as("chi2_bd"),
+      (col("chi2") - col("tarone_adj")).as("chi2_tarone"),
+      col("df"),
       when(col("df") >= 1, pTail).as("p_bd"))
   }
 
@@ -1770,9 +1953,12 @@ object Association {
    * λ = (√nₑ + 0.12 + 0.11/√nₑ)·D, nₑ = n₁n₀/(n₁+n₀), truncated at
    * 8 terms with the standard small-λ short-circuit: below λ = 0.32
    * the alternating series converges too slowly but Q(λ) = 1 to
-   * within ~1e-5 (theta-function dual form), so p latches 1 there —
-   * above it, term 9 is < 1e-7 and the truncation is exact to the
-   * 6-dp output grid.
+   * within ~5e-5 (theta-function dual: Q(0.32) ≈ 0.999954, so the
+   * latch error is ~4.6e-5 — one count on the 6-dp output grid, the
+   * documented precision trade; lowering the latch to where the
+   * residual is < 1e-6 would need a longer series, since term 9 at
+   * λ = 0.27 is still ~1e-4), so p latches 1 there — above 0.32,
+   * term 9 is < 1e-7 and the truncation is exact to the 6-dp grid.
    *
    * Shapes: ONE map-side-combined (stratum, bin) count aggregate,
    * totals broadcast back, one bounded cumulative window, a one-row

@@ -220,7 +220,8 @@ object Mas {
           .cast("double").as("time"),
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("event"),
         when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"),
-        least(floor(col("o_totalprice") / 75000), lit(6)).cast("int").as("z"))
+        least(floor(col("o_totalprice") / 75000), lit(6)).cast("int").as("z"),
+        col("o_totalprice").cast("double").as("zc"))
   }
 
   /** a23: the FULL Cox proportional-hazards fit (Breslow partial
@@ -252,6 +253,36 @@ object Mas {
         r4(col("chi2")).as("chi2"))
       .orderBy("grp")
 
+  /** a32: the a23 Cox fit under EFRON tie handling
+    * ([[Association.coxPhEfron]]) — R `coxph`'s default convention,
+    * which differs from a23's Breslow exactly in the day-grained tied
+    * event times this cohort generates. Same single shuffle; the
+    * oracle unrolls the identical Newton trajectory with the per-tie
+    * inner sum as an in-order DuckDB `list_sum`. */
+  def a32CoxPhEfron(spark: SparkSession, dir: String): DataFrame =
+    Association.coxPhEfron(survivalSubjects(spark, dir), "time", "event", "x",
+        "grp", iters = 6)
+      .select(col("grp"), col("events"), r4(col("beta")).as("beta"),
+        r4(col("se")).as("se"), r4(col("chi2")).as("chi2"),
+        r4(exp(col("beta"))).as("hr"))
+      .orderBy("grp")
+
+  /** a33: the covariate-adjusted Cox fit over the CONTINUOUS order
+    * price ([[Association.coxPhCovBinned]], 7 quantile bins via the
+    * p15 exact-quantile machinery) — lifts a25's integer-leveled
+    * boundary to a continuous confounder while the per-time table
+    * stays bounded; oracle mirrors the quantile cuts
+    * (`quantile_cont`) and the identical 2×2 Newton trajectory. */
+  def a33CoxPhCovq(spark: SparkSession, dir: String): DataFrame =
+    Association.coxPhCovBinned(survivalSubjects(spark, dir), "time", "event",
+        "x", "zc", "grp", bins = 7, iters = 6)
+      .select(col("grp"), col("events"),
+        r4(col("beta_x")).as("beta_x"), r4(col("se_x")).as("se_x"),
+        r4(exp(col("beta_x"))).as("hr_x"),
+        r4(col("beta_z")).as("beta_z"), r4(col("se_z")).as("se_z"),
+        r4(col("chi2")).as("chi2"))
+      .orderBy("grp")
+
   /** a26: Kaplan–Meier product-limit survival curves
     * ([[Association.kaplanMeier]]) on the a19 cohort — per-segment
     * order-finalization curves with Greenwood standard errors, one
@@ -266,8 +297,10 @@ object Mas {
   /** a27: 1:1 matched-pair conditional logistic
     * ([[Association.matchedPairs]]) — within each customer (the
     * natural 1:1 match), the HIGHEST-price order is the case and the
-    * LOWEST-price order the matched control (deterministic tie-break
-    * on orderkey), exposure = urgency, stratified by market segment.
+    * LOWEST-price order the matched control (deterministic OPPOSITE
+    * tie-breaks — case okey ASC, control okey DESC — so an all-tied
+    * customer still yields two DISTINCT orders, never a degenerate
+    * self-pair), exposure = urgency, stratified by market segment.
     * Customers with a single order carry no pair and drop. The pair
     * construction is one customer-partitioned window (case and
     * control ranks in the same pass) + a per-customer aggregate that
@@ -282,8 +315,13 @@ object Mas {
       .select(col("c_custkey").as("cust"), col("c_mktsegment").as("grp"),
         col("o_orderkey").as("okey"), col("o_totalprice").as("price"),
         when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"))
+    // control tie-break is okey DESC (r13 advice): a customer whose
+    // orders all share one price would otherwise select the SAME
+    // order as both case and control — a degenerate always-concordant
+    // self-pair. With opposite tie-breaks the two picks can only
+    // coincide on a single-order customer, which n_orders >= 2 drops.
     val wd = Window.partitionBy("cust").orderBy(col("price").desc, col("okey"))
-    val wa = Window.partitionBy("cust").orderBy(col("price").asc, col("okey"))
+    val wa = Window.partitionBy("cust").orderBy(col("price").asc, col("okey").desc)
     val pairs = j
       .withColumn("rd", row_number().over(wd))
       .withColumn("ra", row_number().over(wa))
@@ -511,7 +549,8 @@ object Mas {
       col("l_returnflag").as("s"))
     Association.breslowDay(df, "x", "y", "s")
       .select(col("n_strata"), r4(col("or_mh")).as("or_mh"),
-        r4(col("chi2_bd")).as("chi2_bd"), col("df"),
+        r4(col("chi2_bd")).as("chi2_bd"),
+        r4(col("chi2_tarone")).as("chi2_tarone"), col("df"),
         round(col("p_bd"), 6).as("p_bd"))
   }
 
@@ -1164,6 +1203,70 @@ object Mas {
        |FROM fin f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
   }
 
+  /** a32 oracle: the a23 CTE chain under EFRON ties — the per-tie
+    * inner sum Σ_{l<d} runs as an IN-ORDER `list_sum` over
+    * `generate_series(0, d−1)` (ascending l, matching the kernel's l
+    * loop left-to-right), so the unrolled Newton trajectory is
+    * operand-order identical to the engine's. */
+  private def coxPhEfronSql(iters: Int): String = {
+    val s0 = "((n - n1) + n1 * exp(i.beta))"
+    val s1 = "(n1 * exp(i.beta))"
+    val s0e = "((d - d1) + d1 * exp(i.beta))"
+    val s1e = "(d1 * exp(i.beta))"
+    val r = s"($s1 - (l / d) * $s1e) / ($s0 - (l / d) * $s0e)"
+    val ls = "list_sum(list_transform(generate_series(0, CAST(d AS BIGINT) - 1), l -> "
+    val uExpr = s"sum(d1 - $ls$r)))"
+    val iExpr = s"sum($ls($r) * (1.0 - $r))))"
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""st$k AS (
+         |  SELECT e.grp, i.beta,
+         |    $uExpr AS u,
+         |    $iExpr AS i2
+         |  FROM evt e JOIN $prev i ON e.grp = i.grp GROUP BY 1, 2
+         |), it$k AS (
+         |  SELECT grp, CASE WHEN i2 > 0
+         |    THEN floor((beta + u / i2) * 1000000 + 0.5) / 1000000.0 END AS beta
+         |  FROM st$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH s AS (
+       |  SELECT c.c_mktsegment AS grp,
+       |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+       |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+       |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE o.o_orderdate IS NOT NULL
+       |), pt AS (
+       |  SELECT grp, t, sum(ev) AS d, sum(ev * x) AS d1,
+       |    CAST(count(*) AS DOUBLE) AS c, sum(x) AS c1
+       |  FROM s GROUP BY 1, 2
+       |), rs AS (
+       |  SELECT *,
+       |    sum(c) OVER (PARTITION BY grp ORDER BY t DESC
+       |      ROWS UNBOUNDED PRECEDING) AS n,
+       |    sum(c1) OVER (PARTITION BY grp ORDER BY t DESC
+       |      ROWS UNBOUNDED PRECEDING) AS n1
+       |  FROM pt
+       |), evt AS (
+       |  SELECT grp, d, d1, n, n1 FROM rs WHERE d > 0
+       |), evn AS (
+       |  SELECT grp, CAST(sum(d) AS BIGINT) AS events FROM evt GROUP BY grp
+       |), it0 AS (
+       |  SELECT DISTINCT grp, 0.0 AS beta FROM evt
+       |), $steps, fin AS (
+       |  SELECT e.grp, i.beta,
+       |    $iExpr AS i2
+       |  FROM evt e JOIN it$iters i ON e.grp = i.grp GROUP BY 1, 2
+       |)
+       |SELECT f.grp, v.events,
+       |  CASE WHEN f.i2 > 0 THEN round(f.beta, 4) + 0 END AS beta,
+       |  CASE WHEN f.i2 > 0 THEN round(1.0 / sqrt(f.i2), 4) + 0 END AS se,
+       |  CASE WHEN f.i2 > 0 THEN round(f.beta * f.beta * f.i2, 4) + 0 END AS chi2,
+       |  CASE WHEN f.i2 > 0 THEN round(exp(f.beta), 4) + 0 END AS hr
+       |FROM fin f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
+  }
+
   /** a26 oracle: the a19/a23 per-time/risk-set CTEs, then the KM
     * curve as ONE ascending cumulative window in the log domain —
     * identical operand order (ascending t, left-assoc) to the
@@ -1693,11 +1796,18 @@ object Mas {
         |  FROM tv
         |), agg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_strata, max(psi) AS or_mh,
-        |    sum(term) AS chi2, CAST(count(*) - 1 AS BIGINT) AS df
+        |    sum(term) AS chi2, sum(a - E) AS sae, sum(V) AS sv,
+        |    CAST(count(*) - 1 AS BIGINT) AS df
         |  FROM tm
+        |), agt AS (
+        |  SELECT *, chi2 - (CASE WHEN sv > 0 THEN
+        |    floor((sae * sae / sv) * 1000000 + 0.5) / 1000000.0
+        |    ELSE 0.0 END) AS chi2_t
+        |  FROM agg
         |)
         |SELECT n_strata, round(or_mh, 4) + 0 AS or_mh,
-        |  round(chi2, 4) + 0 AS chi2_bd, df,
+        |  round(chi2, 4) + 0 AS chi2_bd,
+        |  round(chi2_t, 4) + 0 AS chi2_tarone, df,
         |  CASE WHEN df = 2 THEN round(exp(-chi2 / 2.0), 6)
         |    WHEN df = 4 THEN round(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 6)
         |    WHEN df = 6 THEN round(exp(-chi2 / 2.0)
@@ -1706,7 +1816,7 @@ object Mas {
         |      * (1.0 + chi2 / 2.0 + (chi2 / 2.0) * (chi2 / 2.0) / 2.0
         |        + (chi2 / 2.0) * (chi2 / 2.0) * (chi2 / 2.0) / 6.0), 6)
         |  END AS p_bd
-        |FROM agg""".stripMargin,
+        |FROM agt""".stripMargin,
     // a29: variant melt as UNION ALL, genotype cells, HWE expected
     // counts and chi2 mirrored left-assoc term-for-term, Horner tail
     "a29_hwe" ->
@@ -1798,7 +1908,7 @@ object Mas {
         |), r AS (
         |  SELECT *,
         |    row_number() OVER (PARTITION BY cust ORDER BY price DESC, okey) AS rd,
-        |    row_number() OVER (PARTITION BY cust ORDER BY price ASC, okey) AS ra
+        |    row_number() OVER (PARTITION BY cust ORDER BY price ASC, okey DESC) AS ra
         |  FROM j
         |), p AS (
         |  SELECT cust, max(grp) AS grp,

@@ -159,7 +159,36 @@ object StreamingOps {
    * result is then EXACTLY e02's batch aggregate — same oracle —
    * but produced by the incremental state machinery.
    */
-  def e11StreamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+  def e11StreamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    windowAggGate(spark, dir, "graft_e11_sink")
+
+  /**
+   * e18 — e11's windowed aggregate re-gated on the ROCKSDB state
+   * store (r13 verdict item 4): the six streaming gates all ran on
+   * the default in-memory HDFS-backed provider, but a production
+   * 100 TB stream holds state out of heap —
+   * `spark.sql.streaming.stateStore.providerClass =
+   * RocksDBStateStoreProvider` is the standard deployment. Identical
+   * pipeline, identical oracle (e02's batch aggregate): the sink
+   * hash proves the state-machinery swap is semantics-neutral, which
+   * closes the last harness-vs-production seam in the streaming
+   * family. The provider conf is read at query START, so it is set
+   * for the duration of the gate and restored after.
+   */
+  def e18StreamRocksdbGate(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try windowAggGate(spark, dir, "graft_e18_sink")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def windowAggGate(
+      spark: SparkSession, dir: String, sinkName: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
     val rows = graft.Tables.events(spark, dir)
@@ -169,7 +198,6 @@ object StreamingOps {
     val maxTs = rows.iterator.map(_._3.getTime).max
     val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
     val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
-    val sinkName = "graft_e11_sink"
     spark.catalog.dropTempView(sinkName)
     withShufflePartitions(spark, 8) {
       val q = tumblingWindowAgg(src).writeStream

@@ -640,6 +640,9 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_strata") == 3L && r.getAs[Long]("df") == 2L)
     assert(near(r.getAs[Double]("or_mh"), 4.0, 1e-6))
     assert(near(r.getAs[Double]("chi2_bd"), 0.0, 1e-5))
+    // every (a - E) = 0 under exact homogeneity, so Tarone's
+    // correction subtracts 0 and the corrected form is 0 too
+    assert(near(r.getAs[Double]("chi2_tarone"), 0.0, 1e-5))
     assert(near(r.getAs[Double]("p_bd"), 1.0, 1e-5))
     // independence in every stratum: psi = 1 -> degenerate-quadratic
     // path, E = r1*m1/n = observed -> chi2 = 0
@@ -653,6 +656,9 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       stratum("s3", 25, 25, 25, 25)).toDF("s", "x", "y")
     val rh = operators.Association.breslowDay(het, "x", "y", "s").head()
     assert(rh.getAs[Double]("chi2_bd") > 10.0)
+    // Tarone subtracts a non-negative quantity and stays non-negative
+    assert(rh.getAs[Double]("chi2_tarone") <= rh.getAs[Double]("chi2_bd") + 1e-9)
+    assert(rh.getAs[Double]("chi2_tarone") >= -1e-9)
     assert(rh.getAs[Double]("p_bd") < 0.01)
     // expected cells stay consistent: chi2 matches a direct quadratic
     // replay at the reported psi

@@ -493,6 +493,42 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("triangles hubCap: lower bound, exact when cap >= max outdeg") {
+    val sess = spark
+    import sess.implicits._
+    // K6: every vertex has degree 5; oriented outdeg ranges 0..5.
+    // cap >= 5 must reproduce the exact count; a small cap must give
+    // a per-node LOWER bound with strictly fewer total triangles.
+    val k6 = (for { i <- 1L to 6L; j <- (i + 1) to 6L } yield (i, j)).toDF("u", "v")
+    val exact = operators.Graph.triangles(k6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == (1L to 6L).map(_ -> 10L).toMap) // C(5,2)=10 each
+    val capped5 = operators.Graph.triangles(k6, hubCap = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped5 == exact)
+    val capped1 = operators.Graph.triangles(k6, hubCap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped1.values.sum < exact.values.sum)
+    assert(capped1.forall { case (n, c) => c <= exact(n) })
+    // the g02 wrapper reads the session knob
+    val prev = spark.conf.getOption("spark.graft.triangles.hubCap")
+    spark.conf.set("spark.graft.triangles.hubCap", "1")
+    try {
+      // wheel W8 capped at 1 out-edge per vertex: strictly fewer than
+      // the 8 exact triangles
+      val wheel = ((1L to 8L).map(i => (0L, i)) ++
+        (1L to 7L).map(i => (i, i + 1)) :+ (1L, 8L)).toDF("u", "v")
+      val cw = operators.Graph.triangles(wheel, hubCap = 1)
+        .agg(sum(col("n_triangles"))).head()
+      assert(cw.isNullAt(0) || cw.getLong(0) < 24L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.triangles.hubCap", v)
+        case None => spark.conf.unset("spark.graft.triangles.hubCap")
+      }
+    }
+  }
+
   test("labelProp: disjoint triangles converge to min-id communities, invariance") {
     val sess = spark
     import sess.implicits._

@@ -206,6 +206,49 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("dep_missing") == "No data after dropping nulls.")
   }
 
+  test("shuffle-beta regime (broadcastPairs=0) matches the broadcast regime") {
+    // r13 verdict item 2: above spark.graft.irls.broadcastPairs the
+    // per-iteration beta state joins as a shuffle hash join with a
+    // distributed continue-check instead of driver collect+broadcast.
+    // Force the shuffle regime with threshold 0 and pin agreement with
+    // the default (broadcast) regime on every inference column. The
+    // two regimes shuffle the scan differently, so sums can differ in
+    // FP associativity — 1e-8 is the pin, not bit equality.
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(61)
+    val rows = (0 until 400).flatMap { i =>
+      val x = rng.nextGaussian(); val z = rng.nextGaussian()
+      Seq(
+        ("x", "dep_a", x, if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-(0.8 * x - 0.4)))) 1.0 else 0.0, Seq(z)),
+        ("x", "dep_b", x, if (rng.nextDouble() < 0.3) 1.0 else 0.0, Seq(z)))
+    }
+    val melted = rows.toDF("predictor", "dependent", "x", "y", "covs")
+    val cfg = Association.Config(Seq("x"), Seq("dep_a", "dep_b"), Seq("z"),
+      model = "firth", minCaseCount = 5)
+    val bcastF = Association.firthGram(melted, cfg).collect()
+      .map(r => r.getAs[String]("dependent") -> r).toMap
+    val bcastL = Association.logisticGram(melted, cfg.copy(model = "logistic")).collect()
+      .map(r => r.getAs[String]("dependent") -> r).toMap
+    spark.conf.set("spark.graft.irls.broadcastPairs", "0")
+    try {
+      val shufF = Association.firthGram(melted, cfg).collect()
+        .map(r => r.getAs[String]("dependent") -> r).toMap
+      val shufL = Association.logisticGram(melted, cfg.copy(model = "logistic")).collect()
+        .map(r => r.getAs[String]("dependent") -> r).toMap
+      for (d <- Seq("dep_a", "dep_b"); c <- Seq("beta", "se", "pval", "OR", "ci_low", "ci_high")) {
+        assert(math.abs(bcastF(d).getAs[Double](c) - shufF(d).getAs[Double](c)) < 1e-8,
+          s"firth $d $c: bcast=${bcastF(d).getAs[Double](c)} shuffle=${shufF(d).getAs[Double](c)}")
+        assert(math.abs(bcastL(d).getAs[Double](c) - shufL(d).getAs[Double](c)) < 1e-8,
+          s"logistic $d $c: bcast=${bcastL(d).getAs[Double](c)} shuffle=${shufL(d).getAs[Double](c)}")
+      }
+      for (d <- Seq("dep_a", "dep_b")) {
+        assert(shufF(d).getAs[Boolean]("converged"), s"firth $d")
+        assert(shufL(d).getAs[Boolean]("converged"), s"logistic $d")
+      }
+    } finally spark.conf.unset("spark.graft.irls.broadcastPairs")
+  }
+
   test("distributed Gram IRLS applies the same viability gates") {
     val sess = spark
     import sess.implicits._
