@@ -29,6 +29,8 @@ object SparkEntry {
     "a23_cox_ph" -> (Mas.a23CoxPh _),
     "a24_assoc_ordinal4" -> (Mas.a24AssocOrdinal4 _),
     "a25_cox_ph_cov" -> (Mas.a25CoxPhCov _),
+    "a32_cox_ph_efron" -> (Mas.a32CoxPhEfron _),
+    "a33_cox_ph_covq" -> (Mas.a33CoxPhCovq _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),

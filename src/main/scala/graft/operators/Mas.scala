@@ -1316,7 +1316,47 @@ object Mas {
     * loop term-for-term (left-assoc), both betas floor-gridded to 1e-6
     * per step. Singular information (det ≤ 0, ixx ≤ 0) latches betas
     * NULL through the chain, matching the fitter's dead path. */
-  private def coxPhCovSql(iters: Int, zMax: Int): String = {
+  /** The default a25 cohort CTE: integer-banded z. `coxPhCovSql`
+    * takes the cohort as a parameter so a33 can swap in the
+    * quantile-binned continuous-z cohort over the same Newton chain. */
+  private val covCohortBanded: String =
+    """s AS (
+      |  SELECT c.c_mktsegment AS grp,
+      |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+      |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x,
+      |    CAST(least(floor(o.o_totalprice / 75000), 6) AS INTEGER) AS z
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_orderdate IS NOT NULL
+      |)""".stripMargin
+
+  /** a33 cohort CTE: z = 7-quantile level of the CONTINUOUS order
+    * price — `quantile_cont` mirrors quantilesExact's type-7
+    * interpolation (the p15-proven equivalence), cuts applied as the
+    * same ascending Σ 1{zc ≥ cut} the engine folds. */
+  private val covCohortQuantile: String = {
+    val qs = (1 to 6).map(k => s"quantile_cont(zc, $k.0/7) AS q$k").mkString(",\n    ")
+    val lvl = (1 to 6).map(k => s"(CASE WHEN zc >= q$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""zsrc AS (
+       |  SELECT c.c_mktsegment AS grp,
+       |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+       |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+       |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x,
+       |    CAST(o.o_totalprice AS DOUBLE) AS zc
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE o.o_orderdate IS NOT NULL
+       |), cuts AS (
+       |  SELECT $qs
+       |  FROM zsrc
+       |), s AS (
+       |  SELECT grp, t, ev, x, $lvl AS z
+       |  FROM zsrc, cuts
+       |)""".stripMargin
+  }
+
+  private def coxPhCovSql(iters: Int, zMax: Int,
+      cohortCte: String = covCohortBanded): String = {
     val zs = 0 to zMax
     val cells = zs.flatMap(z => Seq(0, 1).map(x =>
       s"sum(CASE WHEN x = $x AND z = $z THEN 1.0 ELSE 0.0 END) AS c$x$z"))
@@ -1356,15 +1396,7 @@ object Mas {
          |  FROM st$k
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH s AS (
-       |  SELECT c.c_mktsegment AS grp,
-       |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
-       |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
-       |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x,
-       |    CAST(least(floor(o.o_totalprice / 75000), 6) AS INTEGER) AS z
-       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-       |  WHERE o.o_orderdate IS NOT NULL
-       |), pt AS (
+    s"""WITH $cohortCte, pt AS (
        |  SELECT grp, t, sum(ev) AS d, sum(ev * x) AS dx, sum(ev * z) AS dz,
        |    $cells
        |  FROM s GROUP BY 1, 2
@@ -1704,6 +1736,8 @@ object Mas {
           .mkString("", "\nUNION ALL\n", "\nORDER BY predictor")),
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
+    "a32_cox_ph_efron" -> coxPhEfronSql(6),
+    "a33_cox_ph_covq" -> coxPhCovSql(6, 6, covCohortQuantile),
     "a26_kaplan_meier" -> kaplanMeierSql,
     // a31: same binning/window/series arithmetic — the 8 Kolmogorov
     // terms generated with identical signed literals and left-assoc

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Association
@@ -535,6 +535,101 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p8 = operators.Association.coxPh(df.repartition(8), "time", "event", "x", "grp",
       iters = 8).head().getAs[Double]("beta")
     assert(p1 == p8 && p1 == beta)
+  }
+
+  test("coxPhEfron: equals Breslow on untied data, zeroes the independent Efron score on ties") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(77)
+    val rows = (0 until 120).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val t = -math.log(1 - rng.nextDouble()) / (if (x == 1.0) 2.0 else 1.0)
+      val ev = if (rng.nextDouble() < 0.8) 1.0 else 0.0
+      ("g", t + 0.01, ev, x)
+    }
+    val df = rows.toDF("grp", "time", "event", "x")
+    // (1) untied data: every d = 1, Efron's per-tie sum collapses to
+    // the Breslow term — trajectories agree to the 1e-6 beta grid
+    val ef = operators.Association.coxPhEfron(df, "time", "event", "x", "grp", iters = 8).head()
+    val br = operators.Association.coxPh(df, "time", "event", "x", "grp", iters = 8).head()
+    assert(math.abs(ef.getAs[Double]("beta") - br.getAs[Double]("beta")) < 2e-6)
+    assert(math.abs(ef.getAs[Double]("se") - br.getAs[Double]("se")) < 1e-6)
+    // (2) heavily TIED data: the fit zeroes the subject-level Efron
+    // score computed independently (O(n^2) risk sets, no per-time
+    // table), and agrees with that score's bisected root
+    val tied = Seq(
+      ("g", 1.0, 1.0, 1.0), ("g", 1.0, 1.0, 1.0), ("g", 1.0, 1.0, 0.0),
+      ("g", 1.0, 0.0, 0.0), ("g", 2.0, 1.0, 1.0), ("g", 2.0, 1.0, 0.0),
+      ("g", 2.0, 0.0, 1.0), ("g", 3.0, 1.0, 0.0), ("g", 3.0, 1.0, 1.0),
+      ("g", 4.0, 1.0, 1.0), ("g", 5.0, 0.0, 0.0), ("g", 5.0, 1.0, 0.0))
+    def efronScore(b: Double): Double = {
+      val times = tied.filter(_._3 == 1.0).map(_._2).distinct
+      times.map { t =>
+        val risk = tied.filter(_._2 >= t)
+        val dead = tied.filter(r => r._2 == t && r._3 == 1.0)
+        val d = dead.size
+        val s0 = risk.map(r => math.exp(b * r._4)).sum
+        val s1 = risk.map(r => r._4 * math.exp(b * r._4)).sum
+        val s0e = dead.map(r => math.exp(b * r._4)).sum
+        val s1e = dead.map(r => r._4 * math.exp(b * r._4)).sum
+        dead.map(_._4).sum -
+          (0 until d).map(l => (s1 - l.toDouble / d * s1e) / (s0 - l.toDouble / d * s0e)).sum
+      }.sum
+    }
+    val ft = operators.Association.coxPhEfron(tied.toDF("grp", "time", "event", "x"),
+      "time", "event", "x", "grp", iters = 12).head()
+    val bT = ft.getAs[Double]("beta")
+    assert(math.abs(efronScore(bT)) < 1e-3)
+    var lo = -3.0; var hi = 3.0
+    for (_ <- 0 until 60) {
+      val mid = (lo + hi) / 2
+      if (efronScore(mid) > 0) lo = mid else hi = mid
+    }
+    assert(math.abs(bT - (lo + hi) / 2) < 1e-4)
+    // (3) ties make the conventions measurably DIFFERENT — the reason
+    // the variant exists
+    val fBr = operators.Association.coxPh(tied.toDF("grp", "time", "event", "x"),
+      "time", "event", "x", "grp", iters = 12).head()
+    assert(math.abs(bT - fBr.getAs[Double]("beta")) > 1e-3)
+    // (4) partition invariance
+    val p1 = operators.Association.coxPhEfron(df.repartition(1), "time", "event", "x",
+      "grp", iters = 8).head().getAs[Double]("beta")
+    val p8 = operators.Association.coxPhEfron(df.repartition(8), "time", "event", "x",
+      "grp", iters = 8).head().getAs[Double]("beta")
+    assert(p1 == p8)
+  }
+
+  test("coxPhCovBinned: quantile-binned continuous z reproduces coxPhCov on explicit levels") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(91)
+    val rows = (0 until 160).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val zc = rng.nextDouble() * 100.0
+      val t = math.ceil((-math.log(1 - rng.nextDouble()) /
+        math.exp(0.5 * x + 0.004 * zc)) * 5) + 1.0
+      val ev = if (rng.nextDouble() < 0.75) 1.0 else 0.0
+      ("g", t, ev, x, zc)
+    }
+    val df = rows.toDF("grp", "time", "event", "x", "zc")
+    val binned = operators.Association.coxPhCovBinned(df, "time", "event", "x",
+      "zc", "grp", bins = 4, iters = 6).head()
+    // independent replay: the p15 cut machinery + explicit levels into
+    // the integer-leveled fitter must reproduce the SAME row
+    val cuts = operators.Preprocess.quantilesExact(df, "zc", Seq(0.25, 0.5, 0.75))
+      .orderBy("q").collect().map(_.getDouble(1))
+    val lvl = cuts.foldLeft(lit(0)) { (a, c) =>
+      a + when(col("zc") >= lit(c), 1).otherwise(0)
+    }
+    val manual = operators.Association.coxPhCov(df.withColumn("zl", lvl),
+      "time", "event", "x", "zl", "grp", zMax = 3, iters = 6).head()
+    for (c <- Seq("beta_x", "se_x", "beta_z", "se_z", "chi2"))
+      assert(binned.getAs[Double](c) == manual.getAs[Double](c), c)
+    assert(binned.getAs[Long]("events") == manual.getAs[Long]("events"))
+    // adjustment actually engages: the unadjusted a23 beta differs
+    val un = operators.Association.coxPh(df, "time", "event", "x", "grp",
+      iters = 6).head()
+    assert(math.abs(binned.getAs[Double]("beta_x") - un.getAs[Double]("beta")) > 1e-6)
   }
 
   test("trendTest: hand-computed 2x3 table, flat table scores 0, degenerate margins null") {
