@@ -529,6 +529,23 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangles hubCap on the real co-order graph: capped is a close lower bound") {
+    // the production-trade measurement the EXPLAIN.md entry reports:
+    // exact vs capped total triangle participation on sf0.01's
+    // co-order graph (the g02 input)
+    val e = operators.Graph.coOrderEdges(spark, "/root/testdata/sf0.01")
+    val ex = operators.Graph.triangles(e)
+      .agg(sum(col("n_triangles"))).head().getLong(0)
+    val cp16 = operators.Graph.triangles(e, hubCap = 16)
+      .agg(sum(col("n_triangles"))).head().getLong(0)
+    val cp64 = operators.Graph.triangles(e, hubCap = 64)
+      .agg(sum(col("n_triangles"))).head().getLong(0)
+    assert(cp16 > 0 && cp16 <= cp64 && cp64 <= ex)
+    info(s"co-order sf0.01: exact=$ex capped@64=$cp64 " +
+      s"(${"%.1f".format(100.0 * cp64 / ex)}%) capped@16=$cp16 " +
+      s"(${"%.1f".format(100.0 * cp16 / ex)}%)")
+  }
+
   test("labelProp: disjoint triangles converge to min-id communities, invariance") {
     val sess = spark
     import sess.implicits._

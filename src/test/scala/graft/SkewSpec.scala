@@ -103,6 +103,42 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"an LM join fell back to SortMergeJoin:\n$p18")
   }
 
+  test("s11 full-catalog path: a 100k-row icdMapPath still broadcasts") {
+    // r13 verdict item 8: the bundled subset never exercises the size
+    // the spark.graft.icdMapPath knob exists for. A synthetic catalog
+    // at the published ~100k-row scale (~3 MB — comfortably inside
+    // the 10 MB auto-broadcast ceiling AND the explicit hint's path)
+    // must still reach the diagnosis stream as a broadcast: the
+    // catalog is the small side by ~7 orders of magnitude at 100 TB.
+    val dir = "/root/testdata/sf0.001"
+    val path = "/tmp/graft_icd_catalog_100k.csv"
+    val f = new java.io.File(path)
+    if (!f.exists || f.length < 1000000L) {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try {
+        w.println("icd,flag,phecode")
+        var i = 0
+        while (i < 100000) {
+          val flag = if (i % 2 == 0) 9 else 10
+          w.println("C%06d.%d,%d,%d.%d".format(i, i % 10, flag,
+            300 + (i % 700), i % 10))
+          i += 1
+        }
+      } finally w.close()
+    }
+    spark.conf.set("spark.graft.icdMapPath", path)
+    try {
+      val s11 = graft.operators.Mas.s11IcdPhecode(spark, dir)
+      val rows = s11.collect()
+      assert(rows.nonEmpty)
+      val p = s11.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"expected broadcast catalog join at 100k rows in:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"catalog join fell back to SortMergeJoin at 100k rows:\n$p")
+    } finally spark.conf.unset("spark.graft.icdMapPath")
+  }
+
   test("d12 at-scale regime: AQE skew-split engages on the hot-paragraph join") {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.adaptive.enabled", "true")
