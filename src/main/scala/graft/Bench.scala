@@ -326,6 +326,12 @@ object Bench {
     // targeted re-run settles whether a drift was load or code)
     val slopeMin2 = sys.env.get("SPARK_GRAFT_SLOPE_MIN2")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_SLOPE_FAMS=g02,mas_firth — run only the named slope
+    // families (short ids / mas keys): the adjudication knob for ONE
+    // suspect family without re-paying the whole 10x segment
+    val slopeFams = sys.env.get("SPARK_GRAFT_SLOPE_FAMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def famOn(key: String): Boolean = slopeFams.forall(_.contains(key))
     def oneShotN(key: String)(body: => Unit): Option[(Double, Double)] =
       if (!slopeMin2.contains(key)) oneShot(body)
       else for { a <- oneShot(body); b <- oneShot(body) }
@@ -392,7 +398,8 @@ object Bench {
         // tagged-gram shuffle's real scaling on the sweep's most
         // expensive text query
         val corpusPairs = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh",
-          "d10_semdedup", "t20_repetition_gate").flatMap { name =>
+          "d10_semdedup", "t20_repetition_gate")
+          .filter(n => famOn(shortId(n))).flatMap { name =>
           corpusEntry(name, run(name), bigBodies(name)())
         }
         // contamination + streaming-gate families (r12 verdict: no 10x
@@ -402,7 +409,7 @@ object Bench {
         // out of it) stays fixed, exactly the production shape of a
         // decontamination tagger on a growing ingest.
         val gatePairs = Seq("d16_fuzzy_contamination", "e16_stream_static_gate")
-          .flatMap { name =>
+          .filter(n => famOn(shortId(n))).flatMap { name =>
             corpusEntry(name, run(name),
               SparkEntry.queries(name)(spark, bigDir)
                 .write.format("noop").mode("overwrite").save())
@@ -423,17 +430,17 @@ object Bench {
             .orderBy(col("rank_micro").desc, col("node")).limit(20)
         }
         val graphPairs = Seq(
-          pair4("g02", for {
-            a <- oneShot(g02Body("coorder_edges_1x.parquet"))
+          if (!famOn("g02")) None else pair4("g02", for {
+            a <- oneShotN("g02")(g02Body("coorder_edges_1x.parquet"))
             b <- oneShotN("g02")(g02Body("coorder_edges_10x.parquet"))
           } yield (a, b)),
-          pair4("g01", for {
+          if (!famOn("g01")) None else pair4("g01", for {
             a <- oneShot(g01Body("trade_edges_1x.parquet"))
             b <- oneShotN("g01")(g01Body("trade_edges_10x.parquet"))
           } yield (a, b))).flatten
         spark.conf.set("spark.graft.bpe.merges", "200")
         spark.conf.set("spark.graft.bpe.trainWords", "20000")
-        val t13 = pair4("t13", for {
+        val t13 = if (!famOn("t13")) None else pair4("t13", for {
           a <- oneShot(run("t13_bpe_tokens"))
           b <- oneShotN("t13")(SparkEntry.queries("t13_bpe_tokens")(spark, bigDir)
             .write.format("noop").mode("overwrite").save())
@@ -445,14 +452,17 @@ object Bench {
           else {
             val big = masMelted(50000, 1800, 5)
             Seq(
+              if (!famOn("mas_firth")) None else
               pair("mas_firth", oneShot(
                 Association.binary(big, masCfg(1800, 5))
                   .write.format("noop").mode("overwrite").save())
                 .map { case (t, ld) => (masTime._1.map(_._1).min, t, ld) }),
+              if (!famOn("mas_linear")) None else
               pair("mas_linear", oneShot(
                 Association.linear(big, masCfg(1800, 5).copy(model = "linear"))
                   .write.format("noop").mode("overwrite").save())
                 .map { case (t, ld) => (masTime._3.map(_._1).min, t, ld) }),
+              if (!famOn("mas_firth_gram")) None else
               pair("mas_firth_gram", oneShot(
                 Association.firthGram(big, masCfg(1800, 5))
                   .write.format("noop").mode("overwrite").save())

@@ -98,6 +98,7 @@ object SparkEntry {
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
     "d05b_dedup_embedding_lsh" -> (Dedup.d05bDedupEmbeddingLsh _),
     "d06_dedup_components" -> (Dedup.d06DedupComponents _),
+    "d17_dedup_keep" -> (Dedup.d17DedupKeep _),
     "d07_contamination" -> (Dedup.d07Contamination _),
     "d16_fuzzy_contamination" -> (Dedup.d16FuzzyContamination _),
     "d14_bloom_contamination" -> (Dedup.d14BloomContamination _),

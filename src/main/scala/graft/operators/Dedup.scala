@@ -727,6 +727,35 @@ object Dedup {
   def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairs(corpus(spark, dir), 0.5).orderBy("id1", "id2")
 
+  /**
+   * d17: the END-TO-END fuzzy-dedup KEEP/DROP decision — the
+   * production pipeline the pieces exist for, composed: MinHash-LSH
+   * candidate pairs (d03's banding, shuffle ∝ candidates) →
+   * connected components (d06's iterative min-label, shuffle ∝
+   * edges) → canonical keeper per cluster. One row per CORPUS doc:
+   * cluster id (= the cluster's min doc_id, the component label),
+   * cluster size, and `keep` — true exactly for the keeper
+   * (doc_id == cluster; singletons keep themselves via the left
+   * join's coalesce). This is the row a 100 TB dedup job writes back
+   * next to the corpus: a pure doc-keyed column set, so the actual
+   * drop is a pushed-down `WHERE keep` filter downstream. The sizes
+   * aggregate and the size join both key on cluster — the only new
+   * shuffles over d03+d06 are cluster-count-bounded.
+   */
+  def d17DedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val comp = connectedComponents(minhashLshPairs(c, 0.5))
+    val labeled = c.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val sizes = labeled.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
+    labeled.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("n_cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- d04 SimHash
 
   /** Polynomial string hash (h·base + char) mod m — chosen over
@@ -1342,6 +1371,32 @@ object Dedup {
           |SELECT id1, id2, round(common * 1.0 / (na + nb - common), 4) AS jaccard
           |FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
           |ORDER BY id1, id2""".stripMargin),
+    // d17: the d06 recursive components over the d03 exact pair set,
+    // left-joined back onto the FULL corpus (singletons keep
+    // themselves), keeper = cluster min id
+    "d17_dedup_keep" ->
+      (corpusSql.replace("WITH corpus", "WITH RECURSIVE corpus") + globalPairsSqlBody +
+        """, jp AS (
+          |  SELECT id1, id2 FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+          |), edges AS (
+          |  SELECT id1, id2 FROM jp UNION ALL SELECT id2, id1 FROM jp
+          |), reach(src, node) AS (
+          |  SELECT id1, id1 FROM edges
+          |  UNION
+          |  SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.node = e.id1
+          |), comp AS (
+          |  SELECT src AS id, min(node) AS component FROM reach GROUP BY src
+          |), lab AS (
+          |  SELECT c.doc_id, coalesce(m.component, c.doc_id) AS cluster
+          |  FROM corpus c LEFT JOIN comp m ON c.doc_id = m.id
+          |), sz AS (
+          |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_cluster
+          |  FROM lab GROUP BY cluster
+          |)
+          |SELECT l.doc_id, l.cluster, s.n_cluster,
+          |  l.doc_id = l.cluster AS keep
+          |FROM lab l JOIN sz s ON l.cluster = s.cluster
+          |ORDER BY l.doc_id""".stripMargin),
     // components of the same (deterministically recalled) pair set:
     // min-reachable-node via a recursive CTE
     "d06_dedup_components" ->

@@ -109,6 +109,29 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.toSeq == Seq(1L))
   }
 
+  test("d17 keep/drop: cluster min id kept, singletons keep themselves, partition invariant") {
+    // end-to-end pipeline semantics on the real sf corpus: every doc
+    // appears exactly once; each cluster keeps exactly its min id;
+    // singleton clusters (n_cluster = 1) are all keepers; cluster
+    // labels equal the component ids d06 reports for clustered docs
+    val out = Dedup.d17DedupKeep(spark, dir).collect()
+    val corpusN = Dedup.corpus(spark, dir).count()
+    assert(out.length.toLong == corpusN)
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cl, rows) =>
+      val keepers = rows.filter(_.getBoolean(3)).map(_.getLong(0))
+      assert(keepers.toSeq == Seq(cl), s"cluster $cl keepers=${keepers.toSeq}")
+      assert(rows.head.getLong(2) == rows.length.toLong, s"cluster $cl size")
+      assert(rows.map(_.getLong(0)).min == cl, s"cluster $cl label not min")
+    }
+    assert(byCluster.exists(_._2.length > 1), "expected at least one dup cluster")
+    val comp = Dedup.d06DedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(r => comp.contains(r.getLong(0))).foreach { r =>
+      assert(r.getLong(1) == comp(r.getLong(0)))
+    }
+  }
+
   test("containment is directional: a quoted paragraph hits A->B but not B->A") {
     val sess = spark
     import sess.implicits._
