@@ -99,6 +99,7 @@ object SparkEntry {
     "d05b_dedup_embedding_lsh" -> (Dedup.d05bDedupEmbeddingLsh _),
     "d06_dedup_components" -> (Dedup.d06DedupComponents _),
     "d17_dedup_keep" -> (Dedup.d17DedupKeep _),
+    "d18_incremental_dedup" -> (Dedup.d18IncrementalDedup _),
     "d07_contamination" -> (Dedup.d07Contamination _),
     "d16_fuzzy_contamination" -> (Dedup.d16FuzzyContamination _),
     "d14_bloom_contamination" -> (Dedup.d14BloomContamination _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "m05_wav_header" -> (Multimodal.m05WavHeader _),
     "m06_mp4_header" -> (Multimodal.m06Mp4Header _),
     "m07_ppm_pixels" -> (Multimodal.m07PpmPixels _),
+    "m11_ppm_channel_stats" -> (Multimodal.m11PpmChannelStats _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
     "m09_pcm_stats" -> (Multimodal.m09PcmStats _),
     "q01_agg" -> (Relational.q01Agg _),

@@ -728,6 +728,71 @@ object Dedup {
     minhashLshPairs(corpus(spark, dir), 0.5).orderBy("id1", "id2")
 
   /**
+   * Cross-snapshot INCREMENTAL near-dup keep decision — the shape a
+   * production training pipeline actually runs between crawls: each
+   * NEW snapshot dedups against the EXISTING corpus without ever
+   * re-pairing old×old (the old side's band table IS the persisted
+   * "dedup index" a pipeline keeps between snapshots). New docs'
+   * MinHash band signatures hash-join the old index (shuffle ∝ new
+   * docs + candidates — the old corpus is scanned once to build its
+   * bands and never self-joined), candidates verify on exact Jaccard
+   * ≥ τ, and each new doc reports its BEST old match (max 4-dp
+   * jaccard, ties to the smallest old id — both engines order on the
+   * same rounded grid) plus keep = no old near-dup. Banding recall at
+   * τ = 0.5 is the d03-proven property; the cross-set pair set is a
+   * subset of the global set it was verified against.
+   */
+  def incrementalKeep(oldDocs: DataFrame, newDocs: DataFrame, tau: Double,
+      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val params = permParams(bands * rows, 42L)
+    val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, params))
+    val bandUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map(bi =>
+        (bi, scala.util.hashing.MurmurHash3.orderedHash(
+          sig.slice(bi * rows, bi * rows + rows)))))
+    def side(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sh = withShingles(docs, "text", "sh").select(col("doc_id"), col("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(true)
+      val buckets = sh.withColumn("sig", sigUdf(col("sh")))
+        .select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
+        .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
+      (sh, buckets)
+    }
+    val (shOld, bOld) = side(oldDocs)
+    val (shNew, bNew) = side(newDocs)
+    val cand = bNew.as("x").join(bOld.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("idn"), col("y.doc_id").as("ido"))
+      .distinct()
+    val jac = col("common") /
+      (size(col("shn")) + size(col("sho")) - col("common"))
+    val ver = cand
+      .join(shNew.select(col("doc_id").as("idn"), col("sh").as("shn")), "idn")
+      .join(shOld.select(col("doc_id").as("ido"), col("sh").as("sho")), "ido")
+      .withColumn("common", size(array_intersect(col("shn"), col("sho"))).cast("double"))
+      .filter(jac >= tau)
+      .select(col("idn"), col("ido"), round(jac, 4).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("idn").orderBy(col("jaccard").desc, col("ido").asc)
+    val best = ver.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("idn").as("doc_id"), col("ido").as("dup_of"), col("jaccard"))
+    newDocs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** d18: incremental ingest dedup — the mutated +100000 replicas are
+    * the incoming snapshot, the originals the existing corpus. */
+  def d18IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    incrementalKeep(c.filter(col("doc_id") < 100000),
+        c.filter(col("doc_id") >= 100000), 0.5)
+      .orderBy("doc_id")
+  }
+
+  /**
    * d17: the END-TO-END fuzzy-dedup KEEP/DROP decision — the
    * production pipeline the pieces exist for, composed: MinHash-LSH
    * candidate pairs (d03's banding, shuffle ∝ candidates) →
@@ -1371,6 +1436,28 @@ object Dedup {
           |SELECT id1, id2, round(common * 1.0 / (na + nb - common), 4) AS jaccard
           |FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
           |ORDER BY id1, id2""".stripMargin),
+    // d18: cross-set pairs are the global exact pair set restricted to
+    // (old, new); best match per new doc on the 4-dp jaccard grid with
+    // min-old-id ties — both engines window on the identical rounded key
+    "d18_incremental_dedup" ->
+      (corpusSql + globalPairsSqlBody +
+        """, cand AS (
+          |  SELECT id1, id2, round(common * 1.0 / (na + nb - common), 4) AS jaccard
+          |  FROM pairs
+          |  WHERE id1 < 100000 AND id2 >= 100000
+          |    AND common * 1.0 / (na + nb - common) >= 0.5
+          |), best AS (
+          |  SELECT id2 AS doc_id, id1 AS dup_of, jaccard,
+          |    row_number() OVER (PARTITION BY id2
+          |      ORDER BY jaccard DESC, id1 ASC) AS rn
+          |  FROM cand
+          |), nw AS (
+          |  SELECT doc_id FROM corpus WHERE doc_id >= 100000
+          |)
+          |SELECT n.doc_id, b.dup_of, b.jaccard, b.dup_of IS NULL AS keep
+          |FROM nw n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          |  ON n.doc_id = b.doc_id
+          |ORDER BY n.doc_id""".stripMargin),
     // d17: the d06 recursive components over the d03 exact pair set,
     // left-joined back onto the FULL corpus (singletons keep
     // themselves), keeper = cluster min id

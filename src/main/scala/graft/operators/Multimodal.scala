@@ -411,6 +411,65 @@ object Multimodal {
     }))
   }
 
+  final case class PpmChan(
+      doc_id: Long, channel: String, n: Long, sum: Long, sumsq: Long,
+      bmin: Int, bmax: Int, h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /**
+   * Per-channel HISTOGRAM + dispersion over the real P6 raster — the
+   * image-QC profile a multimodal pipeline computes before training
+   * (dead channels, clipped exposure, low-variance synthetic frames
+   * all show up here). One long-form row per (image, channel): pixel
+   * count, byte sum, byte sum-of-squares, min/max, and a 4-bin
+   * histogram (bin = byte div 64) — every gate column an EXACT
+   * integer, so the cross-engine hash has no FP surface at all; the
+   * only float (std) derives from the exact moments in one r4
+   * projection. Same batched per-partition decode hook as m07;
+   * unparseable payloads emit nothing. Cost: one pass over raster
+   * bytes per image, a pure map — the aggregate output is 3 rows of
+   * 10 integers per image regardless of resolution.
+   */
+  def extractPpmChannelStats(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[PpmChan] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val names = Array("r", "g", "b")
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      parsePpmHeader(r.media) match {
+        case Some(h) if r.media.length - h.headerLen >= 3L * h.width * h.height =>
+          val n = h.width * h.height
+          (0 until 3).map { c =>
+            var s = 0L; var ss = 0L; var mn = 255; var mx = 0
+            val hist = Array.fill(4)(0L)
+            var off = h.headerLen + c
+            var j = 0
+            while (j < n) {
+              val v = r.media(off) & 0xff
+              s += v; ss += v.toLong * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              hist(v >> 6) += 1L
+              off += 3; j += 1
+            }
+            PpmChan(r.doc_id, names(c), n.toLong, s, ss, mn, mx,
+              hist(0), hist(1), hist(2), hist(3))
+          }
+        case _ => Seq.empty[PpmChan]
+      }
+    }))
+  }
+
+  /** m11: per-channel raster QC profile under the hash gate —
+    * integer-exact moments/extrema/histogram per (image, channel),
+    * std from the exact moments. */
+  def m11PpmChannelStats(spark: SparkSession, dir: String): DataFrame =
+    extractPpmChannelStats(ppmTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("channel"), col("n"), col("sum"), col("sumsq"),
+        col("bmin"), col("bmax"), col("h0"), col("h1"), col("h2"), col("h3"),
+        Norm.r4(sqrt((col("sumsq") - col("sum") * col("sum") / col("n")) / col("n")))
+          .as("std"))
+      .orderBy("doc_id", "channel")
+
   final case class PpmThumb(
       doc_id: Long, width: Int, height: Int, tw: Int, th: Int,
       checksum: Long, mean_r: Option[Double], mean_g: Option[Double],
@@ -972,6 +1031,36 @@ object Multimodal {
         |  round(avg(CASE WHEN c = 2 THEN b END), 4) + 0 AS mean_b
         |FROM px GROUP BY 1, 2, 3
         |ORDER BY doc_id""".stripMargin,
+    // m11: the m07 generator-replay px CTE, aggregated per channel to
+    // EXACT integers (count/sum/sumsq/min/max/4-bin hist); std derives
+    // from the exact moments in the final projection with the
+    // engine's operand order (sum*sum exact, / n double, - , / n)
+    "m11_ppm_channel_stats" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, CAST(i % 3 AS INT) AS c,
+        |    ord(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, 3 * w * h)) AS t(i)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CASE c WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(b) AS BIGINT) AS sum,
+        |    CAST(sum(b * b) AS BIGINT) AS sumsq,
+        |    CAST(min(b) AS INT) AS bmin, CAST(max(b) AS INT) AS bmax,
+        |    CAST(sum(CASE WHEN b // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |    CAST(sum(CASE WHEN b // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN b // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |    CAST(sum(CASE WHEN b // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+        |  FROM px GROUP BY 1, 2
+        |)
+        |SELECT doc_id, channel, n, sum, sumsq, bmin, bmax, h0, h1, h2, h3,
+        |  round(sqrt((sumsq - sum * sum / n) / n), 4) + 0 AS std
+        |FROM agg ORDER BY doc_id, channel""".stripMargin,
     "m07_ppm_pixels" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

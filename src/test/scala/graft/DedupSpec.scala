@@ -109,6 +109,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.toSeq == Seq(1L))
   }
 
+  test("incrementalKeep: new snapshot vs old index, min-id tie, novel docs keep") {
+    val sess = spark
+    import sess.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    // two identical old docs (1, 2): the best-match tie must go to the
+    // SMALLEST old id; doc 3 is unrelated
+    val old = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    val nw = Seq((100001L, t1),
+      (100002L, "totally different words entirely novel content here today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalKeep(old, nw, 0.5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2)
+    val dup = out(100001L)
+    assert(!dup.getBoolean(3) && dup.getLong(1) == 1L && dup.getDouble(2) == 1.0)
+    val nov = out(100002L)
+    assert(nov.getBoolean(3) && nov.isNullAt(1) && nov.isNullAt(2))
+  }
+
   test("d17 keep/drop: cluster min id kept, singletons keep themselves, partition invariant") {
     // end-to-end pipeline semantics on the real sf corpus: every doc
     // appears exactly once; each cluster keeps exactly its min id;

@@ -592,6 +592,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.format == "unknown" && g.mean_r.isEmpty)
   }
 
+  test("extractPpmChannelStats: exact integer profile on hand-built rasters") {
+    val sess = spark
+    import sess.implicits._
+    // 2x1 raster: pixels (10,20,30),(40,50,60) — every moment known
+    val golden = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val out = Multimodal.extractPpmChannelStats(
+      Seq(Multimodal.MediaRow(1L, golden, "x", golden.length)).toDS())
+      .collect().map(r => r.channel -> r).toMap
+    for ((c, s, ss, mn, mx) <- Seq(("r", 50L, 1700L, 10, 40),
+        ("g", 70L, 2900L, 20, 50), ("b", 90L, 4500L, 30, 60))) {
+      val row = out(c)
+      assert(row.n == 2L && row.sum == s && row.sumsq == ss, c)
+      assert(row.bmin == mn && row.bmax == mx, c)
+      assert(row.h0 == 2L && row.h1 == 0L && row.h2 == 0L && row.h3 == 0L, c)
+    }
+    // bin boundaries + the unsigned-byte path: 70→h1, 130→h2, 200→h3
+    val hi = "P6\n1 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](70, 130.toByte, 200.toByte)
+    val oh = Multimodal.extractPpmChannelStats(
+      Seq(Multimodal.MediaRow(2L, hi, "x", hi.length)).toDS())
+      .collect().map(r => r.channel -> r).toMap
+    assert(oh("r").h1 == 1L && oh("g").h2 == 1L && oh("b").h3 == 1L)
+    assert(oh("g").bmin == 130 && oh("b").sum == 200L)
+    // truncated raster emits nothing (no partial profiles)
+    val short = Multimodal.buildPpm(4, 4, Array[Byte](1, 2, 3))
+    assert(Multimodal.extractPpmChannelStats(
+      Seq(Multimodal.MediaRow(3L, short, "x", short.length)).toDS()).count() == 0L)
+  }
+
   test("resizePpm: NN sampling exact on hand-built rasters, identity at same dims, degrade path") {
     val sess = spark
     import sess.implicits._
