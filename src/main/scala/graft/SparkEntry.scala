@@ -76,6 +76,8 @@ object SparkEntry {
     "p16_yeo_johnson" -> (Preprocess.p16YeoJohnson _),
     "p17_corr_matrix" -> (Preprocess.p17CorrMatrix _),
     "p18_vif" -> (Preprocess.p18Vif _),
+    "p19_woe" -> (Preprocess.p19Woe _),
+    "a34_logrank3" -> (Mas.a34Logrank3 _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),

@@ -1436,6 +1436,64 @@ object Association {
   }
 
   /**
+   * K-SAMPLE log-rank test at K = 3 — a19's 2-group test generalized
+   * to a 3-level factor (the dose-group / arm-comparison shape): per
+   * event time the observed−expected vector over the non-reference
+   * groups U_j = Σ_t (d_tj − d_t·n_tj/n_t), j ∈ {1,2}, the 2×2
+   * hypergeometric covariance
+   *   V_jj = Σ_t f_t·(n_tj/n_t)(1 − n_tj/n_t),
+   *   V_12 = −Σ_t f_t·(n_t1/n_t)(n_t2/n_t),  f_t = d_t(n_t−d_t)/(n_t−1),
+   * and χ² = U'V⁻¹U on 2 df via the closed 2×2 inverse — no matrix
+   * library in the plan, the whole statistic is declarative column
+   * arithmetic Catalyst codegens. p = exp(−χ²/2) (the exact 2-df
+   * tail). Singular V (a group empty throughout) yields null χ²/p.
+   * Scale shape identical to a19: one map-side-combined
+   * (stratum, time) aggregate, bounded DESC-cumulative windows,
+   * a one-row projection per stratum.
+   */
+  def logrankK3(df: DataFrame, timeCol: String, eventCol: String,
+      gCol: String, byCol: String): DataFrame = {
+    val perTime = df
+      .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
+        col(eventCol).isin(0.0, 1.0) && col(gCol).isin(0, 1, 2))
+      .groupBy(col(byCol), col(timeCol).as("t"))
+      .agg(
+        sum(col(eventCol)).as("d"),
+        sum(col(eventCol) * when(col(gCol) === 1, 1.0).otherwise(0.0)).as("d1"),
+        sum(col(eventCol) * when(col(gCol) === 2, 1.0).otherwise(0.0)).as("d2"),
+        count(lit(1)).cast("double").as("c"),
+        sum(when(col(gCol) === 1, 1.0).otherwise(0.0)).as("c1"),
+        sum(when(col(gCol) === 2, 1.0).otherwise(0.0)).as("c2"))
+    val w = Window.partitionBy(byCol).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fac = when(col("n") > 1,
+      col("d") * (col("n") - col("d")) / (col("n") - 1)).otherwise(lit(0.0))
+    val terms = perTime
+      .withColumn("n", sum("c").over(w))
+      .withColumn("n1", sum("c1").over(w))
+      .withColumn("n2", sum("c2").over(w))
+      .filter(col("d") > 0)
+      .select(col(byCol),
+        col("d").as("de"),
+        (col("d1") - col("d") * col("n1") / col("n")).as("u1t"),
+        (col("d2") - col("d") * col("n2") / col("n")).as("u2t"),
+        (fac * ((col("n1") / col("n")) * (lit(1.0) - col("n1") / col("n")))).as("v11t"),
+        (fac * ((col("n2") / col("n")) * (lit(1.0) - col("n2") / col("n")))).as("v22t"),
+        (lit(0.0) - fac * ((col("n1") / col("n")) * (col("n2") / col("n")))).as("v12t"))
+    val agg = terms.groupBy(byCol).agg(
+      sum("de").cast("long").as("events"),
+      sum("u1t").as("u1"), sum("u2t").as("u2"),
+      sum("v11t").as("v11"), sum("v22t").as("v22"), sum("v12t").as("v12"))
+    val det = col("v11") * col("v22") - col("v12") * col("v12")
+    val chi2 = (col("u1") * col("u1") * col("v22")
+      - lit(2.0) * col("u1") * col("u2") * col("v12")
+      + col("u2") * col("u2") * col("v11")) / det
+    agg.select(col(byCol), col("events"), col("u1"), col("u2"),
+      when(det > 0, chi2).as("chi2"),
+      when(det > 0, exp(lit(-0.5) * chi2)).as("p"))
+  }
+
+  /**
    * Full Cox proportional-hazards fit (Breslow ties) of a BINARY
    * exposure, per stratum — a19's one-step estimate iterated to the
    * partial-likelihood MLE, the age-at-onset PheWAS measure

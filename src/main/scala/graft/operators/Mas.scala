@@ -221,8 +221,22 @@ object Mas {
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("event"),
         when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"),
         least(floor(col("o_totalprice") / 75000), lit(6)).cast("int").as("z"),
-        col("o_totalprice").cast("double").as("zc"))
+        col("o_totalprice").cast("double").as("zc"),
+        when(col("o_orderpriority") === "1-URGENT", 2)
+          .when(col("o_orderpriority") === "2-HIGH", 1)
+          .otherwise(0).as("g3"))
   }
+
+  /** a34: K-sample (K = 3) log-rank across priority arms
+    * ([[Association.logrankK3]]) per market segment — the dose-group
+    * generalization of a19's 2-group test, χ² on 2 df via the closed
+    * 2×2 inverse of the hypergeometric covariance. */
+  def a34Logrank3(spark: SparkSession, dir: String): DataFrame =
+    Association.logrankK3(survivalSubjects(spark, dir), "time", "event", "g3", "grp")
+      .select(col("grp"), col("events"),
+        r4(col("u1")).as("u1"), r4(col("u2")).as("u2"),
+        r4(col("chi2")).as("chi2"), round(col("p"), 6).as("p"))
+      .orderBy("grp")
 
   /** a23: the FULL Cox proportional-hazards fit (Breslow partial
     * likelihood, 6 Newton steps on the 1e-6 grid) on the a19 cohort —
@@ -1737,6 +1751,57 @@ object Mas {
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
     "a32_cox_ph_efron" -> coxPhEfronSql(6),
+    // a34: the a19 per-time/risk-set CTEs over the 3-level arm, U/V
+    // sums term-for-term, closed 2x2 inverse, exact 2-df tail
+    "a34_logrank3" ->
+      """WITH s AS (
+        |  SELECT c.c_mktsegment AS grp,
+        |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 2
+        |      WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS g
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate IS NOT NULL
+        |), pt AS (
+        |  SELECT grp, t, sum(ev) AS d,
+        |    sum(ev * CASE WHEN g = 1 THEN 1.0 ELSE 0.0 END) AS d1,
+        |    sum(ev * CASE WHEN g = 2 THEN 1.0 ELSE 0.0 END) AS d2,
+        |    CAST(count(*) AS DOUBLE) AS c,
+        |    sum(CASE WHEN g = 1 THEN 1.0 ELSE 0.0 END) AS c1,
+        |    sum(CASE WHEN g = 2 THEN 1.0 ELSE 0.0 END) AS c2
+        |  FROM s GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT grp, t, d, d1, d2,
+        |    sum(c) OVER win AS n,
+        |    sum(c1) OVER win AS n1,
+        |    sum(c2) OVER win AS n2
+        |  FROM pt
+        |  WINDOW win AS (PARTITION BY grp ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |), tm AS (
+        |  SELECT grp, d,
+        |    d1 - d * n1 / n AS u1t,
+        |    d2 - d * n2 / n AS u2t,
+        |    (CASE WHEN n > 1 THEN d * (n - d) / (n - 1) ELSE 0.0 END)
+        |      * ((n1 / n) * (1.0 - n1 / n)) AS v11t,
+        |    (CASE WHEN n > 1 THEN d * (n - d) / (n - 1) ELSE 0.0 END)
+        |      * ((n2 / n) * (1.0 - n2 / n)) AS v22t,
+        |    0.0 - (CASE WHEN n > 1 THEN d * (n - d) / (n - 1) ELSE 0.0 END)
+        |      * ((n1 / n) * (n2 / n)) AS v12t
+        |  FROM rs WHERE d > 0
+        |), ag AS (
+        |  SELECT grp, CAST(sum(d) AS BIGINT) AS events,
+        |    sum(u1t) AS u1, sum(u2t) AS u2,
+        |    sum(v11t) AS v11, sum(v22t) AS v22, sum(v12t) AS v12
+        |  FROM tm GROUP BY grp
+        |), fin AS (
+        |  SELECT *, v11 * v22 - v12 * v12 AS det,
+        |    u1 * u1 * v22 - 2.0 * u1 * u2 * v12 + u2 * u2 * v11 AS num
+        |  FROM ag
+        |)
+        |SELECT grp, events, round(u1, 4) + 0 AS u1, round(u2, 4) + 0 AS u2,
+        |  CASE WHEN det > 0 THEN round(num / det, 4) + 0 END AS chi2,
+        |  CASE WHEN det > 0 THEN round(exp(-0.5 * (num / det)), 6) END AS p
+        |FROM fin ORDER BY grp""".stripMargin,
     "a33_cox_ph_covq" -> coxPhCovSql(6, 6, covCohortQuantile),
     "a26_kaplan_meier" -> kaplanMeierSql,
     // a31: same binning/window/series arithmetic — the 8 Kolmogorov

@@ -430,6 +430,39 @@ object Preprocess {
    * verbatim in SQL. The standard covariate-coarsening /
    * feature-discretization step; one sort + one scan at any scale.
    */
+  /**
+   * Weight-of-Evidence encoding of a categorical column against a
+   * binary target — the standard supervised categorical encoder for
+   * scorecard/risk models (and the leakage-aware alternative to
+   * one-hot at high cardinality): per level i,
+   *   WoE_i = ln( ((g_i + s)/G) / ((b_i + s)/B) )
+   * with g/b the target-1/target-0 counts, G/B their totals, and
+   * s = 0.5 the Haldane-style empty-cell smoothing (the a04/a27
+   * convention — an empty cell shifts, never infinities). The level's
+   * Information-Value contribution iv_i = ((g_i+s)/G − (b_i+s)/B)·WoE_i
+   * rides along (Σ iv is the feature-screening statistic). ONE
+   * map-side-combined aggregate (|levels| rows at any data size) + a
+   * 1-row totals broadcast — a 100 TB encode costs a single scan, and
+   * the tiny (level → woe) table then broadcast-joins back onto the
+   * data as the actual encoder.
+   */
+  def woeEncode(df: DataFrame, catCol: String, targetCol: String,
+      smooth: Double = 0.5): DataFrame = {
+    val t = col(targetCol)
+    val cells = df.filter(t.isin(0.0, 1.0))
+      .groupBy(col(catCol).as("level"))
+      .agg(sum(t).as("g"), sum(lit(1.0) - t).as("b"))
+    val tot = cells.agg(sum("g").as("gt"), sum("b").as("bt"))
+    val pg = (col("g") + lit(smooth)) / col("gt")
+    val pb = (col("b") + lit(smooth)) / col("bt")
+    cells.crossJoin(broadcast(tot))
+      .filter(col("gt") > 0 && col("bt") > 0)
+      .select(col("level"),
+        col("g").cast("long").as("n_pos"), col("b").cast("long").as("n_neg"),
+        log(pg / pb).as("woe"),
+        ((pg - pb) * log(pg / pb)).as("iv"))
+  }
+
   def quantileBin(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, s"quantileBin: need k >= 2 bins, got $k")
     val qs = (1 until k).map(_.toDouble / k)
@@ -542,6 +575,17 @@ object Preprocess {
       "acctbal", 4)
       .select(col("c_custkey"), col("acctbal"), col("acctbal_bin"))
       .orderBy("c_custkey")
+
+  /** p19: WoE encoding of market segment against a positive-balance
+    * target — one aggregate scan, per-level woe + IV contribution. */
+  def p19Woe(spark: SparkSession, dir: String): DataFrame =
+    woeEncode(Tables.customer(spark, dir).select(
+        col("c_mktsegment").as("seg"),
+        when(col("c_acctbal") > 0, 1.0).otherwise(0.0).as("y")),
+      "seg", "y")
+      .select(col("level"), col("n_pos"), col("n_neg"),
+        Norm.r4(col("woe")).as("woe"), round(col("iv"), 6).as("iv"))
+      .orderBy("level")
 
   /** p12: winsorize c_acctbal at the exact [5%, 95%] quantiles. */
   def p12Clip(spark: SparkSession, dir: String): DataFrame =
@@ -751,6 +795,20 @@ object Preprocess {
         |    + (CASE WHEN c_acctbal >= c2 THEN 1 ELSE 0 END)
         |    + (CASE WHEN c_acctbal >= c3 THEN 1 ELSE 0 END) END AS acctbal_bin
         |FROM customer, cuts ORDER BY c_custkey""".stripMargin,
+    "p19_woe" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS level,
+        |    sum(CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END) AS g,
+        |    sum(CASE WHEN c_acctbal > 0 THEN 0.0 ELSE 1.0 END) AS b
+        |  FROM customer GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(g) AS gt, sum(b) AS bt FROM cells
+        |)
+        |SELECT level, CAST(g AS BIGINT) AS n_pos, CAST(b AS BIGINT) AS n_neg,
+        |  round(ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 4) + 0 AS woe,
+        |  round((((g + 0.5) / gt) - ((b + 0.5) / bt))
+        |    * ln(((g + 0.5) / gt) / ((b + 0.5) / bt)), 6) + 0 AS iv
+        |FROM cells, tot ORDER BY level""".stripMargin,
     "p12_clip" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.05) AS lo,

@@ -537,6 +537,48 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1 == p8 && p1 == beta)
   }
 
+  test("logrankK3: matches brute-force subject-level U/V; empty arm nulls out") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(55)
+    val rows = (0 until 150).map { i =>
+      val g = i % 3
+      val t = math.ceil(-math.log(1 - rng.nextDouble()) / (1.0 + 0.4 * g) * 8) + 1.0
+      val ev = if (rng.nextDouble() < 0.8) 1.0 else 0.0
+      ("g", t, ev, g)
+    }
+    val out = operators.Association.logrankK3(
+      rows.toDF("grp", "time", "event", "g"), "time", "event", "g", "grp").head()
+    // independent subject-level replay (O(n^2) risk sets, no windows)
+    val times = rows.filter(_._3 == 1.0).map(_._2).distinct
+    var u1 = 0.0; var u2 = 0.0; var v11 = 0.0; var v22 = 0.0; var v12 = 0.0
+    times.foreach { t =>
+      val risk = rows.filter(_._2 >= t)
+      val dead = rows.filter(r => r._2 == t && r._3 == 1.0)
+      val n = risk.size.toDouble; val d = dead.size.toDouble
+      val n1 = risk.count(_._4 == 1).toDouble; val n2 = risk.count(_._4 == 2).toDouble
+      val d1 = dead.count(_._4 == 1).toDouble; val d2 = dead.count(_._4 == 2).toDouble
+      u1 += d1 - d * n1 / n; u2 += d2 - d * n2 / n
+      if (n > 1) {
+        val f = d * (n - d) / (n - 1)
+        v11 += f * (n1 / n) * (1 - n1 / n)
+        v22 += f * (n2 / n) * (1 - n2 / n)
+        v12 -= f * (n1 / n) * (n2 / n)
+      }
+    }
+    val det = v11 * v22 - v12 * v12
+    val chi = (u1 * u1 * v22 - 2 * u1 * u2 * v12 + u2 * u2 * v11) / det
+    assert(math.abs(out.getAs[Double]("u1") - u1) < 1e-9)
+    assert(math.abs(out.getAs[Double]("u2") - u2) < 1e-9)
+    assert(math.abs(out.getAs[Double]("chi2") - chi) < 1e-8)
+    assert(out.getAs[Double]("p") > 0 && out.getAs[Double]("p") <= 1)
+    // arm 2 empty throughout -> singular V -> null chi2/p
+    val two = rows.map(r => (r._1, r._2, r._3, r._4 % 2))
+    val o2 = operators.Association.logrankK3(
+      two.toDF("grp", "time", "event", "g"), "time", "event", "g", "grp").head()
+    assert(o2.isNullAt(o2.fieldIndex("chi2")))
+  }
+
   test("coxPhEfron: equals Breslow on untied data, zeroes the independent Efron score on ties") {
     val sess = spark
     import sess.implicits._

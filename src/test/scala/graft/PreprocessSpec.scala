@@ -27,6 +27,24 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Preprocess.selectColumns(df, "i:1-9"))
   }
 
+  test("woeEncode: hand-computed two-level table with Haldane smoothing") {
+    val sess = spark
+    import sess.implicits._
+    // level A: 3 pos / 1 neg; level B: 1 pos / 3 neg; G = B = 4
+    val df = (Seq.fill(3)(("A", 1.0)) ++ Seq(("A", 0.0)) ++
+      Seq(("B", 1.0)) ++ Seq.fill(3)(("B", 0.0))).toDF("cat", "y")
+    val out = operators.Preprocess.woeEncode(df, "cat", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val wA = math.log((3.5 / 4.0) / (1.5 / 4.0))
+    assert(out("A").getAs[Long]("n_pos") == 3L && out("A").getAs[Long]("n_neg") == 1L)
+    assert(math.abs(out("A").getAs[Double]("woe") - wA) < 1e-12)
+    assert(math.abs(out("A").getAs[Double]("iv") -
+      ((3.5 / 4.0) - (1.5 / 4.0)) * wA) < 1e-12)
+    // symmetric table: woe_B = -woe_A; iv contributions equal
+    assert(math.abs(out("A").getAs[Double]("woe") + out("B").getAs[Double]("woe")) < 1e-12)
+    assert(math.abs(out("A").getAs[Double]("iv") - out("B").getAs[Double]("iv")) < 1e-12)
+  }
+
   test("rint produces Blom-offset normal quantiles with exact ranks") {
     val sess = spark
     import sess.implicits._
