@@ -165,6 +165,7 @@ object SparkEntry {
     "e16_stream_static_gate" -> (graft.streaming.StreamingOps.e16StreamStaticGate _),
     "e17_stream_file_gate" -> (graft.streaming.StreamingOps.e17StreamFileGate _),
     "e18_stream_rocksdb_gate" -> (graft.streaming.StreamingOps.e18StreamRocksdbGate _),
+    "e19_stream_ingest_gate" -> (graft.streaming.StreamingOps.e19StreamIncrementalGate _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
@@ -548,6 +549,9 @@ object SparkEntry {
     // e16: the stream-static tagging must reproduce the batch
     // contamination exactly — same oracle as d07 by design
     "e16_stream_static_gate" -> graft.operators.Dedup.oracleSql("d07_contamination"),
+    // e19: the streaming ingest-dedup gate must reproduce the batch
+    // incremental keep decision exactly — same oracle as d18 by design
+    "e19_stream_ingest_gate" -> graft.operators.Dedup.oracleSql("d18_incremental_dedup"),
     // e17: the FILE-sink emission path must land the same rows the
     // memory-sink gate (e11) proves — same oracle as e11/e02 by design
     "e17_stream_file_gate" ->

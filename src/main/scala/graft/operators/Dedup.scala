@@ -783,6 +783,27 @@ object Dedup {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** The OLD side's persisted dedup artifact in d18's design: the
+    * banded MinHash index (band, bh, ido, sho) a pipeline keeps
+    * between snapshots — built once per corpus version, broadcast or
+    * bucket-joined by every subsequent ingest. */
+  private[graft] def minhashBandIndex(docs: DataFrame,
+      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val params = permParams(bands * rows, 42L)
+    val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, params))
+    val bandUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map(bi =>
+        (bi, scala.util.hashing.MurmurHash3.orderedHash(
+          sig.slice(bi * rows, bi * rows + rows)))))
+    withShingles(docs, "text", "sh").select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", sigUdf(col("sh")))
+      .select(col("doc_id").as("ido"), col("sh").as("sho"),
+        explode(bandUdf(col("sig"))).as("b"))
+      .select(col("b._1").as("band"), col("b._2").as("bh"),
+        col("ido"), col("sho"))
+  }
+
   /** d18: incremental ingest dedup — the mutated +100000 replicas are
     * the incoming snapshot, the originals the existing corpus. */
   def d18IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {

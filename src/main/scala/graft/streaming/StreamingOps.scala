@@ -392,6 +392,106 @@ object StreamingOps {
   }
 
   /**
+   * Streaming transform of [[graft.operators.Dedup.incrementalKeep]]'s
+   * candidate+verify+best-match stages: the incoming snapshot as a
+   * document STREAM, the old corpus's banded MinHash index as the
+   * STATIC broadcast side (the persisted between-snapshots artifact).
+   * Per stream doc: shingles → signature → exploded bands (pure
+   * per-row maps, streaming-safe), band hash-join the static index,
+   * exact-Jaccard verify ≥ τ, then ONE windowed aggregation picks the
+   * best old match — max(struct(4-dp jaccard, −old_id)), the same
+   * rounded-grid/min-id rule as the batch op, collapsed into a single
+   * stateful operator so append mode emits each doc's final match
+   * exactly once when the watermark closes its window. A duplicate
+   * (new, old) candidate from k colliding bands carries the identical
+   * jaccard, so the max absorbs the multiplicity with no distinct.
+   */
+  def streamIncrementalDedup(docs: DataFrame, oldIndex: DataFrame, tau: Double,
+      bands: Int = 32, rows: Int = 4,
+      windowDur: String = "1 day", watermark: String = "1 hour"): DataFrame = {
+    val params = graft.operators.Dedup.permParams(bands * rows, 42L)
+    // shingle-free docs (and the watermark sentinel) must drop at the
+    // EXPLODE, not at a filter: a `size(sh) > 0` Filter doesn't
+    // reference the event-time column, so Catalyst pushes it BELOW
+    // the EventTimeWatermark node — the sentinel then never reaches
+    // the watermark tracker and no window ever closes (measured: the
+    // watermark latched at the last real doc). A Generate is not
+    // pushed through the watermark, so an empty band list is the
+    // streaming-safe way to drop the row.
+    val sigUdf = udf((sh: Seq[String]) =>
+      if (sh.isEmpty) Array.empty[Long]
+      else graft.operators.Dedup.minhashSig(sh, params))
+    val bandUdf = udf((sig: Seq[Long]) =>
+      if (sig.isEmpty) Seq.empty[(Int, Int)]
+      else (0 until bands).map(bi =>
+        (bi, scala.util.hashing.MurmurHash3.orderedHash(
+          sig.slice(bi * rows, bi * rows + rows)))))
+    val withSh = graft.operators.Dedup
+      .withShingles(docs.withWatermark("ts", watermark), "text", "sh")
+    val bandsDf = withSh.withColumn("sig", sigUdf(col("sh")))
+      .select(col("doc_id").as("idn"), col("ts"), col("sh").as("shn"),
+        explode(bandUdf(col("sig"))).as("b"))
+      .select(col("idn"), col("ts"), col("shn"),
+        col("b._1").as("band"), col("b._2").as("bh"))
+    val jac = col("common") /
+      (size(col("shn")) + size(col("sho")) - col("common"))
+    bandsDf.join(broadcast(oldIndex), Seq("band", "bh"))
+      .withColumn("common",
+        size(array_intersect(col("shn"), col("sho"))).cast("double"))
+      .filter(jac >= tau)
+      .withColumn("jr", round(jac, 4))
+      .groupBy(window(col("ts"), windowDur).as("w"), col("idn"))
+      .agg(max(struct(col("jr").as("j"), (-col("ido")).as("nio"))).as("m"))
+      .select(col("idn").as("doc_id"), (-col("m.nio")).as("dup_of"),
+        col("m.j").as("jaccard"))
+  }
+
+  /**
+   * e19 — the INCREMENTAL-INGEST dedup gate: d18's pipeline with the
+   * incoming snapshot replayed as a real document stream against the
+   * static old-corpus band index, through the windowed-aggregate
+   * state store in append mode (the e16 harness shape: one 1-day
+   * window, shingle-free far-future sentinel closes it). The sink's
+   * flagged matches left-join back onto the full snapshot doc list
+   * batch-side to assemble the keep flags — EXACTLY d18's output,
+   * same oracle by design: the streaming machinery must reproduce
+   * the batch ingest-dedup decision row for row.
+   */
+  def e19StreamIncrementalGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val c = graft.operators.Dedup.corpus(spark, dir)
+    val oldIdx = graft.operators.Dedup
+      .minhashBandIndex(c.filter(col("doc_id") < 100000))
+      .localCheckpoint(true)
+    val newDocs = c.filter(col("doc_id") >= 100000)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val src = input.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_millis(col("doc_id") + lit(3600000L)))
+    val sinkName = "graft_e19_sink"
+    spark.catalog.dropTempView(sinkName)
+    withShufflePartitions(spark, 8) {
+      val q = streamIncrementalDedup(src, oldIdx, 0.5).writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      try {
+        val batch = math.max(2000, (newDocs.length + 1) / 2)
+        newDocs.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
+        input.addData(Seq((10000000000L, "")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val matches = spark.table(sinkName)
+      .filter(col("doc_id") < 10000000000L)
+    c.filter(col("doc_id") >= 100000).select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * e15 — the replay harness applied to SESSIONIZATION, the fourth
    * and last streaming state surface (after dedup e10, windowed agg
    * e11, stream-stream join e13): the events table replays through

@@ -249,6 +249,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.contains((1L, 100L, 6L)) && !batch.exists(_._2 == 101L))
   }
 
+  test("e19 streaming ingest gate equals the batch incremental dedup (d18)") {
+    val dir = "/root/testdata/sf0.001"
+    val s = graft.streaming.StreamingOps.e19StreamIncrementalGate(spark, dir)
+      .collect().map(_.toString).toSeq
+    val b = graft.operators.Dedup.d18IncrementalDedup(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == b)
+  }
+
   test("e17 file-sink gate: the parquet rows on disk equal the memory-sink gate (e11)") {
     // the gate pair under test: e11 proves the STATE machinery, e17
     // proves the EMISSION path — same pipeline, sink swapped; the
