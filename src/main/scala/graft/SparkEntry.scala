@@ -77,6 +77,7 @@ object SparkEntry {
     "p17_corr_matrix" -> (Preprocess.p17CorrMatrix _),
     "p18_vif" -> (Preprocess.p18Vif _),
     "p19_woe" -> (Preprocess.p19Woe _),
+    "p20_target_encode" -> (Preprocess.p20TargetEncode _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),

@@ -463,6 +463,51 @@ object Preprocess {
         ((pg - pb) * log(pg / pb)).as("iv"))
   }
 
+  /**
+   * K-fold OUT-OF-FOLD target encoding — the leakage-controlled mean
+   * encoder (a plain level mean of the target leaks each row's own
+   * label into its feature; the OOF construction encodes every row
+   * from the OTHER folds only, the standard CV-encoding used by
+   * gradient-boosting pipelines): for level l seen from fold f,
+   *   enc(l, f) = (sum_l − sum_{l,f} + m·prior_f) /
+   *               (cnt_l − cnt_{l,f} + m)
+   * with m the smoothing pseudo-count and prior_f the leave-fold-out
+   * GLOBAL target mean (the prior itself must not leak the fold
+   * either). Output is the (level, fold) encoding TABLE — bounded at
+   * |levels|·k rows at any data size — which then broadcast-joins
+   * back onto the data as the encoder. ONE map-side-combined
+   * (level, fold) aggregate + a k-row global table; a 100 TB encode
+   * is a single scan.
+   */
+  def targetEncodeOof(df: DataFrame, catCol: String, targetCol: String,
+      foldCol: String, smoothing: Double = 20.0): DataFrame = {
+    val t = col(targetCol)
+    val cells = df.filter(t.isNotNull)
+      .groupBy(col(catCol).as("level"), col(foldCol).as("fold"))
+      .agg(sum(t).as("s"), count(lit(1)).cast("double").as("c"))
+    // per-level and global totals are tiny — window over the bounded
+    // cells table, then the leave-fold-out arithmetic is a projection
+    val wl = Window.partitionBy("level")
+    val wg = Window.partitionBy()
+    val wgf = Window.partitionBy("fold")
+    val enc = cells
+      .withColumn("sl", sum("s").over(wl))
+      .withColumn("cl", sum("c").over(wl))
+      .withColumn("sg", sum("s").over(wg))
+      .withColumn("cg", sum("c").over(wg))
+      .withColumn("sf", sum("s").over(wgf))
+      .withColumn("cf", sum("c").over(wgf))
+      .withColumn("prior",
+        // ANSI guard: a single-fold input has no leave-fold-out prior
+        when(col("cg") > col("cf"),
+          (col("sg") - col("sf")) / (col("cg") - col("cf"))))
+    enc.select(col("level"), col("fold"),
+      col("c").cast("long").as("n_fold"),
+      (col("cl") - col("c")).cast("long").as("n_oof"),
+      ((col("sl") - col("s") + lit(smoothing) * col("prior")) /
+        (col("cl") - col("c") + lit(smoothing))).as("enc"))
+  }
+
   def quantileBin(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, s"quantileBin: need k >= 2 bins, got $k")
     val qs = (1 until k).map(_.toDouble / k)
@@ -586,6 +631,18 @@ object Preprocess {
       .select(col("level"), col("n_pos"), col("n_neg"),
         Norm.r4(col("woe")).as("woe"), round(col("iv"), 6).as("iv"))
       .orderBy("level")
+
+  /** p20: 5-fold OOF target encoding of market segment against the
+    * positive-balance target, folds = c_custkey mod 5. */
+  def p20TargetEncode(spark: SparkSession, dir: String): DataFrame =
+    targetEncodeOof(Tables.customer(spark, dir).select(
+        col("c_mktsegment").as("seg"),
+        when(col("c_acctbal") > 0, 1.0).otherwise(0.0).as("y"),
+        (col("c_custkey") % 5).cast("int").as("fold")),
+      "seg", "y", "fold")
+      .select(col("level"), col("fold"), col("n_fold"), col("n_oof"),
+        round(col("enc"), 6).as("enc"))
+      .orderBy("level", "fold")
 
   /** p12: winsorize c_acctbal at the exact [5%, 95%] quantiles. */
   def p12Clip(spark: SparkSession, dir: String): DataFrame =
@@ -795,6 +852,28 @@ object Preprocess {
         |    + (CASE WHEN c_acctbal >= c2 THEN 1 ELSE 0 END)
         |    + (CASE WHEN c_acctbal >= c3 THEN 1 ELSE 0 END) END AS acctbal_bin
         |FROM customer, cuts ORDER BY c_custkey""".stripMargin,
+    "p20_target_encode" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS level, CAST(c_custkey % 5 AS INT) AS fold,
+        |    sum(CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END) AS s,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM customer GROUP BY 1, 2
+        |), win AS (
+        |  SELECT level, fold, s, c,
+        |    sum(s) OVER (PARTITION BY level) AS sl,
+        |    sum(c) OVER (PARTITION BY level) AS cl,
+        |    sum(s) OVER () AS sg,
+        |    sum(c) OVER () AS cg,
+        |    sum(s) OVER (PARTITION BY fold) AS sf,
+        |    sum(c) OVER (PARTITION BY fold) AS cf
+        |  FROM cells
+        |)
+        |SELECT level, fold,
+        |  CAST(c AS BIGINT) AS n_fold,
+        |  CAST(cl - c AS BIGINT) AS n_oof,
+        |  round((sl - s + 20.0 * ((sg - sf) / (cg - cf)))
+        |    / (cl - c + 20.0), 6) + 0 AS enc
+        |FROM win ORDER BY level, fold""".stripMargin,
     "p19_woe" ->
       """WITH cells AS (
         |  SELECT c_mktsegment AS level,

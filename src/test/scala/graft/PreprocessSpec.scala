@@ -45,6 +45,30 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out("A").getAs[Double]("iv") - out("B").getAs[Double]("iv")) < 1e-12)
   }
 
+  test("targetEncodeOof: hand-computed two-fold table, own fold excluded, prior leaves fold out") {
+    val sess = spark
+    import sess.implicits._
+    // level A: fold0 = {1,1}, fold1 = {0};  level B: fold0 = {0}, fold1 = {1,0}
+    val df = Seq(
+      ("A", 1.0, 0), ("A", 1.0, 0), ("A", 0.0, 1),
+      ("B", 0.0, 0), ("B", 1.0, 1), ("B", 0.0, 1)).toDF("cat", "y", "fold")
+    val out = operators.Preprocess.targetEncodeOof(df, "cat", "y", "fold", smoothing = 2.0)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    // enc(A, fold0): oof sum = 0 (A-fold1), oof cnt = 1;
+    // prior_0 = mean of fold1 rows = (0 + 1 + 0) / 3 = 1/3
+    // enc = (0 + 2*(1/3)) / (1 + 2) = 2/9
+    val a0 = out(("A", 0))
+    assert(a0.getAs[Long]("n_fold") == 2L && a0.getAs[Long]("n_oof") == 1L)
+    assert(math.abs(a0.getAs[Double]("enc") - 2.0 / 9.0) < 1e-12)
+    // enc(A, fold1): oof sum = 2, cnt = 2; prior_1 = fold0 mean
+    // (rows A(1), A(1), B(0)) = 2/3; enc = (2 + 2*(2/3)) / (2 + 2)
+    val a1 = out(("A", 1))
+    assert(math.abs(a1.getAs[Double]("enc") - (2.0 + 2.0 * (2.0 / 3.0)) / 4.0) < 1e-12)
+    // enc(B, fold0): oof = B-fold1 {1,0} sum 1 cnt 2; prior_0 = 1/3
+    val b0 = out(("B", 0))
+    assert(math.abs(b0.getAs[Double]("enc") - (1.0 + 2.0 / 3.0) / 4.0) < 1e-12)
+  }
+
   test("rint produces Blom-offset normal quantiles with exact ranks") {
     val sess = spark
     import sess.implicits._
