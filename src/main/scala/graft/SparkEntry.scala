@@ -112,6 +112,7 @@ object SparkEntry {
     "d11_containment" -> (Dedup.d11Containment _),
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n07_knn_classify" -> (Similarity.n07KnnClassify _),
+    "n10_sq8_knn" -> (Similarity.n10Sq8Knn _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n08_ann_recall" -> (Similarity.n08AnnRecall _),
     "n09_pca_power" -> (Similarity.n09PcaPower _),

@@ -103,6 +103,61 @@ object Similarity {
     radiusSearch(embeddings(spark, dir), col("vec_id") < 25, tau = 0.3)
       .orderBy("query_id", "neighbor_id")
 
+  /**
+   * SCALAR-QUANTIZED (SQ8) nearest-neighbor search — the memory-side
+   * compression standard (the FAISS SQ8 shape): each dimension maps
+   * to a byte via the corpus-global per-dimension [min, max] range,
+   *   q_i = ⌊(x_i − mn_i)/(mx_i − mn_i)·255 + 0.5⌋ ∈ [0, 255]
+   * (no clamp needed — mn/mx ARE the global extrema), and search
+   * ranks by the INTEGER dot product of quantized vectors — 4× less
+   * vector memory than float32 and a ranking with NO FP surface at
+   * all: every score is an exact i64, so the top-k is
+   * bit-deterministic in any engine (min/max are exact picks, the
+   * quantization arithmetic is the same IEEE ops on the same
+   * operands both sides). Per-dim extrema are ONE posexplode
+   * aggregate with a dims-bounded output, collected as bounded model
+   * state (the n03/n06 codebook rule); quantization is a pure
+   * per-row map; search is n01's broadcast-query shape over the int
+   * arrays — at 100 TB swap in the n02/n03 bucketed candidate
+   * generation and keep this integer scorer.
+   */
+  def sq8Knn(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val mm = emb.select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mns = mm.map(_.getDouble(1))
+    val mxs = mm.map(_.getDouble(2))
+    val qUdf = udf((e: Seq[Double]) => {
+      val out = new Array[Long](e.length)
+      var i = 0
+      while (i < e.length) {
+        val mn = mns(i); val mx = mxs(i)
+        out(i) =
+          if (mx > mn) math.floor((e(i) - mn) / (mx - mn) * 255 + 0.5).toLong
+          else 0L
+        i += 1
+      }
+      out
+    })
+    val qz = emb.withColumn("qe", qUdf(col("e")))
+    val q = qz.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"))
+    val n = qz.select(col("vec_id").as("neighbor_id"), col("qe").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("dotq").desc, col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dotq",
+        aggregate(zip_with(col("qq"), col("qn"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dotq"))
+  }
+
+  /** n10: SQ8 integer top-k for the n01 query subset. */
+  def n10Sq8Knn(spark: SparkSession, dir: String): DataFrame =
+    sq8Knn(embeddings(spark, dir), col("vec_id") < 25, k = 5)
+      .orderBy("query_id", "rnk")
+
   // ------------------------------------------------------------ n02 LSH
 
   /** Deterministic ±1 hyperplane entries (splitmix bit stream). */
@@ -902,6 +957,36 @@ object Similarity {
         |FROM q JOIN emb n ON q.query_id <> n.vec_id
         |WHERE round(list_cosine_similarity(q.qe, n.e), 4) >= 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
+    // n10: per-dim global extrema → byte quantization → INTEGER dot
+    // ranking: every score an exact i64 (min/max are exact picks, the
+    // quantization arithmetic the same IEEE ops on the same operands)
+    "n10_sq8_knn" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), mm AS (
+        |  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+        |  FROM emb, unnest(generate_series(1, len(e))) AS t(i)
+        |  GROUP BY 1
+        |), qrow AS (
+        |  SELECT vec_id, i,
+        |    CASE WHEN mx > mn
+        |      THEN CAST(floor((e[i] - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS qv
+        |  FROM emb, unnest(generate_series(1, len(e))) AS t(i)
+        |  JOIN mm USING (i)
+        |), dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(sum(a.qv * b.qv) AS BIGINT) AS dotq
+        |  FROM qrow a JOIN qrow b ON a.i = b.i
+        |  WHERE a.vec_id < 25 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dotq DESC, neighbor_id) AS rnk
+        |  FROM dots
+        |)
+        |SELECT query_id, neighbor_id, rnk, dotq
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "n01_knn_brute" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -300,6 +300,38 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sq8Knn: hand-quantized codes, exact integer ranking, agrees with float kNN when separated") {
+    val sess = spark
+    import sess.implicits._
+    // 2-dim corpus with known extrema: dim1 ∈ [0, 10], dim2 ∈ [0, 2].
+    // codes: (x-mn)/(mx-mn)*255 rounded — vec 0 (0,0)→(0,0),
+    // 1 (10,2)→(255,255), 2 (5,1)→(128,128) (0.5*255=127.5→⌊128.0⌋),
+    // 3 (10,0)→(255,0)
+    val emb = Seq(
+      (0L, "a", Seq(0.0, 0.0)), (1L, "a", Seq(10.0, 2.0)),
+      (2L, "a", Seq(5.0, 1.0)), (3L, "a", Seq(10.0, 0.0)))
+      .toDF("vec_id", "label", "e")
+    val out = operators.Similarity.sq8Knn(emb, col("vec_id") === 1L, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    // dots vs query (255,255): v3 = 255*255 = 65025,
+    // v2 = 255*128 + 255*128 = 65280, v0 = 0 → order 2, 3, 0
+    assert(out.toSeq == Seq((2L, 1, 65280L), (3L, 2, 65025L), (0L, 3, 0L)))
+    // well-separated clusters: SQ8's top-1 equals float cosine's top-1
+    val rng = new scala.util.Random(7)
+    val big = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.1 * rng.nextGaussian())
+      base(c) += 5.0
+      (i.toLong, c.toString, base.toSeq)
+    }.toDF("vec_id", "label", "e")
+    val sq = operators.Similarity.sq8Knn(big, col("vec_id") < 6, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fl = operators.Similarity.knnBrute(big, col("vec_id") < 6, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same CLUSTER (i mod 3) even if not the same vector
+    sq.foreach { case (q, n) => assert(n % 3 == fl(q) % 3, s"query $q") }
+  }
+
   test("knnClassify votes with top-k labels and breaks ties lexicographically") {
     val sess = spark
     import sess.implicits._
