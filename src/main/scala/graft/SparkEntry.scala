@@ -86,6 +86,7 @@ object SparkEntry {
     "s06_lambda_gc" -> (Postprocess.s06LambdaGc _),
     "s07_qq_expected" -> (Postprocess.s07QqExpected _),
     "s08_qvalues" -> (Postprocess.s08Qvalues _),
+    "s15_weighted_bh" -> (Postprocess.s15WeightedBh _),
     "s09_meta_analysis" -> (Postprocess.s09MetaAnalysis _),
     "s10_clump" -> (Postprocess.s10Clump _),
     "s11_icd_phecode" -> (Mas.s11IcdPhecode _),

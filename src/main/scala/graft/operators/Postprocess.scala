@@ -100,6 +100,47 @@ object Postprocess {
   }
 
   /**
+   * WEIGHTED Benjamini–Hochberg (Genovese–Roeder–Wasserman 2006) —
+   * prior-informed FDR control, the GWAS standard for folding
+   * functional annotations / prior evidence into multiple testing:
+   * weights normalize to MEAN 1 over the tested set
+   * (w̃ = w·m/Σw — the normalization that preserves FDR ≤ α), each
+   * p-value re-scales to p/w̃, and plain BH runs on the weighted
+   * p-values — up-weighted hypotheses need less evidence, the
+   * procedure stays valid because Σ(1/w̃·w̃) = m. Reuses the
+   * distributed two-pass suffix-min scan (never a global window);
+   * the weight normalization is one aggregate + a 1-row broadcast.
+   * Rows with null/non-positive weights are excluded like null
+   * p-values (no valid prior, no test).
+   */
+  def weightedBh(df: DataFrame, pvalCol: String, weightCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val nonNull = df.filter(col(pvalCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol) > 0)
+    val tot = nonNull.agg(sum(col(weightCol)).as("sw"),
+      count(lit(1)).cast("double").as("mq"))
+    val withPw = nonNull.crossJoin(broadcast(tot))
+      .withColumn("w_norm", col(weightCol) * col("mq") / col("sw"))
+      .withColumn("__pw", col(pvalCol) / col("w_norm"))
+      .drop("sw", "mq")
+    bhAdjust(withPw, "__pw", scale = 1.0, outCol = "p_adj_w")
+      .withColumn("bhw_significant", col("p_adj_w") < alpha)
+      .drop("__pw")
+  }
+
+  /** s15: weighted BH over the pseudo p-value table with a
+    * deterministic 4-level prior weight w ∈ {0.5, 1.0, 1.5, 2.0}. */
+  def s15WeightedBh(spark: SparkSession, dir: String): DataFrame =
+    weightedBh(pseudoPvals(spark, dir)
+        .withColumn("w", lit(0.5) + (col("o_orderkey") % 4).cast("double") * 0.5),
+      "pval", "w")
+      .select(col("o_orderkey"), round(col("pval"), 6).as("pval"),
+        round(col("w_norm"), 6).as("w_norm"),
+        round(col("p_adj_w"), 6).as("p_adj_w"),
+        col("bhw_significant"))
+      .orderBy("o_orderkey")
+
+  /**
    * Storey q-values — BH's suffix-min rescaled by the estimated null
    * proportion π̂₀ = #{p > λ} / (m·(1−λ)), the standard tightening
    * when many tests are truly non-null (π₀ ≪ 1 in a strong PheWAS):
@@ -615,6 +656,31 @@ object Postprocess {
          |      FROM r, m)
          |SELECT o_orderkey, round(pval, 6) AS pval, round(p_adj, 6) AS p_adj,
          |  p_adj < 0.05 AS bh_significant
+         |FROM adj ORDER BY o_orderkey""".stripMargin,
+    // s15: weights normalize to mean 1, pw = p / w_norm, then the s02
+    // suffix-min on pw — operand order (w*m/sw, p/w_norm, pw*m/rnk)
+    // mirrors weightedBh + bhAdjust term-for-term
+    "s15_weighted_bh" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |wp AS (SELECT o_orderkey, pval,
+         |         0.5 + CAST(o_orderkey % 4 AS DOUBLE) * 0.5 AS w
+         |       FROM p WHERE pval IS NOT NULL),
+         |m AS (SELECT count(*) AS m, sum(w) AS sw FROM wp),
+         |nw AS (SELECT o_orderkey, pval, w * m.m / m.sw AS w_norm
+         |       FROM wp, m),
+         |pw AS (SELECT o_orderkey, pval, w_norm, pval / w_norm AS pwv FROM nw),
+         |r AS (SELECT o_orderkey, pval, w_norm, pwv,
+         |        row_number() OVER (ORDER BY pwv, o_orderkey) AS rnk
+         |      FROM pw),
+         |adj AS (SELECT o_orderkey, pval, w_norm,
+         |        least(1.0, min(pwv * m.m / rnk) OVER (
+         |          ORDER BY pwv DESC, o_orderkey DESC
+         |          ROWS UNBOUNDED PRECEDING)) AS p_adj_w
+         |      FROM r, m)
+         |SELECT o_orderkey, round(pval, 6) AS pval,
+         |  round(w_norm, 6) + 0 AS w_norm,
+         |  round(p_adj_w, 6) AS p_adj_w,
+         |  p_adj_w < 0.05 AS bhw_significant
          |FROM adj ORDER BY o_orderkey""".stripMargin,
     // same suffix-min as s02 with the π₀ scale applied before the
     // clamp, mirroring bhAdjust's operation order exactly

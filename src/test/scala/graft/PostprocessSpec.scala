@@ -133,6 +133,33 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps.sameElements(ps.sorted))
   }
 
+  test("weightedBh: equal weights reduce to plain BH; up-weighting lowers the adjusted p") {
+    val sess = spark
+    import sess.implicits._
+    val ps = Seq(0.001, 0.008, 0.039, 0.041, 0.2, 0.5, 0.9)
+    val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p, 1.0) }
+      .toDF("id", "pval", "w")
+    val wbh = operators.Postprocess.weightedBh(df, "pval", "w").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("p_adj_w")).toMap
+    val bh = operators.Postprocess.bhFdr(df, "pval").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("p_adj")).toMap
+    ps.indices.foreach(i =>
+      assert(math.abs(wbh(i.toLong) - bh(i.toLong)) < 1e-12, s"id $i"))
+    // up-weight hypothesis 3 (p = 0.041): its weighted p drops, its
+    // adjusted value can only improve; down-weighted ones can only
+    // worsen (monotone direction of the GRW construction)
+    val df2 = ps.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p, if (i == 3) 4.0 else 0.5) }.toDF("id", "pval", "w")
+    val w2 = operators.Postprocess.weightedBh(df2, "pval", "w").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("p_adj_w")).toMap
+    assert(w2(3L) <= bh(3L) + 1e-12)
+    assert(w2(6L) >= bh(6L) - 1e-12)
+    // weights normalize to mean 1: sum of w_norm == m
+    val wn = operators.Postprocess.weightedBh(df2, "pval", "w").collect()
+      .map(_.getAs[Double]("w_norm")).sum
+    assert(math.abs(wn - ps.length) < 1e-9)
+  }
+
   test("qvalues = pi0 x BH suffix-min, scaled BEFORE the clamp") {
     val sess = spark
     import sess.implicits._
