@@ -169,6 +169,8 @@ object SparkEntry {
     "e17_stream_file_gate" -> (graft.streaming.StreamingOps.e17StreamFileGate _),
     "e18_stream_rocksdb_gate" -> (graft.streaming.StreamingOps.e18StreamRocksdbGate _),
     "e19_stream_ingest_gate" -> (graft.streaming.StreamingOps.e19StreamIncrementalGate _),
+    "e20_asof_forward" -> (Joins.e20AsofForward _),
+    "e21_asof_nearest" -> (Joins.e21AsofNearest _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),

@@ -57,6 +57,78 @@ object Joins {
   }
 
   /**
+   * FORWARD as-of join — polars `join_asof(strategy="forward")`: for
+   * every left row, the EARLIEST right row at or after it (the
+   * time-to-next-event shape: click → next purchase, symptom → next
+   * diagnosis). Same union + one-windowed-pass design as the backward
+   * [[asofJoin]], mirrored: the frame runs [current, ∞) and takes the
+   * FIRST non-null payload; at equal time the right row sorts AFTER
+   * the left (__r asc) so a simultaneous right row is visible, and
+   * equal-time right rows tie-break on the ascending payload struct
+   * (deterministic in both engines — the oracle's LATERAL orders by
+   * (ts, payload) the same way). One shuffle on the key, no join.
+   */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String]): DataFrame = {
+    val r2 = right.select(col(key).as("__k"), col(time).as("__t"), lit(1).as("__r"),
+      struct(payload.map(col): _*).as("__p"))
+    val pType = r2.schema("__p").dataType
+    val l2 = left.select(col(key).as("__k"), col(time).as("__t"), lit(0).as("__r"),
+      lit(null).cast(pType).as("__p"), struct(left.columns.map(col): _*).as("__l"))
+    val lType = l2.schema("__l").dataType
+    val u = l2.unionByName(r2.withColumn("__l", lit(null).cast(lType)))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__r").asc, col("__p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("__asof", first("__p", ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) :+ col("__asof").as("asof"): _*)
+  }
+
+  /**
+   * NEAREST as-of join — polars `join_asof(strategy="nearest")`: for
+   * every left row, whichever of its backward and forward matches is
+   * closer in time, ties to the backward side (the row that already
+   * happened). BOTH directions come from the same unioned frame in
+   * one shuffle — two window passes (one ordered each way) over the
+   * same key partitioning, then the pick is a projection on the two
+   * candidates' exact microsecond gaps. Returns the chosen payload
+   * plus `side` ('b'/'f') so the decision is auditable.
+   */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String]): DataFrame = {
+    val r2 = right.select(col(key).as("__k"), col(time).as("__t"), lit(1).as("__r"),
+      struct(payload.map(col): _*).as("__p"))
+    val pType = r2.schema("__p").dataType
+    val l2 = left.select(col(key).as("__k"), col(time).as("__t"), lit(0).as("__r"),
+      lit(null).cast(pType).as("__p"), struct(left.columns.map(col): _*).as("__l"))
+    val lType = l2.schema("__l").dataType
+    val u = l2.unionByName(r2.withColumn("__l", lit(null).cast(lType)))
+      // the right TIME rides beside the payload so the distance rule
+      // needs no payload-schema knowledge
+      .withColumn("__tp", when(col("__r") === 1,
+        struct(col("__t").as("t"), col("__p").as("p"))))
+    val wb = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__r").desc, col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__r").asc, col("__p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gb = unix_micros(col("__t")) - unix_micros(col("__b.t"))
+    val gf = unix_micros(col("__f.t")) - unix_micros(col("__t"))
+    u.withColumn("__b", last("__tp", ignoreNulls = true).over(wb))
+      .withColumn("__f", first("__tp", ignoreNulls = true).over(wf))
+      .filter(col("__r") === 0)
+      .withColumn("__side",
+        when(col("__f").isNull, lit("b"))
+          .when(col("__b").isNull, lit("f"))
+          .when(gb <= gf, lit("b")).otherwise(lit("f")))
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++ Seq(
+        when(col("__side") === "b", col("__b.p")).otherwise(col("__f.p")).as("asof"),
+        col("__side").as("side")): _*)
+  }
+
+  /**
    * Same-key row pairs within `windowSec` seconds of each other.
    * Output: one row per unordered pair — key, id1 < id2 (by `id`),
    * gap_us (absolute time distance in microseconds, exact integers).
@@ -101,6 +173,42 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** e20: click → NEXT purchase per user (forward as-of) —
+    * time-to-conversion. Oracle: LATERAL top-1 with the same
+    * (ts, event_id) ascending tie-break as the window's payload
+    * order; gap_us exact integer microseconds. */
+  def e20AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    asofJoinForward(clicks, purchases, "user_id", "ts", Seq("event_id", "ts"))
+      .select(col("event_id"), col("user_id"),
+        col("asof.event_id").as("purchase_id"),
+        (unix_micros(col("asof.ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** e21: click → NEAREST purchase per user (either direction, ties
+    * backward) — the polars strategy="nearest" surface; `side`
+    * reports which direction won, gap_us the absolute distance. */
+  def e21AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    asofJoinNearest(clicks, purchases, "user_id", "ts", Seq("event_id", "ts"))
+      .select(col("event_id"), col("user_id"),
+        col("asof.event_id").as("purchase_id"), col("side"),
+        when(col("side") === "b",
+          unix_micros(col("ts")) - unix_micros(col("asof.ts")))
+          .otherwise(unix_micros(col("asof.ts")) - unix_micros(col("ts")))
+          .as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** e04: same-user event pairs within 10 minutes — the bucketed
     * interval self-join. Oracle: plain inequality self-join (fine at
     * sf0.01; the bucketing is the part that scales). */
@@ -124,6 +232,50 @@ object Joins {
         |  epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts >= c.cts
         |ORDER BY p.event_id""".stripMargin,
+    // e20/e21: LATERAL top-1 per click with explicit tie-breaks that
+    // mirror the window payload orders (forward: min (ts, event_id);
+    // backward: max ts then max event_id)
+    "e20_asof_forward" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, m.pid AS purchase_id,
+        |  CAST(epoch_us(m.pts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT p.event_id AS pid, p.ts AS pts FROM p
+        |  WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        |  ORDER BY p.ts, p.event_id LIMIT 1
+        |) m ON TRUE
+        |ORDER BY c.event_id""".stripMargin,
+    "e21_asof_nearest" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |    b.pid AS bid, b.pts AS bts, f.pid AS fid, f.pts AS fts
+        |  FROM c
+        |  LEFT JOIN LATERAL (
+        |    SELECT p.event_id AS pid, p.ts AS pts FROM p
+        |    WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        |    ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+        |  ) b ON TRUE
+        |  LEFT JOIN LATERAL (
+        |    SELECT p.event_id AS pid, p.ts AS pts FROM p
+        |    WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        |    ORDER BY p.ts, p.event_id LIMIT 1
+        |  ) f ON TRUE
+        |), s AS (
+        |  SELECT *, CASE WHEN fid IS NULL THEN 'b' WHEN bid IS NULL THEN 'f'
+        |    WHEN epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)
+        |      THEN 'b' ELSE 'f' END AS side
+        |  FROM j
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN side = 'b' THEN bid ELSE fid END AS purchase_id, side,
+        |  CAST(CASE WHEN side = 'b' THEN epoch_us(ts) - epoch_us(bts)
+        |    ELSE epoch_us(fts) - epoch_us(ts) END AS BIGINT) AS gap_us
+        |FROM s ORDER BY event_id""".stripMargin,
     "e04_range_join" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events

@@ -39,6 +39,37 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("l3") == None)       // nothing at-or-before 09:00
   }
 
+  test("asofJoinForward/Nearest: earliest-after, tie rules, nearest picks the closer side") {
+    val sess = spark
+    import sess.implicits._
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq(
+      (1L, t(10), "a"), (1L, t(40), "b"), (1L, t(50), "c"), (1L, t(100), "d"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (1L, t(20), 1L), (1L, t(20), 2L), (1L, t(60), 3L))
+      .toDF("k", "t", "rid")
+    // forward: earliest at-or-after; equal-time right rows tie to the
+    // ascending payload (min rid)
+    val fw = Joins.asofJoinForward(left, right, "k", "t", Seq("rid")).collect()
+      .map(r => r.getString(2) -> Option(r.getStruct(3)).map(_.getLong(0))).toMap
+    assert(fw("a") == Some(1L)) // t10 -> t20, tie -> rid 1
+    assert(fw("b") == Some(3L)) // t40 -> t60
+    assert(fw("c") == Some(3L))
+    assert(fw("d") == None)     // nothing after t100
+    // nearest: c(t50): back t20 gap 30 vs fwd t60 gap 10 -> forward;
+    // b(t40): back gap 20 == fwd gap 20 -> backward (tie rule);
+    // a(t10): back t20? no - t20 > t10, backward empty -> forward;
+    // d(t100): forward empty -> backward t60
+    val nr = Joins.asofJoinNearest(left, right, "k", "t", Seq("rid")).collect()
+      .map(r => r.getString(2) ->
+        ((Option(r.getStruct(3)).map(_.getLong(0)), r.getString(4)))).toMap
+    assert(nr("c") == ((Some(3L), "f")))
+    assert(nr("b") == ((Some(2L), "b"))) // backward at t20 picks MAX rid
+    assert(nr("a") == ((Some(1L), "f")))
+    assert(nr("d") == ((Some(3L), "b")))
+  }
+
   test("attribution: last click within window wins; stale/absent/later clicks don't") {
     val sess = spark
     import sess.implicits._
