@@ -79,6 +79,7 @@ object SparkEntry {
     "p19_woe" -> (Preprocess.p19Woe _),
     "p20_target_encode" -> (Preprocess.p20TargetEncode _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
+    "a35_clogit" -> (Mas.a35Clogit _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
     "s02_bh_fdr" -> (Postprocess.s02BhFdr _),
     "s03_annotate" -> (Postprocess.s03Annotate _),

@@ -1436,6 +1436,79 @@ object Association {
   }
 
   /**
+   * 1:M matched-set CONDITIONAL logistic regression (CLOGIT) of a
+   * binary exposure — the general matched case-control fit a27's 1:1
+   * McNemar form is the special case of (R's `clogit`, SAS PROC
+   * LOGISTIC STRATA): each set has exactly one case and M ≥ 1
+   * controls, and the conditional likelihood per set depends only on
+   * (set size, #exposed members, case exposure):
+   *   ll_s = β·xc − ln(n1·e^β + (sz − n1))
+   *   U_s  = xc − n1·e^β/(n1·e^β + (sz − n1))
+   *   I_s  = n1·e^β·(sz − n1)/(n1·e^β + (sz − n1))²
+   * so the WHOLE fit runs over the (stratum, sz, n1, xc) COUNT table
+   * — one map-side-combined aggregate at any data size, Newton in a
+   * per-stratum task over the bounded cells (β floor-gridded to 1e-6
+   * per step, fixed `iters`, the a23 replay rule). Concordant sets
+   * (n1 = 0 or n1 = sz) contribute exactly zero score/information —
+   * they stay in the table (the oracle mirrors the same sums) and
+   * `n_informative` reports the discordant count. At sz ≡ 2 the MLE
+   * equals McNemar's ln(n10/n01) (spec-pinned). Wald p via the same
+   * Zelen–Severo Horner tail as a27, operand order mirrored.
+   * Degenerate information (all sets concordant) yields null fit
+   * columns with counts intact.
+   */
+  def clogit1M(sets: DataFrame, sizeCol: String, n1Col: String,
+      xCaseCol: String, byCol: String, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"clogit1M: iters in [1,20], got $iters")
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val cells = sets
+      .filter(col(sizeCol) >= 2 && col(n1Col) >= 0 &&
+        col(n1Col) <= col(sizeCol) && col(xCaseCol).isin(0.0, 1.0))
+      .groupBy(col(byCol).cast("string").as("g"),
+        col(sizeCol).cast("int").as("sz"), col(n1Col).cast("int").as("n1"),
+        col(xCaseCol).cast("int").as("xc"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .as[(String, Int, Int, Int, Double)]
+    cells.groupByKey(_._1).flatMapGroups { (grp, it) =>
+      val rows = it.toArray.sortBy(r => (r._2, r._3, r._4))
+      val nSets = rows.iterator.map(_._5).sum.toLong
+      val nInf = rows.iterator.filter(r => r._3 > 0 && r._3 < r._2)
+        .map(_._5).sum.toLong
+      def pass(beta: Double): (Double, Double) = {
+        val eb = math.exp(beta)
+        var u = 0.0; var inf = 0.0
+        rows.foreach { case (_, sz, n1, xc, c) =>
+          val den = n1 * eb + (sz - n1)
+          u += c * (xc - n1 * eb / den)
+          inf += c * (n1 * eb * (sz - n1)) / (den * den)
+        }
+        (u, inf)
+      }
+      var beta = 0.0; var dead = false; var k = 0
+      while (k < iters && !dead) {
+        val (u, inf) = pass(beta)
+        if (inf <= 0) dead = true
+        else beta = math.floor((beta + u / inf) * 1e6 + 0.5) / 1e6
+        k += 1
+      }
+      val infFin = if (dead) 0.0 else pass(beta)._2
+      if (infFin <= 0)
+        Iterator.single((grp, nSets, nInf, None: Option[Double],
+          None: Option[Double], None: Option[Double], None: Option[Double]))
+      else {
+        val x = math.abs(beta) * math.sqrt(infFin)
+        val t = 1.0 / (1.0 + 0.2316419 * x)
+        val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+          t * (-1.821255978 + t * 1.330274429))))
+        val p = 2.0 * math.exp(-0.5 * x * x) * 0.3989422804014327 * poly
+        Iterator.single((grp, nSets, nInf, Some(beta),
+          Some(1.0 / math.sqrt(infFin)), Some(math.exp(beta)), Some(p)))
+      }
+    }.toDF(byCol, "n_sets", "n_informative", "beta", "se", "or", "p_wald")
+  }
+
+  /**
    * K-SAMPLE log-rank test at K = 3 — a19's 2-group test generalized
    * to a 3-level factor (the dose-group / arm-comparison shape): per
    * event time the observed−expected vector over the non-reference

@@ -227,6 +227,35 @@ object Mas {
           .otherwise(0).as("g3"))
   }
 
+  /** a35: 1:M matched-set conditional logistic
+    * ([[Association.clogit1M]]) — a27's design generalized to the
+    * FULL matched set: per customer, the highest-price order is the
+    * case and ALL other orders the controls (not just the
+    * lowest-price one), exposure = urgency, stratified by market
+    * segment; the fit runs over the bounded (segment, size, n1, xc)
+    * count table, 8 grid-rounded Newton steps, oracle unrolled. */
+  def a35Clogit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val j = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+        o("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("cust"), col("c_mktsegment").as("grp"),
+        col("o_orderkey").as("okey"), col("o_totalprice").as("price"),
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"))
+    val wd = Window.partitionBy("cust").orderBy(col("price").desc, col("okey"))
+    val sets = j.withColumn("rd", row_number().over(wd))
+      .groupBy("cust")
+      .agg(first(col("grp")).as("grp"), count(lit(1)).as("size"),
+        sum(col("x")).as("n1"), max(when(col("rd") === 1, col("x"))).as("x_case"))
+      .filter(col("size") >= 2)
+    Association.clogit1M(sets, "size", "n1", "x_case", "grp", iters = 8)
+      .select(col("grp"), col("n_sets"), col("n_informative"),
+        r4(col("beta")).as("beta"), r4(col("se")).as("se"),
+        r4(col("or")).as("or"), round(col("p_wald"), 6).as("p_wald"))
+      .orderBy("grp")
+  }
+
   /** a34: K-sample (K = 3) log-rank across priority arms
     * ([[Association.logrankK3]]) per market segment — the dose-group
     * generalization of a19's 2-group test, χ² on 2 df via the closed
@@ -1217,6 +1246,65 @@ object Mas {
        |FROM fin f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
   }
 
+  /** a35 oracle: the a27 window/set construction widened to full
+    * sets, the (grp, sz, n1, xc) count table, 8 unrolled Newton CTE
+    * pairs over the closed per-cell score/information, the a27
+    * Horner tail — every operand order mirrors clogit1M's kernel. */
+  private def clogitSql(iters: Int): String = {
+    val den = "(n1 * exp(i.beta) + (sz - n1))"
+    val u = s"sum(c * (xc - n1 * exp(i.beta) / $den))"
+    val i2 = s"sum(c * (n1 * exp(i.beta) * (sz - n1)) / ($den * $den))"
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""st$k AS (
+         |  SELECT e.grp, i.beta, $u AS u, $i2 AS i2
+         |  FROM cells e JOIN $prev i ON e.grp = i.grp GROUP BY 1, 2
+         |), it$k AS (
+         |  SELECT grp, CASE WHEN i2 > 0
+         |    THEN floor((beta + u / i2) * 1000000 + 0.5) / 1000000.0 END AS beta
+         |  FROM st$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH j AS (
+       |  SELECT c.c_custkey AS cust, c.c_mktsegment AS grp,
+       |    o.o_orderkey AS okey, o.o_totalprice AS price,
+       |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cust ORDER BY price DESC, okey) AS rd
+       |  FROM j
+       |), s AS (
+       |  SELECT cust, max(grp) AS grp, CAST(count(*) AS INT) AS sz,
+       |    CAST(sum(x) AS INT) AS n1,
+       |    CAST(max(CASE WHEN rd = 1 THEN x END) AS INT) AS xc
+       |  FROM r GROUP BY cust HAVING count(*) >= 2
+       |), cells AS (
+       |  SELECT grp, sz, n1, xc, CAST(count(*) AS DOUBLE) AS c
+       |  FROM s GROUP BY 1, 2, 3, 4
+       |), ns AS (
+       |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_sets,
+       |    CAST(sum(CASE WHEN n1 > 0 AND n1 < sz THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_informative
+       |  FROM cells GROUP BY grp
+       |), it0 AS (SELECT DISTINCT grp, 0.0 AS beta FROM cells),
+       |$steps, fin AS (
+       |  SELECT e.grp, i.beta, $i2 AS i2
+       |  FROM cells e JOIN it$iters i ON e.grp = i.grp GROUP BY 1, 2
+       |), fx AS (
+       |  SELECT grp, beta, i2, abs(beta) * sqrt(i2) AS xv FROM fin WHERE i2 > 0
+       |), ft AS (
+       |  SELECT *, 1.0 / (1.0 + 0.2316419 * xv) AS t FROM fx
+       |)
+       |SELECT v.grp, v.n_sets, v.n_informative,
+       |  round(f.beta, 4) + 0 AS beta,
+       |  round(1.0 / sqrt(f.i2), 4) + 0 AS se,
+       |  round(exp(f.beta), 4) + 0 AS "or",
+       |  round(2.0 * exp(-0.5 * f.xv * f.xv) * 0.3989422804014327
+       |    * (f.t * (0.319381530 + f.t * (-0.356563782 + f.t * (1.781477937
+       |      + f.t * (-1.821255978 + f.t * 1.330274429))))), 6) AS p_wald
+       |FROM ns v LEFT JOIN ft f ON v.grp = f.grp ORDER BY v.grp""".stripMargin
+  }
+
   /** a32 oracle: the a23 CTE chain under EFRON ties — the per-tie
     * inner sum Σ_{l<d} runs as an IN-ORDER `list_sum` over
     * `generate_series(0, d−1)` (ascending l, matching the kernel's l
@@ -1751,6 +1839,7 @@ object Mas {
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
     "a32_cox_ph_efron" -> coxPhEfronSql(6),
+    "a35_clogit" -> clogitSql(8),
     // a34: the a19 per-time/risk-set CTEs over the 3-level arm, U/V
     // sums term-for-term, closed 2x2 inverse, exact 2-df tail
     "a34_logrank3" ->

@@ -537,6 +537,40 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1 == p8 && p1 == beta)
   }
 
+  test("clogit1M: sz=2 equals McNemar, score zeroed on mixed sets, concordant-only nulls") {
+    val sess = spark
+    import sess.implicits._
+    // (1) 1:1 sets reduce to McNemar: n10 = 7 (case exposed, control
+    // not -> sz 2, n1 1, xc 1), n01 = 3 (n1 1, xc 0) plus concordant
+    // noise -> beta = ln(7/3)
+    val pairs = (Seq.fill(7)(("g", 2L, 1.0, 1.0)) ++ Seq.fill(3)(("g", 2L, 1.0, 0.0)) ++
+      Seq.fill(5)(("g", 2L, 0.0, 0.0)) ++ Seq.fill(4)(("g", 2L, 2.0, 1.0)))
+      .toDF("grp", "size", "n1", "x_case")
+    val r = operators.Association.clogit1M(pairs, "size", "n1", "x_case", "grp",
+      iters = 20).head()
+    assert(r.getAs[Long]("n_sets") == 19L && r.getAs[Long]("n_informative") == 10L)
+    assert(math.abs(r.getAs[Double]("beta") - math.log(7.0 / 3.0)) < 1e-5)
+    // (2) mixed 1:2 / 1:3 sets: the fitted beta zeroes the analytic
+    // conditional score computed independently set-by-set
+    val sets = Seq(
+      ("h", 3L, 1.0, 1.0), ("h", 3L, 1.0, 1.0), ("h", 3L, 2.0, 1.0),
+      ("h", 3L, 1.0, 0.0), ("h", 3L, 2.0, 0.0), ("h", 4L, 2.0, 1.0),
+      ("h", 4L, 1.0, 0.0), ("h", 4L, 3.0, 1.0), ("h", 2L, 1.0, 1.0))
+    val r2 = operators.Association.clogit1M(sets.toDF("grp", "size", "n1", "x_case"),
+      "size", "n1", "x_case", "grp", iters = 20).head()
+    def score(b: Double): Double = sets.map { case (_, sz, n1, xc) =>
+      xc - n1 * math.exp(b) / (n1 * math.exp(b) + (sz - n1))
+    }.sum
+    assert(math.abs(score(r2.getAs[Double]("beta"))) < 1e-4)
+    assert(r2.getAs[Double]("p_wald") > 0 && r2.getAs[Double]("p_wald") <= 1)
+    // (3) all-concordant stratum: zero information, null fit, counts kept
+    val conc = Seq(("z", 3L, 0.0, 0.0), ("z", 3L, 3.0, 1.0))
+      .toDF("grp", "size", "n1", "x_case")
+    val r3 = operators.Association.clogit1M(conc, "size", "n1", "x_case", "grp").head()
+    assert(r3.getAs[Long]("n_sets") == 2L && r3.getAs[Long]("n_informative") == 0L)
+    assert(r3.isNullAt(r3.fieldIndex("beta")))
+  }
+
   test("logrankK3: matches brute-force subject-level U/V; empty arm nulls out") {
     val sess = spark
     import sess.implicits._
