@@ -134,6 +134,7 @@ object SparkEntry {
     "m06_mp4_header" -> (Multimodal.m06Mp4Header _),
     "m07_ppm_pixels" -> (Multimodal.m07PpmPixels _),
     "m11_ppm_channel_stats" -> (Multimodal.m11PpmChannelStats _),
+    "m12_ppm_otsu" -> (Multimodal.m12PpmOtsu _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
     "m09_pcm_stats" -> (Multimodal.m09PcmStats _),
     "q01_agg" -> (Relational.q01Agg _),

@@ -470,6 +470,73 @@ object Multimodal {
           .as("std"))
       .orderBy("doc_id", "channel")
 
+  final case class PpmOtsu(
+      doc_id: Long, thr_bin: Int, n_bg: Long, n_px: Long, fg_frac: Double)
+
+  /**
+   * OTSU threshold per image over the real P6 raster — the classic
+   * global binarization (foreground/background split maximizing
+   * between-class variance), the CV-pipeline step that gates
+   * blank/flat frames and feeds mask-based filtering. Luminance is
+   * the integer byte sum r+g+b ∈ [0, 765], binned to 64 levels
+   * (lum div 12); for threshold t the between-class variance is
+   * maximized as score(t) = a²/d with a = S0·W − S·W0 and
+   * d = W0·(W − W0) (W0/S0 cumulative count/level-sum at t, W/S the
+   * totals) — a and d are EXACT integers (|a| ≤ 1.3M, a² < 2⁵³, so
+   * the double score is computed from exactly-representable operands
+   * and both engines order candidates identically), argmax ties to
+   * the smallest t. Same batched decode hook as m07; flat images
+   * (one occupied bin — no valid split) emit thr −1 with counts
+   * intact. Output: threshold bin, background count, pixel count,
+   * 4-dp foreground fraction.
+   */
+  def extractPpmOtsu(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[PpmOtsu] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      parsePpmHeader(r.media) match {
+        case Some(h) if r.media.length - h.headerLen >= 3L * h.width * h.height =>
+          val n = h.width * h.height
+          val hist = new Array[Long](64)
+          var p = 0
+          while (p < n) {
+            val off = h.headerLen + 3 * p
+            val lum = (r.media(off) & 0xff) + (r.media(off + 1) & 0xff) +
+              (r.media(off + 2) & 0xff)
+            hist(lum / 12) += 1L
+            p += 1
+          }
+          var wTot = 0L; var sTot = 0L
+          var b = 0
+          while (b < 64) { wTot += hist(b); sTot += b.toLong * hist(b); b += 1 }
+          var bestT = -1; var bestScore = -1.0; var bestW0 = 0L
+          var w0 = 0L; var s0 = 0L
+          var t = 0
+          while (t < 63) {
+            w0 += hist(t); s0 += t.toLong * hist(t)
+            if (w0 > 0 && w0 < wTot) {
+              val a = s0 * wTot - sTot * w0
+              val d = w0 * (wTot - w0)
+              val score = (a * a).toDouble / d.toDouble
+              if (score > bestScore) { bestScore = score; bestT = t; bestW0 = w0 }
+            }
+            t += 1
+          }
+          val fg = if (bestT >= 0) (wTot - bestW0).toDouble / wTot.toDouble else 0.0
+          Iterator.single(PpmOtsu(r.doc_id, bestT, bestW0, wTot,
+            math.floor(fg * 10000 + 0.5) / 10000.0))
+        case _ => Iterator.empty
+      }
+    }))
+  }
+
+  /** m12: Otsu global threshold per image under the hash gate. */
+  def m12PpmOtsu(spark: SparkSession, dir: String): DataFrame =
+    extractPpmOtsu(ppmTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("thr_bin"), col("n_bg"), col("n_px"),
+        (col("fg_frac") + lit(0.0)).as("fg_frac"))
+      .orderBy("doc_id")
+
   final case class PpmThumb(
       doc_id: Long, width: Int, height: Int, tw: Int, th: Int,
       checksum: Long, mean_r: Option[Double], mean_g: Option[Double],
@@ -1061,6 +1128,63 @@ object Multimodal {
         |SELECT doc_id, channel, n, sum, sumsq, bmin, bmax, h0, h1, h2, h3,
         |  round(sqrt((sumsq - sum * sum / n) / n), 4) + 0 AS std
         |FROM agg ORDER BY doc_id, channel""".stripMargin,
+    // m12: per-pixel luminance (byte sum) from the m07 px CTE, 64-bin
+    // histogram, Otsu argmax over occupied bins — a/d exact integers,
+    // the double score computed from exactly-representable operands
+    // (identical ordering both engines), fg_frac on the engine's
+    // floor(x*1e4+0.5) grid
+    "m12_ppm_otsu" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, CAST(i // 3 AS INT) AS p,
+        |    ord(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, 3 * w * h)) AS t(i)
+        |), lum AS (
+        |  SELECT doc_id, p, CAST(sum(b) AS BIGINT) AS lv
+        |  FROM px GROUP BY 1, 2
+        |), hb AS (
+        |  SELECT doc_id, CAST(lv // 12 AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lum GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT doc_id, bin, cnt,
+        |    sum(cnt) OVER win AS w0,
+        |    sum(bin * cnt) OVER win AS s0,
+        |    sum(cnt) OVER (PARTITION BY doc_id) AS w,
+        |    sum(bin * cnt) OVER (PARTITION BY doc_id) AS s
+        |  FROM hb
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |), cand AS (
+        |  SELECT doc_id, bin, w0, w,
+        |    s0 * w - s * w0 AS a, w0 * (w - w0) AS d
+        |  FROM cum WHERE bin < 63 AND w0 > 0 AND w0 < w
+        |), scored AS (
+        |  SELECT doc_id, bin, w0, w,
+        |    CAST(a * a AS DOUBLE) / CAST(d AS DOUBLE) AS score
+        |  FROM cand
+        |), best AS (
+        |  SELECT doc_id, bin, w0,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, bin) AS rn
+        |  FROM scored
+        |), ad AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px FROM lum GROUP BY 1
+        |)
+        |SELECT ad.doc_id,
+        |  CAST(coalesce(b.bin, -1) AS INT) AS thr_bin,
+        |  CAST(coalesce(b.w0, 0) AS BIGINT) AS n_bg,
+        |  ad.n_px,
+        |  CASE WHEN b.bin IS NOT NULL THEN
+        |    floor((CAST(ad.n_px - b.w0 AS DOUBLE) / CAST(ad.n_px AS DOUBLE))
+        |      * 10000 + 0.5) / 10000.0 + 0
+        |  ELSE 0.0 END AS fg_frac
+        |FROM ad LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON ad.doc_id = b.doc_id
+        |ORDER BY ad.doc_id""".stripMargin,
     "m07_ppm_pixels" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

@@ -654,6 +654,27 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Multimodal.MediaRow(3L, short, "x", short.length)).toDS()).count() == 0L)
   }
 
+  test("extractPpmOtsu: two-cluster raster splits at the dark bin; flat raster emits -1") {
+    val sess = spark
+    import sess.implicits._
+    // 3x2 raster: 4 dark pixels (10,10,10) -> lum 30 bin 2; 2 bright
+    // (200,200,200) -> lum 600 bin 50. Only candidate threshold is
+    // bin 2: w0=4, s0=8, W=6, S=2*4+50*2=108, a=8*6-108*4=-384,
+    // d=4*2=8 -> split at 2 with fg = 2/6
+    val raster = (Seq.fill(4)(Seq(10, 10, 10)) ++ Seq.fill(2)(Seq(200, 200, 200)))
+      .flatten.map(_.toByte).toArray
+    val golden = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ raster
+    val r = Multimodal.extractPpmOtsu(
+      Seq(Multimodal.MediaRow(1L, golden, "x", golden.length)).toDS()).collect().head
+    assert(r.thr_bin == 2 && r.n_bg == 4L && r.n_px == 6L)
+    assert(math.abs(r.fg_frac - 0.3333) < 1e-12)
+    // flat image: a single occupied bin has no valid split
+    val flat = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(42.toByte)
+    val f = Multimodal.extractPpmOtsu(
+      Seq(Multimodal.MediaRow(2L, flat, "x", flat.length)).toDS()).collect().head
+    assert(f.thr_bin == -1 && f.n_bg == 0L && f.n_px == 4L && f.fg_frac == 0.0)
+  }
+
   test("resizePpm: NN sampling exact on hand-built rasters, identity at same dims, degrade path") {
     val sess = spark
     import sess.implicits._
