@@ -604,6 +604,58 @@ object TextOps {
   def t05TopkNgrams(spark: SparkSession, dir: String): DataFrame =
     topkNgrams(Tables.documents(spark, dir), n = 2, k = 20)
 
+  /**
+   * t21: ZIPF-slope corpus QC — per source, the log-log OLS fit of
+   * word frequency against rank over the top-1000 words: natural
+   * text runs close to the Zipf exponent −1, while templated /
+   * machine-generated / heavily-duplicated corpora flatten or
+   * steepen the curve — the corpus-level counterpart of t02's
+   * per-document quality score and a standard release-card check
+   * next to c10. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with
+   * x = ln rank, y = ln count, plus intercept and r² in closed form.
+   * Shapes: one map-side-combined (source, word) count, a
+   * source-keyed rank window over the VOCABULARY-sized table (≪
+   * corpus — the t05 altitude), rank ≤ 1000 filter, ONE 6-sum
+   * aggregate; at 100 TB only the word count touches the data.
+   */
+  def t21ZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    zipfSlope(Tables.documents(spark, dir))
+
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("w"))
+    val xy = words.withColumn("rnk", row_number().over(wnd))
+      .filter(col("rnk") <= 1000)
+      .select(col("source"),
+        log(col("rnk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val agg = xy.groupBy("source").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    // 1e-9 threshold, not > 0: a CONSTANT count column leaves varY as
+    // ±1e-16 cancellation dust whose sign differs between engines —
+    // any two genuinely distinct counts give varY ≥ ~1e-3, so the
+    // threshold separates dust from signal with six decades to spare
+    agg.select(col("source"), col("n").cast("long").as("n_words"),
+        when(varX > 1e-9, Norm.r4(covN / varX)).as("zipf_slope"),
+        when(varX > 1e-9,
+          Norm.r4((col("sy") - (covN / varX) * col("sx")) / col("n")))
+          .as("intercept"),
+        when(varX > 1e-9 && varY > 1e-9,
+          Norm.r4(covN * covN / (varX * varY))).as("r2"))
+      .orderBy("source")
+  }
+
   // --------------------------------------------- t16 CMS heavy hitters
 
   /** Count-Min-Sketch geometry — D independent rows × W counters.
@@ -1559,6 +1611,41 @@ object TextOps {
            |    AS top_2gram_frac
            |FROM g LEFT JOIN t ON g.doc_id = t.doc_id
            |ORDER BY g.doc_id""".stripMargin,
+      // t21: word counts per source, rank window with the identical
+      // (cnt desc, word) tie-break, ln sums, closed-form OLS — each
+      // arithmetic step mirrors the engine's operand order
+      "t21_zipf_slope" ->
+        """WITH w AS (
+          |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |  FROM documents
+          |), cnts AS (
+          |  SELECT source, w, count(*) AS cnt FROM w GROUP BY 1, 2
+          |), ranked AS (
+          |  SELECT source, cnt,
+          |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rnk
+          |  FROM cnts
+          |), xy AS (
+          |  SELECT source, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+          |  FROM ranked WHERE rnk <= 1000
+          |), agg AS (
+          |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+          |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+          |    sum(x * x) AS sxx, sum(y * y) AS syy
+          |  FROM xy GROUP BY source
+          |), f AS (
+          |  SELECT source, n, sx, sy,
+          |    n * sxy - sx * sy AS covn,
+          |    n * sxx - sx * sx AS varx,
+          |    n * syy - sy * sy AS vary
+          |  FROM agg
+          |)
+          |SELECT source, CAST(n AS BIGINT) AS n_words,
+          |  CASE WHEN varx > 0.000000001 THEN round(covn / varx, 4) + 0 END AS zipf_slope,
+          |  CASE WHEN varx > 0.000000001 THEN
+          |    round((sy - (covn / varx) * sx) / n, 4) + 0 END AS intercept,
+          |  CASE WHEN varx > 0.000000001 AND vary > 0.000000001 THEN
+          |    round(covn * covn / (varx * vary), 4) + 0 END AS r2
+          |FROM f ORDER BY source""".stripMargin,
       "t05_topk_ngrams" ->
         """WITH w AS (
           |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents

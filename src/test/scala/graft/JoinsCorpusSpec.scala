@@ -740,6 +740,26 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("zipfSlope: exact power law fits slope -1 with r2 = 1; constant counts null out") {
+    val sess = spark
+    import sess.implicits._
+    // corpus where word k appears exactly round(720/k) times for
+    // k = 1..6 (720, 360, 240, 180, 144, 120): ln(cnt) is EXACTLY
+    // ln(720) - ln(rank), so the OLS slope is -1 and r2 = 1
+    val text = (1 to 6).flatMap(k => Seq.fill(720 / k)(s"w$k")).mkString(" ")
+    val docs = Seq(("s1", text)).toDF("source", "text")
+    val r = operators.TextOps.zipfSlope(docs).head()
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(math.abs(r.getAs[Double]("zipf_slope") - (-1.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(720.0)) < 1e-3)
+    // all-equal counts: varY = 0 -> r2 null, slope 0
+    val flat = Seq(("s2", "a b c a b c")).toDF("source", "text")
+    val f = operators.TextOps.zipfSlope(flat).head()
+    assert(math.abs(f.getAs[Double]("zipf_slope")) < 1e-12)
+    assert(f.isNullAt(f.fieldIndex("r2")))
+  }
+
   test("readability: hand-computed Flesch score, punctuation-free floor") {
     val sess = spark
     import sess.implicits._
