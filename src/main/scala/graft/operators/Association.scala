@@ -1526,6 +1526,16 @@ object Association {
    */
   def logrankK3(df: DataFrame, timeCol: String, eventCol: String,
       gCol: String, byCol: String): DataFrame = {
+    // Domain guard: a caller passing a 4+-level factor (or arms coded
+    // outside {0,1,2}) must get an ERROR, not a statistic over a
+    // silently truncated risk set — out-of-domain rows change n_t and
+    // the U/V sums with no signal. limit(1) early-exits the scan, so
+    // the check is a cheap probe, not a full pass.
+    val nBad = df.filter(col(gCol).isNotNull && !col(gCol).isin(0, 1, 2))
+      .limit(1).count()
+    require(nBad == 0,
+      s"logrankK3: column '$gCol' carries group codes outside {0,1,2}; " +
+        "recode the factor to three arms (0 = reference) before calling")
     val perTime = df
       .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
         col(eventCol).isin(0.0, 1.0) && col(gCol).isin(0, 1, 2))

@@ -466,8 +466,13 @@ object Multimodal {
     extractPpmChannelStats(ppmTable(spark, dir)).toDF()
       .select(col("doc_id"), col("channel"), col("n"), col("sum"), col("sumsq"),
         col("bmin"), col("bmax"), col("h0"), col("h1"), col("h2"), col("h3"),
-        Norm.r4(sqrt((col("sumsq") - col("sum") * col("sum") / col("n")) / col("n")))
-          .as("std"))
+        // sum² as a double product: a Long sum*sum wraps silently past
+        // ~12M bright pixels (sum > 3e9). sum ≤ 255·n < 2^53 for any
+        // realistic raster, so the double square is exact where the
+        // Long one overflows; the oracle mirrors the same cast.
+        Norm.r4(sqrt((col("sumsq").cast("double") -
+            col("sum").cast("double") * col("sum").cast("double") / col("n")) /
+          col("n"))).as("std"))
       .orderBy("doc_id", "channel")
 
   final case class PpmOtsu(
@@ -482,9 +487,12 @@ object Multimodal {
    * (lum div 12); for threshold t the between-class variance is
    * maximized as score(t) = a²/d with a = S0·W − S·W0 and
    * d = W0·(W − W0) (W0/S0 cumulative count/level-sum at t, W/S the
-   * totals) — a and d are EXACT integers (|a| ≤ 1.3M, a² < 2⁵³, so
-   * the double score is computed from exactly-representable operands
-   * and both engines order candidates identically), argmax ties to
+   * totals) — a and d are EXACT Int64 values (|a| < 63·n·n fits well
+   * inside Int64 for any raster Spark can hold in a row), and the
+   * score is the double PRODUCT a.toDouble·a.toDouble/d.toDouble —
+   * never a Long square, which would wrap past ~120×120 px — so both
+   * engines run the identical IEEE op sequence and order candidates
+   * identically at any image size; argmax ties to
    * the smallest t. Same batched decode hook as m07; flat images
    * (one occupied bin — no valid split) emit thr −1 with counts
    * intact. Output: threshold bin, background count, pixel count,
@@ -517,7 +525,12 @@ object Multimodal {
             if (w0 > 0 && w0 < wTot) {
               val a = s0 * wTot - sTot * w0
               val d = w0 * (wTot - w0)
-              val score = (a * a).toDouble / d.toDouble
+              // a² as a double PRODUCT (not a Long square): |a| grows
+              // ~16·n² with pixel count, so a*a in Int64 silently wraps
+              // beyond ~120×120 px. a.toDouble*a.toDouble/d.toDouble is
+              // the same IEEE op sequence the oracle runs, preserving
+              // cross-engine candidate ordering at any raster size.
+              val score = a.toDouble * a.toDouble / d.toDouble
               if (score > bestScore) { bestScore = score; bestT = t; bestW0 = w0 }
             }
             t += 1
@@ -1101,7 +1114,8 @@ object Multimodal {
     // m11: the m07 generator-replay px CTE, aggregated per channel to
     // EXACT integers (count/sum/sumsq/min/max/4-bin hist); std derives
     // from the exact moments in the final projection with the
-    // engine's operand order (sum*sum exact, / n double, - , / n)
+    // engine's operand order (double sum·sum — overflow-safe at any
+    // raster size — then / n, −, / n, sqrt, round)
     "m11_ppm_channel_stats" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,
@@ -1126,7 +1140,8 @@ object Multimodal {
         |  FROM px GROUP BY 1, 2
         |)
         |SELECT doc_id, channel, n, sum, sumsq, bmin, bmax, h0, h1, h2, h3,
-        |  round(sqrt((sumsq - sum * sum / n) / n), 4) + 0 AS std
+        |  round(sqrt((CAST(sumsq AS DOUBLE)
+        |    - CAST(sum AS DOUBLE) * CAST(sum AS DOUBLE) / n) / n), 4) + 0 AS std
         |FROM agg ORDER BY doc_id, channel""".stripMargin,
     // m12: per-pixel luminance (byte sum) from the m07 px CTE, 64-bin
     // histogram, Otsu argmax over occupied bins — a/d exact integers,
@@ -1164,7 +1179,7 @@ object Multimodal {
         |  FROM cum WHERE bin < 63 AND w0 > 0 AND w0 < w
         |), scored AS (
         |  SELECT doc_id, bin, w0, w,
-        |    CAST(a * a AS DOUBLE) / CAST(d AS DOUBLE) AS score
+        |    CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / CAST(d AS DOUBLE) AS score
         |  FROM cand
         |), best AS (
         |  SELECT doc_id, bin, w0,

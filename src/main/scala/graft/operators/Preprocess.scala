@@ -871,7 +871,8 @@ object Preprocess {
         |SELECT level, fold,
         |  CAST(c AS BIGINT) AS n_fold,
         |  CAST(cl - c AS BIGINT) AS n_oof,
-        |  round((sl - s + 20.0 * ((sg - sf) / (cg - cf)))
+        |  round((sl - s + 20.0 * (CASE WHEN cg > cf
+        |      THEN (sg - sf) / (cg - cf) END))
         |    / (cl - c + 20.0), 6) + 0 AS enc
         |FROM win ORDER BY level, fold""".stripMargin,
     "p19_woe" ->

@@ -611,6 +611,15 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val o2 = operators.Association.logrankK3(
       two.toDF("grp", "time", "event", "g"), "time", "event", "g", "grp").head()
     assert(o2.isNullAt(o2.fieldIndex("chi2")))
+    // a 4+-level factor must ERROR, not silently truncate the risk set
+    val four = rows.zipWithIndex.map { case (r, i) =>
+      (r._1, r._2, r._3, if (i == 0) 5 else r._4)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      operators.Association.logrankK3(
+        four.toDF("grp", "time", "event", "g"), "time", "event", "g", "grp").head()
+    }
+    assert(ex.getMessage.contains("outside {0,1,2}"))
   }
 
   test("coxPhEfron: equals Breslow on untied data, zeroes the independent Efron score on ties") {
