@@ -1928,6 +1928,179 @@ object Association {
   }
 
   /**
+   * Cox proportional-hazards fit of a binary exposure adjusted for
+   * TWO integer-leveled covariates, per stratum — [[coxPhCov]]'s 2×2
+   * Newton generalized to the 3-parameter closed solve (the r14
+   * verdict's "Cox with ≥2 adjusters" gap; the reference default runs
+   * ~5 covariates through Firth, so multi-adjuster survival models
+   * are the matching survival-side shape, cf.
+   * reference `models.py:9-83`).
+   *
+   * Same bounded-table design: risk-set counts stratify on the
+   * covariate CELLS (x, z1, z2) ∈ {0,1}×{0..z1Max}×{0..z2Max}, so the
+   * Breslow sums collapse to closed forms over per-(time, cell)
+   * counts —
+   *   S0    = Σ_cells (n0 + n1·e^βx)·e^(β1·z1 + β2·z2)
+   *   S1x   = Σ n1·e^βx·e^(…)          S1j  = Σ zj·(n0 + n1·e^βx)·e^(…)
+   *   S2xj  = Σ zj·n1·e^βx·e^(…)       S2jk = Σ zj·zk·(n0 + n1·e^βx)·e^(…)
+   * — and each Newton step solves the symmetric 3×3 system by the
+   * closed ADJUGATE (cofactors a00/a01/a02/a11/a12/a22, det by the
+   * first-row Laplace expansion), never a matrix library: the same
+   * machinery a34's closed 2×2 inverse extends. Positive-definiteness
+   * gates by Sylvester minors (ixx > 0, a22 = ixx·i11 − ix1² > 0,
+   * det > 0); singular/indefinite information latches to null. Both
+   * betas re-round to the 1e-6 grid per step so the DuckDB oracle
+   * unrolls the identical trajectory as cofactor CTE pairs.
+   *
+   * Scale: the ONLY subject-proportional work is one (stratum, time,
+   * x, z1, z2) count aggregate (≤ 2·(z1Max+1)·(z2Max+1) cells per
+   * distinct time); each task holds one stratum's bounded table and
+   * every 3×3 Newton step is an in-task array pass — a second
+   * adjuster widens the per-time table, not the shuffle count.
+   */
+  def coxPhCov2(df: DataFrame, timeCol: String, eventCol: String,
+      xCol: String, z1Col: String, z2Col: String, byCol: String,
+      z1Max: Int, z2Max: Int, iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"coxPhCov2: iters in [1,20], got $iters")
+    require(z1Max >= 1 && z1Max <= 32, s"coxPhCov2: z1Max in [1,32], got $z1Max")
+    require(z2Max >= 1 && z2Max <= 32, s"coxPhCov2: z2Max in [1,32], got $z2Max")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perCell = df
+      .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
+        col(eventCol).isin(0.0, 1.0) && col(xCol).isin(0.0, 1.0) &&
+        col(z1Col).isNotNull && col(z1Col) === floor(col(z1Col)) &&
+        col(z1Col) >= 0 && col(z1Col) <= z1Max &&
+        col(z2Col).isNotNull && col(z2Col) === floor(col(z2Col)) &&
+        col(z2Col) >= 0 && col(z2Col) <= z2Max)
+      .groupBy(col(byCol).cast("string").as("g"),
+        col(timeCol).cast("double").as("t"),
+        col(xCol).cast("int").as("x"),
+        col(z1Col).cast("int").as("z1"), col(z2Col).cast("int").as("z2"))
+      .agg(count(lit(1)).cast("double").as("c"), sum(col(eventCol)).as("d"))
+      .as[(String, Double, Int, Int, Int, Double, Double)]
+    perCell.groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        // t DESC (Breslow: tied events share the risk set); the
+        // (x, z1, z2) tiebreak pins in-task order at any partition
+        // count; count arithmetic is integer-exact
+        val rows = it.toArray.sortBy(r => (-r._2, r._3, r._4, r._5))
+        val k1 = z1Max + 1; val k2 = z2Max + 1
+        val n = Array.ofDim[Double](2, k1, k2)
+        // (d, dx, d1, d2, risk n0[z1][z2], risk n1[z1][z2]) per event
+        // time — bounded by distinct EVENT times, not subjects
+        val ev = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Double, Double, Double,
+            Array[Array[Double]], Array[Array[Double]])]
+        var i = 0
+        while (i < rows.length) {
+          val t = rows(i)._2
+          var dT = 0.0; var dxT = 0.0; var d1T = 0.0; var d2T = 0.0
+          while (i < rows.length && rows(i)._2 == t) {
+            val r = rows(i)
+            n(r._3)(r._4)(r._5) += r._6
+            dT += r._7; dxT += r._7 * r._3
+            d1T += r._7 * r._4; d2T += r._7 * r._5
+            i += 1
+          }
+          if (dT > 0) ev += ((dT, dxT, d1T, d2T,
+            n(0).map(_.clone()), n(1).map(_.clone())))
+        }
+        if (ev.isEmpty) Iterator.empty
+        else {
+          val events = ev.iterator.map(_._1).sum.toLong
+          var bx = 0.0; var b1 = 0.0; var b2 = 0.0; var dead = false
+          // (ux, u1, u2, ixx, ix1, ix2, i11, i12, i22) at the current
+          // iterate — the z1-outer/z2-inner loop and every operand
+          // order mirror the oracle's generated left-assoc SQL
+          def pass(): Array[Double] = {
+            val ex = math.exp(bx)
+            var ux = 0.0; var u1 = 0.0; var u2 = 0.0
+            var ixx = 0.0; var ix1 = 0.0; var ix2 = 0.0
+            var i11 = 0.0; var i12 = 0.0; var i22 = 0.0
+            ev.foreach { case (d, dx, d1, d2, n0, n1) =>
+              var s0 = 0.0; var s1x = 0.0; var s11 = 0.0; var s12 = 0.0
+              var sx1 = 0.0; var sx2 = 0.0
+              var s211 = 0.0; var s212 = 0.0; var s222 = 0.0
+              var a = 0
+              while (a < k1) {
+                var b = 0
+                while (b < k2) {
+                  val ezv = math.exp(b1 * a + b2 * b)
+                  val both = (n0(a)(b) + n1(a)(b) * ex) * ezv
+                  val x1v = n1(a)(b) * ex * ezv
+                  s0 += both; s1x += x1v
+                  s11 += a * both; s12 += b * both
+                  sx1 += a * x1v; sx2 += b * x1v
+                  s211 += (a * a) * both; s212 += (a * b) * both
+                  s222 += (b * b) * both
+                  b += 1
+                }
+                a += 1
+              }
+              ux += dx - d * s1x / s0
+              u1 += d1 - d * s11 / s0
+              u2 += d2 - d * s12 / s0
+              ixx += d * (s1x / s0 - (s1x / s0) * (s1x / s0))
+              ix1 += d * (sx1 / s0 - (s1x / s0) * (s11 / s0))
+              ix2 += d * (sx2 / s0 - (s1x / s0) * (s12 / s0))
+              i11 += d * (s211 / s0 - (s11 / s0) * (s11 / s0))
+              i12 += d * (s212 / s0 - (s11 / s0) * (s12 / s0))
+              i22 += d * (s222 / s0 - (s12 / s0) * (s12 / s0))
+            }
+            Array(ux, u1, u2, ixx, ix1, ix2, i11, i12, i22)
+          }
+          // symmetric-3×3 cofactors in the oracle's exact operand order
+          def cof(m: Array[Double]): Array[Double] = {
+            val a00 = m(6) * m(8) - m(7) * m(7)
+            val a01 = m(5) * m(7) - m(4) * m(8)
+            val a02 = m(4) * m(7) - m(6) * m(5)
+            val a11 = m(3) * m(8) - m(5) * m(5)
+            val a12 = m(4) * m(5) - m(3) * m(7)
+            val a22 = m(3) * m(6) - m(4) * m(4)
+            val det = m(3) * (m(6) * m(8) - m(7) * m(7)) +
+              m(4) * (m(5) * m(7) - m(4) * m(8)) +
+              m(5) * (m(4) * m(7) - m(6) * m(5))
+            Array(a00, a01, a02, a11, a12, a22, det)
+          }
+          var k = 0
+          while (k < iters && !dead) {
+            val m = pass()
+            val c = cof(m)
+            if (c(6) <= 0 || m(3) <= 0 || c(5) <= 0) dead = true
+            else {
+              val nbx = math.floor((bx +
+                (c(0) * m(0) + c(1) * m(1) + c(2) * m(2)) / c(6)) * 1e6 + 0.5) / 1e6
+              val nb1 = math.floor((b1 +
+                (c(1) * m(0) + c(3) * m(1) + c(4) * m(2)) / c(6)) * 1e6 + 0.5) / 1e6
+              val nb2 = math.floor((b2 +
+                (c(2) * m(0) + c(4) * m(1) + c(5) * m(2)) / c(6)) * 1e6 + 0.5) / 1e6
+              bx = nbx; b1 = nb1; b2 = nb2
+            }
+            k += 1
+          }
+          val none = None: Option[Double]
+          if (dead)
+            Iterator.single((grp, events, none, none, none, none, none, none, none))
+          else {
+            val m = pass()
+            val c = cof(m)
+            if (c(6) <= 0 || m(3) <= 0 || c(0) <= 0 || c(3) <= 0 || c(5) <= 0)
+              Iterator.single((grp, events, none, none, none, none, none, none, none))
+            else
+              Iterator.single((grp, events, Some(bx),
+                Some(math.sqrt(c(0) / c(6))), Some(b1),
+                Some(math.sqrt(c(3) / c(6))), Some(b2),
+                Some(math.sqrt(c(5) / c(6))),
+                Some(bx * bx * c(6) / c(0))))
+          }
+        }
+      }
+      .toDF(byCol, "events", "beta_x", "se_x", "beta_z1", "se_z1",
+        "beta_z2", "se_z2", "chi2")
+  }
+
+  /**
    * Kaplan–Meier product-limit survival curve per stratum, with
    * Greenwood standard errors — the nonparametric survival DESCRIPTION
    * that accompanies a19/a23/a25's hazard-ratio tests (the

@@ -221,6 +221,7 @@ object Mas {
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("event"),
         when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("x"),
         least(floor(col("o_totalprice") / 75000), lit(6)).cast("int").as("z"),
+        floor((month(col("o_orderdate")) - 1) / 4).cast("int").as("z2"),
         col("o_totalprice").cast("double").as("zc"),
         when(col("o_orderpriority") === "1-URGENT", 2)
           .when(col("o_orderpriority") === "2-HIGH", 1)
@@ -323,6 +324,26 @@ object Mas {
         r4(col("beta_x")).as("beta_x"), r4(col("se_x")).as("se_x"),
         r4(exp(col("beta_x"))).as("hr_x"),
         r4(col("beta_z")).as("beta_z"), r4(col("se_z")).as("se_z"),
+        r4(col("chi2")).as("chi2"))
+      .orderBy("grp")
+
+  /** a36: the Cox fit adjusted for TWO integer-leveled covariates
+    * ([[Association.coxPhCov2]]) — a25's single-adjuster boundary
+    * lifted to the multi-adjuster shape the reference's ~5-covariate
+    * Firth default implies (r14 verdict item 8): urgency hazard ratio
+    * adjusted for price band (z1 ∈ {0..6}) AND order tertile-of-year
+    * (z2 ∈ {0..2}), 6 Newton steps of the 3-parameter Breslow partial
+    * likelihood solved by the closed 3×3 adjugate on the 1e-6 grid.
+    * Same single shuffle as a19/a23/a25; the oracle unrolls the
+    * identical trajectory as cofactor CTE pairs. */
+  def a36CoxPhCov2(spark: SparkSession, dir: String): DataFrame =
+    Association.coxPhCov2(survivalSubjects(spark, dir), "time", "event",
+        "x", "z", "z2", "grp", z1Max = 6, z2Max = 2, iters = 6)
+      .select(col("grp"), col("events"),
+        r4(col("beta_x")).as("beta_x"), r4(col("se_x")).as("se_x"),
+        r4(exp(col("beta_x"))).as("hr_x"),
+        r4(col("beta_z1")).as("beta_z1"), r4(col("se_z1")).as("se_z1"),
+        r4(col("beta_z2")).as("beta_z2"), r4(col("se_z2")).as("se_z2"),
         r4(col("chi2")).as("chi2"))
       .orderBy("grp")
 
@@ -1529,6 +1550,123 @@ object Mas {
        |FROM fd f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
   }
 
+  /** a36 cohort CTE: covCohortBanded plus the second adjuster
+    * z2 = tertile-of-year band ⌊(month−1)/4⌋ ∈ {0,1,2}. */
+  private val covCohortBanded2: String =
+    """s AS (
+      |  SELECT c.c_mktsegment AS grp,
+      |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+      |    CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ev,
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x,
+      |    CAST(least(floor(o.o_totalprice / 75000), 6) AS INTEGER) AS z1,
+      |    CAST(floor((month(o.o_orderdate) - 1) / 4) AS INTEGER) AS z2
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_orderdate IS NOT NULL
+      |)""".stripMargin
+
+  /** a36 oracle: coxPhCovSql's unrolled-Newton replay widened to the
+    * (x, z1, z2) cell grid and the closed symmetric-3×3 adjugate —
+    * per-iterate cofactor CTEs (a00..a22, first-row-Laplace det)
+    * mirror [[Association.coxPhCov2]]'s `cof` operand-for-operand;
+    * the S-sum strings enumerate cells in the kernel's z1-outer/
+    * z2-inner loop order. */
+  private def coxPhCov2Sql(iters: Int, z1Max: Int, z2Max: Int): String = {
+    val zs = for (a <- 0 to z1Max; b <- 0 to z2Max) yield (a, b)
+    val cells = zs.flatMap { case (a, b) => Seq(0, 1).map(x =>
+      s"sum(CASE WHEN x = $x AND z1 = $a AND z2 = $b THEN 1.0 ELSE 0.0 END) AS c${x}_${a}_$b")
+    }.mkString(",\n    ")
+    val wins = zs.flatMap { case (a, b) => Seq(0, 1).map(x =>
+      s"sum(c${x}_${a}_$b) OVER (PARTITION BY grp ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n${x}_${a}_$b")
+    }.mkString(",\n    ")
+    val ncols = zs.flatMap { case (a, b) =>
+      Seq(0, 1).map(x => s"n${x}_${a}_$b") }.mkString(", ")
+    def ez(a: Int, b: Int) = s"exp(i.b1 * $a + i.b2 * $b)"
+    def both(a: Int, b: Int) =
+      s"(n0_${a}_$b + n1_${a}_$b * exp(i.bx)) * ${ez(a, b)}"
+    def x1(a: Int, b: Int) = s"n1_${a}_$b * exp(i.bx) * ${ez(a, b)}"
+    val s0 = zs.map { case (a, b) => both(a, b) }.mkString(" + ")
+    val s1x = zs.map { case (a, b) => x1(a, b) }.mkString(" + ")
+    val s11 = zs.map { case (a, b) => s"$a * (${both(a, b)})" }.mkString(" + ")
+    val s12 = zs.map { case (a, b) => s"$b * (${both(a, b)})" }.mkString(" + ")
+    val sx1 = zs.map { case (a, b) => s"$a * (${x1(a, b)})" }.mkString(" + ")
+    val sx2 = zs.map { case (a, b) => s"$b * (${x1(a, b)})" }.mkString(" + ")
+    val s211 = zs.map { case (a, b) => s"${a * a} * (${both(a, b)})" }.mkString(" + ")
+    val s212 = zs.map { case (a, b) => s"${a * b} * (${both(a, b)})" }.mkString(" + ")
+    val s222 = zs.map { case (a, b) => s"${b * b} * (${both(a, b)})" }.mkString(" + ")
+    def sums = // the nine score/information aggregates (S2xx == S1x)
+      s"""    sum(e.dx - e.d * ($s1x) / ($s0)) AS ux,
+         |    sum(e.d1 - e.d * ($s11) / ($s0)) AS u1,
+         |    sum(e.d2 - e.d * ($s12) / ($s0)) AS u2,
+         |    sum(e.d * (($s1x) / ($s0) - (($s1x) / ($s0)) * (($s1x) / ($s0)))) AS ixx,
+         |    sum(e.d * (($sx1) / ($s0) - (($s1x) / ($s0)) * (($s11) / ($s0)))) AS ix1,
+         |    sum(e.d * (($sx2) / ($s0) - (($s1x) / ($s0)) * (($s12) / ($s0)))) AS ix2,
+         |    sum(e.d * (($s211) / ($s0) - (($s11) / ($s0)) * (($s11) / ($s0)))) AS i11,
+         |    sum(e.d * (($s212) / ($s0) - (($s11) / ($s0)) * (($s12) / ($s0)))) AS i12,
+         |    sum(e.d * (($s222) / ($s0) - (($s12) / ($s0)) * (($s12) / ($s0)))) AS i22""".stripMargin
+    val cofCols =
+      """i11 * i22 - i12 * i12 AS a00, ix2 * i12 - ix1 * i22 AS a01,
+        |    ix1 * i12 - i11 * ix2 AS a02, ixx * i22 - ix2 * ix2 AS a11,
+        |    ix1 * ix2 - ixx * i12 AS a12, ixx * i11 - ix1 * ix1 AS a22,
+        |    ixx * (i11 * i22 - i12 * i12) + ix1 * (ix2 * i12 - ix1 * i22)
+        |      + ix2 * (ix1 * i12 - i11 * ix2) AS det""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""st$k AS (
+         |  SELECT e.grp, i.bx, i.b1, i.b2,
+         |$sums
+         |  FROM evt e JOIN $prev i ON e.grp = i.grp GROUP BY 1, 2, 3, 4
+         |), co$k AS (
+         |  SELECT grp, bx, b1, b2, ux, u1, u2, ixx,
+         |    $cofCols
+         |  FROM st$k
+         |), it$k AS (
+         |  SELECT grp,
+         |    CASE WHEN det > 0 AND ixx > 0 AND a22 > 0 THEN
+         |      floor((bx + (a00 * ux + a01 * u1 + a02 * u2) / det) * 1000000 + 0.5) / 1000000.0 END AS bx,
+         |    CASE WHEN det > 0 AND ixx > 0 AND a22 > 0 THEN
+         |      floor((b1 + (a01 * ux + a11 * u1 + a12 * u2) / det) * 1000000 + 0.5) / 1000000.0 END AS b1,
+         |    CASE WHEN det > 0 AND ixx > 0 AND a22 > 0 THEN
+         |      floor((b2 + (a02 * ux + a12 * u1 + a22 * u2) / det) * 1000000 + 0.5) / 1000000.0 END AS b2
+         |  FROM co$k
+         |)""".stripMargin
+    }.mkString(", ")
+    val ok = "f.det > 0 AND f.ixx > 0 AND f.a00 > 0 AND f.a11 > 0 AND f.a22 > 0"
+    s"""WITH $covCohortBanded2, pt AS (
+       |  SELECT grp, t, sum(ev) AS d, sum(ev * x) AS dx,
+       |    sum(ev * z1) AS d1, sum(ev * z2) AS d2,
+       |    $cells
+       |  FROM s GROUP BY 1, 2
+       |), rs AS (
+       |  SELECT grp, t, d, dx, d1, d2,
+       |    $wins
+       |  FROM pt
+       |), evt AS (
+       |  SELECT grp, d, dx, d1, d2, $ncols FROM rs WHERE d > 0
+       |), evn AS (
+       |  SELECT grp, CAST(sum(d) AS BIGINT) AS events FROM evt GROUP BY grp
+       |), it0 AS (
+       |  SELECT DISTINCT grp, 0.0 AS bx, 0.0 AS b1, 0.0 AS b2 FROM evt
+       |), $steps, fin AS (
+       |  SELECT e.grp, i.bx, i.b1, i.b2,
+       |$sums
+       |  FROM evt e JOIN it$iters i ON e.grp = i.grp GROUP BY 1, 2, 3, 4
+       |), fco AS (
+       |  SELECT grp, bx, b1, b2, ux, u1, u2, ixx,
+       |    $cofCols
+       |  FROM fin
+       |)
+       |SELECT f.grp, v.events,
+       |  CASE WHEN $ok THEN round(f.bx, 4) + 0 END AS beta_x,
+       |  CASE WHEN $ok THEN round(sqrt(f.a00 / f.det), 4) + 0 END AS se_x,
+       |  CASE WHEN $ok THEN round(exp(f.bx), 4) + 0 END AS hr_x,
+       |  CASE WHEN $ok THEN round(f.b1, 4) + 0 END AS beta_z1,
+       |  CASE WHEN $ok THEN round(sqrt(f.a11 / f.det), 4) + 0 END AS se_z1,
+       |  CASE WHEN $ok THEN round(f.b2, 4) + 0 END AS beta_z2,
+       |  CASE WHEN $ok THEN round(sqrt(f.a22 / f.det), 4) + 0 END AS se_z2,
+       |  CASE WHEN $ok THEN round(f.bx * f.bx * f.det / f.a00, 4) + 0 END AS chi2
+       |FROM fco f JOIN evn v ON f.grp = v.grp ORDER BY f.grp""".stripMargin
+  }
+
   private def countsBranch(dep: String, minCase: Int): String =
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent,
        |  CAST(sum($dep) AS BIGINT) AS cases,
@@ -1838,6 +1976,7 @@ object Mas {
           .mkString("", "\nUNION ALL\n", "\nORDER BY predictor")),
     "a23_cox_ph" -> coxPhSql(6),
     "a25_cox_ph_cov" -> coxPhCovSql(6, 6),
+    "a36_cox_ph_cov2" -> coxPhCov2Sql(6, 6, 2),
     "a32_cox_ph_efron" -> coxPhEfronSql(6),
     "a35_clogit" -> clogitSql(8),
     // a34: the a19 per-time/risk-set CTEs over the 3-level arm, U/V

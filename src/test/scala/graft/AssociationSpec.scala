@@ -1074,4 +1074,75 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       p1c.getAs[Double]("beta_x") == bx &&
       p1c.getAs[Double]("beta_z") == p8c.getAs[Double]("beta_z"))
   }
+
+  test("coxPhCov2: MLE zeroes the independent 3-param Breslow score; constant z2 exactly singular; partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(23)
+    // hazard ∝ exp(0.6·x + 0.3·z1 − 0.2·z2), z1 ∈ {0..3}, z2 ∈ {0..2}
+    val rows = (0 until 220).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val z1 = (i % 4).toDouble
+      val z2 = ((i / 2) % 3).toDouble
+      val t = -math.log(1 - rng.nextDouble()) /
+        math.exp(0.6 * x + 0.3 * z1 - 0.2 * z2)
+      val ev = if (rng.nextDouble() < 0.85) 1.0 else 0.0
+      ("g", t + 0.01, ev, x, z1, z2)
+    }
+    val df = rows.toDF("grp", "time", "event", "x", "z1", "z2")
+    val fit = operators.Association.coxPhCov2(df, "time", "event", "x", "z1",
+      "z2", "grp", z1Max = 3, z2Max = 2, iters = 12).head()
+    val bx = fit.getAs[Double]("beta_x")
+    val b1 = fit.getAs[Double]("beta_z1")
+    val b2 = fit.getAs[Double]("beta_z2")
+    // the 3-param Breslow score, computed INDEPENDENTLY subject-level
+    // (O(n²) risk sets, no per-time table, no cell stratification)
+    def score(cx: Double, c1: Double, c2: Double): (Double, Double, Double) = {
+      val terms = rows.filter(_._3 == 1.0).map { case (_, t, _, xi, z1i, z2i) =>
+        val risk = rows.filter(_._2 >= t)
+        val w = risk.map(r => math.exp(cx * r._4 + c1 * r._5 + c2 * r._6))
+        val s0 = w.sum
+        val sx = risk.zip(w).map { case (r, wi) => r._4 * wi }.sum
+        val s1 = risk.zip(w).map { case (r, wi) => r._5 * wi }.sum
+        val s2 = risk.zip(w).map { case (r, wi) => r._6 * wi }.sum
+        (xi - sx / s0, z1i - s1 / s0, z2i - s2 / s0)
+      }
+      (terms.map(_._1).sum, terms.map(_._2).sum, terms.map(_._3).sum)
+    }
+    val (ux, u1, u2) = score(bx, b1, b2)
+    assert(math.abs(ux) < 1e-3 && math.abs(u1) < 1e-3 && math.abs(u2) < 1e-3)
+    // recovers the simulated effects (including the NEGATIVE z2)
+    assert(math.abs(bx - 0.6) < 0.5 && math.abs(b1 - 0.3) < 0.4 &&
+      math.abs(b2 + 0.2) < 0.4)
+    assert(fit.getAs[Double]("se_x") > 0 && fit.getAs[Double]("se_z1") > 0 &&
+      fit.getAs[Double]("se_z2") > 0)
+    assert(fit.getAs[Double]("chi2") > 0)
+    // CONSTANT z2 ≡ 1: i22/ix2/i12 are EXACT zeros (s222/s0 = 1 =
+    // (s12/s0)², same operands), det = 0 exactly → null fit
+    val const = rows.map { case (g, t, ev, x, z1, _) => (g, t, ev, x, z1, 1.0) }
+      .toDF("grp", "time", "event", "x", "z1", "z2")
+    val kr = operators.Association.coxPhCov2(const, "time", "event", "x", "z1",
+      "z2", "grp", z1Max = 3, z2Max = 2, iters = 6).head()
+    assert(kr.getAs[Long]("events") > 0 && kr.isNullAt(kr.fieldIndex("beta_x")))
+    // COLLINEAR z2 == x: singular → null
+    val colin = rows.map { case (g, t, ev, x, z1, _) => (g, t, ev, x, z1, x) }
+      .toDF("grp", "time", "event", "x", "z1", "z2")
+    val cr = operators.Association.coxPhCov2(colin, "time", "event", "x", "z1",
+      "z2", "grp", z1Max = 3, z2Max = 2, iters = 6).head()
+    assert(cr.isNullAt(cr.fieldIndex("beta_x")))
+    // zero-event stratum emits nothing
+    val cen = Seq(("z", 1.0, 0.0, 1.0, 0.0, 1.0), ("z", 2.0, 0.0, 0.0, 1.0, 0.0))
+      .toDF("grp", "time", "event", "x", "z1", "z2")
+    assert(operators.Association.coxPhCov2(cen, "time", "event", "x", "z1",
+      "z2", "grp", z1Max = 3, z2Max = 2).count() == 0L)
+    // partition invariance: integer-exact cells + sorted in-task pass
+    val p1c = operators.Association.coxPhCov2(df.repartition(1), "time", "event",
+      "x", "z1", "z2", "grp", z1Max = 3, z2Max = 2, iters = 12).head()
+    val p8c = operators.Association.coxPhCov2(df.repartition(8), "time", "event",
+      "x", "z1", "z2", "grp", z1Max = 3, z2Max = 2, iters = 12).head()
+    assert(p1c.getAs[Double]("beta_x") == p8c.getAs[Double]("beta_x") &&
+      p1c.getAs[Double]("beta_x") == bx &&
+      p1c.getAs[Double]("beta_z1") == p8c.getAs[Double]("beta_z1") &&
+      p1c.getAs[Double]("beta_z2") == p8c.getAs[Double]("beta_z2"))
+  }
 }
