@@ -80,6 +80,7 @@ object SparkEntry {
     "p18_vif" -> (Preprocess.p18Vif _),
     "p19_woe" -> (Preprocess.p19Woe _),
     "p20_target_encode" -> (Preprocess.p20TargetEncode _),
+    "p21_vif5" -> (Preprocess.p21Vif5 _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
     "a35_clogit" -> (Mas.a35Clogit _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),

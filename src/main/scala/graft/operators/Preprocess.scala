@@ -717,6 +717,86 @@ object Preprocess {
       .select(col("covariate"), Norm.r4(col("vif")).as("vif"))
   }
 
+  /**
+   * Fixed-order Gauss–Jordan inverse of the quantized correlation
+   * matrix — the k-general VIF path whose ARITHMETIC the oracle can
+   * mirror operand-for-operand (r14 verdict item 7: p18's breeze/
+   * LAPACK inverse is only oracled at k=3 via the Cramer cofactor
+   * mirror; this replaces the library inverse with an elimination
+   * whose every divide/multiply/subtract the generated SQL replays in
+   * the same order, so the quantize-before-invert rule is confirmed
+   * at ANY k, not just where a closed cofactor form exists).
+   * No pivoting: R has a unit diagonal and the quantize step bounds
+   * |r| ≤ 1, so leading pivots stay away from zero for any
+   * non-collinear design; a vanishing pivot (collinearity) errors
+   * rather than silently emitting garbage.
+   */
+  private[operators] def gaussJordanInv(r0: Array[Array[Double]]): Array[Array[Double]] = {
+    val k = r0.length
+    val m = Array.tabulate(k, 2 * k) { (i, j) =>
+      if (j < k) r0(i)(j) else if (j - k == i) 1.0 else 0.0
+    }
+    var p = 0
+    while (p < k) {
+      val piv = m(p)(p)
+      require(math.abs(piv) > 1e-9,
+        s"gaussJordanInv: pivot $p vanished (|$piv| <= 1e-9) — collinear design")
+      var j = 0
+      while (j < 2 * k) { m(p)(j) = m(p)(j) / piv; j += 1 }
+      var i = 0
+      while (i < k) {
+        if (i != p) {
+          val f = m(i)(p)
+          var j2 = 0
+          while (j2 < 2 * k) { m(i)(j2) = m(i)(j2) - f * m(p)(j2); j2 += 1 }
+        }
+        i += 1
+      }
+      p += 1
+    }
+    m.map(_.drop(k))
+  }
+
+  /** [[vif]] with the breeze inverse swapped for [[gaussJordanInv]] —
+    * identical 1e-6-quantized correlation inputs, an elimination the
+    * oracle replays exactly; spec-pinned equal to the LAPACK path. */
+  def vifGauss(df: DataFrame, cols: Seq[String], maxCols: Int = 100): DataFrame = {
+    require(cols.size >= 2, s"vifGauss: need >= 2 columns, got $cols")
+    require(cols.size <= maxCols,
+      s"vifGauss: ${cols.size} columns exceeds maxCols=$maxCols (driver-side k×k inverse)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = cols.size
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      corr(col(cols(i)).cast("double"), col(cols(j)).cast("double")).as(s"__c_${i}_$j") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def q6(x: Double): Double =
+      (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+    val r = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
+    pairs.zipWithIndex.foreach { case ((i, j), p) =>
+      val v = q6(row.getDouble(p))
+      r(i)(j) = v
+      r(j)(i) = v
+    }
+    val inv = gaussJordanInv(r)
+    cols.zipWithIndex.map { case (c, i) => (c, inv(i)(i)) }
+      .toDF("covariate", "vif")
+      .select(col("covariate"), Norm.r4(col("vif")).as("vif"))
+  }
+
+  /** p21: k = 5 VIFs over the customer numerics plus two DERIVED,
+    * deliberately-correlated covariates (nk7 tracks nationkey, bal11
+    * tracks acctbal — so the inverse is materially non-diagonal and
+    * the elimination is exercised off the k=3 cofactor boundary). */
+  def p21Vif5(spark: SparkSession, dir: String): DataFrame =
+    vifGauss(Tables.customer(spark, dir).select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        (col("c_nationkey") + col("c_custkey") % 7).as("nk7"),
+        (col("c_acctbal") + lit(200) * (col("c_custkey") % 11)).as("bal11")),
+      Seq("c_custkey", "c_nationkey", "c_acctbal", "nk7", "bal11"))
+      .orderBy("covariate")
+
   /** p18: VIFs of the customer numeric columns. */
   def p18Vif(spark: SparkSession, dir: String): DataFrame =
     vif(Tables.customer(spark, dir),
@@ -747,6 +827,52 @@ object Preprocess {
       .orderBy("p_partkey")
 
   // --------------------------------------------------------- oracle SQL
+
+  /** p21 oracle generator: [[gaussJordanInv]] unrolled as one CTE per
+    * pivot over the augmented [R | I] cells (m{i}_{j} columns), every
+    * operand in the kernel's order — row p normalizes as
+    * m_p_j / m_p_p, row i≠p eliminates as m_i_j − m_i_p·(m_p_j/m_p_p)
+    * — then diag(R⁻¹) reads off columns m{i}_{k+i}. */
+  private def vifGaussSql(names: Seq[String], exprs: Seq[String]): String = {
+    val k = names.size
+    val pairs = for { i <- 0 until k; j <- i + 1 until k } yield (i, j)
+    val corrs = pairs.map { case (i, j) =>
+      s"round(corr(CAST(${exprs(i)} AS DOUBLE), CAST(${exprs(j)} AS DOUBLE)), 6) AS r${i}_$j"
+    }.mkString(",\n    ")
+    def cell0(i: Int, j: Int): String =
+      if (j < k) { if (i == j) "1.0" else if (i < j) s"r${i}_$j" else s"r${j}_$i" }
+      else if (j - k == i) "1.0" else "0.0"
+    val m0 = (for { i <- 0 until k; j <- 0 until 2 * k }
+      yield s"${cell0(i, j)} AS m${i}_$j").mkString(",\n    ")
+    val pivots = (0 until k).map { p =>
+      val cells = (for { i <- 0 until k; j <- 0 until 2 * k } yield {
+        val e =
+          if (i == p) s"m${p}_$j / m${p}_$p"
+          else s"m${i}_$j - m${i}_$p * (m${p}_$j / m${p}_$p)"
+        s"$e AS m${i}_$j"
+      }).mkString(",\n    ")
+      s"""g${p + 1} AS (
+         |  SELECT
+         |    $cells
+         |  FROM g$p
+         |)""".stripMargin
+    }.mkString(", ")
+    val out = names.zipWithIndex.map { case (n, i) =>
+      s"SELECT '$n' AS covariate, m${i}_${k + i} AS vif FROM g$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH c AS (
+       |  SELECT
+       |    $corrs
+       |  FROM customer
+       |), g0 AS (
+       |  SELECT
+       |    $m0
+       |  FROM c
+       |), $pivots
+       |SELECT covariate, round(vif, 4) + 0 AS vif FROM (
+       |  $out
+       |) ORDER BY covariate""".stripMargin
+  }
 
   /**
    * Acklam's rational approximation of the standard normal quantile as
@@ -963,6 +1089,15 @@ object Preprocess {
         |  round(corr(CAST(c_nationkey AS DOUBLE), CAST(c_acctbal AS DOUBLE)), 4) + 0
         |FROM customer
         |ORDER BY col1, col2""".stripMargin,
+    // p21: the generated fixed-order Gauss–Jordan elimination over the
+    // SAME 1e-6-quantized correlations — every divide/multiply/
+    // subtract in the kernel's pivot order, so the mirror is exact at
+    // any k (not a closed cofactor form like p18's k=3)
+    "p21_vif5" -> vifGaussSql(
+      Seq("c_custkey", "c_nationkey", "c_acctbal", "nk7", "bal11"),
+      Seq("c_custkey", "c_nationkey", "c_acctbal",
+        "c_nationkey + c_custkey % 7",
+        "c_acctbal + 200 * (c_custkey % 11)")),
     // Cramer 3x3 cofactor form of diag(R^-1) over the SAME 1e-6-
     // quantized correlations the engine inverts — identical inputs,
     // so the 4-dp hash is stable against engine ulps

@@ -255,4 +255,37 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ind = Preprocess.vif(df, Seq("x1", "x2")).collect().map(_.getDouble(1))
     assert(ind.forall(x => x >= 1.0 && x < 1.05))
   }
+
+  test("vifGauss: fixed-order elimination equals the breeze/LAPACK inverse at k=5; collinear pivot errors") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 3000).map { _ =>
+      val x1 = rng.nextGaussian()
+      val x2 = rng.nextGaussian()
+      val x3 = rng.nextGaussian()
+      // x4/x5 correlated mixtures so the 5x5 inverse is non-diagonal
+      (x1, x2, x3, 0.8 * x1 + 0.3 * x2 + 0.4 * rng.nextGaussian(),
+        0.6 * x2 - 0.5 * x3 + 0.5 * rng.nextGaussian())
+    }
+    val df = rows.toDF("x1", "x2", "x3", "x4", "x5")
+    val cols = Seq("x1", "x2", "x3", "x4", "x5")
+    // same quantized inputs -> the 4-dp outputs must agree exactly
+    // (elimination vs LAPACK differ only in ulps)
+    val g = Preprocess.vifGauss(df, cols).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = Preprocess.vif(df, cols).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cols.foreach { c => assert(g(c) == b(c), s"$c: gauss ${g(c)} vs breeze ${b(c)}") }
+    assert(g("x4") > 1.2 && g("x5") > 1.2) // the mixtures inflate
+    // DUPLICATE column: corr quantizes to exactly 1.0, the two matrix
+    // rows are bitwise identical, elimination zeroes the third pivot
+    // to ulps -> error, not garbage
+    val colin = rows.map(r => (r._1, r._2, r._2))
+      .toDF("x1", "x2", "x3")
+    val ex = intercept[Exception] {
+      Preprocess.vifGauss(colin, Seq("x1", "x2", "x3")).collect()
+    }
+    assert(ex.getMessage.contains("collinear") || ex.getCause != null)
+  }
 }
