@@ -32,6 +32,7 @@ object SparkEntry {
     "a32_cox_ph_efron" -> (Mas.a32CoxPhEfron _),
     "a33_cox_ph_covq" -> (Mas.a33CoxPhCovq _),
     "a36_cox_ph_cov2" -> (Mas.a36CoxPhCov2 _),
+    "a37_screen_firth" -> (Mas.a37ScreenFirth _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),

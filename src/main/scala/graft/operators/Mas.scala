@@ -961,6 +961,45 @@ object Mas {
       Seq("d_urgent", "d_open", "d_big", "d_many"))
       .orderBy("predictor", "dependent")
 
+  /** a37 survivor threshold on the 4-dp score χ² — both engines
+    * compare the identically-rounded value, so the survivor sets
+    * agree exactly. */
+  private val ScreenChi2Threshold = 1.0
+
+  /** a37: the two-stage REGENIE-shaped ROUTE the a21 design argues
+    * for, as one registered pipeline — screen every (predictor,
+    * dependent) pair with the O(pairs)-cheap score test (a21), then
+    * route ONLY the survivors into the full Firth refit (a04's
+    * fitter): the melted frame is semi-joined against the bounded
+    * survivor grid BEFORE the fitter, so screened-out pairs never
+    * reach IRLS (at PheWAS scale: a million-pair screen is one
+    * grouped sum; the expensive penalized fits run on the handful
+    * that pass). Output = the a04-shaped Firth refits of the
+    * survivors, with the screen χ² carried alongside
+    * (reference pipeline.py:17-42's screen→fit staging). */
+  def a37ScreenFirth(spark: SparkSession, dir: String): DataFrame = {
+    val coh = cohort(spark, dir)
+    val preds = Seq("xbin", "xpar")
+    val deps = Seq("d_urgent", "d_open", "d_big", "d_many")
+    val survivors = scoreScreen(coh, "z2", preds, deps)
+      .filter(col("score_chi2") >= ScreenChi2Threshold)
+      .select(col("predictor"), col("dependent"), col("score_chi2"))
+    val cfg = Association.Config(preds, deps, model = "firth",
+      minCaseCount = 5, maxIter = 200, tol = 1e-11)
+    // the route: survivors is bounded by the pair grid (model state);
+    // the semi-join broadcasts it, so only surviving groups shuffle
+    // into the fitter
+    val routed = Association.melt(coh, cfg)
+      .join(broadcast(survivors.select("predictor", "dependent")),
+        Seq("predictor", "dependent"), "left_semi")
+    Association.binary(routed, cfg)
+      .join(broadcast(survivors), Seq("predictor", "dependent"))
+      .select(col("predictor"), col("dependent"),
+        r4(col("beta")).as("beta"), r4(col("OR")).as("OR"),
+        col("cases"), col("controls"), col("total_n"), col("score_chi2"))
+      .orderBy("predictor", "dependent")
+  }
+
   /**
    * a22: POLYGENIC SCORE — the standard downstream of an association
    * scan, and faithfully so: real PRS applies PUBLISHED weights from
@@ -1686,7 +1725,10 @@ object Mas {
     * Spark driver does the identical arithmetic) → one score
     * aggregation; every sum BIGINT-exact, the closed-form χ²
     * mirrored operand-for-operand. */
-  private def scoreScreenSql(iters: Int): String = {
+  /** The a21 screen's CTE chain THROUGH the `agg` sufficient-stat
+    * table, shared by the a21 output select and a37's survivor
+    * routing. */
+  private def scoreScreenChain(iters: Int): String = {
     val deps = Seq("d_urgent", "d_open", "d_big", "d_many")
     val melt = deps.map(d =>
         s"SELECT id, z2 AS s, xbin, xpar, '$d' AS dep, $d AS y FROM cohort")
@@ -1739,19 +1781,62 @@ object Mas {
          |    CAST(sum(pmu * (1000000 - pmu) * CAST(s AS BIGINT)) AS BIGINT) AS sws,
          |    CAST(sum(pmu * (1000000 - pmu) * CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT) AS swss
          |  FROM mp GROUP BY pred, dep
+         |)""".stripMargin
+  }
+
+  /** The a21 per-pair score-χ² projection over `agg` (no ORDER BY so
+    * callers can wrap it as a CTE). */
+  private def scoreScreenSelect: String = {
+    val e12 = "1000000000000.0"
+    s"""SELECT pred AS predictor, dep AS dependent, cases,
+       |  total_n - cases AS controls, total_n,
+       |  round((umu/1000000.0)*(umu/1000000.0) / (sxw/$e12 -
+       |    ((swss/$e12)*(sxw/$e12)*(sxw/$e12)
+       |     - 2.0*(sws/$e12)*(sxw/$e12)*(sxws/$e12)
+       |     + (sw/$e12)*(sxws/$e12)*(sxws/$e12))
+       |    / ((sw/$e12)*(swss/$e12) - (sws/$e12)*(sws/$e12))), 4) + 0 AS score_chi2
+       |FROM agg""".stripMargin
+  }
+
+  private def scoreScreenSql(iters: Int): String =
+    scoreScreenChain(iters) + "\n" + scoreScreenSelect +
+      " ORDER BY predictor, dependent"
+
+  /** a37 oracle: the a21 screen chain as a CTE, thresholded to the
+    * survivor set, joined against per-pair Haldane closed-form Firth
+    * refits (the a04 equivalence: penalized MLE of a saturated 2×2 =
+    * +0.5-corrected log-OR) — the oracle REFITS every pair and lets
+    * the join drop the screened-out ones, which is value-identical to
+    * the engine fitting survivors only. */
+  private def screenFirthSql(iters: Int, thr: Double): String = {
+    val preds = Seq("xbin", "xpar")
+    val deps = Seq("d_urgent", "d_open", "d_big", "d_many")
+    val refits = (for { p <- preds; d <- deps } yield
+      s"""SELECT '$p' AS predictor, '$d' AS dependent,
+         |  round(ln(((n11+0.5) * (n00+0.5)) / ((n10+0.5) * (n01+0.5))), 4) + 0 AS beta,
+         |  round(((n11+0.5) * (n00+0.5)) / ((n10+0.5) * (n01+0.5)), 4) + 0 AS "OR",
+         |  CAST(n11 + n01 AS BIGINT) AS cases,
+         |  CAST(n10 + n00 AS BIGINT) AS controls,
+         |  CAST(n11 + n10 + n01 + n00 AS BIGINT) AS total_n
+         |FROM ${cellsFor(p, d)}""".stripMargin).mkString("\n  UNION ALL\n  ")
+    scoreScreenChain(iters) +
+      s"""
+         |, screen AS (
+         |  $scoreScreenSelect
+         |), refit AS (
+         |  $refits
          |)
-         |SELECT pred AS predictor, dep AS dependent, cases,
-         |  total_n - cases AS controls, total_n,
-         |  round((umu/1000000.0)*(umu/1000000.0) / (sxw/$e12 -
-         |    ((swss/$e12)*(sxw/$e12)*(sxw/$e12)
-         |     - 2.0*(sws/$e12)*(sxw/$e12)*(sxws/$e12)
-         |     + (sw/$e12)*(sxws/$e12)*(sxws/$e12))
-         |    / ((sw/$e12)*(swss/$e12) - (sws/$e12)*(sws/$e12))), 4) + 0 AS score_chi2
-         |FROM agg ORDER BY predictor, dependent""".stripMargin
+         |SELECT r.predictor, r.dependent, r.beta, r."OR",
+         |  r.cases, r.controls, r.total_n, s.score_chi2
+         |FROM refit r JOIN screen s
+         |  ON r.predictor = s.predictor AND r.dependent = s.dependent
+         |WHERE s.score_chi2 >= $thr
+         |ORDER BY r.predictor, r.dependent""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "a21_score_screen" -> scoreScreenSql(4),
+    "a37_screen_firth" -> screenFirthSql(4, 1.0),
     // s11: same bundled real-code map CSV read by both engines; the
     // row_number code-index runs over plain-ASCII icd strings so the
     // ORDER BY icd collation is identical; CAST-to-DATE of a UTC-naive

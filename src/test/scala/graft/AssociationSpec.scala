@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit, round, when}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Association
@@ -1144,5 +1144,39 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       p1c.getAs[Double]("beta_x") == bx &&
       p1c.getAs[Double]("beta_z1") == p8c.getAs[Double]("beta_z1") &&
       p1c.getAs[Double]("beta_z2") == p8c.getAs[Double]("beta_z2"))
+  }
+
+  test("a37 screen→Firth route: routed refits hash-match the unrouted full-grid Firth fits on exactly the survivor set") {
+    val dir = "/root/testdata/sf0.001"
+    val routed = operators.Mas.a37ScreenFirth(spark, dir).collect()
+    // the survivor set the screen defines, computed independently
+    val surv = operators.Mas.a21ScoreScreen(spark, dir).collect()
+      .filter(_.getAs[Double]("score_chi2") >= 1.0)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(routed.map(r => (r.getString(0), r.getString(1))).toSet == surv,
+      "routed pair set must equal the screen's survivor set")
+    assert(routed.nonEmpty, "threshold should admit at least one pair at sf0.001")
+    // the UNROUTED full-grid Firth fit — the routed refit must agree
+    // value-for-value (the handoff changes which pairs get fit, never
+    // what a fit produces)
+    val cfg = operators.Association.Config(Seq("xbin", "xpar"),
+      Seq("d_urgent", "d_open", "d_big", "d_many"), model = "firth",
+      minCaseCount = 5, maxIter = 200, tol = 1e-11)
+    val full = operators.Association.assoc(operators.Mas.cohort(spark, dir), cfg)
+      .select(col("predictor"), col("dependent"),
+        (round(col("beta"), 4) + lit(0.0)).as("beta"),
+        (round(col("OR"), 4) + lit(0.0)).as("OR"),
+        col("cases"), col("controls"), col("total_n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    routed.foreach { r =>
+      val f = full((r.getString(0), r.getString(1)))
+      assert(r.getAs[Double]("beta") == f.getAs[Double]("beta") &&
+        r.getAs[Double]("OR") == f.getAs[Double]("OR") &&
+        r.getAs[Long]("cases") == f.getAs[Long]("cases") &&
+        r.getAs[Long]("controls") == f.getAs[Long]("controls") &&
+        r.getAs[Long]("total_n") == f.getAs[Long]("total_n"),
+        s"routed refit diverges from the full fit at ${(r.getString(0), r.getString(1))}")
+    }
   }
 }
