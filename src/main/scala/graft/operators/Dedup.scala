@@ -761,6 +761,45 @@ object Dedup {
     }
     val (shOld, bOld) = side(oldDocs)
     val (shNew, bNew) = side(newDocs)
+    incrementalFromOldSide(shOld, bOld, shNew, bNew, newDocs, tau)
+  }
+
+  /**
+   * [[incrementalKeep]] against a PERSISTED old-side band index —
+   * d18's between-snapshots contract made literal: the previous
+   * snapshot's job writes [[minhashBandIndex]] to parquet, every
+   * subsequent ingest LOADS it and joins its new docs against the
+   * loaded (band, bh, ido, sho) table — the old corpus text is never
+   * re-shingled, never re-hashed, never re-scanned. Spec-pinned
+   * row-identical to the rebuild-from-corpus path.
+   */
+  def incrementalKeepWithIndex(index: DataFrame, newDocs: DataFrame,
+      tau: Double, bands: Int = 32, rows: Int = 4): DataFrame = {
+    val params = permParams(bands * rows, 42L)
+    val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, params))
+    val bandUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map(bi =>
+        (bi, scala.util.hashing.MurmurHash3.orderedHash(
+          sig.slice(bi * rows, bi * rows + rows)))))
+    val shNew = withShingles(newDocs, "text", "sh").select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val bNew = shNew.withColumn("sig", sigUdf(col("sh")))
+      .select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
+    val bOld = index.select(col("ido").as("doc_id"), col("band"), col("bh"))
+    // the index denormalizes sho per band row; one row per old doc
+    // suffices for verification
+    val shOld = index.select(col("ido").as("doc_id"), col("sho").as("sh"))
+      .dropDuplicates("doc_id")
+    incrementalFromOldSide(shOld, bOld, shNew, bNew, newDocs, tau)
+  }
+
+  /** Shared tail of the incremental ingest: band-join candidates,
+    * exact-Jaccard verification, best-match-per-new-doc, keep flag. */
+  private def incrementalFromOldSide(shOld: DataFrame, bOld: DataFrame,
+      shNew: DataFrame, bNew: DataFrame, newDocs: DataFrame,
+      tau: Double): DataFrame = {
     val cand = bNew.as("x").join(bOld.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("idn"), col("y.doc_id").as("ido"))

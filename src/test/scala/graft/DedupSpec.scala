@@ -320,4 +320,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 5: two separated dup regions -> exactly 2 spans, 10+12 tokens
     assert(out(5L)._3 == 2L && out(5L)._4 == 22L)
   }
+
+  test("d18 band-index persistence round-trip: ingest against the parquet-reloaded index matches the rebuild-from-corpus path row-for-row") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val c = Dedup.corpus(spark, dir)
+    val old = c.filter(col("doc_id") < 100000)
+    val nw = c.filter(col("doc_id") >= 100000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        r.getBoolean(3))
+    val inMem = Dedup.incrementalKeep(old, nw, 0.5).collect().map(key).sortBy(_._1)
+    // the between-snapshots contract: the PREVIOUS job persists the
+    // band index; THIS job loads it and never re-scans the old corpus
+    val path = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    Dedup.minhashBandIndex(old).write.mode("overwrite").parquet(path)
+    val loaded = spark.read.parquet(path)
+    val viaIdx = Dedup.incrementalKeepWithIndex(loaded, nw, 0.5)
+      .collect().map(key).sortBy(_._1)
+    // the sf0.001 new side is exactly the mutated replicas, so every
+    // doc finds its old original: all drops, none kept
+    assert(inMem.nonEmpty && inMem.exists(!_._4),
+      "fixture should produce dropped docs")
+    assert(viaIdx.sameElements(inMem),
+      "persisted-index ingest must match the in-memory old side exactly")
+  }
 }
