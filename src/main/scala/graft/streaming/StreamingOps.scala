@@ -25,6 +25,19 @@ object StreamingOps {
     * each dedup/agg/join key still reaches exactly one state
     * reducer), and production sizes this knob to REAL state volume,
     * not to the host's core count. */
+  /** Session-lifetime cache of the REPLAY FEEDS (driver-side sorted
+    * row arrays the MemoryStream harness replays) keyed by data dir —
+    * the r14 verdict's gate-cost item: ten gates each collected their
+    * corpus per run (× min-of-2 bench reps), all harness, none
+    * operator. The collect now happens once per (feed, dir) per
+    * session; the streaming machinery under test — sources, state
+    * stores, sinks — still runs in full on every gate. Feeds are
+    * test-corpus-sized (≤100k small tuples). */
+  private val feedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cachedFeed[T](key: String)(f: => T): T =
+    feedCache.computeIfAbsent(key, _ => f.asInstanceOf[AnyRef]).asInstanceOf[T]
+
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
@@ -121,9 +134,11 @@ object StreamingOps {
   def e10StreamParaDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val docs = graft.operators.Dedup.corpus(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().sortBy(_._1)
+    val docs = cachedFeed(s"corpus:$dir") {
+      graft.operators.Dedup.corpus(spark, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+    }
     val input = MemoryStream[(Long, String)]
     // +1 h: event-time 0 would sit ON the initial watermark and be
     // dropped as late (the sessionize-spec lesson)
@@ -191,10 +206,12 @@ object StreamingOps {
       spark: SparkSession, dir: String, sinkName: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val rows = graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      .as[(Long, String, java.sql.Timestamp, Double)]
-      .collect().sortBy(r => (r._3.getTime, r._1))
+    val rows = cachedFeed(s"events4:$dir") {
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .as[(Long, String, java.sql.Timestamp, Double)]
+        .collect().sortBy(r => (r._3.getTime, r._1))
+    }
     val maxTs = rows.iterator.map(_._3.getTime).max
     val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
     val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
@@ -238,10 +255,12 @@ object StreamingOps {
   def e17StreamFileGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val rows = graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      .as[(Long, String, java.sql.Timestamp, Double)]
-      .collect().sortBy(r => (r._3.getTime, r._1))
+    val rows = cachedFeed(s"events4:$dir") {
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .as[(Long, String, java.sql.Timestamp, Double)]
+        .collect().sortBy(r => (r._3.getTime, r._1))
+    }
     val maxTs = rows.iterator.map(_._3.getTime).max
     val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
     val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
@@ -287,12 +306,14 @@ object StreamingOps {
     // deterministic 1/3 user sample: the two-sided join state is
     // user-keyed, so this bounds bench-time state without touching
     // the machinery under test (the oracle applies the same filter)
-    val ev = graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .filter(col("event_type").isin("view", "click") &&
-        col("user_id") % 3 === 0)
-      .as[(Long, java.sql.Timestamp, Long, String)]
-      .collect().sortBy(r => (r._2.getTime, r._1))
+    val ev = cachedFeed(s"events_vc:$dir") {
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .filter(col("event_type").isin("view", "click") &&
+          col("user_id") % 3 === 0)
+        .as[(Long, java.sql.Timestamp, Long, String)]
+        .collect().sortBy(r => (r._2.getTime, r._1))
+    }
     val impIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val clkIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
     def named(s: MemoryStream[(Long, java.sql.Timestamp, Long)]): DataFrame =
@@ -367,9 +388,11 @@ object StreamingOps {
         graft.Tables.documents(spark, dir).filter(col("doc_id") < 25),
         "text", "sh")
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
-    val docs = graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().sortBy(_._1)
+    val docs = cachedFeed(s"docs25:$dir") {
+      graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+    }
     val input = MemoryStream[(Long, String)]
     // +1 h: event-time 0 would sit ON the initial watermark (e10 rule)
     val src = input.toDF().toDF("doc_id", "text")
@@ -461,12 +484,13 @@ object StreamingOps {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
     val c = graft.operators.Dedup.corpus(spark, dir)
-    val oldIdx = graft.operators.Dedup
-      .minhashBandIndex(c.filter(col("doc_id") < 100000))
-      .localCheckpoint(true)
-    val newDocs = c.filter(col("doc_id") >= 100000)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().sortBy(_._1)
+    // the SAME cached persisted-index artifact d18 ingests against
+    val oldIdx = graft.operators.Dedup.oldBandIndex(spark, dir)
+    val newDocs = cachedFeed(s"newdocs:$dir") {
+      c.filter(col("doc_id") >= 100000)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+    }
     val input = MemoryStream[(Long, String)]
     val src = input.toDF().toDF("doc_id", "text")
       .withColumn("ts", timestamp_millis(col("doc_id") + lit(3600000L)))
@@ -514,10 +538,12 @@ object StreamingOps {
   def e15StreamSessionGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val rows = graft.Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[(Long, java.sql.Timestamp, Double)]
-      .collect().sortBy(r => (r._2.getTime, r._1))
+    val rows = cachedFeed(s"events_sess:$dir") {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)]
+        .collect().sortBy(r => (r._2.getTime, r._1))
+    }
     val maxTs = rows.iterator.map(_._2.getTime).max
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
     val src = input.toDF().toDF("user_id", "ts", "value").as[Event]
