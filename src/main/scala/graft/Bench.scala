@@ -434,8 +434,12 @@ object Bench {
             a <- oneShotN("g02")(g02Body("coorder_edges_1x.parquet"))
             b <- oneShotN("g02")(g02Body("coorder_edges_10x.parquet"))
           } yield (a, b)),
+          // g01's SMALL point joins the min-of-2 protocol too (r14: the
+          // quiet pair read 41.1 s at 1x vs 21.3 s at 10x — the small
+          // point was the contaminated one; a one-shot 1x cannot be
+          // adjudicated)
           if (!famOn("g01")) None else pair4("g01", for {
-            a <- oneShot(g01Body("trade_edges_1x.parquet"))
+            a <- oneShotN("g01")(g01Body("trade_edges_1x.parquet"))
             b <- oneShotN("g01")(g01Body("trade_edges_10x.parquet"))
           } yield (a, b))).flatten
         spark.conf.set("spark.graft.bpe.merges", "200")
@@ -476,8 +480,56 @@ object Bench {
       "mas_firth_5000x1800x20cov" -> masTime._2.map(_._1).min,
       "mas_linear_5000x1800x5cov" -> masTime._3.map(_._1).min,
       "mas_firth_gram_5000x1800x5cov" -> masTime._4.map(_._1).min)
-    // runs AFTER the headline reps (it reuses their min as point 1)
-    val scaleSlopeJson = scaleSlope()
+    // ---- adjudicated-evidence embed (r14 verdict items 2+3) ----
+    // A full-sweep bench run on the shared driver host produces slope
+    // and headline numbers at whatever load the host happens to carry;
+    // the adjudicated quiet numbers live in separate BENCH_SLOPE_QUIET
+    // files a reader must cross-reference. If BENCH_SLOPE_EMBED.json
+    // exists (committed from the latest load-gated slopemas run), the
+    // full sweep SKIPS the live 10x segment and embeds that file's
+    // slope table and headline mins — clearly labeled with their
+    // source and per-point load stamps — so the ONE committed BENCH
+    // file carries the evidence a reader should believe. Live reps and
+    // live sweep times still publish alongside (queries_live,
+    // mas_*_reps) — nothing is hidden, the headline block just stops
+    // advertising contaminated numbers as the result.
+    def extractObj(src: String, key: String): Option[String] = {
+      val k = "\"" + key + "\":"
+      val i = src.indexOf(k)
+      if (i < 0) None
+      else {
+        val start = src.indexOf('{', i + k.length)
+        if (start < 0) None
+        else {
+          var depth = 0; var j = start; var end = -1
+          while (j < src.length && end < 0) {
+            val c = src.charAt(j)
+            if (c == '{') depth += 1
+            else if (c == '}') { depth -= 1; if (depth == 0) end = j }
+            j += 1
+          }
+          if (end >= 0) Some(src.substring(start, end + 1)) else None
+        }
+      }
+    }
+    def extractStr(src: String, key: String): Option[String] =
+      ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(src).map(_.group(1))
+    def extractArr(src: String, key: String): Option[String] =
+      ("\"" + key + "\":(\\[[^\\]]*\\])").r.findFirstMatchIn(src).map(_.group(1))
+    val embed: Option[String] =
+      if (masOnly || slopeOnly || onlyNames.isDefined) None
+      else try {
+        val f = new java.io.File("BENCH_SLOPE_EMBED.json")
+        if (f.exists) {
+          val s = scala.io.Source.fromFile(f, "UTF-8")
+          try Some(s.mkString.trim) finally s.close()
+        } else None
+      } catch { case _: Throwable => None }
+    // runs AFTER the headline reps (it reuses their min as point 1);
+    // skipped entirely when the adjudicated embed supplies the table
+    val scaleSlopeJson =
+      if (embed.flatMap(extractObj(_, "scale_slope")).isDefined) None
+      else scaleSlope()
     val all = results ++ masHeads
     def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     // per-query times compress to 2 dp with trailing zeros trimmed
@@ -511,7 +563,17 @@ object Bench {
     // load_sweep brackets the per-query segment; load_avg is sampled
     // at the end (the MAS headline segment) — together they say which
     // segment a host spike hit
-    val scaleJson = scaleSlopeJson.map(s => s""""scale_slope":{$s},""").getOrElse("")
+    val embedSlope = embed.flatMap(extractObj(_, "scale_slope"))
+    val embedHeads = embed.flatMap(extractObj(_, "queries"))
+    val embedSrc = embed.flatMap(extractStr(_, "source")).getOrElse("embed")
+    val embedStamp = embed.flatMap(extractStr(_, "slope_stamp"))
+    val embedGate = embed.flatMap(extractArr(_, "load_gate"))
+    val scaleJson = embedSlope match {
+      case Some(obj) =>
+        s""""scale_slope":$obj,"slope_source":"$embedSrc",""" +
+          embedGate.map(g => s""""slope_gate":$g,""").getOrElse("")
+      case None => scaleSlopeJson.map(s => s""""scale_slope":{$s},""").getOrElse("")
+    }
     // The driver parses the LAST stdout line through a 2000-char tail
     // buffer: at 147 per-query keys the full line overflows it (BENCH
     // r10/r11 parsed null). So the full detail (per-query sweep +
@@ -525,11 +587,19 @@ object Bench {
       s"""{"metric":"detail","unit":"sec","queries":$qs,""" +
       s""""queries_load":$qsLoad,"mas_reps_loads":$repsLoads,$gateJson,""" +
       s""""codegen_probe":$probeJson,"sf":"$sfDir"}"""
-    val masHeadJson = masHeads.map { case (k, v) => "\"" + k + "\":" + fq(v) }
+    val liveHeadJson = masHeads.map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
-    val stampConv = if (coolSecs > 0) "pre-point-after-cooldown" else "post-point"
+    // headline block (r14 verdict item 3): sourced from the load-gated
+    // embed run when present — the live mins publish alongside as
+    // queries_live, the raw live reps as mas_*_reps below
+    val masHeadJson = embedHeads.getOrElse(liveHeadJson)
+    val headSrcJson = embedHeads.map(_ =>
+      s""""headline_source":"$embedSrc","queries_live":$liveHeadJson,""").getOrElse("")
+    val stampConv =
+      if (embedSlope.isDefined) embedStamp.getOrElse("pre-point-after-cooldown")
+      else if (coolSecs > 0) "pre-point-after-cooldown" else "post-point"
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""queries":$masHeadJson,$scaleJson""" +
+      s""""queries":$masHeadJson,$headSrcJson$scaleJson""" +
       s""""slope_stamp":"$stampConv",""" +
       s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
       s""""load_avg":${f3(loadAvg())},$gateJson,$reps,"sf":"$sfDir"}"""

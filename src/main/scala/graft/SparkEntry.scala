@@ -33,6 +33,7 @@ object SparkEntry {
     "a33_cox_ph_covq" -> (Mas.a33CoxPhCovq _),
     "a36_cox_ph_cov2" -> (Mas.a36CoxPhCov2 _),
     "a37_screen_firth" -> (Mas.a37ScreenFirth _),
+    "a38_poisson_offset" -> (Mas.a38PoissonOffset _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
@@ -82,6 +83,8 @@ object SparkEntry {
     "p19_woe" -> (Preprocess.p19Woe _),
     "p20_target_encode" -> (Preprocess.p20TargetEncode _),
     "p21_vif5" -> (Preprocess.p21Vif5 _),
+    "g07_bfs" -> (graft.operators.Graph.g07BfsHops _),
+    "c11_dedup_mixture" -> (graft.operators.Dedup.c11DedupMixture _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
     "a35_clogit" -> (Mas.a35Clogit _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),

@@ -1277,6 +1277,85 @@ object Association {
   }
 
   /**
+   * Poisson RATE model with an EXPOSURE OFFSET for one predictor +
+   * intercept: y ~ Poisson(E·exp(α + βx)) — the person-time /
+   * exposure-denominated rate regression (events per unit exposure:
+   * incidence rates over follow-up time, counts per revenue, errors
+   * per request volume) that a plain count model (a15) cannot
+   * express: ln E enters the linear predictor with coefficient
+   * FIXED at 1, so β is the log INCIDENCE RATE RATIO. Same Newton
+   * kernel shape as [[poissonFit]] with μᵢ = Eᵢ·exp(α + βxᵢ). On a
+   * saturated binary design the MLE is closed-form — the score zeroes
+   * at the exposure-weighted class rates, so
+   * β = ln((Σy₁/ΣE₁)/(Σy₀/ΣE₀)), se = √(1/Σy₁ + 1/Σy₀) (the
+   * classic two-rate comparison) — which is what the DuckDB oracle
+   * replays.
+   */
+  private[graft] def poissonOffsetFit(x: Array[Double], y: Array[Double],
+      e: Array[Double], maxIter: Int = 25, tol: Double = 1e-10): (Double, Double, Boolean) = {
+    var a = math.log(math.max(y.sum / e.sum, 1e-12))
+    var b = 0.0
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      var s0 = 0.0; var s1 = 0.0
+      var i00 = 0.0; var i01 = 0.0; var i11 = 0.0
+      var i = 0
+      while (i < x.length) {
+        val mu = e(i) * math.exp(a + b * x(i))
+        val r = y(i) - mu
+        s0 += r; s1 += r * x(i)
+        i00 += mu; i01 += mu * x(i); i11 += mu * x(i) * x(i)
+        i += 1
+      }
+      val det = i00 * i11 - i01 * i01
+      if (det <= 0) { it = maxIter }
+      else {
+        val da = (i11 * s0 - i01 * s1) / det
+        val db = (i00 * s1 - i01 * s0) / det
+        a += da; b += db
+        converged = math.abs(da) < tol && math.abs(db) < tol
+      }
+      it += 1
+    }
+    var i00 = 0.0; var i01 = 0.0; var i11 = 0.0
+    var i = 0
+    while (i < x.length) {
+      val mu = e(i) * math.exp(a + b * x(i))
+      i00 += mu; i01 += mu * x(i); i11 += mu * x(i) * x(i)
+      i += 1
+    }
+    val det = i00 * i11 - i01 * i01
+    if (det > 0) (b, math.sqrt(i00 / det), converged)
+    else (Double.NaN, Double.NaN, false)
+  }
+
+  /** Per-stratum offset-Poisson rate fits ([[poissonOffsetFit]]);
+    * rows with non-positive exposure are dropped at the engine
+    * boundary (ln E undefined — the preprocessing contract, same
+    * rule as the null-covariate drop). */
+  def poissonOffset(df: DataFrame, xCol: String, yCol: String,
+      eCol: String, byCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(byCol).cast("string"), col(xCol).cast("double"),
+        col(yCol).cast("double"), col(eCol).cast("double"))
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(yCol) >= 0 && col(eCol) > 0)
+      .as[(String, Double, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (grp, it) =>
+        val rows = it.toArray
+        val (beta, se, conv) =
+          poissonOffsetFit(rows.map(_._2), rows.map(_._3), rows.map(_._4))
+        (grp, rows.length.toLong,
+          if (beta.isNaN) None else Some(beta),
+          if (se.isNaN) None else Some(se), conv)
+      }
+      .toDF(byCol, "n", "beta", "se", "converged")
+  }
+
+  /**
    * Negative-binomial (NB2, fixed dispersion θ) log-linear fit for
    * one predictor + intercept: y ~ NB(mean exp(α + βx), var μ+μ²/θ)
    * — the OVERDISPERSED count family a Poisson fit (a15) understates

@@ -898,6 +898,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /**
+   * c11: DEDUP-AWARE mixture weights — the d17→c08 pipeline seam a
+   * production data mix actually runs: temperature weights computed
+   * over the POST-DEDUP corpus, not the raw one (duplicate-heavy
+   * sources otherwise buy mixture share with copies; the weights
+   * must see the kept tokens only). Composition of two audited
+   * pieces: d17's end-to-end keep decision filters the corpus (a
+   * doc-keyed semi-join — the pushed-down `WHERE keep` d17's row
+   * advertises), then c08's α = 0.5 temperature arithmetic runs over
+   * the survivors. The only work beyond d17 itself is one token-count
+   * aggregate over kept docs.
+   */
+  def c11DedupMixture(spark: SparkSession, dir: String): DataFrame = {
+    val kept = d17DedupKeep(spark, dir).filter(col("keep")).select("doc_id")
+    Corpus.mixtureWeights(corpus(spark, dir).join(kept, "doc_id"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------- d04 SimHash
 
   /** Polynomial string hash (h·base + char) mod m — chosen over
@@ -1538,6 +1556,41 @@ object Dedup {
     // d17: the d06 recursive components over the d03 exact pair set,
     // left-joined back onto the FULL corpus (singletons keep
     // themselves), keeper = cluster min id
+    // c11: the d17 keep chain as CTEs, survivors (doc_id = cluster)
+    // feeding c08's token-count + temperature-weight arithmetic
+    "c11_dedup_mixture" ->
+      (corpusSql.replace("WITH corpus", "WITH RECURSIVE corpus") + globalPairsSqlBody +
+        """, jp AS (
+          |  SELECT id1, id2 FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+          |), edges AS (
+          |  SELECT id1, id2 FROM jp UNION ALL SELECT id2, id1 FROM jp
+          |), reach(src, node) AS (
+          |  SELECT id1, id1 FROM edges
+          |  UNION
+          |  SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.node = e.id1
+          |), comp AS (
+          |  SELECT src AS id, min(node) AS component FROM reach GROUP BY src
+          |), lab AS (
+          |  SELECT c.doc_id, coalesce(m.component, c.doc_id) AS cluster
+          |  FROM corpus c LEFT JOIN comp m ON c.doc_id = m.id
+          |), kept AS (
+          |  SELECT c.doc_id, c.source, c.text
+          |  FROM corpus c JOIN lab l ON c.doc_id = l.doc_id
+          |  WHERE l.doc_id = l.cluster
+          |), t AS (
+          |  SELECT source,
+          |    CAST(len(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+          |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+          |  FROM kept
+          |), per AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |    CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+          |  FROM t GROUP BY source
+          |)
+          |SELECT source, n_docs, n_tokens,
+          |  round(w_micro * 1.0 / (SELECT sum(w_micro) FROM per), 6) + 0 AS weight
+          |FROM per ORDER BY source""".stripMargin),
     "d17_dedup_keep" ->
       (corpusSql.replace("WITH corpus", "WITH RECURSIVE corpus") + globalPairsSqlBody +
         """, jp AS (

@@ -363,6 +363,48 @@ object Graph {
       .orderBy(col("core_deg").desc, col("node"))
       .limit(20)
 
+  /**
+   * Multi-source BFS hop distance, K synchronous rounds — the
+   * neighborhood-expansion primitive (seed-set reachability /
+   * "within-k-hops" cohort construction; the graph query a
+   * contamination or influence analysis runs from a seed list).
+   * State is the REACHED set (node, hops); each round expands only
+   * the current FRONTIER (hops = round−1) through the edge list and
+   * folds new labels in with an integer min — settled nodes are
+   * never re-sent, so round cost is ∝ edges incident to the
+   * frontier, the textbook distributed-BFS shuffle shape. All
+   * arithmetic is integer-exact (no FP anywhere), rounds are fixed
+   * for oracle replay, and lineage is cut per round (the d06 rule).
+   * Nodes unreached within `rounds` hops are absent (a 100 TB graph's
+   * full closure is unbounded; the k-hop horizon IS the contract).
+   */
+  def bfsHops(und: DataFrame, seedPred: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"bfsHops: rounds in [1,16], got $rounds")
+    val bi = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val nodes = bi.select(col("u").as("node")).distinct()
+    var reached = nodes.filter(seedPred)
+      .select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (k <- 1 to rounds) {
+      val expand = reached.filter(col("hops") === (k - 1))
+        .join(bi, col("node") === bi("u"))
+        .select(col("v").as("node"), lit(k.toLong).as("hops"))
+      reached = reached.union(expand)
+        .groupBy("node").agg(min("hops").as("hops"))
+        .localCheckpoint(true)
+    }
+    reached
+  }
+
+  /** g07: 4-round multi-source BFS over the co-order part graph from
+    * the deterministic seed set part % 97 == 0 — every part within 4
+    * co-order hops of a seed, with its hop distance. */
+  def g07BfsHops(spark: SparkSession, dir: String): DataFrame =
+    bfsHops(coOrderEdges(spark, dir), col("node") % 97 === 0, rounds = 4)
+      .orderBy("node")
+
   // --------------------------------------------------------- oracle SQL
 
   /** Unrolled power iterations as generated CTEs — same integer
@@ -487,7 +529,33 @@ object Graph {
          |ORDER BY core_deg DESC, node LIMIT 20""".stripMargin
   }
 
+  /** g07 oracle: the frontier expansion unrolled — one CTE per round,
+    * UNION ALL of the carried reached set with the frontier's
+    * neighbor labels, integer min per node; every operand integer. */
+  private def bfsSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s""", r$k AS (
+         |  SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+         |    SELECT node, hops FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, f.hops + 1 AS hops
+         |    FROM r${k - 1} f JOIN bi e ON f.node = e.u
+         |    WHERE f.hops = ${k - 1}
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString
+    coOrderCtes +
+      s""", bi AS (
+         |  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+         |), r0 AS (
+         |  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS hops FROM bi
+         |  WHERE u % 97 = 0
+         |)$steps
+         |SELECT node, hops FROM r$rounds ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "g07_bfs" -> bfsSql(4),
     "g01_pagerank" -> pagerankSql(5),
     "g06_kcore" -> kcoreSql(90, 4),
     // degree-oriented triangle enumeration: identical orientation rule

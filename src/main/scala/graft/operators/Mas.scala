@@ -169,6 +169,26 @@ object Mas {
       .orderBy("grp")
   }
 
+  /** a38: Poisson RATE association with an EXPOSURE OFFSET
+    * ([[Association.poissonOffset]]) — quantity as the event count,
+    * order revenue (thousands) as the exposure, so β is the log
+    * incidence RATE ratio of discounted vs undiscounted lines (the
+    * person-time rate-regression shape a15's plain count model can't
+    * express; closed-form two-rate oracle on the saturated binary
+    * design). */
+  def a38PoissonOffset(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("grp"),
+      when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("x"),
+      col("l_quantity").cast("double").as("y"),
+      (col("l_extendedprice") / 1000.0).as("e"))
+    Association.poissonOffset(df, "x", "y", "e", "grp")
+      .select(col("grp"), col("n"), r4(col("beta")).as("beta"),
+        r4(col("se")).as("se"), r4(exp(col("beta"))).as("irr"),
+        col("converged"))
+      .orderBy("grp")
+  }
+
   /** a18: negative-binomial count-model association (NB2, fixed
     * dispersion θ=2) — same design as a15 but with the overdispersion
     * real count data has: the MLE beta equals Poisson's closed-form
@@ -1921,6 +1941,31 @@ object Mas {
         |      + sQS / (2.0 * sS * sS)), 4) + 0 END AS se_ln_or
         |FROM g""".stripMargin,
     // saturated binary Poisson: MLE = closed-form rate ratio
+    // a38: closed-form two-rate replay of the saturated-binary offset
+    // Poisson (score zeroes at the exposure-weighted class rates)
+    "a38_poisson_offset" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS x,
+        |    CAST(l_quantity AS DOUBLE) AS y,
+        |    l_extendedprice / 1000.0 AS e
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_quantity >= 0
+        |    AND l_extendedprice / 1000.0 > 0
+        |), g AS (
+        |  SELECT grp, count(*) AS n,
+        |    sum(CASE WHEN x = 1.0 THEN y END) AS sy1,
+        |    sum(CASE WHEN x = 1.0 THEN e END) AS se1,
+        |    sum(CASE WHEN x = 0.0 THEN y END) AS sy0,
+        |    sum(CASE WHEN x = 0.0 THEN e END) AS se0
+        |  FROM v GROUP BY grp
+        |)
+        |SELECT grp, n,
+        |  round(ln((sy1 / se1) / (sy0 / se0)), 4) + 0 AS beta,
+        |  round(sqrt(1.0 / sy1 + 1.0 / sy0), 4) + 0 AS se,
+        |  round(exp(ln((sy1 / se1) / (sy0 / se0))), 4) + 0 AS irr,
+        |  TRUE AS converged
+        |FROM g ORDER BY grp""".stripMargin,
     "a15_assoc_poisson" ->
       """WITH v AS (
         |  SELECT l_returnflag AS grp,

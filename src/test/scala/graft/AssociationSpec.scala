@@ -1146,6 +1146,50 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       p1c.getAs[Double]("beta_z2") == p8c.getAs[Double]("beta_z2"))
   }
 
+  test("poissonOffsetFit: unit exposure reduces to poissonFit exactly; scaling invariance; closed form; score zero") {
+    val rng = new scala.util.Random(91)
+    val n = 400
+    val x = Array.tabulate(n)(i => if (i % 2 == 0) 1.0 else 0.0)
+    val e = Array.tabulate(n)(_ => 0.5 + rng.nextDouble() * 4.0)
+    val y = Array.tabulate(n) { i =>
+      // Poisson draws at rate E·exp(-0.3 + 0.6x)
+      val mu = e(i) * math.exp(-0.3 + 0.6 * x(i))
+      var k = 0; var p = math.exp(-mu); var c = p; val u = rng.nextDouble()
+      while (u > c && k < 500) { k += 1; p *= mu / k; c += p }
+      k.toDouble
+    }
+    // e ≡ 1: bit-identical to the plain Poisson kernel
+    val ones = Array.fill(n)(1.0)
+    val (b1, s1, c1) = operators.Association.poissonOffsetFit(x, y, ones)
+    val (b2, s2, c2) = operators.Association.poissonFit(x, y)
+    assert(b1 == b2 && s1 == s2 && c1 == c2)
+    // closed form on the saturated binary design
+    val (bf, sf, cf) = operators.Association.poissonOffsetFit(x, y, e)
+    assert(cf)
+    def cls(v: Double) = x.indices.filter(x(_) == v)
+    val sy1 = cls(1.0).map(y).sum; val se1 = cls(1.0).map(e).sum
+    val sy0 = cls(0.0).map(y).sum; val se0 = cls(0.0).map(e).sum
+    assert(math.abs(bf - math.log((sy1 / se1) / (sy0 / se0))) < 1e-8)
+    assert(math.abs(sf - math.sqrt(1.0 / sy1 + 1.0 / sy0)) < 1e-8)
+    assert(math.abs(bf - 0.6) < 0.3) // recovers the simulated IRR
+    // exposure scaling: E → 10E shifts the intercept, not beta/se
+    val (bs, ss, _) = operators.Association.poissonOffsetFit(x, y, e.map(_ * 10))
+    assert(math.abs(bs - bf) < 1e-8 && math.abs(ss - sf) < 1e-8)
+    // continuous x: the independent score Σx(y−E·exp(a+bx)) zeroes at
+    // the fit (recover a from the 0-score of the intercept equation)
+    val xc = Array.tabulate(n)(i => (i % 5).toDouble / 2.0)
+    val (bc, _, cc) = operators.Association.poissonOffsetFit(xc, y, e)
+    assert(cc)
+    // solve intercept at fixed bc by 1-d Newton for the score check
+    var a = 0.0
+    for (_ <- 1 to 60) {
+      val mu = xc.indices.map(i => e(i) * math.exp(a + bc * xc(i)))
+      a += (y.sum - mu.sum) / mu.sum
+    }
+    val sc = xc.indices.map(i => xc(i) * (y(i) - e(i) * math.exp(a + bc * xc(i)))).sum
+    assert(math.abs(sc) < 1e-4, s"score at MLE = $sc")
+  }
+
   test("a37 screen→Firth route: routed refits hash-match the unrouted full-grid Firth fits on exactly the survivor set") {
     val dir = "/root/testdata/sf0.001"
     val routed = operators.Mas.a37ScreenFirth(spark, dir).collect()

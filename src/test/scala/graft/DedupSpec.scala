@@ -347,4 +347,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIdx.sameElements(inMem),
       "persisted-index ingest must match the in-memory old side exactly")
   }
+
+  test("c11 dedup-aware mixture equals c08 over the hand-filtered keep set") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val keep = Dedup.d17DedupKeep(spark, dir).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val c = Dedup.corpus(spark, dir)
+    assert(keep.nonEmpty && keep.size < c.count(),
+      "the keep set must be a strict subset (fixture has dup clusters)")
+    val manual = operators.Corpus
+      .mixtureWeights(c.filter(col("doc_id").isInCollection(keep)))
+      .orderBy("source").collect().map(_.toSeq)
+    val out = Dedup.c11DedupMixture(spark, dir).collect().map(_.toSeq)
+    assert(out.sameElements(manual),
+      "composed pipeline must equal mixture weights over the hand-filtered corpus")
+  }
 }

@@ -818,4 +818,28 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("b", "a")) == ((1L, 1.0)))   // b's one transition
     assert(out.size == 2)                     // last events emit nothing
   }
+
+  test("bfsHops: path distances, multi-seed min, horizon cutoff, disconnected absent") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4-5-6, disconnected edge 10-11
+    val und = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11))
+      .toDF("u", "v")
+    val one = operators.Graph.bfsHops(und, col("node") === 1, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 3-round horizon: nodes 5, 6 and the 10-11 component are absent
+    assert(one == Map(1 -> 0L, 2 -> 1L, 3 -> 2L, 4 -> 3L))
+    // multi-seed: min over seeds 1 and 5; everything reached in 2 rounds
+    val two = operators.Graph.bfsHops(und, col("node") === 1 || col("node") === 5,
+        rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(two == Map(1 -> 0L, 2 -> 1L, 3 -> 2L, 4 -> 1L, 5 -> 0L, 6 -> 1L))
+    // partition invariance: integer min state, any parallelism
+    val p1 = operators.Graph.bfsHops(und.repartition(1), col("node") % 2 === 0, 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val p8 = operators.Graph.bfsHops(und.repartition(8), col("node") % 2 === 0, 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(p1 == p8)
+  }
 }
