@@ -95,6 +95,7 @@ object SparkEntry {
     "s07_qq_expected" -> (Postprocess.s07QqExpected _),
     "s08_qvalues" -> (Postprocess.s08Qvalues _),
     "s15_weighted_bh" -> (Postprocess.s15WeightedBh _),
+    "s16_group_fdr" -> (Postprocess.s16GroupFdr _),
     "s09_meta_analysis" -> (Postprocess.s09MetaAnalysis _),
     "s10_clump" -> (Postprocess.s10Clump _),
     "s11_icd_phecode" -> (Mas.s11IcdPhecode _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "q15_hll_distinct" -> (Relational.q15HllDistinct _),
     "q16_grouping_sets" -> (Relational.q16GroupingSets _),
     "q17_hist_quantiles" -> (Relational.q17HistQuantiles _),
+    "q18_partial_merge" -> (Relational.q18PartialMerge _),
     "e12_transitions" -> (Relational.e12Transitions _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
@@ -186,6 +188,7 @@ object SparkEntry {
     "g04_link_predict" -> (Graph.g04LinkPredict _),
     "g05_assortativity" -> (Graph.g05Assortativity _),
     "g06_kcore" -> (Graph.g06Kcore _),
+    "g08_clustering_coeff" -> (Graph.g08ClusteringCoeff _),
     "t17_readability" -> (TextOps.t17Readability _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
@@ -384,6 +387,29 @@ object SparkEntry {
         |      * (bin + (r - cum_prev) / cnt) END, 4) + 0 AS q_est
         |FROM pick WHERE rn = 1
         |ORDER BY l_returnflag, p""".stripMargin,
+    "q18_partial_merge" ->
+      """WITH a AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt_a,
+        |    sum(l_quantity) AS s_qty_a, min(l_quantity) AS mn_a,
+        |    max(l_quantity) AS mx_a, sum(l_extendedprice) AS s_price_a
+        |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1
+        |), b AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt_b,
+        |    sum(l_quantity) AS s_qty_b, min(l_quantity) AS mn_b,
+        |    max(l_quantity) AS mx_b, sum(l_extendedprice) AS s_price_b
+        |  FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1
+        |), m AS (
+        |  SELECT coalesce(a.l_suppkey, b.l_suppkey) AS l_suppkey,
+        |    coalesce(cnt_a, CAST(0 AS BIGINT))
+        |      + coalesce(cnt_b, CAST(0 AS BIGINT)) AS cnt,
+        |    coalesce(s_qty_a, 0.0) + coalesce(s_qty_b, 0.0) AS s_qty,
+        |    least(mn_a, mn_b) AS mn_qty, greatest(mx_a, mx_b) AS mx_qty,
+        |    coalesce(s_price_a, 0.0) + coalesce(s_price_b, 0.0) AS s_price
+        |  FROM a FULL OUTER JOIN b ON a.l_suppkey = b.l_suppkey
+        |)
+        |SELECT l_suppkey, cnt, round(s_qty, 4) AS s_qty, mn_qty, mx_qty,
+        |  round(s_qty / cnt, 4) AS avg_qty, round(s_price, 4) AS s_price
+        |FROM m ORDER BY l_suppkey""".stripMargin,
     "e12_transitions" ->
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events

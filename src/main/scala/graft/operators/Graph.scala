@@ -405,6 +405,33 @@ object Graph {
     bfsHops(coOrderEdges(spark, dir), col("node") % 97 === 0, rounds = 4)
       .orderBy("node")
 
+  /**
+   * Per-vertex LOCAL CLUSTERING COEFFICIENT — cc(v) = 2·T(v) /
+   * (deg(v)·(deg(v)−1)), the fraction of a vertex's wedges that
+   * close. Composes the degree-oriented triangle count ([[triangles]]
+   * — wedge volume ≤ E^1.5 however hot the hubs are) with one degree
+   * aggregate; vertices with deg < 2 have no wedges and are excluded
+   * by contract. Everything shuffles on vertex keys; the left join
+   * fills triangle-free vertices with 0 so the coefficient is total
+   * over the eligible vertex set.
+   */
+  def clusteringCoeff(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangles(und), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc", Norm.r4(lit(2.0) * col("n_triangles") /
+        (col("deg") * (col("deg") - 1))))
+  }
+
+  /** g08: local clustering coefficient of every co-order part with
+    * at least one wedge. */
+  def g08ClusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoeff(coOrderEdges(spark, dir)).orderBy("node")
+
   // --------------------------------------------------------- oracle SQL
 
   /** Unrolled power iterations as generated CTEs — same integer
@@ -581,6 +608,35 @@ object Graph {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM pv GROUP BY node
         |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin),
+    // g08: the g02 triangle CTEs un-limited, joined back to degrees
+    "g08_clustering_coeff" -> (coOrderCtes +
+      """, g AS (
+        |  SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+        |      THEN und.u ELSE und.v END AS src,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+        |      THEN und.v ELSE und.u END AS dst
+        |  FROM und
+        |  JOIN deg d1 ON und.u = d1.node
+        |  JOIN deg d2 ON und.v = d2.node
+        |), tri AS (
+        |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM g e1
+        |  JOIN g e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+        |  JOIN g e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        |), pv AS (
+        |  SELECT unnest([x, y, z]) AS node FROM tri
+        |), tcnt AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM pv GROUP BY node
+        |)
+        |SELECT d.node, d.deg,
+        |  coalesce(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+        |  round(2.0 * coalesce(t.n_triangles, CAST(0 AS BIGINT))
+        |    / (d.deg * (d.deg - 1)), 4) + 0 AS cc
+        |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+        |WHERE d.deg >= 2
+        |ORDER BY d.node""".stripMargin),
     "g03_label_prop" -> labelPropSql(3),
     // both stubs per edge; integer moments; same reduced Pearson
     "g05_assortativity" -> (coOrderCtes +

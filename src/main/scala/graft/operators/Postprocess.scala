@@ -51,6 +51,38 @@ object Postprocess {
     bhAdjust(df, pvalCol, scale = 1.0, outCol = "p_adj")
       .withColumn("bh_significant", col("p_adj") < alpha)
 
+  /**
+   * GROUP-WISE Benjamini–Hochberg — FDR controlled WITHIN each group
+   * (the per-phenotype correction a PheWAS report publishes next to
+   * the study-wide one: each phenotype's SNP family is its own
+   * multiple-testing universe). Where the study-wide [[bhFdr]] needs
+   * the two-pass suffix-min machinery because a global window would
+   * single-task the results table, the group-wise variant is the
+   * OPPOSITE regime: every window below partitions by the group key,
+   * so Spark executes one independent sorted scan per group in
+   * parallel — no cross-group traffic, no driver state, and skew is
+   * bounded by the largest single phenotype's pair count. Operand
+   * order (p·m_g/rank, suffix-min, clamp) mirrors bhAdjust and the
+   * s02 oracle term-for-term.
+   */
+  def bhFdrByGroup(df: DataFrame, pvalCol: String, groupCol: String,
+      idCol: String, alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = df.filter(col(pvalCol).isNotNull)
+    val wg = Window.partitionBy(groupCol)
+    val wAsc = Window.partitionBy(groupCol)
+      .orderBy(col(pvalCol).asc, col(idCol).asc)
+    val wDesc = Window.partitionBy(groupCol)
+      .orderBy(col(pvalCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nn.withColumn("__rnk", row_number().over(wAsc))
+      .withColumn("__mg", count(lit(1)).over(wg))
+      .withColumn("p_adj_g", least(lit(1.0),
+        min(col(pvalCol) * col("__mg") / col("__rnk")).over(wDesc)))
+      .withColumn("bh_significant_g", col("p_adj_g") < alpha)
+      .drop("__rnk", "__mg")
+  }
+
   /** The distributed BH suffix-min with a scale factor applied BEFORE
     * the clamp at 1 — scale 1.0 is plain BH `p_adj`; scale π̂₀ yields
     * Storey q-values (clamping first would floor q at π₀ wherever the
@@ -435,6 +467,16 @@ object Postprocess {
         round(col("p_adj"), 6).as("p_adj"), col("bh_significant"))
       .orderBy("o_orderkey")
 
+  /** s16: group-wise BH over the pseudo p-value table, 7 pseudo
+    * phenotype groups keyed by o_orderkey % 7. */
+  def s16GroupFdr(spark: SparkSession, dir: String): DataFrame =
+    bhFdrByGroup(pseudoPvals(spark, dir)
+        .withColumn("grp", (col("o_orderkey") % 7).cast("int")),
+      "pval", "grp", "o_orderkey")
+      .select(col("o_orderkey"), col("grp"), round(col("pval"), 6).as("pval"),
+        round(col("p_adj_g"), 6).as("p_adj_g"), col("bh_significant_g"))
+      .orderBy("o_orderkey")
+
   /** s08: Storey q-values over the pseudo p-value table (λ = 0.5). */
   def s08Qvalues(spark: SparkSession, dir: String): DataFrame =
     qvalues(pseudoPvals(spark, dir), "pval")
@@ -656,6 +698,22 @@ object Postprocess {
          |      FROM r, m)
          |SELECT o_orderkey, round(pval, 6) AS pval, round(p_adj, 6) AS p_adj,
          |  p_adj < 0.05 AS bh_significant
+         |FROM adj ORDER BY o_orderkey""".stripMargin,
+    "s16_group_fdr" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |np AS (SELECT o_orderkey, CAST(o_orderkey % 7 AS INT) AS grp, pval
+         |       FROM p WHERE pval IS NOT NULL),
+         |r AS (SELECT o_orderkey, grp, pval,
+         |        row_number() OVER (PARTITION BY grp ORDER BY pval, o_orderkey) AS rnk,
+         |        count(*) OVER (PARTITION BY grp) AS mg
+         |      FROM np),
+         |adj AS (SELECT o_orderkey, grp, pval,
+         |        least(1.0, min(pval * mg / rnk) OVER (
+         |          PARTITION BY grp ORDER BY pval DESC, o_orderkey DESC
+         |          ROWS UNBOUNDED PRECEDING)) AS p_adj_g
+         |      FROM r)
+         |SELECT o_orderkey, grp, round(pval, 6) AS pval,
+         |  round(p_adj_g, 6) AS p_adj_g, p_adj_g < 0.05 AS bh_significant_g
          |FROM adj ORDER BY o_orderkey""".stripMargin,
     // s15: weights normalize to mean 1, pw = p / w_norm, then the s02
     // suffix-min on pw — operand order (w*m/sw, p/w_norm, pw*m/rnk)

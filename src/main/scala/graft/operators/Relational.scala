@@ -513,6 +513,48 @@ object Relational {
           + lit(0)).as("q_est"))
   }
 
+  /**
+   * q18: MERGEABLE PARTIAL AGGREGATES — the incremental-rollup
+   * contract a 100 TB warehouse runs daily: yesterday's snapshot and
+   * today's delta are each pre-aggregated to per-key partial state
+   * (count, sum, min, max), and the combined rollup is produced by
+   * MERGING the partials algebraically — the raw fact rows are never
+   * rescanned. Here the two "snapshots" are the even/odd l_orderkey
+   * halves of lineitem; the merge is a full-outer join on the key
+   * with the combine functions (count/sum add under coalesce,
+   * min/max via least/greatest — both engines ignore nulls there, so
+   * a key absent from one snapshot inherits the other's extrema) and
+   * the finalizer (avg = merged sum / merged count) runs ONLY on
+   * merged state. Keyed on l_suppkey: partial state is |suppliers|
+   * rows per snapshot, so merge cost is independent of fact
+   * cardinality — the property that makes the pattern worth having
+   * at scale.
+   */
+  def q18PartialMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def partial(half: DataFrame, tag: String): DataFrame =
+      half.groupBy("l_suppkey").agg(
+        count(lit(1)).as(s"cnt_$tag"),
+        sum("l_quantity").as(s"s_qty_$tag"),
+        min("l_quantity").as(s"mn_$tag"),
+        max("l_quantity").as(s"mx_$tag"),
+        sum("l_extendedprice").as(s"s_price_$tag"))
+    val a = partial(li.filter(col("l_orderkey") % 2 === 0), "a")
+    val b = partial(li.filter(col("l_orderkey") % 2 === 1), "b")
+    a.join(b, Seq("l_suppkey"), "full_outer")
+      .select(col("l_suppkey"),
+        (coalesce(col("cnt_a"), lit(0L)) + coalesce(col("cnt_b"), lit(0L))).as("cnt"),
+        (coalesce(col("s_qty_a"), lit(0.0)) + coalesce(col("s_qty_b"), lit(0.0))).as("s_qty"),
+        least(col("mn_a"), col("mn_b")).as("mn_qty"),
+        greatest(col("mx_a"), col("mx_b")).as("mx_qty"),
+        (coalesce(col("s_price_a"), lit(0.0)) + coalesce(col("s_price_b"), lit(0.0))).as("s_price"))
+      .select(col("l_suppkey"), col("cnt"), round(col("s_qty"), 4).as("s_qty"),
+        col("mn_qty"), col("mx_qty"),
+        round(col("s_qty") / col("cnt"), 4).as("avg_qty"),
+        round(col("s_price"), 4).as("s_price"))
+      .orderBy("l_suppkey")
+  }
+
   /** q17: p50/p90/p99 of l_extendedprice per return flag via a
     * 256-bin histogram sketch. */
   def q17HistQuantiles(spark: SparkSession, dir: String): DataFrame =

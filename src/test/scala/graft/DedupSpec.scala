@@ -152,6 +152,16 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d17 keep artifact cache is row-identical to the fresh pipeline") {
+    // the session cache (localCheckpointed keep frame shared by d17
+    // and c11) must be indistinguishable from re-running banding +
+    // components — the parquet-persisted-artifact contract
+    val cached = Dedup.d17DedupKeep(spark, dir).collect().map(_.toSeq).sortBy(_.head.toString)
+    val fresh = Dedup.d17DedupKeepFresh(spark, dir).orderBy("doc_id")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(cached.toSeq == fresh.toSeq)
+  }
+
   test("containment is directional: a quoted paragraph hits A->B but not B->A") {
     val sess = spark
     import sess.implicits._

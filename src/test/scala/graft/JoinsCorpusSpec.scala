@@ -524,6 +524,55 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("q18 merged partials equal the direct full-table aggregate") {
+    // the algebraic-merge invariant the operator exists for: merging
+    // the two snapshot partials must reproduce the single-pass rollup
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val merged = operators.Relational.q18PartialMerge(spark, dir)
+      .collect().map(_.toSeq)
+    val direct = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("s_qty"),
+        min("l_quantity").as("mn_qty"), max("l_quantity").as("mx_qty"),
+        round(sum("l_quantity") / count(lit(1)), 4).as("avg_qty"),
+        round(sum("l_extendedprice"), 4).as("s_price"))
+      .orderBy("l_suppkey").collect().map(_.toSeq)
+    assert(merged.length == direct.length && merged.length > 0)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.take(5) == d.take(5), s"$m vs $d")
+      // FP sums may differ in the last ulp across grouping orders;
+      // the 4-dp round makes them equal except exactly at a tie —
+      // compare to 1e-3 here (the oracle gate compares the rounded
+      // engine value against DuckDB instead)
+      assert(math.abs(m(5).toString.toDouble - d(5).toString.toDouble) < 1e-3)
+      assert(math.abs(m(6).toString.toDouble - d(6).toString.toDouble) < 1e-3)
+    }
+  }
+
+  test("clusteringCoeff: triangle+pendant closed forms, deg<2 excluded, partition invariant") {
+    val sess = spark
+    import sess.implicits._
+    // triangle A-B-C with pendant D on A: cc(A) = 2*1/(3*2) = 1/3,
+    // cc(B) = cc(C) = 2*1/(2*1) = 1, D has deg 1 -> excluded
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("u", "v")
+    val out = operators.Graph.clusteringCoeff(g).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((2L, 1L, 1.0)))
+    // square: wedges but no closures -> all cc = 0; invariant across
+    // partitionings
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val r1 = operators.Graph.clusteringCoeff(square.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val r8 = operators.Graph.clusteringCoeff(square.repartition(8))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(r1 == (1L to 4L).map(i => (i, 0L, 0.0)).toSet)
+    assert(r1 == r8)
+  }
+
   test("triangles hubCap: lower bound, exact when cap >= max outdeg") {
     val sess = spark
     import sess.implicits._

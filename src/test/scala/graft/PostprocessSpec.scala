@@ -133,6 +133,30 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps.sameElements(ps.sorted))
   }
 
+  test("bhFdrByGroup: each group is its own BH universe, equal to per-group bhFdr") {
+    val sess = spark
+    import sess.implicits._
+    // group 1: the classic all-.05 example; group 2: the non-monotone
+    // case — per-group answers must match running bhFdr on each group
+    // alone (m is the GROUP size, not the study size)
+    val df = Seq((1, 1, 0.01), (2, 1, 0.02), (3, 1, 0.03), (4, 1, 0.04),
+      (5, 1, 0.05), (6, 2, 0.01), (7, 2, 0.05), (8, 2, 0.051))
+      .toDF("k", "grp", "pval")
+    val out = Postprocess.bhFdrByGroup(df, "pval", "grp", "k").collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Double]("p_adj_g")).toMap
+    (1 to 5).foreach(k => assert(math.abs(out(k) - 0.05) < 1e-12, s"k=$k"))
+    assert(math.abs(out(6) - 0.03) < 1e-12)
+    assert(math.abs(out(7) - 0.051) < 1e-12)
+    assert(math.abs(out(8) - 0.051) < 1e-12)
+    // null p-values are excluded from the group count
+    val withNull = df.union(Seq((9, 1, Double.NaN)).toDF("k", "grp", "pval")
+      .withColumn("pval", org.apache.spark.sql.functions.lit(null)
+        .cast("double")))
+    val out2 = Postprocess.bhFdrByGroup(withNull, "pval", "grp", "k")
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[Double]("p_adj_g")).toMap
+    assert(out2.size == 8 && (1 to 5).forall(k => math.abs(out2(k) - 0.05) < 1e-12))
+  }
+
   test("weightedBh: equal weights reduce to plain BH; up-weighting lowers the adjusted p") {
     val sess = spark
     import sess.implicits._
