@@ -34,6 +34,7 @@ object SparkEntry {
     "a36_cox_ph_cov2" -> (Mas.a36CoxPhCov2 _),
     "a37_screen_firth" -> (Mas.a37ScreenFirth _),
     "a38_poisson_offset" -> (Mas.a38PoissonOffset _),
+    "a39_fisher_exact" -> (Mas.a39FisherExact _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
@@ -211,6 +212,8 @@ object SparkEntry {
     "t11_unigram_logprob" -> (TextOps.t11UnigramLogprob _),
     "t12_char_entropy_agg" -> (TextOps.t12CharEntropyAgg _),
     "t18_dsir" -> (TextOps.t18Dsir _),
+    "t22_feature_hash" -> (TextOps.t22FeatureHash _),
+    "c12_curriculum" -> (Corpus.c12Curriculum _),
   )
 
   def oracleSql: Map[String, String] =

@@ -87,6 +87,8 @@ case class QNorm(child: Expression) extends UnaryExpression {
 object GraftFunctions {
   def rollingHash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+  def rollingHash(c: Column, base: Long, mod: Long): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c), base, mod))
   def qnorm(c: Column): Column =
     ColumnBridge.column(QNorm(ColumnBridge.expression(c)))
 }

@@ -1291,6 +1291,41 @@ object Association {
    * classic two-rate comparison) — which is what the DuckDB oracle
    * replays.
    */
+  /**
+   * Two-sided Fisher exact p for a 2×2 table — sum of all
+   * hypergeometric masses ≤ p_obs·(1+1e-7) (the R convention's
+   * relative slack against FP ties). ln-factorials come from ONE
+   * ascending left-assoc accumulation, p-masses via exp, support
+   * summed ascending in-order — each step mirrored operand-for-
+   * operand by the a39 oracle's list_sum folds. Guarded to n ≤ 1e7:
+   * Fisher is a small-sample test; beyond that the asymptotic tests
+   * (a03/a28) are both correct and O(1) per pair.
+   */
+  private[graft] def fisherTwoSided(n11: Long, n10: Long, n01: Long, n00: Long): Double = {
+    val n = n11 + n10 + n01 + n00
+    require(n <= 10000000L,
+      s"fisherTwoSided: small-sample test (n=$n > 1e7); use a03/a28 asymptotics")
+    val ni = n.toInt
+    val lnf = new Array[Double](ni + 1)
+    var acc = 0.0
+    var i = 1
+    while (i <= ni) { acc += math.log(i.toDouble); lnf(i) = acc; i += 1 }
+    val r1 = (n11 + n10).toInt; val c1 = (n11 + n01).toInt
+    def lnP(k: Int): Double =
+      lnf(r1) + lnf(ni - r1) + lnf(c1) + lnf(ni - c1) - lnf(ni) -
+        lnf(k) - lnf(r1 - k) - lnf(c1 - k) - lnf(ni - r1 - c1 + k)
+    val thr = math.exp(lnP(n11.toInt)) * (1.0 + 1e-7)
+    var s = 0.0
+    var k = math.max(0, c1 - (ni - r1))
+    val kMax = math.min(r1, c1)
+    while (k <= kMax) {
+      val pk = math.exp(lnP(k))
+      if (pk <= thr) s += pk
+      k += 1
+    }
+    math.min(1.0, s)
+  }
+
   private[graft] def poissonOffsetFit(x: Array[Double], y: Array[Double],
       e: Array[Double], maxIter: Int = 25, tol: Double = 1e-10): (Double, Double, Boolean) = {
     var a = math.log(math.max(y.sum / e.sum, 1e-12))

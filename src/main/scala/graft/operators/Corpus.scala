@@ -422,6 +422,48 @@ object Corpus {
   def c10DatasetCard(spark: SparkSession, dir: String): DataFrame =
     datasetCard(Tables.documents(spark, dir)).orderBy("source")
 
+  /**
+   * c12: QUALITY-CURRICULUM PACKING — the three-stage ordering a
+   * curriculum-training data pipeline materializes: each document's
+   * quality score (t02's stopword density minus its duplicate-word
+   * ratio — both on the 4-dp grid, so the difference is engine-
+   * identical) buckets into global terciles (p15's exact type-7
+   * quantile machinery; cut points are 2 collected doubles), and
+   * WITHIN each phase documents are ordered best-first (score on the
+   * 1e-4 integer grid descending — the grid, not the raw double, is
+   * the sort key, so cross-engine ordering ties break identically by
+   * doc_id) and admitted until the phase's token budget fills. The
+   * cumulative token count is the two-pass per-partition-totals
+   * prefix scan (c02/c07's pattern), never a 3-partition window —
+   * the phase count is tiny but phase SIZE is corpus-scale, and the
+   * scan parallelizes over range partitions regardless.
+   */
+  def c12Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = TextOps.quality(docs).select(col("doc_id"),
+      (col("stop_ratio") - col("dup_word_ratio")).as("score"))
+    val toks = docs.select(col("doc_id"),
+      size(filter(split(Dedup.normText(col("text")), " "),
+        w => length(w) > 0)).cast("long").as("n_tokens"))
+    val binned = Preprocess.quantileBin(q.join(toks, "doc_id"), "score", 3)
+      .withColumnRenamed("score_bin", "phase")
+    val inv = lit(20000L) - round(col("score") * 10000.0).cast("long")
+    val ordered = binned.withColumn("__ord", concat_ws("|",
+      col("phase").cast("string"),
+      lpad(inv.cast("string"), 6, "0"),
+      lpad(col("doc_id").cast("string"), 12, "0")))
+    val scanned = prefixScan(ordered, "__ord", "n_tokens", Seq("__gstart")) {
+      (start, _) => Seq(start)
+    }
+    val bases = scanned.groupBy("phase").agg(min("__gstart").as("__base"))
+    scanned.join(broadcast(bases), "phase")
+      .select(col("doc_id"), col("phase"),
+        (round(col("score"), 4) + lit(0.0)).as("score"), col("n_tokens"),
+        (col("__gstart") - col("__base")).as("tok_before"))
+      .withColumn("included", col("tok_before") < 20000L)
+      .orderBy("doc_id")
+  }
+
   /** c09: the documents corpus materialized at a 100k-token budget,
     * α = 0.5 source weights, epochs capped at 4. */
   def c09RepeatEpochs(spark: SparkSession, dir: String): DataFrame =
@@ -484,6 +526,40 @@ object Corpus {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    // c12: t02's score arithmetic, quantile_cont terciles (type-7 ==
+    // quantilesExact), per-phase cumulative tokens ordered by the
+    // SAME 1e-4 integer score grid the engine sorts on
+    "c12_curriculum" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, ${TextOps.paddedSql} AS p,
+         |    string_split(${TextOps.normSql}, ' ') AS w
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    round((${TextOps.occSql("p", " the ")}) / len(w), 4)
+         |      - round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS score,
+         |    CAST(len(list_filter(w, x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM b
+         |), cuts AS (
+         |  SELECT quantile_cont(score, CAST(1 AS DOUBLE)/3) AS c1,
+         |         quantile_cont(score, CAST(2 AS DOUBLE)/3) AS c2
+         |  FROM s
+         |), ph AS (
+         |  SELECT doc_id, score, n_tokens,
+         |    (CASE WHEN score >= c1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN score >= c2 THEN 1 ELSE 0 END) AS phase
+         |  FROM s, cuts
+         |), cum AS (
+         |  SELECT doc_id, phase, score, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY phase
+         |      ORDER BY CAST(round(score * 10000.0) AS BIGINT) DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_before
+         |  FROM ph
+         |)
+         |SELECT doc_id, phase, round(score, 4) + 0 AS score, n_tokens,
+         |  tok_before, tok_before < 20000 AS included
+         |FROM cum ORDER BY doc_id""".stripMargin,
     // c10: same tokenization, quantile_cont == Spark exact percentile
     // interpolation, modal lang via the bounded count-table argmax
     "c10_dataset_card" ->

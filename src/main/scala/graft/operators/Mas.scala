@@ -189,6 +189,45 @@ object Mas {
       .orderBy("grp")
   }
 
+  /**
+   * a39: FISHER EXACT TEST on each (xbin, dependent) 2×2 — the
+   * small-sample companion to the Firth fit (analysis.py's viability
+   * thresholds exist exactly because asymptotic tests break on sparse
+   * cells; Fisher conditions on the margins instead). Two-sided by
+   * the standard "sum all table probabilities ≤ p_obs·(1+1e-7)" rule
+   * (the R convention). The hypergeometric masses come from ONE
+   * ascending ln-factorial accumulation per counts row (lnf(m) is a
+   * prefix of the same left-assoc fold the oracle's in-order
+   * list_sum replays, so every intermediate double is identical),
+   * and the support sum runs ascending k in-order. The whole test is
+   * a pure function of the four cell counts, so it rides the a05
+   * aggregate: one shuffle bounded by |pairs|, then a per-row kernel
+   * O(n + support). Fisher is a SMALL-SAMPLE test by construction —
+   * the kernel guards n ≤ 10M and directs larger cohorts to
+   * a03/a28's asymptotics (where Fisher and chi-square agree anyway).
+   * Haldane-corrected OR published alongside (a27's convention).
+   */
+  def a39FisherExact(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("xbin"),
+      Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all"))
+    val fisher = udf(Association.fisherTwoSided _)
+    Association.melt(cohort(spark, dir), cfg)
+      .groupBy("predictor", "dependent")
+      .agg(
+        sum(when(col("x") === 1.0 && col("y") === 1.0, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("x") === 1.0 && col("y") === 0.0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("x") === 0.0 && col("y") === 1.0, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("x") === 0.0 && col("y") === 0.0, 1L).otherwise(0L)).as("n00"))
+      .withColumn("p_fisher", fisher(col("n11"), col("n10"), col("n01"), col("n00")))
+      .select(col("predictor"), col("dependent"),
+        col("n11"), col("n10"), col("n01"), col("n00"),
+        r4(lit(-1.0) * log(col("p_fisher")) / math.log(10.0)).as("neg_log10_p"),
+        (round(col("p_fisher"), 6) + lit(0.0)).as("p_fisher"),
+        r4((col("n11") + 0.5) * (col("n00") + 0.5) /
+          ((col("n10") + 0.5) * (col("n01") + 0.5))).as("or_haldane"))
+      .orderBy("dependent")
+  }
+
   /** a18: negative-binomial count-model association (NB2, fixed
     * dispersion θ=2) — same design as a15 but with the overdispersion
     * real count data has: the MLE beta equals Poisson's closed-form
@@ -1735,6 +1774,42 @@ object Mas {
        |    AND sum($dep) <> count(*)) AS viable
        |FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL""".stripMargin
 
+  /** a39 oracle branch. lnfact is the in-order list_sum of ln(i) —
+    * every prefix of that fold is double-identical to the engine
+    * kernel's single ascending accumulation — and the support sum
+    * replays ascending k in-order (the Efron-ties precedent); the
+    * two-sided rule uses the same p_obs·(1+1e-7) slack. */
+  private def fisherBranch(dep: String): String = {
+    def lnf(e: String) =
+      "coalesce(list_sum(list_transform(generate_series(1, " +
+        s"CAST($e AS BIGINT)), i -> ln(CAST(i AS DOUBLE)))), 0.0)"
+    def lnP(k: String) =
+      s"${lnf("r1")} + ${lnf("n - r1")} + ${lnf("c1")} + ${lnf("n - c1")}" +
+        s" - ${lnf("n")} - ${lnf(k)} - ${lnf(s"r1 - ($k)")}" +
+        s" - ${lnf(s"c1 - ($k)")} - ${lnf(s"n - r1 - c1 + ($k)")}"
+    s"""SELECT 'xbin' AS predictor, '$dep' AS dependent, n11, n10, n01, n00,
+       |  round((-1.0 * ln(p)) / ln(10.0), 4) + 0 AS neg_log10_p,
+       |  round(p, 6) + 0 AS p_fisher,
+       |  round((n11 + 0.5) * (n00 + 0.5)
+       |    / ((n10 + 0.5) * (n01 + 0.5)), 4) + 0 AS or_haldane
+       |FROM (
+       |  SELECT *, least(1.0, list_sum(list_transform(
+       |      generate_series(greatest(0, c1 - (n - r1)), least(r1, c1)),
+       |      k -> CASE WHEN exp(${lnP("k")})
+       |          <= exp(${lnP("n11")}) * (1.0 + 0.0000001)
+       |        THEN exp(${lnP("k")}) ELSE 0.0 END))) AS p
+       |  FROM (
+       |    SELECT *, n11 + n10 AS r1, n11 + n01 AS c1,
+       |      n11 + n10 + n01 + n00 AS n
+       |    FROM (
+       |      SELECT
+       |        CAST(sum(CASE WHEN xbin = 1 AND $dep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |        CAST(sum(CASE WHEN xbin = 1 AND $dep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |        CAST(sum(CASE WHEN xbin = 0 AND $dep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |        CAST(sum(CASE WHEN xbin = 0 AND $dep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |      FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL)))""".stripMargin
+  }
+
   private def skipBranch(dep: String): String =
     s"""SELECT '$dep' AS dep, count(*) AS n,
        |  CAST(coalesce(sum($dep), 0) AS BIGINT) AS cases
@@ -2410,6 +2485,10 @@ object Mas {
     "a05_case_counts" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all").map(countsBranch(_, 50))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a39_fisher_exact" ->
+      (cohortSql + "\n" +
+        Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all").map(fisherBranch)
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
     "a10_assoc_logistic_gram" ->
       (cohortSql + "\n" +

@@ -23,10 +23,10 @@ object TextOps {
   /** Occurrences of literal `w` in `c` via length arithmetic —
     * identical semantics in Spark and DuckDB (`replace` is literal,
     * not regex, in both). */
-  private def occ(c: Column, w: String): Column =
+  private[operators] def occ(c: Column, w: String): Column =
     (length(c) - length(call_function("replace", c, lit(w)))) / w.length
 
-  private def occSql(c: String, w: String): String =
+  private[operators] def occSql(c: String, w: String): String =
     s"(length($c) - length(replace($c, '$w', ''))) / ${w.length}"
 
   // ---------------------------------------------------------- t01 langid
@@ -578,6 +578,38 @@ object TextOps {
 
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(asciiGuarded(Tables.documents(spark, dir), "t04")).orderBy("doc_id")
+
+  /**
+   * HASHING-TRICK sparse feature vectors (Weinberger et al. 2009) —
+   * the vocabulary-free featurization a 100 TB text pipeline needs:
+   * each token hashes straight to one of `dims` buckets (the
+   * codegen'd [[graft.functions.RollingHash]] — no vocabulary build,
+   * no dictionary broadcast, no state that grows with the corpus)
+   * and a second independent rolling hash supplies the ±1 sign that
+   * makes collisions cancel in expectation. Output is the sparse
+   * (doc, bucket, value) triple set — zero-valued buckets (full
+   * cancellation) are dropped by the sparse contract. One explode +
+   * one map-side-combined aggregate; shuffle bounded by
+   * |docs|·min(dims, doc tokens).
+   */
+  def featureHash(docs: DataFrame, dims: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(Dedup.normText(col("text")), " "),
+        w => length(w) > 0)).as("tok"))
+    toks.select(col("doc_id"),
+        (GraftFunctions.rollingHash(col("tok")) % dims).as("bucket"),
+        when(GraftFunctions.rollingHash(col("tok"), 131L, 998244353L) % 2 === 0, 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "bucket").agg(sum("sign").as("val"))
+      .filter(col("val") =!= 0)
+  }
+
+  /** t22: 64-dim signed hashing-trick features of the corpus (ASCII-
+    * guarded: the oracle replays both rolling hashes over code
+    * points). */
+  def t22FeatureHash(spark: SparkSession, dir: String): DataFrame =
+    featureHash(asciiGuarded(Tables.documents(spark, dir), "t22"), 64)
+      .orderBy("doc_id", "bucket")
 
   // ---------------------------------------------------- t05 top-k ngrams
 
@@ -1136,8 +1168,8 @@ object TextOps {
 
   // --------------------------------------------------------- oracle SQL
 
-  private val normSql = """lower(regexp_replace(text, '\s+', ' ', 'g'))"""
-  private val paddedSql = s"' ' || $normSql || ' '"
+  private[operators] val normSql = """lower(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private[operators] val paddedSql = s"' ' || $normSql || ' '"
 
   /** t13 oracle: the BPE training loop replayed move-for-move in
     * DuckDB — the n03 fixed-point trick generalized to a discrete
@@ -1494,6 +1526,27 @@ object TextOps {
           |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS other_tokens,
           |  round(length(text) * 1.0 / len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_token
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // t22: both rolling hashes replayed over code points (ASCII-
+      // guarded in the engine); sum(sign) CAST from HUGEINT
+      "t22_feature_hash" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split($normSql, ' '),
+           |    w -> length(w) > 0)) AS tok
+           |  FROM documents
+           |), h AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(tok, ''), x -> CAST(ord(x) AS BIGINT))),
+           |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket,
+           |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(tok, ''), x -> CAST(ord(x) AS BIGINT))),
+           |      (acc, x) -> (acc * 131 + x) % 998244353) % 2 = 0
+           |      THEN 1 ELSE -1 END AS sign
+           |  FROM toks
+           |)
+           |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+           |FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0
+           |ORDER BY doc_id, bucket""".stripMargin,
       "t04_fingerprint" ->
         s"""SELECT doc_id, md5($normSql) AS fp_md5,
            |  list_reduce(list_prepend(CAST(0 AS BIGINT),

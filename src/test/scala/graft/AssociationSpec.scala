@@ -1223,4 +1223,36 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"routed refit diverges from the full fit at ${(r.getString(0), r.getString(1))}")
     }
   }
+
+  test("fisherTwoSided matches exact BigInt hypergeometric enumeration") {
+    def choose(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (BigInt(1) to BigInt(k)).foldLeft(BigInt(1))((a, i) =>
+        a * (n - (i.toInt - 1)) / i)
+    // independent oracle in EXACT rational arithmetic: sum the
+    // integer numerators choose(r1,k)*choose(n-r1,c1-k) whose mass is
+    // <= the observed one, over the common denominator choose(n,c1)
+    def exact(a: Int, b: Int, c: Int, d: Int): Double = {
+      val r1 = a + b; val c1 = a + c; val n = a + b + c + d
+      val ks = math.max(0, c1 - (n - r1)) to math.min(r1, c1)
+      val mass = ks.map(k => k -> choose(r1, k) * choose(n - r1, c1 - k)).toMap
+      val obs = mass(a)
+      val s = ks.map(mass).filter(_ <= obs).sum
+      (BigDecimal(s) / BigDecimal(choose(n, c1))).toDouble
+    }
+    for ((a, b, c, d) <- Seq((3, 1, 1, 3), (1, 9, 11, 3), (10, 2, 3, 15),
+        (0, 12, 7, 5), (8, 8, 8, 8), (2, 0, 0, 2))) {
+      val got = operators.Association.fisherTwoSided(a, b, c, d)
+      val want = exact(a, b, c, d)
+      assert(math.abs(got - want) < 1e-9, s"($a,$b,$c,$d): $got vs $want")
+    }
+    // tea-tasting literature value
+    assert(math.abs(operators.Association.fisherTwoSided(3, 1, 1, 3) - 0.4857142857142857) < 1e-12)
+    // degenerate margins (everyone a case) -> single support point, p = 1
+    assert(operators.Association.fisherTwoSided(5, 0, 3, 0) == 1.0)
+    // guard fires beyond the small-sample contract
+    intercept[IllegalArgumentException] {
+      operators.Association.fisherTwoSided(10000001L, 0, 0, 0)
+    }
+  }
 }

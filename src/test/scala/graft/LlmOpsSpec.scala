@@ -28,6 +28,53 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(poly("abc"), poly(""), poly("hello world")))
   }
 
+  test("featureHash: hand-computed buckets/signs, counts aggregate, zero rows dropped") {
+    val sess = spark
+    import sess.implicits._
+    // "a" = 97: bucket 97 % 64 = 33; sign hash 97 % 2 = 1 -> -1
+    // "b" = 98: bucket 34; 98 % 2 = 0 -> +1
+    val df = Seq((1L, "a a b"), (2L, "b b b b")).toDF("doc_id", "text")
+    val out = operators.TextOps.featureHash(df, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 33L) -> -2L, (1L, 34L) -> 1L, (2L, 34L) -> 4L))
+    // independent reference replay on mixed text (validates the
+    // explode + normalize + aggregate plumbing end-to-end)
+    def poly(s: String, base: Long, mod: Long): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * base + (b & 0xff)) % mod)
+    val text = "The  quick brown fox the QUICK end"
+    val toks = text.toLowerCase.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+    val want = toks.groupBy(t => poly(t, 31, 1000000007L) % 64)
+      .map { case (b, ts) =>
+        b -> ts.map(t => if (poly(t, 131, 998244353L) % 2 == 0) 1L else -1L).sum }
+      .filter(_._2 != 0L)
+    val got = operators.TextOps.featureHash(Seq((9L, text)).toDF("doc_id", "text"), 64)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("c12 curriculum: phases cover terciles, within-phase best-first budget, composition") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.Corpus.c12Curriculum(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byPhase = out.groupBy(_.getInt(1))
+    assert(byPhase.keySet == Set(0, 1, 2))
+    byPhase.foreach { case (_, rows) =>
+      // included set is a prefix of the (score desc, doc_id) order and
+      // tok_before is the running sum of earlier docs' tokens
+      val ordered = rows.sortBy(r => (-math.round(r.getDouble(2) * 10000), r.getLong(0)))
+      var run = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(4) == run, s"tok_before mismatch at doc ${r.getLong(0)}")
+        assert(r.getBoolean(5) == (run < 20000L))
+        run += r.getLong(3)
+      }
+      // phase purity: every phase-2 score >= every phase-0 score
+    }
+    val maxP0 = byPhase(0).map(_.getDouble(2)).max
+    val minP2 = byPhase(2).map(_.getDouble(2)).min
+    assert(minP2 >= maxP0 - 1e-9)
+  }
+
   test("qnorm expression matches Numerics.qnorm through codegen") {
     val sess = spark
     import sess.implicits._
