@@ -128,6 +128,7 @@ object SparkEntry {
     "n08_ann_recall" -> (Similarity.n08AnnRecall _),
     "n09_pca_power" -> (Similarity.n09PcaPower _),
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
+    "n11_kmeans" -> (Similarity.n11Kmeans _),
     "n06_ann_ivfpq" -> (Similarity.n06AnnIvfPq _),
     "n04_label_centroids" -> (Similarity.n04LabelCentroids _),
     "n05_radius_search" -> (Similarity.n05RadiusSearch _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "m07_ppm_pixels" -> (Multimodal.m07PpmPixels _),
     "m11_ppm_channel_stats" -> (Multimodal.m11PpmChannelStats _),
     "m12_ppm_otsu" -> (Multimodal.m12PpmOtsu _),
+    "m13_bmp_pixels" -> (Multimodal.m13BmpPixels _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
     "m09_pcm_stats" -> (Multimodal.m09PcmStats _),
     "q01_agg" -> (Relational.q01Agg _),
@@ -181,6 +183,7 @@ object SparkEntry {
     "e17_stream_file_gate" -> (graft.streaming.StreamingOps.e17StreamFileGate _),
     "e18_stream_rocksdb_gate" -> (graft.streaming.StreamingOps.e18StreamRocksdbGate _),
     "e19_stream_ingest_gate" -> (graft.streaming.StreamingOps.e19StreamIncrementalGate _),
+    "e22_stream_ttl_gate" -> (graft.streaming.StreamingOps.e22StreamTtlGate _),
     "e20_asof_forward" -> (Joins.e20AsofForward _),
     "e21_asof_nearest" -> (Joins.e21AsofNearest _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
@@ -595,6 +598,23 @@ object SparkEntry {
     // e19: the streaming ingest-dedup gate must reproduce the batch
     // incremental keep decision exactly — same oracle as d18 by design
     "e19_stream_ingest_gate" -> graft.operators.Dedup.oracleSql("d18_incremental_dedup"),
+    // e22: the TTL gate's closed-form keep set — one primary per key
+    // per epoch (within-epoch dup dropped while state is provably
+    // alive, cross-epoch re-arrival admitted after provable eviction)
+    // plus the watermark sentinel; a global-dedup engine would emit
+    // half these rows and hash-fail
+    "e22_stream_ttl_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+        |  FROM documents WHERE doc_id < 50
+        |)
+        |SELECT doc_id AS key, CAST(4000 + 2 * doc_id AS BIGINT) AS ts_sec, h FROM d
+        |UNION ALL
+        |SELECT doc_id AS key, CAST(14000 + 2 * doc_id AS BIGINT) AS ts_sec, h FROM d
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS key, CAST(9000 AS BIGINT) AS ts_sec,
+        |  'sentinel' AS h
+        |ORDER BY key, ts_sec""".stripMargin,
     // e17: the FILE-sink emission path must land the same rows the
     // memory-sink gate (e11) proves — same oracle as e11/e02 by design
     "e17_stream_file_gate" ->

@@ -622,6 +622,148 @@ object Multimodal {
         Norm.r4(col("mean_b")).as("mean_b"))
       .orderBy("doc_id")
 
+  // -------------------------------------------------------------- m13 BMP
+
+  /** Parsed BITMAPINFOHEADER facts needed to walk a 24-bpp
+    * uncompressed BMP raster. `topDown` is the negative-height
+    * variant; `dataOffset` comes from the file header (may skip a
+    * palette). */
+  final case class BmpHeader(width: Int, height: Int, dataOffset: Int, topDown: Boolean)
+
+  /**
+   * Real BMP (Windows DIB) header parser — the SECOND uncompressed
+   * public raster format after PPM, and a genuinely different
+   * container contract: multi-byte fields are LITTLE-endian, pixel
+   * rows are stored BOTTOM-UP (unless height is negative) in BGR
+   * channel order, and every stored row pads to a 4-byte boundary.
+   * Accepts only the uncompressed 24-bpp single-plane form (BI_RGB);
+   * anything else returns None and degrades like the other decoders.
+   */
+  def parseBmpHeader(b: Array[Byte]): Option[BmpHeader] = {
+    def le32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOffset = le32(10)
+    val dibSize = le32(14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = le32(18)
+    val hRaw = le32(22)
+    val planes = le16(26)
+    val bpp = le16(28)
+    val compression = le32(30)
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || planes != 1 || bpp != 24 || compression != 0) None
+    else if (w.toLong * h > Int.MaxValue / 3 || dataOffset < 54) None
+    else Some(BmpHeader(w, h, dataOffset, topDown = hRaw < 0))
+  }
+
+  /** Minimal REAL 24-bpp bottom-up BMP: 14-byte file header +
+    * 40-byte BITMAPINFOHEADER + padded BGR rows. `pixelsStored` is
+    * the raster in STORED (bottom-up) row order WITHOUT padding;
+    * padding bytes are zero as the format prescribes. */
+  def buildBmp(width: Int, height: Int, pixelsStored: Array[Byte]): Array[Byte] = {
+    require(pixelsStored.length == 3 * width * height, "buildBmp: raster size")
+    val stride = ((3 * width + 3) / 4) * 4
+    val imgSize = stride * height
+    val out = new Array[Byte](54 + imgSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + imgSize); le32(10, 54)
+    le32(14, 40); le32(18, width); le32(22, height)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, imgSize)
+    le32(38, 2835); le32(42, 2835); le32(46, 0); le32(50, 0)
+    var r = 0
+    while (r < height) {
+      System.arraycopy(pixelsStored, r * 3 * width, out, 54 + r * stride, 3 * width)
+      r += 1
+    }
+    out
+  }
+
+  final case class BmpFeature(
+      doc_id: Long, format: String, width: Int, height: Int,
+      n_pixels: Long, mean_b: Option[Double], mean_g: Option[Double],
+      mean_r: Option[Double], top_row_sum: Option[Long])
+
+  private[graft] def bmpWidth(id: Long): Int = 3 + (id % 13).toInt
+  private[graft] def bmpHeight(id: Long): Int = 3 + (id % 7).toInt
+
+  /** BMP table synthesized from documents — doc_id-derived geometry,
+    * stored-order raster bytes tiled from the doc's ASCII bytes
+    * (closed form on both sides; padding is NOT part of the tiling,
+    * so a decoder that walks rows without honoring the 4-byte stride
+    * reads padding zeros as pixels and fails the hash gate). */
+  def bmpTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"bmpTable: empty or non-ASCII text in doc_id=$id (m13 oracle tiles byte ords)")
+        val data = text.getBytes("US-ASCII")
+        val raster = Array.tabulate(3 * bmpWidth(id) * bmpHeight(id))(j => data(j % data.length))
+        val bytes = buildBmp(bmpWidth(id), bmpHeight(id), raster)
+        MediaRow(id, bytes, "image/bmp", bytes.length)
+      }
+  }
+
+  /** Batched BMP decode: parse the little-endian headers, then walk
+    * the raster honoring the row STRIDE (padding skipped) and the
+    * bottom-up row order — `top_row_sum` checksums the IMAGE's top
+    * row, which lives at stored row h−1, so a decoder ignoring the
+    * flip fails the gate. Per-channel means over the real BGR bytes. */
+  def extractBmpFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[BmpFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      parseBmpHeader(r.media) match {
+        case Some(h) if r.media.length - h.dataOffset >=
+            (((3L * h.width + 3) / 4) * 4) * h.height =>
+          val stride = ((3 * h.width + 3) / 4) * 4
+          var sb = 0L; var sg = 0L; var sr = 0L; var top = 0L
+          var y = 0
+          while (y < h.height) { // y = IMAGE row (top-down)
+            val storedRow = if (h.topDown) y else h.height - 1 - y
+            var off = h.dataOffset + storedRow * stride
+            var x = 0
+            while (x < h.width) {
+              val bb = r.media(off) & 0xff
+              val gg = r.media(off + 1) & 0xff
+              val rr = r.media(off + 2) & 0xff
+              sb += bb; sg += gg; sr += rr
+              if (y == 0) top += bb + gg + rr
+              off += 3; x += 1
+            }
+            y += 1
+          }
+          val n = h.width.toLong * h.height
+          BmpFeature(r.doc_id, "bmp", h.width, h.height, n,
+            Some(sb.toDouble / n), Some(sg.toDouble / n), Some(sr.toDouble / n),
+            Some(top))
+        case _ => BmpFeature(r.doc_id, "unknown", 0, 0, 0L, None, None, None, None)
+      }
+    }))
+  }
+
+  /** m13: per-channel means + top-image-row checksum decoded from
+    * real little-endian, bottom-up, stride-padded BMP bytes. */
+  def m13BmpPixels(spark: SparkSession, dir: String): DataFrame =
+    extractBmpFeatures(bmpTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_pixels"),
+        Norm.r4(col("mean_b")).as("mean_b"),
+        Norm.r4(col("mean_g")).as("mean_g"),
+        Norm.r4(col("mean_r")).as("mean_r"),
+        col("top_row_sum"))
+      .orderBy("doc_id")
+
   /**
    * 12-bit block-luminance perceptual hash (aHash family) from a REAL
    * P6 raster: pixels map to a 3×4 cell grid (gr = 3y div h, gc = 4x
@@ -1200,6 +1342,29 @@ object Multimodal {
         |FROM ad LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
         |  ON ad.doc_id = b.doc_id
         |ORDER BY ad.doc_id""".stripMargin,
+    // m13: closed-form stored-order tiling — byte p of the raster is
+    // text[p % len]; the engine walks the REAL padded bottom-up BMP
+    // bytes, so stride/flip mistakes fail this compare
+    "m13_bmp_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(3 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, CAST(i % 3 AS INT) AS c, i,
+        |    ord(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, 3 * w * h)) AS t(i)
+        |)
+        |SELECT doc_id, 'bmp' AS format, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(avg(CASE WHEN c = 0 THEN b END), 4) + 0 AS mean_b,
+        |  round(avg(CASE WHEN c = 1 THEN b END), 4) + 0 AS mean_g,
+        |  round(avg(CASE WHEN c = 2 THEN b END), 4) + 0 AS mean_r,
+        |  CAST(sum(CASE WHEN i >= (h - 1) * 3 * w THEN b ELSE 0 END) AS BIGINT)
+        |    AS top_row_sum
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
     "m07_ppm_pixels" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

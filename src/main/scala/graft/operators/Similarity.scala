@@ -461,6 +461,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), round(col("cos"), 4).as("cos"))
   }
 
+  /**
+   * n11: the spherical-Lloyd CLUSTERING itself as the published
+   * artifact — where n03/n06/d10 consume the codebook internally
+   * (for probing or dup-pruning), a corpus-organization pipeline
+   * wants the (vector → cluster) map as output: cluster id, cluster
+   * size, and each vector's cosine to its own centroid (the
+   * assignment-quality signal a clustering report publishes).
+   * Training is the deterministic fixed-point codebook
+   * ([[ivfCentroidsQ]] — only the k×dims model leaves the
+   * executors); assignment is one broadcast argmax-dot projection;
+   * the size join broadcasts k rows. The cosine is the exact integer
+   * dot on the 1e-6 grid over unit vectors, so cos = dot/1e12 with
+   * no cross-engine FP in the ranking.
+   */
+  def kmeansClusters(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val withN = quantized(emb).localCheckpoint(true)
+    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), k, iters)
+    val dotUdf = udf((q: Seq[Long], cid: Int) => {
+      val cent = cents(cid)
+      var s = 0L; var d = 0
+      val lim = math.min(cent.length, q.length)
+      while (d < lim) { s += cent(d) * q(d); d += 1 }
+      s
+    })
+    val assigned = withN
+      .withColumn("cid", nearestListUdf(cents)(col("q")))
+      .withColumn("dotm", dotUdf(col("q"), col("cid")))
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    assigned.join(broadcast(sizes), "cid")
+      .select(col("vec_id"), col("cid"), col("n_members"),
+        (round(col("dotm") / 1000000000000.0, 4) + lit(0.0)).as("cos_to_centroid"))
+  }
+
+  /** n11: 8-cluster, 4-iteration spherical k-means over the natural
+    * embeddings — the full clustering artifact, hash-oracled via the
+    * shared unrolled-Lloyd CTEs. */
+  def n11Kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansClusters(embeddings(spark, dir), k = 8, iters = 4).orderBy("vec_id")
+
   /** n03: IVF-flat ANN — the brief's "IVF variant as the scale path"
     * alongside n02's LSH. The fixed-point codebook (ivfCentroidsQ)
     * makes the whole path — training, list assignment, probing,
@@ -905,6 +944,23 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "n09_pca_power" -> pcaPowerSql(dims = 64, iters = 8),
+    // n11: shared unrolled-Lloyd CTEs at (8, 4), final assignment +
+    // integer dot to own centroid + k-row size join
+    "n11_kmeans" -> (ivfHead(64, 8) + ivfLoop(64, 4) +
+      s""", fin AS (
+         |  SELECT vec_id, q, cid FROM (
+         |${ivfAssignFrom(64, "c4", "")}) WHERE rn = 1
+         |), dots AS (
+         |  SELECT f.vec_id, f.cid,
+         |    list_sum(list_transform(range(1, 65), i -> f.q[i] * c.cq[i])) AS dotm
+         |  FROM fin f JOIN c4 c ON f.cid = c.cid
+         |), sz AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM fin GROUP BY cid
+         |)
+         |SELECT d.vec_id, d.cid, s.n_members,
+         |  round(dotm / 1000000000000.0, 4) + 0 AS cos_to_centroid
+         |FROM dots d JOIN sz s ON d.cid = s.cid
+         |ORDER BY d.vec_id""".stripMargin),
     "n03_ann_ivf" -> ivfOracleSql(lists = 16, nprobe = 4, iters = 4,
       dims = 64, queryMax = 25),
     "n06_ann_ivfpq" -> pqOracleSql(lists = 16, nprobe = 4, coarseIters = 2,

@@ -516,6 +516,63 @@ object StreamingOps {
   }
 
   /**
+   * e22 — the STATE-TTL gate: the bounded-state dedup contract proven
+   * to actually CHANGE semantics. e10's dedup gate runs entirely
+   * inside the watermark horizon, so its output coincides with global
+   * dedup and never demonstrates eviction; an infinite stream's whole
+   * point is that state is BOUNDED and keys can legitimately
+   * reappear. Here every key arrives twice in each of two epochs:
+   * the within-epoch duplicate lands while the key's state is
+   * provably alive (dropped), a watermark-advancing sentinel between
+   * the epochs pushes the watermark past every epoch-0 expiry
+   * (first-arrival ts + 1000 s delay), and the epoch-1 primary is
+   * RE-ADMITTED because its state is provably gone. The feed is
+   * built so both "duplicate refreshes expiry" and "keeps first
+   * expiry" readings of the state contract agree — every drop
+   * happens while state is alive under EITHER, every re-admission
+   * after it expired under either — so the oracle's closed-form keep
+   * set (primary per key per epoch + sentinel; 2·|keys|+1 rows,
+   * where global dedup would emit |keys|+1) is implementation-proof.
+   */
+  def e22StreamTtlGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val base = cachedFeed(s"ttlkeys:$dir") {
+      graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          md5(encode(graft.operators.Dedup.normText(col("text")), "UTF-8")).as("h"))
+        .as[(Long, String)].collect().sortBy(_._1)
+    }
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // epoch 0 spans [4000, 4100); expiries end by 5099; the sentinel
+    // at 9000 drives the watermark to 8000 > every expiry; epoch 1
+    // spans [14000, 14100)
+    val epoch0 = base.toSeq.flatMap { case (d, h) =>
+      Seq((d, t(4000 + 2 * d), h), (d, t(4000 + 2 * d + 1), h)) }
+    val epoch1 = base.toSeq.flatMap { case (d, h) =>
+      Seq((d, t(14000 + 2 * d), h), (d, t(14000 + 2 * d + 1), h)) }
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = input.toDF().toDF("key", "ts", "h")
+    val sinkName = "graft_e22_sink"
+    spark.catalog.dropTempView(sinkName)
+    withShufflePartitions(spark, 8) {
+      val q = src.withWatermark("ts", "1000 seconds")
+        .dropDuplicatesWithinWatermark("key")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        Seq(epoch0, Seq((-1L, t(9000), "sentinel")), epoch1).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    spark.table(sinkName)
+      .select(col("key"), col("ts").cast("long").as("ts_sec"), col("h"))
+      .orderBy("key", "ts_sec")
+  }
+
+  /**
    * e15 — the replay harness applied to SESSIONIZATION, the fourth
    * and last streaming state surface (after dedup e10, windowed agg
    * e11, stream-stream join e13): the events table replays through

@@ -148,6 +148,33 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b1 == b2)
   }
 
+  test("kmeansClusters: separated groups recovered, sizes consistent, assignment is argmax") {
+    val sess = spark
+    import sess.implicits._
+    // two tight axis-aligned groups in 4-d, INTERLEAVED by id so the
+    // deterministic first-k seeding picks one seed per group; k=2
+    // must split them
+    val rows = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f, 0.001f * i, 0f, 0f))
+      else (i.toLong, Array(0f, 0.001f * i, 1.0f, 0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val out = operators.Similarity.kmeansClusters(emb, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 20)
+    val g1 = (0L until 20L by 2).map(out(_)._1).toSet
+    val g2 = (1L until 20L by 2).map(out(_)._1).toSet
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2)
+    assert(out.values.forall(_._2 == 10L))
+    // tight groups around the centroid: cosine near 1
+    assert(out.values.forall(_._3 > 0.99))
+    // partition invariance
+    val rep = operators.Similarity.kmeansClusters(emb.repartition(7), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep == out)
+  }
+
   test("semDedup marks exactly the injected twins on the d05 corpus") {
     val corpus = operators.Dedup.embCorpus(spark, dir).select("vec_id", "e")
     val out = Similarity.semDedup(corpus, lists = 16, iters = 2, tau = 0.85)
@@ -720,6 +747,48 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f = Multimodal.extractPpmOtsu(
       Seq(Multimodal.MediaRow(2L, flat, "x", flat.length)).toDS()).collect().head
     assert(f.thr_bin == -1 && f.n_bg == 0L && f.n_px == 4L && f.fg_frac == 0.0)
+  }
+
+  test("BMP: hand-built bytes round-trip; stride padding skipped; bottom-up flip honored") {
+    import operators.Multimodal._
+    val sess = spark
+    import sess.implicits._
+    // 2x2 BGR, stored bottom-up: stored row 0 = IMAGE BOTTOM row
+    // image top row = pixels (10,20,30) (40,50,60); bottom = (1,2,3) (4,5,6)
+    val stored = Array[Byte](1, 2, 3, 4, 5, 6, 10, 20, 30, 40, 50, 60)
+    val bytes = buildBmp(2, 2, stored)
+    val h = parseBmpHeader(bytes).get
+    assert(h.width == 2 && h.height == 2 && h.dataOffset == 54 && !h.topDown)
+    // stride is 8 for w=2 (6 pixel bytes + 2 pad); poison the padding:
+    // a decoder that walks rows contiguously would read these as pixels
+    bytes(54 + 6) = 99.toByte; bytes(54 + 7) = 99.toByte
+    val out = extractBmpFeatures(Seq(MediaRow(7L, bytes, "image/bmp", bytes.length)).toDS())
+      .collect().head
+    assert(out.format == "bmp" && out.n_pixels == 4L)
+    assert(out.mean_b.get == (1.0 + 4 + 10 + 40) / 4)
+    assert(out.mean_g.get == (2.0 + 5 + 20 + 50) / 4)
+    assert(out.mean_r.get == (3.0 + 6 + 30 + 60) / 4)
+    // top IMAGE row = stored row h-1 = (10,20,30),(40,50,60)
+    assert(out.top_row_sum.get == 10L + 20 + 30 + 40 + 50 + 60)
+    // negative height = top-down storage: same bytes now mean the
+    // OPPOSITE row order
+    val td = buildBmp(2, 2, stored)
+    td(22) = (-2 & 0xff).toByte; td(23) = 0xff.toByte; td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    val ht = parseBmpHeader(td).get
+    assert(ht.topDown && ht.height == 2)
+    val outTd = extractBmpFeatures(Seq(MediaRow(8L, td, "image/bmp", td.length)).toDS())
+      .collect().head
+    assert(outTd.top_row_sum.get == 1L + 2 + 3 + 4 + 5 + 6)
+    // rejections: magic, bpp, compression
+    assert(parseBmpHeader("XX".getBytes ++ bytes.drop(2)).isEmpty)
+    val b32 = buildBmp(2, 2, stored); b32(28) = 32.toByte
+    assert(parseBmpHeader(b32).isEmpty)
+    val bc = buildBmp(2, 2, stored); bc(30) = 1.toByte
+    assert(parseBmpHeader(bc).isEmpty)
+    // truncated payload degrades, not throws
+    val outTr = extractBmpFeatures(
+      Seq(MediaRow(9L, bytes.take(60), "image/bmp", 60)).toDS()).collect().head
+    assert(outTr.format == "unknown" && outTr.mean_b.isEmpty)
   }
 
   test("resizePpm: NN sampling exact on hand-built rasters, identity at same dims, degrade path") {

@@ -258,6 +258,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.nonEmpty && s == b)
   }
 
+  test("e22 TTL gate: within-epoch dups dropped, evicted keys re-admitted — strictly more rows than global dedup") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.streaming.StreamingOps.e22StreamTtlGate(spark, dir).collect()
+    val keys = out.map(_.getLong(0)).filter(_ >= 0).distinct
+    assert(keys.nonEmpty)
+    // exactly TWO kept arrivals per key (one per epoch), each at the
+    // epoch PRIMARY's event time — the within-epoch duplicate (ts+1)
+    // never appears
+    keys.foreach { k =>
+      val ts = out.filter(_.getLong(0) == k).map(_.getLong(1)).sorted
+      assert(ts.toSeq == Seq(4000 + 2 * k, 14000 + 2 * k), s"key $k: ${ts.toSeq}")
+    }
+    // sentinel flows through once
+    assert(out.count(_.getLong(0) == -1L) == 1)
+    // global (unbounded-state) dedup over the same feed would emit one
+    // row per key — the TTL contract emits twice that, PROVING state
+    // eviction changed the answer
+    assert(out.length == 2 * keys.length + 1)
+  }
+
   test("e17 file-sink gate: the parquet rows on disk equal the memory-sink gate (e11)") {
     // the gate pair under test: e11 proves the STATE machinery, e17
     // proves the EMISSION path — same pipeline, sink swapped; the
