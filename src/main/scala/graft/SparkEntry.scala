@@ -35,6 +35,7 @@ object SparkEntry {
     "a37_screen_firth" -> (Mas.a37ScreenFirth _),
     "a38_poisson_offset" -> (Mas.a38PoissonOffset _),
     "a39_fisher_exact" -> (Mas.a39FisherExact _),
+    "a40_mcnemar_exact" -> (Mas.a40McnemarExact _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "q16_grouping_sets" -> (Relational.q16GroupingSets _),
     "q17_hist_quantiles" -> (Relational.q17HistQuantiles _),
     "q18_partial_merge" -> (Relational.q18PartialMerge _),
+    "q19_snapshot_diff" -> (Relational.q19SnapshotDiff _),
     "e12_transitions" -> (Relational.e12Transitions _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
@@ -193,6 +195,7 @@ object SparkEntry {
     "g05_assortativity" -> (Graph.g05Assortativity _),
     "g06_kcore" -> (Graph.g06Kcore _),
     "g08_clustering_coeff" -> (Graph.g08ClusteringCoeff _),
+    "g09_degree_hist" -> (Graph.g09DegreeHist _),
     "t17_readability" -> (TextOps.t17Readability _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
@@ -416,6 +419,27 @@ object SparkEntry {
         |SELECT l_suppkey, cnt, round(s_qty, 4) AS s_qty, mn_qty, mx_qty,
         |  round(s_qty / cnt, 4) AS avg_qty, round(s_price, 4) AS s_price
         |FROM m ORDER BY l_suppkey""".stripMargin,
+    "q19_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice AS price1
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |), v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |      ELSE o_totalprice END AS price2
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |), m AS (
+        |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |    price1, price2,
+        |    CASE WHEN price1 IS NULL THEN 'added'
+        |      WHEN price2 IS NULL THEN 'deleted'
+        |      WHEN price1 <> price2 THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |)
+        |SELECT o_orderkey, status, round(price1, 4) AS price1,
+        |  round(price2, 4) AS price2
+        |FROM m WHERE status <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
     "e12_transitions" ->
       """WITH ev AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events

@@ -1326,6 +1326,34 @@ object Association {
     math.min(1.0, s)
   }
 
+  /**
+   * Exact McNemar p for (n10, n01) discordant pair counts —
+   * p = min(1, 2·P(X ≤ min(n10, n01))) with X ~ Binomial(n, ½),
+   * n = n10 + n01. Same mirroring contract as [[fisherTwoSided]]:
+   * one ascending ln-factorial fold, per-term
+   * exp(lnf(n) − lnf(k) − lnf(n−k) + ln(½)·n), tail summed
+   * ascending in-order. n = 0 (no discordant pairs) gives p = 1 —
+   * no evidence either way. Guarded to n ≤ 1e7 like Fisher.
+   */
+  private[graft] def mcnemarExact(n10: Long, n01: Long): Double = {
+    val n = n10 + n01
+    require(n <= 10000000L,
+      s"mcnemarExact: small-sample test (n=$n > 1e7); use the chi-square at this scale")
+    val ni = n.toInt
+    val lnf = new Array[Double](ni + 1)
+    var acc = 0.0
+    var i = 1
+    while (i <= ni) { acc += math.log(i.toDouble); lnf(i) = acc; i += 1 }
+    val m = math.min(n10, n01).toInt
+    var s = 0.0
+    var k = 0
+    while (k <= m) {
+      s += math.exp(lnf(ni) - lnf(k) - lnf(ni - k) + math.log(0.5) * ni)
+      k += 1
+    }
+    math.min(1.0, 2.0 * s)
+  }
+
   private[graft] def poissonOffsetFit(x: Array[Double], y: Array[Double],
       e: Array[Double], maxIter: Int = 25, tol: Double = 1e-10): (Double, Double, Boolean) = {
     var a = math.log(math.max(y.sum / e.sum, 1e-12))

@@ -432,6 +432,32 @@ object Graph {
   def g08ClusteringCoeff(spark: SparkSession, dir: String): DataFrame =
     clusteringCoeff(coOrderEdges(spark, dir)).orderBy("node")
 
+  /**
+   * Log2-binned DEGREE DISTRIBUTION — the first-read summary of any
+   * graph (and the heavy-tail diagnostic that decides whether hub
+   * mitigation like g02's hubCap is needed at all): one degree
+   * aggregate, one |bins|-bounded histogram aggregate, both
+   * map-side combined. The bin index floor(ln d/ln 2 + 1e-9) is
+   * computed by the IDENTICAL IEEE expression in both engines — the
+   * 1e-9 nudge absorbs the few-ulp downward error of ln-ratio log2
+   * at exact powers of two, so the integer bin is both correct and
+   * engine-identical.
+   */
+  def degreeHist(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.groupBy(floor(log(col("deg").cast("double")) / log(lit(2.0)) + lit(1e-9))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("bin")
+  }
+
+  /** g09: degree distribution of the co-order part graph. */
+  def g09DegreeHist(spark: SparkSession, dir: String): DataFrame =
+    degreeHist(coOrderEdges(spark, dir))
+
   // --------------------------------------------------------- oracle SQL
 
   /** Unrolled power iterations as generated CTEs — same integer
@@ -608,6 +634,15 @@ object Graph {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM pv GROUP BY node
         |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin),
+    // g09: identical IEEE ln-ratio bin expression (1e-9 nudge) over
+    // the shared deg CTE
+    "g09_degree_hist" -> (coOrderCtes +
+      """
+        |SELECT CAST(floor(ln(CAST(deg AS DOUBLE)) / ln(2.0) + 0.000000001) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(deg) AS BIGINT) AS min_deg,
+        |  CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin),
     // g08: the g02 triangle CTEs un-limited, joined back to degrees
     "g08_clustering_coeff" -> (coOrderCtes +
       """, g AS (

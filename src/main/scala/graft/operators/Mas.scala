@@ -429,7 +429,12 @@ object Mas {
     * control ranks in the same pass) + a per-customer aggregate that
     * REUSES the window's partitioning — one shuffle end to end before
     * the tiny per-segment cell aggregate. */
-  def a27MatchedPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared 1:1 pair construction for a27/a40: within each customer,
+    * highest-price order = case, lowest = control (opposite
+    * tie-breaks — r13 advice — so all-tied customers still yield two
+    * DISTINCT orders), exposure = urgency, stratum = market segment;
+    * single-order customers drop. */
+  private def matchedPairsFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
@@ -445,8 +450,7 @@ object Mas {
     // coincide on a single-order customer, which n_orders >= 2 drops.
     val wd = Window.partitionBy("cust").orderBy(col("price").desc, col("okey"))
     val wa = Window.partitionBy("cust").orderBy(col("price").asc, col("okey").desc)
-    val pairs = j
-      .withColumn("rd", row_number().over(wd))
+    j.withColumn("rd", row_number().over(wd))
       .withColumn("ra", row_number().over(wa))
       .groupBy("cust")
       .agg(first(col("grp")).as("grp"),
@@ -454,11 +458,32 @@ object Mas {
         max(when(col("ra") === 1, col("x"))).as("x_ctrl"),
         count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
-    Association.matchedPairs(pairs, "x_case", "x_ctrl", "grp")
+  }
+
+  def a27MatchedPairs(spark: SparkSession, dir: String): DataFrame =
+    Association.matchedPairs(matchedPairsFrame(spark, dir), "x_case", "x_ctrl", "grp")
       .select(col("grp"), col("n_pairs"), col("n10"), col("n01"),
         r4(col("beta")).as("beta"), r4(col("se")).as("se"),
         r4(col("or")).as("or"), r4(col("mcnemar_chi2")).as("mcnemar_chi2"),
         round(col("p_wald"), 6).as("p_wald"))
+      .orderBy("grp")
+
+  /**
+   * a40: EXACT McNemar test on the matched pairs — a27's asymptotic
+   * χ² breaks down exactly where matched designs live (few discordant
+   * pairs); the exact test conditions on n = n10+n01 discordant pairs
+   * and sums the Binomial(n, ½) tail: p = min(1, 2·P(X ≤ min(n10,
+   * n01))). Same evidence discipline as a39: ln-binomials from ONE
+   * ascending ln-factorial fold (oracle replays the identical
+   * prefixes in-order), tail summed ascending k in-order, per-row
+   * kernel O(n) riding the a27 cell aggregate (|strata| rows).
+   */
+  def a40McnemarExact(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Association.matchedPairs(matchedPairsFrame(spark, dir),
+      "x_case", "x_ctrl", "grp")
+    val pExact = udf(Association.mcnemarExact _)
+    cells.select(col("grp"), col("n_pairs"), col("n10"), col("n01"),
+        (round(pExact(col("n10"), col("n01")), 6) + lit(0.0)).as("p_exact"))
       .orderBy("grp")
   }
 
@@ -2431,6 +2456,43 @@ object Mas {
           |FROM g2 ORDER BY dependent""".stripMargin),
     // a27: same window-ranked pair construction, same Haldane cells,
     // same Zelen-Severo Horner tail term-for-term
+    // a40: a27's cell chain + the exact Binomial(n, 1/2) tail — lnf
+    // folds and the ascending tail sum mirror mcnemarExact
+    // operand-for-operand (the a39 discipline)
+    "a40_mcnemar_exact" -> {
+      def lnf(e: String) =
+        "coalesce(list_sum(list_transform(generate_series(1, " +
+          s"CAST($e AS BIGINT)), i -> ln(CAST(i AS DOUBLE)))), 0.0)"
+      s"""WITH j AS (
+        |  SELECT c.c_custkey AS cust, c.c_mktsegment AS grp,
+        |    o.o_orderkey AS okey, o.o_totalprice AS price,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY cust ORDER BY price DESC, okey) AS rd,
+        |    row_number() OVER (PARTITION BY cust ORDER BY price ASC, okey DESC) AS ra
+        |  FROM j
+        |), p AS (
+        |  SELECT cust, max(grp) AS grp,
+        |    max(CASE WHEN rd = 1 THEN x END) AS x_case,
+        |    max(CASE WHEN ra = 1 THEN x END) AS x_ctrl,
+        |    count(*) AS n_orders
+        |  FROM r GROUP BY cust
+        |), cells AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN x_case = 1.0 AND x_ctrl = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN x_case = 0.0 AND x_ctrl = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n01
+        |  FROM p WHERE n_orders >= 2 GROUP BY grp
+        |)
+        |SELECT grp, n_pairs, n10, n01,
+        |  round(least(1.0, 2.0 * list_sum(list_transform(
+        |    generate_series(0, least(n10, n01)),
+        |    k -> exp(${lnf("n10 + n01")} - ${lnf("k")}
+        |      - ${lnf("(n10 + n01) - (k)")}
+        |      + ln(0.5) * (n10 + n01))))), 6) + 0 AS p_exact
+        |FROM cells ORDER BY grp""".stripMargin
+    },
     "a27_matched_pairs" ->
       """WITH j AS (
         |  SELECT c.c_custkey AS cust, c.c_mktsegment AS grp,

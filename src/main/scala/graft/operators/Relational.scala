@@ -555,6 +555,41 @@ object Relational {
       .orderBy("l_suppkey")
   }
 
+  /**
+   * q19: SNAPSHOT DIFF — the change-data-capture primitive between
+   * two versions of a keyed table: full-outer join on the key,
+   * compare the payload, classify added / deleted / changed (the
+   * unchanged majority is filtered out — at 100 TB the diff report
+   * is delta-sized, not snapshot-sized, and the filter runs before
+   * the output shuffle). Here v1/v2 are deterministic variants of
+   * orders (keys % 11 missing from v1, % 13 from v2, % 7 repriced in
+   * v2); production swaps in yesterday's and today's snapshot scans
+   * — both sides are pushed-filter parquet scans and the comparison
+   * generalizes to a row-hash for wide payloads.
+   */
+  def q19SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val v1 = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("price1"))
+    // +1000.0, not a multiplicative reprice: adding an exact constant
+    // to a ~1e5-magnitude double is FP-exact in both engines, where
+    // round(x*1.1, 2) disagreed across engines on a 2-dp tie row
+    val v2 = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("price2"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("price1").isNull, "added")
+          .when(col("price2").isNull, "deleted")
+          .when(col("price1") =!= col("price2"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("o_orderkey"), col("status"),
+        round(col("price1"), 4).as("price1"), round(col("price2"), 4).as("price2"))
+      .orderBy("o_orderkey")
+  }
+
   /** q17: p50/p90/p99 of l_extendedprice per return flag via a
     * 256-bin histogram sketch. */
   def q17HistQuantiles(spark: SparkSession, dir: String): DataFrame =

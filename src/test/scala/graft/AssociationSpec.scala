@@ -1255,4 +1255,25 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
       operators.Association.fisherTwoSided(10000001L, 0, 0, 0)
     }
   }
+
+  test("mcnemarExact matches exact BigInt binomial tails and hand values") {
+    def choose(n: Int, k: Int): BigInt =
+      (BigInt(1) to BigInt(k)).foldLeft(BigInt(1))((a, i) => a * (n - (i.toInt - 1)) / i)
+    def exact(b: Int, c: Int): Double = {
+      val n = b + c
+      val tail = (0 to math.min(b, c)).map(choose(n, _)).sum
+      val p = BigDecimal(2 * tail) / BigDecimal(BigInt(2).pow(n))
+      math.min(1.0, p.toDouble)
+    }
+    for ((b, c) <- Seq((5, 1), (0, 5), (12, 4), (7, 7), (1, 0), (20, 9))) {
+      val got = operators.Association.mcnemarExact(b, c)
+      assert(math.abs(got - exact(b, c)) < 1e-9, s"($b,$c): $got vs ${exact(b, c)}")
+    }
+    // hand values: (5,1) -> 2*(1+6)/64 = 0.21875; (0,5) -> 2/32
+    assert(math.abs(operators.Association.mcnemarExact(5, 1) - 0.21875) < 1e-12)
+    assert(math.abs(operators.Association.mcnemarExact(0, 5) - 0.0625) < 1e-12)
+    // symmetric table and the no-discordant-pairs degenerate clamp at 1
+    assert(operators.Association.mcnemarExact(3, 3) == 1.0)
+    assert(operators.Association.mcnemarExact(0, 0) == 1.0)
+  }
 }

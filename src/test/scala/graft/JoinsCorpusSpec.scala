@@ -550,6 +550,40 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q19 snapshot diff classifies added/deleted/changed per the key arithmetic") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.Relational.q19SnapshotDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keys = Tables.orders(spark, dir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    keys.foreach { k =>
+      val expect =
+        if (k % 11 == 0 && k % 13 != 0) Some("added")
+        else if (k % 13 == 0 && k % 11 != 0) Some("deleted")
+        else if (k % 11 != 0 && k % 13 != 0 && k % 7 == 0) Some("changed")
+        else None // unchanged or absent from both versions
+      assert(out.get(k) == expect, s"key $k: ${out.get(k)} vs $expect")
+    }
+    assert(out.values.toSet == Set("added", "deleted", "changed"))
+  }
+
+  test("degreeHist: log2 bins exact at power-of-two boundaries") {
+    val sess = spark
+    import sess.implicits._
+    // star K1,8: hub deg 8 (bin 3 — the boundary the 1e-9 nudge must
+    // land UP), leaves deg 1 (bin 0)
+    val star = (1L to 8L).map(i => (0L, i)).toDF("u", "v")
+    val out = operators.Graph.degreeHist(star).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(0 -> ((8L, 1L, 1L)), 3 -> ((1L, 8L, 8L))))
+    // path of 5: ends deg 1 (bin 0), middles deg 2 (bin 1)
+    val path = (1L to 4L).map(i => (i, i + 1)).toDF("u", "v")
+    val p = operators.Graph.degreeHist(path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(p == Map(0 -> 2L, 1 -> 3L))
+  }
+
   test("clusteringCoeff: triangle+pendant closed forms, deg<2 excluded, partition invariant") {
     val sess = spark
     import sess.implicits._
