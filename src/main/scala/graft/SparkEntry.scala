@@ -85,6 +85,7 @@ object SparkEntry {
     "p19_woe" -> (Preprocess.p19Woe _),
     "p20_target_encode" -> (Preprocess.p20TargetEncode _),
     "p21_vif5" -> (Preprocess.p21Vif5 _),
+    "p22_date_features" -> (Preprocess.p22DateFeatures _),
     "g07_bfs" -> (graft.operators.Graph.g07BfsHops _),
     "c11_dedup_mixture" -> (graft.operators.Dedup.c11DedupMixture _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "m11_ppm_channel_stats" -> (Multimodal.m11PpmChannelStats _),
     "m12_ppm_otsu" -> (Multimodal.m12PpmOtsu _),
     "m13_bmp_pixels" -> (Multimodal.m13BmpPixels _),
+    "m14_tar_index" -> (Multimodal.m14TarIndex _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
     "m09_pcm_stats" -> (Multimodal.m09PcmStats _),
     "q01_agg" -> (Relational.q01Agg _),
@@ -188,6 +190,7 @@ object SparkEntry {
     "e22_stream_ttl_gate" -> (graft.streaming.StreamingOps.e22StreamTtlGate _),
     "e20_asof_forward" -> (Joins.e20AsofForward _),
     "e21_asof_nearest" -> (Joins.e21AsofNearest _),
+    "e23_resample_ffill" -> (Joins.e23ResampleFfill _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
@@ -219,6 +222,7 @@ object SparkEntry {
     "t12_char_entropy_agg" -> (TextOps.t12CharEntropyAgg _),
     "t18_dsir" -> (TextOps.t18Dsir _),
     "t22_feature_hash" -> (TextOps.t22FeatureHash _),
+    "t23_pmi_pairs" -> (TextOps.t23PmiPairs _),
     "c12_curriculum" -> (Corpus.c12Curriculum _),
   )
 

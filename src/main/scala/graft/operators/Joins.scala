@@ -209,6 +209,45 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /**
+   * Regular-grid RESAMPLE + FORWARD FILL — the time-series alignment
+   * primitive (feature tables want one row per (entity, day), sensor
+   * and metric streams arrive irregularly): per entity, a daily grid
+   * spans its observation range (`sequence` explode — fan-out is
+   * days-per-entity, never a cross join), the last observation of
+   * each day wins deterministically (ts desc, event_id desc), and
+   * gaps carry the previous day's value via `last(..., ignoreNulls)`
+   * over an entity-partitioned running frame. Every window
+   * partitions by the entity — parallelism = |entities|, the e-family
+   * contract. The first grid day is an observation day by
+   * construction, so no entity has leading nulls.
+   */
+  def resampleFfill(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("d", to_date(col("ts")))
+    val span = ev.groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = span.select(col("user_id"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("gd"))
+    val wLast = Window.partitionBy("user_id", "d")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastDay = ev.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("d").as("gd"), col("value"))
+    val wFfill = Window.partitionBy("user_id").orderBy("gd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastDay, Seq("user_id", "gd"), "left")
+      .withColumn("is_observed", col("value").isNotNull)
+      .withColumn("value_ffill",
+        round(last(col("value"), ignoreNulls = true).over(wFfill), 4) + lit(0.0))
+      .select(col("user_id"), date_format(col("gd"), "yyyy-MM-dd").as("grid_day"),
+        col("value_ffill"), col("is_observed"))
+      .orderBy("user_id", "grid_day")
+  }
+
+  /** e23: daily resample + ffill of each user's event value stream. */
+  def e23ResampleFfill(spark: SparkSession, dir: String): DataFrame =
+    resampleFfill(Tables.events(spark, dir))
+
   /** e04: same-user event pairs within 10 minutes — the bucketed
     * interval self-join. Oracle: plain inequality self-join (fine at
     * sf0.01; the bucketing is the part that scales). */
@@ -219,6 +258,37 @@ object Joins {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    // e23: same grid/last-of-day/ffill arithmetic; generate_series
+    // over the per-user date span, IGNORE NULLS running last
+    "e23_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events
+        |), span AS (
+        |  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM ev GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS gd
+        |  FROM span
+        |), lastday AS (
+        |  SELECT user_id, d AS gd, value FROM (
+        |    SELECT user_id, d, value,
+        |      row_number() OVER (PARTITION BY user_id, d
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1
+        |), j AS (
+        |  SELECT g.user_id, g.gd, l.value,
+        |    l.value IS NOT NULL AS is_observed
+        |  FROM grid g LEFT JOIN lastday l
+        |    ON g.user_id = l.user_id AND g.gd = l.gd
+        |)
+        |SELECT user_id, strftime(gd, '%Y-%m-%d') AS grid_day,
+        |  round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY gd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    + 0 AS value_ffill,
+        |  is_observed
+        |FROM j ORDER BY user_id, grid_day""".stripMargin,
     "e03_asof_join" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
         |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),

@@ -622,7 +622,146 @@ object Multimodal {
         Norm.r4(col("mean_b")).as("mean_b"))
       .orderBy("doc_id")
 
-  // -------------------------------------------------------------- m13 BMP
+  // -------------------------------------------------------------- m14 tar
+
+  /** One indexed tar member: POSIX ustar-style name, byte offset of
+    * the member's DATA section within the archive, and declared size. */
+  final case class TarMember(name: String, offset: Long, size: Long)
+
+  /** Minimal REAL tar (ustar-flavored) writer: per member a 512-byte
+    * header — name at 0 (NUL-padded, ≤100), mode/uid/gid as octal
+    * ASCII, size as 11-digit octal at 124, mtime 0, the checksum at
+    * 148 computed over the header with the checksum field as SPACES
+    * (the tar rule), typeflag '0' — then the data padded to the next
+    * 512 boundary; the archive ends with two zero blocks. */
+  def buildTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      require(nb.length <= 100, s"buildTar: name too long: $name")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def octal(off: Int, len: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off, len - 1)
+        h(off + len - 1) = 0
+      }
+      octal(100, 8, 420 /* 0644 */); octal(108, 8, 0); octal(116, 8, 0)
+      octal(124, 12, data.length.toLong); octal(136, 12, 0)
+      h(156) = '0'
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += (h(i) & 0xff); i += 1 }
+      val cs = java.lang.Long.toOctalString(sum)
+      val csPad = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /**
+   * Real tar header walk — the WebDataset container contract: a
+   * training shard IS a tar, and the (member → offset, size) index is
+   * what makes random access into a 100 TB shard store possible
+   * without unpacking. Walks 512-byte headers, parses the NUL-padded
+   * name and the OCTAL size field, VERIFIES the header checksum
+   * (sum of header bytes with the checksum field as spaces), skips
+   * data padded to the 512 boundary, stops at the zero block.
+   * Returns None on any malformed header (bad checksum, non-octal
+   * size, truncation) — a corrupt shard degrades, never misindexes.
+   */
+  def parseTarIndex(b: Array[Byte]): Option[Seq[TarMember]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
+    var off = 0
+    while (off + 512 <= b.length) {
+      var allZero = true
+      var i = 0
+      while (allZero && i < 512) { if (b(off + i) != 0) allZero = false; i += 1 }
+      if (allZero) return Some(out.toSeq)
+      var nameEnd = 0
+      while (nameEnd < 100 && b(off + nameEnd) != 0) nameEnd += 1
+      val name = new String(b, off, nameEnd, "US-ASCII")
+      var size = 0L
+      var j = 124
+      var ok = true
+      while (ok && j < 136 && b(off + j) != 0 && b(off + j) != ' ') {
+        val c = b(off + j)
+        if (c < '0' || c > '7') ok = false
+        else { size = size * 8 + (c - '0'); j += 1 }
+      }
+      if (!ok || size < 0) return None
+      var sum = 0L
+      var k = 0
+      while (k < 512) {
+        sum += (if (k >= 148 && k < 156) ' '.toInt else (b(off + k) & 0xff))
+        k += 1
+      }
+      var declared = 0L
+      var m = 148
+      var seen = false
+      while (m < 156 && b(off + m) != 0 && b(off + m) != ' ') {
+        val c = b(off + m)
+        if (c >= '0' && c <= '7') { declared = declared * 8 + (c - '0'); seen = true }
+        m += 1
+      }
+      if (!seen || declared != sum) return None
+      out += TarMember(name, off + 512L, size)
+      val dataBlocks = ((size + 511) / 512) * 512
+      if (off + 512 + dataBlocks > b.length) return None
+      off += 512 + dataBlocks.toInt
+    }
+    None // ran off the end without the terminator
+  }
+
+  /** Tar shard table: each doc packs a 3-member WebDataset-style
+    * sample — `<id>/text.txt` (the doc bytes), `<id>/meta.json`
+    * (closed-form JSON), `<id>/label.cls` (the lang code) — so every
+    * member's offset/size/md5 is closed-form on the oracle side
+    * while the engine walks the real archive bytes. */
+  def tarTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"tarTable: empty or non-ASCII text in doc_id=$id (m14 oracle mirrors byte lengths)")
+        val bytes = buildTar(Seq(
+          (s"$id/text.txt", text.getBytes("US-ASCII")),
+          (s"$id/meta.json", s"""{"id":$id}""".getBytes("US-ASCII")),
+          (s"$id/label.cls", lang.getBytes("US-ASCII"))))
+        MediaRow(id, bytes, "application/x-tar", bytes.length)
+      }
+  }
+
+  /** m14: the member index + per-member content digest decoded from
+    * real tar bytes (checksum-verified header walk). */
+  def m14TarIndex(spark: SparkSession, dir: String): DataFrame = {
+    val media = tarTable(spark, dir)
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.flatMap { r =>
+      parseTarIndex(r.media) match {
+        case Some(ms) => ms.map { m =>
+          val data = java.util.Arrays.copyOfRange(
+            r.media, m.offset.toInt, (m.offset + m.size).toInt)
+          (r.doc_id, m.name, m.offset, m.size,
+            java.security.MessageDigest.getInstance("MD5").digest(data)
+              .map("%02x".format(_)).mkString)
+        }
+        case None => Seq((r.doc_id, "__corrupt__", -1L, -1L, ""))
+      }
+    }.toDF("doc_id", "member", "offset", "size", "data_md5")
+      .orderBy("doc_id", "member")
+  }
 
   /** Parsed BITMAPINFOHEADER facts needed to walk a 24-bpp
     * uncompressed BMP raster. `topDown` is the negative-height
@@ -1342,6 +1481,33 @@ object Multimodal {
         |FROM ad LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
         |  ON ad.doc_id = b.doc_id
         |ORDER BY ad.doc_id""".stripMargin,
+    // m14: closed-form ustar layout arithmetic — header at 512-block
+    // boundaries, data offset = running sum of 512-padded members;
+    // the engine walks the real checksum-verified archive bytes
+    "m14_tar_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS s1,
+        |    CAST(octet_length(encode('{"id":' || CAST(doc_id AS VARCHAR) || '}')) AS BIGINT) AS s2,
+        |    CAST(octet_length(encode(lang)) AS BIGINT) AS s3
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '/text.txt' AS member,
+        |    CAST(512 AS BIGINT) AS "offset", s1 AS size, md5(text) AS data_md5
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '/meta.json',
+        |    512 + ((s1 + 511) // 512) * 512 + 512, s2,
+        |    md5('{"id":' || CAST(doc_id AS VARCHAR) || '}')
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '/label.cls',
+        |    512 + ((s1 + 511) // 512) * 512 + 512
+        |      + ((s2 + 511) // 512) * 512 + 512, s3, md5(lang)
+        |  FROM d
+        |)
+        |SELECT doc_id, member, "offset", size, data_md5
+        |FROM idx ORDER BY doc_id, member""".stripMargin,
     // m13: closed-form stored-order tiling — byte p of the raster is
     // text[p % len]; the engine walks the REAL padded bottom-up BMP
     // bytes, so stride/flip mistakes fail this compare

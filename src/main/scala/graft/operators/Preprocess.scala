@@ -621,6 +621,29 @@ object Preprocess {
       .select(col("c_custkey"), col("acctbal"), col("acctbal_bin"))
       .orderBy("c_custkey")
 
+  /**
+   * p22: CALENDAR FEATURE EXTRACTION — the date-column feature
+   * engineering every tabular pipeline front-loads (seasonality,
+   * weekday effects, monotone time index): year/quarter/month/
+   * day-of-month, ISO weekday (0 = Monday — `weekday` in Spark,
+   * isodow−1 in DuckDB; the engines' default `dayofweek` anchors
+   * DISAGREE, so the ISO form is the only mirror-safe one), weekend
+   * flag, and days-since-epoch. Pure per-row projection — pushes to
+   * the scan, no shuffle but the output sort.
+   */
+  def p22DateFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(d, "yyyy-MM-dd").as("order_date"),
+        year(d).as("yr"), quarter(d).as("qtr"), month(d).as("mth"),
+        dayofmonth(d).as("dom"),
+        expr("weekday(to_date(o_orderdate))").as("dow"),
+        (expr("weekday(to_date(o_orderdate))") >= 5).as("is_weekend"),
+        datediff(d, lit("1970-01-01").cast("date")).as("epoch_day"))
+      .orderBy("o_orderkey")
+  }
+
   /** p19: WoE encoding of market segment against a positive-balance
     * target — one aggregate scan, per-level woe + IV contribution. */
   def p19Woe(spark: SparkSession, dir: String): DataFrame =
@@ -965,6 +988,20 @@ object Preprocess {
         |SELECT c_custkey,
         |  round((CAST(c_acctbal AS DOUBLE) - med) / (q3 - q1), 4) + 0 AS acctbal
         |FROM customer, cuts ORDER BY c_custkey""".stripMargin,
+    // p22: ISO weekday (isodow-1) is the only anchor both engines
+    // agree on; INT casts match Spark's year/quarter/... Int outputs
+    "p22_date_features" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+        |  CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mth,
+        |  CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS dom,
+        |  CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT) AS dow,
+        |  (isodow(CAST(o_orderdate AS DATE)) - 1) >= 5 AS is_weekend,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |    AS epoch_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "p15_quantile_bin" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS c1,

@@ -611,6 +611,51 @@ object TextOps {
     featureHash(asciiGuarded(Tables.documents(spark, dir), "t22"), 64)
       .orderBy("doc_id", "bucket")
 
+  /**
+   * Windowed PMI COLLOCATIONS — the phrase-discovery statistic
+   * (pointwise mutual information over co-occurrence events within a
+   * ±`window` token span): an event is an ordered position pair
+   * (i, j), i < j ≤ i+window; marginals count each event twice (once
+   * per side) so pmi = ln(c_xy·N / (m_x·m_y)) is computed over one
+   * consistent event space. All counts are exact integers (products
+   * ≪ 2^53), so the double ratio and its ln are engine-identical and
+   * the top-k ranking has no FP ambiguity. Shape: one in-array pair
+   * expansion (no self-join — fan-out is tokens·window per doc,
+   * local to the row), map-side-combined pair/marginal aggregates, a
+   * vocab-keyed marginal join, TakeOrdered top-k.
+   */
+  def pmiPairs(docs: DataFrame, window: Int, minCount: Long, k: Int): DataFrame = {
+    val ev = docs
+      .select(filter(split(Dedup.normText(col("text")), " "),
+        w => length(w) > 0).as("w"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(w)), i ->
+           |  if(i < size(w),
+           |    transform(sequence(i + 1, least(i + $window, size(w))), j ->
+           |      struct(element_at(w, i) AS x, element_at(w, j) AS y)),
+           |    array())))""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .localCheckpoint(true)
+    val cxy = ev.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val marg = ev.select(col("x").as("w")).union(ev.select(col("y").as("w")))
+      .groupBy("w").agg(count(lit(1)).as("m"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    cxy.filter(col("n_xy") >= minCount)
+      .crossJoin(broadcast(n))
+      .join(marg.select(col("w").as("x"), col("m").as("mx")), "x")
+      .join(marg.select(col("w").as("y"), col("m").as("my")), "y")
+      .select(col("x"), col("y"), col("n_xy"),
+        (round(log((col("n_xy").cast("double") * col("n")) /
+          (col("mx") * col("my"))), 4) + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** t23: top-50 PMI collocations within a 3-token window, min pair
+    * count 5. */
+  def t23PmiPairs(spark: SparkSession, dir: String): DataFrame =
+    pmiPairs(Tables.documents(spark, dir), window = 3, minCount = 5L, k = 50)
+
   // ---------------------------------------------------- t05 top-k ngrams
 
   /** Corpus-level top-k word n-grams by document frequency-weighted
@@ -1526,6 +1571,36 @@ object TextOps {
           |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS other_tokens,
           |  round(length(text) * 1.0 / len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_token
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // t23: same pair expansion (DuckDB generate_series is empty
+      // when start > stop, so no Spark-style if guard), integer
+      // counts, identical double ratio + ln
+      "t23_pmi_pairs" ->
+        s"""WITH b AS (
+           |  SELECT list_filter(string_split($normSql, ' '),
+           |    t -> length(t) > 0) AS w
+           |  FROM documents
+           |), pe AS (
+           |  SELECT unnest(flatten(list_transform(generate_series(1, len(w)), i ->
+           |    list_transform(generate_series(i + 1, least(i + 3, len(w))), j ->
+           |      {'x': w[i], 'y': w[j]})))) AS p
+           |  FROM b
+           |), ev AS (
+           |  SELECT p.x AS x, p.y AS y FROM pe
+           |), cxy AS (
+           |  SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM ev GROUP BY 1, 2
+           |), m AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS m FROM (
+           |    SELECT x AS w FROM ev UNION ALL SELECT y AS w FROM ev) GROUP BY 1
+           |), nn AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n FROM ev
+           |)
+           |SELECT c.x, c.y, c.n_xy,
+           |  round(ln((CAST(c.n_xy AS DOUBLE) * nn.n) / (mx.m * my.m)), 4) + 0 AS pmi
+           |FROM cxy c CROSS JOIN nn
+           |JOIN m mx ON c.x = mx.w
+           |JOIN m my ON c.y = my.w
+           |WHERE c.n_xy >= 5
+           |ORDER BY pmi DESC, c.x, c.y LIMIT 50""".stripMargin,
       // t22: both rolling hashes replayed over code points (ASCII-
       // guarded in the engine); sum(sign) CAST from HUGEINT
       "t22_feature_hash" ->

@@ -550,6 +550,24 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resampleFfill: gap days carry last value, last obs of a day wins, grid spans per user") {
+    val sess = spark
+    import sess.implicits._
+    val ev = Seq(
+      (1L, 10L, ts("2024-03-01 09:00:00"), 10.0),
+      (2L, 10L, ts("2024-03-01 17:00:00"), 11.0), // same day, later -> wins
+      (3L, 10L, ts("2024-03-03 08:00:00"), 30.0), // day 2 is a gap
+      (4L, 20L, ts("2024-03-02 12:00:00"), 7.0)   // single-day user
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = operators.Joins.resampleFfill(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out == Map(
+      (10L, "2024-03-01") -> ((11.0, true)),
+      (10L, "2024-03-02") -> ((11.0, false)),
+      (10L, "2024-03-03") -> ((30.0, true)),
+      (20L, "2024-03-02") -> ((7.0, true))))
+  }
+
   test("q19 snapshot diff classifies added/deleted/changed per the key arithmetic") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

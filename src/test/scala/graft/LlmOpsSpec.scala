@@ -749,6 +749,65 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.thr_bin == -1 && f.n_bg == 0L && f.n_px == 4L && f.fg_frac == 0.0)
   }
 
+  test("pmiPairs: hand-computed pmi on a tiny corpus, window span, min-count filter") {
+    val sess = spark
+    import sess.implicits._
+    // corpus: 5x "a b", 5x "c d e"
+    // window 3 events: (a,b)x5; (c,d),(c,e),(d,e) x5 -> N = 20
+    // marginals (both sides): a5 b5 c10 d10 e10
+    val docs = ((1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 10).map(i => (i.toLong, "c d e"))).toDF("doc_id", "text")
+    val out = operators.TextOps.pmiPairs(docs, window = 3, minCount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def pmi(c: Long, mx: Long, my: Long) =
+      math.floor(math.log(c.toDouble * 20 / (mx * my)) * 1e4 + 0.5) / 1e4 + 0.0
+    assert(out.keySet == Set(("a", "b"), ("c", "d"), ("c", "e"), ("d", "e")))
+    assert(out(("a", "b")) == ((5L, pmi(5, 5, 5))))
+    assert(out(("c", "d")) == ((5L, pmi(5, 10, 10))))
+    // min-count 6 drops everything
+    assert(operators.TextOps.pmiPairs(docs, 3, 6L, 10).count() == 0)
+    // window 1: only adjacent pairs -> (c,e) disappears
+    val w1 = operators.TextOps.pmiPairs(docs, 1, 1L, 10).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 == Set(("a", "b"), ("c", "d"), ("d", "e")))
+  }
+
+  test("tar: build/parse round-trip, 512-block walk, checksum + truncation rejections") {
+    import operators.Multimodal._
+    val a = Array.fill[Byte](1)('a')
+    val b = Array.tabulate[Byte](513)(i => (i % 251).toByte) // crosses a block
+    val tar = buildTar(Seq(("x/a.txt", a), ("x/b.bin", b)))
+    // layout: h1@0 d1@512(+512 pad block) h2@1024 d2@1536 (513 -> 1024 padded)
+    assert(tar.length == 512 + 512 + 512 + 1024 + 1024)
+    val idx = parseTarIndex(tar).get
+    assert(idx == Seq(TarMember("x/a.txt", 512L, 1L), TarMember("x/b.bin", 1536L, 513L)))
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(tar, 1536, 1536 + 513), b))
+    // flip one data byte: checksum still fine (covers header only)
+    val t2 = tar.clone(); t2(600) = 'z'.toByte
+    assert(parseTarIndex(t2).isDefined)
+    // flip a header byte: checksum mismatch -> None
+    val t3 = tar.clone(); t3(0) = 'y'.toByte
+    assert(parseTarIndex(t3).isEmpty)
+    // non-octal size digit -> None
+    val t4 = tar.clone(); t4(124) = '9'.toByte
+    assert(parseTarIndex(t4).isEmpty)
+    // truncation: cut before the terminator -> None
+    assert(parseTarIndex(tar.take(tar.length - 1024)).isEmpty)
+    // declared size overrunning the archive -> None
+    val t5 = tar.clone()
+    // member 2 size -> huge (octal '7777777' at 124) with checksum fixed up
+    val h2 = 1024
+    val old = t5.slice(h2 + 124, h2 + 136).clone()
+    "77777777777".getBytes("US-ASCII").copyToArray(t5, h2 + 124)
+    var sum = 0L
+    for (k <- 0 until 512) sum += (if (k >= 148 && k < 156) ' '.toInt else (t5(h2 + k) & 0xff))
+    val cs = java.lang.Long.toOctalString(sum)
+    (("0" * (6 - cs.length)) + cs).getBytes("US-ASCII").copyToArray(t5, h2 + 148)
+    t5(h2 + 154) = 0; t5(h2 + 155) = ' '
+    assert(parseTarIndex(t5).isEmpty)
+  }
+
   test("BMP: hand-built bytes round-trip; stride padding skipped; bottom-up flip honored") {
     import operators.Multimodal._
     val sess = spark

@@ -27,6 +27,21 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Preprocess.selectColumns(df, "i:1-9"))
   }
 
+  test("p22 date features agree with java.time for every row at sf0.001") {
+    val out = Preprocess.p22DateFeatures(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getString(1))
+      assert(r.getInt(2) == d.getYear)
+      assert(r.getInt(3) == (d.getMonthValue - 1) / 3 + 1)
+      assert(r.getInt(4) == d.getMonthValue)
+      assert(r.getInt(5) == d.getDayOfMonth)
+      assert(r.getInt(6) == d.getDayOfWeek.getValue - 1) // ISO, 0 = Monday
+      assert(r.getBoolean(7) == (d.getDayOfWeek.getValue >= 6))
+      assert(r.getInt(8) == d.toEpochDay)
+    }
+  }
+
   test("woeEncode: hand-computed two-level table with Haldane smoothing") {
     val sess = spark
     import sess.implicits._
