@@ -36,6 +36,7 @@ object SparkEntry {
     "a38_poisson_offset" -> (Mas.a38PoissonOffset _),
     "a39_fisher_exact" -> (Mas.a39FisherExact _),
     "a40_mcnemar_exact" -> (Mas.a40McnemarExact _),
+    "a41_auc" -> (Mas.a41Auc _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "s08_qvalues" -> (Postprocess.s08Qvalues _),
     "s15_weighted_bh" -> (Postprocess.s15WeightedBh _),
     "s16_group_fdr" -> (Postprocess.s16GroupFdr _),
+    "s17_top_hits" -> (Postprocess.s17TopHits _),
     "s09_meta_analysis" -> (Postprocess.s09MetaAnalysis _),
     "s10_clump" -> (Postprocess.s10Clump _),
     "s11_icd_phecode" -> (Mas.s11IcdPhecode _),
@@ -224,6 +226,7 @@ object SparkEntry {
     "t22_feature_hash" -> (TextOps.t22FeatureHash _),
     "t23_pmi_pairs" -> (TextOps.t23PmiPairs _),
     "c12_curriculum" -> (Corpus.c12Curriculum _),
+    "c13_shard_manifest" -> (Corpus.c13ShardManifest _),
   )
 
   def oracleSql: Map[String, String] =

@@ -423,6 +423,33 @@ object Corpus {
     datasetCard(Tables.documents(spark, dir)).orderBy("source")
 
   /**
+   * c13: SHARD MANIFEST — the release artifact next to c02's packing:
+   * per shard, the doc count, byte volume, id range, and a content
+   * digest (md5 of the doc_id-ordered concatenation of per-doc text
+   * md5s — the standard composable checksum: verifiable per shard
+   * without re-reading neighbors, stable because the inner digests
+   * order by the explicit key, not by arrival). One shard-keyed
+   * aggregate over c02's assignment; the ordered digest concatenation
+   * is a sort_array over the shard's (doc_id, md5) structs — state
+   * bounded by docs-per-shard (the ~10 kB target), never the corpus.
+   */
+  def c13ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = shardPack(
+      Tables.documents(spark, dir).select("doc_id", "n_chars", "text"),
+      "doc_id", "n_chars", target = 10000L)
+      .select(col("shard"), col("doc_id"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("h"))
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_bytes"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        md5(encode(concat_ws("",
+          expr("transform(sort_array(collect_list(struct(doc_id, h))), s -> s.h)")),
+          "UTF-8")).as("content_md5"))
+      .orderBy("shard")
+  }
+
+  /**
    * c12: QUALITY-CURRICULUM PACKING — the three-stage ordering a
    * curriculum-training data pipeline materializes: each document's
    * quality score (t02's stopword density minus its duplicate-word
@@ -560,6 +587,21 @@ object Corpus {
          |SELECT doc_id, phase, round(score, 4) + 0 AS score, n_tokens,
          |  tok_before, tok_before < 20000 AS included
          |FROM cum ORDER BY doc_id""".stripMargin,
+    // c13: same composable digest — md5 of the doc_id-ORDERED
+    // per-doc md5 concatenation (string_agg ORDER BY)
+    "c13_shard_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars, md5(text) AS h,
+        |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) // 10000 AS shard
+        |  FROM documents
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  md5(string_agg(h, '' ORDER BY doc_id)) AS content_md5
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     // c10: same tokenization, quantile_cont == Spark exact percentile
     // interpolation, modal lang via the bounded count-table argmax
     "c10_dataset_card" ->

@@ -228,6 +228,47 @@ object Mas {
       .orderBy("dependent")
   }
 
+  /**
+   * a41: ROC AUC of a continuous score against each binary dependent
+   * — the discrimination metric a PheWAS/risk-model report publishes
+   * next to the association p-value. Computed as the Mann–Whitney
+   * rank statistic in its tie-correct integer form: aggregate to
+   * (dependent, score) → (n_case, n_ctrl) cells, one
+   * dependent-PARTITIONED ascending window accumulates controls seen
+   * below each score, and AUC = Σ_s n1_s·(ctrl_below_s + ½·n0_s) /
+   * (N1·N0). Every term before the final division is an exact
+   * integer (doubled to stay integral under the ½-tie credit), so
+   * the cross-engine value is identical to the last bit. The window
+   * partitions by dependent — |dependents|-way parallel, skew
+   * bounded by distinct scores per dependent (already aggregated:
+   * rows ≪ cohort).
+   */
+  private[graft] def aucFrame(melted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = melted
+      .groupBy("dependent", "x")
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n0"))
+    val wCum = Window.partitionBy("dependent").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 2·(pairs won) = n1·(2·ctrl_strictly_below + n0_tied) — integers
+    val scored = cells
+      .withColumn("ctrl_upto", sum(col("n0")).over(wCum))
+      .withColumn("u2", col("n1") * (lit(2L) * (col("ctrl_upto") - col("n0")) + col("n0")))
+    scored.groupBy("dependent")
+      .agg(sum("u2").as("u2"), sum("n1").as("n_case"), sum("n0").as("n_ctrl"))
+      .filter(col("n_case") > 0 && col("n_ctrl") > 0)
+      .select(col("dependent"), col("n_case"), col("n_ctrl"),
+        (round(col("u2") / (lit(2.0) * col("n_case") * col("n_ctrl")), 4) + lit(0.0))
+          .as("auc"))
+  }
+
+  def a41Auc(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Association.Config(Seq("x"),
+      Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare"))
+    aucFrame(Association.melt(cohort(spark, dir), cfg)).orderBy("dependent")
+  }
+
   /** a18: negative-binomial count-model association (NB2, fixed
     * dispersion θ=2) — same design as a15 but with the overdispersion
     * real count data has: the MLE beta equals Poisson's closed-form
@@ -1835,6 +1876,28 @@ object Mas {
        |      FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL)))""".stripMargin
   }
 
+  /** a41 oracle branch: the same integer Mann–Whitney accumulation —
+    * doubled pair credit keeps the ½-tie term integral; only the
+    * final division is FP. */
+  private def aucBranch(dep: String): String =
+    s"""SELECT '$dep' AS dependent, n_case, n_ctrl,
+       |  round(u2 / (2.0 * n_case * n_ctrl), 4) + 0 AS auc
+       |FROM (
+       |  SELECT CAST(sum(u2) AS BIGINT) AS u2,
+       |    CAST(sum(n1) AS BIGINT) AS n_case,
+       |    CAST(sum(n0) AS BIGINT) AS n_ctrl
+       |  FROM (
+       |    SELECT n1, n0,
+       |      n1 * (2 * (sum(n0) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - n0)
+       |        + n0) AS u2
+       |    FROM (
+       |      SELECT x,
+       |        CAST(sum(CASE WHEN $dep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |        CAST(sum(CASE WHEN $dep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+       |      FROM cohort WHERE x IS NOT NULL AND $dep IS NOT NULL
+       |      GROUP BY x)))
+       |WHERE n_case > 0 AND n_ctrl > 0""".stripMargin
+
   private def skipBranch(dep: String): String =
     s"""SELECT '$dep' AS dep, count(*) AS n,
        |  CAST(coalesce(sum($dep), 0) AS BIGINT) AS cases
@@ -2547,6 +2610,10 @@ object Mas {
     "a05_case_counts" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all").map(countsBranch(_, 50))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    "a41_auc" ->
+      (cohortSql + "\n" +
+        Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare").map(aucBranch)
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
     "a39_fisher_exact" ->
       (cohortSql + "\n" +

@@ -477,6 +477,23 @@ object Postprocess {
         round(col("p_adj_g"), 6).as("p_adj_g"), col("bh_significant_g"))
       .orderBy("o_orderkey")
 
+  /** s17: the TOP-HITS REPORT — the table a PheWAS write-up actually
+    * prints: each group's 3 strongest associations with their
+    * group-wise adjusted values (composes s16; the extra window
+    * shares s16's grp partitioning, so the report costs one more
+    * in-partition rank pass). */
+  def s17TopHits(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = bhFdrByGroup(pseudoPvals(spark, dir)
+        .withColumn("grp", (col("o_orderkey") % 7).cast("int")),
+      "pval", "grp", "o_orderkey")
+    val w = Window.partitionBy("grp").orderBy(col("pval").asc, col("o_orderkey").asc)
+    adj.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("grp"), col("rank"), col("o_orderkey"),
+        round(col("pval"), 6).as("pval"), round(col("p_adj_g"), 6).as("p_adj_g"))
+      .orderBy("grp", "rank")
+  }
+
   /** s08: Storey q-values over the pseudo p-value table (λ = 0.5). */
   def s08Qvalues(spark: SparkSession, dir: String): DataFrame =
     qvalues(pseudoPvals(spark, dir), "pval")
@@ -715,6 +732,25 @@ object Postprocess {
          |SELECT o_orderkey, grp, round(pval, 6) AS pval,
          |  round(p_adj_g, 6) AS p_adj_g, p_adj_g < 0.05 AS bh_significant_g
          |FROM adj ORDER BY o_orderkey""".stripMargin,
+    "s17_top_hits" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |np AS (SELECT o_orderkey, CAST(o_orderkey % 7 AS INT) AS grp, pval
+         |       FROM p WHERE pval IS NOT NULL),
+         |r AS (SELECT o_orderkey, grp, pval,
+         |        row_number() OVER (PARTITION BY grp ORDER BY pval, o_orderkey) AS rnk,
+         |        count(*) OVER (PARTITION BY grp) AS mg
+         |      FROM np),
+         |adj AS (SELECT o_orderkey, grp, pval,
+         |        least(1.0, min(pval * mg / rnk) OVER (
+         |          PARTITION BY grp ORDER BY pval DESC, o_orderkey DESC
+         |          ROWS UNBOUNDED PRECEDING)) AS p_adj_g
+         |      FROM r),
+         |top AS (SELECT *, row_number() OVER (
+         |          PARTITION BY grp ORDER BY pval, o_orderkey) AS rank
+         |        FROM adj)
+         |SELECT grp, CAST(rank AS INT) AS rank, o_orderkey,
+         |  round(pval, 6) AS pval, round(p_adj_g, 6) AS p_adj_g
+         |FROM top WHERE rank <= 3 ORDER BY grp, rank""".stripMargin,
     // s15: weights normalize to mean 1, pw = p / w_norm, then the s02
     // suffix-min on pw — operand order (w*m/sw, p/w_norm, pw*m/rnk)
     // mirrors weightedBh + bhAdjust term-for-term

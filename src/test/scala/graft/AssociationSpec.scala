@@ -1256,6 +1256,29 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("aucFrame: perfect separation, all-tied 0.5, hand tie case, partition invariance") {
+    val sess = spark
+    import sess.implicits._
+    def melted(rows: Seq[(Double, Double)]): org.apache.spark.sql.DataFrame =
+      rows.map { case (x, y) => ("d", x, y) }.toDF("dependent", "x", "y")
+    def auc(rows: Seq[(Double, Double)]): Double =
+      operators.Mas.aucFrame(melted(rows)).collect().head.getAs[Double]("auc")
+    // cases {3,4} above ctrls {1,2} -> 1.0
+    assert(auc(Seq(1.0 -> 0.0, 2.0 -> 0.0, 3.0 -> 1.0, 4.0 -> 1.0)) == 1.0)
+    // everything tied -> 0.5
+    assert(auc(Seq(5.0 -> 0.0, 5.0 -> 0.0, 5.0 -> 1.0, 5.0 -> 1.0)) == 0.5)
+    // cases {2,3}, ctrls {1,3}: wins 1 + 1, tie 0.5 -> 2.5/4 = 0.625
+    assert(auc(Seq(1.0 -> 0.0, 3.0 -> 0.0, 2.0 -> 1.0, 3.0 -> 1.0)) == 0.625)
+    // inverted scores -> 0.0
+    assert(auc(Seq(3.0 -> 0.0, 4.0 -> 0.0, 1.0 -> 1.0, 2.0 -> 1.0)) == 0.0)
+    // partition invariance on a larger random-ish frame
+    val rows = (1 to 200).map(i => (((i * 37) % 50).toDouble, (i % 3 == 0).compareTo(false).toDouble))
+    val df = rows.map { case (x, y) => ("d", x, y) }.toDF("dependent", "x", "y")
+    val a1 = operators.Mas.aucFrame(df.repartition(1)).collect().head.getAs[Double]("auc")
+    val a8 = operators.Mas.aucFrame(df.repartition(8)).collect().head.getAs[Double]("auc")
+    assert(a1 == a8)
+  }
+
   test("mcnemarExact matches exact BigInt binomial tails and hand values") {
     def choose(n: Int, k: Int): BigInt =
       (BigInt(1) to BigInt(k)).foldLeft(BigInt(1))((a, i) => a * (n - (i.toInt - 1)) / i)

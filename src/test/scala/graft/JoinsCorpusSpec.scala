@@ -550,6 +550,32 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("c13 manifest digests match an independent per-shard recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val man = operators.Corpus.c13ShardManifest(spark, dir).collect()
+    assert(man.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // independent replay of the packing rule + composable digest
+    var run = 0L
+    val byShard = docs.map { case (id, n, text) =>
+      val shard = run / 10000L; run += n; (shard, id, n, text)
+    }.groupBy(_._1)
+    man.foreach { r =>
+      val s = byShard(r.getLong(0))
+      assert(r.getLong(1) == s.length.toLong)
+      assert(r.getLong(2) == s.map(_._3).sum)
+      assert(r.getLong(3) == s.map(_._2).min && r.getLong(4) == s.map(_._2).max)
+      assert(r.getString(5) == md5hex(s.sortBy(_._2).map(x => md5hex(x._4)).mkString))
+    }
+    assert(man.length == byShard.size)
+  }
+
   test("resampleFfill: gap days carry last value, last obs of a day wins, grid spans per user") {
     val sess = spark
     import sess.implicits._

@@ -157,6 +157,23 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.size == 8 && (1 to 5).forall(k => math.abs(out2(k) - 0.05) < 1e-12))
   }
 
+  test("s17 top hits are exactly the 3 smallest-p rows of each s16 group") {
+    val dir = "/root/testdata/sf0.001"
+    val full = Postprocess.s16GroupFdr(spark, dir).collect()
+    val top = Postprocess.s17TopHits(spark, dir).collect()
+    val expected = full
+      .filter(!_.isNullAt(2))
+      .groupBy(_.getInt(1)).toSeq
+      .flatMap { case (g, rows) =>
+        rows.sortBy(r => (r.getDouble(2), r.getLong(0))).take(3).zipWithIndex
+          .map { case (r, i) => (g, i + 1, r.getLong(0), r.getDouble(2), r.getDouble(3)) }
+          .toSeq
+      }.toSet
+    val got = top.map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expected && got.size == 21)
+  }
+
   test("weightedBh: equal weights reduce to plain BH; up-weighting lowers the adjusted p") {
     val sess = spark
     import sess.implicits._
