@@ -37,6 +37,7 @@ object SparkEntry {
     "a39_fisher_exact" -> (Mas.a39FisherExact _),
     "a40_mcnemar_exact" -> (Mas.a40McnemarExact _),
     "a41_auc" -> (Mas.a41Auc _),
+    "a42_hl_calibration" -> (Mas.a42HlCalibration _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
@@ -190,6 +191,7 @@ object SparkEntry {
     "e18_stream_rocksdb_gate" -> (graft.streaming.StreamingOps.e18StreamRocksdbGate _),
     "e19_stream_ingest_gate" -> (graft.streaming.StreamingOps.e19StreamIncrementalGate _),
     "e22_stream_ttl_gate" -> (graft.streaming.StreamingOps.e22StreamTtlGate _),
+    "e24_stream_late_gate" -> (graft.streaming.StreamingOps.e24StreamLateGate _),
     "e20_asof_forward" -> (Joins.e20AsofForward _),
     "e21_asof_nearest" -> (Joins.e21AsofNearest _),
     "e23_resample_ffill" -> (Joins.e23ResampleFfill _),
@@ -646,6 +648,27 @@ object SparkEntry {
         |SELECT CAST(-1 AS BIGINT) AS key, CAST(9000 AS BIGINT) AS ts_sec,
         |  'sentinel' AS h
         |ORDER BY key, ts_sec""".stripMargin,
+    // e24: closed-form batch aggregate over on-time + frontier rows
+    // ONLY — the late duplicates contribute nothing; an engine that
+    // admits them doubles the first two windows and hash-fails
+    "e24_stream_late_gate" ->
+      """WITH dd AS (
+        |  SELECT doc_id AS d FROM documents WHERE doc_id < 60
+        |), ev AS (
+        |  SELECT 'x' AS event_type,
+        |    make_timestamp((3600000000 + 120000 * d) * 1000) AS ts,
+        |    CAST(d AS DOUBLE) AS value
+        |  FROM dd
+        |  UNION ALL
+        |  SELECT 'y',
+        |    make_timestamp((3600000000 + 352800000 + 120000 * d) * 1000),
+        |    CAST(d AS DOUBLE)
+        |  FROM dd WHERE d < 30
+        |)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS total_value
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // e17: the FILE-sink emission path must land the same rows the
     // memory-sink gate (e11) proves — same oracle as e11/e02 by design
     "e17_stream_file_gate" ->

@@ -269,6 +269,45 @@ object Mas {
     aucFrame(Association.melt(cohort(spark, dir), cfg)).orderBy("dependent")
   }
 
+  /**
+   * a42: CALIBRATION REPORT of a SHIPPED risk model — the
+   * Hosmer–Lemeshow decile table: a fixed published model (here
+   * p̂ = σ(x/3000); production evaluates the model it deployed, it
+   * does not refit) scores the cohort, scores bucket into exact
+   * deciles (p15's type-7 quantile machinery — p̂ is monotone in x,
+   * so binning on x IS binning on p̂), and each decile reports
+   * observed events, expected events (Σp̂), and its χ² contribution
+   * (O−E)²/(n·p̄·(1−p̄)), with the 10-bin total carried on every row.
+   * One scan + one 10-row aggregate; the decile cuts are 9 collected
+   * doubles. The σ and the per-row arithmetic are identical IEEE
+   * expressions in both engines; per-bin Σp̂ is a same-magnitude
+   * double sum whose ordering ULPs the 4-dp round absorbs (the q01
+   * convention).
+   */
+  def a42HlCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val base = cohort(spark, dir)
+      .select(col("id"), col("x"), col("d_urgent").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("p_hat",
+        lit(1.0) / (lit(1.0) + exp(lit(-1.0) * col("x") / lit(3000.0))))
+    val cells = Preprocess.quantileBin(base, "x", 10)
+      .withColumnRenamed("x_bin", "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum("y").cast("long").as("obs"),
+        sum("p_hat").as("e_sum"))
+      .withColumn("p_bar", col("e_sum") / col("n"))
+      .withColumn("hl_term",
+        (col("obs") - col("e_sum")) * (col("obs") - col("e_sum")) /
+          (col("n") * col("p_bar") * (lit(1.0) - col("p_bar"))))
+    val tot = cells.agg(sum("hl_term").as("chi2"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("obs"),
+        r4(col("e_sum")).as("e_sum"), r4(col("hl_term")).as("hl_term"),
+        r4(col("chi2")).as("hl_chi2"))
+      .orderBy("decile")
+  }
+
   /** a18: negative-binomial count-model association (NB2, fixed
     * dispersion θ=2) — same design as a15 but with the overdispersion
     * real count data has: the MLE beta equals Poisson's closed-form
@@ -2611,6 +2650,38 @@ object Mas {
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare", "d_all").map(countsBranch(_, 50))
           .mkString("", "\nUNION ALL\n", "\nORDER BY dependent")),
+    // a42: 9 quantile_cont cuts (type-7 ≡ quantilesExact), the same
+    // σ/decile/HL arithmetic operand-for-operand; Σp̂'s ordering ULPs
+    // die in the 4-dp round
+    "a42_hl_calibration" -> {
+      val cutDefs = (1 to 9).map(i =>
+        s"quantile_cont(x, ${i / 10.0}) AS c$i").mkString(",\n         ")
+      val binExpr = (1 to 9).map(i =>
+        s"(CASE WHEN x >= c$i THEN 1 ELSE 0 END)").mkString(" + ")
+      cohortSql + s""",
+         |b AS (
+         |  SELECT id, x, d_urgent AS y,
+         |    1.0 / (1.0 + exp((-1.0 * x) / 3000.0)) AS p_hat
+         |  FROM cohort WHERE x IS NOT NULL AND d_urgent IS NOT NULL
+         |), cuts AS (
+         |  SELECT $cutDefs
+         |  FROM b
+         |), cells AS (
+         |  SELECT $binExpr AS decile,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS obs,
+         |    sum(p_hat) AS e_sum
+         |  FROM b, cuts GROUP BY 1
+         |), h AS (
+         |  SELECT *,
+         |    (obs - e_sum) * (obs - e_sum)
+         |      / (n * (e_sum / n) * (1.0 - e_sum / n)) AS hl_term
+         |  FROM cells
+         |), tot AS (SELECT sum(hl_term) AS chi2 FROM h)
+         |SELECT decile, n, obs, round(e_sum, 4) + 0 AS e_sum,
+         |  round(hl_term, 4) + 0 AS hl_term, round(chi2, 4) + 0 AS hl_chi2
+         |FROM h, tot ORDER BY decile""".stripMargin
+    },
     "a41_auc" ->
       (cohortSql + "\n" +
         Seq("d_urgent", "d_open", "d_big", "d_many", "d_rare").map(aucBranch)

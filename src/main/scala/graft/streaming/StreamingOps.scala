@@ -573,6 +573,61 @@ object StreamingOps {
   }
 
   /**
+   * e24 — the LATE-DATA gate: the other half of the watermark
+   * contract e22 proves for state TTL. A production stream's
+   * watermark does two things — evict state AND discard late
+   * arrivals; e11's in-order feed never exercises the second. Here
+   * the windowed aggregate (e11's exact transform) replays a feed
+   * where a whole batch of rows arrives AFTER a far-future row has
+   * advanced the watermark past their windows: those rows are
+   * provably late (their window end is ~97 h behind the watermark,
+   * their windows already emitted and purged under append mode) and
+   * must contribute NOTHING, while same-batch rows at the watermark
+   * frontier are admitted and close normally. The late rows
+   * DUPLICATE the on-time batch — an engine that wrongly admits
+   * them doubles the first two windows' counts and hash-fails. The
+   * oracle is the closed-form batch aggregate over on-time + frontier
+   * rows only.
+   */
+  def e24StreamLateGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val ids = cachedFeed(s"latekeys:$dir") {
+      graft.Tables.documents(spark, dir).filter(col("doc_id") < 60)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    val T0 = 3600000000L // ms; hour-aligned
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // on-time: two hourly windows' worth of 'x' rows
+    val onTime = ids.map(d => (d, "x", t(T0 + 120000L * d), d.toDouble))
+    // the same rows again — all provably late once the watermark
+    // jumped — plus frontier 'y' rows that must be admitted
+    val lateAndFrontier =
+      ids.filter(_ < 30).map(d => (d, "x", t(T0 + 120000L * d), d.toDouble)) ++
+      ids.filter(_ < 30).map(d =>
+        (d + 1000, "y", t(T0 + 352800000L + 120000L * d), d.toDouble))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
+    val sinkName = "graft_e24_sink"
+    spark.catalog.dropTempView(sinkName)
+    withShufflePartitions(spark, 8) {
+      val q = tumblingWindowAgg(src).writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      try {
+        Seq(
+          onTime,
+          Seq((-1L, "__flush", t(T0 + 100L * 3600000), 0.0)),
+          lateAndFrontier,
+          Seq((-2L, "__flush", t(T0 + 200L * 3600000), 0.0))
+        ).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    spark.table(sinkName)
+      .filter(col("event_type") =!= "__flush")
+      .orderBy("window_start", "event_type")
+  }
+
+  /**
    * e15 — the replay harness applied to SESSIONIZATION, the fourth
    * and last streaming state surface (after dedup e10, windowed agg
    * e11, stream-stream join e13): the events table replays through

@@ -1256,6 +1256,42 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a42 HL calibration matches an independent type-7 decile recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.Mas.a42HlCalibration(spark, dir).collect()
+    assert(out.length == 10)
+    val raw = operators.Mas.cohort(spark, dir)
+      .select("x", "d_urgent").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // independent type-7 quantiles + sigmoid + HL replay
+    val xs = raw.map(_._1).sorted
+    def q7(p: Double): Double = {
+      val h = (xs.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= xs.length) xs.last
+      else xs(lo) + (h - lo) * (xs(lo + 1) - xs(lo))
+    }
+    val cuts = (1 to 9).map(i => q7(i / 10.0))
+    val byBin = raw.groupBy { case (x, _) => cuts.count(x >= _) }
+    var chi2 = 0.0
+    val terms = byBin.map { case (b, rows) =>
+      val n = rows.length
+      val obs = rows.map(_._2).sum
+      val e = rows.map { case (x, _) => 1.0 / (1.0 + math.exp(-x / 3000.0)) }.sum
+      val pb = e / n
+      b -> (n.toLong, obs.toLong, e, (obs - e) * (obs - e) / (n * pb * (1 - pb)))
+    }
+    chi2 = terms.values.map(_._4).sum
+    out.foreach { r =>
+      val (n, obs, e, hl) = terms(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == obs)
+      // engine values are r4-rounded; allow the 4-dp half-quantum
+      assert(math.abs(r.getDouble(3) - e) < 6e-5)
+      assert(math.abs(r.getDouble(4) - hl) < 6e-5)
+      assert(math.abs(r.getDouble(5) - chi2) < 6e-5)
+    }
+  }
+
   test("aucFrame: perfect separation, all-tied 0.5, hand tie case, partition invariance") {
     val sess = spark
     import sess.implicits._

@@ -278,6 +278,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 2 * keys.length + 1)
   }
 
+  test("e24 late gate: duplicated late rows contribute nothing, frontier rows admitted") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.streaming.StreamingOps.e24StreamLateGate(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ids = graft.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 60)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val t0 = 3600000000L
+    val w1 = ids.filter(_ < 30); val w2 = ids.filter(_ >= 30)
+    // the on-time 'x' windows carry EXACTLY the single-copy counts —
+    // the late duplicates of w1's rows were dropped
+    assert(out((t0, "x")) == ((w1.length.toLong, w1.map(_.toDouble).sum)))
+    if (w2.nonEmpty)
+      assert(out((t0 + 3600000L, "x")) == ((w2.length.toLong, w2.map(_.toDouble).sum)))
+    // the frontier 'y' window was admitted in the same batch the late
+    // rows were dropped from
+    assert(out((t0 + 352800000L, "y")) == ((w1.length.toLong, w1.map(_.toDouble).sum)))
+    assert(out.size == (if (w2.nonEmpty) 3 else 2))
+  }
+
   test("e17 file-sink gate: the parquet rows on disk equal the memory-sink gate (e11)") {
     // the gate pair under test: e11 proves the STATE machinery, e17
     // proves the EMISSION path — same pipeline, sink swapped; the
