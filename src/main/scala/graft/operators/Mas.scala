@@ -300,8 +300,12 @@ object Mas {
       .withColumn("hl_term",
         (col("obs") - col("e_sum")) * (col("obs") - col("e_sum")) /
           (col("n") * col("p_bar") * (lit(1.0) - col("p_bar"))))
-    val tot = cells.agg(sum("hl_term").as("chi2"))
-    cells.crossJoin(broadcast(tot))
+    // cells is 10 rows but its SUBTREE is the full cohort scan +
+    // aggregate: checkpoint so the chi2 total reuses it instead of
+    // re-scanning (the s06/s13 two-pass rationale)
+    val cellsCk = cells.localCheckpoint()
+    val tot = cellsCk.agg(sum("hl_term").as("chi2"))
+    cellsCk.crossJoin(broadcast(tot))
       .select(col("decile"), col("n"), col("obs"),
         r4(col("e_sum")).as("e_sum"), r4(col("hl_term")).as("hl_term"),
         r4(col("chi2")).as("hl_chi2"))
