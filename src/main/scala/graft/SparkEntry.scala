@@ -38,6 +38,7 @@ object SparkEntry {
     "a40_mcnemar_exact" -> (Mas.a40McnemarExact _),
     "a41_auc" -> (Mas.a41Auc _),
     "a42_hl_calibration" -> (Mas.a42HlCalibration _),
+    "a43_brier" -> (Mas.a43Brier _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "e21_asof_nearest" -> (Joins.e21AsofNearest _),
     "e23_resample_ffill" -> (Joins.e23ResampleFfill _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
+    "g10_ppr" -> (Graph.g10Ppr _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
     "g04_link_predict" -> (Graph.g04LinkPredict _),

@@ -2340,6 +2340,9 @@ object Association {
       .withColumn("m1", col("a") + col("c"))
       .filter(col("r1") > 0 && col("n") - col("r1") > 0 &&
         col("m1") > 0 && col("n") - col("m1") > 0)
+      // |strata| rows over the full cell-aggregate subtree: both ψ
+      // and the terms read it — materialize once
+      .localCheckpoint(true)
     val psi = cells
       .select((col("a") * col("d") / col("n")).as("R"),
         (col("b") * col("c") / col("n")).as("S"))

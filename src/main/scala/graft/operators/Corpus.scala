@@ -313,6 +313,9 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .withColumn("w_micro",
         round(sqrt(col("n_tokens")) * lit(1000000.0)).cast("long"))
+      // |sources| rows, but the subtree is the full-corpus
+      // tokenization: materialize so the total doesn't re-tokenize
+      .localCheckpoint(true)
     val tot = per.agg(sum("w_micro").as("w_total"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -357,6 +360,9 @@ object Corpus {
     val per = toks.groupBy("source").agg(sum("n_tokens").as("tok"))
       .filter(col("tok") > 0)
       .withColumn("w_micro", round(sqrt(col("tok")) * lit(1000000.0)).cast("long"))
+      // materialize the |sources|-row aggregate: its subtree is the
+      // full-corpus tokenization and the total must not repeat it
+      .localCheckpoint(true)
     val tot = per.agg(sum("w_micro").as("wtot"))
     val tgt = per.crossJoin(broadcast(tot))
       .withColumn("t_s", expr(s"(${budgetTokens}L * w_micro) div wtot"))

@@ -79,6 +79,78 @@ object Graph {
       round(col("r") / Scale.toDouble, 4).as("rank"))
   }
 
+  /**
+   * Personalized PageRank — the seed-biased variant behind
+   * graph-based corpus expansion ("find documents/entities close to
+   * THIS set"): teleport mass and dangling mass return to a SEED SET
+   * instead of the uniform vector, so rank concentrates in the
+   * seeds' neighborhood. Same integer-grid power iteration as
+   * [[pagerank]] (floor-div contribs, one edge join + one dst
+   * aggregate per round, only the 1-row dangling aggregate
+   * broadcasts, lineage cut per round); the only new state is a
+   * boolean `is_seed` riding the rank vector — joined once at setup,
+   * never re-joined. r0 = Scale div |S| on seeds, 0 elsewhere;
+   * r'(v) = [v∈S]·ts + round(0.85·(contrib(v) + [v∈S]·(dm div |S|)))
+   * with ts = round(0.15·Scale/|S|).
+   */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"ppr: iters in [1,50], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seed1 = seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(true))
+    var rank = nodes.join(outdeg, Seq("node"), "left")
+      .join(seed1, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val s = rank.filter(col("is_seed")).count()
+    require(s >= 1, "ppr: seed set is empty (or disjoint from the graph)")
+    val ts = math.round(0.15 * Scale.toDouble / s)
+    var r = rank.withColumn("r",
+        when(col("is_seed"), lit(Scale / s)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = r.filter(col("outdeg") > 0)
+        .select(col("node"), expr("r div outdeg").as("c"))
+        .join(e, col("node") === e("src"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
+      val dangling = r.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+      r = r.select(col("node"), col("outdeg"), col("is_seed"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("outdeg"), col("is_seed"),
+          (when(col("is_seed"), lit(ts)).otherwise(lit(0L)) +
+            round(lit(0.85) * (coalesce(col("contrib"), lit(0L)) +
+              when(col("is_seed"), expr(s"dm div ${s}L")).otherwise(lit(0L))))
+              .cast("long")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("node"), col("r").as("rank_micro"),
+      round(col("r") / Scale.toDouble, 4).as("rank"))
+  }
+
+  /** g10: PPR over the bipartite trade graph, seeded at every 19th
+    * customer — "entities in the trading neighborhood of this
+    * customer cohort"; 5 iterations, top-20. */
+  def g10Ppr(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tradeEdges(spark, dir)
+    val bi = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 19 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    personalizedPagerank(bi, seeds, iters = 5)
+      .orderBy(col("rank_micro").desc, col("node"))
+      .limit(20)
+  }
+
   /** g01: PageRank over the customer–supplier trade graph (distinct
     * (cust, supp) pairs from lineitem ⋈ orders, one directed edge
     * EACH WAY so rank flows through the bipartite structure), 5
@@ -285,6 +357,9 @@ object Graph {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      // read 3× (two endpoint tags + the node summary): materialize
+      // the |V|-row aggregate or each use re-shuffles 2·E stubs
+      .localCheckpoint(true)
     val stubs = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b"))) // both stubs
     val tagged = stubs
@@ -511,6 +586,66 @@ object Graph {
          |FROM r$iters ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Unrolled PPR iterations — [[pagerankSql]] with a seeds CTE:
+    * teleport/start/dangling mass land on seeds only, every grid
+    * step (floor div, round) mirrored operand-for-operand. */
+  private def pprSql(iters: Int): String = {
+    val head =
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+         |    's' || CAST(l.l_suppkey AS VARCHAR) AS s
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |), edges AS (
+         |  SELECT c AS src, s AS dst FROM pairs
+         |  UNION ALL SELECT s AS src, c AS dst FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst AS node FROM edges
+         |), seeds AS (
+         |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+         |  FROM customer WHERE c_custkey % 19 = 0
+         |  INTERSECT SELECT node FROM nodes
+         |), scnt AS (SELECT count(*) AS s FROM seeds),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT n.node,
+         |    CASE WHEN sd.node IS NOT NULL
+         |      THEN CAST(${Scale} // (SELECT s FROM scnt) AS BIGINT)
+         |      ELSE 0 END AS r
+         |  FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+         |)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s""", c$i AS (
+         |  SELECT e.dst AS node, sum(r.r // o.outdeg) AS contrib
+         |  FROM edges e
+         |  JOIN $prev r ON e.src = r.node
+         |  JOIN outdeg o ON e.src = o.src
+         |  GROUP BY e.dst
+         |), d$i AS (
+         |  SELECT coalesce(sum(r.r), 0) AS dm FROM $prev r
+         |  LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+         |), r$i AS (
+         |  SELECT n.node,
+         |    CASE WHEN sd.node IS NOT NULL
+         |      THEN CAST(round((0.15 * ${Scale} / (SELECT s FROM scnt)) + 0.0)
+         |        AS BIGINT) ELSE 0 END
+         |    + CAST(round(0.85 * (coalesce(c.contrib, 0)
+         |        + CASE WHEN sd.node IS NOT NULL
+         |            THEN (SELECT dm FROM d$i) // (SELECT s FROM scnt)
+         |            ELSE 0 END)) AS BIGINT)
+         |      AS r
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node
+         |  LEFT JOIN seeds sd ON n.node = sd.node
+         |)""".stripMargin
+    }.mkString
+    head + iterCtes +
+      s"""
+         |SELECT node, r AS rank_micro,
+         |  round(r / ${Scale}.0, 4) + 0 AS rank
+         |FROM r$iters ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin
+  }
+
   /** Shared co-order-graph CTEs (edges + degrees). */
   private val coOrderCtes: String =
     """WITH li AS (
@@ -610,6 +745,7 @@ object Graph {
   val oracleSql: Map[String, String] = Map(
     "g07_bfs" -> bfsSql(4),
     "g01_pagerank" -> pagerankSql(5),
+    "g10_ppr" -> pprSql(5),
     "g06_kcore" -> kcoreSql(90, 4),
     // degree-oriented triangle enumeration: identical orientation rule
     // and closing-edge join, per-vertex counts via unnest

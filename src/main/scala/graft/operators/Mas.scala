@@ -312,6 +312,54 @@ object Mas {
       .orderBy("decile")
   }
 
+  /**
+   * a43: BRIER SCORE + Murphy decomposition of the same shipped
+   * model a42 calibrates — the third panel of the model report
+   * (a41 discrimination, a42 calibration table, a43 proper-score
+   * decomposition). Over the exact type-7 deciles:
+   *   BS          = Σ(p̂−y)²/N                 (raw proper score)
+   *   reliability = Σ (e_k−o_k)²/n_k / N       (calibration error)
+   *   resolution  = (Σ o_k²/n_k − O²/N) / N    (sharpness; expanded
+   *                 form needs no second pass for ȳ)
+   *   uncertainty = (O/N)(1−O/N)
+   *   bs_binned   = Σ(e_k²/n_k − 2e_k o_k/n_k + o_k)/N — the Brier
+   *                 score OF THE BINNED forecast, which satisfies
+   *                 bs_binned = reliability − resolution + uncertainty
+   *                 exactly (the spec pins the identity).
+   * Every term is a function of the per-decile sums (n, o, e, Σp̂²,
+   * Σ(p̂−y)²), so the whole report is the a42 cell aggregate plus one
+   * 10-row reduction — a 100 TB evaluation is one scan.
+   */
+  def a43Brier(spark: SparkSession, dir: String): DataFrame = {
+    val base = cohort(spark, dir)
+      .select(col("id"), col("x"), col("d_urgent").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("p_hat",
+        lit(1.0) / (lit(1.0) + exp(lit(-1.0) * col("x") / lit(3000.0))))
+    val cells = Preprocess.quantileBin(base, "x", 10)
+      .withColumnRenamed("x_bin", "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("y").as("o"),
+        sum("p_hat").as("e"),
+        sum((col("p_hat") - col("y")) * (col("p_hat") - col("y"))).as("sq"))
+    cells
+      .agg(sum("n").as("nn"), sum("o").as("oo"),
+        sum("sq").as("ssq"),
+        sum(col("e") * col("e") / col("n")
+          - lit(2.0) * col("e") * col("o") / col("n") + col("o")).as("bb"),
+        sum((col("e") - col("o")) * (col("e") - col("o")) / col("n")).as("rel_n"),
+        sum(col("o") * col("o") / col("n")).as("res_a"))
+      .select(col("nn").cast("long").as("n"),
+        r4(col("ssq") / col("nn")).as("bs"),
+        r4(col("rel_n") / col("nn")).as("reliability"),
+        r4((col("res_a") - col("oo") * col("oo") / col("nn")) / col("nn"))
+          .as("resolution"),
+        r4((col("oo") / col("nn")) * (lit(1.0) - col("oo") / col("nn")))
+          .as("uncertainty"),
+        r4(col("bb") / col("nn")).as("bs_binned"))
+  }
+
   /** a18: negative-binomial count-model association (NB2, fixed
     * dispersion θ=2) — same design as a15 but with the overdispersion
     * real count data has: the MLE beta equals Poisson's closed-form
@@ -2685,6 +2733,42 @@ object Mas {
          |SELECT decile, n, obs, round(e_sum, 4) + 0 AS e_sum,
          |  round(hl_term, 4) + 0 AS hl_term, round(chi2, 4) + 0 AS hl_chi2
          |FROM h, tot ORDER BY decile""".stripMargin
+    },
+    // a43: the a42 cell chain plus one 10-row reduction; every
+    // component is a function of per-decile sums so no second pass
+    "a43_brier" -> {
+      val cutDefs = (1 to 9).map(i =>
+        s"quantile_cont(x, ${i / 10.0}) AS c$i").mkString(",\n         ")
+      val binExpr = (1 to 9).map(i =>
+        s"(CASE WHEN x >= c$i THEN 1 ELSE 0 END)").mkString(" + ")
+      cohortSql + s""",
+         |b AS (
+         |  SELECT id, x, d_urgent AS y,
+         |    1.0 / (1.0 + exp((-1.0 * x) / 3000.0)) AS p_hat
+         |  FROM cohort WHERE x IS NOT NULL AND d_urgent IS NOT NULL
+         |), cuts AS (
+         |  SELECT $cutDefs
+         |  FROM b
+         |), cells AS (
+         |  SELECT $binExpr AS decile,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    sum(y) AS o, sum(p_hat) AS e,
+         |    sum((p_hat - y) * (p_hat - y)) AS sq
+         |  FROM b, cuts GROUP BY 1
+         |), s AS (
+         |  SELECT sum(n) AS nn, sum(o) AS oo, sum(sq) AS ssq,
+         |    sum(e * e / n - 2.0 * e * o / n + o) AS bb,
+         |    sum((e - o) * (e - o) / n) AS rel_n,
+         |    sum(o * o / n) AS res_a
+         |  FROM cells
+         |)
+         |SELECT CAST(nn AS BIGINT) AS n,
+         |  round(ssq / nn, 4) + 0 AS bs,
+         |  round(rel_n / nn, 4) + 0 AS reliability,
+         |  round((res_a - oo * oo / nn) / nn, 4) + 0 AS resolution,
+         |  round((oo / nn) * (1.0 - oo / nn), 4) + 0 AS uncertainty,
+         |  round(bb / nn, 4) + 0 AS bs_binned
+         |FROM s""".stripMargin
     },
     "a41_auc" ->
       (cohortSql + "\n" +

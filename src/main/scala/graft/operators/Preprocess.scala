@@ -452,6 +452,9 @@ object Preprocess {
     val cells = df.filter(t.isin(0.0, 1.0))
       .groupBy(col(catCol).as("level"))
       .agg(sum(t).as("g"), sum(lit(1.0) - t).as("b"))
+      // |levels| rows over a full-table aggregate subtree: materialize
+      // so the grand total reuses the cells instead of re-scanning
+      .localCheckpoint(true)
     val tot = cells.agg(sum("g").as("gt"), sum("b").as("bt"))
     val pg = (col("g") + lit(smooth)) / col("gt")
     val pb = (col("b") + lit(smooth)) / col("bt")

@@ -1292,6 +1292,30 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a43 Brier decomposition: identity bs_binned = rel - res + unc, recompute match") {
+    val dir = "/root/testdata/sf0.001"
+    val r = operators.Mas.a43Brier(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (bs, rel, res, unc, bsb) =
+      (row.getDouble(1), row.getDouble(2), row.getDouble(3),
+        row.getDouble(4), row.getDouble(5))
+    // Murphy identity holds exactly for the binned forecast (each
+    // component is r4-rounded separately: allow 4 half-quanta)
+    assert(math.abs(bsb - (rel - res + unc)) < 2.5e-4)
+    // raw BS >= 0 and decomposition components in range
+    assert(bs >= 0 && rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25 + 1e-9)
+    // independent replay of BS from raw rows
+    val raw = operators.Mas.cohort(spark, dir)
+      .select("x", "d_urgent").collect()
+      .map(rr => (rr.getDouble(0), rr.getDouble(1)))
+    val bsRef = raw.map { case (x, y) =>
+      val p = 1.0 / (1.0 + math.exp(-x / 3000.0)); (p - y) * (p - y)
+    }.sum / raw.length
+    assert(math.abs(bs - bsRef) < 6e-5)
+    assert(row.getLong(0) == raw.length)
+  }
+
   test("aucFrame: perfect separation, all-tied 0.5, hand tie case, partition invariance") {
     val sess = spark
     import sess.implicits._

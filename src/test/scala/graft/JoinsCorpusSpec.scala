@@ -500,6 +500,46 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("ppr: hand-checked seed-biased iterations, mass conservation, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // a->b, b->a, a->c ; c dangles; seed = {a}. S=1, ts=150000,
+    // r0: a=1000000, b=c=0.
+    // it1: a sends 500000 to b and c; dm=0 → a=150000, b=c=425000
+    // it2: b returns 425000 to a; c's 425000 dangles back to the
+    // seed → a=150000+round(.85*850000)=872500, b=c=round(.85*75000)=63750
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    val seedA = Seq("a").toDF("node")
+    val r1 = operators.Graph.personalizedPagerank(e, seedA, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("a" -> 150000L, "b" -> 425000L, "c" -> 425000L))
+    val r2 = operators.Graph.personalizedPagerank(e, seedA, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("a" -> 872500L, "b" -> 63750L, "c" -> 63750L))
+    // dangling-free 2-cycle conserves the full grid mass every round
+    val sym = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val s2 = operators.Graph.personalizedPagerank(sym, seedA, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == Map("a" -> 872500L, "b" -> 127500L))
+    assert(s2.values.sum == 1000000L)
+    // seeds outside the graph are dropped; fully-disjoint seeds fail
+    val rx = operators.Graph.personalizedPagerank(
+      sym, Seq("a", "zz").toDF("node"), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rx == Map("a" -> 150000L, "b" -> 850000L))
+    intercept[IllegalArgumentException] {
+      operators.Graph.personalizedPagerank(sym, Seq("zz").toDF("node"), 1)
+    }
+    // partition-count invariance (integer-grid reductions)
+    val big = (1L to 60L).map(i => (s"n$i", s"n${i % 20 + 1}")).toDF("src", "dst")
+    val seeds = Seq("n3", "n7", "n11").toDF("node")
+    val p1 = operators.Graph.personalizedPagerank(big.repartition(1), seeds, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p8 = operators.Graph.personalizedPagerank(big.repartition(8), seeds, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p1 == p8)
+  }
+
   test("triangles: K4 per-vertex counts, triangle-free square, invariance") {
     val sess = spark
     import sess.implicits._
