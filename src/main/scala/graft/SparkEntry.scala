@@ -89,6 +89,7 @@ object SparkEntry {
     "p20_target_encode" -> (Preprocess.p20TargetEncode _),
     "p21_vif5" -> (Preprocess.p21Vif5 _),
     "p22_date_features" -> (Preprocess.p22DateFeatures _),
+    "p23_spline_basis" -> (Preprocess.p23SplineBasis _),
     "g07_bfs" -> (graft.operators.Graph.g07BfsHops _),
     "c11_dedup_mixture" -> (graft.operators.Dedup.c11DedupMixture _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "n01_knn_brute" -> (Similarity.n01KnnBrute _),
     "n07_knn_classify" -> (Similarity.n07KnnClassify _),
     "n10_sq8_knn" -> (Similarity.n10Sq8Knn _),
+    "n12_mips" -> (Similarity.n12Mips _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n08_ann_recall" -> (Similarity.n08AnnRecall _),
     "n09_pca_power" -> (Similarity.n09PcaPower _),

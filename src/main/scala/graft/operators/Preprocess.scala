@@ -647,6 +647,51 @@ object Preprocess {
       .orderBy("o_orderkey")
   }
 
+  /**
+   * Restricted cubic spline (natural spline) basis — Harrell's rcs:
+   * the standard way to let a continuous covariate enter a model
+   * (a02/a25's adjusters, a42's risk score) NON-linearly without
+   * polynomial blow-up. K=4 knots at data quantiles; for j = 1..K−2
+   *   b_j(x) = [ (x−t_j)₊³ − (x−t_{K−1})₊³·(t_K−t_j)/(t_K−t_{K−1})
+   *              + (x−t_K)₊³·(t_{K−1}−t_j)/(t_K−t_{K−1}) ] / (t_K−t_1)²
+   * which is linear beyond the boundary knots by construction (the
+   * spec pins a zero second difference in the tails). Knots are 4
+   * collected doubles (type-7, ≡ DuckDB quantile_cont — the p15
+   * proof); everything else is a per-row projection that pushes to
+   * the scan, so a 100 TB basis expansion costs one quantile pass +
+   * one streaming map. The coefficient ratios are driver-side
+   * doubles; the oracle derives the SAME doubles from its own
+   * quantile_cont knots, and every downstream op is the identical
+   * IEEE expression.
+   */
+  def rcsBasis(df: DataFrame, valueCol: String,
+      probs: Seq[Double] = Seq(0.05, 0.35, 0.65, 0.95)): DataFrame = {
+    require(probs.size == 4 && probs == probs.sorted,
+      s"rcsBasis: need 4 ascending knot probs, got $probs")
+    val ks = quantilesExact(df, valueCol, probs)
+      .orderBy("q").collect().map(_.getDouble(1))
+    val Array(t1, t2, t3, t4) = ks
+    require(t4 > t3 && t3 > t1,
+      s"rcsBasis: degenerate knots ${ks.toSeq} — need spread data")
+    val x = col(valueCol)
+    def cubePlus(t: Double): Column = {
+      val d = greatest(x - lit(t), lit(0.0)); d * d * d
+    }
+    val nrm = (t4 - t1) * (t4 - t1)
+    def basis(tj: Double): Column =
+      (cubePlus(tj) - cubePlus(t3) * lit((t4 - tj) / (t4 - t3))
+        + cubePlus(t4) * lit((t3 - tj) / (t4 - t3))) / lit(nrm)
+    df.withColumn("rcs2", basis(t1)).withColumn("rcs3", basis(t2))
+  }
+
+  /** p23: K=4 natural-spline basis over customer balance. */
+  def p23SplineBasis(spark: SparkSession, dir: String): DataFrame =
+    rcsBasis(Tables.customer(spark, dir).select(
+        col("c_custkey"), col("c_acctbal").cast("double").as("x")), "x")
+      .select(col("c_custkey"), Norm.r4(col("x")).as("x"),
+        Norm.r4(col("rcs2")).as("rcs2"), Norm.r4(col("rcs3")).as("rcs3"))
+      .orderBy("c_custkey")
+
   /** p19: WoE encoding of market segment against a positive-balance
     * target — one aggregate scan, per-level woe + IV contribution. */
   def p19Woe(spark: SparkSession, dir: String): DataFrame =
@@ -1005,6 +1050,29 @@ object Preprocess {
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT)
         |    AS epoch_day
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // p23: quantile_cont knots (type-7 ≡ quantilesExact), then the
+    // identical truncated-cube arithmetic; the coefficient ratios are
+    // the same double divisions of the same knot values
+    "p23_spline_basis" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS x FROM customer
+        |), k AS (
+        |  SELECT quantile_cont(x, 0.05) AS t1, quantile_cont(x, 0.35) AS t2,
+        |         quantile_cont(x, 0.65) AS t3, quantile_cont(x, 0.95) AS t4
+        |  FROM c WHERE x IS NOT NULL
+        |), b AS (
+        |  SELECT c_custkey, x,
+        |    greatest(x - t1, 0.0) AS d1, greatest(x - t2, 0.0) AS d2,
+        |    greatest(x - t3, 0.0) AS d3, greatest(x - t4, 0.0) AS d4,
+        |    (t4 - t1) * (t4 - t1) AS nrm,
+        |    (t4 - t1) / (t4 - t3) AS a1, (t3 - t1) / (t4 - t3) AS b1,
+        |    (t4 - t2) / (t4 - t3) AS a2, (t3 - t2) / (t4 - t3) AS b2
+        |  FROM c, k
+        |)
+        |SELECT c_custkey, round(x, 4) + 0 AS x,
+        |  round((d1*d1*d1 - d3*d3*d3 * a1 + d4*d4*d4 * b1) / nrm, 4) + 0 AS rcs2,
+        |  round((d2*d2*d2 - d3*d3*d3 * a2 + d4*d4*d4 * b2) / nrm, 4) + 0 AS rcs3
+        |FROM b ORDER BY c_custkey""".stripMargin,
     "p15_quantile_bin" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS c1,

@@ -158,6 +158,46 @@ object Similarity {
     sq8Knn(embeddings(spark, dir), col("vec_id") < 25, k = 5)
       .orderBy("query_id", "rnk")
 
+  /**
+   * Maximum-inner-product search (MIPS) top-k — the retrieval
+   * primitive for DOT-PRODUCT scorers (two-tower recommenders,
+   * unnormalized retrieval embeddings) where n01's cosine is the
+   * wrong metric because vector MAGNITUDE carries signal. Exact
+   * brute-force baseline with the same broadcast shape as n01
+   * (bounded query set broadcasts, corpus streams through); scoring
+   * quantizes each coordinate to the 1e-6 grid ONCE per row and
+   * ranks on the exact INTEGER inner product (the n10 discipline:
+   * every score an exact i64, so the ordering is bit-stable across
+   * engines and partitionings — |x| ≤ ~30 ⇒ per-term ≤ 9e14,
+   * 64-dim sum ≤ 6e16 < 2^63). The 100 TB path is the classic
+   * norm-augmentation reduction (append sqrt(M²−‖x‖²) to corpus
+   * vectors, 0 to queries): MIPS order becomes cosine order in d+1
+   * dims, so n02's hyperplane-LSH bucketing applies unchanged — the
+   * spec pins the reduction's order-equivalence on a hand set.
+   */
+  def mipsTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q6 = transform(col("e"), x => round(x * lit(1000000.0)).cast("long"))
+    val base = emb.withColumn("q", q6)
+    val q = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val n = base.select(col("vec_id").as("neighbor_id"), col("q").as("nq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ip_micro").desc, col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip_micro",
+        aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("ip_micro"),
+        round(col("ip_micro") / lit(1.0e12), 4).as("ip"))
+  }
+
+  /** n12: exact MIPS top-5 for every 37th vector. */
+  def n12Mips(spark: SparkSession, dir: String): DataFrame =
+    mipsTopK(embeddings(spark, dir), col("vec_id") % 37 === 0, k = 5)
+      .orderBy("query_id", "rnk")
+
   // ------------------------------------------------------------ n02 LSH
 
   /** Deterministic ±1 hyperplane entries (splitmix bit stream). */
@@ -1042,6 +1082,30 @@ object Similarity {
         |  FROM dots
         |)
         |SELECT query_id, neighbor_id, rnk, dotq
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // n12: same 1e-6 quantization per coordinate, exact integer dot
+    // via the n10 unnest-join shape — ranking is an i64 comparison
+    // in both engines, no FP in the ordering at all
+    "n12_mips" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), qrow AS (
+        |  SELECT vec_id, i,
+        |    CAST(round(e[i] * 1000000.0) AS BIGINT) AS qv
+        |  FROM emb, unnest(generate_series(1, len(e))) AS t(i)
+        |), dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(sum(a.qv * b.qv) AS BIGINT) AS ip_micro
+        |  FROM qrow a JOIN qrow b ON a.i = b.i
+        |  WHERE a.vec_id % 37 = 0 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ip_micro DESC, neighbor_id) AS rnk
+        |  FROM dots
+        |)
+        |SELECT query_id, neighbor_id, rnk, ip_micro,
+        |  round(ip_micro / 1000000000000.0, 4) + 0 AS ip
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "n01_knn_brute" ->
       """WITH emb AS (

@@ -374,6 +374,46 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mipsTopK: exact integer dots, magnitude sensitivity, augmentation reduction, invariance") {
+    val sess = spark
+    import sess.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0, 2.0)),
+      (2L, Seq(0.5, -1.0)),
+      (3L, Seq(2.0, 0.25)),
+      (4L, Seq(3.0, 6.0)) // v1's direction, 3x the magnitude
+    ).toDF("vec_id", "e")
+    val out = operators.Similarity.mipsTopK(emb, col("vec_id") === 1, 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    // q=(1,2): v4 = 3+12 = 15 (magnitude wins — cosine would tie v4
+    // with q's own direction), v3 = 2.5, v2 = -1.5; micro = 1e12×
+    assert(out.toSeq == Seq(
+      (4L, 1, 15000000000000L, 15.0),
+      (3L, 2, 2500000000000L, 2.5),
+      (2L, 3, -1500000000000L, -1.5)))
+    // the 100 TB path: norm-augmentation (corpus x -> (x, sqrt(M²-‖x‖²)),
+    // query -> (q, 0)) makes cosine order EQUAL MIPS order, so n02's
+    // hyperplane LSH applies unchanged — replay the reduction by hand
+    val vecs = Map(2L -> Seq(0.5, -1.0), 3L -> Seq(2.0, 0.25), 4L -> Seq(3.0, 6.0))
+    val m = math.sqrt(vecs.values.map(v => v.map(x => x * x).sum).max)
+    val q = Seq(1.0, 2.0, 0.0)
+    val cosOrder = vecs.toSeq.map { case (id, v) =>
+      val x = v :+ math.sqrt(m * m - v.map(c => c * c).sum)
+      val dot = q.zip(x).map { case (a, b) => a * b }.sum
+      id -> (dot / (math.sqrt(5.0) * m))
+    }.sortBy(-_._2).map(_._1)
+    assert(cosOrder == out.toSeq.map(_._1).toSeq)
+    // integer ranking is partition-count-proof
+    val big = (1L to 80L).map(i =>
+      (i, Seq(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1)))).toDF("vec_id", "e")
+    val p1 = operators.Similarity.mipsTopK(big.repartition(1), col("vec_id") % 11 === 0, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    val p7 = operators.Similarity.mipsTopK(big.repartition(7), col("vec_id") % 11 === 0, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(p1 == p7 && p1.nonEmpty)
+  }
+
   test("sq8Knn: hand-quantized codes, exact integer ranking, agrees with float kNN when separated") {
     val sess = spark
     import sess.implicits._

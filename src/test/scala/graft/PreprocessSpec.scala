@@ -244,6 +244,41 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(l0, l1, l2).foreach(m => assert(m(3L) == 0.0))
   }
 
+  test("rcsBasis: hand truncated-cube values at knots {0,1,2,3}, exact tail linearity") {
+    val sess = spark
+    import sess.implicits._
+    // 7 sorted values [0,1,2,3,5,6,7]; probs i/6 for i=0..3 put the
+    // type-7 knots EXACTLY at 0,1,2,3 (integer positions, no interp)
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 5.0, 6.0, 7.0).toDF("x")
+    val out = Preprocess.rcsBasis(df, "x",
+        probs = Seq(0.0, 1.0 / 6, 2.0 / 6, 3.0 / 6))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getAs[Double]("rcs2"), r.getAs[Double]("rcs3"))).toMap
+    // knots (0,1,2,3): nrm=9, ratios a1=3,b1=2 (j=0), a2=2,b2=1 (j=1)
+    // rcs2(x) = ((x)+³ − 3(x−2)+³ + 2(x−3)+³)/9 ; rcs3 shifts by 1
+    def p3(d: Double) = if (d > 0) d * d * d else 0.0
+    def rcs2(x: Double) = (p3(x) - 3 * p3(x - 2) + 2 * p3(x - 3)) / 9
+    def rcs3(x: Double) = (p3(x - 1) - 2 * p3(x - 2) + 1 * p3(x - 3)) / 9
+    Seq(0.0, 1.0, 2.0, 3.0, 5.0, 6.0, 7.0).foreach { x =>
+      assert(math.abs(out(x)._1 - rcs2(x)) < 1e-9, s"rcs2($x)")
+      assert(math.abs(out(x)._2 - rcs3(x)) < 1e-9, s"rcs3($x)")
+    }
+    // spot the closed forms: rcs2(3)=24/9, rcs3(3)=6/9
+    assert(math.abs(out(3.0)._1 - 24.0 / 9) < 1e-9)
+    assert(math.abs(out(3.0)._2 - 6.0 / 9) < 1e-9)
+    // NATURAL spline: beyond the last knot the basis is LINEAR —
+    // the x³/x² terms cancel by construction; rcs2 = 2x − 10/3 there,
+    // so the second difference over {5,6,7} vanishes
+    val d2 = out(7.0)._1 - 2 * out(6.0)._1 + out(5.0)._1
+    assert(math.abs(d2) < 1e-9)
+    assert(math.abs(out(5.0)._1 - (2 * 5.0 - 10.0 / 3)) < 1e-9)
+    // degenerate knots refuse
+    intercept[IllegalArgumentException] {
+      Preprocess.rcsBasis(Seq(1.0, 1.0, 1.0, 1.0).toDF("x"), "x",
+        probs = Seq(0.0, 0.25, 0.5, 0.75))
+    }
+  }
+
   test("vif flags collinear covariates, two-column case matches 1/(1-r^2)") {
     val sess = spark
     import sess.implicits._
