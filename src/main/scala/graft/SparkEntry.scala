@@ -92,6 +92,7 @@ object SparkEntry {
     "p23_spline_basis" -> (Preprocess.p23SplineBasis _),
     "g07_bfs" -> (graft.operators.Graph.g07BfsHops _),
     "c11_dedup_mixture" -> (graft.operators.Dedup.c11DedupMixture _),
+    "c14_leakage_split" -> (graft.operators.Dedup.c14LeakageSplit _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
     "a35_clogit" -> (Mas.a35Clogit _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "e07_retention" -> (Relational.e07Retention _),
     "e06_funnel" -> (Relational.e06Funnel _),
     "e02_stream_window" -> (Relational.e02StreamWindow _),
+    "e25_hopping_window" -> (Relational.e25HoppingWindow _),
     "e05_session_window" -> (Relational.e05SessionWindow _),
     "e08_attribution" -> (Relational.e08Attribution _),
     "e09_windowed_topk" -> (Relational.e09WindowedTopK _),
@@ -195,6 +197,7 @@ object SparkEntry {
     "e19_stream_ingest_gate" -> (graft.streaming.StreamingOps.e19StreamIncrementalGate _),
     "e22_stream_ttl_gate" -> (graft.streaming.StreamingOps.e22StreamTtlGate _),
     "e24_stream_late_gate" -> (graft.streaming.StreamingOps.e24StreamLateGate _),
+    "m15_pcm_resample" -> (Multimodal.m15PcmResample _),
     "e20_asof_forward" -> (Joins.e20AsofForward _),
     "e21_asof_nearest" -> (Joins.e21AsofNearest _),
     "e23_resample_ffill" -> (Joins.e23ResampleFfill _),
@@ -606,6 +609,22 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e25: each event covers exactly hop/slide = 4 windows whose
+    // starts are the slide-grid truncation minus k slides, k = 0..3
+    // (ts − start_k ∈ [15k, 15(k+1)) min < 1 h by construction)
+    "e25_hopping_window" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        |  FROM events
+        |), x AS (
+        |  SELECT make_timestamp((us // 900000000) * 900000000
+        |      - k * 900000000) AS window_start,
+        |    event_type, value
+        |  FROM ev, unnest(generate_series(0, 3)) AS t(k)
+        |)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // e14: integer moments per type over the bounded window-count
     // table; mean/variance/z written with the SAME operand order as
     // the Spark expression so the doubles are bit-identical, and the

@@ -935,6 +935,27 @@ object Dedup {
       .orderBy("source")
   }
 
+  /**
+   * c14: LEAKAGE-SAFE train/test split — the dedup-aware variant of
+   * c03 a benchmark-clean training pipeline actually needs: a naive
+   * per-doc split puts near-duplicates on BOTH sides (the test set
+   * then "contains" training data and scores are inflated), so the
+   * split must be atomic per NEAR-DUP CLUSTER. Rides d17's cached
+   * keep artifact (doc → cluster); the side is pure modular
+   * arithmetic on the cluster id — (cluster·2654435761) mod 1e9+7
+   * mod 10, train on < 8 — deterministic, engine-exact (products ≤
+   * 5.3e14 ≪ 2^63), and trivially stable across corpus versions for
+   * unchanged clusters. Cost beyond the shared d17 build: one
+   * per-row projection.
+   */
+  def c14LeakageSplit(spark: SparkSession, dir: String): DataFrame =
+    keepArtifact(spark, dir)
+      .withColumn("split",
+        when((col("cluster") * lit(2654435761L)) % lit(1000000007L) % 10 < 8,
+          lit("train")).otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster"), col("n_cluster"), col("split"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------- d04 SimHash
 
   /** Polynomial string hash (h·base + char) mod m — chosen over
@@ -1610,6 +1631,32 @@ object Dedup {
           |SELECT source, n_docs, n_tokens,
           |  round(w_micro * 1.0 / (SELECT sum(w_micro) FROM per), 6) + 0 AS weight
           |FROM per ORDER BY source""".stripMargin),
+    // c14: the d17 keep chain, side = modular arithmetic on the
+    // cluster id (same integer ops, no FP anywhere)
+    "c14_leakage_split" ->
+      (corpusSql.replace("WITH corpus", "WITH RECURSIVE corpus") + globalPairsSqlBody +
+        """, jp AS (
+          |  SELECT id1, id2 FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+          |), edges AS (
+          |  SELECT id1, id2 FROM jp UNION ALL SELECT id2, id1 FROM jp
+          |), reach(src, node) AS (
+          |  SELECT id1, id1 FROM edges
+          |  UNION
+          |  SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.node = e.id1
+          |), comp AS (
+          |  SELECT src AS id, min(node) AS component FROM reach GROUP BY src
+          |), lab AS (
+          |  SELECT c.doc_id, coalesce(m.component, c.doc_id) AS cluster
+          |  FROM corpus c LEFT JOIN comp m ON c.doc_id = m.id
+          |), sz AS (
+          |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_cluster
+          |  FROM lab GROUP BY cluster
+          |)
+          |SELECT l.doc_id, l.cluster, s.n_cluster,
+          |  CASE WHEN (l.cluster * 2654435761) % 1000000007 % 10 < 8
+          |    THEN 'train' ELSE 'test' END AS split
+          |FROM lab l JOIN sz s ON l.cluster = s.cluster
+          |ORDER BY l.doc_id""".stripMargin),
     "d17_dedup_keep" ->
       (corpusSql.replace("WITH corpus", "WITH RECURSIVE corpus") + globalPairsSqlBody +
         """, jp AS (

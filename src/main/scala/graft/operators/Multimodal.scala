@@ -1146,6 +1146,74 @@ object Multimodal {
     }))
   }
 
+  /** Per-asset resample summary; *_q values are on the ×outRate
+    * integer grid (see [[resamplePcm]]). */
+  final case class PcmResample(
+      doc_id: Long, sample_rate: Int, n_in: Long, n_out: Long,
+      peak_q: Long, sum_q: Long, sum_abs_q: Long)
+
+  /**
+   * m15: SAMPLE-RATE NORMALIZATION — the audio pipeline's mandatory
+   * preprocessing step (a training corpus mixes 8/16/22.05/44.1 kHz
+   * assets; models want ONE rate): linear resample of channel 0 to
+   * `outRate` on an EXACT integer grid. Output position j maps to
+   * input position j·sr/outRate; with num = j·sr, i = num div
+   * outRate, rem = num mod outRate the interpolated sample ×outRate
+   * is the exact i64
+   *   out_q = v[i]·(outRate − rem) + v[i+1]·rem
+   * — no FP anywhere, so the resample is bit-identical in any
+   * engine/partitioning (|out_q| ≤ 32768·8000 ≈ 2.6e8; per-asset
+   * sums ≪ 2^63). Output frames stop at the last input sample
+   * (n_out = (n_in−1)·outRate div sr + 1), so i+1 is always valid
+   * when rem > 0. Decode+resample is a pure per-row byte map (the
+   * m09 batching); only the summary row leaves the executor.
+   */
+  def resamplePcm(media: Dataset[MediaRow], outRate: Int = 8000,
+      batchSize: Int = 64): Dataset[PcmResample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      parseWavHeader(r.media) match {
+        case Some(h) if h.bitsPerSample == 16 && h.channels >= 1 &&
+            h.sampleRate >= 1 =>
+          val avail = math.min(h.dataBytes.toLong,
+            (r.media.length - h.headerLen).toLong)
+          val nFrames = (avail / (2L * h.channels)).toInt
+          if (nFrames >= 1) {
+            val v = new Array[Int](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              val off = h.headerLen + 2 * (f * h.channels)
+              v(f) = ((r.media(off + 1) << 8) | (r.media(off) & 0xff))
+                .toShort.toInt
+              f += 1
+            }
+            val nOut = ((nFrames - 1).toLong * outRate / h.sampleRate + 1).toInt
+            var j = 0; var sum = 0L; var sumAbs = 0L; var peak = 0L
+            while (j < nOut) {
+              val num = j.toLong * h.sampleRate
+              val i = (num / outRate).toInt
+              val rem = num % outRate
+              val q = v(i).toLong * (outRate - rem) +
+                (if (rem > 0) v(i + 1).toLong * rem else 0L)
+              sum += q
+              val a = math.abs(q); sumAbs += a; if (a > peak) peak = a
+              j += 1
+            }
+            PcmResample(r.doc_id, h.sampleRate, nFrames, nOut, peak, sum, sumAbs)
+          } else PcmResample(r.doc_id, h.sampleRate, 0L, 0L, 0L, 0L, 0L)
+        case _ => PcmResample(r.doc_id, 0, 0L, 0L, 0L, 0L, 0L)
+      }
+    }))
+  }
+
+  /** m15: 8 kHz normalization pass over the real PCM corpus. */
+  def m15PcmResample(spark: SparkSession, dir: String): DataFrame =
+    resamplePcm(pcmWavTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_in"), col("n_out"),
+        col("peak_q"), col("sum_q"), col("sum_abs_q"))
+      .orderBy("doc_id")
+
   /** m09: sample-level audio decode under the gate — peak / energy /
     * zero-crossing / RMS over real two's-complement PCM frames; the
     * oracle replays the closed-form generator, so any byte-order or
@@ -1583,6 +1651,39 @@ object Multimodal {
     // AND parse the RIFF bytes correctly for this to match.
     // m09: replays the closed-form PCM generator — Spark must encode
     // AND decode genuine two's-complement LE frames for this to match
+    // m15: generator closed form for the channel-0 frames (value
+    // index k = f·ch), then the identical integer interpolation grid
+    // — i64 comparisons end to end, no FP in engine or oracle
+    "m15_pcm_resample" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 300 AS BIGINT) AS n,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(CASE ((doc_id // 2) % 4) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS rate
+        |  FROM documents
+        |), vals AS (
+        |  SELECT doc_id, f,
+        |    (doc_id * 9176 + (f * ch) * 31 + ((f * ch) * (f * ch) % 257) * 97)
+        |      % 65536 - 32768 AS v
+        |  FROM g, unnest(range(0, n)) AS t(f)
+        |), outs AS (
+        |  SELECT doc_id, rate, n, j,
+        |    (j * rate) // 8000 AS i, (j * rate) % 8000 AS rem
+        |  FROM g, unnest(range(0, ((n - 1) * 8000) // rate + 1)) AS t(j)
+        |), q AS (
+        |  SELECT o.doc_id, o.rate, o.n,
+        |    v0.v * (8000 - o.rem)
+        |      + CASE WHEN o.rem > 0 THEN v1.v * o.rem ELSE 0 END AS out_q
+        |  FROM outs o
+        |  JOIN vals v0 ON v0.doc_id = o.doc_id AND v0.f = o.i
+        |  LEFT JOIN vals v1 ON v1.doc_id = o.doc_id AND v1.f = o.i + 1
+        |)
+        |SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_in, CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(max(abs(out_q)) AS BIGINT) AS peak_q,
+        |  CAST(sum(out_q) AS BIGINT) AS sum_q,
+        |  CAST(sum(abs(out_q)) AS BIGINT) AS sum_abs_q
+        |FROM q GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "m09_pcm_stats" ->
       """WITH g AS (
         |  SELECT doc_id, CAST(200 + doc_id % 300 AS BIGINT) AS n,

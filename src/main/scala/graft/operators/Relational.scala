@@ -407,6 +407,26 @@ object Relational {
       .orderBy("window_start", "event_type")
 
   /**
+   * e25: HOPPING (sliding) window aggregate — the overlapping-window
+   * shape dashboards and rate monitors actually use ("last hour,
+   * refreshed every 15 min"), which e02's tumbling windows cannot
+   * express: window(1 h, 15 min) assigns every event to hop/slide = 4
+   * overlapping windows. Spark expands the window set IN-ROW
+   * (explode of 4 window structs) and partial-aggregates map-side
+   * BEFORE the shuffle, so the exchange carries 4·|windows|·|types|
+   * grouped cells — never 4·|events| rows; at 100 TB the fan-out is
+   * absorbed entirely by the map-side combine. Same streaming twin
+   * story as e02 (add a watermark, run incrementally).
+   */
+  def e25HoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes")
+          .getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /**
    * e09: windowed top-k — "what's trending each hour": per tumbling
    * window, the k most frequent event types with counts and rank.
    * ONE partial/final aggregate on (window, type) then a rank window

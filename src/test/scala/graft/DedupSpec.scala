@@ -358,6 +358,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "persisted-index ingest must match the in-memory old side exactly")
   }
 
+  test("c14 leakage-safe split: clusters are split-atomic, sides match the modular rule") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.Dedup.c14LeakageSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // every near-dup cluster lands ENTIRELY on one side — the whole
+    // point: a per-doc split would leak near-dups across the boundary
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $cl straddles")
+    }
+    // the side is the deterministic modular rule on the cluster id
+    out.foreach { case (_, cl, sp) =>
+      val expect = if ((cl * 2654435761L) % 1000000007L % 10 < 8) "train" else "test"
+      assert(sp == expect)
+    }
+    // both sides populated and roughly 80/20 over clusters
+    val byCluster = out.groupBy(_._2).map { case (cl, rows) => cl -> rows.head._3 }
+    val nTrain = byCluster.values.count(_ == "train")
+    assert(nTrain > 0 && nTrain < byCluster.size)
+    // doc→cluster mapping is exactly d17's (same shared artifact)
+    val d17 = operators.Dedup.d17DedupKeep(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, cl, _) => assert(d17(id) == cl) }
+  }
+
   test("c11 dedup-aware mixture equals c08 over the hand-filtered keep set") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"

@@ -954,6 +954,54 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ff.sum_sq == vals.map(v => v.toLong * v).sum)
   }
 
+  test("resamplePcm: identity at 8k, exact midpoint interpolation, stereo ch0, round-trip") {
+    val sess = spark
+    import sess.implicits._
+    def le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def run(id: Long, wav: Array[Byte]) = Multimodal.resamplePcm(
+      Seq(Multimodal.MediaRow(id, wav, "audio/wav", wav.length)).toDS())
+      .collect().head
+    // 8 kHz → 8 kHz is the identity on the ×8000 grid
+    val idWav = Multimodal.buildWav(1, 8000, 16, le(5) ++ le(-7) ++ le(9))
+    val a = run(1L, idWav)
+    assert(a.n_in == 3 && a.n_out == 3)
+    assert(a.sum_q == (5L - 7 + 9) * 8000 && a.peak_q == 9L * 8000)
+    assert(a.sum_abs_q == (5L + 7 + 9) * 8000)
+    // 16 kHz: every second sample, rem always 0
+    val b = run(2L, Multimodal.buildWav(1, 16000, 16,
+      le(0) ++ le(1600) ++ le(-3200) ++ le(800)))
+    assert(b.n_out == 2 && b.sum_q == -3200L * 8000 && b.peak_q == 3200L * 8000)
+    // 12 kHz: j=1 falls exactly between samples 1 and 2 (rem 4000)
+    val c = run(3L, Multimodal.buildWav(1, 12000, 16,
+      le(0) ++ le(1000) ++ le(2000)))
+    assert(c.n_out == 2)
+    assert(c.sum_q == 0L + (1000L * 4000 + 2000L * 4000))
+    // stereo: channel 0 only (100, 200), ch1 ignored
+    val d = run(4L, Multimodal.buildWav(2, 8000, 16,
+      le(100) ++ le(-5) ++ le(200) ++ le(-6)))
+    assert(d.n_out == 2 && d.sum_q == 300L * 8000 && d.sum_abs_q == 300L * 8000)
+    // garbage degrades to a zeroed row, never throws
+    val e = run(5L, "nope".getBytes)
+    assert(e.sample_rate == 0 && e.n_out == 0)
+    // round-trip vs an independent replay on the real corpus bytes
+    val row = Multimodal.pcmWavTable(spark, dir).filter(_.doc_id == 3L).head()
+    val f = Multimodal.resamplePcm(Seq(row).toDS()).collect().head
+    val ch = 1 + (3 % 2); val sr = 16000 // doc 3: stereo, (3//2)%4=1
+    val n = Multimodal.pcmFrames(3L)
+    val v = (0 until n).map(fr => Multimodal.pcmVal(3L, fr.toLong * ch))
+    val nOut = ((n - 1).toLong * 8000 / sr + 1).toInt
+    var sum = 0L; var peak = 0L
+    (0 until nOut).foreach { j =>
+      val num = j.toLong * sr
+      val i = (num / 8000).toInt; val rem = num % 8000
+      val q = v(i).toLong * (8000 - rem) +
+        (if (rem > 0) v(i + 1).toLong * rem else 0L)
+      sum += q; if (math.abs(q) > peak) peak = math.abs(q)
+    }
+    assert(f.sample_rate == sr && f.n_in == n && f.n_out == nOut)
+    assert(f.sum_q == sum && f.peak_q == peak)
+  }
+
   test("ppmAHash: gradient golden hash, pattern survives dimension change, uniform is zero") {
     import Multimodal._
     // left half dark (10), right half bright (200): bright cells are

@@ -298,6 +298,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size == (if (w2.nonEmpty) 3 else 2))
   }
 
+  test("e25 hopping windows: every event lands in exactly 4 overlapping windows") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.e25HoppingWindow(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // independent replay: slide-grid truncation minus k slides, k=0..3
+    val ev = graft.Tables.events(spark, dir)
+      .select("ts", "event_type", "value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getDouble(2)))
+    val slide = 15L * 60 * 1000
+    val exp = ev.flatMap { case (ts, et, v) =>
+      (0 to 3).map(k => ((ts / slide) * slide - k * slide, et) -> v)
+    }.groupBy(_._1).map { case (key, vs) =>
+      key -> (vs.length.toLong, vs.map(_._2).sum)
+    }
+    assert(out.keySet == exp.keySet)
+    // total row mass = 4x the event count (each event in 4 windows)
+    assert(out.values.map(_._1).sum == 4L * ev.length)
+    exp.foreach { case (key, (n, tv)) =>
+      assert(out(key)._1 == n, s"count at $key")
+      // engine value is 4-dp rounded; allow the half-quantum
+      assert(math.abs(out(key)._2 - tv) < 6e-5, s"sum at $key")
+    }
+  }
+
   test("e17 file-sink gate: the parquet rows on disk equal the memory-sink gate (e11)") {
     // the gate pair under test: e11 proves the STATE machinery, e17
     // proves the EMISSION path — same pipeline, sink swapped; the
