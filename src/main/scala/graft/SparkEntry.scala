@@ -93,6 +93,7 @@ object SparkEntry {
     "g07_bfs" -> (graft.operators.Graph.g07BfsHops _),
     "c11_dedup_mixture" -> (graft.operators.Dedup.c11DedupMixture _),
     "c14_leakage_split" -> (graft.operators.Dedup.c14LeakageSplit _),
+    "c15_pipeline_report" -> (graft.operators.Dedup.c15PipelineReport _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
     "a35_clogit" -> (Mas.a35Clogit _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "g09_degree_hist" -> (Graph.g09DegreeHist _),
     "t17_readability" -> (TextOps.t17Readability _),
     "e03_asof_join" -> (Joins.e03AsofJoin _),
+    "e26_asof_tolerance" -> (Joins.e26AsofTolerance _),
     "e04_range_join" -> (Joins.e04RangeJoin _),
     "c01_sample_stratified" -> (Corpus.c01SampleStratified _),
     "c02_shard_pack" -> (Corpus.c02ShardPack _),

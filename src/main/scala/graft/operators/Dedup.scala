@@ -956,6 +956,38 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("n_cluster"), col("split"))
       .orderBy("doc_id")
 
+  /**
+   * c15: END-TO-END PIPELINE YIELD REPORT — the per-source funnel a
+   * corpus build publishes with every snapshot ("what survived each
+   * stage"): raw docs → after near-dup dedup (d17's cached keep
+   * artifact) → after the Gopher quality gate (t19's 7-rule document
+   * gate) → final token mass. One registered entry PROVING the
+   * library's stages compose: the keep artifact joins doc-keyed, the
+   * gate is t19's per-row projection run on the same frame, tokens
+   * are c08's count expression, and the report is ONE |sources|-row
+   * aggregate. Beyond the shared d17 build the cost is a per-row map
+   * + two doc-keyed joins + one bounded aggregate — at 100 TB the
+   * funnel is a single pass over the corpus.
+   */
+  def c15PipelineReport(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val keep = keepArtifact(spark, dir).select(col("doc_id"), col("keep"))
+    val gate = graft.operators.TextOps.gopherGate(c)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val tok = c.select(col("doc_id"), col("source"),
+      size(filter(split(normText(col("text")), " "),
+        w => length(w) > 0)).cast("long").as("n_tokens"))
+    tok.join(keep, "doc_id").join(gate, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when(col("keep") && col("q_keep"), 1L).otherwise(0L))
+          .as("n_after_quality"),
+        sum(when(col("keep") && col("q_keep"), col("n_tokens")).otherwise(0L))
+          .as("n_tokens_final"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------- d04 SimHash
 
   /** Polynomial string hash (h·base + char) mod m — chosen over
@@ -1631,6 +1663,72 @@ object Dedup {
           |SELECT source, n_docs, n_tokens,
           |  round(w_micro * 1.0 / (SELECT sum(w_micro) FROM per), 6) + 0 AS weight
           |FROM per ORDER BY source""".stripMargin),
+    // c15: the d17 keep chain + t19's gopher rule body (verbatim —
+    // same rounded intermediates, same coalesce-anchored AND) + c08's
+    // token count, collapsed to the per-source funnel
+    "c15_pipeline_report" -> {
+      val wsArr = """string_split_regex(trim(text), '\s+')"""
+      val nonwsSql = """length(regexp_replace(text, '\s', '', 'g'))"""
+      val rl = graft.operators.TextOps.relinedSql(12)
+      val stopSql = graft.operators.TextOps.gopherStops.map(w =>
+        s"(CASE WHEN ${graft.operators.TextOps.occSql("p", s" $w ")} > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      corpusSql.replace("WITH corpus", "WITH RECURSIVE corpus") + globalPairsSqlBody +
+        s""", jp AS (
+           |  SELECT id1, id2 FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+           |), edges AS (
+           |  SELECT id1, id2 FROM jp UNION ALL SELECT id2, id1 FROM jp
+           |), reach(src, node) AS (
+           |  SELECT id1, id1 FROM edges
+           |  UNION
+           |  SELECT r.src, e.id2 FROM reach r JOIN edges e ON r.node = e.id1
+           |), comp AS (
+           |  SELECT src AS id, min(node) AS component FROM reach GROUP BY src
+           |), kf AS (
+           |  SELECT c.doc_id, c.source, c.text,
+           |    c.doc_id = coalesce(m.component, c.doc_id) AS keep,
+           |    ${graft.operators.TextOps.paddedSql} AS p
+           |  FROM corpus c LEFT JOIN comp m ON c.doc_id = m.id
+           |), f AS (
+           |  SELECT doc_id, source, keep,
+           |    CASE WHEN trim(text) = '' THEN 0.0
+           |      ELSE len($wsArr) * 1.0 END AS nw,
+           |    $nonwsSql * 1.0 AS nonws,
+           |    ${graft.operators.TextOps.occSql("text", "#")}
+           |      + ${graft.operators.TextOps.occSql("text", "...")} AS sym,
+           |    CASE WHEN trim(text) = '' THEN 0.0
+           |      ELSE len(list_filter($wsArr,
+           |        w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 END AS alphaw,
+           |    len(str_split($rl, chr(10))) * 1.0 AS nlines,
+           |    len(list_filter(str_split($rl, chr(10)),
+           |      l -> regexp_matches(trim(l), '^[-*] '))) * 1.0 AS bulletl,
+           |    len(list_filter(str_split($rl, chr(10)),
+           |      l -> right(trim(l), 3) = '...')) * 1.0 AS ellipl,
+           |    $stopSql AS stop_hits,
+           |    CAST(len(list_filter(string_split(
+           |      lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+           |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+           |  FROM kf
+           |), g AS (
+           |  SELECT doc_id, source, keep, n_tokens,
+           |    (nw >= 50 AND nw <= 100000
+           |      AND (CASE WHEN nw > 0 THEN round(nonws / nw, 4) + 0 END) >= 3
+           |      AND (CASE WHEN nw > 0 THEN round(nonws / nw, 4) + 0 END) <= 10
+           |      AND (CASE WHEN nw > 0 THEN round(sym / nw, 4) + 0 END) < 0.1
+           |      AND round(bulletl / nlines, 4) + 0 < 0.9
+           |      AND round(ellipl / nlines, 4) + 0 < 0.3
+           |      AND (CASE WHEN nw > 0 THEN round(alphaw / nw, 4) + 0 END) > 0.8
+           |      AND stop_hits >= 2) AS q_keep
+           |  FROM f
+           |)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+           |  CAST(sum(CASE WHEN keep AND q_keep THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_after_quality,
+           |  CAST(sum(CASE WHEN keep AND q_keep THEN n_tokens ELSE 0 END) AS BIGINT)
+           |    AS n_tokens_final
+           |FROM g GROUP BY source ORDER BY source""".stripMargin
+    },
     // c14: the d17 keep chain, side = modular arithmetic on the
     // cluster id (same integer ops, no FP anywhere)
     "c14_leakage_split" ->

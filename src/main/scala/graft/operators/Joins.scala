@@ -210,6 +210,56 @@ object Joins {
   }
 
   /**
+   * As-of join with a TOLERANCE horizon — the last piece of the
+   * polars `join_asof` surface (`tolerance=`): the backward match
+   * only counts when `left.time − right.time ≤ tolUs`; a staler
+   * match nulls out. Semantics follow polars exactly: the candidate
+   * is STILL the latest preceding right row (any earlier row is even
+   * farther, so tolerance can only null, never substitute). Same
+   * union + one-window design as [[asofJoin]] with the right TIME
+   * riding beside the payload (the nearest-join trick) so the gap
+   * check needs no payload-schema knowledge; one shuffle on the key.
+   */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String], tolUs: Long): DataFrame = {
+    require(tolUs >= 0, s"asofJoinTolerance: tolUs must be >= 0, got $tolUs")
+    val r2 = right.select(col(key).as("__k"), col(time).as("__t"), lit(1).as("__r"),
+      struct(payload.map(col): _*).as("__p"))
+    val pType = r2.schema("__p").dataType
+    val l2 = left.select(col(key).as("__k"), col(time).as("__t"), lit(0).as("__r"),
+      lit(null).cast(pType).as("__p"), struct(left.columns.map(col): _*).as("__l"))
+    val lType = l2.schema("__l").dataType
+    val u = l2.unionByName(r2.withColumn("__l", lit(null).cast(lType)))
+      .withColumn("__tp", when(col("__r") === 1,
+        struct(col("__t").as("t"), col("__p").as("p"))))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__r").desc, col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = unix_micros(col("__t")) - unix_micros(col("__b.t"))
+    u.withColumn("__b", last("__tp", ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) :+
+        when(col("__b").isNotNull && gap <= tolUs, col("__b.p")).as("asof"): _*)
+  }
+
+  /** e26: purchase ← most recent click within 30 min (tolerance
+    * as-of) — e03's attribution query with the polars `tolerance`
+    * horizon: stale clicks no longer claim the purchase. */
+  def e26AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    asofJoinTolerance(purchases, clicks, "user_id", "ts",
+        Seq("event_id", "ts"), tolUs = 1800000000L)
+      .select(col("event_id"), col("user_id"),
+        col("asof.event_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /**
    * Regular-grid RESAMPLE + FORWARD FILL — the time-series alignment
    * primitive (feature tables want one row per (entity, day), sensor
    * and metric streams arrive irregularly): per entity, a daily grid
@@ -289,6 +339,20 @@ object Joins {
         |    + 0 AS value_ffill,
         |  is_observed
         |FROM j ORDER BY user_id, grid_day""".stripMargin,
+    // e26: the e03 ASOF join + a tolerance CASE — the latest
+    // preceding click is STILL the candidate; beyond 30 min it nulls
+    "e26_asof_tolerance" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT max(event_id) AS click_id, user_id AS cu, ts AS cts
+        |      FROM ev WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.cts) <= 1800000000
+        |    THEN c.click_id END AS click_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.cts) <= 1800000000
+        |    THEN epoch_us(p.ts) - epoch_us(c.cts) END AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts >= c.cts
+        |ORDER BY p.event_id""".stripMargin,
     "e03_asof_join" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
         |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),

@@ -134,7 +134,7 @@ object TextOps {
   // ------------------------------------------------ t19 gopher gate
 
   /** The eight Gopher stop words whose presence rule 7 counts. */
-  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private[operators] val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /**
    * t19: the Gopher DOC-LEVEL quality GATE (Rae et al. 2021, app. A1)

@@ -382,6 +382,35 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach { case (id, cl, _) => assert(d17(id) == cl) }
   }
 
+  test("c15 pipeline report equals the hand-composed d17 x t19 x token funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val out = operators.Dedup.c15PipelineReport(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val keep = operators.Dedup.d17DedupKeep(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val c = operators.Dedup.corpus(spark, dir)
+    val qkeep = operators.TextOps.gopherGate(c).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+    val rows = c.select("doc_id", "source", "text").collect().map { r =>
+      val toks = r.getString(2).toLowerCase.replaceAll("\\s+", " ")
+        .split(" ").count(_.nonEmpty).toLong
+      (r.getLong(0), r.getString(1), toks)
+    }
+    val exp = rows.groupBy(_._2).map { case (src, rs) =>
+      src -> (rs.length.toLong,
+        rs.count(r => keep(r._1)).toLong,
+        rs.count(r => keep(r._1) && qkeep(r._1)).toLong,
+        rs.filter(r => keep(r._1) && qkeep(r._1)).map(_._3).sum)
+    }
+    assert(out == exp)
+    // the funnel is monotone and non-trivial on this corpus
+    out.values.foreach { case (nd, ndd, nq, _) =>
+      assert(nd >= ndd && ndd >= nq)
+    }
+    assert(out.values.map(_._1).sum > out.values.map(_._2).sum)
+  }
+
   test("c11 dedup-aware mixture equals c08 over the hand-filtered keep set") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"

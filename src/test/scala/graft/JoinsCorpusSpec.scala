@@ -39,6 +39,30 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("l3") == None)       // nothing at-or-before 09:00
   }
 
+  test("asofJoinTolerance: stale matches null, never substituted by an older row") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "p1"), // 30 min after latest click
+      (1L, ts("2024-01-01 08:00:00"), "p2")  // before any click
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L), // older candidate
+      (1L, ts("2024-01-01 10:00:00"), 200L)  // latest preceding p1
+    ).toDF("k", "t", "rid")
+    def run(tolUs: Long) =
+      Joins.asofJoinTolerance(left, right, "k", "t", Seq("rid"), tolUs)
+        .select(col("name"), col("asof.rid").as("rid")).collect()
+        .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // gap is exactly 30 min: <= matches on the boundary
+    assert(run(1800000000L) == Map("p1" -> Some(200L), "p2" -> None))
+    // one microsecond less: the latest candidate is stale -> NULL —
+    // the 09:00 click (in no tolerance either) must NOT substitute
+    assert(run(1799999999L) == Map("p1" -> None, "p2" -> None))
+    // generous tolerance still picks the LATEST, not the oldest
+    assert(run(86400000000L) == Map("p1" -> Some(200L), "p2" -> None))
+  }
+
   test("asofJoinForward/Nearest: earliest-after, tie rules, nearest picks the closer side") {
     val sess = spark
     import sess.implicits._
