@@ -198,6 +198,7 @@ object SparkEntry {
     "e19_stream_ingest_gate" -> (graft.streaming.StreamingOps.e19StreamIncrementalGate _),
     "e22_stream_ttl_gate" -> (graft.streaming.StreamingOps.e22StreamTtlGate _),
     "e24_stream_late_gate" -> (graft.streaming.StreamingOps.e24StreamLateGate _),
+    "e27_stream_hop_gate" -> (graft.streaming.StreamingOps.e27StreamHopGate _),
     "m15_pcm_resample" -> (Multimodal.m15PcmResample _),
     "e20_asof_forward" -> (Joins.e20AsofForward _),
     "e21_asof_nearest" -> (Joins.e21AsofNearest _),
@@ -611,6 +612,20 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e27: the streaming hop gate lands exactly e25's batch answer
+    "e27_stream_hop_gate" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        |  FROM events
+        |), x AS (
+        |  SELECT make_timestamp((us // 900000000) * 900000000
+        |      - k * 900000000) AS window_start,
+        |    event_type, value
+        |  FROM ev, unnest(generate_series(0, 3)) AS t(k)
+        |)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // e25: each event covers exactly hop/slide = 4 windows whose
     // starts are the slide-grid truncation minus k slides, k = 0..3
     // (ts − start_k ∈ [15k, 15(k+1)) min < 1 h by construction)

@@ -202,8 +202,34 @@ object StreamingOps {
     }
   }
 
+  /** Hopping twin of [[tumblingWindowAgg]] — window(1 h, 15 min):
+    * every event lands in 4 overlapping windows; same watermark
+    * linkage rule (group on the window column itself). */
+  def hoppingWindowAgg(events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w").getField("start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /**
+   * e27 — the HOPPING-WINDOW streaming gate: e25's overlapping
+   * windows produced by the REAL incremental path (each event
+   * updates 4 window states; append mode emits each window once when
+   * the watermark closes it — overlapping windows close in slide
+   * order, not all at once). Same replayed feed and flush protocol
+   * as e11; the oracle is e25's closed-form batch hopping aggregate,
+   * so the gate proves the incremental multi-window state machinery
+   * lands exactly the declarative answer.
+   */
+  def e27StreamHopGate(spark: SparkSession, dir: String): DataFrame =
+    windowAggGate(spark, dir, "graft_e27_sink", hoppingWindowAgg(_))
+
   private def windowAggGate(
-      spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+      spark: SparkSession, dir: String, sinkName: String,
+      agg: DataFrame => DataFrame = tumblingWindowAgg(_)): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
     val rows = cachedFeed(s"events4:$dir") {
@@ -217,7 +243,7 @@ object StreamingOps {
     val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
     spark.catalog.dropTempView(sinkName)
     withShufflePartitions(spark, 8) {
-      val q = tumblingWindowAgg(src).writeStream
+      val q = agg(src).writeStream
         .format("memory").queryName(sinkName).outputMode("append").start()
       try {
         // ≥5000 rows per micro-batch AND ≤2 batches (+ the flush

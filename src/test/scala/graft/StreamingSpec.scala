@@ -323,6 +323,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e27 streaming hop gate lands exactly e25's batch hopping aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val s = graft.streaming.StreamingOps.e27StreamHopGate(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val b = graft.operators.Relational.e25HoppingWindow(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(s.toSeq == b.toSeq)
+    assert(s.nonEmpty)
+  }
+
   test("e17 file-sink gate: the parquet rows on disk equal the memory-sink gate (e11)") {
     // the gate pair under test: e11 proves the STATE machinery, e17
     // proves the EMISSION path — same pipeline, sink swapped; the
