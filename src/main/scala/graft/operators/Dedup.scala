@@ -576,6 +576,28 @@ object Dedup {
       .orderBy("id1", "id2")
 
   /**
+   * d19: PAIRWISE-SIMILARITY HISTOGRAM — the threshold-calibration
+   * report a dedup rollout reads BEFORE picking τ (is there a clean
+   * bimodal gap between near-dups and background similarity, and
+   * where?): d02's blocked shingle-join pair generation at a low
+   * floor (τ = 0.1), then the 4-dp Jaccard quantizes to an exact
+   * integer (round(j·10⁴)) and bins by integer division — bin
+   * membership is an i64 comparison, so the histogram is
+   * engine/partitioning-exact even at bin boundaries. Pair volume is
+   * the d02 shape (shared-shingle bounded, source-blocked; the maxDf
+   * cap is the at-scale knob); the histogram itself is a
+   * ≤20-row aggregate.
+   */
+  def d19JaccardHist(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(corpus(spark, dir), 0.1, Some("source"))
+      .withColumn("m", round(col("jaccard") * 10000.0).cast("long"))
+      .withColumn("bin", expr("m div 500"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("jac_lo", graft.operators.Norm.r4(col("bin") * 0.05))
+      .select(col("bin"), col("jac_lo"), col("n_pairs"))
+      .orderBy("bin")
+
+  /**
    * DIRECTIONAL shingle containment: containment(A→B) =
    * |sh(A) ∩ sh(B)| / |sh(A)| ≥ τ means A is mostly contained IN B —
    * the asymmetric near-dup relation Jaccard structurally misses (a
@@ -1582,6 +1604,25 @@ object Dedup {
           |SELECT id1, id2, round(common * 1.0 / (na + nb - common), 4) AS jaccard
           |FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
           |ORDER BY id1, id2""".stripMargin),
+    // d19: d02's blocked pair chain at the τ=0.1 floor; the 4-dp
+    // Jaccard quantizes to round(j·1e4) and bins by integer division
+    "d19_jaccard_hist" ->
+      (corpusSql + sourceShingleCtesSql +
+        """, pairs AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+          |    any_value(a.ns) AS na, any_value(b.ns) AS nb
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), j AS (
+          |  SELECT round(common * 1.0 / (na + nb - common), 4) AS j4
+          |  FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.1
+          |), h AS (
+          |  SELECT CAST(round(j4 * 10000.0) AS BIGINT) // 500 AS bin
+          |  FROM j
+          |)
+          |SELECT bin, round(bin * 0.05, 4) + 0 AS jac_lo,
+          |  CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM h GROUP BY bin ORDER BY bin""".stripMargin),
     "d11_containment" ->
       (corpusSql + sourceShingleCtesSql +
         """, pairs AS (

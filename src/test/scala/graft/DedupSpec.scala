@@ -382,6 +382,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach { case (id, cl, _) => assert(d17(id) == cl) }
   }
 
+  test("d19 jaccard histogram bins the exact pair set on the integer grid") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = operators.Dedup.ngramJaccardPairs(
+        operators.Dedup.corpus(spark, dir), 0.1, Some("source"))
+      .collect().map(_.getDouble(2))
+    val out = operators.Dedup.d19JaccardHist(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // every pair accounted for, in the bin its rounded value dictates
+    val exp = pairs.map(j => math.floor(j * 10000 + 0.5).toLong / 500)
+      .groupBy(identity).map { case (b, v) => b -> v.length.toLong }
+    assert(out.map { case (b, (_, n)) => b -> n } == exp)
+    assert(out.values.map(_._2).sum == pairs.length && pairs.nonEmpty)
+    out.foreach { case (b, (lo, _)) => assert(math.abs(lo - b * 0.05) < 1e-9) }
+    // τ floor: nothing below bin 2 (0.10), nothing above bin 20 (1.0)
+    assert(exp.keys.forall(b => b >= 2 && b <= 20))
+  }
+
   test("c15 pipeline report equals the hand-composed d17 x t19 x token funnel") {
     val dir = "/root/testdata/sf0.001"
     val out = operators.Dedup.c15PipelineReport(spark, dir).collect()
