@@ -459,6 +459,63 @@ object Multimodal {
     }))
   }
 
+  /** Per-patch summary row for [[extractPpmPatches]]. */
+  final case class PpmPatch(
+      doc_id: Long, patch_row: Int, patch_col: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /**
+   * m16: PATCHIFY — the ViT preprocessing shape (an image model
+   * consumes P×P patches, not rasters; the patch grid + per-patch
+   * statistics are the multimodal pipeline's tokenization step):
+   * each decoded raster splits into a ⌈h/P⌉×⌈w/P⌉ grid (edge patches
+   * ragged, n_px says how ragged) with exact integer per-channel
+   * sums — the downstream normalize/embed stage consumes these
+   * directly. Pure per-row byte walk (the m07/m11 batching); output
+   * is patches-per-image rows, bytes never shuffle.
+   */
+  def extractPpmPatches(media: Dataset[MediaRow], p: Int = 2,
+      batchSize: Int = 64): Dataset[PpmPatch] = {
+    require(p >= 1 && p <= 64, s"extractPpmPatches: p in [1,64], got $p")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      parsePpmHeader(r.media) match {
+        case Some(h) if r.media.length - h.headerLen >= 3L * h.width * h.height =>
+          val pw = (h.width + p - 1) / p
+          val ph = (h.height + p - 1) / p
+          val nPatch = pw * ph
+          val npx = new Array[Long](nPatch)
+          val sums = Array.ofDim[Long](nPatch, 3)
+          var y = 0
+          var off = h.headerLen
+          while (y < h.height) {
+            val prBase = (y / p) * pw
+            var x = 0
+            while (x < h.width) {
+              val pi = prBase + x / p
+              npx(pi) += 1L
+              sums(pi)(0) += r.media(off) & 0xff
+              sums(pi)(1) += r.media(off + 1) & 0xff
+              sums(pi)(2) += r.media(off + 2) & 0xff
+              off += 3; x += 1
+            }
+            y += 1
+          }
+          (0 until nPatch).map(pi => PpmPatch(r.doc_id, pi / pw, pi % pw,
+            npx(pi), sums(pi)(0), sums(pi)(1), sums(pi)(2)))
+        case _ => Seq.empty[PpmPatch]
+      }
+    }))
+  }
+
+  /** m16: 2×2 patch grid over the real PPM corpus. */
+  def m16PpmPatchify(spark: SparkSession, dir: String): DataFrame =
+    extractPpmPatches(ppmTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("patch_row"), col("patch_col"), col("n_px"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id", "patch_row", "patch_col")
+
   /** m11: per-channel raster QC profile under the hash gate —
     * integer-exact moments/extrema/histogram per (image, channel),
     * std from the exact moments. */
@@ -1465,6 +1522,29 @@ object Multimodal {
     // from the exact moments in the final projection with the
     // engine's operand order (double sum·sum — overflow-safe at any
     // raster size — then / n, −, / n, sqrt, round)
+    // m16: the m11 px closed form with x/y recovered from the pixel
+    // index, patch = integer division — all-i64 group keys and sums
+    "m16_ppm_patchify" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(3 + doc_id % 7 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id,
+        |    CAST(((i // 3) // w) // 2 AS INT) AS patch_row,
+        |    CAST(((i // 3) % w) // 2 AS INT) AS patch_col,
+        |    CAST(i % 3 AS INT) AS c,
+        |    ord(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, 3 * w * h)) AS t(i)
+        |)
+        |SELECT doc_id, patch_row, patch_col,
+        |  CAST(count(*) // 3 AS BIGINT) AS n_px,
+        |  CAST(sum(CASE WHEN c = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN c = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN c = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
     "m11_ppm_channel_stats" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

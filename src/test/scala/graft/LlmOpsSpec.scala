@@ -1002,6 +1002,40 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.sum_q == sum && f.peak_q == peak)
   }
 
+  test("extractPpmPatches: ragged 5x3 grid exact sums, mass conservation, corpus round-trip") {
+    val sess = spark
+    import sess.implicits._
+    // 5×3 raster, byte j = j: grid is 2 rows × 3 cols of 2×2 patches,
+    // right/bottom edges ragged
+    val raster = Array.tabulate(45)(j => j.toByte)
+    val wav = Multimodal.buildPpm(5, 3, raster)
+    val out = Multimodal.extractPpmPatches(
+        Seq(Multimodal.MediaRow(1L, wav, "image/ppm", wav.length)).toDS())
+      .collect().map(p => (p.patch_row, p.patch_col) ->
+        (p.n_px, p.sum_r, p.sum_g, p.sum_b)).toMap
+    assert(out.size == 6)
+    // independent replay over (x, y)
+    val exp = (for { y <- 0 until 3; x <- 0 until 5 } yield (y / 2, x / 2, x, y))
+      .groupBy(t => (t._1, t._2)).map { case (k, px) =>
+        def s(c: Int) = px.map { case (_, _, x, y) => 3 * (y * 5 + x) + c }.sum.toLong
+        k -> (px.length.toLong, s(0), s(1), s(2))
+      }
+    assert(out == exp)
+    // hand corners: full patch 4 px, right edge 2, bottom-right 1
+    assert(out((0, 0))._1 == 4L && out((0, 2))._1 == 2L && out((1, 2))._1 == 1L)
+    assert(out((0, 0))._2 == 0L + 3 + 15 + 18)
+    // mass conservation: patch sums rebuild the whole raster
+    assert(out.values.map(_._1).sum == 15L)
+    assert(out.values.map(v => v._2 + v._3 + v._4).sum ==
+      raster.map(_.toInt & 0xff).map(_.toLong).sum)
+    // corpus round-trip: doc 2's patches vs the generator closed form
+    val row = Multimodal.ppmTable(spark, dir).filter(_.doc_id == 2L).head()
+    val f = Multimodal.extractPpmPatches(Seq(row).toDS()).collect()
+    val (w, h) = (Multimodal.ppmWidth(2L), Multimodal.ppmHeight(2L))
+    assert(f.map(_.n_px).sum == w.toLong * h)
+    assert(f.map(p => (p.patch_row, p.patch_col)).distinct.length == f.length)
+  }
+
   test("ppmAHash: gradient golden hash, pattern survives dimension change, uniform is zero") {
     import Multimodal._
     // left half dark (10), right half bright (200): bright cells are
