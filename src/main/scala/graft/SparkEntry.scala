@@ -108,6 +108,7 @@ object SparkEntry {
     "s16_group_fdr" -> (Postprocess.s16GroupFdr _),
     "s17_top_hits" -> (Postprocess.s17TopHits _),
     "s09_meta_analysis" -> (Postprocess.s09MetaAnalysis _),
+    "s18_random_effects" -> (Postprocess.s18RandomEffects _),
     "s10_clump" -> (Postprocess.s10Clump _),
     "s11_icd_phecode" -> (Mas.s11IcdPhecode _),
     "s12_manhattan" -> (Postprocess.s12Manhattan _),

@@ -540,6 +540,62 @@ object Postprocess {
           .otherwise(0.0)).as("i2")): _*)
   }
 
+  /**
+   * s18: DerSimonian–Laird RANDOM-EFFECTS meta-analysis — the
+   * estimate a meta-analyst actually reports when s09's Q/I² say the
+   * cohorts are heterogeneous (fixed-effect CIs are then
+   * overconfident): τ²_DL = max(0, (Q − (k−1)) / (Σw − Σw²/Σw)),
+   * then every cohort re-weights by w-star = 1/(se² + τ²) and the
+   * pooled beta_re/se_re come from the w-star sums (se_re widens
+   * with heterogeneity — the honest interval). Two aggregation
+   * passes on the SAME test key (τ² is a per-test statistic, so the
+   * re-weight needs a join back — both shuffles reuse one key
+   * partitioning); τ² grid-rounds to 1e-6 BEFORE entering w-star
+   * (the a30 ψ discipline) so both engines re-weight with the
+   * identical number.
+   */
+  def randomEffectsMeta(results: DataFrame, keyCols: Seq[String],
+      betaCol: String = "beta", seCol: String = "se"): DataFrame = {
+    require(keyCols.nonEmpty, "randomEffectsMeta: need at least one key column")
+    val v = col(seCol) * col(seCol)
+    val w = lit(1.0) / v
+    val f = results.filter(col(seCol).isNotNull && !isnan(col(seCol)) &&
+      col(seCol) > 0 && col(betaCol).isNotNull && !isnan(col(betaCol)))
+    val q = greatest(col("swb2") - col("swb") * col("swb") / col("sw"), lit(0.0))
+    val firstPass = f.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("k"),
+        sum(w).as("sw"), sum(w * col(betaCol)).as("swb"),
+        sum(w * col(betaCol) * col(betaCol)).as("swb2"),
+        sum(w * w).as("sw2"))
+      .withColumn("tau2q",
+        floor(when(col("k") > 1,
+          greatest((q - (col("k") - 1)) /
+            (col("sw") - col("sw2") / col("sw")), lit(0.0)))
+          .otherwise(lit(0.0)) * 1000000 + 0.5) / 1000000.0)
+    val joined = f.join(
+      firstPass.select((keyCols.map(col) :+ col("tau2q")): _*), keyCols)
+    val wr = lit(1.0) / (v + col("tau2q"))
+    joined.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("k_cohorts"),
+        max(col("tau2q")).as("t2"),
+        sum(wr).as("swr"), sum(wr * col(betaCol)).as("swrb"))
+      .select(keyCols.map(col) ++ Seq(
+        col("k_cohorts"),
+        // tau2q already lives on the exact 1e-6 grid (bit-identical
+        // cross-engine); re-rounding to 4 dp would hit x.xxxx5
+        // half-way points where the engines' round() split
+        (col("t2") + lit(0.0)).as("tau2"),
+        Norm.r4(col("swrb") / col("swr")).as("beta_re"),
+        Norm.r4(sqrt(lit(1.0) / col("swr"))).as("se_re"),
+        Norm.r4((col("swrb") / col("swr")) / sqrt(lit(1.0) / col("swr")))
+          .as("z_re")): _*)
+  }
+
+  /** s18: DL random-effects pooling of the pseudo cohort results. */
+  def s18RandomEffects(spark: SparkSession, dir: String): DataFrame =
+    randomEffectsMeta(pseudoCohortResults(spark, dir), Seq("test_id"))
+      .orderBy("test_id")
+
   /** Pseudo per-cohort association results synthesized from orders
     * (hash-derived betas/ses, 5 cohorts × 3000 tests) — shared with
     * the s09 oracle SQL verbatim. */
@@ -591,6 +647,43 @@ object Postprocess {
   // --------------------------------------------------------- oracle SQL
 
   val oracleSql: Map[String, String] = Map(
+    // s18: the s09 chain + DL tau² (grid-rounded before re-weighting,
+    // same w-product operand order as the engine) + the w* second pass
+    "s18_random_effects" ->
+      s"""WITH r AS ($pseudoCohortResultsSql),
+         |f AS (
+         |  SELECT test_id, beta, se FROM r
+         |  WHERE se IS NOT NULL AND se > 0 AND beta IS NOT NULL
+         |), a AS (
+         |  SELECT test_id, count(*) AS k,
+         |    sum(1.0 / (se * se)) AS sw,
+         |    sum((1.0 / (se * se)) * beta) AS swb,
+         |    sum((1.0 / (se * se)) * beta * beta) AS swb2,
+         |    sum((1.0 / (se * se)) * (1.0 / (se * se))) AS sw2
+         |  FROM f GROUP BY test_id
+         |), t AS (
+         |  SELECT test_id,
+         |    floor((CASE WHEN k > 1 THEN greatest(
+         |      (greatest(swb2 - swb * swb / sw, 0.0) - (k - 1))
+         |        / (sw - sw2 / sw), 0.0) ELSE 0.0 END) * 1000000 + 0.5)
+         |      / 1000000.0 AS tau2q
+         |  FROM a
+         |), j AS (
+         |  SELECT f.test_id, f.beta, f.se, t.tau2q
+         |  FROM f JOIN t USING (test_id)
+         |), b AS (
+         |  SELECT test_id, CAST(count(*) AS BIGINT) AS k_cohorts,
+         |    max(tau2q) AS t2,
+         |    sum(1.0 / (se * se + tau2q)) AS swr,
+         |    sum((1.0 / (se * se + tau2q)) * beta) AS swrb
+         |  FROM j GROUP BY test_id
+         |)
+         |SELECT test_id, k_cohorts,
+         |  t2 + 0 AS tau2,
+         |  round(swrb / swr, 4) + 0 AS beta_re,
+         |  round(sqrt(1.0 / swr), 4) + 0 AS se_re,
+         |  round((swrb / swr) / sqrt(1.0 / swr), 4) + 0 AS z_re
+         |FROM b ORDER BY test_id""".stripMargin,
     "s09_meta_analysis" ->
       s"""WITH r AS ($pseudoCohortResultsSql),
          |g AS (

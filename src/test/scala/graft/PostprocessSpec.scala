@@ -261,6 +261,30 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(f("C", "z") - -0.5 / 0.25) < 5e-4)
   }
 
+  test("randomEffectsMeta: DL closed forms — homogeneous tau2=0, hand tau2, k=1, widening") {
+    val sess = spark
+    import sess.implicits._
+    val results = Seq(
+      // H: homogeneous (identical betas) -> Q=0, tau2=0, equals FE
+      ("H", "c1", 1.0, Some(1.0)), ("H", "c2", 1.0, Some(1.0)),
+      // D: betas 0/2, se=1 -> Q=2, tau2=(2-1)/(2-2/2)=1,
+      //    w*=1/2 each -> beta_re=1, se_re=1 (FE would be 0.7071)
+      ("D", "c1", 0.0, Some(1.0)), ("D", "c2", 2.0, Some(1.0)),
+      // S: single valid cohort -> tau2=0, beta_re=beta, se_re=se
+      ("S", "c1", -0.5, Some(0.25)), ("S", "c2", 9.9, None)
+    ).toDF("test_id", "cohort", "beta", "se")
+    val out = Postprocess.randomEffectsMeta(results, Seq("test_id")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("H") == ((2L, 0.0, 1.0, math.floor(math.sqrt(0.5) * 1e4 + 0.5) / 1e4)))
+    assert(out("D")._2 == 1.0 && out("D")._3 == 1.0 && out("D")._4 == 1.0)
+    assert(out("S") == ((1L, 0.0, -0.5, 0.25)))
+    // heterogeneity WIDENS the interval vs fixed-effect
+    val fe = Postprocess.metaAnalysis(results, Seq("test_id")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("se_fe")).toMap
+    assert(out("D")._4 > fe("D"))
+  }
+
   test("manhattan assigns contiguous x by (category, tie-break) and -log10 heights") {
     val sess = spark
     import sess.implicits._
