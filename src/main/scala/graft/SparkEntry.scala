@@ -40,6 +40,7 @@ object SparkEntry {
     "a42_hl_calibration" -> (Mas.a42HlCalibration _),
     "a43_brier" -> (Mas.a43Brier _),
     "a26_kaplan_meier" -> (Mas.a26KaplanMeier _),
+    "a44_aalen_johansen" -> (Mas.a44AalenJohansen _),
     "a27_matched_pairs" -> (Mas.a27MatchedPairs _),
     "a28_trend_test" -> (Mas.a28TrendTest _),
     "a29_hwe" -> (Mas.a29Hwe _),

@@ -2295,6 +2295,61 @@ object Association {
   }
 
   /**
+   * Aalen–Johansen COMPETING-RISKS cumulative incidence — what a26's
+   * KM cannot express: with two event causes, 1 − KM of cause 1
+   * (treating cause 2 as censoring) OVERSTATES incidence because
+   * subjects taken by cause 2 can never fail from cause 1; the AJ
+   * estimator allocates risk correctly:
+   *   CIF_j(t) = Σ_{t_i ≤ t} S_all(t_i−) · d_j(t_i)/n(t_i),
+   * with S_all the ALL-CAUSE KM and CIF_1 + CIF_2 + S_all ≡ 1 (the
+   * spec pins the identity). Same bounded shapes as [[kaplanMeier]]:
+   * one (stratum, time) cause-count aggregate, one reverse-cumulative
+   * risk window, ascending windows for the log-domain S(t−) (strictly
+   * prior rows: frame ends at −1) and the CIF sums — a 100 TB cohort
+   * costs one shuffle + windows over distinct event times. `cause`:
+   * 0 = censored, 1/2 = the competing events.
+   */
+  def aalenJohansen(df: DataFrame, timeCol: String, causeCol: String,
+      byCol: String): DataFrame = {
+    val perTime = df
+      .filter(col(timeCol).isNotNull && col(timeCol) > 0 &&
+        col(causeCol).isin(0, 1, 2))
+      .groupBy(col(byCol), col(timeCol).as("t"))
+      .agg(sum(when(col(causeCol) === 1, 1.0).otherwise(0.0)).as("d1"),
+        sum(when(col(causeCol) === 2, 1.0).otherwise(0.0)).as("d2"),
+        count(lit(1)).cast("double").as("c"))
+    val wDesc = Window.partitionBy(byCol).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(byCol).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAsc = Window.partitionBy(byCol).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTime
+      .withColumn("n", sum("c").over(wDesc))
+      .withColumn("dall", col("d1") + col("d2"))
+      .filter(col("dall") > 0)
+      .withColumn("lterm", when(col("dall") < col("n"),
+        log(lit(1.0) - col("dall") / col("n"))).otherwise(lit(0.0)))
+      .withColumn("zprev",
+        coalesce(max(when(col("dall") >= col("n"), 1).otherwise(0)).over(wPrev),
+          lit(0)))
+      .withColumn("sprev", when(col("zprev") === 1, lit(0.0))
+        .otherwise(exp(coalesce(sum("lterm").over(wPrev), lit(0.0)))))
+      .withColumn("zeroed",
+        max(when(col("dall") >= col("n"), 1).otherwise(0)).over(wAsc))
+      .withColumn("lsum", sum("lterm").over(wAsc))
+      .withColumn("cif1", sum(col("sprev") * col("d1") / col("n")).over(wAsc))
+      .withColumn("cif2", sum(col("sprev") * col("d2") / col("n")).over(wAsc))
+      .select(col(byCol), col("t"),
+        col("n").cast("long").as("n_risk"),
+        col("d1").cast("long").as("d_cause1"),
+        col("d2").cast("long").as("d_cause2"),
+        when(col("zeroed") === 1, lit(0.0))
+          .otherwise(exp(col("lsum"))).as("surv_all"),
+        col("cif1"), col("cif2"))
+  }
+
+  /**
    * Breslow–Day test of ODDS-RATIO HOMOGENEITY across strata — the
    * validity check for a16's Mantel–Haenszel pooling (a pooled OR is
    * only meaningful if the per-stratum ORs are compatible; BD is the

@@ -543,6 +543,23 @@ object Mas {
     * order-finalization curves with Greenwood standard errors, one
     * row per (segment, distinct event time). The descriptive
     * companion to a19/a23/a25's hazard-ratio tests. */
+  /** a44: Aalen–Johansen competing-risks incidence over the survival
+    * cohort — completed orders split into cause 1 (urgent) vs cause 2
+    * (non-urgent), open orders censor; per segment, the cause-specific
+    * cumulative incidence curves the naive "1 − KM of cause 1" would
+    * overstate ([[Association.aalenJohansen]]). */
+  def a44AalenJohansen(spark: SparkSession, dir: String): DataFrame =
+    Association.aalenJohansen(
+        survivalSubjects(spark, dir).withColumn("cause",
+          when(col("event") === 1.0,
+            when(col("x") === 1.0, 1).otherwise(2)).otherwise(0)),
+        "time", "cause", "grp")
+      .select(col("grp"), col("t"), col("n_risk"),
+        col("d_cause1"), col("d_cause2"),
+        r4(col("surv_all")).as("surv_all"),
+        r4(col("cif1")).as("cif1"), r4(col("cif2")).as("cif2"))
+      .orderBy("grp", "t")
+
   def a26KaplanMeier(spark: SparkSession, dir: String): DataFrame =
     Association.kaplanMeier(survivalSubjects(spark, dir), "time", "event", "grp")
       .select(col("grp"), col("t"), col("n_risk"), col("d_events"),
@@ -2416,6 +2433,60 @@ object Mas {
         |FROM fin ORDER BY grp""".stripMargin,
     "a33_cox_ph_covq" -> coxPhCovSql(6, 6, covCohortQuantile),
     "a26_kaplan_meier" -> kaplanMeierSql,
+    // a44: the KM chain with cause arms; S(t−) via the same windows
+    // ending one row earlier, CIF = ascending sum of sprev·d_j/n
+    "a44_aalen_johansen" ->
+      """WITH s AS (
+        |  SELECT c.c_mktsegment AS grp,
+        |    CAST(date_diff('day', o.o_orderdate, DATE '2001-08-02') + 1 AS DOUBLE) AS t,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN
+        |      CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+        |      ELSE 0 END AS cause
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate IS NOT NULL
+        |), pt AS (
+        |  SELECT grp, t,
+        |    sum(CASE WHEN cause = 1 THEN 1.0 ELSE 0.0 END) AS d1,
+        |    sum(CASE WHEN cause = 2 THEN 1.0 ELSE 0.0 END) AS d2,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM s GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT *,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY t DESC
+        |      ROWS UNBOUNDED PRECEDING) AS n,
+        |    d1 + d2 AS dall
+        |  FROM pt
+        |), evt AS (
+        |  SELECT grp, t, d1, d2, n, dall,
+        |    CASE WHEN dall < n THEN ln(1.0 - dall / n) ELSE 0.0 END AS lterm,
+        |    CASE WHEN dall >= n THEN 1 ELSE 0 END AS z
+        |  FROM rs WHERE dall > 0
+        |), cum AS (
+        |  SELECT grp, t, d1, d2, n,
+        |    CASE WHEN coalesce(max(z) OVER (PARTITION BY grp ORDER BY t ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |      THEN 0.0
+        |      ELSE exp(coalesce(sum(lterm) OVER (PARTITION BY grp ORDER BY t ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) END
+        |      AS sprev,
+        |    sum(lterm) OVER (PARTITION BY grp ORDER BY t ASC
+        |      ROWS UNBOUNDED PRECEDING) AS lsum,
+        |    max(z) OVER (PARTITION BY grp ORDER BY t ASC
+        |      ROWS UNBOUNDED PRECEDING) AS zeroed
+        |  FROM evt
+        |), cif AS (
+        |  SELECT grp, t, d1, d2, n, lsum, zeroed,
+        |    sum(sprev * d1 / n) OVER (PARTITION BY grp ORDER BY t ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cif1,
+        |    sum(sprev * d2 / n) OVER (PARTITION BY grp ORDER BY t ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cif2
+        |  FROM cum
+        |)
+        |SELECT grp, t, CAST(n AS BIGINT) AS n_risk,
+        |  CAST(d1 AS BIGINT) AS d_cause1, CAST(d2 AS BIGINT) AS d_cause2,
+        |  CASE WHEN zeroed = 1 THEN 0.0 ELSE round(exp(lsum), 4) + 0 END AS surv_all,
+        |  round(cif1, 4) + 0 AS cif1, round(cif2, 4) + 0 AS cif2
+        |FROM cif ORDER BY grp, t""".stripMargin,
     // a31: same binning/window/series arithmetic — the 8 Kolmogorov
     // terms generated with identical signed literals and left-assoc
     // chaining, same small-lambda latch

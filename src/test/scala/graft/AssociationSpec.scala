@@ -1256,6 +1256,39 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("aalenJohansen: hand CIFs, mass identity, risk-set exhaustion") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      ("a", 1.0, 1), ("a", 2.0, 2), ("a", 3.0, 0), ("a", 4.0, 1), ("a", 4.0, 0),
+      // b: both causes take the whole risk set at t=1
+      ("b", 1.0, 1), ("b", 1.0, 2)
+    ).toDF("grp", "time", "cause")
+    val out = operators.Association.aalenJohansen(df, "time", "cause", "grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // hand values: S(1)=0.8, S(2)=0.6, S(4)=0.3;
+    // CIF1 = 0.2, 0.2, 0.2+0.6/2=0.5; CIF2 = 0, 0.2, 0.2
+    def ≈(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    val (n1, s1, c11, c21) = out(("a", 1.0))
+    assert(n1 == 5L && ≈(s1, 0.8) && ≈(c11, 0.2) && ≈(c21, 0.0))
+    val (n2, s2, c12, c22) = out(("a", 2.0))
+    assert(n2 == 4L && ≈(s2, 0.6) && ≈(c12, 0.2) && ≈(c22, 0.2))
+    val (n4, s4, c14, c24) = out(("a", 4.0))
+    assert(n4 == 2L && ≈(s4, 0.3) && ≈(c14, 0.5) && ≈(c24, 0.2))
+    // the AJ mass identity holds at every event time
+    out.values.foreach { case (_, s, c1, c2) => assert(≈(s + c1 + c2, 1.0)) }
+    // exhaustion: surv exact 0, each cause gets its share
+    assert(out(("b", 1.0)) == ((2L, 0.0, 0.5, 0.5)))
+    // naive 1-KM-with-cause-2-censored OVERSTATES cause-1 incidence
+    val km = operators.Association.kaplanMeier(
+        df.filter(col("grp") === "a")
+          .withColumn("event", when(col("cause") === 1, 1.0).otherwise(0.0)),
+        "time", "event", "grp")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    assert(1.0 - km(4.0) > c14)
+  }
+
   test("a42 HL calibration matches an independent type-7 decile recompute") {
     val dir = "/root/testdata/sf0.001"
     val out = operators.Mas.a42HlCalibration(spark, dir).collect()
