@@ -207,6 +207,7 @@ object SparkEntry {
     "e20_asof_forward" -> (Joins.e20AsofForward _),
     "e21_asof_nearest" -> (Joins.e21AsofNearest _),
     "e23_resample_ffill" -> (Joins.e23ResampleFfill _),
+    "e28_resample_interp" -> (Joins.e28ResampleInterp _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g10_ppr" -> (Graph.g10Ppr _),
     "g02_triangles" -> (Graph.g02Triangles _),

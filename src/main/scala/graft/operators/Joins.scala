@@ -298,6 +298,59 @@ object Joins {
   def e23ResampleFfill(spark: SparkSession, dir: String): DataFrame =
     resampleFfill(Tables.events(spark, dir))
 
+  /**
+   * e28: regular-grid resample + LINEAR INTERPOLATION — e23's
+   * numeric sibling (ffill repeats stale sensor values across gaps;
+   * a numeric feature usually wants the straight line between the
+   * bracketing observations):
+   *   v(gd) = v_prev + (v_next − v_prev)·(gd − d_prev)/(d_next − d_prev)
+   * with integer day gaps, over the same grid/last-of-day machinery
+   * as [[resampleFfill]]. Both brackets always exist — the grid spans
+   * min..max OBSERVATION days, so the first and last grid days are
+   * observed (the no-next arm is defensive only). The bracketing observations come from two
+   * IGNORE-NULLS windows over the SAME entity partitioning (running
+   * last + running first) — the struct is wrapped in
+   * when(value.isNotNull, …) so null grid days don't smuggle
+   * non-null structs past ignoreNulls. Parallelism = |entities|.
+   */
+  def resampleInterp(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("d", to_date(col("ts")))
+    val span = ev.groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = span.select(col("user_id"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("gd"))
+    val wLast = Window.partitionBy("user_id", "d")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastDay = ev.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("d").as("gd"), col("value"))
+    val wPrev = Window.partitionBy("user_id").orderBy("gd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("gd")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col("value").isNotNull,
+      struct(col("gd").as("d"), col("value").as("v")))
+    grid.join(lastDay, Seq("user_id", "gd"), "left")
+      .withColumn("is_observed", col("value").isNotNull)
+      .withColumn("p", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(obs, ignoreNulls = true).over(wNext))
+      .withColumn("v_interp",
+        when(col("nx").isNull, col("p.v"))
+          .when(col("p.d") === col("nx.d"), col("p.v"))
+          .otherwise(col("p.v") + (col("nx.v") - col("p.v")) *
+            datediff(col("gd"), col("p.d")).cast("double") /
+            datediff(col("nx.d"), col("p.d")).cast("double")))
+      .select(col("user_id"),
+        date_format(col("gd"), "yyyy-MM-dd").as("grid_day"),
+        Norm.r4(col("v_interp")).as("value_interp"),
+        col("is_observed"))
+      .orderBy("user_id", "grid_day")
+  }
+
+  /** e28: daily resample + linear interpolation per user. */
+  def e28ResampleInterp(spark: SparkSession, dir: String): DataFrame =
+    resampleInterp(Tables.events(spark, dir))
+
   /** e04: same-user event pairs within 10 minutes — the bucketed
     * interval self-join. Oracle: plain inequality self-join (fine at
     * sf0.01; the bucketing is the part that scales). */
@@ -339,6 +392,53 @@ object Joins {
         |    + 0 AS value_ffill,
         |  is_observed
         |FROM j ORDER BY user_id, grid_day""".stripMargin,
+    // e28: e23's grid/last-of-day CTEs + bracketing via two
+    // IGNORE-NULLS struct windows mirrored as separate value/day
+    // windows; same operand-order interpolation arithmetic
+    "e28_resample_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events
+        |), span AS (
+        |  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM ev GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS gd
+        |  FROM span
+        |), lastday AS (
+        |  SELECT user_id, d AS gd, value FROM (
+        |    SELECT user_id, d, value,
+        |      row_number() OVER (PARTITION BY user_id, d
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1
+        |), j AS (
+        |  SELECT g.user_id, g.gd, l.value,
+        |    l.value IS NOT NULL AS is_observed,
+        |    CASE WHEN l.value IS NOT NULL THEN g.gd END AS od
+        |  FROM grid g LEFT JOIN lastday l
+        |    ON g.user_id = l.user_id AND g.gd = l.gd
+        |), w AS (
+        |  SELECT user_id, gd, is_observed,
+        |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY gd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(od IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY gd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY gd ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(od IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY gd ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j
+        |)
+        |SELECT user_id, strftime(gd, '%Y-%m-%d') AS grid_day,
+        |  round(CASE WHEN nd IS NULL THEN pv
+        |    WHEN pd = nd THEN pv
+        |    ELSE pv + (nv - pv)
+        |      * CAST(date_diff('day', pd, gd) AS DOUBLE)
+        |      / CAST(date_diff('day', pd, nd) AS DOUBLE) END, 4) + 0
+        |    AS value_interp,
+        |  is_observed
+        |FROM w ORDER BY user_id, grid_day""".stripMargin,
     // e26: the e03 ASOF join + a tolerance CASE — the latest
     // preceding click is STILL the candidate; beyond 30 min it nulls
     "e26_asof_tolerance" ->

@@ -39,6 +39,30 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("l3") == None)       // nothing at-or-before 09:00
   }
 
+  test("resampleInterp: straight line across gaps, last-of-day wins, endpoints observed") {
+    val sess = spark
+    import sess.implicits._
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      // two obs on day 3: the later ts is the day's value (70)
+      (1L, 2L, ts("2024-01-03 09:00:00"), 999.0),
+      (1L, 3L, ts("2024-01-03 15:00:00"), 70.0),
+      // u2: 4-day gap interpolates in thirds... (days 1 -> 4: 0 -> 30)
+      (2L, 4L, ts("2024-01-01 00:00:00"), 0.0),
+      (2L, 5L, ts("2024-01-04 00:00:00"), 30.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Joins.resampleInterp(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out((1L, "2024-01-01")) == ((10.0, true)))
+    // midpoint of 10 -> 70 over 2 days
+    assert(out((1L, "2024-01-02")) == ((40.0, false)))
+    assert(out((1L, "2024-01-03")) == ((70.0, true)))
+    assert(out((2L, "2024-01-02")) == ((10.0, false)))
+    assert(out((2L, "2024-01-03")) == ((20.0, false)))
+    assert(out((2L, "2024-01-04")) == ((30.0, true)))
+    assert(out.size == 7)
+  }
+
   test("asofJoinTolerance: stale matches null, never substituted by an older row") {
     val sess = spark
     import sess.implicits._
