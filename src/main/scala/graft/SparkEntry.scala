@@ -110,6 +110,7 @@ object SparkEntry {
     "s17_top_hits" -> (Postprocess.s17TopHits _),
     "s09_meta_analysis" -> (Postprocess.s09MetaAnalysis _),
     "s18_random_effects" -> (Postprocess.s18RandomEffects _),
+    "s19_by_fdr" -> (Postprocess.s19ByFdr _),
     "s10_clump" -> (Postprocess.s10Clump _),
     "s11_icd_phecode" -> (Mas.s11IcdPhecode _),
     "s12_manhattan" -> (Postprocess.s12Manhattan _),
@@ -210,6 +211,7 @@ object SparkEntry {
     "e28_resample_interp" -> (Joins.e28ResampleInterp _),
     "g01_pagerank" -> (Graph.g01Pagerank _),
     "g10_ppr" -> (Graph.g10Ppr _),
+    "g11_adamic_adar" -> (Graph.g11AdamicAdar _),
     "g02_triangles" -> (Graph.g02Triangles _),
     "g03_label_prop" -> (Graph.g03LabelProp _),
     "g04_link_predict" -> (Graph.g04LinkPredict _),

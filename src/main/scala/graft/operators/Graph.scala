@@ -343,6 +343,43 @@ object Graph {
       .limit(20)
 
   /**
+   * Adamic–Adar link prediction — g04's common-neighbor count with
+   * the weighting that made it the classic: a RARE shared neighbor
+   * is strong evidence, a hub everyone shares is weak, so
+   * score(a,b) = Σ_{x ∈ N(a)∩N(b)} 1/ln(deg x). A common neighbor
+   * has ≥ 2 distinct neighbors by construction, so ln(deg) > 0
+   * always. Same wedge plan as g04 with the middle vertex's degree
+   * riding the adjacency row (one extra vertex-keyed join before the
+   * wedge); the per-pair sum is a double reduction whose ordering
+   * ULPs the 4-dp round absorbs (the s09 convention).
+   */
+  def adamicAdar(und: DataFrame, targetPred: Column): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("u").as("x"), col("v").as("n"))
+      .union(und.select(col("v").as("x"), col("u").as("n")))
+      .localCheckpoint(true)
+    val adjD = adj.join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+    val w1 = adjD.select(col("x"), col("dx"), col("n").as("a")).filter(targetPred)
+    val w2 = adj.select(col("x"), col("n").as("b"))
+    val scored = w1.join(w2, Seq("x")).filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("dx"))).as("aa"))
+    val und2 = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    scored.join(und2, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("common"),
+        round(col("aa"), 4).as("adamic_adar"))
+  }
+
+  /** g11: top-20 Adamic–Adar predictions for the g04 working set. */
+  def g11AdamicAdar(spark: SparkSession, dir: String): DataFrame =
+    adamicAdar(coOrderEdges(spark, dir), col("a") < 500)
+      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+      .limit(20)
+
+  /**
    * Degree assortativity (Newman's r): Pearson correlation of
    * endpoint degrees over all DIRECTED edge stubs — positive when
    * hubs attach to hubs, negative for hub-and-spoke. Every moment
@@ -840,6 +877,29 @@ object Graph {
         |FROM m, nn""".stripMargin),
     // target-filtered wedge counts, target-directed pairs, existing
     // edges anti-joined in both orientations
+    // g11: the g04 wedge with deg(x) riding the left adjacency side;
+    // the per-pair 1/ln(deg) sum's ordering ULPs die in the r4
+    "g11_adamic_adar" -> (coOrderCtes +
+      """, adj AS (
+        |  SELECT u AS x, v AS n FROM und
+        |  UNION ALL SELECT v AS x, u AS n FROM und
+        |), cn AS (
+        |  SELECT w1.n AS a, w2.n AS b, CAST(count(*) AS BIGINT) AS common,
+        |    sum(1.0 / ln(d.deg)) AS aa
+        |  FROM adj w1 JOIN deg d ON w1.x = d.node
+        |  JOIN adj w2 ON w1.x = w2.x AND w1.n <> w2.n
+        |  WHERE w1.n < 500
+        |  GROUP BY w1.n, w2.n
+        |), cand AS (
+        |  SELECT cn.a, cn.b, cn.common, cn.aa FROM cn
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM und
+        |    WHERE (und.u = cn.a AND und.v = cn.b)
+        |       OR (und.u = cn.b AND und.v = cn.a))
+        |)
+        |SELECT a, b, common, round(aa, 4) + 0 AS adamic_adar
+        |FROM cand
+        |ORDER BY adamic_adar DESC, a, b LIMIT 20""".stripMargin),
     "g04_link_predict" -> (coOrderCtes +
       """, adj AS (
         |  SELECT u AS x, v AS n FROM und

@@ -52,6 +52,36 @@ object Postprocess {
       .withColumn("bh_significant", col("p_adj") < alpha)
 
   /**
+   * s19: Benjamini–Yekutieli — FDR control that stays valid under
+   * ARBITRARY dependence between tests (BH assumes independence or
+   * positive regression dependence; correlated SNPs in LD violate
+   * both): the BH threshold divides by the harmonic number H_m, i.e.
+   * p_adj_BY = min(1, H_m · suffixmin(m·p/rank)). Reuses the
+   * distributed two-pass suffix-min verbatim ([[bhAdjust]] with
+   * scale = H_m, applied BEFORE the clamp); H_m is one ascending
+   * left-assoc driver-side fold whose operand order the oracle's
+   * in-order list_sum replays exactly (the a39 lnfact discipline),
+   * so both engines scale by the identical double.
+   */
+  def byFdr(df: DataFrame, pvalCol: String = "pval",
+      alpha: Double = 0.05): DataFrame = {
+    val m = df.filter(col(pvalCol).isNotNull).count()
+    var h = 0.0
+    var i = 1L
+    while (i <= m) { h += 1.0 / i; i += 1 }
+    bhAdjust(df, pvalCol, scale = h, outCol = "p_adj_by",
+        knownM = Some(m.toDouble))
+      .withColumn("by_significant", col("p_adj_by") < alpha)
+  }
+
+  /** s19: BY-FDR over the pseudo p-value table. */
+  def s19ByFdr(spark: SparkSession, dir: String): DataFrame =
+    byFdr(pseudoPvals(spark, dir), "pval")
+      .select(col("o_orderkey"), round(col("pval"), 6).as("pval"),
+        round(col("p_adj_by"), 6).as("p_adj_by"), col("by_significant"))
+      .orderBy("o_orderkey")
+
+  /**
    * GROUP-WISE Benjamini–Hochberg — FDR controlled WITHIN each group
    * (the per-phenotype correction a PheWAS report publishes next to
    * the study-wide one: each phenotype's SNP family is its own
@@ -794,6 +824,26 @@ object Postprocess {
          |SELECT o_orderkey, round(pval, 6) AS pval,
          |  pval < (0.05 / n_tests) AS bonferroni_significant
          |FROM p, n ORDER BY o_orderkey""".stripMargin,
+    // s19: the s02 chain scaled by H_m before the clamp; H_m is an
+    // in-order 1/i fold mirroring the driver's ascending accumulation
+    "s19_by_fdr" ->
+      s"""WITH p AS ($pseudoPvalsSql),
+         |np AS (SELECT o_orderkey, pval FROM p WHERE pval IS NOT NULL),
+         |m AS (SELECT count(*) AS m FROM np),
+         |h AS (SELECT list_sum(list_transform(
+         |        generate_series(1, (SELECT m FROM m)), i -> 1.0 / i)) AS h),
+         |r AS (SELECT o_orderkey, pval,
+         |        row_number() OVER (ORDER BY pval, o_orderkey) AS rnk
+         |      FROM np),
+         |adj AS (SELECT o_orderkey, pval,
+         |        least(1.0, (SELECT h FROM h) * min(pval * m.m / rnk) OVER (
+         |          ORDER BY pval DESC, o_orderkey DESC
+         |          ROWS UNBOUNDED PRECEDING)) AS p_adj_by
+         |      FROM r, m)
+         |SELECT o_orderkey, round(pval, 6) AS pval,
+         |  round(p_adj_by, 6) AS p_adj_by,
+         |  p_adj_by < 0.05 AS by_significant
+         |FROM adj ORDER BY o_orderkey""".stripMargin,
     "s02_bh_fdr" ->
       s"""WITH p AS ($pseudoPvalsSql),
          |np AS (SELECT o_orderkey, pval FROM p WHERE pval IS NOT NULL),

@@ -588,6 +588,28 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1 == p8)
   }
 
+  test("adamicAdar: hand square, hub neighbors weigh less than rare ones") {
+    val sess = spark
+    import sess.implicits._
+    // component A: square 1-2-3-4-1; component B: hub 12 with spokes
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (11L, 12L), (12L, 13L), (12L, 14L), (12L, 15L)).toDF("u", "v")
+    val out = operators.Graph.adamicAdar(und, col("a") < 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val ln2 = math.log(2.0); val ln4 = math.log(4.0)
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // square diagonal: two common neighbors, each deg 2
+    assert(out((1L, 3L)) == ((2L, r4d(2.0 / ln2))))
+    assert(out((2L, 4L)) == ((2L, r4d(2.0 / ln2))))
+    // hub-mediated pair: one common neighbor of degree 4 — weaker
+    // than a single rare (deg-2) neighbor would be
+    assert(out((11L, 13L)) == ((1L, r4d(1.0 / ln4))))
+    assert(out((11L, 13L))._2 < r4d(1.0 / ln2))
+    // existing edges never predicted
+    assert(!out.contains((1L, 2L)) && !out.contains((11L, 12L)))
+  }
+
   test("triangles: K4 per-vertex counts, triangle-free square, invariance") {
     val sess = spark
     import sess.implicits._

@@ -261,6 +261,25 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(f("C", "z") - -0.5 / 0.25) < 5e-4)
   }
 
+  test("byFdr: equals BH times the harmonic number before the clamp, more conservative") {
+    val sess = spark
+    import sess.implicits._
+    val df = (1 to 20).map(i => (i.toLong, i / 100.0)).toDF("id", "pval")
+    val by = Postprocess.byFdr(df, "pval").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bh = Postprocess.bhFdr(df, "pval").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val h = (1 to 20).map(1.0 / _).sum
+    (1 to 20).foreach { i =>
+      // BY = min(1, H_m * unclamped BH suffix-min); where BH is
+      // unclamped (all of this table), BY = min(1, H * BH)
+      assert(math.abs(by(i.toLong) - math.min(1.0, h * bh(i.toLong))) < 1e-12)
+      assert(by(i.toLong) >= bh(i.toLong)) // strictly more conservative
+    }
+    // hand value: ranks=ids here, m=20 -> suffix-min at i=20 is 0.2*20/20=0.2
+    assert(math.abs(by(20L) - math.min(1.0, h * 0.2)) < 1e-12)
+  }
+
   test("randomEffectsMeta: DL closed forms — homogeneous tau2=0, hand tau2, k=1, widening") {
     val sess = spark
     import sess.implicits._
