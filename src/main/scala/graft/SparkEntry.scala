@@ -175,6 +175,7 @@ object SparkEntry {
     "q10_cube" -> (Relational.q10Cube _),
     "q11_latest_by_key" -> (Relational.q11LatestByKey _),
     "q12_scd2" -> (Relational.q12Scd2 _),
+    "q20_time_travel" -> (Relational.q20TimeTravel _),
     "q13_json" -> (Relational.q13Json _),
     "q14_merge_upsert" -> (Relational.q14MergeUpsert _),
     "q15_hll_distinct" -> (Relational.q15HllDistinct _),
@@ -338,6 +339,25 @@ object SparkEntry {
         |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
         |    AS is_current
         |FROM ev ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // q20: the q12 interval chain filtered to containment of the
+    // exact integer-µs span midpoint — i64 comparisons end to end
+    "q20_time_travel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events
+        |), t AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t_us FROM ev
+        |), s AS (
+        |  SELECT user_id, event_id, value, ts AS valid_from,
+        |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |      TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+        |  FROM ev
+        |)
+        |SELECT s.user_id, s.event_id, s.value,
+        |  CAST(t.t_us - epoch_us(s.valid_from) AS BIGINT) AS age_us
+        |FROM s, t
+        |WHERE epoch_us(s.valid_from) <= t.t_us AND epoch_us(s.valid_to) > t.t_us
+        |ORDER BY s.user_id""".stripMargin,
     // full HLL replay: same xor-fold/LCG hashes, same lowest-set-bit
     // rho, same register max, same bias constant and small-range
     // correction — Σ2^(-M_j) is exact binary-fraction arithmetic, so

@@ -352,6 +352,43 @@ object Relational {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /**
+   * q20: TIME-TRAVEL READ — "the state of every entity AS OF T",
+   * the reproducibility primitive a training pipeline needs to
+   * rebuild yesterday's feature table exactly (and the query shape
+   * behind Delta/Iceberg's `VERSION AS OF`): q12's SCD2 intervals
+   * filtered to valid_from ≤ T < valid_to — ONE interval row per
+   * entity with history at T, entities born after T absent. T is
+   * derived from the data as the exact integer-µs midpoint of the
+   * event span ((min+max) div 2, a 1-row broadcast) so the oracle
+   * computes the identical instant; the containment filter and age
+   * are pure i64 comparisons. Cost = q12's one window + a pushed
+   * filter; zero-length intervals (equal-ts chains) can never
+   * contain T (from ≤ T < to is unsatisfiable when from = to).
+   */
+  def timeTravel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val highDate = lit("2100-01-01 00:00:00").cast("timestamp")
+    val scd = events
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"),
+        coalesce(col("next_ts"), highDate).as("valid_to"))
+    val t = events.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("t_us"))
+    scd.crossJoin(broadcast(t))
+      .filter(unix_micros(col("valid_from")) <= col("t_us") &&
+        unix_micros(col("valid_to")) > col("t_us"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("t_us") - unix_micros(col("valid_from"))).as("age_us"))
+      .orderBy("user_id")
+  }
+
+  /** q20: the event stream's per-user state at the span midpoint. */
+  def q20TimeTravel(spark: SparkSession, dir: String): DataFrame =
+    timeTravel(Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "value"))
+
   /** q14: MERGE/upsert — apply a compacted change batch to a base
     * snapshot: latest-per-key on each side (q11's one-window
     * compaction), then ONE full-outer join on the key with

@@ -298,6 +298,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size == (if (w2.nonEmpty) 3 else 2))
   }
 
+  test("timeTravel: as-of row per live entity, unborn entities absent, exact ages") {
+    val sess = spark
+    import sess.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // span 10s..100s -> T = 55s exactly
+    val ev = Seq(
+      (1L, 1L, t(10), 1.0), (1L, 2L, t(20), 2.0), (1L, 3L, t(60), 3.0),
+      (2L, 4L, t(100), 4.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = graft.operators.Relational.timeTravel(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // user 1 at T=55s: the t=20 version is current (t=60 is future)
+    assert(out(1L) == ((2L, 2.0, 35000000L)))
+    // user 2's first event is after T: absent (not yet born)
+    assert(!out.contains(2L) && out.size == 1)
+  }
+
   test("e25 hopping windows: every event lands in exactly 4 overlapping windows") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.Relational.e25HoppingWindow(spark, dir).collect()
