@@ -138,6 +138,7 @@ object SparkEntry {
     "n07_knn_classify" -> (Similarity.n07KnnClassify _),
     "n10_sq8_knn" -> (Similarity.n10Sq8Knn _),
     "n12_mips" -> (Similarity.n12Mips _),
+    "n13_ivf_rerank" -> (Similarity.n13IvfRerank _),
     "n02_ann_lsh" -> (Similarity.n02AnnLsh _),
     "n08_ann_recall" -> (Similarity.n08AnnRecall _),
     "n09_pca_power" -> (Similarity.n09PcaPower _),

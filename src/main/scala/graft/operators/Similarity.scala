@@ -502,6 +502,46 @@ object Similarity {
   }
 
   /**
+   * n13: TWO-STAGE retrieval — the canonical production search
+   * architecture (coarse candidate generation, then exact re-rank of
+   * the shortlist): n03's IVF probing supplies the candidates, and
+   * the final order comes from the EXACT integer dot of the 1e-6
+   * unit-grid vectors (the n10/n12 discipline — zero FP in the
+   * ranking, bit-stable across engines and partitionings; on unit
+   * vectors the integer dot IS the quantized cosine, published as
+   * dotq/1e12). Versus n03, the float cosine leaves the scoring
+   * path entirely; versus n06's ADC, the re-rank reads true vectors
+   * instead of codeword approximations — candidates identical,
+   * ordering exact.
+   */
+  def annIvfRerank(emb: DataFrame, queryPred: Column, k: Int,
+      lists: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
+    val withN = quantized(emb).localCheckpoint(true)
+    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters)
+    val corpus = withN.withColumn("cid", nearestListUdf(cents)(col("q")))
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nq"), col("cid"))
+    val queries = withN.filter(queryPred)
+      .withColumn("cid", explode(nearestListsUdf(cents, nprobe)(col("q"))))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cid"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dotq").desc, col("neighbor_id"))
+    queries.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dotq",
+        aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dotq"),
+        (round(col("dotq") / 1000000000000.0, 4) + lit(0.0)).as("cos"))
+  }
+
+  /** n13: IVF-probe + exact integer re-rank for the n03 query set. */
+  def n13IvfRerank(spark: SparkSession, dir: String): DataFrame =
+    annIvfRerank(embeddings(spark, dir), col("vec_id") < 25, k = 5)
+      .orderBy("query_id", "rnk")
+
+  /**
    * n11: the spherical-Lloyd CLUSTERING itself as the published
    * artifact — where n03/n06/d10 consume the codebook internally
    * (for probing or dup-pruning), a corpus-organization pipeline
@@ -1003,6 +1043,25 @@ object Similarity {
          |ORDER BY d.vec_id""".stripMargin),
     "n03_ann_ivf" -> ivfOracleSql(lists = 16, nprobe = 4, iters = 4,
       dims = 64, queryMax = 25),
+    // n13: the n03 candidate chain, re-ranked by the exact integer
+    // dot of the unit-grid vectors (uq joined back on both sides)
+    "n13_ivf_rerank" -> (ivfHead(64, 16) + ivfLoop(64, 4) +
+      ivfProbes(64, 4, 4, 25) +
+      s""", scored AS (
+         |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> a.q[i] * b.q[i])) AS BIGINT) AS dotq
+         |  FROM probes p JOIN corpus n ON p.cid = n.cid AND p.vec_id <> n.vec_id
+         |  JOIN uq a ON a.vec_id = p.vec_id
+         |  JOIN uq b ON b.vec_id = n.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dotq DESC, neighbor_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, rnk, dotq,
+         |  round(dotq / 1000000000000.0, 4) + 0 AS cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     "n06_ann_ivfpq" -> pqOracleSql(lists = 16, nprobe = 4, coarseIters = 2,
       m = 8, codewords = 16, pqIters = 2, shortlist = 20, k = 5,
       dims = 64, queryMax = 25),

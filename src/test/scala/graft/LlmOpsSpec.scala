@@ -131,6 +131,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c1 == c2)
   }
 
+  test("annIvfRerank: same candidates as n03, exact-integer order, partition invariance") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = operators.Similarity.embeddings(spark, dir)
+    val rr = operators.Similarity.annIvfRerank(emb, col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+    val ivf = operators.Similarity.annIvf(emb, col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+    // identical candidate pools: per query the two top-5 SETS agree on
+    // >= 4 of 5 (only quantization ULPs can reorder the margin)
+    val byQ = rr.groupBy(_._1._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val byQi = ivf.groupBy(_._1._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    assert(byQ.keySet == byQi.keySet && byQ.nonEmpty)
+    byQ.foreach { case (q, s) => assert((s & byQi(q)).size >= 4, s"query $q") }
+    // integer ranking is partition-proof
+    val p7 = operators.Similarity.annIvfRerank(emb.repartition(7),
+        col("vec_id") < 25, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+    assert(rr.toMap == p7.toMap)
+  }
+
   test("ANN IVF-PQ: decent recall of the exact top-5 through 8-byte codes; codebooks deterministic") {
     val emb = Similarity.embeddings(spark, dir)
     val exact = Similarity.knnBrute(emb, col("vec_id") < 25, 5).collect()
