@@ -207,6 +207,7 @@ object SparkEntry {
     "e27_stream_hop_gate" -> (graft.streaming.StreamingOps.e27StreamHopGate _),
     "m15_pcm_resample" -> (Multimodal.m15PcmResample _),
     "m16_ppm_patchify" -> (Multimodal.m16PpmPatchify _),
+    "m17_pcm_segments" -> (Multimodal.m17PcmSegments _),
     "e20_asof_forward" -> (Joins.e20AsofForward _),
     "e21_asof_nearest" -> (Joins.e21AsofNearest _),
     "e23_resample_ffill" -> (Joins.e23ResampleFfill _),

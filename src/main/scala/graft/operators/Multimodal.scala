@@ -1271,6 +1271,64 @@ object Multimodal {
         col("peak_q"), col("sum_q"), col("sum_abs_q"))
       .orderBy("doc_id")
 
+  /** One amplitude run for [[segmentPcm]]. */
+  final case class PcmSegment(
+      doc_id: Long, seg_idx: Int, voiced: Int, start_frame: Long,
+      n_frames: Long, peak: Int)
+
+  /**
+   * m17: AMPLITUDE SEGMENTATION — the VAD-style run-length split an
+   * audio pipeline uses to cut assets at silence boundaries (and to
+   * drop dead air before transcription): channel-0 frames classify
+   * as voiced (|v| ≥ thr) or silence, and each MAXIMAL run becomes a
+   * segment row (index, kind, start frame, length, in-run peak) —
+   * all exact integers, so the segmentation is engine/partitioning
+   * exact. Decode + walk is the m09 per-partition batching; only the
+   * run rows leave the task. The oracle replays the generator closed
+   * form and finds the same runs with the gaps-and-islands
+   * row_number trick.
+   */
+  def segmentPcm(media: Dataset[MediaRow], thr: Int = 8192,
+      batchSize: Int = 64): Dataset[PcmSegment] = {
+    require(thr >= 1 && thr <= 32768, s"segmentPcm: thr in [1,32768], got $thr")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      parseWavHeader(r.media) match {
+        case Some(h) if h.bitsPerSample == 16 && h.channels >= 1 =>
+          val avail = math.min(h.dataBytes.toLong,
+            (r.media.length - h.headerLen).toLong)
+          val nFrames = (avail / (2L * h.channels)).toInt
+          val out = scala.collection.mutable.ArrayBuffer.empty[PcmSegment]
+          var start = 0; var peak = 0; var kind = -1; var f = 0
+          while (f < nFrames) {
+            val off = h.headerLen + 2 * (f * h.channels)
+            val v = ((r.media(off + 1) << 8) | (r.media(off) & 0xff))
+              .toShort.toInt
+            val a = math.abs(v)
+            val k = if (a >= thr) 1 else 0
+            if (k != kind) {
+              if (kind >= 0) out += PcmSegment(r.doc_id, out.length, kind,
+                start.toLong, (f - start).toLong, peak)
+              kind = k; start = f; peak = a
+            } else if (a > peak) peak = a
+            f += 1
+          }
+          if (kind >= 0) out += PcmSegment(r.doc_id, out.length, kind,
+            start.toLong, (nFrames - start).toLong, peak)
+          out
+        case _ => Seq.empty[PcmSegment]
+      }
+    }))
+  }
+
+  /** m17: quarter-full-scale segmentation over the real PCM corpus. */
+  def m17PcmSegments(spark: SparkSession, dir: String): DataFrame =
+    segmentPcm(pcmWavTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("seg_idx"), col("voiced"),
+        col("start_frame"), col("n_frames"), col("peak"))
+      .orderBy("doc_id", "seg_idx")
+
   /** m09: sample-level audio decode under the gate — peak / energy /
     * zero-crossing / RMS over real two's-complement PCM frames; the
     * oracle replays the closed-form generator, so any byte-order or
@@ -1731,6 +1789,38 @@ object Multimodal {
     // AND parse the RIFF bytes correctly for this to match.
     // m09: replays the closed-form PCM generator — Spark must encode
     // AND decode genuine two's-complement LE frames for this to match
+    // m17: generator closed form for channel-0 frames, runs via the
+    // gaps-and-islands trick (f − row_number per kind), all-i64 keys
+    "m17_pcm_segments" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 300 AS BIGINT) AS n,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, f,
+        |    (doc_id * 9176 + (f * ch) * 31 + ((f * ch) * (f * ch) % 257) * 97)
+        |      % 65536 - 32768 AS v
+        |  FROM g, unnest(range(0, n)) AS t(f)
+        |), k AS (
+        |  SELECT doc_id, f, abs(v) AS a,
+        |    CASE WHEN abs(v) >= 8192 THEN 1 ELSE 0 END AS kind
+        |  FROM fr
+        |), i AS (
+        |  SELECT *, f - row_number() OVER (PARTITION BY doc_id, kind
+        |    ORDER BY f) AS isl
+        |  FROM k
+        |), seg AS (
+        |  SELECT doc_id, CAST(kind AS INT) AS voiced,
+        |    CAST(min(f) AS BIGINT) AS start_frame,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(max(a) AS INT) AS peak
+        |  FROM i GROUP BY doc_id, kind, isl
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+        |    - 1 AS INT) AS seg_idx,
+        |  voiced, start_frame, n_frames, peak
+        |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
     // m15: generator closed form for the channel-0 frames (value
     // index k = f·ch), then the identical integer interpolation grid
     // — i64 comparisons end to end, no FP in engine or oracle

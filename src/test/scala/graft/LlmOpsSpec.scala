@@ -1056,6 +1056,41 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.map(p => (p.patch_row, p.patch_col)).distinct.length == f.length)
   }
 
+  test("segmentPcm: hand runs, boundary at thr, segments tile the frames, corpus replay") {
+    val sess = spark
+    import sess.implicits._
+    def le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    // frames: 100 (sil), 9000 (v), -9000 (v), 8192 (v, boundary IN),
+    // -8191 (sil), 0 (sil) -> runs: sil[0,1), voiced[1,4), sil[4,6)
+    val wav = Multimodal.buildWav(1, 8000, 16,
+      le(100) ++ le(9000) ++ le(-9000) ++ le(8192) ++ le(-8191) ++ le(0))
+    val out = Multimodal.segmentPcm(
+        Seq(Multimodal.MediaRow(1L, wav, "audio/wav", wav.length)).toDS())
+      .collect().sortBy(_.seg_idx)
+      .map(s => (s.seg_idx, s.voiced, s.start_frame, s.n_frames, s.peak))
+    assert(out.toSeq == Seq(
+      (0, 0, 0L, 1L, 100), (1, 1, 1L, 3L, 9000), (2, 0, 4L, 2L, 8191)))
+    // corpus replay: segments tile [0, n_frames) with alternating kinds
+    val row = Multimodal.pcmWavTable(spark, dir).filter(_.doc_id == 5L).head()
+    val segs = Multimodal.segmentPcm(Seq(row).toDS()).collect().sortBy(_.seg_idx)
+    val n = Multimodal.pcmFrames(5L)
+    assert(segs.head.start_frame == 0L && segs.map(_.n_frames).sum == n.toLong)
+    segs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.start_frame + a.n_frames == b.start_frame)
+        assert(a.voiced != b.voiced) // maximal runs alternate
+      case _ =>
+    }
+    // independent per-frame replay (channel 0 of stereo doc 5)
+    val ch = 1 + (5 % 2).toInt
+    val kinds = (0 until n).map(f =>
+      if (math.abs(Multimodal.pcmVal(5L, f.toLong * ch)) >= 8192) 1 else 0)
+    segs.foreach { s =>
+      (s.start_frame until s.start_frame + s.n_frames).foreach(f =>
+        assert(kinds(f.toInt) == s.voiced))
+    }
+  }
+
   test("ppmAHash: gradient golden hash, pattern survives dimension change, uniform is zero") {
     import Multimodal._
     // left half dark (10), right half bright (200): bright cells are
