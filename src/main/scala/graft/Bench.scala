@@ -493,30 +493,10 @@ object Bench {
     // live sweep times still publish alongside (queries_live,
     // mas_*_reps) — nothing is hidden, the headline block just stops
     // advertising contaminated numbers as the result.
-    def extractObj(src: String, key: String): Option[String] = {
-      val k = "\"" + key + "\":"
-      val i = src.indexOf(k)
-      if (i < 0) None
-      else {
-        val start = src.indexOf('{', i + k.length)
-        if (start < 0) None
-        else {
-          var depth = 0; var j = start; var end = -1
-          while (j < src.length && end < 0) {
-            val c = src.charAt(j)
-            if (c == '{') depth += 1
-            else if (c == '}') { depth -= 1; if (depth == 0) end = j }
-            j += 1
-          }
-          if (end >= 0) Some(src.substring(start, end + 1)) else None
-        }
-      }
-    }
-    def extractStr(src: String, key: String): Option[String] =
-      ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(src).map(_.group(1))
-    def extractArr(src: String, key: String): Option[String] =
-      ("\"" + key + "\":(\\[[^\\]]*\\])").r.findFirstMatchIn(src).map(_.group(1))
-    val embed: Option[String] =
+    // Jackson (on Spark's classpath) instead of hand-rolled regex
+    // extraction — escaped quotes / nested arrays parse correctly, and
+    // the embed's provenance stamps are machine-checkable (r15 advice).
+    val embedRaw: Option[String] =
       if (masOnly || slopeOnly || onlyNames.isDefined) None
       else try {
         val f = new java.io.File("BENCH_SLOPE_EMBED.json")
@@ -525,10 +505,39 @@ object Bench {
           try Some(s.mkString.trim) finally s.close()
         } else None
       } catch { case _: Throwable => None }
+    val embedNode = embedRaw.flatMap { s =>
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(s))
+      catch { case _: Throwable => None }
+    }
+    def nodeObj(key: String): Option[String] =
+      embedNode.flatMap(n => Option(n.get(key)).filter(_.isObject).map(_.toString))
+    def nodeStr(key: String): Option[String] =
+      embedNode.flatMap(n => Option(n.get(key)).filter(_.isTextual).map(_.asText))
+    def nodeArr(key: String): Option[String] =
+      embedNode.flatMap(n => Option(n.get(key)).filter(_.isArray).map(_.toString))
+    val registrySize = SparkEntry.queries.size
+    val embedReg = embedNode.flatMap(n => Option(n.get("registry_size")).map(_.asInt))
+    val embedCommit = embedNode.flatMap(n => Option(n.get("commit")).map(_.asText))
+    val buildCommit: Option[String] = try {
+      val proc = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8").mkString.trim
+      proc.waitFor()
+      Some(out).filter(_.matches("[0-9a-f]{4,40}"))
+    } catch { case _: Throwable => None }
+    // staleness gate: an embed produced at a DIFFERENT registry size is
+    // evidence for another build surface — REFUSE it (fall back to the
+    // live numbers) and say so in the JSON. A commit mismatch alone is
+    // expected (the embed is committed before the driver's bench run)
+    // and publishes as provenance, not a refusal.
+    val embedStale: Option[String] =
+      embedReg.filter(_ != registrySize)
+        .map(r => s"registry $r != build $registrySize")
+    val embedOk = embedNode.isDefined && embedStale.isEmpty
     // runs AFTER the headline reps (it reuses their min as point 1);
     // skipped entirely when the adjudicated embed supplies the table
     val scaleSlopeJson =
-      if (embed.flatMap(extractObj(_, "scale_slope")).isDefined) None
+      if (embedOk && nodeObj("scale_slope").isDefined) None
       else scaleSlope()
     val all = results ++ masHeads
     def f3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
@@ -563,11 +572,20 @@ object Bench {
     // load_sweep brackets the per-query segment; load_avg is sampled
     // at the end (the MAS headline segment) — together they say which
     // segment a host spike hit
-    val embedSlope = embed.flatMap(extractObj(_, "scale_slope"))
-    val embedHeads = embed.flatMap(extractObj(_, "queries"))
-    val embedSrc = embed.flatMap(extractStr(_, "source")).getOrElse("embed")
-    val embedStamp = embed.flatMap(extractStr(_, "slope_stamp"))
-    val embedGate = embed.flatMap(extractArr(_, "load_gate"))
+    val embedSlope = if (embedOk) nodeObj("scale_slope") else None
+    val embedHeads = if (embedOk) nodeObj("queries") else None
+    val embedSrc = nodeStr("source").getOrElse("embed")
+    val embedStamp = nodeStr("slope_stamp")
+    val embedGate = if (embedOk) nodeArr("load_gate") else None
+    val provJson = {
+      val stale = embedStale.map(s => s""""embed_stale":"$s",""").getOrElse("")
+      val commits = (embedCommit, buildCommit) match {
+        case (Some(e), Some(b)) if embedNode.isDefined =>
+          s""""embed_commit":"$e","build_commit":"$b","""
+        case _ => ""
+      }
+      s"""$stale$commits"registry_size":$registrySize,"""
+    }
     val scaleJson = embedSlope match {
       case Some(obj) =>
         s""""scale_slope":$obj,"slope_source":"$embedSrc",""" +
@@ -600,7 +618,7 @@ object Bench {
       else if (coolSecs > 0) "pre-point-after-cooldown" else "post-point"
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":$masHeadJson,$headSrcJson$scaleJson""" +
-      s""""slope_stamp":"$stampConv",""" +
+      s""""slope_stamp":"$stampConv",$provJson""" +
       s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
       s""""load_avg":${f3(loadAvg())},$gateJson,$reps,"sf":"$sfDir"}"""
     try {

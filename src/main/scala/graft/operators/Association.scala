@@ -1294,33 +1294,58 @@ object Association {
   /**
    * Two-sided Fisher exact p for a 2×2 table — sum of all
    * hypergeometric masses ≤ p_obs·(1+1e-7) (the R convention's
-   * relative slack against FP ties). ln-factorials come from ONE
-   * ascending left-assoc accumulation, p-masses via exp, support
-   * summed ascending in-order — each step mirrored operand-for-
-   * operand by the a39 oracle's list_sum folds. Guarded to n ≤ 1e7:
-   * Fisher is a small-sample test; beyond that the asymptotic tests
-   * (a03/a28) are both correct and O(1) per pair.
+   * relative slack against FP ties). The two ANCHOR log-masses
+   * (at kMin and at the observed cell) come from ONE ascending
+   * left-assoc ln-factorial accumulation that captures only the 13
+   * prefix values the anchors need — O(1) memory, no O(n) table per
+   * invocation — and every other support point is reached by the
+   * hypergeometric step recurrence accumulated in its own left-assoc
+   * running sum (lnP(k) = anchor + stepsum). Each fold is mirrored
+   * operand-for-operand by the a39 oracle: the lnf prefixes by full
+   * in-order list_sum folds, the stepsum by a per-k prefix list_sum
+   * of the identical step expression. Beyond n = 1e7 the kernel
+   * returns NaN instead of a p — Fisher is a small-sample test by
+   * construction; callers publish a `skipped` flag directing the
+   * cohort to a03/a28's asymptotics (which agree with Fisher there
+   * anyway) rather than failing the whole query.
    */
   private[graft] def fisherTwoSided(n11: Long, n10: Long, n01: Long, n00: Long): Double = {
     val n = n11 + n10 + n01 + n00
-    require(n <= 10000000L,
-      s"fisherTwoSided: small-sample test (n=$n > 1e7); use a03/a28 asymptotics")
+    if (n > 10000000L) return Double.NaN
     val ni = n.toInt
-    val lnf = new Array[Double](ni + 1)
+    val r1 = (n11 + n10).toInt; val c1 = (n11 + n01).toInt
+    val kMin = math.max(0, c1 - (ni - r1))
+    val kMax = math.min(r1, c1)
+    val kObs = n11.toInt
+    // one ascending fold, capturing just the prefixes the anchors use
+    val idx = Array(r1, ni - r1, c1, ni - c1, ni,
+      kMin, r1 - kMin, c1 - kMin, ni - r1 - c1 + kMin,
+      kObs, r1 - kObs, c1 - kObs, ni - r1 - c1 + kObs).distinct.sorted
+    val lnfAt = new Array[Double](idx.length)
+    var p = 0
+    while (p < idx.length && idx(p) == 0) { lnfAt(p) = 0.0; p += 1 }
     var acc = 0.0
     var i = 1
-    while (i <= ni) { acc += math.log(i.toDouble); lnf(i) = acc; i += 1 }
-    val r1 = (n11 + n10).toInt; val c1 = (n11 + n01).toInt
+    while (i <= ni && p < idx.length) {
+      acc += math.log(i.toDouble)
+      while (p < idx.length && idx(p) == i) { lnfAt(p) = acc; p += 1 }
+      i += 1
+    }
+    def lnf(m: Int): Double = lnfAt(java.util.Arrays.binarySearch(idx, m))
     def lnP(k: Int): Double =
       lnf(r1) + lnf(ni - r1) + lnf(c1) + lnf(ni - c1) - lnf(ni) -
         lnf(k) - lnf(r1 - k) - lnf(c1 - k) - lnf(ni - r1 - c1 + k)
-    val thr = math.exp(lnP(n11.toInt)) * (1.0 + 1e-7)
+    val thr = math.exp(lnP(kObs)) * (1.0 + 1e-7)
+    val anchor = lnP(kMin)
     var s = 0.0
-    var k = math.max(0, c1 - (ni - r1))
-    val kMax = math.min(r1, c1)
+    var stepSum = 0.0
+    var k = kMin
     while (k <= kMax) {
-      val pk = math.exp(lnP(k))
+      val pk = math.exp(anchor + stepSum)
       if (pk <= thr) s += pk
+      if (k < kMax)
+        stepSum += math.log((r1 - k).toDouble) + math.log((c1 - k).toDouble) -
+          math.log((k + 1).toDouble) - math.log((ni - r1 - c1 + k + 1).toDouble)
       k += 1
     }
     math.min(1.0, s)
@@ -1330,25 +1355,28 @@ object Association {
    * Exact McNemar p for (n10, n01) discordant pair counts —
    * p = min(1, 2·P(X ≤ min(n10, n01))) with X ~ Binomial(n, ½),
    * n = n10 + n01. Same mirroring contract as [[fisherTwoSided]]:
-   * one ascending ln-factorial fold, per-term
-   * exp(lnf(n) − lnf(k) − lnf(n−k) + ln(½)·n), tail summed
-   * ascending in-order. n = 0 (no discordant pairs) gives p = 1 —
-   * no evidence either way. Guarded to n ≤ 1e7 like Fisher.
+   * the anchor is lnP(0) = n·ln(½) directly (no factorial table at
+   * all), and each support point follows by the binomial step
+   * recurrence ln(n−k) − ln(k+1) accumulated in a left-assoc running
+   * sum — O(1) memory, tail summed ascending in-order and replayed
+   * operand-for-operand by the a40 oracle's per-k prefix list_sum.
+   * n = 0 (no discordant pairs) gives p = 1 — no evidence either
+   * way. Beyond n = 1e7 returns NaN (small-sample test; callers flag
+   * and direct to the a27 chi-square) instead of failing the query.
    */
   private[graft] def mcnemarExact(n10: Long, n01: Long): Double = {
     val n = n10 + n01
-    require(n <= 10000000L,
-      s"mcnemarExact: small-sample test (n=$n > 1e7); use the chi-square at this scale")
+    if (n > 10000000L) return Double.NaN
     val ni = n.toInt
-    val lnf = new Array[Double](ni + 1)
-    var acc = 0.0
-    var i = 1
-    while (i <= ni) { acc += math.log(i.toDouble); lnf(i) = acc; i += 1 }
+    val anchor = math.log(0.5) * ni
     val m = math.min(n10, n01).toInt
     var s = 0.0
+    var stepSum = 0.0
     var k = 0
     while (k <= m) {
-      s += math.exp(lnf(ni) - lnf(k) - lnf(ni - k) + math.log(0.5) * ni)
+      s += math.exp(anchor + stepSum)
+      if (k < m)
+        stepSum += math.log((ni - k).toDouble) - math.log((k + 1).toDouble)
       k += 1
     }
     math.min(1.0, 2.0 * s)

@@ -874,10 +874,23 @@ object Dedup {
     * persistence spec proves equivalent. */
   private val bandIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Cache key scoped to the OWNING SparkSession instance as well as
+    * the data dir — a cached DataFrame/localCheckpoint is dead state
+    * once its session stops, so a restarted session in the same JVM
+    * must rebuild, never resurrect (r15 advice). Dead-session entries
+    * are evicted on the next lookup. */
+  private[graft] def sessionDirKey(spark: SparkSession, dir: String): String =
+    java.lang.System.identityHashCode(spark).toHexString + "|" + dir
+  private def cachedFrame(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    cache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
+    cache.computeIfAbsent(sessionDirKey(spark, dir), _ => build)
+  }
   private[graft] def oldBandIndex(spark: SparkSession, dir: String): DataFrame =
-    bandIndexCache.computeIfAbsent(dir, _ =>
+    cachedFrame(bandIndexCache, spark, dir) {
       minhashBandIndex(corpus(spark, dir).filter(col("doc_id") < 100000))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+    }
 
   /** d18: incremental ingest dedup — the mutated +100000 replicas are
     * the incoming snapshot, the originals the existing corpus; the
@@ -933,8 +946,9 @@ object Dedup {
   private val keepCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[graft] def keepArtifact(spark: SparkSession, dir: String): DataFrame =
-    keepCache.computeIfAbsent(dir, _ =>
-      d17DedupKeepFresh(spark, dir).localCheckpoint(true))
+    cachedFrame(keepCache, spark, dir) {
+      d17DedupKeepFresh(spark, dir).localCheckpoint(true)
+    }
 
   def d17DedupKeep(spark: SparkSession, dir: String): DataFrame =
     keepArtifact(spark, dir).orderBy("doc_id")

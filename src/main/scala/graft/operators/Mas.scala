@@ -202,9 +202,13 @@ object Mas {
    * and the support sum runs ascending k in-order. The whole test is
    * a pure function of the four cell counts, so it rides the a05
    * aggregate: one shuffle bounded by |pairs|, then a per-row kernel
-   * O(n + support). Fisher is a SMALL-SAMPLE test by construction —
-   * the kernel guards n ≤ 10M and directs larger cohorts to
-   * a03/a28's asymptotics (where Fisher and chi-square agree anyway).
+   * O(n + support) time, O(1) memory (anchor + step-recurrence — no
+   * per-row factorial table). Fisher is a SMALL-SAMPLE test by construction —
+   * beyond n = 10M the kernel yields NaN and the
+   * frame publishes NULL p with `skipped` = true (a03/a28's
+   * asymptotics apply there, where Fisher and chi-square agree
+   * anyway) instead of failing the whole query on one oversized
+   * cohort.
    * Haldane-corrected OR published alongside (a27's convention).
    */
   def a39FisherExact(spark: SparkSession, dir: String): DataFrame = {
@@ -218,13 +222,19 @@ object Mas {
         sum(when(col("x") === 1.0 && col("y") === 0.0, 1L).otherwise(0L)).as("n10"),
         sum(when(col("x") === 0.0 && col("y") === 1.0, 1L).otherwise(0L)).as("n01"),
         sum(when(col("x") === 0.0 && col("y") === 0.0, 1L).otherwise(0L)).as("n00"))
-      .withColumn("p_fisher", fisher(col("n11"), col("n10"), col("n01"), col("n00")))
+      .withColumn("skipped",
+        col("n11") + col("n10") + col("n01") + col("n00") > lit(10000000L))
+      .withColumn("p_fisher",
+        when(!col("skipped"), fisher(col("n11"), col("n10"), col("n01"), col("n00"))))
       .select(col("predictor"), col("dependent"),
         col("n11"), col("n10"), col("n01"), col("n00"),
-        r4(lit(-1.0) * log(col("p_fisher")) / math.log(10.0)).as("neg_log10_p"),
-        (round(col("p_fisher"), 6) + lit(0.0)).as("p_fisher"),
+        when(!col("skipped"),
+          r4(lit(-1.0) * log(col("p_fisher")) / math.log(10.0))).as("neg_log10_p"),
+        when(!col("skipped"),
+          round(col("p_fisher"), 6) + lit(0.0)).as("p_fisher"),
         r4((col("n11") + 0.5) * (col("n00") + 0.5) /
-          ((col("n10") + 0.5) * (col("n01") + 0.5))).as("or_haldane"))
+          ((col("n10") + 0.5) * (col("n01") + 0.5))).as("or_haldane"),
+        col("skipped"))
       .orderBy("dependent")
   }
 
@@ -631,8 +641,12 @@ object Mas {
     val cells = Association.matchedPairs(matchedPairsFrame(spark, dir),
       "x_case", "x_ctrl", "grp")
     val pExact = udf(Association.mcnemarExact _)
-    cells.select(col("grp"), col("n_pairs"), col("n10"), col("n01"),
-        (round(pExact(col("n10"), col("n01")), 6) + lit(0.0)).as("p_exact"))
+    cells
+      .withColumn("skipped", col("n10") + col("n01") > lit(10000000L))
+      .select(col("grp"), col("n_pairs"), col("n10"), col("n01"),
+        when(!col("skipped"),
+          round(pExact(col("n10"), col("n01")), 6) + lit(0.0)).as("p_exact"),
+        col("skipped"))
       .orderBy("grp")
   }
 
@@ -1227,6 +1241,13 @@ object Mas {
         Seq("predictor", "dependent"), "left_semi")
     Association.binary(routed, cfg)
       .join(broadcast(survivors), Seq("predictor", "dependent"))
+      // admission rule shared verbatim with the oracle: survivors whose
+      // refit is non-viable (cases/controls < minCaseCount, or all-case
+      // — the analysis.py:168-193 checks that make binary() fail the
+      // pair) are DROPPED on both sides, so a sparse survivor can never
+      // appear in one output and not the other
+      .filter(col("cases") >= cfg.minCaseCount &&
+        col("controls") >= cfg.minCaseCount && col("cases") =!= col("total_n"))
       .select(col("predictor"), col("dependent"),
         r4(col("beta")).as("beta"), r4(col("OR")).as("OR"),
         col("cases"), col("controls"), col("total_n"), col("score_chi2"))
@@ -1950,9 +1971,13 @@ object Mas {
 
   /** a39 oracle branch. lnfact is the in-order list_sum of ln(i) —
     * every prefix of that fold is double-identical to the engine
-    * kernel's single ascending accumulation — and the support sum
+    * kernel's single ascending accumulation (which now captures only
+    * the anchor prefixes) — the per-k mass is anchor + a prefix
+    * list_sum of the step-recurrence terms (double-identical to the
+    * engine's left-assoc running stepSum), and the support sum
     * replays ascending k in-order (the Efron-ties precedent); the
-    * two-sided rule uses the same p_obs·(1+1e-7) slack. */
+    * two-sided rule uses the same p_obs·(1+1e-7) slack. n > 1e7
+    * publishes NULL p + skipped = true, mirroring the engine frame. */
   private def fisherBranch(dep: String): String = {
     def lnf(e: String) =
       "coalesce(list_sum(list_transform(generate_series(1, " +
@@ -1961,27 +1986,39 @@ object Mas {
       s"${lnf("r1")} + ${lnf("n - r1")} + ${lnf("c1")} + ${lnf("n - c1")}" +
         s" - ${lnf("n")} - ${lnf(k)} - ${lnf(s"r1 - ($k)")}" +
         s" - ${lnf(s"c1 - ($k)")} - ${lnf(s"n - r1 - c1 + ($k)")}"
+    val step = "ln(CAST(r1 - j AS DOUBLE)) + ln(CAST(c1 - j AS DOUBLE))" +
+      " - ln(CAST(j + 1 AS DOUBLE)) - ln(CAST(n - r1 - c1 + j + 1 AS DOUBLE))"
+    def pk(k: String) =
+      "exp(anchor + coalesce(list_sum(list_transform(" +
+        s"generate_series(kmin, ($k) - 1), j -> $step)), 0.0))"
     s"""SELECT 'xbin' AS predictor, '$dep' AS dependent, n11, n10, n01, n00,
-       |  round((-1.0 * ln(p)) / ln(10.0), 4) + 0 AS neg_log10_p,
-       |  round(p, 6) + 0 AS p_fisher,
+       |  CASE WHEN skipped THEN NULL
+       |    ELSE round((-1.0 * ln(p)) / ln(10.0), 4) + 0 END AS neg_log10_p,
+       |  CASE WHEN skipped THEN NULL ELSE round(p, 6) + 0 END AS p_fisher,
        |  round((n11 + 0.5) * (n00 + 0.5)
-       |    / ((n10 + 0.5) * (n01 + 0.5)), 4) + 0 AS or_haldane
+       |    / ((n10 + 0.5) * (n01 + 0.5)), 4) + 0 AS or_haldane,
+       |  skipped
        |FROM (
        |  SELECT *, least(1.0, list_sum(list_transform(
-       |      generate_series(greatest(0, c1 - (n - r1)), least(r1, c1)),
-       |      k -> CASE WHEN exp(${lnP("k")})
-       |          <= exp(${lnP("n11")}) * (1.0 + 0.0000001)
-       |        THEN exp(${lnP("k")}) ELSE 0.0 END))) AS p
+       |      generate_series(kmin, least(r1, c1)),
+       |      k -> CASE WHEN ${pk("k")} <= thr
+       |        THEN ${pk("k")} ELSE 0.0 END))) AS p
        |  FROM (
-       |    SELECT *, n11 + n10 AS r1, n11 + n01 AS c1,
-       |      n11 + n10 + n01 + n00 AS n
+       |    SELECT *, exp(${lnP("n11")}) * (1.0 + 0.0000001) AS thr,
+       |      ${lnP("kmin")} AS anchor
        |    FROM (
-       |      SELECT
-       |        CAST(sum(CASE WHEN xbin = 1 AND $dep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
-       |        CAST(sum(CASE WHEN xbin = 1 AND $dep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
-       |        CAST(sum(CASE WHEN xbin = 0 AND $dep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
-       |        CAST(sum(CASE WHEN xbin = 0 AND $dep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
-       |      FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL)))""".stripMargin
+       |      SELECT *, greatest(0, c1 - (n - r1)) AS kmin,
+       |        (n > 10000000) AS skipped
+       |      FROM (
+       |        SELECT *, n11 + n10 AS r1, n11 + n01 AS c1,
+       |          n11 + n10 + n01 + n00 AS n
+       |        FROM (
+       |          SELECT
+       |            CAST(sum(CASE WHEN xbin = 1 AND $dep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |            CAST(sum(CASE WHEN xbin = 1 AND $dep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |            CAST(sum(CASE WHEN xbin = 0 AND $dep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |            CAST(sum(CASE WHEN xbin = 0 AND $dep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |          FROM cohort WHERE $dep IS NOT NULL AND xbin IS NOT NULL)))))""".stripMargin
   }
 
   /** a41 oracle branch: the same integer Mann–Whitney accumulation —
@@ -2098,7 +2135,9 @@ object Mas {
     * refits (the a04 equivalence: penalized MLE of a saturated 2×2 =
     * +0.5-corrected log-OR) — the oracle REFITS every pair and lets
     * the join drop the screened-out ones, which is value-identical to
-    * the engine fitting survivors only. */
+    * the engine fitting survivors only. The WHERE also replays the
+    * engine's refit admission rule (cases/controls >= minCaseCount=5,
+    * not all-case) so a sparse survivor is dropped by BOTH sides. */
   private def screenFirthSql(iters: Int, thr: Double): String = {
     val preds = Seq("xbin", "xpar")
     val deps = Seq("d_urgent", "d_open", "d_big", "d_many")
@@ -2122,6 +2161,7 @@ object Mas {
          |FROM refit r JOIN screen s
          |  ON r.predictor = s.predictor AND r.dependent = s.dependent
          |WHERE s.score_chi2 >= $thr
+         |  AND r.cases >= 5 AND r.controls >= 5 AND r.cases <> r.total_n
          |ORDER BY r.predictor, r.dependent""".stripMargin
   }
 
@@ -2685,9 +2725,10 @@ object Mas {
     // folds and the ascending tail sum mirror mcnemarExact
     // operand-for-operand (the a39 discipline)
     "a40_mcnemar_exact" -> {
-      def lnf(e: String) =
-        "coalesce(list_sum(list_transform(generate_series(1, " +
-          s"CAST($e AS BIGINT)), i -> ln(CAST(i AS DOUBLE)))), 0.0)"
+      // anchor ln(1/2)·n + per-k prefix list_sum of the binomial step
+      // recurrence — double-identical to mcnemarExact's running
+      // stepSum; n > 1e7 publishes NULL p + skipped = true
+      val step = "ln(CAST((n10 + n01) - j AS DOUBLE)) - ln(CAST(j + 1 AS DOUBLE))"
       s"""WITH j AS (
         |  SELECT c.c_custkey AS cust, c.c_mktsegment AS grp,
         |    o.o_orderkey AS okey, o.o_totalprice AS price,
@@ -2711,11 +2752,14 @@ object Mas {
         |  FROM p WHERE n_orders >= 2 GROUP BY grp
         |)
         |SELECT grp, n_pairs, n10, n01,
-        |  round(least(1.0, 2.0 * list_sum(list_transform(
-        |    generate_series(0, least(n10, n01)),
-        |    k -> exp(${lnf("n10 + n01")} - ${lnf("k")}
-        |      - ${lnf("(n10 + n01) - (k)")}
-        |      + ln(0.5) * (n10 + n01))))), 6) + 0 AS p_exact
+        |  CASE WHEN n10 + n01 > 10000000 THEN NULL
+        |    ELSE round(least(1.0, 2.0 * list_sum(list_transform(
+        |      generate_series(0, least(n10, n01)),
+        |      k -> exp(ln(0.5) * (n10 + n01)
+        |        + coalesce(list_sum(list_transform(
+        |            generate_series(0, (k) - 1), j -> $step)), 0.0))))), 6) + 0
+        |    END AS p_exact,
+        |  (n10 + n01 > 10000000) AS skipped
         |FROM cells ORDER BY grp""".stripMargin
     },
     "a27_matched_pairs" ->

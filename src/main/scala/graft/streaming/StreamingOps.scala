@@ -35,8 +35,14 @@ object StreamingOps {
     * test-corpus-sized (≤100k small tuples). */
   private val feedCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def cachedFeed[T](key: String)(f: => T): T =
-    feedCache.computeIfAbsent(key, _ => f.asInstanceOf[AnyRef]).asInstanceOf[T]
+  /** Keyed by the OWNING session's identity as well as the feed name —
+    * a session restarted in the same JVM re-collects its feeds instead
+    * of replaying arrays gathered under the previous session (r15
+    * advice: dir-only keys served stale feeds across restarts). */
+  private def cachedFeed[T](spark: SparkSession, key: String)(f: => T): T =
+    feedCache.computeIfAbsent(
+      java.lang.System.identityHashCode(spark).toHexString + "|" + key,
+      _ => f.asInstanceOf[AnyRef]).asInstanceOf[T]
 
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -134,7 +140,7 @@ object StreamingOps {
   def e10StreamParaDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val docs = cachedFeed(s"corpus:$dir") {
+    val docs = cachedFeed(spark, s"corpus:$dir") {
       graft.operators.Dedup.corpus(spark, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1)
@@ -232,7 +238,7 @@ object StreamingOps {
       agg: DataFrame => DataFrame = tumblingWindowAgg(_)): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val rows = cachedFeed(s"events4:$dir") {
+    val rows = cachedFeed(spark, s"events4:$dir") {
       graft.Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
         .as[(Long, String, java.sql.Timestamp, Double)]
@@ -281,7 +287,7 @@ object StreamingOps {
   def e17StreamFileGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val rows = cachedFeed(s"events4:$dir") {
+    val rows = cachedFeed(spark, s"events4:$dir") {
       graft.Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
         .as[(Long, String, java.sql.Timestamp, Double)]
@@ -332,7 +338,7 @@ object StreamingOps {
     // deterministic 1/3 user sample: the two-sided join state is
     // user-keyed, so this bounds bench-time state without touching
     // the machinery under test (the oracle applies the same filter)
-    val ev = cachedFeed(s"events_vc:$dir") {
+    val ev = cachedFeed(spark, s"events_vc:$dir") {
       graft.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .filter(col("event_type").isin("view", "click") &&
@@ -414,7 +420,7 @@ object StreamingOps {
         graft.Tables.documents(spark, dir).filter(col("doc_id") < 25),
         "text", "sh")
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
-    val docs = cachedFeed(s"docs25:$dir") {
+    val docs = cachedFeed(spark, s"docs25:$dir") {
       graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1)
@@ -512,7 +518,7 @@ object StreamingOps {
     val c = graft.operators.Dedup.corpus(spark, dir)
     // the SAME cached persisted-index artifact d18 ingests against
     val oldIdx = graft.operators.Dedup.oldBandIndex(spark, dir)
-    val newDocs = cachedFeed(s"newdocs:$dir") {
+    val newDocs = cachedFeed(spark, s"newdocs:$dir") {
       c.filter(col("doc_id") >= 100000)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1)
@@ -563,7 +569,7 @@ object StreamingOps {
   def e22StreamTtlGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val base = cachedFeed(s"ttlkeys:$dir") {
+    val base = cachedFeed(spark, s"ttlkeys:$dir") {
       graft.Tables.documents(spark, dir)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
@@ -618,7 +624,7 @@ object StreamingOps {
   def e24StreamLateGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val ids = cachedFeed(s"latekeys:$dir") {
+    val ids = cachedFeed(spark, s"latekeys:$dir") {
       graft.Tables.documents(spark, dir).filter(col("doc_id") < 60)
         .select("doc_id").as[Long].collect().sorted.toSeq
     }
@@ -676,7 +682,7 @@ object StreamingOps {
   def e15StreamSessionGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val rows = cachedFeed(s"events_sess:$dir") {
+    val rows = cachedFeed(spark, s"events_sess:$dir") {
       graft.Tables.events(spark, dir)
         .select(col("user_id"), col("ts"), col("value"))
         .as[(Long, java.sql.Timestamp, Double)]

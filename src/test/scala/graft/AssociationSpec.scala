@@ -1250,10 +1250,9 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(operators.Association.fisherTwoSided(3, 1, 1, 3) - 0.4857142857142857) < 1e-12)
     // degenerate margins (everyone a case) -> single support point, p = 1
     assert(operators.Association.fisherTwoSided(5, 0, 3, 0) == 1.0)
-    // guard fires beyond the small-sample contract
-    intercept[IllegalArgumentException] {
-      operators.Association.fisherTwoSided(10000001L, 0, 0, 0)
-    }
+    // beyond the small-sample contract the kernel degrades to NaN
+    // (the a39 frame publishes NULL p + skipped) instead of throwing
+    assert(operators.Association.fisherTwoSided(10000001L, 0, 0, 0).isNaN)
   }
 
   test("aalenJohansen: hand CIFs, mass identity, risk-set exhaustion") {
@@ -1391,5 +1390,7 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // symmetric table and the no-discordant-pairs degenerate clamp at 1
     assert(operators.Association.mcnemarExact(3, 3) == 1.0)
     assert(operators.Association.mcnemarExact(0, 0) == 1.0)
+    // beyond the small-sample contract: NaN, not a throw
+    assert(operators.Association.mcnemarExact(10000001L, 0).isNaN)
   }
 }

@@ -12,6 +12,7 @@ its committed BENCH JSON then carries the adjudicated evidence (with
 source labels) instead of whatever the sweep host's load produced.
 """
 import json
+import subprocess
 import sys
 
 
@@ -28,8 +29,20 @@ def main() -> None:
                     pass
     if last is None:
         sys.exit("no parseable JSON line found in " + path)
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        commit = None
     out = {
         "source": label,
+        # provenance stamps (r15 advice): a full-sweep Bench run refuses
+        # the embed when registry_size disagrees with its own build, and
+        # publishes both commits so staleness is machine-checkable
+        "registry_size": last.get("registry_size"),
+        "commit": commit,
         "slope_stamp": last.get("slope_stamp"),
         "load_gate": last.get("load_gate"),
         "queries": last.get("queries"),
