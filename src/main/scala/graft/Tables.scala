@@ -29,6 +29,30 @@ object Tables {
     }
   }
 
+  /**
+   * Minimum-parallelism guard for the compute-bound tables. The
+   * text/media/vector kernels (shingling, MinHash signatures, byte
+   * decoders, cosine math) are per-row CPU work whose stage
+   * parallelism is inherited from the parquet scan — and a parquet
+   * ROW GROUP is the atomic split unit, so a single-file/single-row-
+   * group local input runs the whole kernel on ONE core no matter how
+   * many the session has (measured at 55k docs: the shingle +
+   * 128-perm MinHash signature stage runs 5.8 s on one scan
+   * partition vs 1.3 s guarded). When
+   * the scan yields fewer partitions than the session's default
+   * parallelism, insert one round-robin repartition of the raw rows;
+   * on a real cluster reading many files (partitions ≥ cores) the
+   * condition is false and NO shuffle is added. Row-order effects are
+   * benign here: every registered operator either aggregates, sorts
+   * its output, or bounds with an ORDERED limit (the two unordered
+   * `limit` sites are plan-routing guards, not value producers).
+   */
+  private def ensureMinParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions is planning-time metadata — no job runs here.
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
@@ -37,6 +61,8 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    ensureMinParallelism(apply(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    ensureMinParallelism(apply(s, d, "embeddings"))
 }

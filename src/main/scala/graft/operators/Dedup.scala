@@ -74,6 +74,33 @@ object Dedup {
   }
 
   /**
+   * Materialized nonempty (doc_id, sh) shingle table — the shared
+   * first stage of every signature pipeline (MinHash, SimHash, band
+   * index). Two load-bearing choices:
+   *
+   *  - localCheckpoint(eager), because the table is referenced by
+   *    multiple plan branches (bucket-join sides + verify sides) and
+   *    blocks release via the ContextCleaner when the plan is GC'd
+   *    (cache() leaked here until the round-2 advice);
+   *  - the checkpoint sits BEFORE the nonempty filter. A filter
+   *    placed directly over the shingle projection is substituted
+   *    below it by PushDownPredicates, inlining the words alias into
+   *    the shingling transform lambda — the split/normalize child
+   *    then re-runs once per lambda element, the same pathology the
+   *    session-level InferFiltersFromGenerate exclusion guards
+   *    against (measured ~200x on a 55k-doc corpus: the stage ran
+   *    151 s with the filter over the projection, 0.8 s behind the
+   *    checkpoint barrier). Empty-shingle rows cost only their
+   *    checkpointed bytes; the filter over the LogicalRDD is a
+   *    trivial scan of the materialized column.
+   */
+  private[graft] def shingleTable(docs: DataFrame): DataFrame =
+    withShingles(docs, "text", "sh")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(true)
+      .filter(size(col("sh")) > 0)
+
+  /**
    * Benchmark-contamination detection — the DECONTAMINATION op a
    * training corpus needs before eval numbers mean anything: corpus
    * documents sharing ≥ `minShared` word 3-grams with any benchmark
@@ -126,9 +153,8 @@ object Dedup {
    */
   def containmentContamination(corpus: DataFrame, benchmark: DataFrame,
       tau: Double): DataFrame = {
-    val bsh = withShingles(benchmark, "text", "sh")
+    val bsh = shingleTable(benchmark)
       .select(col("doc_id").as("bench_id"), col("sh"))
-      .filter(size(col("sh")) > 0)
     val bPost = bsh.select(col("bench_id"), explode(col("sh")).as("s"))
     val bSize = bsh.select(col("bench_id"), size(col("sh")).as("nb"))
     val c = withShingles(corpus, "text", "sh")
@@ -682,18 +708,12 @@ object Dedup {
       (0 until bands).map(bi =>
         (bi, scala.util.hashing.MurmurHash3.orderedHash(sig.slice(bi * rows, bi * rows + rows)))))
     // The shingle/signature table is referenced by four plan branches
-    // (both bucket-join sides + both verify sides); materialize it once
-    // instead of recomputing the text pipeline per branch. Signatures
-    // are tiny relative to the corpus (128 longs/doc) — at cluster
-    // scale this is the standard materialized signature table.
-    // localCheckpoint(eager) rather than cache(): blocks are released
-    // by the ContextCleaner when the plan is GC'd, so repeated calls in
-    // a long-lived session don't accumulate executor storage (cache()
-    // here leaked until the round-2 advice; callers never owned it).
-    val withSh = withShingles(docs, "text", "sh")
-      .select(col("doc_id"), col("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(true)
+    // (both bucket-join sides + both verify sides); shingleTable
+    // materializes it once instead of recomputing the text pipeline
+    // per branch. Signatures are tiny relative to the corpus (128
+    // longs/doc) — at cluster scale this is the standard materialized
+    // signature table.
+    val withSh = shingleTable(docs)
     val sigs = withSh.withColumn("sig", sigUdf(col("sh")))
     // Candidate dedup strategy: a pair colliding in k bands appears k
     // times in the bucket-join output, and `distinct()` shuffles that
@@ -773,9 +793,7 @@ object Dedup {
         (bi, scala.util.hashing.MurmurHash3.orderedHash(
           sig.slice(bi * rows, bi * rows + rows)))))
     def side(docs: DataFrame): (DataFrame, DataFrame) = {
-      val sh = withShingles(docs, "text", "sh").select(col("doc_id"), col("sh"))
-        .filter(size(col("sh")) > 0)
-        .localCheckpoint(true)
+      val sh = shingleTable(docs)
       val buckets = sh.withColumn("sig", sigUdf(col("sh")))
         .select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
         .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
@@ -803,9 +821,7 @@ object Dedup {
       (0 until bands).map(bi =>
         (bi, scala.util.hashing.MurmurHash3.orderedHash(
           sig.slice(bi * rows, bi * rows + rows)))))
-    val shNew = withShingles(newDocs, "text", "sh").select(col("doc_id"), col("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(true)
+    val shNew = shingleTable(newDocs)
     val bNew = shNew.withColumn("sig", sigUdf(col("sh")))
       .select(col("doc_id"), explode(bandUdf(col("sig"))).as("b"))
       .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("bh"))
@@ -856,8 +872,7 @@ object Dedup {
       (0 until bands).map(bi =>
         (bi, scala.util.hashing.MurmurHash3.orderedHash(
           sig.slice(bi * rows, bi * rows + rows)))))
-    withShingles(docs, "text", "sh").select(col("doc_id"), col("sh"))
-      .filter(size(col("sh")) > 0)
+    shingleTable(docs)
       .withColumn("sig", sigUdf(col("sh")))
       .select(col("doc_id").as("ido"), col("sh").as("sho"),
         explode(bandUdf(col("sig"))).as("b"))
@@ -1066,10 +1081,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
     val simUdf = udf((sh: Seq[String]) => simhash60(sh))
     // materialized for the same two-sided-join reason as
-    // minhashLshPairs; localCheckpoint for the same lifecycle reason
-    val sigs = withShingles(docs, "text", "sh")
-      .select(col("doc_id"), col("sh"))
-      .filter(size(col("sh")) > 0)
+    // minhashLshPairs; the second checkpoint pins the UDF output so
+    // the bank self-join's branches don't recompute signatures
+    val sigs = shingleTable(docs)
       .withColumn("sim", simUdf(col("sh")))
       .select(col("doc_id"), col("sim"))
       .localCheckpoint(true)
