@@ -61,9 +61,15 @@ object Bench {
     // in the JSON records which convention a file used.
     val coolSecs = sys.env.get("SPARK_GRAFT_SLOPE_COOLDOWN")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+    // SPARK_GRAFT_COOLDOWN_BAR lowers the decay threshold (default
+    // 3.5) — the r15 verdict asks the firth headline pinned at
+    // load < 2, which the default bar structurally can't stamp (the
+    // wait stops as soon as the run's own tail decays past 3.5)
+    val coolBar = sys.env.get("SPARK_GRAFT_COOLDOWN_BAR")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(3.5)
     def coolWait(): Unit = {
       var waited = 0
-      while (coolSecs > 0 && loadAvg() > 3.5 && waited < coolSecs) {
+      while (coolSecs > 0 && loadAvg() > coolBar && waited < coolSecs) {
         Thread.sleep(15000); waited += 15
       }
     }
@@ -178,8 +184,12 @@ object Bench {
     // every rep stamps the load average sampled right after it (r12
     // verdict: reps [5.04, 4.79, 50.73] were unstamped, so a reader
     // could not tell the 50.73 was a host spike without re-running)
+    // SPARK_GRAFT_MAS_REPS=<n> widens the rep count (default 3) —
+    // the headline-pinning knob: a min-of-5 at load < 2 settles a
+    // suspect headline swing without touching the default budget
+    val masReps = sys.env.get("SPARK_GRAFT_MAS_REPS").map(_.toInt).getOrElse(3)
     def reps3(body: => Unit): Seq[(Double, Double)] =
-      (1 to 3).map { _ =>
+      (1 to masReps).map { _ =>
         coolWait()
         val ldPre = loadAvg()
         val t0 = System.nanoTime()
@@ -456,18 +466,22 @@ object Bench {
           else {
             val big = masMelted(50000, 1800, 5)
             Seq(
+              // oneShotN: the mas 10x points join the SLOPE_MIN2
+              // adjudication protocol (r16: a one-shot mas_firth 10x
+              // read 64 s vs 14.6 s the round before — unadjudicable
+              // without a second shot)
               if (!famOn("mas_firth")) None else
-              pair("mas_firth", oneShot(
+              pair("mas_firth", oneShotN("mas_firth")(
                 Association.binary(big, masCfg(1800, 5))
                   .write.format("noop").mode("overwrite").save())
                 .map { case (t, ld) => (masTime._1.map(_._1).min, t, ld) }),
               if (!famOn("mas_linear")) None else
-              pair("mas_linear", oneShot(
+              pair("mas_linear", oneShotN("mas_linear")(
                 Association.linear(big, masCfg(1800, 5).copy(model = "linear"))
                   .write.format("noop").mode("overwrite").save())
                 .map { case (t, ld) => (masTime._3.map(_._1).min, t, ld) }),
               if (!famOn("mas_firth_gram")) None else
-              pair("mas_firth_gram", oneShot(
+              pair("mas_firth_gram", oneShotN("mas_firth_gram")(
                 Association.firthGram(big, masCfg(1800, 5))
                   .write.format("noop").mode("overwrite").save())
                 .map { case (t, ld) => (masTime._4.map(_._1).min, t, ld) })).flatten
