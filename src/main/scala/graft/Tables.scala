@@ -46,11 +46,29 @@ object Tables {
    * benign here: every registered operator either aggregates, sorts
    * its output, or bounds with an ORDERED limit (the two unordered
    * `limit` sites are plan-routing guards, not value producers).
+   *
+   * SIZE-GATED: below ~2 MB on disk a single-partition kernel pass is
+   * sub-second, while the guard's plan-conversion + extra shuffle
+   * stage costs ~0.6-1.0 s per query (measured: the isolated sf0.1
+   * m10/m11/m12 raster ops read 0.33-0.38 s ungated vs 0.9-1.4 s with
+   * an unconditional guard — the cure was worse than the disease at
+   * small inputs). The size check is one filesystem metadata call, no
+   * Spark job and no .rdd plan conversion on the small-input path.
    */
-  private def ensureMinParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions is planning-time metadata — no job runs here.
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  private val minParallelBytes = 2L << 20
+  private def ensureMinParallelism(df: DataFrame, dir: String, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L }
+    // getNumPartitions is planning-time metadata — no job runs here,
+    // and it is only consulted once the input is big enough to matter.
+    if (bytes >= minParallelBytes && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
@@ -62,7 +80,7 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame =
-    ensureMinParallelism(apply(s, d, "documents"))
+    ensureMinParallelism(apply(s, d, "documents"), d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    ensureMinParallelism(apply(s, d, "embeddings"))
+    ensureMinParallelism(apply(s, d, "embeddings"), d, "embeddings")
 }
