@@ -18,7 +18,8 @@ object ProfG02Cap {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split(" ")(0).toDouble finally src.close()
     }
-    val edges = spark.read.parquet(s"$dir/$edgesFile").localCheckpoint(true)
+    val edges = (if (edgesFile == "coorder_sf") Graph.coOrderEdges(spark, dir)
+      else spark.read.parquet(s"$dir/$edgesFile")).localCheckpoint(true)
     println("edges=" + edges.count())
     def run(cap: Int): (Double, Double, Map[Long, Long], Seq[Long]) = {
       val ld = loadAvg()

@@ -802,6 +802,9 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact vs capped total triangle participation on sf0.01's
     // co-order graph (the g02 input)
     val e = operators.Graph.coOrderEdges(spark, "/root/testdata/sf0.01")
+    val exTop = operators.Graph.triangles(e)
+      .orderBy(col("n_triangles").desc, col("node")).limit(20)
+      .collect().map(_.getLong(0))
     val ex = operators.Graph.triangles(e)
       .agg(sum(col("n_triangles"))).head().getLong(0)
     val cp16 = operators.Graph.triangles(e, hubCap = 16)
@@ -809,9 +812,19 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cp64 = operators.Graph.triangles(e, hubCap = 64)
       .agg(sum(col("n_triangles"))).head().getLong(0)
     assert(cp16 > 0 && cp16 <= cp64 && cp64 <= ex)
+    // the r16 agreement measurement (BENCH_G02_HUBCAP_r16.json):
+    // cap=64 keeps 17 of the exact top-20 at this scale (degrading
+    // with density: 14/20 at 10x edges, 5/20 at 100x) — pin the
+    // documented level with margin so a ranking consumer knows what
+    // the escape hatch costs here
+    val capTop = operators.Graph.triangles(e, hubCap = 64)
+      .orderBy(col("n_triangles").desc, col("node")).limit(20)
+      .collect().map(_.getLong(0))
+    val overlap = capTop.toSet.intersect(exTop.toSet).size
+    assert(overlap >= 14, s"cap=64 top-20 overlap $overlap < documented 14")
     info(s"co-order sf0.01: exact=$ex capped@64=$cp64 " +
       s"(${"%.1f".format(100.0 * cp64 / ex)}%) capped@16=$cp16 " +
-      s"(${"%.1f".format(100.0 * cp16 / ex)}%)")
+      s"(${"%.1f".format(100.0 * cp16 / ex)}%) top20overlap@64=$overlap/20")
   }
 
   test("labelProp: disjoint triangles converge to min-id communities, invariance") {
