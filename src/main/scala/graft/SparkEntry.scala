@@ -91,6 +91,7 @@ object SparkEntry {
     "p21_vif5" -> (Preprocess.p21Vif5 _),
     "p22_date_features" -> (Preprocess.p22DateFeatures _),
     "p23_spline_basis" -> (Preprocess.p23SplineBasis _),
+    "p24_pca_top" -> (Preprocess.p24PcaTop _),
     "g07_bfs" -> (graft.operators.Graph.g07BfsHops _),
     "c11_dedup_mixture" -> (graft.operators.Dedup.c11DedupMixture _),
     "c14_leakage_split" -> (graft.operators.Dedup.c14LeakageSplit _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "m11_ppm_channel_stats" -> (Multimodal.m11PpmChannelStats _),
     "m12_ppm_otsu" -> (Multimodal.m12PpmOtsu _),
     "m13_bmp_pixels" -> (Multimodal.m13BmpPixels _),
+    "m18_jpeg_header" -> (Multimodal.m18JpegHeader _),
     "m14_tar_index" -> (Multimodal.m14TarIndex _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
     "m09_pcm_stats" -> (Multimodal.m09PcmStats _),

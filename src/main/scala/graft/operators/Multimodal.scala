@@ -960,6 +960,123 @@ object Multimodal {
         col("top_row_sum"))
       .orderBy("doc_id")
 
+  // -------------------------------------------------------------- m18 jpeg
+
+  final case class JpegHeader(precision: Int, width: Int, height: Int,
+      components: Int, sosEnd: Int)
+  final case class JpegFeature(
+      doc_id: Long, format: String, width: Int, height: Int,
+      components: Int, precision: Int, entropy_sum: Option[Long])
+
+  private[graft] def jpegWidth(id: Long): Int = 8 + (id % 17).toInt
+  private[graft] def jpegHeight(id: Long): Int = 8 + (id % 11).toInt
+
+  /**
+   * Minimal structurally-valid JFIF stream — the THIRD real container
+   * surface after PPM and BMP, and the first SEGMENTED one (big-endian
+   * length-prefixed marker segments, the walk every real JPEG tool
+   * does before any entropy decoding): SOI, APP0/JFIF, a DQT stub,
+   * baseline SOF0 (8-bit, 3 components), SOS, the entropy payload,
+   * EOI. Only headers are semantic for the m18 parse; the payload is
+   * opaque bytes (ASCII-tiled here, so no 0xFF ever appears and no
+   * byte-stuffing is needed — real streams escape FF as FF 00).
+   */
+  def buildJpeg(width: Int, height: Int, entropy: Array[Byte]): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, (0 +: (1 to 64)).map(_.toByte).toArray) // DQT: id 0, table 1..64
+    seg(0xc0, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    seg(0xda, Array[Byte](3, 1, 0, 2, 0x11, 3, 0x11, 0, 0x3f, 0))
+    out.write(entropy, 0, entropy.length)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** JPEG segment walk: SOI, then length-prefixed segments to SOS;
+    * dimensions from the first SOF0-SOF3 frame header. Returns None
+    * on any structural violation (missing SOI, marker without 0xFF,
+    * truncated length, SOS before SOF, zero dims). */
+  def parseJpegHeader(b: Array[Byte]): Option[JpegHeader] = {
+    def be16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    var sof: Option[(Int, Int, Int, Int)] = None
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      val len = be16(i + 2)
+      if (len < 2 || i + 2 + len > b.length) return None
+      if (marker >= 0xc0 && marker <= 0xc3) {
+        if (len < 8) return None
+        sof = Some((b(i + 4) & 0xff, be16(i + 7), be16(i + 5), b(i + 9) & 0xff))
+      }
+      if (marker == 0xda) {
+        return sof.collect { case (p, w, h, nc) if w > 0 && h > 0 =>
+          JpegHeader(p, w, h, nc, i + 2 + len)
+        }
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** JPEG table synthesized from documents: doc_id-derived geometry,
+    * w·h entropy bytes tiled from the doc's ASCII bytes — closed form
+    * on BOTH sides, so the oracle checks the full build→segment-walk
+    * round-trip including the entropy checksum. */
+  def jpegTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"jpegTable: empty or non-ASCII text in doc_id=$id (m18 oracle tiles byte ords)")
+        val data = text.getBytes("US-ASCII")
+        val entropy = Array.tabulate(jpegWidth(id) * jpegHeight(id))(j => data(j % data.length))
+        val bytes = buildJpeg(jpegWidth(id), jpegHeight(id), entropy)
+        MediaRow(id, bytes, "image/jpeg", bytes.length)
+      }
+  }
+
+  /** Batched JPEG header extraction (the m01 hook shape): segment
+    * walk to SOF/SOS, unsigned-byte checksum over the entropy payload
+    * (bounded by the trailing EOI). Structural violations degrade to
+    * format="unknown" with null checksum. */
+  def extractJpegHeaders(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[JpegFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      val b = r.media
+      parseJpegHeader(b) match {
+        case Some(h) if b.length >= h.sosEnd + 2 &&
+            (b(b.length - 2) & 0xff) == 0xff && (b(b.length - 1) & 0xff) == 0xd9 =>
+          var s = 0L
+          var i = h.sosEnd
+          while (i < b.length - 2) { s += (b(i) & 0xff); i += 1 }
+          JpegFeature(r.doc_id, "jpeg", h.width, h.height, h.components,
+            h.precision, Some(s))
+        case _ =>
+          JpegFeature(r.doc_id, "unknown", 0, 0, 0, 0, None)
+      }
+    }))
+  }
+
+  /** m18: JPEG/JFIF header surface over the synthesized table. */
+  def m18JpegHeader(spark: SparkSession, dir: String): DataFrame =
+    extractJpegHeaders(jpegTable(spark, dir)).toDF()
+      .orderBy("doc_id")
+
   /**
    * 12-bit block-luminance perceptual hash (aHash family) from a REAL
    * P6 raster: pixels map to a 3×4 cell grid (gr = 3y div h, gc = 4x
@@ -1717,6 +1834,25 @@ object Multimodal {
     // m13: closed-form stored-order tiling — byte p of the raster is
     // text[p % len]; the engine walks the REAL padded bottom-up BMP
     // bytes, so stride/flip mistakes fail this compare
+    // m18: segment-walk round-trip — geometry AND the entropy-payload
+    // checksum are closed forms of (doc_id, text), so a parser that
+    // mis-walks any length-prefixed segment lands on wrong bytes
+    "m18_jpeg_header" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(8 + doc_id % 17 AS INT) AS w,
+        |    CAST(8 + doc_id % 11 AS INT) AS h
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, w, h,
+        |    ord(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, w * h)) AS t(i)
+        |)
+        |SELECT doc_id, 'jpeg' AS format, w AS width, h AS height,
+        |  CAST(3 AS INT) AS components, CAST(8 AS INT) AS precision,
+        |  CAST(sum(b) AS BIGINT) AS entropy_sum
+        |FROM e GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
     "m13_bmp_pixels" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

@@ -868,6 +868,81 @@ object Preprocess {
       Seq("c_custkey", "c_nationkey", "c_acctbal", "nk7", "bal11"))
       .orderBy("covariate")
 
+  /**
+   * Top principal component of a covariate block — the population-
+   * structure step a PheWAS pipeline runs BEFORE association (top
+   * PCs join the model as covariates; reference pipelines take them
+   * as given input columns, this computes them). Correlation-matrix
+   * PCA (scale-free across heterogeneous covariates) by POWER
+   * ITERATION on the 1e-6-quantized correlation matrix:
+   *
+   *  - the only data-touching step is the one corr aggregation scan
+   *    (map-side combined, O(k²) accumulators — the p17/p21 shape;
+   *    at 100 TB the scan is the whole cost);
+   *  - the k×k iteration runs driver-side on the QUANTIZED matrix,
+   *    every operand in a fixed fold order, each iterate re-quantized
+   *    to the 1e-6 grid — so the DuckDB oracle replays all `iters`
+   *    iterations as unrolled CTEs and lands on identical doubles
+   *    (the n03/s18 fixed-point-grid convention). A fixed iteration
+   *    count (no convergence test) keeps the mirror exact whether or
+   *    not the eigen-gap has converged the direction.
+   *
+   * Sign convention: loading of the first column non-negative.
+   * Output: per-covariate loading, the eigenvalue of the correlation
+   * matrix, and explained variance fraction (eigenvalue / k).
+   */
+  def pcaTop(df: DataFrame, cols: Seq[String], iters: Int = 30): DataFrame = {
+    require(cols.size >= 2, s"pcaTop: need >= 2 columns, got $cols")
+    require(iters >= 1 && iters <= 100, s"pcaTop: iters in [1,100], got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = cols.size
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      corr(col(cols(i)).cast("double"), col(cols(j)).cast("double")).as(s"__c_${i}_$j") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def q6(x: Double): Double =
+      (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+    val r = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
+    pairs.zipWithIndex.foreach { case ((i, j), p) =>
+      val c = q6(row.getDouble(p)); r(i)(j) = c; r(j)(i) = c
+    }
+    def mul(v: Array[Double]): Array[Double] = Array.tabulate(k) { i =>
+      var s = 0.0; var j = 0
+      while (j < k) { s += r(i)(j) * v(j); j += 1 }
+      s
+    }
+    var v = Array.fill(k)(q6(1.0 / math.sqrt(k.toDouble)))
+    for (_ <- 1 to iters) {
+      val w = mul(v)
+      var n2 = 0.0; var i = 0
+      while (i < k) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      v = w.map(x => q6(x / nrm))
+    }
+    val u = mul(v)
+    var lam = 0.0; var i = 0
+    while (i < k) { lam += v(i) * u(i); i += 1 }
+    val lamQ = q6(lam)
+    val sgn = if (v(0) < 0) -1.0 else 1.0
+    cols.zipWithIndex.map { case (c, ix) => (c, sgn * v(ix), lamQ, lamQ / k) }
+      .toDF("covariate", "loading", "eigenvalue", "explained_frac")
+      .select(col("covariate"), Norm.r4(col("loading")).as("loading"),
+        Norm.r4(col("eigenvalue")).as("eigenvalue"),
+        Norm.r4(col("explained_frac")).as("explained_frac"))
+  }
+
+  /** p24: top correlation-PC of the p21 covariate block (three
+    * customer numerics + two derived collinear columns — a real
+    * dominant direction for the loadings to find). */
+  def p24PcaTop(spark: SparkSession, dir: String): DataFrame =
+    pcaTop(Tables.customer(spark, dir).select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        (col("c_nationkey") + col("c_custkey") % 7).as("nk7"),
+        (col("c_acctbal") + lit(200) * (col("c_custkey") % 11)).as("bal11")),
+      Seq("c_custkey", "c_nationkey", "c_acctbal", "nk7", "bal11"))
+      .orderBy("covariate")
+
   /** p18: VIFs of the customer numeric columns. */
   def p18Vif(spark: SparkSession, dir: String): DataFrame =
     vif(Tables.customer(spark, dir),
@@ -898,6 +973,61 @@ object Preprocess {
       .orderBy("p_partkey")
 
   // --------------------------------------------------------- oracle SQL
+
+  /** p24 oracle generator: [[pcaTop]]'s power iteration unrolled as
+    * one CTE per iteration over the SAME 1e-6-quantized correlation
+    * matrix — each CTE computes w = R·v in the kernel's ascending-j
+    * fold order, the norm as the same left-assoc square sum, and
+    * re-quantizes v = round(w/norm, 6); a fixed iteration count makes
+    * the mirror exact whether or not the direction has converged. */
+  private def pcaTopSql(names: Seq[String], exprs: Seq[String], iters: Int): String = {
+    val k = names.size
+    val pairs = for { i <- 0 until k; j <- i + 1 until k } yield (i, j)
+    val corrs = pairs.map { case (i, j) =>
+      s"round(corr(CAST(${exprs(i)} AS DOUBLE), CAST(${exprs(j)} AS DOUBLE)), 6) AS r${i}_$j"
+    }.mkString(",\n    ")
+    def rcell(i: Int, j: Int): String =
+      if (i == j) "1.0" else if (i < j) s"r${i}_$j" else s"r${j}_$i"
+    val v0lit = {
+      val x = 1.0 / math.sqrt(k.toDouble)
+      java.math.BigDecimal.valueOf(math.floor(x * 1e6 + 0.5) / 1e6).toPlainString
+    }
+    val rlist = pairs.map { case (i, j) => s"r${i}_$j" }.mkString(", ")
+    val v0 = (0 until k).map(i => s"$v0lit AS v$i").mkString(", ")
+    def rv(i: Int): String =
+      (0 until k).map(j => s"${rcell(i, j)} * v$j").mkString(" + ")
+    val steps = (1 to iters).map { it =>
+      val ws = (0 until k).map(i => s"(${rv(i)}) AS w$i").mkString(",\n    ")
+      val nrm = s"sqrt(${(0 until k).map(i => s"w$i * w$i").mkString(" + ")})"
+      val vs = (0 until k).map(i => s"round(w$i / $nrm, 6) AS v$i").mkString(",\n    ")
+      s"""p$it AS (
+         |  SELECT $rlist, $vs FROM (
+         |    SELECT $rlist,
+         |    $ws FROM p${it - 1}
+         |  )
+         |)""".stripMargin
+    }.mkString(", ")
+    val lam = s"round(${(0 until k).map(i => s"v$i * (${rv(i)})").mkString(" + ")}, 6)"
+    val out = names.zipWithIndex.map { case (n, i) =>
+      s"SELECT '$n' AS covariate, sgn * v$i AS loading, lam, lam / $k AS ef FROM fin"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH c AS (
+       |  SELECT
+       |    $corrs
+       |  FROM customer
+       |), p0 AS (
+       |  SELECT $rlist, $v0 FROM c
+       |), $steps, fin AS (
+       |  SELECT ${(0 until k).map(i => s"v$i").mkString(", ")}, $lam AS lam,
+       |    CASE WHEN v0 < 0 THEN -1.0 ELSE 1.0 END AS sgn
+       |  FROM p$iters
+       |)
+       |SELECT covariate, round(loading, 4) + 0 AS loading,
+       |  round(lam, 4) + 0 AS eigenvalue, round(ef, 4) + 0 AS explained_frac
+       |FROM (
+       |  $out
+       |) ORDER BY covariate""".stripMargin
+  }
 
   /** p21 oracle generator: [[gaussJordanInv]] unrolled as one CTE per
     * pivot over the augmented [R | I] cells (m{i}_{j} columns), every
@@ -1197,6 +1327,15 @@ object Preprocess {
         |  round(corr(CAST(c_nationkey AS DOUBLE), CAST(c_acctbal AS DOUBLE)), 4) + 0
         |FROM customer
         |ORDER BY col1, col2""".stripMargin,
+    // p24: the generated fixed-count power iteration over the SAME
+    // 1e-6-quantized correlations, each iterate re-quantized — the
+    // mirror is exact independent of eigen-gap convergence
+    "p24_pca_top" -> pcaTopSql(
+      Seq("c_custkey", "c_nationkey", "c_acctbal", "nk7", "bal11"),
+      Seq("c_custkey", "c_nationkey", "c_acctbal",
+        "c_nationkey + c_custkey % 7",
+        "c_acctbal + 200 * (c_custkey % 11)"),
+      iters = 30),
     // p21: the generated fixed-order Gauss–Jordan elimination over the
     // SAME 1e-6-quantized correlations — every divide/multiply/
     // subtract in the kernel's pivot order, so the mirror is exact at

@@ -910,6 +910,48 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outTr.format == "unknown" && outTr.mean_b.isEmpty)
   }
 
+  test("JPEG: hand-built segment walk round-trips; corrupt markers and truncation degrade") {
+    import operators.Multimodal._
+    val sess = spark
+    import sess.implicits._
+    val entropy = Array[Byte](10, 20, 30, 40, 50, 60) // 3x2 image, 6 payload bytes
+    val bytes = buildJpeg(3, 2, entropy)
+    val h = parseJpegHeader(bytes).get
+    assert(h.width == 3 && h.height == 2 && h.components == 3 && h.precision == 8)
+    // sosEnd points past the SOS segment: payload then EOI fill the rest
+    assert(bytes.length - h.sosEnd - 2 == entropy.length)
+    val out = extractJpegHeaders(
+      Seq(MediaRow(5L, bytes, "image/jpeg", bytes.length)).toDS()).collect().head
+    assert(out.format == "jpeg" && out.width == 3 && out.height == 2)
+    assert(out.entropy_sum.get == 10L + 20 + 30 + 40 + 50 + 60)
+    // a segment LENGTH off by one desynchronizes the walk → unknown
+    val badLen = buildJpeg(3, 2, entropy)
+    badLen(5) = (badLen(5) + 1).toByte // APP0 length low byte
+    assert(parseJpegHeader(badLen).isEmpty)
+    // SOS before any SOF → no dims → unknown
+    val noSof = bytes.take(2) ++ bytes.drop(2).filterNot(_ => false)
+    // (build a stream with the SOF segment excised: copy up to DQT end,
+    //  then skip the 0xC0 segment)
+    val sofStart = {
+      var i = 2; var r = -1
+      while (r < 0) {
+        val m = noSof(i + 1) & 0xff
+        val len = ((noSof(i + 2) & 0xff) << 8) | (noSof(i + 3) & 0xff)
+        if (m == 0xc0) r = i else i += 2 + len
+      }
+      r
+    }
+    val sofLen = 2 + (((bytes(sofStart + 2) & 0xff) << 8) | (bytes(sofStart + 3) & 0xff))
+    val excised = bytes.take(sofStart) ++ bytes.drop(sofStart + sofLen)
+    assert(parseJpegHeader(excised).isEmpty)
+    // truncation degrades, not throws
+    val outTr = extractJpegHeaders(
+      Seq(MediaRow(6L, bytes.take(bytes.length - 3), "image/jpeg", 1)).toDS()).collect().head
+    assert(outTr.format == "unknown" && outTr.entropy_sum.isEmpty)
+    // missing SOI
+    assert(parseJpegHeader(bytes.drop(2)).isEmpty)
+  }
+
   test("resizePpm: NN sampling exact on hand-built rasters, identity at same dims, degrade path") {
     val sess = spark
     import sess.implicits._

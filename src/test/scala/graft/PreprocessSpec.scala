@@ -306,6 +306,43 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ind.forall(x => x >= 1.0 && x < 1.05))
   }
 
+  test("pcaTop: analytic 2-var eigenpair, dominant-direction recovery, invariance") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 4000).map { _ =>
+      val z = rng.nextGaussian()
+      (z + 0.3 * rng.nextGaussian(), z + 0.3 * rng.nextGaussian(),
+        rng.nextGaussian())
+    }
+    val df = rows.toDF("a", "b", "c")
+    // 2-var: corr matrix [[1,r],[r,1]] has top eigenpair
+    // lambda = 1 + |r|, v = (1,1)/sqrt(2) (r > 0 here)
+    val two = Preprocess.pcaTop(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val r = df.agg(org.apache.spark.sql.functions.corr($"a", $"b")).head().getDouble(0)
+    assert(math.abs(two("a")._2 - (1.0 + r)) < 5e-4, s"eigenvalue ${two("a")._2} vs ${1 + r}")
+    val s2 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(two("a")._1 - s2) < 5e-4 && math.abs(two("b")._1 - s2) < 5e-4)
+    // 3-var: the correlated pair dominates the top PC, the
+    // independent column loads near zero; sign pinned to loading(a)>=0
+    val three = Preprocess.pcaTop(df, Seq("a", "b", "c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(three("a") > 0.6 && three("b") > 0.6 && math.abs(three("c")) < 0.15, three.toString)
+    // explained fraction = eigenvalue / k, and partition invariance
+    val full = Preprocess.pcaTop(df, Seq("a", "b", "c")).collect()
+    assert(full.forall(r => math.abs(r.getDouble(3) - r.getDouble(2) / 3) < 1e-3))
+    // corr is Welford-merged (partition-order-dependent in the last
+    // ulps) but quantized to 1e-6 BEFORE iterating — outputs agree to
+    // the half-quantum tolerance across partitionings
+    val r1 = Preprocess.pcaTop(df.repartition(1), Seq("a", "b", "c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r8 = Preprocess.pcaTop(df.repartition(8), Seq("a", "b", "c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r1.keySet == r8.keySet &&
+      r1.forall { case (k2, x) => math.abs(x - r8(k2)) < 2e-4 })
+  }
+
   test("vifGauss: fixed-order elimination equals the breeze/LAPACK inverse at k=5; collinear pivot errors") {
     val sess = spark
     import sess.implicits._
