@@ -97,6 +97,7 @@ object SparkEntry {
     "c14_leakage_split" -> (graft.operators.Dedup.c14LeakageSplit _),
     "c15_pipeline_report" -> (graft.operators.Dedup.c15PipelineReport _),
     "d19_jaccard_hist" -> (graft.operators.Dedup.d19JaccardHist _),
+    "d20_lsh_calibration" -> (graft.operators.Dedup.d20LshCalibration _),
     "a34_logrank3" -> (Mas.a34Logrank3 _),
     "a35_clogit" -> (Mas.a35Clogit _),
     "s01_bonferroni" -> (Postprocess.s01Bonferroni _),

@@ -624,6 +624,55 @@ object Dedup {
       .orderBy("bin")
 
   /**
+   * Banding catch probability under d03's production LSH parameters
+   * (32 bands × 4 rows): p(j) = 1 − (1 − j⁴)³², evaluated from the
+   * 4-dp grid integer `m` by MULTIPLICATION-ONLY repeated squaring
+   * (j² = j·j, j⁴ = j²·j²; (1−j⁴) squared five times) — no `pow`, so
+   * Spark and DuckDB land on identical doubles operand-for-operand.
+   */
+  private[graft] def bandingCatchProb32x4(m: Column): Column = {
+    val j = m.cast("double") / lit(10000.0)
+    val j2 = j * j
+    val j4 = j2 * j2
+    val t1 = lit(1.0) - j4
+    val t2 = t1 * t1
+    val t4 = t2 * t2
+    val t8 = t4 * t4
+    val t16 = t8 * t8
+    val t32 = t16 * t16
+    lit(1.0) - t32
+  }
+
+  /**
+   * d20: LSH BANDING CALIBRATION — the (bands, rows) knob-picking
+   * report a dedup rollout reads NEXT TO d19's histogram: over the
+   * same pair population (d02's blocked chain at the 0.1 floor), each
+   * pair's probability of colliding in ≥1 of d03's 32×4 bands is the
+   * classic S-curve p(j) = 1 − (1 − j⁴)³²; per d19 bin the report
+   * gives pair count, expected caught pairs, and expected catch
+   * fraction — quantifying BOTH the recall claim above τ (bin ≥ 10
+   * catch ≈ 1) and the sub-τ candidate tail the exact-verify stage
+   * must pay for. Same pair-bounded shuffle as d19; the report is a
+   * ≤ 20-row aggregate. The per-bin expected sums are double
+   * reductions whose ordering ULPs the 4-dp round absorbs (the s09
+   * convention).
+   */
+  def d20LshCalibration(spark: SparkSession, dir: String): DataFrame =
+    lshCalibration(corpus(spark, dir))
+
+  /** The d20 report over any (doc_id, text, source) frame. */
+  def lshCalibration(docs: DataFrame): DataFrame =
+    ngramJaccardPairs(docs, 0.1, Some("source"))
+      .withColumn("m", round(col("jaccard") * 10000.0).cast("long"))
+      .withColumn("p", bandingCatchProb32x4(col("m")))
+      .withColumn("bin", expr("m div 500"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"), sum(col("p")).as("sp"))
+      .select(col("bin"), graft.operators.Norm.r4(col("bin") * 0.05).as("jac_lo"),
+        col("n_pairs"), graft.operators.Norm.r4(col("sp")).as("expected_caught"),
+        graft.operators.Norm.r4(col("sp") / col("n_pairs")).as("catch_frac"))
+      .orderBy("bin")
+
+  /**
    * DIRECTIONAL shingle containment: containment(A→B) =
    * |sh(A) ∩ sh(B)| / |sh(A)| ≥ τ means A is mostly contained IN B —
    * the asymmetric near-dup relation Jaccard structurally misses (a
@@ -1651,6 +1700,35 @@ object Dedup {
           |SELECT bin, round(bin * 0.05, 4) + 0 AS jac_lo,
           |  CAST(count(*) AS BIGINT) AS n_pairs
           |FROM h GROUP BY bin ORDER BY bin""".stripMargin),
+    // d20: d19's pair chain + the multiplication-only repeated
+    // squaring of the S-curve — operand order mirrored exactly
+    "d20_lsh_calibration" ->
+      (corpusSql + sourceShingleCtesSql +
+        """, pairs AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+          |    any_value(a.ns) AS na, any_value(b.ns) AS nb
+          |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), j AS (
+          |  SELECT round(common * 1.0 / (na + nb - common), 4) AS j4dp
+          |  FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.1
+          |), g AS (
+          |  SELECT CAST(round(j4dp * 10000.0) AS BIGINT) AS m FROM j
+          |), q1 AS (SELECT m, m / 10000.0 AS jj FROM g
+          |), q2 AS (SELECT m, jj * jj AS j2 FROM q1
+          |), q3 AS (SELECT m, j2 * j2 AS jf FROM q2
+          |), q4 AS (SELECT m, 1.0 - jf AS t1 FROM q3
+          |), q5 AS (SELECT m, t1 * t1 AS t2 FROM q4
+          |), q6 AS (SELECT m, t2 * t2 AS t4 FROM q5
+          |), q7 AS (SELECT m, t4 * t4 AS t8 FROM q6
+          |), q8 AS (SELECT m, t8 * t8 AS t16 FROM q7
+          |), q9 AS (SELECT m, t16 * t16 AS t32 FROM q8
+          |), pr AS (SELECT m // 500 AS bin, 1.0 - t32 AS p FROM q9)
+          |SELECT bin, round(bin * 0.05, 4) + 0 AS jac_lo,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  round(sum(p), 4) + 0 AS expected_caught,
+          |  round(sum(p) / count(*), 4) + 0 AS catch_frac
+          |FROM pr GROUP BY bin ORDER BY bin""".stripMargin),
     "d11_containment" ->
       (corpusSql + sourceShingleCtesSql +
         """, pairs AS (

@@ -399,6 +399,38 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exp.keys.forall(b => b >= 2 && b <= 20))
   }
 
+  test("d20 LSH calibration: S-curve closed form per pair, exact-dup bin catches ~1") {
+    val dir = "/root/testdata/sf0.001"
+    // closed form replayed with the SAME multiplication-only ops
+    def pOf(m: Long): Double = {
+      val j = m.toDouble / 10000.0
+      val j2 = j * j; val j4 = j2 * j2
+      val t1 = 1.0 - j4; val t2 = t1 * t1; val t4 = t2 * t2
+      val t8 = t4 * t4; val t16 = t8 * t8
+      1.0 - t16 * t16
+    }
+    // spot values of the (32,4) S-curve: p(1.0)=1, p(0.5)=0.8731...
+    assert(pOf(10000) == 1.0)
+    assert(math.abs(pOf(5000) - (1.0 - math.pow(1.0 - math.pow(0.5, 4), 32))) < 1e-12)
+    val pairs = operators.Dedup.ngramJaccardPairs(
+        operators.Dedup.corpus(spark, dir), 0.1, Some("source"))
+      .collect().map(r => math.floor(r.getDouble(2) * 10000 + 0.5).toLong)
+    val out = operators.Dedup.d20LshCalibration(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // per-bin expected catches equal the hand fold at 4 dp
+    val exp = pairs.groupBy(_ / 500).map { case (b, ms) =>
+      b -> (ms.length.toLong, ms.map(pOf).sum) }
+    assert(out.keySet == exp.keySet && pairs.nonEmpty)
+    exp.foreach { case (b, (n, sp)) =>
+      val (on, osp, ofr) = out(b)
+      assert(on == n, s"bin $b count")
+      assert(math.abs(osp - sp) < 6e-5, s"bin $b expected_caught")
+      assert(math.abs(ofr - sp / n) < 6e-5, s"bin $b catch_frac")
+    }
+    // the recall story: exact dups (bin 20) are caught with certainty
+    assert(out(20)._3 == 1.0)
+  }
+
   test("c15 pipeline report equals the hand-composed d17 x t19 x token funnel") {
     val dir = "/root/testdata/sf0.001"
     val out = operators.Dedup.c15PipelineReport(spark, dir).collect()
