@@ -92,6 +92,7 @@ object SparkEntry {
     "p22_date_features" -> (Preprocess.p22DateFeatures _),
     "p23_spline_basis" -> (Preprocess.p23SplineBasis _),
     "p24_pca_top" -> (Preprocess.p24PcaTop _),
+    "p25_quantile_normalize" -> (Preprocess.p25QuantileNormalize _),
     "g07_bfs" -> (graft.operators.Graph.g07BfsHops _),
     "c11_dedup_mixture" -> (graft.operators.Dedup.c11DedupMixture _),
     "c14_leakage_split" -> (graft.operators.Dedup.c14LeakageSplit _),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import graft.Tables
 import graft.functions.Numerics
 
@@ -277,6 +277,55 @@ object Preprocess {
       .withColumn("rint",
         graft.functions.GraftFunctions.qnorm((col("rank") - 0.375) / (n + 0.25)))
   }
+
+  /**
+   * QUANTILE NORMALIZATION across k columns — the limma/microarray
+   * batch-effect remover: after the transform every column carries
+   * the IDENTICAL empirical distribution (the across-column mean
+   * order-statistic profile), the strongest distribution-matching
+   * preprocessing short of per-batch modeling. Deterministic tie
+   * rule: ranks break by row id (cross-engine exact — the same rule
+   * the RINT path uses).
+   *
+   * Scale shape: one distributed sort + zipWithIndex rank PER COLUMN
+   * (never a single-partition window), one rank-keyed mean over the
+   * k-column union, and a rank join back — every exchange is keyed by
+   * rank or id; nothing is collected. Rows with a null in a column
+   * are excluded from that column's ranking only (per-column ranks
+   * then average over the columns present at the rank).
+   */
+  def quantileNormalize(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
+    require(cols.size >= 2, s"quantileNormalize: need >= 2 columns, got $cols")
+    val spark = df.sparkSession
+    val rankedSchema = StructType(Seq(
+      StructField("__qn_id", LongType), StructField("__qn_col", StringType),
+      StructField("__qn_v", DoubleType), StructField("__qn_rank", LongType)))
+    val ranked = cols.map { c =>
+      // explicit aliases: the id column may itself be one of the
+      // normalized columns (two same-named attrs would be ambiguous)
+      val src = df.select(col(idCol).cast("long").as("__qn_id0"),
+          col(c).cast("double").as("__qn_v0"))
+        .where(col("__qn_v0").isNotNull)
+      val rdd = src.orderBy(col("__qn_v0"), col("__qn_id0")).rdd.zipWithIndex()
+        .map { case (r, i) => Row(r.getLong(0), c, r.getDouble(1), i + 1L) }
+      spark.createDataFrame(rdd, rankedSchema)
+    }.reduce(_ unionAll _)
+    val target = ranked.groupBy("__qn_rank")
+      .agg(avg(col("__qn_v")).as("__qn_t"))
+    ranked.join(target, "__qn_rank")
+      .groupBy(col("__qn_id").as(idCol))
+      .agg(cols.map(c =>
+          Norm.r4(max(when(col("__qn_col") === c, col("__qn_t")))).as(s"${c}_qn")).head,
+        cols.map(c =>
+          Norm.r4(max(when(col("__qn_col") === c, col("__qn_t")))).as(s"${c}_qn")).tail: _*)
+  }
+
+  /** p25: quantile-normalize the three customer numerics — after it,
+    * all three columns share one empirical distribution. */
+  def p25QuantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalize(Tables.customer(spark, dir),
+      Seq("c_custkey", "c_nationkey", "c_acctbal"), "c_custkey")
+      .orderBy("c_custkey")
 
   /** Log transform of dependents (roadmap): natural log projection. */
   def logTransform(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -1327,6 +1376,32 @@ object Preprocess {
         |  round(corr(CAST(c_nationkey AS DOUBLE), CAST(c_acctbal AS DOUBLE)), 4) + 0
         |FROM customer
         |ORDER BY col1, col2""".stripMargin,
+    // p25: per-column row_number ranks with the identical (value, id)
+    // tie rule, rank-keyed mean of order statistics, join back — the
+    // across-column avg ordering ULPs are absorbed by the 4-dp round
+    "p25_quantile_normalize" ->
+      """WITH r1 AS (
+        |  SELECT c_custkey AS id, 'c_custkey' AS cn, CAST(c_custkey AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(c_custkey AS DOUBLE), c_custkey) AS rk
+        |  FROM customer WHERE c_custkey IS NOT NULL
+        |), r2 AS (
+        |  SELECT c_custkey AS id, 'c_nationkey' AS cn, CAST(c_nationkey AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(c_nationkey AS DOUBLE), c_custkey) AS rk
+        |  FROM customer WHERE c_nationkey IS NOT NULL
+        |), r3 AS (
+        |  SELECT c_custkey AS id, 'c_acctbal' AS cn, CAST(c_acctbal AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(c_acctbal AS DOUBLE), c_custkey) AS rk
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |), u AS (
+        |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |), t AS (
+        |  SELECT rk, avg(v) AS tv FROM u GROUP BY rk
+        |)
+        |SELECT id AS c_custkey,
+        |  round(max(CASE WHEN cn = 'c_custkey' THEN tv END), 4) + 0 AS c_custkey_qn,
+        |  round(max(CASE WHEN cn = 'c_nationkey' THEN tv END), 4) + 0 AS c_nationkey_qn,
+        |  round(max(CASE WHEN cn = 'c_acctbal' THEN tv END), 4) + 0 AS c_acctbal_qn
+        |FROM u JOIN t USING (rk) GROUP BY id ORDER BY c_custkey""".stripMargin,
     // p24: the generated fixed-count power iteration over the SAME
     // 1e-6-quantized correlations, each iterate re-quantized — the
     // mirror is exact independent of eigen-gap convergence

@@ -306,6 +306,33 @@ class PreprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ind.forall(x => x >= 1.0 && x < 1.05))
   }
 
+  test("quantileNormalize: hand micro-example, distribution identity, tie determinism") {
+    val sess = spark
+    import sess.implicits._
+    // hand example (2 cols x 3 rows, no ties):
+    //   a: 5, 2, 3  -> ranks 3, 1, 2
+    //   b: 4, 1, 6  -> ranks 2, 1, 3
+    // rank means: r1 = (2+1)/2 = 1.5, r2 = (3+4)/2 = 3.5, r3 = (5+6)/2 = 5.5
+    val df = Seq((1L, 5.0, 4.0), (2L, 2.0, 1.0), (3L, 3.0, 6.0)).toDF("id", "a", "b")
+    val out = Preprocess.quantileNormalize(df, Seq("a", "b"), "id").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((5.5, 3.5)) && out(2L) == ((1.5, 1.5)) && out(3L) == ((3.5, 5.5)))
+    // defining property on real-ish data: every column's sorted
+    // normalized values are IDENTICAL
+    val rng = new scala.util.Random(11)
+    val big = (1L to 500L).map(i =>
+      (i, rng.nextGaussian(), 10 + 3 * rng.nextGaussian(), rng.nextInt(7).toDouble))
+      .toDF("id", "x", "y", "z")
+    val qn = Preprocess.quantileNormalize(big, Seq("x", "y", "z"), "id").collect()
+    def sortedCol(i: Int) = qn.map(_.getDouble(i)).sorted.toSeq
+    assert(sortedCol(1) == sortedCol(2) && sortedCol(2) == sortedCol(3))
+    // tie determinism (z has heavy ties): repartitioning changes nothing
+    val qn8 = Preprocess.quantileNormalize(big.repartition(8), Seq("x", "y", "z"), "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val qn1 = qn.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(qn1 == qn8)
+  }
+
   test("pcaTop: analytic 2-var eigenpair, dominant-direction recovery, invariance") {
     val sess = spark
     import sess.implicits._
