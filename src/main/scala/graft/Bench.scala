@@ -187,7 +187,8 @@ object Bench {
     // SPARK_GRAFT_MAS_REPS=<n> widens the rep count (default 3) —
     // the headline-pinning knob: a min-of-5 at load < 2 settles a
     // suspect headline swing without touching the default budget
-    val masReps = sys.env.get("SPARK_GRAFT_MAS_REPS").map(_.toInt).getOrElse(3)
+    val masReps = sys.env.get("SPARK_GRAFT_MAS_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3)
     def reps3(body: => Unit): Seq[(Double, Double)] =
       (1 to masReps).map { _ =>
         coolWait()

@@ -121,6 +121,7 @@ object SparkEntry {
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d12_para_dedup" -> (Dedup.d12ParaDedup _),
     "d13_dup_spans" -> (Dedup.d13DupSpans _),
+    "d21_exact_substrings" -> (Dedup.d21ExactSubstrings _),
     "d15_line_dedup" -> (Dedup.d15LineDedup _),
     "d02_dedup_ngram" -> (Dedup.d02DedupNgram _),
     "d03_dedup_minhash" -> (Dedup.d03DedupMinhash _),

@@ -871,7 +871,14 @@ object Association {
     // free), fit 1 = LRT null (predictor held at 0). The per-fit free
     // coordinate sets are resolved inside the step UDF.
     val freeByFit = Array((0 until m).toArray, (1 until m).toArray)
-    val stepUdf = udf((fit: Int, b: Seq[Double], s: Seq[Double], g1: Seq[Double], t: Seq[Double]) =>
+    // the one penalized-Newton step, shared verbatim by the executor
+    // UDF (shuffle/broadcast regimes) and the driver-stepped loop —
+    // the regimes can only differ in WHERE the 7×7 solve runs, never
+    // in its arithmetic. A function VALUE, not a def: eta-expanding a
+    // local def captures the enclosing object in the UDF closure,
+    // which is not serializable
+    val gramStep: (Int, Seq[Double], Seq[Double], Seq[Double], Seq[Double]) => FirthStepR =
+      (fit: Int, b: Seq[Double], s: Seq[Double], g1: Seq[Double], t: Seq[Double]) =>
       {
         val free = freeByFit(fit)
         val nf = free.length
@@ -916,13 +923,23 @@ object Association {
         } catch {
           case e: Throwable => FirthStepR(b, conv = false, failureReason(e))
         }
-      })
+      }
+    val stepUdf = udf(gramStep)
 
     // a fit is active until it converges, fails, or exhausts the
     // per-fit Newton budget (its counts THIS fit's steps — each fit
-    // owns a fresh budget, exactly as the sequential loops did)
+    // owns a fresh budget, exactly as the sequential loops did). The
+    // LRT-null fit gets 2× headroom: the sequential schedule
+    // warm-started it from the full solution, so a cold start from
+    // beta=0 spends extra iterations just reaching that
+    // neighborhood — without headroom a pair near the budget edge
+    // could exhaust cold where warm converged, surfacing a different
+    // converged flag than the in-task path (r16 advice). Converged
+    // pairs drop out, so the headroom costs nothing on typical data.
+    def budgetOf: Column =
+      when(col("fit") === 1, lit(2 * cfg.maxIter)).otherwise(lit(cfg.maxIter))
     def activeCond: Column =
-      !col("conv") && col("failed").isNull && col("its") < cfg.maxIter
+      !col("conv") && col("failed").isNull && col("its") < budgetOf
     // BOTH fits (full = 0, LRT null = 1) run CONCURRENTLY from
     // iteration 1 (r15 verdict item 5). The null fit previously
     // spawned only when its pair's full fit finished, warm-started
@@ -970,12 +987,98 @@ object Association {
     // (agreement pinned by the regime spec in SourcesAndGramSpec).
     val bcastMaxPairs = spark.conf
       .get("spark.graft.irls.broadcastPairs", "2000000").toLong
-    val shuffleBeta = state.count() > bcastMaxPairs
+    val stateRowCount = state.count()
+    val shuffleBeta = stateRowCount > bcastMaxPairs
+    // Driver-stepped regime (r16 verdict item 3 — the per-iteration
+    // cost was ~75% fixed job overhead): in the broadcast regime the
+    // ENTIRE active state already round-trips the driver every
+    // iteration (collect → LocalRelation → broadcast), yet each step
+    // still paid THREE cluster jobs — the moment scan, the stepped
+    // join + localCheckpoint, and the next active-collect. When the
+    // pair grid is small enough that the moment rows (~(m²/2 + m³/6)
+    // doubles each) are driver-sized too, the Newton solves run on
+    // the driver and an iteration costs exactly ONE job: the moment
+    // aggregation, collected. State lives in a driver array between
+    // iterations — nothing is checkpointed per step. The arithmetic
+    // is gramStep + IrlsMoment, shared verbatim with the other two
+    // regimes (agreement pinned by the regime spec); the shuffle
+    // regime (pair grids too big for ANY driver materialization) is
+    // untouched.
+    val driverStepMax = spark.conf
+      .get("spark.graft.irls.driverStepPairs", "100000").toLong
+    val driverStep = !shuffleBeta && stateRowCount <= driverStepMax
     var cont = true
     val dbg = sys.env.contains("GRAFT_FIRTH_DEBUG")
     def dbgT(label: String, t0: Long): Unit =
       if (dbg) System.err.println(
         f"[firthGram]   $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    if (driverStep) {
+      final class DSt(val gkey: Long, val fit: Int) {
+        var beta: Seq[Double] = Seq.fill(m)(0.0)
+        var conv = false; var failed: String = null; var its = 0
+        def alive: Boolean = !conv && failed == null &&
+          its < (if (fit == 1) 2 * cfg.maxIter else cfg.maxIter)
+      }
+      val viable = counts.filter(col("failed_reason").isNull)
+        .select("gkey").as[Long].collect()
+      val sts = viable.flatMap(g => Seq(new DSt(g, 0), new DSt(g, 1)))
+      val byKey = sts.map(s => ((s.gkey, s.fit), s)).toMap
+      val zeroT = Seq.fill(nT)(0.0)
+      val stSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("fit", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("beta",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+      var firstPass = true
+      var act = sts.filter(_.alive)
+      while (act.nonEmpty) {
+        val tIter = System.nanoTime()
+        val stats: Array[(Long, Int, Seq[Double], Seq[Double], Seq[Double])] =
+          if (firstPass) {
+            // iteration 1 consumes the first-pass moments (β=0, tensor
+            // exactly zero, full ≡ null) — one collect of the already-
+            // checkpointed firstAgg, no extra scan
+            firstPass = false
+            firstAgg.select(col("gkey"), col("st").getField("s"),
+                col("st").getField("g")).collect()
+              .flatMap { r =>
+                val (g, s, gr) = (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2))
+                Seq((g, 0, s, gr, zeroT), (g, 1, s, gr, zeroT))
+              }
+          } else {
+            val rows: Array[org.apache.spark.sql.Row] =
+              act.map(s => org.apache.spark.sql.Row(s.gkey, s.fit, s.beta))
+            val actSt = spark.createDataFrame(java.util.Arrays.asList(rows: _*), stSchema)
+            keyedDf.join(broadcast(actSt), "gkey")
+              .groupBy("gkey", "fit").agg(moment(col("v"), col("beta")).as("st"))
+              .select(col("gkey"), col("fit"), col("st").getField("s"),
+                col("st").getField("g"), col("st").getField("t"))
+              .collect()
+              .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2),
+                r.getSeq[Double](3), r.getSeq[Double](4)))
+          }
+        stats.foreach { case (g, fit, s, gr, t) =>
+          byKey.get((g, fit)).filter(_.alive).foreach { st =>
+            val r = gramStep(fit, st.beta, s, gr, t)
+            st.beta = r.beta; st.conv = r.conv; st.failed = r.failed; st.its += 1
+          }
+        }
+        act = sts.filter(_.alive)
+        if (dbg) System.err.println(
+          f"[firthGram] driver-iter ${(System.nanoTime() - tIter) / 1e9}%.3f s act=${act.length}")
+      }
+      val outRows: Array[org.apache.spark.sql.Row] =
+        sts.map(s => org.apache.spark.sql.Row(s.gkey, s.fit, s.beta, s.conv, s.failed, s.its))
+      state = spark.createDataFrame(java.util.Arrays.asList(outRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gkey", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("fit", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("beta",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.types.StructField("conv", org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("failed", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("its", org.apache.spark.sql.types.IntegerType))))
+    } else
     while (cont) {
       val tColl = System.nanoTime()
       val actDf = state.filter(activeCond).select("gkey", "fit", "beta")

@@ -390,6 +390,82 @@ object Dedup {
   def d09DupShingles(spark: SparkSession, dir: String): DataFrame =
     dupShingleProfile(corpus(spark, dir)).orderBy("doc_id")
 
+  // --------------------------------------- d21 exact substring spans
+
+  /**
+   * d21: EXACT duplicated-substring coverage at CHARACTER level —
+   * the ExactSubstr dedup of Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better" (their suffix-array pass),
+   * re-expressed as a bounded Spark shape. A char position is
+   * covered iff it lies inside SOME substring of length ≥ k that
+   * occurs more than once in the normalized corpus. That coverage
+   * set equals the union of the corpus-duplicated k-grams' extents:
+   * every duplicated substring of length ≥ k is a union of its
+   * (duplicated) k-gram windows, and every duplicated k-gram IS a
+   * duplicated substring of length exactly k — so coalescing maximal
+   * runs of duplicated k-gram starts (each extended k-1 right)
+   * yields the exact Lee-et-al removal set with no suffix array.
+   * (A maximal RUN itself need not occur verbatim elsewhere —
+   * adjacent k-grams can duplicate against different partners — but
+   * the covered-character set, which is what span removal consumes,
+   * is exact.) d13's fixed-width token windows approximate this;
+   * d21 is the char-exact version.
+   *
+   * Scale shape: one (doc_id, pos, gram) row per character — the
+   * same O(total chars) a distributed suffix array would pay — with
+   * the count aggregated ON THE GRAM STRING (map-side combine
+   * collapses hot boilerplate grams before the shuffle, and a
+   * 10⁹-copy gram meets a one-row count side, never a pairing). The
+   * span merge is a per-doc-bounded running-max window, and the
+   * normalized text is materialized behind a localCheckpoint barrier
+   * BEFORE the gram lambda references it — a direct projection would
+   * let PushDownPredicates inline the normalize into the transform
+   * lambda and re-run it once per character (the r16 shingle
+   * pathology, measured ~200×).
+   */
+  def exactSubstringSpans(docs: DataFrame, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && k <= 1000, s"exactSubstringSpans: k in [2,1000], got $k")
+    val t = docs.select(col("doc_id"), normText(trim(col("text"))).as("s"))
+      .localCheckpoint(true)
+    val grams = t.filter(length(col("s")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(s) - ${k - 1}), i -> substring(s, i, $k))"))
+        .as(Seq("pos", "g")))
+    val cnts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val dups = grams.join(cnts, "g").filter(col("cnt") > 1)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dups
+      .withColumn("prev_end", max(col("pos") + k)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("span_id", sum("new_span")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val perDoc = spans.groupBy("doc_id", "span_id")
+      .agg((max(col("pos")) + k - min(col("pos"))).cast("long").as("span_chars"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_chars").as("dup_chars"),
+        max("span_chars").as("max_span_chars"))
+    t.select(col("doc_id"), length(col("s")).as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("max_span_chars"), lit(0L)).as("max_span_chars"),
+        when(col("n_chars") > 0, Norm.r4(
+            coalesce(col("dup_chars"), lit(0L)) / col("n_chars")))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** d21: char-exact duplicated-substring coverage (k = 40) over the
+    * mutated-copy corpus — mutated copies normalize back to their
+    * original's text, so whole-doc maximal spans exist by
+    * construction alongside the natural boilerplate floor. */
+  def d21ExactSubstrings(spark: SparkSession, dir: String): DataFrame =
+    exactSubstringSpans(corpus(spark, dir)).orderBy("doc_id")
+
   // -------------------------------------------------------- d01 exact
 
   /** Exact dedup: group by normalized-text hash, keep the min id.
@@ -1560,6 +1636,51 @@ object Dedup {
           |LEFT JOIN dupstats d USING (doc_id)
           |LEFT JOIN per_doc p USING (doc_id)
           |ORDER BY tk.doc_id""".stripMargin),
+    // d21: window-function mirror of the char-exact substring-span
+    // coverage — same char 40-grams (grouped on the gram string
+    // itself, no hash), same interval-union via running max-end
+    "d21_exact_substrings" ->
+      (corpusSql +
+        s""", t AS (
+          |  SELECT doc_id,
+          |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+          |  FROM corpus
+          |), grams AS (
+          |  SELECT doc_id, i - 1 AS pos, substring(s, i, 40) AS g
+          |  FROM t, unnest(range(1, length(s) - 38)) AS u(i)
+          |  WHERE length(s) >= 40
+          |), cnts AS (
+          |  SELECT g, count(*) AS cnt FROM grams GROUP BY g
+          |), dups AS (
+          |  SELECT doc_id, pos FROM grams JOIN cnts USING (g) WHERE cnt > 1
+          |), marked AS (
+          |  SELECT doc_id, pos,
+          |    max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM dups
+          |), sp AS (
+          |  SELECT doc_id, pos,
+          |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+          |  FROM marked
+          |), per_doc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          |    CAST(sum(span_chars) AS BIGINT) AS dup_chars,
+          |    CAST(max(span_chars) AS BIGINT) AS max_span_chars
+          |  FROM (
+          |    SELECT doc_id, span_id, max(pos) + 40 - min(pos) AS span_chars
+          |    FROM sp GROUP BY 1, 2
+          |  ) GROUP BY 1
+          |)
+          |SELECT t.doc_id,
+          |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+          |  CAST(coalesce(p.max_span_chars, 0) AS BIGINT) AS max_span_chars,
+          |  CASE WHEN length(t.s) > 0
+          |    THEN round(coalesce(p.dup_chars, 0) * 1.0 / length(t.s), 4) + 0
+          |    ELSE 0.0 END AS dup_frac
+          |FROM t LEFT JOIN per_doc p USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin),
     // e10: the streaming replay keeps each paragraph's first ARRIVAL;
     // arrival order is (doc_id, idx), so the batch window mirror is
     // exact — same first-occurrence CTEs as d12, kept rows emitted

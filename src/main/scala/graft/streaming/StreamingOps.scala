@@ -33,16 +33,43 @@ object StreamingOps {
     * session; the streaming machinery under test — sources, state
     * stores, sinks — still runs in full on every gate. Feeds are
     * test-corpus-sized (≤100k small tuples). */
-  private val feedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val feedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.ref.WeakReference[SparkSession], AnyRef)]()
   /** Keyed by the OWNING session's identity as well as the feed name —
     * a session restarted in the same JVM re-collects its feeds instead
     * of replaying arrays gathered under the previous session (r15
-    * advice: dir-only keys served stale feeds across restarts). */
-  private def cachedFeed[T](spark: SparkSession, key: String)(f: => T): T =
+    * advice: dir-only keys served stale feeds across restarts). Each
+    * entry also carries a WeakReference to its owning session and is
+    * evicted on the next lookup once that session stops or is GC'd
+    * (r16 advice: identityHashCode alone never evicts, so feeds
+    * accumulated per restarted session — and a reused hash code
+    * could, rarely, re-serve a dead session's feed; mirroring
+    * Dedup.cachedFrame's isStopped sweep closes both). */
+  private def cachedFeed[T](spark: SparkSession, key: String)(f: => T): T = {
+    feedCache.entrySet().removeIf { e =>
+      val owner = e.getValue._1.get()
+      owner == null || owner.sparkContext.isStopped
+    }
     feedCache.computeIfAbsent(
       java.lang.System.identityHashCode(spark).toHexString + "|" + key,
-      _ => f.asInstanceOf[AnyRef]).asInstanceOf[T]
+      _ => (new java.lang.ref.WeakReference(spark), f.asInstanceOf[AnyRef]))._2
+      .asInstanceOf[T]
+  }
+
+  /** GRAFT_STREAM_DEBUG=1 prints a per-phase wall-time split of each
+    * gate (feed collect / query start / per-micro-batch / flush /
+    * stop) — the r16 verdict's instrumentation ask: ~20 s of the
+    * quiet sweep is streaming-gate fixed cost, none of it data
+    * volume, and the split says which phase to attack. */
+  private val gateDbg = sys.env.contains("GRAFT_STREAM_DEBUG")
+  private def gphase[T](gate: String, label: String)(body: => T): T =
+    if (!gateDbg) body else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[gate:$gate] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
 
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -238,19 +265,19 @@ object StreamingOps {
       agg: DataFrame => DataFrame = tumblingWindowAgg(_)): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val rows = cachedFeed(spark, s"events4:$dir") {
+    val rows = gphase(sinkName, "feed") { cachedFeed(spark, s"events4:$dir") {
       graft.Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
         .as[(Long, String, java.sql.Timestamp, Double)]
         .collect().sortBy(r => (r._3.getTime, r._1))
-    }
+    } }
     val maxTs = rows.iterator.map(_._3.getTime).max
     val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
     val src = input.toDF().toDF("event_id", "event_type", "ts", "value")
     spark.catalog.dropTempView(sinkName)
     withShufflePartitions(spark, 8) {
-      val q = agg(src).writeStream
-        .format("memory").queryName(sinkName).outputMode("append").start()
+      val q = gphase(sinkName, "start") { agg(src).writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
         // ≥5000 rows per micro-batch AND ≤2 batches (+ the flush
         // sentinel): cross-batch state is still exercised, but
@@ -259,11 +286,15 @@ object StreamingOps {
         // commit overhead for an identical final sink, and halving 4→2
         // slices shaved another ~20% off every stateful gate (r12)
         val batch = math.max(5000, (rows.length + 1) / 2)
-        rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
-        input.addData(Seq((-1L, "__flush",
-          new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
-        q.processAllAvailable()
-      } finally q.stop()
+        rows.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+          gphase(sinkName, s"batch$i(${b.length})") {
+            input.addData(b); q.processAllAvailable() } }
+        gphase(sinkName, "flush") {
+          input.addData(Seq((-1L, "__flush",
+            new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
+          q.processAllAvailable()
+        }
+      } finally gphase(sinkName, "stop") { q.stop() }
     }
     spark.table(sinkName)
       .filter(col("event_type") =!= "__flush")
@@ -302,18 +333,22 @@ object StreamingOps {
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(cpDir), true)
     withShufflePartitions(spark, 8) {
-      val q = tumblingWindowAgg(src).writeStream
+      val q = gphase("e17", "start") { tumblingWindowAgg(src).writeStream
         .format("parquet").option("path", outDir)
         .option("checkpointLocation", cpDir)
-        .outputMode("append").start()
+        .outputMode("append").start() }
       try {
         // the e11 slicing rule: ≤2 micro-batches + the flush sentinel
         val batch = math.max(5000, (rows.length + 1) / 2)
-        rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
-        input.addData(Seq((-1L, "__flush",
-          new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
-        q.processAllAvailable()
-      } finally q.stop()
+        rows.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+          gphase("e17", s"batch$i(${b.length})") {
+            input.addData(b); q.processAllAvailable() } }
+        gphase("e17", "flush") {
+          input.addData(Seq((-1L, "__flush",
+            new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
+          q.processAllAvailable()
+        }
+      } finally gphase("e17", "stop") { q.stop() }
     }
     spark.read.parquet(outDir)
       .filter(col("event_type") =!= "__flush")
@@ -338,14 +373,14 @@ object StreamingOps {
     // deterministic 1/3 user sample: the two-sided join state is
     // user-keyed, so this bounds bench-time state without touching
     // the machinery under test (the oracle applies the same filter)
-    val ev = cachedFeed(spark, s"events_vc:$dir") {
+    val ev = gphase("e13", "feed") { cachedFeed(spark, s"events_vc:$dir") {
       graft.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .filter(col("event_type").isin("view", "click") &&
           col("user_id") % 3 === 0)
         .as[(Long, java.sql.Timestamp, Long, String)]
         .collect().sortBy(r => (r._2.getTime, r._1))
-    }
+    } }
     val impIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val clkIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
     def named(s: MemoryStream[(Long, java.sql.Timestamp, Long)]): DataFrame =
@@ -353,20 +388,22 @@ object StreamingOps {
     val sinkName = "graft_e13_sink"
     spark.catalog.dropTempView(sinkName)
     withShufflePartitions(spark, 8) {
-      val q = streamStreamJoin(named(impIn), named(clkIn),
-        joinWindow = "240 minutes", watermark = "6 hours").writeStream
-        .format("memory").queryName(sinkName).outputMode("append").start()
+      val q = gphase("e13", "start") {
+        streamStreamJoin(named(impIn), named(clkIn),
+          joinWindow = "240 minutes", watermark = "6 hours").writeStream
+          .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
         // the e11 rule: ≤2 time-aligned slices, ≥2000 rows each
         // (fewer slices is strictly SAFER for the both-sides-in-state
         // argument — more of each side is in state before any eviction)
         val batch = math.max(2000, (ev.length + 1) / 2)
-        ev.grouped(batch).foreach { b =>
-          impIn.addData(b.filter(_._4 == "view").map(r => (r._1, r._2, r._3)))
-          clkIn.addData(b.filter(_._4 == "click").map(r => (r._1, r._2, r._3)))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+        ev.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+          gphase("e13", s"batch$i(${b.length})") {
+            impIn.addData(b.filter(_._4 == "view").map(r => (r._1, r._2, r._3)))
+            clkIn.addData(b.filter(_._4 == "click").map(r => (r._1, r._2, r._3)))
+            q.processAllAvailable()
+          } }
+      } finally gphase("e13", "stop") { q.stop() }
     }
     spark.table(sinkName).orderBy("imp_id", "click_id")
   }
@@ -420,11 +457,11 @@ object StreamingOps {
         graft.Tables.documents(spark, dir).filter(col("doc_id") < 25),
         "text", "sh")
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
-    val docs = cachedFeed(spark, s"docs25:$dir") {
+    val docs = gphase("e16", "feed") { cachedFeed(spark, s"docs25:$dir") {
       graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1)
-    }
+    } }
     val input = MemoryStream[(Long, String)]
     // +1 h: event-time 0 would sit ON the initial watermark (e10 rule)
     val src = input.toDF().toDF("doc_id", "text")
@@ -432,16 +469,21 @@ object StreamingOps {
     val sinkName = "graft_e16_sink"
     spark.catalog.dropTempView(sinkName)
     withShufflePartitions(spark, 8) {
-      val q = streamContamination(src, bPost, minShared = 3).writeStream
-        .format("memory").queryName(sinkName).outputMode("append").start()
+      val q = gphase("e16", "start") {
+        streamContamination(src, bPost, minShared = 3).writeStream
+          .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
         val batch = math.max(2000, (docs.length + 1) / 2)
-        docs.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
+        docs.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+          gphase("e16", s"batch$i(${b.length})") {
+            input.addData(b); q.processAllAvailable() } }
         // sentinel ts ≈ 115 days: far past window end + delay; its
         // empty text has no shingles, so it can never reach the sink
-        input.addData(Seq((10000000000L, "")))
-        q.processAllAvailable()
-      } finally q.stop()
+        gphase("e16", "flush") {
+          input.addData(Seq((10000000000L, "")))
+          q.processAllAvailable()
+        }
+      } finally gphase("e16", "stop") { q.stop() }
     }
     spark.table(sinkName).orderBy("bench_id", "corpus_id")
   }
@@ -518,25 +560,30 @@ object StreamingOps {
     val c = graft.operators.Dedup.corpus(spark, dir)
     // the SAME cached persisted-index artifact d18 ingests against
     val oldIdx = graft.operators.Dedup.oldBandIndex(spark, dir)
-    val newDocs = cachedFeed(spark, s"newdocs:$dir") {
+    val newDocs = gphase("e19", "feed") { cachedFeed(spark, s"newdocs:$dir") {
       c.filter(col("doc_id") >= 100000)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1)
-    }
+    } }
     val input = MemoryStream[(Long, String)]
     val src = input.toDF().toDF("doc_id", "text")
       .withColumn("ts", timestamp_millis(col("doc_id") + lit(3600000L)))
     val sinkName = "graft_e19_sink"
     spark.catalog.dropTempView(sinkName)
     withShufflePartitions(spark, 8) {
-      val q = streamIncrementalDedup(src, oldIdx, 0.5).writeStream
-        .format("memory").queryName(sinkName).outputMode("append").start()
+      val q = gphase("e19", "start") {
+        streamIncrementalDedup(src, oldIdx, 0.5).writeStream
+          .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
         val batch = math.max(2000, (newDocs.length + 1) / 2)
-        newDocs.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
-        input.addData(Seq((10000000000L, "")))
-        q.processAllAvailable()
-      } finally q.stop()
+        newDocs.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+          gphase("e19", s"batch$i(${b.length})") {
+            input.addData(b); q.processAllAvailable() } }
+        gphase("e19", "flush") {
+          input.addData(Seq((10000000000L, "")))
+          q.processAllAvailable()
+        }
+      } finally gphase("e19", "stop") { q.stop() }
     }
     val matches = spark.table(sinkName)
       .filter(col("doc_id") < 10000000000L)

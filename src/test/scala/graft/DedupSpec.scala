@@ -331,6 +331,42 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L)._3 == 2L && out(5L)._4 == 22L)
   }
 
+  test("exactSubstringSpans: char-exact coverage, within-doc repeats, normalization") {
+    val sess = spark
+    import sess.implicits._
+    // k=5. Docs 1/2 share exactly "abcdefg" (7 chars): doc 1's dup
+    // 5-gram starts {0,1,2} coalesce to ONE 7-char span; doc 2's
+    // {2,3,4} likewise. Doc 3 has no duplicated 5-gram. Doc 4 repeats
+    // an 8-char block WITHIN itself -> two 8-char spans (within-doc
+    // occurrences count, as in Lee et al.). Docs 5/6 are the same
+    // text modulo case/extra whitespace -> full-coverage spans after
+    // normalization.
+    val docs = Seq(
+      (1L, "abcdefghij"),
+      (2L, "xxabcdefgyy"),
+      (3L, "zzzzz"),
+      (4L, "mnopqrst mnopqrst"),
+      (5L, "KLMNOPQRSTUV"),
+      (6L, "  klmno pqrstuv  ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpans(docs, k = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((1L, 7L, 7L, 0.7)))
+    assert(out(2L) == ((1L, 7L, 7L, 0.6364)))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 16L, 8L, 0.9412)))
+    // doc 5 normalizes to "klmnopqrstuv", doc 6 to "klmno pqrstuv"
+    // (the internal space survives). Doc 5's dup 5-gram starts:
+    // 0 ("klmno" via doc 6), 2..5 ("mnopq".."pqrst" via doc 4!),
+    // 6..7 ("qrstu","rstuv" via doc 6) — ADJACENT k-grams duplicated
+    // against DIFFERENT partners coalesce into one full-coverage
+    // span, the documented union semantics. Doc 6: starts {0} and
+    // {6,7,8} -> spans of 5 and 7 chars.
+    assert(out(5L) == ((1L, 12L, 12L, 1.0)))
+    assert(out(6L) == ((2L, 12L, 7L, 0.9231)))
+  }
+
   test("d18 band-index persistence round-trip: ingest against the parquet-reloaded index matches the rebuild-from-corpus path row-for-row") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"

@@ -247,6 +247,22 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(shufL(d).getAs[Boolean]("converged"), s"logistic $d")
       }
     } finally spark.conf.unset("spark.graft.irls.broadcastPairs")
+    // r17: the default above now runs the DRIVER-STEPPED regime
+    // (driverStepPairs covers this tiny grid), so the pin above is
+    // driver-vs-shuffle. Pin the middle regime too: driverStepPairs=0
+    // forces the DataFrame broadcast loop (the r16 path) — all three
+    // regimes share gramStep/IrlsMoment and must land together.
+    spark.conf.set("spark.graft.irls.driverStepPairs", "0")
+    try {
+      val dfLoopF = Association.firthGram(melted, cfg).collect()
+        .map(r => r.getAs[String]("dependent") -> r).toMap
+      for (d <- Seq("dep_a", "dep_b"); c <- Seq("beta", "se", "pval", "OR")) {
+        assert(math.abs(bcastF(d).getAs[Double](c) - dfLoopF(d).getAs[Double](c)) < 1e-8,
+          s"firth $d $c: driver=${bcastF(d).getAs[Double](c)} dfloop=${dfLoopF(d).getAs[Double](c)}")
+      }
+      for (d <- Seq("dep_a", "dep_b"))
+        assert(dfLoopF(d).getAs[Boolean]("converged"), s"firth dfloop $d")
+    } finally spark.conf.unset("spark.graft.irls.driverStepPairs")
   }
 
   test("distributed Gram IRLS applies the same viability gates") {
