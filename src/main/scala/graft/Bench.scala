@@ -384,6 +384,12 @@ object Bench {
           "t20_repetition_gate" -> (() =>
             SparkEntry.queries("t20_repetition_gate")(spark, bigDir)
               .write.format("noop").mode("overwrite").save()),
+          // d21 needs no scale knob: char-gram volume follows corpus
+          // chars, and the vocabulary-substitution replicas keep each
+          // replica's duplicated-substring structure intact
+          "d21_exact_substrings" -> (() =>
+            SparkEntry.queries("d21_exact_substrings")(spark, bigDir)
+              .write.format("noop").mode("overwrite").save()),
           "d10_semdedup" -> (() =>
             graft.operators.Similarity.semDedup(
               graft.operators.Dedup.embCorpus(spark, bigDir).select("vec_id", "e"),
@@ -409,7 +415,7 @@ object Bench {
         // tagged-gram shuffle's real scaling on the sweep's most
         // expensive text query
         val corpusPairs = Seq("d03_dedup_minhash", "d05b_dedup_embedding_lsh",
-          "d10_semdedup", "t20_repetition_gate")
+          "d10_semdedup", "t20_repetition_gate", "d21_exact_substrings")
           .filter(n => famOn(shortId(n))).flatMap { name =>
           corpusEntry(name, run(name), bigBodies(name)())
         }

@@ -1004,8 +1004,11 @@ object Association {
     // regimes (agreement pinned by the regime spec); the shuffle
     // regime (pair grids too big for ANY driver materialization) is
     // untouched.
+    // default sized so the per-task moment buffer (pairs × 2 fits ×
+    // ~119 doubles) stays ~20 MB: far above any PheWAS pair grid,
+    // far below anything that should be driver-resident
     val driverStepMax = spark.conf
-      .get("spark.graft.irls.driverStepPairs", "100000").toLong
+      .get("spark.graft.irls.driverStepPairs", "20000").toLong
     val driverStep = !shuffleBeta && stateRowCount <= driverStepMax
     var cont = true
     val dbg = sys.env.contains("GRAFT_FIRTH_DEBUG")
@@ -1024,43 +1027,131 @@ object Association {
       val sts = viable.flatMap(g => Seq(new DSt(g, 0), new DSt(g, 1)))
       val byKey = sts.map(s => ((s.gkey, s.fit), s)).toMap
       val zeroT = Seq.fill(nT)(0.0)
-      val stSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("gkey", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("fit", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("beta",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+      val nS = m * (m + 1) / 2
+      val nBuf = nS + m + nT
+      // the per-iteration moment scan runs as ONE shuffle-free
+      // mapPartitions job over the cached flat frame's InternalRows:
+      // the UDAF route paid a per-row IrlsRow decode (two array
+      // copies), a LocalRelation broadcast join, a hash-aggregate
+      // exchange and a 3.6k-row collect EVERY iteration — measured
+      // ~1.2 s/iteration at the headline shape with only ~0.3 s of
+      // arithmetic in it. Here each partition accumulates straight
+      // into one flat (active-fit × 119-double) buffer via the
+      // broadcast beta index and the driver element-wise reduces 32
+      // buffers; the per-row products replicate IrlsMoment.reduce
+      // operand-for-operand (same eta fold, same (w·xᵢ)·xⱼ and
+      // ((u·xᵢ)·xⱼ)·x_l associativity, same floor), so iterates
+      // agree across regimes to partial-merge order — the tolerance
+      // class the regime spec pins at 1e-8.
+      val flatPlan = cached.select(
+        (col("gkey") +: (0 until m).map(i => col(s"v$i"))): _*)
       var firstPass = true
       var act = sts.filter(_.alive)
       while (act.nonEmpty) {
         val tIter = System.nanoTime()
-        val stats: Array[(Long, Int, Seq[Double], Seq[Double], Seq[Double])] =
-          if (firstPass) {
-            // iteration 1 consumes the first-pass moments (β=0, tensor
-            // exactly zero, full ≡ null) — one collect of the already-
-            // checkpointed firstAgg, no extra scan
-            firstPass = false
-            firstAgg.select(col("gkey"), col("st").getField("s"),
-                col("st").getField("g")).collect()
-              .flatMap { r =>
-                val (g, s, gr) = (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2))
-                Seq((g, 0, s, gr, zeroT), (g, 1, s, gr, zeroT))
+        if (firstPass) {
+          // iteration 1 consumes the first-pass moments (β=0, tensor
+          // exactly zero, full ≡ null) — one collect of the already-
+          // checkpointed firstAgg, no extra scan
+          firstPass = false
+          firstAgg.select(col("gkey"), col("st").getField("s"),
+              col("st").getField("g")).collect()
+            .foreach { r =>
+              val (g, s, gr) = (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2))
+              Seq(0, 1).foreach { fit =>
+                byKey.get((g, fit)).filter(_.alive).foreach { st =>
+                  val res = gramStep(fit, st.beta, s, gr, zeroT)
+                  st.beta = res.beta; st.conv = res.conv
+                  st.failed = res.failed; st.its += 1
+                }
               }
-          } else {
-            val rows: Array[org.apache.spark.sql.Row] =
-              act.map(s => org.apache.spark.sql.Row(s.gkey, s.fit, s.beta))
-            val actSt = spark.createDataFrame(java.util.Arrays.asList(rows: _*), stSchema)
-            keyedDf.join(broadcast(actSt), "gkey")
-              .groupBy("gkey", "fit").agg(moment(col("v"), col("beta")).as("st"))
-              .select(col("gkey"), col("fit"), col("st").getField("s"),
-                col("st").getField("g"), col("st").getField("t"))
-              .collect()
-              .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2),
-                r.getSeq[Double](3), r.getSeq[Double](4)))
+            }
+        } else {
+          val nAct = act.length
+          val idxOf = new java.util.HashMap[Long, Array[Int]]()
+          act.zipWithIndex.foreach { case (st, i) =>
+            val a = idxOf.computeIfAbsent(st.gkey, _ => Array(-1, -1))
+            a(st.fit) = i
           }
-        stats.foreach { case (g, fit, s, gr, t) =>
-          byKey.get((g, fit)).filter(_.alive).foreach { st =>
-            val r = gramStep(fit, st.beta, s, gr, t)
-            st.beta = r.beta; st.conv = r.conv; st.failed = r.failed; st.its += 1
+          val betas: Array[Array[Double]] = act.map(_.beta.toArray)
+          val bcIdx = spark.sparkContext.broadcast((idxOf, betas))
+          val mm = m
+          val nBufL = nBuf
+          val nSL = nS
+          val nTL = nT
+          val totals = flatPlan.queryExecution.toRdd.mapPartitions { it =>
+            val (idx, bs) = bcIdx.value
+            val buf = new Array[Double](nAct * nBufL)
+            val x = new Array[Double](mm)
+            val kk = mm - 2
+            while (it.hasNext) {
+              val r = it.next()
+              val slots = idx.get(r.getLong(0))
+              if (slots != null) {
+                // design features [x, covs…, 1] from packed [x, y, covs…]
+                x(0) = r.getDouble(1)
+                var c = 0
+                while (c < kk) { x(c + 1) = r.getDouble(c + 3); c += 1 }
+                x(mm - 1) = 1.0
+                val y = r.getDouble(2)
+                var f = 0
+                while (f < 2) {
+                  val si = slots(f)
+                  if (si >= 0) {
+                    val b = bs(si)
+                    var eta = 0.0
+                    var i = 0
+                    while (i < mm) { eta += x(i) * b(i); i += 1 }
+                    val p = 1.0 / (1.0 + math.exp(-eta))
+                    val w = math.max(p * (1.0 - p), 1e-12)
+                    val r1 = y - p
+                    val off = si * nBufL
+                    var idx2 = off
+                    i = 0
+                    while (i < mm) {
+                      val wi = w * x(i)
+                      var j = i
+                      while (j < mm) { buf(idx2) += wi * x(j); idx2 += 1; j += 1 }
+                      buf(off + nSL + i) += x(i) * r1
+                      i += 1
+                    }
+                    val u = w * (0.5 - p)
+                    var ti = off + nSL + mm
+                    i = 0
+                    while (i < mm) {
+                      val ui = u * x(i)
+                      var j = i
+                      while (j < mm) {
+                        val uij = ui * x(j)
+                        var l = j
+                        while (l < mm) { buf(ti) += uij * x(l); ti += 1; l += 1 }
+                        j += 1
+                      }
+                      i += 1
+                    }
+                  }
+                  f += 1
+                }
+              }
+            }
+            Iterator.single(buf)
+          }.reduce { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          }
+          bcIdx.destroy()
+          act.zipWithIndex.foreach { case (st, i) =>
+            val off = i * nBuf
+            val s = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              java.util.Arrays.copyOfRange(totals, off, off + nS))
+            val gr = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              java.util.Arrays.copyOfRange(totals, off + nS, off + nS + m))
+            val t = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              java.util.Arrays.copyOfRange(totals, off + nS + m, off + nBuf))
+            val res = gramStep(st.fit, st.beta, s, gr, t)
+            st.beta = res.beta; st.conv = res.conv
+            st.failed = res.failed; st.its += 1
           }
         }
         act = sts.filter(_.alive)

@@ -1032,6 +1032,20 @@ object Dedup {
         .localCheckpoint(true)
     }
 
+  private val shoTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Doc-level (ido, sho) verify table of the old index — the
+    * normalized HEAVY half of the persisted artifact (the band
+    * postings are the slim half; the fused index repeats each doc's
+    * shingle array on all 32 band rows). One row per old doc,
+    * checkpointed once per (session, dir) so streaming micro-batch
+    * re-plans never re-run the dropDuplicates shuffle. */
+  private[graft] def oldShoTable(spark: SparkSession, dir: String): DataFrame =
+    cachedFrame(shoTableCache, spark, dir) {
+      oldBandIndex(spark, dir).select(col("ido"), col("sho"))
+        .dropDuplicates("ido").localCheckpoint(true)
+    }
+
   /** d18: incremental ingest dedup — the mutated +100000 replicas are
     * the incoming snapshot, the originals the existing corpus; the
     * old side joins as the CACHED persisted band index

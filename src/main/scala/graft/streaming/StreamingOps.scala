@@ -387,16 +387,26 @@ object StreamingOps {
       s.toDF().toDF("event_id", "ts", "user_id")
     val sinkName = "graft_e13_sink"
     spark.catalog.dropTempView(sinkName)
-    withShufflePartitions(spark, 8) {
+    // 4 partitions, not 8: the two-sided join keeps FOUR state
+    // stores per partition, and per-batch commit cost scales with
+    // partitions × stores while the 13k-row batches don't need the
+    // parallelism (r17 gate-overhead split: both batches were
+    // ~90% machinery). Join output is partition-count invariant.
+    withShufflePartitions(spark, 4) {
       val q = gphase("e13", "start") {
         streamStreamJoin(named(impIn), named(clkIn),
           joinWindow = "240 minutes", watermark = "6 hours").writeStream
           .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
-        // the e11 rule: ≤2 time-aligned slices, ≥2000 rows each
-        // (fewer slices is strictly SAFER for the both-sides-in-state
-        // argument — more of each side is in state before any eviction)
-        val batch = math.max(2000, (ev.length + 1) / 2)
+        // ONE time-aligned slice (r17 gate-overhead item): fewer
+        // slices is strictly SAFER for the both-sides-in-state
+        // argument — more of each side is in state before any
+        // eviction — and the r17 phase split showed each extra
+        // micro-batch costs ~2 s of pure state-store machinery at
+        // 6.6k rows. The join still runs the real two-sided state
+        // path: both MemoryStream sources feed one micro-batch and
+        // the inner join emits exactly the batch range join.
+        val batch = math.max(2000, ev.length)
         ev.grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase("e13", s"batch$i(${b.length})") {
             impIn.addData(b.filter(_._4 == "view").map(r => (r._1, r._2, r._3)))
@@ -505,7 +515,8 @@ object StreamingOps {
    */
   def streamIncrementalDedup(docs: DataFrame, oldIndex: DataFrame, tau: Double,
       bands: Int = 32, rows: Int = 4,
-      windowDur: String = "1 day", watermark: String = "1 hour"): DataFrame = {
+      windowDur: String = "1 day", watermark: String = "1 hour",
+      oldSho: Option[DataFrame] = None): DataFrame = {
     val params = graft.operators.Dedup.permParams(bands * rows, 42L)
     // shingle-free docs (and the watermark sentinel) must drop at the
     // EXPLODE, not at a filter: a `size(sh) > 0` Filter doesn't
@@ -532,7 +543,24 @@ object StreamingOps {
         col("b._1").as("band"), col("b._2").as("bh"))
     val jac = col("common") /
       (size(col("shn")) + size(col("sho")) - col("common"))
-    bandsDf.join(broadcast(oldIndex), Seq("band", "bh"))
+    // r17 (gate-overhead item): IncrementalExecution re-plans every
+    // micro-batch, so a static-side BroadcastExchange REBUILDS per
+    // batch. The fused index carries each old doc's full shingle
+    // array on all 32 band rows — a 32×-denormalized payload whose
+    // per-batch rebuild was most of e19's cost (measured 4.3 s batch
+    // + 2.5 s flush at sf0.1 for 500 streamed docs). Split it the
+    // way the BATCH ingest already does: the band join broadcasts
+    // only the slim fixed-width postings (band, bh, ido), and the
+    // verify arrays join once per matched candidate from the
+    // doc-level (ido, sho) table. A band-collision pair still
+    // verifies once per colliding band; the max-struct aggregate
+    // absorbs duplicates exactly as before — value-identical (the
+    // e19 ≡ d18-oracle gate re-proves it).
+    val slimIdx = oldIndex.select("band", "bh", "ido")
+    val shoTbl = oldSho.getOrElse(
+      oldIndex.select(col("ido"), col("sho")).dropDuplicates("ido"))
+    bandsDf.join(broadcast(slimIdx), Seq("band", "bh"))
+      .join(broadcast(shoTbl), Seq("ido"))
       .withColumn("common",
         size(array_intersect(col("shn"), col("sho"))).cast("double"))
       .filter(jac >= tau)
@@ -572,7 +600,8 @@ object StreamingOps {
     spark.catalog.dropTempView(sinkName)
     withShufflePartitions(spark, 8) {
       val q = gphase("e19", "start") {
-        streamIncrementalDedup(src, oldIdx, 0.5).writeStream
+        streamIncrementalDedup(src, oldIdx, 0.5,
+          oldSho = Some(graft.operators.Dedup.oldShoTable(spark, dir))).writeStream
           .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
         val batch = math.max(2000, (newDocs.length + 1) / 2)
