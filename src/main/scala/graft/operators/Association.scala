@@ -833,10 +833,134 @@ object Association {
     // singular instead, but the equation string must agree for the
     // pairs both paths fit)
     val firstMoment = udaf(new FirstMoment(m))
-    val firstAgg = keyedDf.groupBy("gkey")
+    val dbgF = sys.env.contains("GRAFT_FIRTH_DEBUG")
+    def stampF(label: String, t0: Long): Unit =
+      if (dbgF) System.err.println(
+        f"[firthGram] phase $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    // ---- regime decision (static: pairs × 2 fits is known from the
+    // config, no job) — made BEFORE the first pass so the driver
+    // regime can run its raw-row variant of it
+    val bcastMaxPairs = spark.conf
+      .get("spark.graft.irls.broadcastPairs", "2000000").toLong
+    // default sized so the per-task moment buffer (pairs × 2 fits ×
+    // ~119 doubles) stays ~20 MB: far above any PheWAS pair grid,
+    // far below anything that should be driver-resident
+    val driverStepMax = spark.conf
+      .get("spark.graft.irls.driverStepPairs", "20000").toLong
+    val stateRowCount = 2L * cfg.predictors.size * cfg.dependents.size
+    val shuffleBeta = stateRowCount > bcastMaxPairs
+    val driverStep = !shuffleBeta && stateRowCount <= driverStepMax
+    val gridSize = cfg.predictors.size * cfg.dependents.size
+    val nS0 = m * (m + 1) / 2
+    // per-gkey first-pass layout: [n, ySum, s(nS), g(m), cmin(k), cmax(k)]
+    val nF = 2 + nS0 + m + 2 * k
+    val tFirst = System.nanoTime()
+    // driver regime: ONE shuffle-free mapPartitions job computes
+    // viability + β=0 moments into a grid-indexed flat buffer —
+    // the raw-row twin of FirstMoment (same per-row products:
+    // (¼·xᵢ)·xⱼ, x·(y−½), running min/max), merged add-for-sums /
+    // min-max-for-ranges across partitions
+    val firstDrv: Array[Double] = if (!driverStep) null else {
+      val flatPlan0 = cached.select(
+        (col("gkey") +: (0 until m).map(i => col(s"v$i"))): _*)
+      val mm = m
+      val kk = k
+      val nFL = nF
+      val nSL = nS0
+      val gs = gridSize
+      flatPlan0.queryExecution.toRdd.mapPartitions { it =>
+        val buf = new Array[Double](gs * nFL)
+        var gi = 0
+        while (gi < gs) {
+          var c = 0
+          while (c < kk) {
+            buf(gi * nFL + 2 + nSL + mm + c) = Double.PositiveInfinity
+            buf(gi * nFL + 2 + nSL + mm + kk + c) = Double.NegativeInfinity
+            c += 1
+          }
+          gi += 1
+        }
+        val x = new Array[Double](mm)
+        while (it.hasNext) {
+          val r = it.next()
+          val off = r.getLong(0).toInt * nFL
+          buf(off) += 1.0
+          val y = r.getDouble(2)
+          buf(off + 1) += y
+          x(0) = r.getDouble(1)
+          var c = 0
+          while (c < kk) {
+            val vc = r.getDouble(c + 3)
+            x(c + 1) = vc
+            if (vc < buf(off + 2 + nSL + mm + c)) buf(off + 2 + nSL + mm + c) = vc
+            if (vc > buf(off + 2 + nSL + mm + kk + c)) buf(off + 2 + nSL + mm + kk + c) = vc
+            c += 1
+          }
+          x(mm - 1) = 1.0
+          val r1 = y - 0.5
+          var idx = off + 2
+          var i = 0
+          while (i < mm) {
+            val wi = 0.25 * x(i)
+            var j = i
+            while (j < mm) { buf(idx) += wi * x(j); idx += 1; j += 1 }
+            buf(off + 2 + nSL + i) += x(i) * r1
+            i += 1
+          }
+        }
+        Iterator.single(buf)
+      }.reduce { (a, b) =>
+        var gi = 0
+        while (gi < gs) {
+          val off = gi * nFL
+          var i = off
+          val sumEnd = off + 2 + nSL + mm
+          while (i < sumEnd) { a(i) += b(i); i += 1 }
+          var c = 0
+          while (c < kk) {
+            if (b(sumEnd + c) < a(sumEnd + c)) a(sumEnd + c) = b(sumEnd + c)
+            if (b(sumEnd + kk + c) > a(sumEnd + kk + c)) a(sumEnd + kk + c) = b(sumEnd + kk + c)
+            c += 1
+          }
+          gi += 1
+        }
+        a
+      }
+    }
+    val firstAgg = if (driverStep) null else keyedDf.groupBy("gkey")
       .agg(firstMoment(col("v")).as("st"))
       .localCheckpoint(true)
-    val counts = firstAgg.select(col("gkey"),
+    stampF("firstpass", tFirst)
+    // driver regime: counts as a LocalRelation from the driver
+    // buffer — field-for-field the same rows (incl. the reason
+    // strings) the DataFrame projection produces
+    def firstN(gi: Int): Long = firstDrv(gi * nF).toLong
+    def firstCases(gi: Int): Long = firstDrv(gi * nF + 1).toLong
+    def firstFailed(gi: Int): String = {
+      val cases = firstCases(gi); val n = firstN(gi)
+      if (cases < minCase) s"Insufficient case count ($cases cases)."
+      else if (n - cases < minCase) s"Insufficient control count (${n - cases} controls)."
+      else if (cases == n) "All observations are cases."
+      else null
+    }
+    val counts = if (driverStep) {
+      val rows: Array[org.apache.spark.sql.Row] =
+        (0 until gridSize).filter(gi => firstN(gi) > 0).map { gi =>
+          val ckeep = (0 until k).map(c =>
+            firstDrv(gi * nF + 2 + nS0 + m + c) < firstDrv(gi * nF + 2 + nS0 + m + k + c))
+          org.apache.spark.sql.Row(gi.toLong, firstCases(gi), firstN(gi),
+            ckeep, firstFailed(gi))
+        }.toArray
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gkey", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cases", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ckeep",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.BooleanType)),
+          org.apache.spark.sql.types.StructField("failed_reason",
+            org.apache.spark.sql.types.StringType))))
+    } else firstAgg.select(col("gkey"),
         col("st").getField("ySum").cast("long").as("cases"),
         col("st").getField("n").as("n"),
         (if (k == 0) typedlit(Seq.empty[Boolean])
@@ -850,7 +974,8 @@ object Association {
               (col("n") - col("cases")).cast("string"), lit(" controls).")))
           .when(col("cases") === col("n"), lit("All observations are cases.")))
     // no own checkpoint: counts is a shallow projection over the
-    // checkpointed firstAgg
+    // checkpointed firstAgg (DataFrame regimes) or a LocalRelation
+    // (driver regime)
 
     // p under eta, W floored at 1e-12 (Models.etaPW's floor — NOT the
     // 1e-10 plain-logistic floor; matching the in-task Firth fitter
@@ -925,6 +1050,21 @@ object Association {
         }
       }
     val stepUdf = udf(gramStep)
+    // final-pass math (penalized ll + Wald se at the converged beta),
+    // shared by the executor UDF and the driver-stepped final scan
+    val finalFn: (Seq[Double], Double) => FirthFinalR = (s: Seq[Double], ll: Double) =>
+      try {
+        val im = DenseMatrix.tabulate(m, m)((a, b) =>
+          s(triOf(math.min(a, b), math.max(a, b))))
+        val l = breeze.linalg.cholesky(im)
+        val logDet = 2.0 * (0 until m).map(i => math.log(l(i, i))).sum
+        val covm: DenseMatrix[Double] = breeze.linalg.inv(im)
+        val se0 = math.sqrt(covm(0, 0))
+        FirthFinalR(ll + 0.5 * logDet, se0, null)
+      } catch {
+        case e: Throwable =>
+          FirthFinalR(Double.NaN, Double.NaN, failureReason(e))
+      }
 
     // a fit is active until it converges, fails, or exhausts the
     // per-fit Newton budget (its counts THIS fit's steps — each fit
@@ -956,12 +1096,15 @@ object Association {
     // fixed point (criterion: step AND score below tol) — the
     // cold-started null is the same optimum the warm start reached,
     // pinned by the gram-vs-in-task parity spec at 1e-5.
-    var state = counts.filter(col("failed_reason").isNull)
+    // built lazily: the driver-stepped regime keeps state in a
+    // driver array and never pays this frame's eager checkpoint job
+    def initStateFrame(): DataFrame = counts.filter(col("failed_reason").isNull)
       .select(col("gkey"), explode(typedlit(Seq(0, 1))).as("fit"),
         typedlit(Seq.fill(m)(0.0)).as("beta"),
         lit(false).as("conv"), lit(null).cast("string").as("failed"),
         lit(0).as("its"))
       .localCheckpoint(true)
+    var state: DataFrame = null
     val moment = udaf(new IrlsMoment(m, wFloor = 1e-12, tensor = true))
     // iteration 1 consumes the first-pass moments (β=0 for every
     // pair): no beta join, tensor exactly zero — the same scan that
@@ -969,7 +1112,7 @@ object Association {
     // full and null moments are IDENTICAL (the null fit differs only
     // in its free set), so one aggregation serves both fits
     val nT = m * (m + 1) * (m + 2) / 6
-    var firstStats: Option[DataFrame] = Some(firstAgg.select(
+    var firstStats: Option[DataFrame] = if (driverStep) None else Some(firstAgg.select(
       col("gkey"), explode(typedlit(Seq(0, 1))).as("fit"),
       col("st").getField("s").as("s"), col("st").getField("g").as("g"),
       typedlit(Seq.fill(nT)(0.0)).as("t")))
@@ -985,10 +1128,6 @@ object Association {
     // state — two cheap distributed jobs instead of one driver-sized
     // one. Both regimes step the same state frame with the same UDF
     // (agreement pinned by the regime spec in SourcesAndGramSpec).
-    val bcastMaxPairs = spark.conf
-      .get("spark.graft.irls.broadcastPairs", "2000000").toLong
-    val stateRowCount = state.count()
-    val shuffleBeta = stateRowCount > bcastMaxPairs
     // Driver-stepped regime (r16 verdict item 3 — the per-iteration
     // cost was ~75% fixed job overhead): in the broadcast regime the
     // ENTIRE active state already round-trips the driver every
@@ -1003,18 +1142,14 @@ object Association {
     // is gramStep + IrlsMoment, shared verbatim with the other two
     // regimes (agreement pinned by the regime spec); the shuffle
     // regime (pair grids too big for ANY driver materialization) is
-    // untouched.
-    // default sized so the per-task moment buffer (pairs × 2 fits ×
-    // ~119 doubles) stays ~20 MB: far above any PheWAS pair grid,
-    // far below anything that should be driver-resident
-    val driverStepMax = spark.conf
-      .get("spark.graft.irls.driverStepPairs", "20000").toLong
-    val driverStep = !shuffleBeta && stateRowCount <= driverStepMax
+    // untouched. (Regime knobs/decision now live above the first
+    // pass — the decision is static on the config grid size.)
     var cont = true
     val dbg = sys.env.contains("GRAFT_FIRTH_DEBUG")
     def dbgT(label: String, t0: Long): Unit =
       if (dbg) System.err.println(
         f"[firthGram]   $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    var finAllDrv: DataFrame = null
     if (driverStep) {
       final class DSt(val gkey: Long, val fit: Int) {
         var beta: Seq[Double] = Seq.fill(m)(0.0)
@@ -1022,8 +1157,11 @@ object Association {
         def alive: Boolean = !conv && failed == null &&
           its < (if (fit == 1) 2 * cfg.maxIter else cfg.maxIter)
       }
-      val viable = counts.filter(col("failed_reason").isNull)
-        .select("gkey").as[Long].collect()
+      // viable pairs straight from the driver first-pass buffer — no
+      // collect job
+      val viable: Array[Long] = (0 until gridSize)
+        .filter(gi => firstN(gi) > 0 && firstFailed(gi) == null)
+        .map(_.toLong).toArray
       val sts = viable.flatMap(g => Seq(new DSt(g, 0), new DSt(g, 1)))
       val byKey = sts.map(s => ((s.gkey, s.fit), s)).toMap
       val zeroT = Seq.fill(nT)(0.0)
@@ -1051,21 +1189,23 @@ object Association {
         val tIter = System.nanoTime()
         if (firstPass) {
           // iteration 1 consumes the first-pass moments (β=0, tensor
-          // exactly zero, full ≡ null) — one collect of the already-
-          // checkpointed firstAgg, no extra scan
+          // exactly zero, full ≡ null) straight from the driver
+          // buffer — no collect, no extra scan
           firstPass = false
-          firstAgg.select(col("gkey"), col("st").getField("s"),
-              col("st").getField("g")).collect()
-            .foreach { r =>
-              val (g, s, gr) = (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2))
-              Seq(0, 1).foreach { fit =>
-                byKey.get((g, fit)).filter(_.alive).foreach { st =>
-                  val res = gramStep(fit, st.beta, s, gr, zeroT)
-                  st.beta = res.beta; st.conv = res.conv
-                  st.failed = res.failed; st.its += 1
-                }
+          viable.foreach { g =>
+            val off = g.toInt * nF
+            val s = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              java.util.Arrays.copyOfRange(firstDrv, off + 2, off + 2 + nS0))
+            val gr = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              java.util.Arrays.copyOfRange(firstDrv, off + 2 + nS0, off + 2 + nS0 + m))
+            Seq(0, 1).foreach { fit =>
+              byKey.get((g, fit)).filter(_.alive).foreach { st =>
+                val res = gramStep(fit, st.beta, s, gr, zeroT)
+                st.beta = res.beta; st.conv = res.conv
+                st.failed = res.failed; st.its += 1
               }
             }
+          }
         } else {
           val nAct = act.length
           val idxOf = new java.util.HashMap[Long, Array[Int]]()
@@ -1169,7 +1309,103 @@ object Association {
           org.apache.spark.sql.types.StructField("conv", org.apache.spark.sql.types.BooleanType),
           org.apache.spark.sql.types.StructField("failed", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("its", org.apache.spark.sql.types.IntegerType))))
-    } else
+      // fused final scan, raw-row: the same ONE-job shape as the
+      // Newton iterations — per row, per non-failed fit: eta at the
+      // FINAL beta, clamped log-likelihood term, 28 information sums;
+      // finalFn (the cholesky/pll/se math) runs on the driver. Same
+      // operand order as the withPW/sum-column chain it replaces.
+      val tFin0 = System.nanoTime()
+      val finSts = sts.filter(_.failed == null)
+      finAllDrv = {
+        if (finSts.isEmpty) {
+          spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("gkey",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("fit",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("fin",
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("pll",
+                    org.apache.spark.sql.types.DoubleType),
+                  org.apache.spark.sql.types.StructField("se0",
+                    org.apache.spark.sql.types.DoubleType),
+                  org.apache.spark.sql.types.StructField("failed",
+                    org.apache.spark.sql.types.StringType)))))))
+        } else {
+          val nFin = finSts.length
+          val idxF = new java.util.HashMap[Long, Array[Int]]()
+          finSts.zipWithIndex.foreach { case (st, i) =>
+            val a = idxF.computeIfAbsent(st.gkey, _ => Array(-1, -1))
+            a(st.fit) = i
+          }
+          val betasF: Array[Array[Double]] = finSts.map(_.beta.toArray)
+          val bcF = spark.sparkContext.broadcast((idxF, betasF))
+          val mm = m
+          val nSL = nS
+          val nFB = nSL + 1
+          val finTotals = flatPlan.queryExecution.toRdd.mapPartitions { it =>
+            val (idx, bs) = bcF.value
+            val buf = new Array[Double](nFin * nFB)
+            val x = new Array[Double](mm)
+            val kk = mm - 2
+            while (it.hasNext) {
+              val r = it.next()
+              val slots = idx.get(r.getLong(0))
+              if (slots != null) {
+                x(0) = r.getDouble(1)
+                var c = 0
+                while (c < kk) { x(c + 1) = r.getDouble(c + 3); c += 1 }
+                x(mm - 1) = 1.0
+                val y = r.getDouble(2)
+                var f = 0
+                while (f < 2) {
+                  val si = slots(f)
+                  if (si >= 0) {
+                    val b = bs(si)
+                    var eta = 0.0
+                    var i = 0
+                    while (i < mm) { eta += x(i) * b(i); i += 1 }
+                    val p = 1.0 / (1.0 + math.exp(-eta))
+                    val w = math.max(p * (1.0 - p), 1e-12)
+                    val pc = math.max(math.min(p, 1.0 - 1e-15), 1e-15)
+                    val off = si * nFB
+                    var idx2 = off
+                    i = 0
+                    while (i < mm) {
+                      val wi = w * x(i)
+                      var j = i
+                      while (j < mm) { buf(idx2) += wi * x(j); idx2 += 1; j += 1 }
+                      i += 1
+                    }
+                    buf(off + nSL) +=
+                      y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc)
+                  }
+                  f += 1
+                }
+              }
+            }
+            Iterator.single(buf)
+          }.reduce { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          }
+          bcF.destroy()
+          val finRows = finSts.zipWithIndex.map { case (st, i) =>
+            val off = i * nFB
+            val fin = finalFn(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              java.util.Arrays.copyOfRange(finTotals, off, off + nSL)),
+              finTotals(off + nSL))
+            (st.gkey, st.fit, fin)
+          }.toSeq
+          finRows.toDF("gkey", "fit", "fin")
+        }
+      }
+      stampF("final-scan-drv", tFin0)
+    } else {
+    state = initStateFrame()
     while (cont) {
       val tColl = System.nanoTime()
       val actDf = state.filter(activeCond).select("gkey", "fit", "beta")
@@ -1250,29 +1486,19 @@ object Association {
           }) + s" t=${System.nanoTime() / 1e9}")
       }
     }
+    }
 
     // one scan at the FINAL beta: log-likelihood + information matrix
     // → penalized log-likelihood (ll + ½·log det X'WX) and the
     // predictor's Wald se, both executor-side
-    val finalUdf = udf((s: Seq[Double], ll: Double) =>
-      try {
-        val im = DenseMatrix.tabulate(m, m)((a, b) =>
-          s(triOf(math.min(a, b), math.max(a, b))))
-        val l = breeze.linalg.cholesky(im)
-        val logDet = 2.0 * (0 until m).map(i => math.log(l(i, i))).sum
-        val covm: DenseMatrix[Double] = breeze.linalg.inv(im)
-        val se0 = math.sqrt(covm(0, 0))
-        FirthFinalR(ll + 0.5 * logDet, se0, null)
-      } catch {
-        case e: Throwable =>
-          FirthFinalR(Double.NaN, Double.NaN, failureReason(e))
-      })
+    val finalUdf = udf(finalFn)
     // ONE scan at BOTH final betas (the fused state carries full and
     // null rows): each payload row fans out to its pair's two
     // broadcast beta rows — same arithmetic as two separate scans,
     // half the scan IO
     val pc = greatest(least(col("p"), lit(1.0 - 1e-15)), lit(1e-15))
-    val finAll = withPW(keyedDf.join(
+    val tFin = System.nanoTime()
+    val finAll = if (finAllDrv != null) finAllDrv else withPW(keyedDf.join(
         broadcast(state.filter(col("failed").isNull).select("gkey", "fit", "beta")), "gkey"))
       .withColumn("lli",
         col("v")(1) * log(pc) + (lit(1.0) - col("v")(1)) * log(lit(1.0) - pc))
@@ -1285,6 +1511,7 @@ object Association {
         finalUdf(array(pairs.map { case (i, j) => col(s"s_${i}_$j") }: _*), col("ll"))
           .as("fin"))
       .localCheckpoint(true)
+    stampF("final-scan", tFin)
     if (doPersist) cached.unpersist()
 
     val fullState = state.filter(col("fit") === 0).select("gkey", "beta", "conv", "failed")
