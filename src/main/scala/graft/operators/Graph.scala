@@ -42,10 +42,124 @@ object Graph {
    *
    * `edges` must be (src, dst) pairs; vertices = edge endpoints.
    */
+  /** Spark's Round-on-double, replicated for the driver-resident
+    * rank loops: BigDecimal.valueOf (= Double.toString) + HALF_UP —
+    * the exact expression semantics, so the regimes are bit-equal. */
+  private def sparkRound0(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Driver-resident regime gate for the iterative rank loops: below
+    * this edge count the whole power iteration runs on the driver
+    * over collected CSR arrays (ONE collect job; zero per-iteration
+    * jobs) — the firthGram driver-step regime applied to graphs. The
+    * integer rank state makes the twin EXACT, not approximate:
+    * contributions are integer floor-divs summed in any order, and
+    * the single double op per vertex replicates Spark's Round
+    * ([[sparkRound0]]). Above the gate the declarative loop runs
+    * unchanged (one edge join + one dst aggregate per round) — the
+    * cluster-scale path; the 10× bench graphs (12M edges) stay on
+    * it. Regime equality is spec-pinned bit-for-bit. */
+  private def driverEdgeMax(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.graph.driverEdges", "4000000").toLong
+
+  /** Shared driver-resident integer power iteration: `seedsOpt`
+    * None = uniform PageRank, Some = personalized (teleport and
+    * dangling mass return to the seed set). Arithmetic is the
+    * DataFrame loop's, operand for operand. */
+  private def rankDriver(e: DataFrame, iters: Int,
+      seedsOpt: Option[DataFrame]): DataFrame = {
+    val spark = e.sparkSession
+    val erows = e.collect()
+    val idx = new java.util.HashMap[Any, Integer]()
+    def nodeIdx(v: Any): Int = {
+      var i = idx.get(v)
+      if (i == null) { i = idx.size(); idx.put(v, i) }
+      i.intValue()
+    }
+    val srcIdx = new Array[Int](erows.length)
+    val dstIdx = new Array[Int](erows.length)
+    var ei = 0
+    while (ei < erows.length) {
+      srcIdx(ei) = nodeIdx(erows(ei).get(0))
+      dstIdx(ei) = nodeIdx(erows(ei).get(1))
+      ei += 1
+    }
+    val n = idx.size()
+    val nodesArr = new Array[Any](n)
+    idx.forEach((k, v) => nodesArr(v.intValue()) = k)
+    val outdeg = new Array[Long](n)
+    ei = 0
+    while (ei < erows.length) { outdeg(srcIdx(ei)) += 1L; ei += 1 }
+    val isSeed = new Array[Boolean](n)
+    val sCount: Long = seedsOpt match {
+      case None => 0L
+      case Some(sd) =>
+        sd.select(col("node")).distinct().collect().foreach { r =>
+          val i = idx.get(r.get(0))
+          if (i != null) isSeed(i.intValue()) = true
+        }
+        isSeed.count(identity).toLong
+    }
+    if (seedsOpt.isDefined)
+      require(sCount >= 1, "ppr: seed set is empty (or disjoint from the graph)")
+    val r = new Array[Long](n)
+    val teleport =
+      if (seedsOpt.isDefined) math.round(0.15 * Scale.toDouble / sCount)
+      else math.round(0.15 * Scale.toDouble / n)
+    var v0 = 0
+    while (v0 < n) {
+      r(v0) =
+        if (seedsOpt.isDefined) { if (isSeed(v0)) Scale / sCount else 0L }
+        else Scale / n
+      v0 += 1
+    }
+    val cval = new Array[Long](n)
+    val contrib = new Array[Long](n)
+    for (_ <- 1 to iters) {
+      var i = 0
+      var dm = 0L
+      while (i < n) {
+        if (outdeg(i) > 0) cval(i) = r(i) / outdeg(i) else dm += r(i)
+        contrib(i) = 0L
+        i += 1
+      }
+      ei = 0
+      while (ei < erows.length) {
+        contrib(dstIdx(ei)) += cval(srcIdx(ei))
+        ei += 1
+      }
+      i = 0
+      while (i < n) {
+        r(i) =
+          if (seedsOpt.isDefined)
+            (if (isSeed(i)) teleport else 0L) +
+              sparkRound0(0.85 * (contrib(i) +
+                (if (isSeed(i)) dm / sCount else 0L)).toDouble)
+          else teleport + sparkRound0(0.85 * (contrib(i) + dm / n).toDouble)
+        i += 1
+      }
+    }
+    // final projection (incl. the 4-dp round) runs as the SAME Spark
+    // expressions over the LocalRelation — no second rounding twin
+    val rows: Array[org.apache.spark.sql.Row] =
+      Array.tabulate(n)(i => org.apache.spark.sql.Row(nodesArr(i), r(i)))
+    val nodeType = e.schema.fields(0).dataType
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.LongType))))
+      .select(col("node"), col("r").as("rank_micro"),
+        round(col("r") / Scale.toDouble, 4).as("rank"))
+  }
+
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"pagerank: iters in [1,50], got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
+    if (e.count() <= driverEdgeMax(edges.sparkSession))
+      return rankDriver(e, iters, None)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
@@ -98,6 +212,8 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"ppr: iters in [1,50], got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
+    if (e.count() <= driverEdgeMax(edges.sparkSession))
+      return rankDriver(e, iters, Some(seeds))
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
@@ -283,6 +399,91 @@ object Graph {
    */
   def labelProp(und: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"labelProp: iters in [1,20], got $iters")
+    // driver-resident twin (same regime/gate as [[rankDriver]]): the
+    // whole state is one label per vertex and the per-round mode is
+    // integer counting — max(cnt), ties to MIN label, exactly the
+    // max(struct(cnt, −lbl)) aggregate below; zero per-round jobs.
+    // Long-labeled graphs only (the declarative tie-break negates the
+    // label, so the operator is numeric-labeled by contract anyway).
+    if (und.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)) {
+      val spark = und.sparkSession
+      val e = und.select(col("u"), col("v")).localCheckpoint(true)
+      if (2 * e.count() <= driverEdgeMax(spark)) {
+        val erows = e.collect()
+        val idx = new java.util.HashMap[Long, Integer]()
+        def nodeIdx(v: Long): Int = {
+          var i = idx.get(v)
+          if (i == null) { i = idx.size(); idx.put(v, i) }
+          i.intValue()
+        }
+        val us = new Array[Int](erows.length)
+        val vs = new Array[Int](erows.length)
+        var ei = 0
+        while (ei < erows.length) {
+          us(ei) = nodeIdx(erows(ei).getLong(0))
+          vs(ei) = nodeIdx(erows(ei).getLong(1))
+          ei += 1
+        }
+        val n = idx.size()
+        val value = new Array[Long](n)
+        idx.forEach((k, v) => value(v.intValue()) = k)
+        // CSR over BOTH directions (no dedup — multi-edges count
+        // twice in the neighbor-label mode, as in the union below)
+        val deg = new Array[Int](n)
+        ei = 0
+        while (ei < erows.length) { deg(us(ei)) += 1; deg(vs(ei)) += 1; ei += 1 }
+        val off = new Array[Int](n + 1)
+        var i = 0
+        while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val nbr = new Array[Int](off(n))
+        val fill = java.util.Arrays.copyOf(off, n)
+        ei = 0
+        while (ei < erows.length) {
+          nbr(fill(us(ei))) = vs(ei); fill(us(ei)) += 1
+          nbr(fill(vs(ei))) = us(ei); fill(vs(ei)) += 1
+          ei += 1
+        }
+        var lab: Array[Long] = value.clone()
+        for (_ <- 1 to iters) {
+          val next = new Array[Long](n)
+          val cnt = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+          i = 0
+          while (i < n) {
+            cnt.clear()
+            var j = off(i)
+            while (j < off(i + 1)) {
+              cnt.merge(lab(nbr(j)), 1L, (a, b) => a + b)
+              j += 1
+            }
+            var bestLbl = Long.MaxValue
+            var bestCnt = -1L
+            val it = cnt.entrySet().iterator()
+            while (it.hasNext) {
+              val en = it.next()
+              val l = en.getKey.longValue(); val c = en.getValue.longValue()
+              if (c > bestCnt || (c == bestCnt && l < bestLbl)) {
+                bestCnt = c; bestLbl = l
+              }
+            }
+            next(i) = bestLbl
+            i += 1
+          }
+          lab = next
+        }
+        val comm = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        i = 0
+        while (i < n) { comm.merge(lab(i), 1L, (a, b) => a + b); i += 1 }
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        comm.forEach((l, c) => out += org.apache.spark.sql.Row(l.longValue(), c.longValue()))
+        return spark.createDataFrame(java.util.Arrays.asList(out.toArray: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("community",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_members",
+              org.apache.spark.sql.types.LongType))))
+      }
+    }
     val adj = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint(true)

@@ -548,6 +548,34 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("rank-loop driver regime is bit-equal to the declarative loop") {
+    val sess = spark
+    import sess.implicits._
+    // r17: pagerank/ppr/labelProp run driver-resident below
+    // spark.graft.graph.driverEdges. Integer state makes the twin
+    // EXACT (order-independent sums; Spark's Round replicated via
+    // BigDecimal HALF_UP) — pin bit equality against the DataFrame
+    // loop forced with the gate at 0.
+    val e = (1L to 200L).map(i => (i, i * 7 % 97 + 1)).toDF("src", "dst")
+    val und = (1L to 200L).map(i => (i, i * 11 % 83 + 1)).toDF("u", "v")
+    val seeds = Seq(3L, 9L, 27L).toDF("node")
+    def all() = (
+      operators.Graph.pagerank(e, 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      operators.Graph.personalizedPagerank(e, seeds, 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      operators.Graph.labelProp(und, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val drv = all()
+    spark.conf.set("spark.graft.graph.driverEdges", "0")
+    try {
+      val df = all()
+      assert(drv._1 == df._1, "pagerank regimes differ")
+      assert(drv._2 == df._2, "ppr regimes differ")
+      assert(drv._3 == df._3, "labelProp regimes differ")
+    } finally spark.conf.unset("spark.graft.graph.driverEdges")
+  }
+
   test("ppr: hand-checked seed-biased iterations, mass conservation, invariance") {
     val sess = spark
     import sess.implicits._
