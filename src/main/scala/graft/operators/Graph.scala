@@ -667,6 +667,58 @@ object Graph {
     require(k >= 1, s"kcore: k >= 1, got $k")
     require(rounds >= 1 && rounds <= 20, s"kcore: rounds in [1,20], got $rounds")
     var e = und.select(col("u"), col("v")).localCheckpoint(true)
+    // driver-resident peel below the [[driverEdgeMax]] gate — pure
+    // integer degree counting, so the twin is exact; zero per-round
+    // jobs (the declarative loop paid a degree aggregate + two
+    // semi-joins + checkpoint per round)
+    if (e.count() <= driverEdgeMax(und.sparkSession)) {
+      val spark = und.sparkSession
+      val erows = e.collect()
+      val idx = new java.util.HashMap[Any, Integer]()
+      def nodeIdx(v: Any): Int = {
+        var i = idx.get(v)
+        if (i == null) { i = idx.size(); idx.put(v, i) }
+        i.intValue()
+      }
+      val us = new Array[Int](erows.length)
+      val vs = new Array[Int](erows.length)
+      var ei = 0
+      while (ei < erows.length) {
+        us(ei) = nodeIdx(erows(ei).get(0)); vs(ei) = nodeIdx(erows(ei).get(1))
+        ei += 1
+      }
+      val n = idx.size()
+      val nodesArr = new Array[Any](n)
+      idx.forEach((kk, v) => nodesArr(v.intValue()) = kk)
+      val alive = Array.fill(erows.length)(true)
+      val deg = new Array[Long](n)
+      for (_ <- 1 to rounds) {
+        java.util.Arrays.fill(deg, 0L)
+        ei = 0
+        while (ei < erows.length) {
+          if (alive(ei)) { deg(us(ei)) += 1; deg(vs(ei)) += 1 }
+          ei += 1
+        }
+        ei = 0
+        while (ei < erows.length) {
+          if (alive(ei) && (deg(us(ei)) < k || deg(vs(ei)) < k)) alive(ei) = false
+          ei += 1
+        }
+      }
+      java.util.Arrays.fill(deg, 0L)
+      ei = 0
+      while (ei < erows.length) {
+        if (alive(ei)) { deg(us(ei)) += 1; deg(vs(ei)) += 1 }
+        ei += 1
+      }
+      val out = (0 until n).filter(deg(_) > 0)
+        .map(i => org.apache.spark.sql.Row(nodesArr(i), deg(i))).toArray
+      return spark.createDataFrame(java.util.Arrays.asList(out: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", e.schema.fields(0).dataType),
+          org.apache.spark.sql.types.StructField("core_deg",
+            org.apache.spark.sql.types.LongType))))
+    }
     for (_ <- 1 to rounds) {
       val keep = e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
@@ -713,6 +765,74 @@ object Graph {
       .union(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     val nodes = bi.select(col("u").as("node")).distinct()
+    // driver-resident BFS below the [[driverEdgeMax]] gate: the seed
+    // predicate still evaluates as a Spark filter (one small job over
+    // the distinct node list), then the level expansion — integer
+    // min-fold ≡ textbook BFS — runs over collected CSR arrays with
+    // zero per-round jobs (the declarative loop paid a frontier join
+    // + min aggregate + checkpoint per round).
+    if (bi.count() <= driverEdgeMax(und.sparkSession)) {
+      val spark = und.sparkSession
+      val erows = bi.collect()
+      val idx = new java.util.HashMap[Any, Integer]()
+      def nodeIdx(v: Any): Int = {
+        var i = idx.get(v)
+        if (i == null) { i = idx.size(); idx.put(v, i) }
+        i.intValue()
+      }
+      val us = new Array[Int](erows.length)
+      val vs = new Array[Int](erows.length)
+      var ei = 0
+      while (ei < erows.length) {
+        us(ei) = nodeIdx(erows(ei).get(0)); vs(ei) = nodeIdx(erows(ei).get(1))
+        ei += 1
+      }
+      val n = idx.size()
+      val nodesArr = new Array[Any](n)
+      idx.forEach((kk, v) => nodesArr(v.intValue()) = kk)
+      // CSR over the directed bi rows (u -> v)
+      val deg = new Array[Int](n)
+      ei = 0
+      while (ei < erows.length) { deg(us(ei)) += 1; ei += 1 }
+      val off = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+      val nbr = new Array[Int](off(n))
+      val fill = java.util.Arrays.copyOf(off, n)
+      ei = 0
+      while (ei < erows.length) {
+        nbr(fill(us(ei))) = vs(ei); fill(us(ei)) += 1; ei += 1
+      }
+      val hops = Array.fill(n)(-1L)
+      nodes.filter(seedPred).collect().foreach { r =>
+        val ix = idx.get(r.get(0))
+        if (ix != null) hops(ix.intValue()) = 0L
+      }
+      var frontier = (0 until n).filter(hops(_) == 0L).toArray
+      for (k <- 1 to rounds) {
+        val next = scala.collection.mutable.ArrayBuffer[Int]()
+        var fi = 0
+        while (fi < frontier.length) {
+          val u = frontier(fi)
+          var j = off(u)
+          while (j < off(u + 1)) {
+            val v = nbr(j)
+            if (hops(v) < 0) { hops(v) = k.toLong; next += v }
+            j += 1
+          }
+          fi += 1
+        }
+        frontier = next.toArray
+      }
+      val out = (0 until n).filter(hops(_) >= 0)
+        .map(i2 => org.apache.spark.sql.Row(nodesArr(i2), hops(i2))).toArray
+      return spark.createDataFrame(java.util.Arrays.asList(out: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            bi.schema.fields(0).dataType),
+          org.apache.spark.sql.types.StructField("hops",
+            org.apache.spark.sql.types.LongType))))
+    }
     var reached = nodes.filter(seedPred)
       .select(col("node"), lit(0L).as("hops"))
       .localCheckpoint(true)

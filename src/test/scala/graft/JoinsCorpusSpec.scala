@@ -565,6 +565,10 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       operators.Graph.personalizedPagerank(e, seeds, 4).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap,
       operators.Graph.labelProp(und, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      operators.Graph.kcore(und, 2, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      operators.Graph.bfsHops(und, col("node") % 13 === 0, 3).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap)
     val drv = all()
     spark.conf.set("spark.graft.graph.driverEdges", "0")
@@ -573,6 +577,8 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(drv._1 == df._1, "pagerank regimes differ")
       assert(drv._2 == df._2, "ppr regimes differ")
       assert(drv._3 == df._3, "labelProp regimes differ")
+      assert(drv._4 == df._4, "kcore regimes differ")
+      assert(drv._5 == df._5, "bfs regimes differ")
     } finally spark.conf.unset("spark.graft.graph.driverEdges")
   }
 
