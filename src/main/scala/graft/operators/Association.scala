@@ -868,7 +868,11 @@ object Association {
       val nFL = nF
       val nSL = nS0
       val gs = gridSize
-      flatPlan0.queryExecution.toRdd.mapPartitions { it =>
+      // fold-zero: sums at 0, ranges at their min/max identities —
+      // also the RESULT when the plan yields zero partitions (empty
+      // input), where RDD.reduce would throw; a zero-count grid then
+      // takes the normal non-viable path downstream.
+      val zeroBuf: () => Array[Double] = () => {
         val buf = new Array[Double](gs * nFL)
         var gi = 0
         while (gi < gs) {
@@ -880,6 +884,10 @@ object Association {
           }
           gi += 1
         }
+        buf
+      }
+      flatPlan0.queryExecution.toRdd.mapPartitions { it =>
+        val buf = zeroBuf()
         val x = new Array[Double](mm)
         while (it.hasNext) {
           val r = it.next()
@@ -909,7 +917,7 @@ object Association {
           }
         }
         Iterator.single(buf)
-      }.reduce { (a, b) =>
+      }.fold(zeroBuf()) { (a, b) =>
         var gi = 0
         while (gi < gs) {
           val off = gi * nFL
@@ -1275,7 +1283,9 @@ object Association {
               }
             }
             Iterator.single(buf)
-          }.reduce { (a, b) =>
+          }.fold(new Array[Double](nAct * nBufL)) { (a, b) =>
+            // fold, not reduce: a zero-partition plan (empty melted
+            // input) returns the all-zero buffer instead of throwing
             var i = 0
             while (i < a.length) { a(i) += b(i); i += 1 }
             a
@@ -1387,7 +1397,8 @@ object Association {
               }
             }
             Iterator.single(buf)
-          }.reduce { (a, b) =>
+          }.fold(new Array[Double](nFin * nFB)) { (a, b) =>
+            // fold, not reduce: zero-partition plans return all-zero
             var i = 0
             while (i < a.length) { a(i) += b(i); i += 1 }
             a

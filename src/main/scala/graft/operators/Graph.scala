@@ -63,14 +63,42 @@ object Graph {
   private def driverEdgeMax(spark: SparkSession): Long =
     spark.conf.get("spark.graft.graph.driverEdges", "4000000").toLong
 
+  /** Conservative driver-heap cost of one collected edge Row: two
+    * boxed endpoints + Row shell + index HashMap entry. */
+  private val DriverRegimeBytesPerEdge = 200L
+
+  /** Full admission test for the driver-resident regime: the
+    * row-count knob AND a heap guard — collected edges must fit in a
+    * quarter of the driver's max heap at ~200 B/edge, so the 4M-edge
+    * default needs ≈ 3.2 GiB of driver heap; on a default-1g-driver
+    * cluster the guard caps admission near 1.3M edges and everything
+    * larger takes the declarative loop (the at-scale path) instead
+    * of OOMing the driver. Raising `spark.graft.graph.driverEdges`
+    * therefore also requires `spark.driver.memory` ≥ edges·800 B. */
+  private def driverRegimeOk(spark: SparkSession, edgeCount: Long): Boolean =
+    edgeCount <= driverEdgeMax(spark) &&
+      edgeCount * DriverRegimeBytesPerEdge <= Runtime.getRuntime.maxMemory / 4
+
+  /** Collect for the driver regimes that degrades instead of dying:
+    * a `spark.driver.maxResultSize` overflow (the one collect
+    * failure Spark raises catchably) returns None and the caller
+    * falls through to the declarative loop. */
+  private def collectDriver(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] =
+    try Some(df.collect())
+    catch {
+      case e: org.apache.spark.SparkException
+          if e.getMessage != null && e.getMessage.contains("maxResultSize") =>
+        None
+    }
+
   /** Shared driver-resident integer power iteration: `seedsOpt`
     * None = uniform PageRank, Some = personalized (teleport and
     * dangling mass return to the seed set). Arithmetic is the
     * DataFrame loop's, operand for operand. */
-  private def rankDriver(e: DataFrame, iters: Int,
+  private def rankDriver(spark: SparkSession,
+      erows: Array[org.apache.spark.sql.Row],
+      nodeType: org.apache.spark.sql.types.DataType, iters: Int,
       seedsOpt: Option[DataFrame]): DataFrame = {
-    val spark = e.sparkSession
-    val erows = e.collect()
     val idx = new java.util.HashMap[Any, Integer]()
     def nodeIdx(v: Any): Int = {
       var i = idx.get(v)
@@ -144,7 +172,6 @@ object Graph {
     // expressions over the LocalRelation — no second rounding twin
     val rows: Array[org.apache.spark.sql.Row] =
       Array.tabulate(n)(i => org.apache.spark.sql.Row(nodesArr(i), r(i)))
-    val nodeType = e.schema.fields(0).dataType
     spark.createDataFrame(java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", nodeType),
@@ -158,8 +185,12 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"pagerank: iters in [1,50], got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
-    if (e.count() <= driverEdgeMax(edges.sparkSession))
-      return rankDriver(e, iters, None)
+    if (driverRegimeOk(edges.sparkSession, e.count())) {
+      val rowsOpt = collectDriver(e)
+      if (rowsOpt.isDefined)
+        return rankDriver(edges.sparkSession, rowsOpt.get,
+          e.schema.fields(0).dataType, iters, None)
+    }
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
@@ -212,8 +243,12 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"ppr: iters in [1,50], got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
-    if (e.count() <= driverEdgeMax(edges.sparkSession))
-      return rankDriver(e, iters, Some(seeds))
+    if (driverRegimeOk(edges.sparkSession, e.count())) {
+      val rowsOpt = collectDriver(e)
+      if (rowsOpt.isDefined)
+        return rankDriver(edges.sparkSession, rowsOpt.get,
+          e.schema.fields(0).dataType, iters, Some(seeds))
+    }
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
@@ -409,8 +444,10 @@ object Graph {
         org.apache.spark.sql.types.LongType)) {
       val spark = und.sparkSession
       val e = und.select(col("u"), col("v")).localCheckpoint(true)
-      if (2 * e.count() <= driverEdgeMax(spark)) {
-        val erows = e.collect()
+      val erowsOpt =
+        if (driverRegimeOk(spark, 2 * e.count())) collectDriver(e) else None
+      if (erowsOpt.isDefined) {
+        val erows = erowsOpt.get
         val idx = new java.util.HashMap[Long, Integer]()
         def nodeIdx(v: Long): Int = {
           var i = idx.get(v)
@@ -671,9 +708,12 @@ object Graph {
     // integer degree counting, so the twin is exact; zero per-round
     // jobs (the declarative loop paid a degree aggregate + two
     // semi-joins + checkpoint per round)
-    if (e.count() <= driverEdgeMax(und.sparkSession)) {
+    val kErowsOpt =
+      if (driverRegimeOk(und.sparkSession, e.count())) collectDriver(e)
+      else None
+    if (kErowsOpt.isDefined) {
       val spark = und.sparkSession
-      val erows = e.collect()
+      val erows = kErowsOpt.get
       val idx = new java.util.HashMap[Any, Integer]()
       def nodeIdx(v: Any): Int = {
         var i = idx.get(v)
@@ -771,9 +811,12 @@ object Graph {
     // min-fold ≡ textbook BFS — runs over collected CSR arrays with
     // zero per-round jobs (the declarative loop paid a frontier join
     // + min aggregate + checkpoint per round).
-    if (bi.count() <= driverEdgeMax(und.sparkSession)) {
+    val bErowsOpt =
+      if (driverRegimeOk(und.sparkSession, bi.count())) collectDriver(bi)
+      else None
+    if (bErowsOpt.isDefined) {
       val spark = und.sparkSession
-      val erows = bi.collect()
+      val erows = bErowsOpt.get
       val idx = new java.util.HashMap[Any, Integer]()
       def nodeIdx(v: Any): Int = {
         var i = idx.get(v)

@@ -368,4 +368,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = StreamingOps.e17StreamFileGate(spark, dir).collect().map(key).toSeq
     assert(again == file)
   }
+
+  test("e13 gate config: one-slice and two-slice replays join identically (cross-batch state retention)") {
+    // The bench gate feeds ONE micro-batch for speed; this spec keeps
+    // the 2-slice variant covered so a cross-batch join-state
+    // regression (view buffered in batch 1 must meet its click in
+    // batch 2) can't hide behind the degenerate one-batch run.
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id")
+    // views in the first time half, their clicks in the second (220
+    // min later, inside the 240-min join window) — every one of those
+    // matches CROSSES the slice boundary; a second view right before
+    // each click also matches within slice 2
+    val views = (0 until 5).map(u => (100L + u, ts(100 + u), u.toLong)) ++
+      (0 until 5).map(u => (300L + u, ts(310 + u), u.toLong))
+    val clicks = (0 until 5).map(u => (200L + u, ts(320 + u), u.toLong)) ++
+      Seq((999L, ts(460), 9L)) // user with no view: never joins
+    val splitMs = 300L * 60000L
+    def run(slices: Int, sink: String): Set[(Long, Long)] = {
+      val impIn = MemoryStream[(Long, Timestamp, Long)]
+      val clkIn = MemoryStream[(Long, Timestamp, Long)]
+      val q = StreamingOps.streamStreamJoin(
+          named(impIn.toDF()), named(clkIn.toDF()),
+          joinWindow = "240 minutes", watermark = "6 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        if (slices == 1) {
+          impIn.addData(views: _*); clkIn.addData(clicks: _*)
+          q.processAllAvailable()
+        } else {
+          def half(xs: Seq[(Long, Timestamp, Long)], first: Boolean) =
+            xs.filter(r => (r._2.getTime < splitMs) == first)
+          impIn.addData(half(views, true): _*)
+          clkIn.addData(half(clicks, true): _*)
+          q.processAllAvailable()
+          impIn.addData(half(views, false): _*)
+          clkIn.addData(half(clicks, false): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(sink).select("imp_id", "click_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    }
+    val one = run(1, "e13_one_slice")
+    val two = run(2, "e13_two_slice")
+    assert(one == two,
+      "cross-batch join state lost: 2-slice replay diverges from 1-slice")
+    // the retention case itself: a slice-1 view joined to a slice-2 click
+    assert(one.exists { case (imp, clk) => imp < 200L && clk < 300L },
+      "no cross-slice match present — spec no longer covers retention")
+    assert(one.size == 10)
+    // and the streamed result equals the plain batch range join
+    val batch = StreamingOps.streamStreamJoin(
+        named(views.toDF()), named(clicks.toDF()),
+        joinWindow = "240 minutes", watermark = "6 hours")
+      .select("imp_id", "click_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(one == batch)
+  }
 }
