@@ -166,6 +166,7 @@ object SparkEntry {
     "m12_ppm_otsu" -> (Multimodal.m12PpmOtsu _),
     "m13_bmp_pixels" -> (Multimodal.m13BmpPixels _),
     "m18_jpeg_header" -> (Multimodal.m18JpegHeader _),
+    "m19_png_header" -> (Multimodal.m19PngHeader _),
     "m14_tar_index" -> (Multimodal.m14TarIndex _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
     "m09_pcm_stats" -> (Multimodal.m09PcmStats _),

@@ -312,10 +312,35 @@ object Association {
 
   /** Iterative fits: one pair per task via mapGroups over the
     * long-keyed packed rows (see `keyed` — no string keys or boxed
-    * values through the shuffle or the executor-side decode). */
+    * values through the shuffle or the executor-side decode).
+    *
+    * AUTO-ROUTE: when the average pair cohort exceeds
+    * `spark.graft.irls.groupRowsMax` (default 20,000; ≤ 0 disables),
+    * materializing each pair's rows inside one `mapGroups` task is
+    * the wrong plan — per-group cost is linear in rows and the whole
+    * group sits in one task's heap (measured 12×/decade at the MAS
+    * bench shape). Such frames route to the gram fitters
+    * ([[firthGram]] / [[logisticGram]]): the identical model as ONE
+    * map-side-combined aggregation scan per Newton iteration, no
+    * per-group row materialization, agreement with the in-task
+    * fitter spec-pinned to 1e-6 (SourcesAndGramSpec). The route costs
+    * one shuffle-free count() pre-scan of the melted frame. The one
+    * semantic narrowing on the routed path: per-pair CONSTANT
+    * covariates are not dropped from the design — those pairs report
+    * failed_reason (singular X'WX) instead of a reduced fit; run
+    * `Preprocess.dropConstant` first if that matters (the gram
+    * Scaladoc's long-standing contract). */
   def binary(melted: DataFrame, cfg: Config): DataFrame = {
     val spark = melted.sparkSession
     import spark.implicits._
+    val groupRowsMax = spark.conf
+      .get("spark.graft.irls.groupRowsMax", "20000").toLong
+    if (groupRowsMax > 0) {
+      val gridSize = math.max(1L, cfg.predictors.size.toLong * cfg.dependents.size)
+      if (melted.count() / gridSize > groupRowsMax)
+        return if (cfg.model == "firth") firthGram(melted, cfg)
+               else logisticGram(melted, cfg)
+    }
     val covNames = cfg.covariates
     val predictors = cfg.predictors.toArray
     val dependents = cfg.dependents.toArray

@@ -412,16 +412,26 @@ object Dedup {
    * d21 is the char-exact version.
    *
    * Scale shape: one (doc_id, pos, gram) row per character — the
-   * same O(total chars) a distributed suffix array would pay — with
-   * the count aggregated ON THE GRAM STRING (map-side combine
-   * collapses hot boilerplate grams before the shuffle, and a
-   * 10⁹-copy gram meets a one-row count side, never a pairing). The
-   * span merge is a per-doc-bounded running-max window, and the
-   * normalized text is materialized behind a localCheckpoint barrier
-   * BEFORE the gram lambda references it — a direct projection would
-   * let PushDownPredicates inline the normalize into the transform
-   * lambda and re-run it once per character (the r16 shingle
-   * pathology, measured ~200×).
+   * same O(total chars) a distributed suffix array would pay — but
+   * the gram leaves the map stage as a TWO-LEVEL 64+64-bit hash
+   * (independent xxhash64 seeds), never as the k-char string: the
+   * count aggregates on (h1, h2) with map-side combine (hot
+   * boilerplate grams collapse before the shuffle, and a 10⁹-copy
+   * gram meets a one-row count side, never a pairing), and the
+   * duplicated-position pass is a semi-join against the already-
+   * filtered duplicated-key set. At k = 40 that cuts the per-char
+   * shuffle payload ~2.5× (16 B vs ~40 B+) on BOTH shuffles.
+   * Exactness: coverage is exact up to 128-bit hash equality — a
+   * false duplicate needs two distinct k-grams agreeing on both
+   * hashes, probability ≤ C²/2¹²⁹ over C total chars (≈ 3·10⁻¹¹ at
+   * C = 10¹⁴, i.e. 100 TB) — the "two-level exact" regime; the
+   * per-engine oracle compare at sf0.01 would surface any collision
+   * as a value mismatch. The span merge is a per-doc-bounded
+   * running-max window, and the normalized text is materialized
+   * behind a localCheckpoint barrier BEFORE the gram lambda
+   * references it — a direct projection would let PushDownPredicates
+   * inline the normalize into the transform lambda and re-run it
+   * once per character (the r16 shingle pathology, measured ~200×).
    */
   def exactSubstringSpans(docs: DataFrame, k: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -432,8 +442,13 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, length(s) - ${k - 1}), i -> substring(s, i, $k))"))
         .as(Seq("pos", "g")))
-    val cnts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-    val dups = grams.join(cnts, "g").filter(col("cnt") > 1)
+      // the gram string dies HERE, before any exchange: downstream
+      // keys on the independent two-level hash only (Scaladoc above)
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
+    val dupKeys = grams.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h1", "h2")
+    val dups = grams.join(dupKeys, Seq("h1", "h2"), "left_semi")
       .select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dups

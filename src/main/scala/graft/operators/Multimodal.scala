@@ -1077,6 +1077,140 @@ object Multimodal {
     extractJpegHeaders(jpegTable(spark, dir)).toDF()
       .orderBy("doc_id")
 
+  // -------------------------------------------------------------- m19 png
+
+  final case class PngFeature(
+      doc_id: Long, format: String, width: Int, height: Int,
+      bit_depth: Int, color_type: Int, n_chunks: Int, idat_sum: Option[Long])
+
+  private[graft] def pngWidth(id: Long): Int = 4 + (id % 19).toInt
+  private[graft] def pngHeight(id: Long): Int = 4 + (id % 13).toInt
+  private[graft] val PngIdatMax = 64
+
+  /**
+   * Structurally-complete PNG container (ISO/IEC 15948 chunk layout) —
+   * the chunk-WALK companion to [[buildPng]]'s header-only stream and
+   * m18's segmented JPEG: 8-byte signature, IHDR (bit depth 8,
+   * truecolor), one ancillary tEXt chunk (so a walker must SKIP
+   * unknown-to-it chunk types by length, the real-world case), the
+   * payload split across ceil(n/64)-many IDAT chunks (multi-IDAT is
+   * legal and common — encoders flush in buffer-sized chunks), and
+   * IEND. Every chunk carries its genuine CRC32 over type+data, per
+   * the spec. Payload bytes are opaque (ASCII-tiled, standing in for
+   * the zlib stream exactly as m18's entropy payload does).
+   */
+  def buildPngChunked(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0))
+    chunk("tEXt", "Software graft".getBytes("US-ASCII"))
+    payload.grouped(PngIdatMax).foreach(chunk("IDAT", _))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /**
+   * Full PNG chunk walk — beyond [[parseImageHeader]]'s first-chunk
+   * IHDR read, this validates the WHOLE container the way `pngcheck`
+   * does: every chunk's length is bounds-checked, every CRC32 is
+   * recomputed and verified, IHDR must be first and 13 bytes, IEND
+   * must be last and empty, and no bytes may trail IEND. Accumulates
+   * the chunk count and the byte checksum of the concatenated IDAT
+   * payload. Returns None on any structural violation — callers
+   * degrade to format="unknown" (the m18 rule).
+   */
+  def pngChunkWalk(b: Array[Byte]): Option[PngFeature] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 8 + 25 + 12) return None // sig + IHDR + IEND minimum
+    var i = 0
+    while (i < 8) { if (u8(i) != sig(i)) return None; i += 1 }
+    var p = 8
+    var w = 0; var h = 0; var bd = 0; var ct = 0
+    var n = 0
+    var sum = 0L
+    var sawEnd = false
+    while (p + 12 <= b.length && !sawEnd) {
+      val len = u32(p)
+      if (len > Int.MaxValue - 12 || p + 12 + len > b.length) return None
+      val l = len.toInt
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, p + 4, 4 + l)
+      if (crc.getValue != u32(p + 8 + l)) return None
+      if (n == 0 && typ != "IHDR") return None
+      typ match {
+        case "IHDR" =>
+          if (n != 0 || l != 13) return None
+          val w32 = u32(p + 8); val h32 = u32(p + 12)
+          if (w32 <= 0 || h32 <= 0 || w32 > Int.MaxValue || h32 > Int.MaxValue)
+            return None
+          w = w32.toInt; h = h32.toInt
+          bd = u8(p + 16); ct = u8(p + 17)
+        case "IDAT" =>
+          var j = p + 8
+          val e = p + 8 + l
+          while (j < e) { sum += u8(j); j += 1 }
+        case "IEND" =>
+          if (l != 0) return None
+          sawEnd = true
+        case _ => () // ancillary chunks skip by length
+      }
+      n += 1
+      p += 12 + l
+    }
+    if (!sawEnd || p != b.length) None
+    else Some(PngFeature(0L, "png", w, h, bd, ct, n, Some(sum)))
+  }
+
+  /** PNG table synthesized from documents: doc_id-derived geometry,
+    * w·h payload bytes tiled from the doc's ASCII bytes — closed form
+    * on BOTH sides, so the oracle checks the full build→chunk-walk
+    * round trip (chunk count AND payload checksum). */
+  def pngTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"pngTable: empty or non-ASCII text in doc_id=$id (m19 oracle tiles byte ords)")
+        val data = text.getBytes("US-ASCII")
+        val payload = Array.tabulate(pngWidth(id) * pngHeight(id))(j => data(j % data.length))
+        val bytes = buildPngChunked(pngWidth(id), pngHeight(id), payload)
+        MediaRow(id, bytes, "image/png", bytes.length)
+      }
+  }
+
+  /** Batched PNG chunk walk (the m01 hook shape). */
+  def extractPngHeaders(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[PngFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      pngChunkWalk(r.media) match {
+        case Some(f) => f.copy(doc_id = r.doc_id)
+        case None => PngFeature(r.doc_id, "unknown", 0, 0, 0, 0, 0, None)
+      }
+    }))
+  }
+
+  /** m19: full-container PNG surface over the synthesized table. */
+  def m19PngHeader(spark: SparkSession, dir: String): DataFrame =
+    extractPngHeaders(pngTable(spark, dir)).toDF()
+      .orderBy("doc_id")
+
   /**
    * 12-bit block-luminance perceptual hash (aHash family) from a REAL
    * P6 raster: pixels map to a 3×4 cell grid (gr = 3y div h, gc = 4x
@@ -1851,6 +1985,27 @@ object Multimodal {
         |SELECT doc_id, 'jpeg' AS format, w AS width, h AS height,
         |  CAST(3 AS INT) AS components, CAST(8 AS INT) AS precision,
         |  CAST(sum(b) AS BIGINT) AS entropy_sum
+        |FROM e GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
+    // m19: chunk-walk round-trip — geometry, the chunk COUNT (IHDR +
+    // tEXt + ceil(w·h/64) IDATs + IEND) and the IDAT payload checksum
+    // are closed forms of (doc_id, text); a walker that mis-reads any
+    // length or CRC lands on wrong bytes and fails the compare
+    "m19_png_header" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len,
+        |    CAST(4 + doc_id % 19 AS INT) AS w,
+        |    CAST(4 + doc_id % 13 AS INT) AS h
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, w, h,
+        |    ord(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+        |  FROM g, unnest(range(0, w * h)) AS t(i)
+        |)
+        |SELECT doc_id, 'png' AS format, w AS width, h AS height,
+        |  CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+        |  CAST(3 + (w * h + 63) // 64 AS INT) AS n_chunks,
+        |  CAST(sum(b) AS BIGINT) AS idat_sum
         |FROM e GROUP BY doc_id, w, h
         |ORDER BY doc_id""".stripMargin,
     "m13_bmp_pixels" ->

@@ -232,15 +232,164 @@ object TextOps {
    *    PASSES — unlike t19's coverage rules, absent repetition is a
    *    clean pass, so short docs aren't dropped for being short.
    *
-   * Shapes: ONE corpus scan explodes all 9 gram sizes as (n, gram)
-   * tagged rows into a single map-side-combined (doc, n, gram) count
-   * (the t14 concat-before-explode altitude — 9 rule families, one
-   * shuffle); per-(doc, n) argmax via a bounded self-join on the
-   * count table; lines and paragraphs ride t14's two-level tagged
-   * aggregate. Nothing is corpus-global: every stage keys on doc_id,
-   * so 100 TB scales by adding executors.
+   * Shape: every statistic here is a pure function of ONE document —
+   * the grams, lines and paragraphs of a doc all originate in its
+   * single source row — so the operator runs as a per-row kernel
+   * (`repStatsKernel`): one corpus scan, ZERO shuffles, nothing
+   * exploded (the r17 plan audit measured the previous tagged-gram
+   * explode + (doc, n, gram) count shuffle as the sweep's heaviest
+   * line — 9× the word count in generated rows and the gram strings
+   * through the exchange, all to regroup rows that were partition-
+   * local to begin with). The kernel is the expression graph's exact
+   * twin — same normText/relined regexes, Spark's space-only trim,
+   * code-point lengths, concat_ws empty-string behavior, max-count/
+   * longest-gram tie-break — and the old declarative plan is kept as
+   * [[repetitionGateDeclarative]] with a spec pinning the two equal
+   * row-for-row; the final fraction/threshold assembly is the SAME
+   * Column code for both. 100 TB: embarrassingly parallel, scales by
+   * adding executors with no exchange at all.
    */
   def repetitionGate(docs: DataFrame, lineWords: Int = 3,
+      paraWords: Int = 12): DataFrame = {
+    val kudf = udf(repStatsKernel(lineWords, paraWords))
+    val joined = docs.select(col("doc_id"), kudf(col("text")).as("st"))
+      .select(col("doc_id") +: (
+        "tot" +: RepStatFields).map(f => col(s"st.$f").as(f)): _*)
+    repGateAssemble(joined)
+  }
+
+  private[graft] val RepStatFields: Seq[String] = Seq(
+    "l_n", "l_d", "l_dupch", "l_totch", "p_n", "p_d", "p_dupch", "p_totch",
+    "top2c", "top3c", "top4c",
+    "dup5c", "dup6c", "dup7c", "dup8c", "dup9c", "dup10c")
+
+  /** Kernel output: the same intermediate stats the declarative
+    * plan's lstats/gstats joins produce, None where a left join would
+    * have yielded null (no non-empty lines / no n-grams of that n). */
+  private[graft] final case class RepStats(
+      tot: Option[Double],
+      l_n: Option[Long], l_d: Option[Long],
+      l_dupch: Option[Long], l_totch: Option[Long],
+      p_n: Option[Long], p_d: Option[Long],
+      p_dupch: Option[Long], p_totch: Option[Long],
+      top2c: Option[Long], top3c: Option[Long], top4c: Option[Long],
+      dup5c: Option[Long], dup6c: Option[Long], dup7c: Option[Long],
+      dup8c: Option[Long], dup9c: Option[Long], dup10c: Option[Long])
+
+  /** Spark's `trim`: ASCII space (0x20) ONLY — Java's String.trim
+    * strips all controls ≤ 0x20 and would diverge on tab-bearing
+    * lines. */
+  private def spaceTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** Spark `length`: CODE POINTS (UTF8String.numChars), not UTF-16
+    * code units. */
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** Per-document twin of the declarative t20 stats plan (see
+    * [[repetitionGate]]). java.util.regex.Pattern is Serializable, so
+    * the compiled relining patterns ride the closure; a local
+    * function VAL (not a method reference) keeps the enclosing module
+    * out of it. */
+  private[graft] def repStatsKernel(
+      lineWords: Int, paraWords: Int): String => RepStats = {
+    val ns: Seq[Int] = topGramThr.map(_._1) ++ dupGramThr.map(_._1)
+    val wsRe = java.util.regex.Pattern.compile("\\s+")
+    def relineRe(n: Int) = java.util.regex.Pattern.compile(
+      "(\\S+" + "\\s+\\S+" * (n - 1) + ")\\s+")
+    val lineRe = relineRe(lineWords)
+    val paraRe = relineRe(paraWords)
+    val none = RepStats(None, None, None, None, None, None, None, None,
+      None, None, None, None, None, None, None, None, None, None)
+    val kernel: String => RepStats = (text: String) => {
+      if (text == null) none
+      else {
+        // normText twin: lower(regexp_replace(text, "\\s+", " ")).
+        // UTF8String.toLowerCase falls back to String.toLowerCase()
+        // (default locale) off the ASCII fast path — same call here.
+        val nt = wsRe.matcher(text).replaceAll(" ").toLowerCase()
+        val w = nt.split(" ", -1)
+        // per-n gram stats: (topNc for n ∈ {2,3,4}) / (dupNc for
+        // n ∈ {5..10}); None when the doc has no n-grams of that n
+        val perN = ns.map { n =>
+          if (w.length < n) None
+          else {
+            val counts = new java.util.HashMap[String, java.lang.Long]()
+            var i = 0
+            while (i + n <= w.length) {
+              val sb = new java.lang.StringBuilder()
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(w(i + j))
+                j += 1
+              }
+              val g = sb.toString
+              val prev = counts.get(g)
+              counts.put(g, if (prev == null) 1L else prev.longValue() + 1L)
+              i += 1
+            }
+            var mc = 0L
+            var wlen = 0L
+            var dupch = 0L
+            counts.forEach { (g, cB) =>
+              val c = cB.longValue()
+              val len = cpLen(g)
+              if (c > mc) { mc = c; wlen = len }
+              else if (c == mc && len > wlen) wlen = len
+              if (c > 1) dupch += (c - 1) * len
+            }
+            Some(if (n <= 4) { if (mc > 1) mc * wlen else 0L } else dupch)
+          }
+        }
+        // line/paragraph stats on the RAW text (the declarative plan
+        // relines `text`, not the normalized string)
+        def lvl(re: java.util.regex.Pattern)
+            : (Option[Long], Option[Long], Option[Long], Option[Long]) = {
+          val parts = re.matcher(text).replaceAll("$1\n").split("\n", -1)
+          val counts = new java.util.HashMap[String, java.lang.Long]()
+          parts.foreach { p =>
+            val l = spaceTrim(p)
+            if (l.nonEmpty) {
+              val prev = counts.get(l)
+              counts.put(l, if (prev == null) 1L else prev.longValue() + 1L)
+            }
+          }
+          if (counts.isEmpty) (None, None, None, None)
+          else {
+            var n = 0L
+            var d = 0L
+            var dupch = 0L
+            var totch = 0L
+            counts.forEach { (l, cB) =>
+              val c = cB.longValue()
+              val len = cpLen(l)
+              n += c; d += 1; dupch += (c - 1) * len; totch += c * len
+            }
+            (Some(n), Some(d), Some(dupch), Some(totch))
+          }
+        }
+        val (ln, ld, ldu, lto) = lvl(lineRe)
+        val (pn, pd, pdu, pto) = lvl(paraRe)
+        RepStats(Some(cpLen(nt).toDouble),
+          ln, ld, ldu, lto, pn, pd, pdu, pto,
+          perN(0), perN(1), perN(2),
+          perN(3), perN(4), perN(5), perN(6), perN(7), perN(8))
+      }
+    }
+    kernel
+  }
+
+  /** The ORIGINAL declarative t20 plan (tagged-gram explode + count
+    * shuffle + argmax self-join), retained as the kernel's
+    * cross-check twin — LlmOpsSpec pins kernel ≡ declarative
+    * row-for-row on real corpus data. */
+  private[graft] def repetitionGateDeclarative(docs: DataFrame, lineWords: Int = 3,
       paraWords: Int = 12): DataFrame = {
     val ns = topGramThr.map(_._1) ++ dupGramThr.map(_._1)
     val w = col("__w")
@@ -299,6 +448,14 @@ object TextOps {
         length(col("__nt")).cast("double").as("tot"))
       .join(lstats, Seq("doc_id"), "left")
       .join(gstats, Seq("doc_id"), "left")
+    repGateAssemble(joined)
+  }
+
+  /** Shared t20 fraction/threshold assembly over the intermediate
+    * stats columns (doc_id, tot, [[RepStatFields]]) — the SAME Column
+    * code for the kernel and declarative paths, so rounding and null
+    * (no-evidence pass) semantics cannot diverge between them. */
+  private def repGateAssemble(joined: DataFrame): DataFrame = {
     // least/greatest IGNORE nulls (Postgres semantics, both engines):
     // an absent numerator must stay null (no-evidence pass), not
     // collapse to least(1.0, null) = 1.0

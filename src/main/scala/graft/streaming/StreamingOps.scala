@@ -279,13 +279,16 @@ object StreamingOps {
       val q = gphase(sinkName, "start") { agg(src).writeStream
         .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
-        // ≥5000 rows per micro-batch AND ≤2 batches (+ the flush
-        // sentinel): cross-batch state is still exercised, but
-        // per-batch state-store commit cost stops scaling with corpus
-        // size — 20 sequential micro-batches at sf0.1 cost 41 s of pure
-        // commit overhead for an identical final sink, and halving 4→2
-        // slices shaved another ~20% off every stateful gate (r12)
-        val batch = math.max(5000, (rows.length + 1) / 2)
+        // ONE data micro-batch (+ the flush sentinel): the e13 rule
+        // applied to the windowed-agg gates — per-batch state-store
+        // commit is pure machinery (r17 phase split: ~90% of gate
+        // cost), the final append-mode sink is slice-count invariant
+        // (every window closes at the flush watermark either way),
+        // and cross-batch window state stays covered by the
+        // StreamingSpec 1-slice ≡ 2-slice equality pins. The r12-r17
+        // arc: 20 slices → 4 → 2 → 1 monotonically shed commit
+        // overhead with a bit-identical sink.
+        val batch = math.max(5000, rows.length)
         rows.grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase(sinkName, s"batch$i(${b.length})") {
             input.addData(b); q.processAllAvailable() } }
@@ -338,8 +341,8 @@ object StreamingOps {
         .option("checkpointLocation", cpDir)
         .outputMode("append").start() }
       try {
-        // the e11 slicing rule: ≤2 micro-batches + the flush sentinel
-        val batch = math.max(5000, (rows.length + 1) / 2)
+        // the e11 slicing rule: ONE data micro-batch + flush sentinel
+        val batch = math.max(5000, rows.length)
         rows.grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase("e17", s"batch$i(${b.length})") {
             input.addData(b); q.processAllAvailable() } }
@@ -463,10 +466,16 @@ object StreamingOps {
   def e16StreamStaticGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
+    // localCheckpoint: IncrementalExecution re-plans the static join
+    // side EVERY micro-batch (the e19 lesson) — without the barrier
+    // each batch re-runs the benchmark parquet scan + shingle
+    // explode; with it, re-planning rescans cached blocks of the
+    // already-slim (bench_id, shingle) postings
     val bPost = graft.operators.Dedup.withShingles(
         graft.Tables.documents(spark, dir).filter(col("doc_id") < 25),
         "text", "sh")
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
     val docs = gphase("e16", "feed") { cachedFeed(spark, s"docs25:$dir") {
       graft.Tables.documents(spark, dir).filter(col("doc_id") >= 25)
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -483,7 +492,10 @@ object StreamingOps {
         streamContamination(src, bPost, minShared = 3).writeStream
           .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
-        val batch = math.max(2000, (docs.length + 1) / 2)
+        // ONE data micro-batch (e13 rule): sink is slice-invariant
+        // (windows close at the flush watermark); cross-batch window
+        // state covered by the StreamingSpec 2-slice pin
+        val batch = math.max(2000, docs.length)
         docs.grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase("e16", s"batch$i(${b.length})") {
             input.addData(b); q.processAllAvailable() } }

@@ -340,6 +340,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(4).isNullAt(r(4).fieldIndex("dup_line_frac")))
   }
 
+  test("repetitionGate kernel equals the declarative twin row-for-row") {
+    import operators.TextOps
+    val sess = spark
+    import sess.implicits._
+    // real corpus (with its mutated duplicate rows) + synthetic edge
+    // docs: tabs/newlines (trim + relining paths), runs of spaces
+    // (normText collapse + empty split tokens), empty text, heavy
+    // repetition, and a non-ASCII doc (code-point lengths)
+    val edge = Seq(
+      (900001L, "a\tb\tc d\ne f g h i j k l m n o p"),
+      (900002L, "  double  spaced   words  here and more tokens x y z"),
+      (900003L, ""),
+      (900004L, ("spam ham " * 30).trim),
+      (900005L, "héllo wörld héllo wörld héllo wörld naïve café crème"))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val a = TextOps.repetitionGate(docs).orderBy("doc_id").collect()
+    val b = TextOps.repetitionGateDeclarative(docs).orderBy("doc_id").collect()
+    assert(a.length == b.length && a.length > 5)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\nkernel: $x\ndecl:   $y") }
+  }
+
   test("unigramLogprob: hand-checked xent, rare tokens score higher, empty doc nulls") {
     val sess = spark
     import sess.implicits._
@@ -950,6 +973,52 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outTr.format == "unknown" && outTr.entropy_sum.isEmpty)
     // missing SOI
     assert(parseJpegHeader(bytes.drop(2)).isEmpty)
+  }
+
+  test("PNG chunk walk: hand-built container round-trips; corrupt CRC, truncation, trailing bytes degrade") {
+    import operators.Multimodal._
+    val sess = spark
+    import sess.implicits._
+    // 5x4 image → 20 payload bytes → ONE IDAT; chunks = IHDR, tEXt, IDAT, IEND
+    val payload = Array.tabulate(20)(i => (i + 1).toByte) // sum 210
+    val bytes = buildPngChunked(5, 4, payload)
+    val f = pngChunkWalk(bytes).get
+    assert(f.format == "png" && f.width == 5 && f.height == 4)
+    assert(f.bit_depth == 8 && f.color_type == 2)
+    assert(f.n_chunks == 4 && f.idat_sum.contains(210L))
+    // multi-IDAT: 100 payload bytes at 64/chunk → 2 IDATs, 5 chunks
+    val big = buildPngChunked(10, 10, Array.fill(100)(3.toByte))
+    val fb = pngChunkWalk(big).get
+    assert(fb.n_chunks == 5 && fb.idat_sum.contains(300L))
+    // the walker really walks: m01's header-only parser agrees on dims
+    assert(parseImageHeader(bytes).contains(ImageHeader("png", 5, 4, 3, 33)))
+    // one flipped payload byte breaks that chunk's CRC → unknown
+    val badCrc = bytes.clone()
+    badCrc(bytes.length - 12 - 5) = (badCrc(bytes.length - 12 - 5) ^ 0x01).toByte
+    assert(pngChunkWalk(badCrc).isEmpty)
+    // truncation (no IEND) and trailing garbage both fail the walk
+    assert(pngChunkWalk(bytes.take(bytes.length - 6)).isEmpty)
+    assert(pngChunkWalk(bytes ++ Array[Byte](0)).isEmpty)
+    // bad signature
+    assert(pngChunkWalk(bytes.drop(1)).isEmpty)
+    // degrade path through the batched extractor
+    val out = extractPngHeaders(Seq(
+      MediaRow(7L, bytes, "image/png", bytes.length),
+      MediaRow(8L, badCrc, "image/png", badCrc.length)).toDS())
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(7L).format == "png" && out(7L).n_chunks == 4)
+    assert(out(8L).format == "unknown" && out(8L).idat_sum.isEmpty)
+    // the registered table shape: geometry + chunk count + checksum
+    // are the oracle's closed forms of (doc_id, text)
+    val t = pngTable(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 3).collect().sortBy(_.doc_id)
+    val walked = t.map(r => pngChunkWalk(r.media).get.copy(doc_id = r.doc_id))
+    walked.foreach { wf =>
+      val w = 4 + (wf.doc_id % 19).toInt
+      val h = 4 + (wf.doc_id % 13).toInt
+      assert(wf.width == w && wf.height == h)
+      assert(wf.n_chunks == 3 + (w * h + 63) / 64, s"doc ${wf.doc_id}")
+    }
   }
 
   test("resizePpm: NN sampling exact on hand-built rasters, identity at same dims, degrade path") {

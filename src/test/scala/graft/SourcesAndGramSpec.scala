@@ -127,6 +127,61 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("binary() auto-routes oversized groups to the gram fitters, values pinned equal") {
+    val sess = spark
+    import sess.implicits._
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 500).flatMap { i =>
+      val x = rng.nextGaussian()
+      val z = rng.nextGaussian()
+      Seq(
+        ("x", "dep_a", x, if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-(0.7 * x - 0.3)))) 1.0 else 0.0, Seq(z)),
+        ("x", "dep_b", x, if (rng.nextDouble() < 0.35) 1.0 else 0.0, Seq(z)))
+    }
+    val melted = rows.toDF("predictor", "dependent", "x", "y", "covs")
+    for (model <- Seq("firth", "logistic")) {
+      val cfg = Association.Config(Seq("x"), Seq("dep_a", "dep_b"), Seq("z"),
+        model = model, minCaseCount = 5,
+        maxIter = if (model == "logistic") 50 else 25,
+        tol = if (model == "logistic") 1e-9 else 1e-5)
+      spark.conf.set("spark.graft.irls.groupRowsMax", "-1")
+      val inTask = Association.binary(melted, cfg).collect()
+        .map(r => r.getAs[String]("dependent") -> r).toMap
+      spark.conf.set("spark.graft.irls.groupRowsMax", "100") // avg group = 500 > 100
+      val routed =
+        try Association.binary(melted, cfg).collect()
+          .map(r => r.getAs[String]("dependent") -> r).toMap
+        finally spark.conf.unset("spark.graft.irls.groupRowsMax")
+      for (d <- Seq("dep_a", "dep_b"); c <- Seq("beta", "se", "pval", "OR")) {
+        assert(math.abs(routed(d).getAs[Double](c) - inTask(d).getAs[Double](c)) < 1e-6,
+          s"$model $d $c: routed=${routed(d).getAs[Double](c)} inTask=${inTask(d).getAs[Double](c)}")
+      }
+      for (d <- Seq("dep_a", "dep_b")) {
+        assert(routed(d).getAs[Long]("cases") == inTask(d).getAs[Long]("cases"), d)
+        assert(routed(d).getAs[Boolean]("converged"), s"$model $d")
+      }
+    }
+    // engagement observable: the routed path does NOT drop a per-pair
+    // constant covariate (documented gram contract — singular X'WX
+    // fails the pair), while the in-task fitter fits a reduced
+    // design. A constant covariate + a tiny gate therefore proves the
+    // route really switched paths.
+    val rowsC = rows.map { case (p, d, x, y, _) => (p, d, x, y, Seq(3.0)) }
+    val meltedC = rowsC.toDF("predictor", "dependent", "x", "y", "covs")
+    val cfgC = Association.Config(Seq("x"), Seq("dep_a", "dep_b"), Seq("z"),
+      model = "firth", minCaseCount = 5)
+    spark.conf.set("spark.graft.irls.groupRowsMax", "-1")
+    val inTaskC = Association.binary(meltedC, cfgC).collect()
+    spark.conf.set("spark.graft.irls.groupRowsMax", "100")
+    val routedC =
+      try Association.binary(meltedC, cfgC).collect()
+      finally spark.conf.unset("spark.graft.irls.groupRowsMax")
+    assert(inTaskC.forall(_.getAs[Boolean]("converged")),
+      "in-task must fit the reduced design")
+    assert(routedC.exists(r => !r.getAs[Boolean]("converged")),
+      "routed path did not engage the gram fitter (constant covariate fit anyway)")
+  }
+
   test("distributed Firth IRLS matches the in-task firth fitter incl. LRT pval") {
     val sess = spark
     import sess.implicits._

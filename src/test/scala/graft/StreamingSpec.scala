@@ -249,6 +249,90 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.contains((1L, 100L, 6L)) && !batch.exists(_._2 == 101L))
   }
 
+  test("windowed aggs: one-slice and two-slice replays emit identical sinks (cross-batch window state)") {
+    // the bench gates (e11/e16/e17/e18/e27) feed ONE data micro-batch
+    // for speed; these pins keep the multi-batch window-state path —
+    // a window opened in batch 1 accumulating batch-2 events before
+    // the watermark closes it — covered for both window shapes
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 40).map(i => (s"t${i % 3}", ts(i * 7), i * 1.0))
+    val splitMs = 140L * 60000L
+    val flushTs = new Timestamp(ts(0).getTime + 48L * 3600 * 1000)
+    for ((shape, agg) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "tumb" -> (StreamingOps.tumblingWindowAgg(_)),
+        "hop" -> (StreamingOps.hoppingWindowAgg(_)))) {
+      def run(slices: Int): Set[(Timestamp, String, Long, Double)] = {
+        val sink = s"wagg_${shape}_$slices"
+        val input = MemoryStream[(String, Timestamp, Double)]
+        val q = agg(input.toDF().toDF("event_type", "ts", "value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          if (slices == 1) { input.addData(data: _*); q.processAllAvailable() }
+          else {
+            input.addData(data.filter(_._2.getTime < splitMs): _*)
+            q.processAllAvailable()
+            input.addData(data.filter(_._2.getTime >= splitMs): _*)
+            q.processAllAvailable()
+          }
+          input.addData(("__flush", flushTs, 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.table(sink).filter(col("event_type") =!= "__flush")
+          .collect().map(r => (r.getTimestamp(0), r.getString(1),
+            r.getLong(2), r.getDouble(3))).toSet
+      }
+      val one = run(1)
+      val two = run(2)
+      assert(one == two, s"$shape: 2-slice replay diverges from 1-slice")
+      assert(one.nonEmpty && one.size > 4, shape)
+    }
+  }
+
+  test("streamContamination: one-slice and two-slice replays emit identical sinks") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val bPost = Dedup.withShingles(bench, "text", "sh")
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta plus extra"),
+      (101L, "alpha beta gamma then something else entirely different here"),
+      (102L, "no overlap at all with anything benchmark related words"),
+      (103L, "alpha beta gamma delta epsilon zeta repeated benchmark run"),
+      (104L, "delta epsilon zeta eta theta trailing shared shingle block"))
+    val flush = (10000000000L, "")
+    def run(slices: Int): Set[(Long, Long, Long)] = {
+      val sink = s"scontam_$slices"
+      val input = MemoryStream[(Long, String)]
+      val src = input.toDF().toDF("doc_id", "text")
+        .withColumn("ts", timestamp_millis(col("doc_id") + lit(3600000L)))
+      val q = StreamingOps.streamContamination(src, bPost, 3)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        if (slices == 1) { input.addData(corpus: _*); q.processAllAvailable() }
+        else corpus.grouped(3).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        }
+        input.addData(flush)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val one = run(1)
+    val two = run(2)
+    assert(one == two, "2-slice contamination replay diverges from 1-slice")
+    assert(one.exists(_._2 == 100L) && one.exists(_._2 == 103L))
+  }
+
   test("e19 streaming ingest gate equals the batch incremental dedup (d18)") {
     val dir = "/root/testdata/sf0.001"
     val s = graft.streaming.StreamingOps.e19StreamIncrementalGate(spark, dir)
