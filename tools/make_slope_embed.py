@@ -2,6 +2,7 @@
 """Build BENCH_SLOPE_EMBED.json from one or more quiet slopemas runs.
 
 Usage: make_slope_embed.py <log_or_json>:<source_label> [more...]
+                           [--sweep <log_or_json>:<source_label>]
 
 Each argument is a path to a Bench log (or bare JSON line file) and a
 short source label, colon-separated. The FIRST file is the base: its
@@ -11,7 +12,14 @@ families over the base (later wins per family) — the adjudication
 path for expensive families measured in a dedicated min-of-2 run
 (e.g. g02) without re-paying them in the base run. Per-family source
 labels are recorded in slope_sources so a reader can trace every row
-to its run.
+to its run. slope_reps (raw min-of-N rep arrays, the published spread
+behind a pinned point) merge the same way.
+
+--sweep names the QUIET full-sweep run whose total becomes
+sweep_total/sweep_gate/sweep_total_source: the wrapper bench then
+publishes that as its `value` (its own live total as `value_live`),
+so BENCH_r{N}.json alone never advertises a contaminated total
+(r17 verdict item 3).
 
 A subsequent full-sweep Bench run embeds the file; it refuses it when
 registry_size disagrees with its own build (r15 advice).
@@ -38,16 +46,30 @@ def read_last(path: str):
 
 def main() -> None:
     specs = []
-    for a in sys.argv[1:]:
-        path, _, label = a.rpartition(":")
-        if not path:
-            sys.exit(f"argument '{a}' must be <path>:<label>")
-        specs.append((path, label))
+    sweep_spec = None
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--sweep":
+            i += 1
+            a = args[i]
+            path, _, label = a.rpartition(":")
+            if not path:
+                sys.exit(f"--sweep argument '{a}' must be <path>:<label>")
+            sweep_spec = (path, label)
+        else:
+            path, _, label = a.rpartition(":")
+            if not path:
+                sys.exit(f"argument '{a}' must be <path>:<label>")
+            specs.append((path, label))
+        i += 1
     if not specs:
         sys.exit(__doc__)
     base = read_last(specs[0][0])
     slope = dict(base.get("scale_slope") or {})
     sources = {k: specs[0][1] for k in slope if k != "docs"}
+    slope_reps = dict(base.get("slope_reps") or {})
     registry = base.get("registry_size")
     for path, label in specs[1:]:
         d = read_last(path)
@@ -61,6 +83,8 @@ def main() -> None:
                 continue
             slope[k] = v
             sources[k] = label
+        for k, v in (d.get("slope_reps") or {}).items():
+            slope_reps[k] = v
     try:
         commit = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
@@ -85,6 +109,16 @@ def main() -> None:
         "mas_firth_gram_reps": base.get("mas_firth_gram_reps"),
         "scale_slope": slope,
     }
+    if slope_reps:
+        out["slope_reps"] = slope_reps
+    if sweep_spec is not None:
+        sw = read_last(sweep_spec[0])
+        if sw.get("registry_size") not in (None, registry):
+            print(f"note: sweep {sweep_spec[0]} ran at "
+                  f"registry_size={sw.get('registry_size')} vs base {registry}")
+        out["sweep_total"] = sw.get("value")
+        out["sweep_gate"] = sw.get("load_gate")
+        out["sweep_total_source"] = sweep_spec[1]
     with open("BENCH_SLOPE_EMBED.json", "w", encoding="utf-8") as f:
         json.dump(out, f)
         f.write("\n")
