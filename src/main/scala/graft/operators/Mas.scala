@@ -22,8 +22,34 @@ object Mas {
 
   /** One row per customer: x continuous predictor, xbin binary
     * predictor, z1 covariate, y_* quantitative dependents, d_* binary
-    * dependents with case rates chosen to hit each viability branch. */
+    * dependents with case rates chosen to hit each viability branch.
+    *
+    * SESSION-CACHED per (application, dir) behind a localCheckpoint:
+    * the cohort is the ANALYSIS frame (one bounded row per subject —
+    * 15k rows at sf0.1, never corpus-scale), and every a-op re-paying
+    * its customer⋈orders derivation was the sweep's largest shared
+    * fixed cost (~0.5-0.9 s/op). The reference reads its input frame
+    * ONCE per run (polars scan of one file); materializing the
+    * derived cohort once per session is the same shape. Cached ≡
+    * fresh is spec-pinned (the d17/band-index persisted-artifact
+    * rule). */
   def cohort(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + ":" + dir
+    val cached = cohortCache.get(key)
+    if (cached != null) cached
+    else {
+      val built = cohortFresh(spark, dir).localCheckpoint(true)
+      val prev = cohortCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  private val cohortCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The uncached cohort derivation — the cache-equality spec's
+    * fresh side. */
+  private[graft] def cohortFresh(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
     c.join(o, c("c_custkey") === o("o_custkey"))

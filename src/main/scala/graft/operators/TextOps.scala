@@ -1247,15 +1247,51 @@ object TextOps {
    * SORTED before the fold so the double-sum order — and therefore
    * every last ulp — is identical in Spark and the DuckDB oracle.
    *
-   * Per-row cost is O(len × |alphabet|) (one filter pass over the
-   * chars array per distinct char) — embarrassingly parallel and
-   * linear in corpus size, the right shape for ASCII-ish corpora
-   * (|alphabet| ≤ ~100). For Unicode-heavy corpora where documents
-   * carry thousands of distinct code points, prefer a (doc_id, char)
-   * explode + two-level aggregate: one shuffle bounded by distinct
-   * (doc, char), O(len) per row.
+   * Per-row cost is O(len + |alphabet| log |alphabet|): ONE code-point
+   * counting pass per document ([[charEntropySumKernel]] — a TreeMap
+   * keeps the Σ c·ln c fold in ascending code-point order, operand
+   * for operand the sorted HOF fold's order, so every last ulp still
+   * matches the DuckDB oracle). The original nested-HOF projection
+   * (one `filter` pass over the chars array per DISTINCT char —
+   * O(len × |alphabet|) through interpreted lambda calls, measured
+   * as the r18 sweep's heaviest line at 6.2 s) is retained as
+   * [[charEntropyHof]] with a spec pinning kernel ≡ HOF row-for-row.
+   * Still no shuffle at any corpus size; embarrassingly parallel.
    */
   def charEntropy(docs: DataFrame): DataFrame = {
+    val sumUdf = udf(charEntropySumKernel)
+    val n = length(col("text"))
+    docs.select(col("doc_id"), n.as("n_chars"),
+      Norm.r4(when(n > 0,
+        log(n.cast("double")) - sumUdf(col("text")) / n.cast("double")))
+        .as("char_entropy"))
+  }
+
+  /** Σ c·ln c over per-code-point counts, folded in ascending
+    * code-point order (= array_sort's UTF8-binary order on one-char
+    * strings). Counts are exact longs; each term is c·Math.log(c) —
+    * the same double op sequence as the sorted HOF fold. */
+  private[graft] val charEntropySumKernel: String => Double = (s: String) => {
+    if (s == null) 0.0
+    else {
+      val counts = new java.util.TreeMap[Integer, java.lang.Long]()
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val prev = counts.get(cp)
+        counts.put(cp, if (prev == null) 1L else prev.longValue() + 1L)
+        i += Character.charCount(cp)
+      }
+      var acc = 0.0
+      counts.forEach((_, c) =>
+        acc = acc + c.longValue().toDouble * math.log(c.longValue().toDouble))
+      acc
+    }
+  }
+
+  /** The original nested-HOF t09 projection — the kernel's
+    * cross-check twin (spec-pinned equal row-for-row). */
+  private[graft] def charEntropyHof(docs: DataFrame): DataFrame = {
     val chars = col("__chars")
     val counts = transform(array_sort(array_distinct(chars)),
       c => size(filter(chars, x => x === c)).cast("double"))
@@ -1301,9 +1337,12 @@ object TextOps {
   def t12CharEntropyAgg(spark: SparkSession, dir: String): DataFrame =
     charEntropyAgg(Tables.documents(spark, dir)).orderBy("doc_id")
 
-  /** Alphabet threshold above which the O(len·|alphabet|) projection
-    * (t09) is the wrong plan and the aggregate twin (t12) routes in —
-    * ~an ASCII/Latin-ish ceiling; CJK corpora blow far past it. */
+  /** Alphabet threshold above which the aggregate twin (t12) routes
+    * in. Historical note: the guard protected the original
+    * O(len·|alphabet|) HOF projection; the r18 kernel is O(len)
+    * regardless of alphabet, so the guard now only picks between two
+    * equally-valid plans (per-row kernel vs explode+aggregate) — the
+    * twins are spec-proven output-equal either way. */
   private[graft] val EntropyAlphabetGuard = 256
 
   /** Automatic t09→t12 routing: estimates the corpus alphabet from a

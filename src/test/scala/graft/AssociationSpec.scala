@@ -22,6 +22,18 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def near(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol
 
+  test("cohort session cache equals the fresh derivation (persisted-artifact rule)") {
+    import graft.operators.Mas
+    val dir = "/root/testdata/sf0.001"
+    val cached = Mas.cohort(spark, dir)
+    val fresh = Mas.cohortFresh(spark, dir)
+    val a = cached.orderBy("id").collect().map(_.toString)
+    val b = fresh.orderBy("id").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+    // repeat calls reuse the SAME materialized frame (no re-derivation)
+    assert(Mas.cohort(spark, dir) eq cached)
+  }
+
   test("prs scores samples with published weights in fixed term order") {
     val sess = spark
     import sess.implicits._

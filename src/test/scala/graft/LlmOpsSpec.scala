@@ -363,6 +363,25 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"\nkernel: $x\ndecl:   $y") }
   }
 
+  test("charEntropy kernel equals the HOF twin row-for-row") {
+    import operators.TextOps
+    val sess = spark
+    import sess.implicits._
+    val edge = Seq(
+      (800001L, "aaabbbccc"),
+      (800002L, ""),
+      (800003L, "a"),
+      (800004L, "héllo wörld ünïcode ééé"),
+      (800005L, "the quick brown fox jumps over the lazy dog 0123456789"))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val a = TextOps.charEntropy(docs).orderBy("doc_id").collect()
+    val b = TextOps.charEntropyHof(docs).orderBy("doc_id").collect()
+    assert(a.length == b.length && a.length > 5)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\nkernel: $x\nhof:    $y") }
+  }
+
   test("unigramLogprob: hand-checked xent, rare tokens score higher, empty doc nulls") {
     val sess = spark
     import sess.implicits._
