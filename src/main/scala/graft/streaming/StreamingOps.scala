@@ -616,7 +616,11 @@ object StreamingOps {
           oldSho = Some(graft.operators.Dedup.oldShoTable(spark, dir))).writeStream
           .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
-        val batch = math.max(2000, (newDocs.length + 1) / 2)
+        // ONE data micro-batch (e13 rule): per-new-doc decisions are
+        // independent (windowed best-match vs the STATIC old index),
+        // so the sink is slice-invariant; cross-batch window state is
+        // covered by the StreamingSpec 1-slice ≡ 2-slice pin
+        val batch = math.max(2000, newDocs.length)
         newDocs.grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase("e19", s"batch$i(${b.length})") {
             input.addData(b); q.processAllAvailable() } }
@@ -785,7 +789,11 @@ object StreamingOps {
       val q = sessionize(src).writeStream
         .format("memory").queryName(sinkName).outputMode("append").start()
       try {
-        val batch = math.max(5000, (rows.length + 1) / 2)
+        // ONE data micro-batch (e13 rule): sessionize sorts each
+        // invocation's rows by (ts, value) and the state carry makes
+        // session assembly identical under any slicing — pinned by
+        // the StreamingSpec 1-slice ≡ 2-slice session test
+        val batch = math.max(5000, rows.length)
         rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
         // sentinel 48 h past the horizon: watermark sweeps past every
         // pending timeout; its own open session is filtered below

@@ -333,6 +333,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.exists(_._2 == 100L) && one.exists(_._2 == 103L))
   }
 
+  test("streamIncrementalDedup: one-slice and two-slice replays emit identical sinks") {
+    // the e19 gate feeds ONE micro-batch; this pin keeps the
+    // cross-batch path (a doc's open best-match window living across
+    // batches until the watermark closes it) covered
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val oldIdx = graft.operators.Dedup.oldBandIndex(spark, dir)
+    val oldSho = graft.operators.Dedup.oldShoTable(spark, dir)
+    val newDocs = graft.operators.Dedup.corpus(spark, dir)
+      .filter(col("doc_id") >= 100000)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    def run(slices: Int, sink: String): Seq[String] = {
+      val input = MemoryStream[(Long, String)]
+      val src = input.toDF().toDF("doc_id", "text")
+        .withColumn("ts", timestamp_millis(col("doc_id") + lit(3600000L)))
+      val q = StreamingOps.streamIncrementalDedup(src, oldIdx, 0.5,
+          oldSho = Some(oldSho))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        newDocs.grouped(math.max(1, newDocs.length / slices + 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        input.addData((10000000000L, ""))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).filter(col("doc_id") < 10000000000L)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val one = run(1, "incdedup_one")
+    val two = run(2, "incdedup_two")
+    assert(one.nonEmpty && one == two,
+      "2-slice incremental-dedup replay diverges from 1-slice")
+  }
+
   test("e19 streaming ingest gate equals the batch incremental dedup (d18)") {
     val dir = "/root/testdata/sf0.001"
     val s = graft.streaming.StreamingOps.e19StreamIncrementalGate(spark, dir)
