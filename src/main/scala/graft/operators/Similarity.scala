@@ -345,24 +345,50 @@ object Similarity {
     val n = q.count()
     require(n > 0 && n <= 2000000L,
       s"pcaPower: Long-exact Gram bound is n <= 2e6 (got $n); use the DECIMAL(38) variant beyond")
-    val sums = q.select(posexplode(col("q")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum("x").as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // both stat scans are shuffle-free mapPartitions folds over flat
+    // long buffers (the IrlsMoment lesson): the previous per-row
+    // d(d+1)/2 struct explode generated ~114M rows at sf0.1 just to
+    // hash-aggregate integers that sum order-independently anyway.
+    // Arithmetic is IDENTICAL (exact long sums; the n ≤ 2e6 guard is
+    // the same Long-overflow bound the exploded sum carried); fold
+    // zero = all-zero buffer, so empty partitions are no-ops.
+    def foldLongs(df: DataFrame, width: Int)(
+        acc: (Array[Long], org.apache.spark.sql.catalyst.InternalRow) => Unit): Array[Long] =
+      df.queryExecution.toRdd.mapPartitions { it =>
+        val buf = new Array[Long](width)
+        while (it.hasNext) acc(buf, it.next())
+        Iterator.single(buf)
+      }.fold(new Array[Long](width)) { (x, y) =>
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        x
+      }
+    val dL = d
+    val sums = foldLongs(q.select(col("q")), d) { (buf, r) =>
+      val a = r.getArray(0)
+      var i = 0
+      while (i < dL) { buf(i) += a.getLong(i); i += 1 }
+    }
     // JVM Long '/' truncates toward zero; the oracle mirrors with a
     // sign-split '//' on non-negative operands
     val mu = Array.tabulate(d)(i => sums(i) / n)
     val muCol = array(mu.toIndexedSeq.map(lit(_)): _*)
     val cx = q.withColumn("cx", zip_with(col("q"), muCol, (x, m) => x - m))
-    val pairExpr = expr(
-      s"""flatten(transform(sequence(0, ${d - 1}), i ->
-         |  transform(sequence(i, ${d - 1}), j ->
-         |    named_struct('i', i, 'j', j,
-         |      'p', element_at(cx, i + 1) * element_at(cx, j + 1)))))""".stripMargin)
-    val cov = cx.select(explode(pairExpr).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    def C(i: Int, j: Int): BigInt = BigInt(if (i <= j) cov((i, j)) else cov((j, i)))
+    val nPairs = d * (d + 1) / 2
+    val covArr = foldLongs(cx.select(col("cx")), nPairs) { (buf, r) =>
+      val a = r.getArray(0)
+      var idx = 0
+      var i = 0
+      while (i < dL) {
+        val xi = a.getLong(i)
+        var j = i
+        while (j < dL) { buf(idx) += xi * a.getLong(j); idx += 1; j += 1 }
+        i += 1
+      }
+    }
+    def triIdx(i: Int, j: Int): Int = i * d - i * (i - 1) / 2 + (j - i)
+    def C(i: Int, j: Int): BigInt =
+      BigInt(if (i <= j) covArr(triIdx(i, j)) else covArr(triIdx(j, i)))
     var v = Array.fill(d)(BigInt(1000000))
     for (_ <- 1 to iters) {
       val w = Array.tabulate(d)(i => (0 until d).map(j => C(i, j) * v(j)).sum)
