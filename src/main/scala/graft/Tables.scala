@@ -83,4 +83,34 @@ object Tables {
     ensureMinParallelism(apply(s, d, "documents"), d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     ensureMinParallelism(apply(s, d, "embeddings"), d, "embeddings")
+
+  /**
+   * Session-lifetime DataFrame cache — the shared-materialization
+   * pattern (operators.Dedup's band index, operators.Mas's cohort
+   * frame), hoisted so any operator family can declare a derived
+   * table that is built ONCE per (session, key) and reused across
+   * queries, the way a warehouse materializes a view. Entries are
+   * scoped to the OWNING SparkSession instance: a cached
+   * DataFrame/localCheckpoint is dead state once its session stops,
+   * so a restarted session in the same JVM rebuilds, never
+   * resurrects; dead-session entries are evicted on the next lookup.
+   */
+  private[graft] def sessionCached(
+      cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    cache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
+    cache.computeIfAbsent(
+      java.lang.System.identityHashCode(spark).toHexString + "|" + key,
+      _ => build)
+  }
+
+  /** Unconditionally (re)publish a built artifact into a session
+    * cache — for the producer side of a producer/consumer pair where
+    * the PRODUCER must always do its own work (its measurement is
+    * the build) while consumers [[sessionCached]]-read it. */
+  private[graft] def sessionPut(
+      cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      spark: SparkSession, key: String, df: DataFrame): Unit =
+    cache.put(
+      java.lang.System.identityHashCode(spark).toHexString + "|" + key, df)
 }

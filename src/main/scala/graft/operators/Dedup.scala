@@ -323,9 +323,10 @@ object Dedup {
    * data at substring granularity" operator (the published
    * exact-substring method: any w-token run occurring more than once
    * corpus-wide is duplicated text): w-word rolling windows with
-   * positions → md5 per window → occurrence counts (ONE map-side-
-   * combined aggregate over distinct windows) → occurrences of
-   * multiply-occurring windows mark (doc, pos) as duplicated → the
+   * positions → two-level 64+64-bit hash per window (the d21 key
+   * shape) → occurrence counts (ONE map-side-combined aggregate over
+   * distinct windows) → a semi-join against the already-filtered
+   * duplicated-key set marks (doc, pos) as duplicated → the
    * overlapping windows COALESCE into maximal spans per doc (the
    * interval-union: a running max-end window PARTITIONED BY DOC, so
    * state is bounded by document length, never corpus size — this is
@@ -333,11 +334,11 @@ object Dedup {
    * coverage, and coverage fraction.
    *
    * Scale shape: the only corpus-sized shuffles are the window-hash
-   * aggregate and the count join — both partition on the hash, so
-   * Catalyst reuses one exchange; the span-merge window is per-doc
-   * bounded. Windows of boilerplate text ARE hot hashes, but they
-   * meet a one-row count side (the aggregate collapsed it), not a
-   * quadratic pairing.
+   * aggregate and the semi-join probe — both partition on the hash
+   * pair, so Catalyst reuses one exchange; the span-merge window is
+   * per-doc bounded. Windows of boilerplate text ARE hot hashes, but
+   * they meet a one-row build side (the aggregate collapsed it), not
+   * a quadratic pairing.
    */
   def dupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -348,9 +349,20 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ws) - ${w - 1}), i -> array_join(slice(ws, i, $w), ' '))"))
         .as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos"), md5(col("win")).as("h"))
-    val cnts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
-    val dups = wins.join(cnts, "h").filter(col("cnt") > 1).select("doc_id", "pos")
+      .select(col("doc_id"), col("pos"),
+        // window equality keyed on the d21 TWO-LEVEL 64+64-bit hash
+        // (independent xxhash64 seeds) instead of a 32-hex md5 STRING:
+        // half the shuffle key bytes on both hash-keyed exchanges and
+        // a codegen'd hash instead of a per-window digest+hex alloc.
+        // Exact up to 128-bit equality — the d21 collision argument
+        // (≤ C²/2¹²⁹) applies verbatim, and the oracle compare keys
+        // on the raw window string, so a collision would surface as a
+        // value mismatch.
+        xxhash64(col("win")).as("h1"), xxhash64(lit(7L), col("win")).as("h2"))
+    val dupKeys = wins.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h1", "h2")
+    val dups = wins.join(dupKeys, Seq("h1", "h2"), "left_semi")
+      .select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dups
       .withColumn("prev_end", max(col("pos") + w)
@@ -1621,7 +1633,9 @@ object Dedup {
           |FROM (SELECT DISTINCT doc_id FROM corpus) c
           |LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
     // d13: window-function mirror of the rolling-window span dedup —
-    // same md5 window keys, same interval-union via running max-end
+    // grouped on md5(window) here (any injective-up-to-collision key
+    // gives the same counts; Spark keys on the two-level xxhash64),
+    // same interval-union via running max-end
     "d13_dup_spans" ->
       (corpusSql +
         """, tk AS (
