@@ -423,45 +423,113 @@ object Dedup {
    * is exact.) d13's fixed-width token windows approximate this;
    * d21 is the char-exact version.
    *
-   * Scale shape: one (doc_id, pos, gram) row per character — the
+   * Scale shape: one (doc_id, pos, h1, h2) row per character — the
    * same O(total chars) a distributed suffix array would pay — but
-   * the gram leaves the map stage as a TWO-LEVEL 64+64-bit hash
-   * (independent xxhash64 seeds), never as the k-char string: the
-   * count aggregates on (h1, h2) with map-side combine (hot
-   * boilerplate grams collapse before the shuffle, and a 10⁹-copy
-   * gram meets a one-row count side, never a pairing), and the
-   * duplicated-position pass is a semi-join against the already-
-   * filtered duplicated-key set. At k = 40 that cuts the per-char
-   * shuffle payload ~2.5× (16 B vs ~40 B+) on BOTH shuffles.
-   * Exactness: coverage is exact up to 128-bit hash equality — a
-   * false duplicate needs two distinct k-grams agreeing on both
-   * hashes, probability ≤ C²/2¹²⁹ over C total chars (≈ 3·10⁻¹¹ at
-   * C = 10¹⁴, i.e. 100 TB) — the "two-level exact" regime; the
-   * per-engine oracle compare at sf0.01 would surface any collision
-   * as a value mismatch. The span merge is a per-doc-bounded
-   * running-max window, and the normalized text is materialized
-   * behind a localCheckpoint barrier BEFORE the gram lambda
-   * references it — a direct projection would let PushDownPredicates
-   * inline the normalize into the transform lambda and re-run it
-   * once per character (the r16 shingle pathology, measured ~200×).
+   * no k-char gram string is EVER materialized: a per-doc O(len)
+   * ROLLING double polynomial hash ([[rollGramKeys]]) emits the
+   * two-level 61+61-bit key stream at O(1) per char (the previous
+   * shape hashed a materialized substring per char — substring copy
+   * plus two k-byte digests). The count aggregates on (h1, h2) with
+   * map-side combine (hot boilerplate grams collapse before the
+   * shuffle, and a 10⁹-copy gram meets a one-row count side, never
+   * a pairing), and the duplicated-position pass is a semi-join
+   * against the already-filtered duplicated-key set; at k = 40 the
+   * per-char shuffle payload is 16 B vs the ~40 B+ gram string.
+   * Exactness: gram equality ⇒ key equality (the hash is a
+   * deterministic function of the code-point sequence); a false
+   * duplicate needs two distinct k-grams agreeing on BOTH 61-bit
+   * hashes, probability ≤ C²/2¹²² over C total chars (≈ 4·10⁻⁹ at
+   * C = 10¹⁴, i.e. 100 TB, random model — fixed-base polynomial
+   * hashes are not adversarially robust, and the sf0.01 oracle
+   * computes on raw strings so a collision surfaces as a value
+   * mismatch) — the "two-level exact" regime. The span merge is a
+   * per-doc-bounded running-max window, and the normalized text is
+   * materialized behind a localCheckpoint barrier BEFORE the kernel
+   * references it (the r16 shingle-inlining pathology guard).
    */
+  /** 128-bit k-gram key stream of one document: (0-based char pos,
+    * two independent polynomial rolling hashes mod 2⁶¹−1). */
+  case class GramKey(pos: Int, h1: Long, h2: Long)
+
+  private val RollMod = (1L << 61) - 1
+  private val RollB1 = 1000003L
+  private val RollB2 = 16777619L
+  /** (a·b) mod 2⁶¹−1 via the 128-bit product: 2⁶⁴ ≡ 8 (mod p), so
+    * hi·2⁶⁴ + lo ≡ 8·hi + (lo & p) + (lo >>> 61); for a, b < 2⁶¹ the
+    * intermediate stays under 2⁶², one more fold normalizes. */
+  @inline private def mulmod61(a: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & RollMod) + (lo >>> 61) + (hi << 3)
+    r = (r & RollMod) + (r >>> 61)
+    if (r >= RollMod) r - RollMod else r
+  }
+  /** ONE O(len) pass per document — no per-window substring is ever
+    * materialized: code points decode once into a flat array, then
+    * each step retires the leftmost coefficient (precomputed B^(k−1))
+    * and admits the next, per hash. Coefficients are code points
+    * (< 2²¹), so gram equality ⇒ key equality exactly; the collision
+    * direction is the usual two-level bound (distinct grams agreeing
+    * on BOTH 61-bit hashes). */
+  private[graft] def rollGramKeys(s: String, k: Int): Array[GramKey] = {
+    val sl = s.length
+    val cps = new Array[Int](sl)
+    var n = 0
+    var off = 0
+    while (off < sl) {
+      val cp = s.codePointAt(off)
+      cps(n) = cp
+      n += 1
+      off += Character.charCount(cp)
+    }
+    if (n < k) return Array.empty
+    var pow1 = 1L; var pow2 = 1L
+    var i = 1
+    while (i < k) { pow1 = mulmod61(pow1, RollB1); pow2 = mulmod61(pow2, RollB2); i += 1 }
+    val out = new Array[GramKey](n - k + 1)
+    var h1 = 0L; var h2 = 0L
+    var j = 0
+    while (j < k) {
+      h1 = mulmod61(h1, RollB1) + cps(j); if (h1 >= RollMod) h1 -= RollMod
+      h2 = mulmod61(h2, RollB2) + cps(j); if (h2 >= RollMod) h2 -= RollMod
+      j += 1
+    }
+    out(0) = GramKey(0, h1, h2)
+    var p = 1
+    while (p <= n - k) {
+      val cOut = cps(p - 1).toLong
+      val cIn = cps(p + k - 1).toLong
+      var t1 = h1 - mulmod61(cOut, pow1); if (t1 < 0) t1 += RollMod
+      h1 = mulmod61(t1, RollB1) + cIn; if (h1 >= RollMod) h1 -= RollMod
+      var t2 = h2 - mulmod61(cOut, pow2); if (t2 < 0) t2 += RollMod
+      h2 = mulmod61(t2, RollB2) + cIn; if (h2 >= RollMod) h2 -= RollMod
+      out(p) = GramKey(p, h1, h2)
+      p += 1
+    }
+    out
+  }
+
   def exactSubstringSpans(docs: DataFrame, k: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && k <= 1000, s"exactSubstringSpans: k in [2,1000], got $k")
     val t = docs.select(col("doc_id"), normText(trim(col("text"))).as("s"))
       .localCheckpoint(true)
-    // the gram string dies in the post-explode PROJECTION, before any
-    // exchange: downstream keys on the independent two-level hash
-    // only. (Hashing INSIDE the transform lambda was measured ~60%
-    // slower — the lambda evaluates the substring once per hash, and
-    // two evaluations per window cost more than the transient string
-    // array ever did.)
+    // no gram string ever exists: the [[rollGramKeys]] kernel emits
+    // the (pos, h1, h2) stream in one O(len) pass per doc (the r18
+    // projection that HASHED each materialized 40-char substring
+    // still paid the substring copy + two 40-byte digests PER CHAR —
+    // the rolling update is O(1) per char). Downstream is unchanged:
+    // keys are two independent 61-bit hashes; a false duplicate
+    // needs distinct grams agreeing on both (≤ C²/2¹²² over C total
+    // chars — same two-level-exact regime; these are FIXED-base
+    // polynomial hashes, so the bound is a random-model, not an
+    // adversarial, statement — and the sf0.01 oracle computes on the
+    // raw strings, so any collision surfaces as a value mismatch).
+    val gramsUdf = udf((s: String) => rollGramKeys(s, k))
     val grams = t.filter(length(col("s")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(s) - ${k - 1}), i -> substring(s, i, $k))"))
-        .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(col("g")).as("h1"), xxhash64(lit(7L), col("g")).as("h2"))
+      .select(col("doc_id"), explode(gramsUdf(col("s"))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        col("g.h1").as("h1"), col("g.h2").as("h2"))
     val dupKeys = grams.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h1", "h2")
     val dups = grams.join(dupKeys, Seq("h1", "h2"), "left_semi")

@@ -367,6 +367,39 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == ((2L, 12L, 7L, 0.9231)))
   }
 
+  test("rollGramKeys: rolling 128-bit keys agree with direct polynomial eval; key equality == substring equality") {
+    // small alphabet forces plenty of REAL substring repeats, so the
+    // equality direction is exercised both ways
+    val rnd = new scala.util.Random(42)
+    val strs = Seq.tabulate(8)(i =>
+      (0 until (20 + rnd.nextInt(60))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString) :+
+      "ab" :+ "a" :+ "" :+ "naïve café résumé naïve café" :+
+      "emoji 😀 pair 😀 pair" // surrogate pairs count as ONE char
+    for (s <- strs; k <- Seq(2, 3, 5)) {
+      val keys = Dedup.rollGramKeys(s, k)
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      assert(keys.length == math.max(0, n - k + 1), s"len for '$s' k=$k")
+      val grams = (0 to n - k).map(p => new String(cps, p, k))
+      // positions are the 0-based code-point index
+      assert(keys.map(_.pos).toSeq == (0 to n - k))
+      // key equality must match gram equality EXACTLY on these inputs
+      for (i <- grams.indices; j <- grams.indices) {
+        val same = grams(i) == grams(j)
+        val keq = keys(i).h1 == keys(j).h1 && keys(i).h2 == keys(j).h2
+        assert(keq == same, s"'${grams(i)}' vs '${grams(j)}' k=$k")
+      }
+      // rolling value == direct Horner evaluation mod 2^61-1 (BigInt)
+      val p = BigInt((1L << 61) - 1)
+      for (i <- grams.indices) {
+        val g = cps.slice(i, i + k)
+        def direct(b: Long) = g.foldLeft(BigInt(0))((h, c) => (h * b + c) mod p)
+        assert(BigInt(keys(i).h1) == direct(1000003L), s"h1 direct i=$i")
+        assert(BigInt(keys(i).h2) == direct(16777619L), s"h2 direct i=$i")
+      }
+    }
+  }
+
   test("d18 band-index persistence round-trip: ingest against the parquet-reloaded index matches the rebuild-from-corpus path row-for-row") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
