@@ -627,13 +627,15 @@ object Graph {
       .groupBy("x").agg(sort_array(collect_list(col("n"))).as("ns"))
 
   /** Wedge rows (a = target neighbor, b = any co-neighbor, dx =
-    * center degree) generated WITHOUT a raw-stub shuffle join: the
-    * target legs come from explode+filter over the adjacency arrays
-    * (a Generate preserves the checkpoint's hash partitioning on x),
-    * so the join back to the arrays matches partitioning on both
-    * sides and plans with no exchange; the wedge fan-out then
-    * happens inside whole-stage codegen and the only shuffle left
-    * downstream is the map-side-combined (a, b) aggregate. */
+    * center degree) generated WITHOUT a raw-stub join: target legs
+    * explode+filter out of the adjacency arrays and join back on the
+    * center to re-attach its list; the wedge fan-out then happens
+    * inside whole-stage codegen and the only corpus-scale shuffle
+    * downstream is the map-side-combined (a, b) aggregate. (The join
+    * back still plans an exchange pair over the V array rows — AQE's
+    * coalesced checkpoint partitioning is not re-derivable by
+    * Catalyst — but V array rows ≪ the former 2E raw stubs on the
+    * probe side, and the target side is |target stubs| only.) */
   private def wedgeRows(adjArr: DataFrame, targetPred: Column): DataFrame = {
     val tgts = adjArr.select(col("x"), explode(col("ns")).as("a"))
       .filter(targetPred)
