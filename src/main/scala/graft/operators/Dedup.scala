@@ -323,9 +323,10 @@ object Dedup {
    * data at substring granularity" operator (the published
    * exact-substring method: any w-token run occurring more than once
    * corpus-wide is duplicated text): w-word rolling windows with
-   * positions → two-level 64+64-bit hash per window (the d21 key
-   * shape) → occurrence counts (ONE map-side-combined aggregate over
-   * distinct windows) → a semi-join against the already-filtered
+   * positions → two-level 61+61-bit key per window from one O(len)
+   * prefix-hash pass per doc ([[rollWindowKeys]], the d21 kernel
+   * convention) → occurrence counts (ONE map-side-combined aggregate
+   * over distinct windows) → a semi-join against the already-filtered
    * duplicated-key set marks (doc, pos) as duplicated → the
    * overlapping windows COALESCE into maximal spans per doc (the
    * interval-union: a running max-end window PARTITIONED BY DOC, so
@@ -344,21 +345,21 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       split(normText(trim(col("text"))), " ").as("ws"))
-    val wins = toks
-      .filter(size(col("ws")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ws) - ${w - 1}), i -> array_join(slice(ws, i, $w), ' '))"))
-        .as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos"),
-        // window equality keyed on the d21 TWO-LEVEL 64+64-bit hash
-        // (independent xxhash64 seeds) instead of a 32-hex md5 STRING:
-        // half the shuffle key bytes on both hash-keyed exchanges and
-        // a codegen'd hash instead of a per-window digest+hex alloc.
-        // Exact up to 128-bit equality — the d21 collision argument
-        // (≤ C²/2¹²⁹) applies verbatim, and the oracle compare keys
-        // on the raw window string, so a collision would surface as a
-        // value mismatch.
-        xxhash64(col("win")).as("h1"), xxhash64(lit(7L), col("win")).as("h2"))
+    // normText collapses whitespace to single spaces, so the joined
+    // w-token window `array_join(slice(ws, i, w), ' ')` IS the
+    // contiguous char span of s from token i's start to token
+    // (i+w-1)'s end — [[rollWindowKeys]] emits every window's
+    // two-level 61+61-bit key from ONE O(len) prefix-hash pass per
+    // doc (no window string, no per-window digest; the d21 rolling-
+    // kernel convention, same collision bound, and the oracle keys
+    // on the raw joined window string so a collision surfaces as a
+    // value mismatch).
+    val winUdf = udf((s: String) => rollWindowKeys(s, w))
+    val wins = docs
+      .select(col("doc_id"), normText(trim(col("text"))).as("s"))
+      .select(col("doc_id"), explode(winUdf(col("s"))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        col("g.h1").as("h1"), col("g.h2").as("h2"))
     val dupKeys = wins.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select("h1", "h2")
     val dups = wins.join(dupKeys, Seq("h1", "h2"), "left_semi")
@@ -505,6 +506,70 @@ object Dedup {
       h2 = mulmod61(t2, RollB2) + cIn; if (h2 >= RollMod) h2 -= RollMod
       out(p) = GramKey(p, h1, h2)
       p += 1
+    }
+    out
+  }
+
+  /** d13's window keys from ONE O(len) prefix-hash pass: over text
+    * whose tokens are single-space-separated (the normText
+    * invariant), the joined w-token window starting at token j is
+    * the char span [start(j), end(j+w−1)) of s, and its Horner value
+    * base B mod 2⁶¹−1 is the prefix difference
+    * P(b) − P(a)·B^(b−a) — position-independent, so equal window
+    * strings hash equal ACROSS documents exactly as in
+    * [[rollGramKeys]] (same bases, same two-level collision bound).
+    * Returns one GramKey per window, pos = 0-based token index.
+    * Empty input or fewer than w tokens → empty (the caller's
+    * size-filter semantics). */
+  private[graft] def rollWindowKeys(s: String, w: Int): Array[GramKey] = {
+    val sl = s.length
+    if (sl == 0) return Array.empty
+    val cps = new Array[Int](sl)
+    var n = 0
+    var off = 0
+    while (off < sl) {
+      val cp = s.codePointAt(off)
+      cps(n) = cp
+      n += 1
+      off += Character.charCount(cp)
+    }
+    var tokCount = 1
+    var i = 0
+    while (i < n) { if (cps(i) == ' ') tokCount += 1; i += 1 }
+    if (tokCount < w) return Array.empty
+    val starts = new Array[Int](tokCount)
+    val ends = new Array[Int](tokCount)
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (cps(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = n
+    val p1 = new Array[Long](n + 1); val p2 = new Array[Long](n + 1)
+    val pw1 = new Array[Long](n + 1); val pw2 = new Array[Long](n + 1)
+    pw1(0) = 1L; pw2(0) = 1L
+    i = 0
+    while (i < n) {
+      var a = mulmod61(p1(i), RollB1) + cps(i); if (a >= RollMod) a -= RollMod
+      p1(i + 1) = a
+      var b = mulmod61(p2(i), RollB2) + cps(i); if (b >= RollMod) b -= RollMod
+      p2(i + 1) = b
+      pw1(i + 1) = mulmod61(pw1(i), RollB1)
+      pw2(i + 1) = mulmod61(pw2(i), RollB2)
+      i += 1
+    }
+    @inline def span(pp: Array[Long], ww: Array[Long], a: Int, b: Int): Long = {
+      var r = pp(b) - mulmod61(pp(a), ww(b - a))
+      if (r < 0) r += RollMod
+      r
+    }
+    val out = new Array[GramKey](tokCount - w + 1)
+    var j = 0
+    while (j <= tokCount - w) {
+      val a = starts(j); val b = ends(j + w - 1)
+      out(j) = GramKey(j, span(p1, pw1, a, b), span(p2, pw2, a, b))
+      j += 1
     }
     out
   }

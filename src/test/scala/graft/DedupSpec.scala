@@ -400,6 +400,36 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rollWindowKeys: token-window prefix hashes equal the window string's Horner value; equality == joined-window equality") {
+    val rnd = new scala.util.Random(7)
+    // small token vocabulary forces real window repeats within and
+    // across docs; single-space separation is the normText invariant
+    val docs = Seq.tabulate(6)(_ =>
+      (0 until (5 + rnd.nextInt(20))).map(_ => s"w${rnd.nextInt(3)}").mkString(" ")) :+
+      "a b" :+ "a" :+ "" :+ "naïve café naïve café naïve café 😀"
+    val p = BigInt((1L << 61) - 1)
+    for (doc <- docs; w <- Seq(1, 2, 3)) {
+      val keys = Dedup.rollWindowKeys(doc, w)
+      val ws = if (doc.isEmpty) Array.empty[String] else doc.split(" ", -1)
+      val wins = (0 to ws.length - w).map(j => ws.slice(j, j + w).mkString(" "))
+      assert(keys.length == math.max(0, ws.length - w + 1), s"'$doc' w=$w")
+      assert(keys.map(_.pos).toSeq == wins.indices)
+      // span hash == direct Horner of the joined window (the exact
+      // rollGramKeys convention, position-independent)
+      for (j <- wins.indices) {
+        def direct(b: Long) = wins(j).codePoints().toArray
+          .foldLeft(BigInt(0))((h, c) => (h * b + c) mod p)
+        assert(BigInt(keys(j).h1) == direct(1000003L), s"'$doc' w=$w j=$j")
+        assert(BigInt(keys(j).h2) == direct(16777619L), s"'$doc' w=$w j=$j")
+      }
+      // key equality == window-string equality on these inputs
+      for (i <- wins.indices; j <- wins.indices) {
+        val keq = keys(i).h1 == keys(j).h1 && keys(i).h2 == keys(j).h2
+        assert(keq == (wins(i) == wins(j)), s"'${wins(i)}' vs '${wins(j)}'")
+      }
+    }
+  }
+
   test("d18 band-index persistence round-trip: ingest against the parquet-reloaded index matches the rebuild-from-corpus path row-for-row") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
