@@ -156,6 +156,28 @@ object TextOps {
    * to false before any ratio divides.
    */
   def gopherGate(docs: DataFrame, lineWords: Int = 12): DataFrame = {
+    // per-doc kernel (the t20 repStatsKernel lesson): every statistic
+    // is a pure function of ONE document, and the declarative form
+    // re-scanned the text ~10× (two regex splits, a relining regex,
+    // per-line rlikes, the normalize) — the kernel makes one pass
+    // over each derived form. The declarative plan is kept as
+    // [[gopherGateDeclarative]], spec-pinned equal row-for-row; the
+    // ratio/threshold assembly below is the SAME Column code for
+    // both, so the 4-dp boundary rule cannot diverge.
+    val kudf = udf(gopherStatsKernel(lineWords))
+    gopherAssemble(docs.select(col("doc_id"), kudf(col("text")).as("st"))
+      .select(col("doc_id"), col("st.nw").as("nw"),
+        col("st.nonws").as("nonws"), col("st.symbols").as("symbols"),
+        col("st.alphaw").as("alphaw"), col("st.nlines").as("nlines"),
+        col("st.bulletl").as("bulletl"), col("st.ellipl").as("ellipl"),
+        col("st.stophits").as("stophits")))
+  }
+
+  /** The original expression-graph form of [[gopherGate]] — retained
+    * as the kernel's semantic pin (LlmOpsSpec asserts row-for-row
+    * equality on the real corpus + edge docs). */
+  private[graft] def gopherGateDeclarative(docs: DataFrame,
+      lineWords: Int = 12): DataFrame = {
     val t = col("text")
     val nw = when(length(trim(t)) === 0, 0.0)
       .otherwise(size(split(trim(t), "\\s+")).cast("double"))
@@ -171,11 +193,23 @@ object TextOps {
     val padded = concat(lit(" "), norm(t), lit(" "))
     val stopHits = gopherStops.map(w =>
       when(occ(padded, s" $w ") > 0, 1).otherwise(0)).reduce(_ + _)
-    val meanW = when(nw > 0, round(nonWs / nw, 4) + lit(0.0))
-    val symR = when(nw > 0, round(symbols / nw, 4) + lit(0.0))
-    val alpR = when(nw > 0, round(alphaW / nw, 4) + lit(0.0))
-    val bulR = round(bulletL / nLines, 4) + lit(0.0)
-    val ellR = round(ellipL / nLines, 4) + lit(0.0)
+    gopherAssemble(docs.select(col("doc_id"), nw.as("nw"),
+      nonWs.as("nonws"), symbols.as("symbols"), alphaW.as("alphaw"),
+      nLines.as("nlines"), bulletL.as("bulletl"), ellipL.as("ellipl"),
+      stopHits.as("stophits")))
+  }
+
+  /** Ratio + threshold assembly shared verbatim by the kernel and
+    * declarative paths — every rule decides on its 4-dp-ROUNDED
+    * value (the n05 boundary rule). */
+  private def gopherAssemble(s: DataFrame): DataFrame = {
+    val nw = col("nw"); val nLines = col("nlines")
+    val stopHits = col("stophits")
+    val meanW = when(nw > 0, round(col("nonws") / nw, 4) + lit(0.0))
+    val symR = when(nw > 0, round(col("symbols") / nw, 4) + lit(0.0))
+    val alpR = when(nw > 0, round(col("alphaw") / nw, 4) + lit(0.0))
+    val bulR = round(col("bulletl") / nLines, 4) + lit(0.0)
+    val ellR = round(col("ellipl") / nLines, 4) + lit(0.0)
     val rules = Seq(
       nw >= 50 && nw <= 100000, meanW >= 3 && meanW <= 10,
       symR < 0.1, bulR < 0.9, ellR < 0.3, alpR > 0.8, stopHits >= 2)
@@ -183,12 +217,82 @@ object TextOps {
     // empty text counts failed); keep is the published all-rules AND
     val nFailed = rules.map(r =>
       when(coalesce(r, lit(false)), 0).otherwise(1)).reduce(_ + _)
-    docs.select(col("doc_id"), nw.cast("long").as("n_words"),
+    s.select(col("doc_id"), nw.cast("long").as("n_words"),
       meanW.as("mean_wlen"), symR.as("symbol_ratio"),
       bulR.as("bullet_frac"), ellR.as("ellipsis_frac"),
       alpR.as("alpha_frac"), stopHits.cast("long").as("stop_hits"),
       nFailed.cast("long").as("n_failed"),
       rules.reduce(_ && _).as("keep"))
+  }
+
+  /** Kernel emissions: all defined for any non-null text (null text →
+    * null struct → null stats, the declarative null propagation). */
+  private[graft] final case class GopherStats(
+      nw: Double, nonws: Double, symbols: Double, alphaw: Double,
+      nlines: Double, bulletl: Double, ellipl: Double, stophits: Int)
+
+  /** Per-document twin of the declarative t19 stats (see
+    * [[gopherGate]]); expression-twin notes: Spark `trim` is
+    * ASCII-space-only ([[spaceTrim]]); `split(x, re)` is
+    * `x.split(re, -1)` on the same regex engine; `rlike` is FIND;
+    * `occ` counts non-overlapping left-to-right literal occurrences
+    * (the replace-length arithmetic); `substring(x, -3, 3) = "..."`
+    * reduces to endsWith (dots are single code units, shorter
+    * strings can never equal it); normText is
+    * lower(regexp_replace(text, "\\s+", " ")) with the same
+    * default-locale toLowerCase. */
+  private[graft] def gopherStatsKernel(
+      lineWords: Int): String => GopherStats = {
+    val wsOne = java.util.regex.Pattern.compile("\\s")
+    val wsPlus = java.util.regex.Pattern.compile("\\s+")
+    val alphaRe = java.util.regex.Pattern.compile("[A-Za-z]")
+    val bulletRe = java.util.regex.Pattern.compile("^[-*] ")
+    val lineRe = java.util.regex.Pattern.compile(
+      "(\\S+" + "\\s+\\S+" * (lineWords - 1) + ")\\s+")
+    val stops = gopherStops
+    def occCount(s: String, w: String): Double = {
+      var c = 0
+      var i = s.indexOf(w)
+      while (i >= 0) { c += 1; i = s.indexOf(w, i + w.length) }
+      c.toDouble
+    }
+    val kernel: String => GopherStats = (text: String) => {
+      if (text == null) null
+      else {
+        val trimmed = spaceTrim(text)
+        val words = wsPlus.split(trimmed, -1)
+        val nw = if (trimmed.isEmpty) 0.0 else words.length.toDouble
+        val nonws = cpLen(wsOne.matcher(text).replaceAll("")).toDouble
+        val symbols = occCount(text, "#") + occCount(text, "...")
+        var alphaw = 0
+        var i = 0
+        while (i < words.length) {
+          if (alphaRe.matcher(words(i)).find()) alphaw += 1
+          i += 1
+        }
+        val lines = lineRe.matcher(text).replaceAll("$1\n").split("\n", -1)
+        var bulletl = 0
+        var ellipl = 0
+        i = 0
+        while (i < lines.length) {
+          val tl = spaceTrim(lines(i))
+          if (bulletRe.matcher(tl).find()) bulletl += 1
+          if (tl.endsWith("...")) ellipl += 1
+          i += 1
+        }
+        val padded = " " + wsPlus.matcher(text).replaceAll(" ").toLowerCase() + " "
+        var stophits = 0
+        var j = 0
+        while (j < stops.length) {
+          if (padded.contains(" " + stops(j) + " ")) stophits += 1
+          j += 1
+        }
+        GopherStats(nw, nonws, symbols, alphaw.toDouble,
+          lines.length.toDouble, bulletl.toDouble, ellipl.toDouble,
+          stophits)
+      }
+    }
+    kernel
   }
 
   def t19GopherGate(spark: SparkSession, dir: String): DataFrame =

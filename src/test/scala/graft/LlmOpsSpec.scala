@@ -340,6 +340,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(4).isNullAt(r(4).fieldIndex("dup_line_frac")))
   }
 
+  test("gopherGate kernel equals the declarative twin row-for-row") {
+    import operators.TextOps
+    val sess = spark
+    import sess.implicits._
+    // edge docs: tabs (space-only trim + \s+ split leading empties),
+    // bullet/ellipsis lines, overlapping dots (occ's non-overlapping
+    // count), stop words punctuation-attached vs space-delimited,
+    // empty text, runs of spaces, non-ASCII (code-point lengths)
+    val edge = Seq(
+      (910001L, "\tstarts with a tab and then some # words ..."),
+      (910002L, "- bullet one two three\n* bullet led again here now\nplain line..."),
+      (910003L, ""),
+      (910004L, "......##  dots overlap the, be, to of and that have with"),
+      (910005L, "héllo wörld the be to of ... naïve café crème brûlée"),
+      (910006L, "  the   be  to  of and that have with  "))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val a = TextOps.gopherGate(docs).orderBy("doc_id").collect()
+    val b = TextOps.gopherGateDeclarative(docs).orderBy("doc_id").collect()
+    assert(a.length == b.length && a.length > 5)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\nkernel: $x\ndecl:   $y") }
+  }
+
   test("repetitionGate kernel equals the declarative twin row-for-row") {
     import operators.TextOps
     val sess = spark
