@@ -1481,6 +1481,24 @@ object TextOps {
    * scope: beyond polars-mas; standard pre-training quality filter.
    */
   def repetition(docs: DataFrame): DataFrame = {
+    // per-doc kernel (the t20 lesson): the top-2-gram count and the
+    // distinct-3-gram count are pure functions of ONE document, and
+    // the old plan exploded every 2-gram into a (doc, gram) count
+    // shuffle only to regroup rows that were row-local to begin
+    // with. Declarative twin retained below, spec-pinned row-for-row;
+    // the fraction assembly is the SAME Column code for both.
+    val kudf = udf(repSignalKernel)
+    repSignalAssemble(docs
+      .select(col("doc_id"), kudf(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_words").as("n_words"),
+        col("st.n_2grams").as("n_2grams"), col("st.n_3grams").as("n_3grams"),
+        col("st.n_dist_3grams").as("n_dist_3grams"),
+        col("st.top2").as("top_2gram_count")))
+  }
+
+  /** Original expression-graph form of [[repetition]] — the kernel's
+    * semantic pin. */
+  private[graft] def repetitionDeclarative(docs: DataFrame): DataFrame = {
     val w = col("__w")
     // same two-step projection as Dedup.withShingles: materialize the
     // words array once so the gram lambdas don't re-split per element
@@ -1496,16 +1514,71 @@ object TextOps {
       col("doc_id"),
       size(w).as("n_words"),
       size(col("__g2")).as("n_2grams"),
-      Norm.r4(when(size(col("__g3")) > 0,
-        lit(1.0) - size(array_distinct(col("__g3"))).cast("double")
-          / size(col("__g3")))).as("dup_3gram_frac"))
+      size(col("__g3")).as("n_3grams"),
+      size(array_distinct(col("__g3"))).as("n_dist_3grams"))
     val top2 = base.select(col("doc_id"), explode(col("__g2")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_2gram_count"))
-    proj.join(top2, Seq("doc_id"), "left")
-      .withColumn("top_2gram_frac",
-        Norm.r4(when(col("n_2grams") > 0,
-          col("top_2gram_count").cast("double") / col("n_2grams"))))
+    repSignalAssemble(proj.join(top2, Seq("doc_id"), "left"))
+  }
+
+  private def repSignalAssemble(s: DataFrame): DataFrame =
+    s.select(col("doc_id"), col("n_words"), col("n_2grams"),
+      Norm.r4(when(col("n_3grams") > 0,
+        lit(1.0) - col("n_dist_3grams").cast("double") / col("n_3grams")))
+        .as("dup_3gram_frac"),
+      col("top_2gram_count"),
+      Norm.r4(when(col("n_2grams") > 0,
+        col("top_2gram_count").cast("double") / col("n_2grams")))
+        .as("top_2gram_frac"))
+
+  /** Kernel emissions (all per-document): top2 is None when the doc
+    * has no 2-grams — the declarative left-join miss. */
+  private[graft] final case class RepSignalStats(
+      n_words: Int, n_2grams: Int, n_3grams: Int, n_dist_3grams: Int,
+      top2: Option[Long])
+
+  /** Per-document twin of the declarative t08 stats: same
+    * normText → single-space split (NO trim — empty text splits to
+    * one empty token, n_words = 1, exactly `split(normText, " ")`),
+    * same space-joined gram strings, max count over 2-grams,
+    * distinct count over 3-grams. */
+  private[graft] val repSignalKernel: String => RepSignalStats = {
+    val wsPlus = java.util.regex.Pattern.compile("\\s+")
+    (text: String) => {
+      if (text == null) null
+      else {
+        val normed = wsPlus.matcher(text).replaceAll(" ").toLowerCase()
+        val ws = normed.split(" ", -1)
+        val n = ws.length
+        val n2 = math.max(0, n - 1)
+        val n3 = math.max(0, n - 2)
+        var top2: Option[Long] = None
+        if (n2 > 0) {
+          val counts = new java.util.HashMap[String, java.lang.Long]()
+          var i = 0
+          var best = 0L
+          while (i < n2) {
+            val g = ws(i) + " " + ws(i + 1)
+            val c = counts.merge(g, java.lang.Long.valueOf(1L),
+              (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+            if (c.longValue > best) best = c.longValue
+            i += 1
+          }
+          top2 = Some(best)
+        }
+        var nd3 = 0
+        if (n3 > 0) {
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i < n3) {
+            if (seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))) nd3 += 1
+            i += 1
+          }
+        }
+        RepSignalStats(n, n2, n3, nd3, top2)
+      }
+    }
   }
 
   def t08Repetition(spark: SparkSession, dir: String): DataFrame =

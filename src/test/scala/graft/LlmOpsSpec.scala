@@ -364,6 +364,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"\nkernel: $x\ndecl:   $y") }
   }
 
+  test("repetition (t08) kernel equals the declarative twin row-for-row") {
+    import operators.TextOps
+    val sess = spark
+    import sess.implicits._
+    val edge = Seq(
+      (920001L, "spam spam spam spam eggs spam"),
+      (920002L, ""),                       // splits to one empty token
+      (920003L, "one"),                    // no 2-grams -> null count
+      (920004L, "a b a b a b a b c d"),
+      (920005L, "héllo wörld héllo wörld naïve café"),
+      (920006L, "tabs\tand\nnewlines collapse to single spaces here"))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val a = TextOps.repetition(docs).orderBy("doc_id").collect()
+    val b = TextOps.repetitionDeclarative(docs).orderBy("doc_id").collect()
+    assert(a.length == b.length && a.length > 5)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\nkernel: $x\ndecl:   $y") }
+  }
+
   test("repetitionGate kernel equals the declarative twin row-for-row") {
     import operators.TextOps
     val sess = spark
