@@ -626,10 +626,17 @@ object Association {
     val covNames = cfg.covariates
     val tol = cfg.tol
     // every IRLS iteration re-scans this frame — persist it for the
-    // life of the fit (the firthGram rationale; spill-to-disk persist
-    // of [long, (k+2) doubles] rows is the standard iterative-ML trade)
-    val keyedDf = keyed(melted, cfg).toDF("gkey", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // life of the fit, as FLAT PRIMITIVE columns (the firthGram cache
+    // rationale: InMemoryRelation decodes array cells generically per
+    // row, primitive columns read back vectorized); the packed array
+    // the aggregator consumes is re-assembled by a codegen'd
+    // projection on top, values unchanged
+    val keyedDf0 = keyed(melted, cfg).toDF("gkey", "v")
+    val flat = keyedDf0.select(
+      col("gkey") +: (0 until m).map(i => col("v")(i).as(s"v$i")): _*)
+    val cached = flat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyedDf = cached.select(col("gkey"),
+      array((0 until m).map(i => col(s"v$i")): _*).as("v"))
     // packed value layout is [x, y, covs…]; design features [x, covs…, 1]
     def f(i: Int): Column =
       if (i == 0) col("v")(0) else if (i <= k) col("v")(i + 1) else lit(1.0)
@@ -649,69 +656,201 @@ object Association {
     val pairs = for { i <- 0 until m; j <- i until m } yield (i, j)
     val solveUdf = udf((b: Seq[Double], s: Seq[Double], g: Seq[Double]) =>
       solveIrlsStep(b.toArray, s.toArray, g.toArray, m))
-    var beta = counts.filter(col("failed_reason").isNull)
-      .select(col("gkey"), typedlit(Seq.fill(m)(0.0)).as("beta"),
-        lit(Double.MaxValue).as("delta"), lit(null).cast("string").as("solve_failed"),
-        typedlit(Seq.empty[Double]).as("info"))
-      .localCheckpoint(true)
-
-    var it = 0
-    var maxDelta = Double.MaxValue
-    // ONE fused buffer per pair per iteration (see IrlsMoment) — the
-    // plain-logistic weight floor is 1e-10, no third-order tensor
-    val moment = udaf(new IrlsMoment(m, wFloor = 1e-10, tensor = false))
-    // same big-pair gate as firthGram: above the threshold the beta
-    // table stops staging through the driver as a broadcast and joins
-    // as a shuffle hash join instead (the continue-check here is
-    // already a distributed agg, no change needed)
-    val bcastMaxPairs = spark.conf
-      .get("spark.graft.irls.broadcastPairs", "2000000").toLong
-    val shuffleBeta = beta.count() > bcastMaxPairs
-    while (it < cfg.maxIter && maxDelta >= tol) {
-      val actSt = beta.filter(col("solve_failed").isNull).select("gkey", "beta")
-      val stats = keyedDf.join(
-          if (shuffleBeta) actSt.hint("shuffle_hash") else broadcast(actSt), "gkey")
-        .groupBy("gkey")
-        .agg(moment(col("v"), col("beta")).as("st"))
-        .select(col("gkey"),
-          col("st").getField("s").as("s"), col("st").getField("g").as("g"))
-      beta = beta.join(stats, Seq("gkey"), "left")
-        .select(col("gkey"),
-          when(col("s").isNotNull && col("solve_failed").isNull,
-            solveUdf(col("beta"), col("s"), col("g")))
-            .otherwise(struct(col("beta").as("beta"), lit(0.0).as("delta"),
-              col("info").as("info"), col("solve_failed").as("failed"))).as("u"))
-        .select(col("gkey"), col("u.beta").as("beta"), col("u.delta").as("delta"),
-          col("u.failed").as("solve_failed"), col("u.info").as("info"))
-        .localCheckpoint(true)
-      val row = beta.agg(max(col("delta"))).head()
-      maxDelta = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      it += 1
-    }
-    keyedDf.unpersist()
-
-    // final inference, executor-side; grid completion restores no-data pairs
-    val solvedViable = beta.join(counts.select("gkey", "cases", "n"), "gkey")
-      .as[(Long, Seq[Double], Double, String, Seq[Double], Long, Long)]
-      .map { case (gkey, b, delta, solveFailed, info, cases, n) =>
-        val pred = predictors((gkey / dependents.length).toInt)
-        val dep = dependents((gkey % dependents.length).toInt)
+    // final-inference row builder shared VERBATIM by the driver and
+    // DataFrame regimes (a local function VAL so the executor map
+    // closure doesn't capture the module)
+    val resultRow: (Long, Seq[Double], Double, String, Seq[Double], Long, Long) => BinResult = {
+      val preds = predictors; val deps = dependents
+      val mm = m; val cn = covNames; val tl = tol
+      (gkey, b, delta, solveFailed, info, cases, n) => {
+        val pred = preds((gkey / deps.length).toInt)
+        val dep = deps((gkey % deps.length).toInt)
         if (solveFailed != null)
           BinResult(pred, dep, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
             Double.NaN, Double.NaN, -9L, -9L, -9L, converged = false, solveFailed, "nan")
         else {
-          def triOf(i: Int, j: Int): Int = i * m - i * (i - 1) / 2 + (j - i)
-          val infoM = DenseMatrix.tabulate(m, m)((a2, b2) =>
+          def triOf(i: Int, j: Int): Int = i * mm - i * (i - 1) / 2 + (j - i)
+          val infoM = DenseMatrix.tabulate(mm, mm)((a2, b2) =>
             info(triOf(math.min(a2, b2), math.max(a2, b2))))
           val covm = breeze.linalg.inv(infoM)
           val se0 = math.sqrt(covm(0, 0))
           val b0 = b(0)
           BinResult(pred, dep, graft.functions.Numerics.normSf2(b0 / se0), b0, se0,
             math.exp(b0), b0 - 1.959963984540054 * se0, b0 + 1.959963984540054 * se0,
-            cases, n - cases, n, converged = delta < tol, "nan",
-            s"$dep ~ $pred + ${covNames.mkString(" + ")}")
+            cases, n - cases, n, converged = delta < tl, "nan",
+            s"$dep ~ $pred + ${cn.mkString(" + ")}")
         }
-      }.toDF()
+      }
+    }
+    // regime gate (static on the config grid, same knob as firthGram):
+    // below it the whole Newton loop runs driver-stepped — ONE
+    // shuffle-free mapPartitions job per iteration over the cached
+    // flat frame, moments accumulated into a flat buffer via the
+    // broadcast beta index, solves on the driver, nothing checkpointed
+    // per step (the firthGram r17 regime, minus the tensor and the
+    // null fit). The DataFrame loops (broadcast / shuffle-beta) are
+    // untouched and remain the at-scale path; all regimes share
+    // solveIrlsStep and the IrlsMoment per-row operand order, pinned
+    // by the regime spec in SourcesAndGramSpec.
+    val driverStepMax = spark.conf
+      .get("spark.graft.irls.driverStepPairs", "20000").toLong
+    val gridSize = predictors.length.toLong * dependents.length
+    val driverStep = gridSize <= driverStepMax
+    val dbgL = sys.env.contains("GRAFT_FIRTH_DEBUG")
+    val solvedViable: DataFrame = if (driverStep) {
+      val nS = m * (m + 1) / 2
+      val nBuf = nS + m
+      // pair-grid-sized collect, bounded by the regime gate
+      val countRows = counts.select("gkey", "cases", "n", "failed_reason")
+        .as[(Long, Long, Long, String)].collect()
+      final class LSt(val gkey: Long) {
+        var beta: Array[Double] = new Array[Double](m)
+        var delta: Double = Double.MaxValue
+        var failed: String = null
+        var info: Seq[Double] = Seq.empty
+      }
+      val states = countRows.filter(_._4 == null).map(r => new LSt(r._1)).sortBy(_.gkey)
+      var it = 0
+      var maxDelta = Double.MaxValue
+      val mm = m
+      val kk = k
+      val nBufL = nBuf
+      val nSL = nS
+      while (it < cfg.maxIter && maxDelta >= tol && states.nonEmpty) {
+        val tIter = System.nanoTime()
+        // the DataFrame loop re-steps every non-failed pair (converged
+        // included) until the GLOBAL max step passes tol — mirror that
+        val act = states.filter(_.failed == null)
+        if (act.isEmpty) { maxDelta = 0.0 }
+        else {
+          val nAct = act.length
+          val idxOf = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+          act.zipWithIndex.foreach { case (st, i) =>
+            idxOf.put(java.lang.Long.valueOf(st.gkey), java.lang.Integer.valueOf(i))
+          }
+          val betas: Array[Array[Double]] = act.map(_.beta)
+          val bcIdx = spark.sparkContext.broadcast((idxOf, betas))
+          // per-row products replicate IrlsMoment.reduce operand-for-
+          // operand (same eta fold, same (w·xᵢ)·xⱼ, same 1e-10 floor),
+          // so iterates agree across regimes to partial-merge order —
+          // the 1e-8 class the regime spec pins
+          val totals = cached.select(
+              (col("gkey") +: (0 until m).map(i => col(s"v$i"))): _*)
+            .queryExecution.toRdd.mapPartitions { rows =>
+              val (idx, bs) = bcIdx.value
+              val buf = new Array[Double](nAct * nBufL)
+              val x = new Array[Double](mm)
+              while (rows.hasNext) {
+                val r = rows.next()
+                val ai = idx.get(java.lang.Long.valueOf(r.getLong(0)))
+                if (ai != null) {
+                  val a = ai.intValue()
+                  x(0) = r.getDouble(1)
+                  var c = 0
+                  while (c < kk) { x(c + 1) = r.getDouble(c + 3); c += 1 }
+                  x(mm - 1) = 1.0
+                  val b = bs(a)
+                  var eta = 0.0
+                  var i = 0
+                  while (i < mm) { eta += x(i) * b(i); i += 1 }
+                  val p = 1.0 / (1.0 + math.exp(-eta))
+                  val w = math.max(p * (1.0 - p), 1e-10)
+                  val r1 = r.getDouble(2) - p
+                  val off = a * nBufL
+                  var idx2 = off
+                  i = 0
+                  while (i < mm) {
+                    val wi = w * x(i)
+                    var j = i
+                    while (j < mm) { buf(idx2) += wi * x(j); idx2 += 1; j += 1 }
+                    buf(off + nSL + i) += x(i) * r1
+                    i += 1
+                  }
+                }
+              }
+              Iterator.single(buf)
+            }.fold(new Array[Double](nAct * nBufL)) { (a, b) =>
+              var i = 0
+              while (i < a.length) { a(i) += b(i); i += 1 }
+              a
+            }
+          bcIdx.destroy()
+          maxDelta = 0.0
+          var ai = 0
+          while (ai < nAct) {
+            val st = act(ai)
+            val off = ai * nBufL
+            val s = java.util.Arrays.copyOfRange(totals, off, off + nSL)
+            val g = java.util.Arrays.copyOfRange(totals, off + nSL, off + nSL + mm)
+            val res = solveIrlsStep(st.beta, s, g, mm)
+            st.beta = res.beta.toArray
+            st.delta = res.delta
+            st.failed = res.failed
+            st.info = res.info
+            if (res.failed == null && res.delta > maxDelta) maxDelta = res.delta
+            ai += 1
+          }
+        }
+        if (dbgL) System.err.println(
+          f"[logisticGram] driver-iter ${(System.nanoTime() - tIter) / 1e9}%.3f s act=${act.length}")
+        it += 1
+      }
+      cached.unpersist()
+      val byKey = states.map(s => s.gkey -> s).toMap
+      val rows: Seq[BinResult] = countRows.filter(_._4 == null).toSeq.map {
+        case (gkey, cases, n, _) =>
+          val st = byKey(gkey)
+          resultRow(gkey, st.beta.toSeq, st.delta, st.failed, st.info, cases, n)
+      }
+      spark.createDataset(rows).toDF()
+    } else {
+      var beta = counts.filter(col("failed_reason").isNull)
+        .select(col("gkey"), typedlit(Seq.fill(m)(0.0)).as("beta"),
+          lit(Double.MaxValue).as("delta"), lit(null).cast("string").as("solve_failed"),
+          typedlit(Seq.empty[Double]).as("info"))
+        .localCheckpoint(true)
+      var it = 0
+      var maxDelta = Double.MaxValue
+      // ONE fused buffer per pair per iteration (see IrlsMoment) — the
+      // plain-logistic weight floor is 1e-10, no third-order tensor
+      val moment = udaf(new IrlsMoment(m, wFloor = 1e-10, tensor = false))
+      // same big-pair gate as firthGram: above the threshold the beta
+      // table stops staging through the driver as a broadcast and joins
+      // as a shuffle hash join instead (the continue-check here is
+      // already a distributed agg, no change needed)
+      val bcastMaxPairs = spark.conf
+        .get("spark.graft.irls.broadcastPairs", "2000000").toLong
+      val shuffleBeta = beta.count() > bcastMaxPairs
+      while (it < cfg.maxIter && maxDelta >= tol) {
+        val actSt = beta.filter(col("solve_failed").isNull).select("gkey", "beta")
+        val stats = keyedDf.join(
+            if (shuffleBeta) actSt.hint("shuffle_hash") else broadcast(actSt), "gkey")
+          .groupBy("gkey")
+          .agg(moment(col("v"), col("beta")).as("st"))
+          .select(col("gkey"),
+            col("st").getField("s").as("s"), col("st").getField("g").as("g"))
+        beta = beta.join(stats, Seq("gkey"), "left")
+          .select(col("gkey"),
+            when(col("s").isNotNull && col("solve_failed").isNull,
+              solveUdf(col("beta"), col("s"), col("g")))
+              .otherwise(struct(col("beta").as("beta"), lit(0.0).as("delta"),
+                col("info").as("info"), col("solve_failed").as("failed"))).as("u"))
+          .select(col("gkey"), col("u.beta").as("beta"), col("u.delta").as("delta"),
+            col("u.failed").as("solve_failed"), col("u.info").as("info"))
+          .localCheckpoint(true)
+        val row = beta.agg(max(col("delta"))).head()
+        maxDelta = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+        it += 1
+      }
+      cached.unpersist()
+
+      // final inference, executor-side; grid completion restores no-data pairs
+      beta.join(counts.select("gkey", "cases", "n"), "gkey")
+        .as[(Long, Seq[Double], Double, String, Seq[Double], Long, Long)]
+        .map { case (gkey, b, delta, solveFailed, info, cases, n) =>
+          resultRow(gkey, b, delta, solveFailed, info, cases, n)
+        }.toDF()
+    }
     val failedRows = counts.filter(col("failed_reason").isNotNull)
       .as[(Long, Long, Long, String)]
       .map { case (gkey, _, _, reason) =>
