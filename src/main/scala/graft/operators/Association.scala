@@ -694,8 +694,14 @@ object Association {
     // by the regime spec in SourcesAndGramSpec.
     val driverStepMax = spark.conf
       .get("spark.graft.irls.driverStepPairs", "20000").toLong
+    val bcastMaxPairs0 = spark.conf
+      .get("spark.graft.irls.broadcastPairs", "2000000").toLong
     val gridSize = predictors.length.toLong * dependents.length
-    val driverStep = gridSize <= driverStepMax
+    // same double gate as firthGram: past broadcastPairs the state is
+    // too big to stage through the driver AT ALL, so forcing the
+    // shuffle regime (broadcastPairs=0, as the regime spec does) must
+    // also disable the driver step
+    val driverStep = gridSize <= driverStepMax && gridSize <= bcastMaxPairs0
     val dbgL = sys.env.contains("GRAFT_FIRTH_DEBUG")
     val solvedViable: DataFrame = if (driverStep) {
       val nS = m * (m + 1) / 2

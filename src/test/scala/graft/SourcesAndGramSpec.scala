@@ -311,12 +311,18 @@ class SourcesAndGramSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val dfLoopF = Association.firthGram(melted, cfg).collect()
         .map(r => r.getAs[String]("dependent") -> r).toMap
+      val dfLoopL = Association.logisticGram(melted, cfg.copy(model = "logistic"))
+        .collect().map(r => r.getAs[String]("dependent") -> r).toMap
       for (d <- Seq("dep_a", "dep_b"); c <- Seq("beta", "se", "pval", "OR")) {
         assert(math.abs(bcastF(d).getAs[Double](c) - dfLoopF(d).getAs[Double](c)) < 1e-8,
           s"firth $d $c: driver=${bcastF(d).getAs[Double](c)} dfloop=${dfLoopF(d).getAs[Double](c)}")
+        assert(math.abs(bcastL(d).getAs[Double](c) - dfLoopL(d).getAs[Double](c)) < 1e-8,
+          s"logistic $d $c: driver=${bcastL(d).getAs[Double](c)} dfloop=${dfLoopL(d).getAs[Double](c)}")
       }
-      for (d <- Seq("dep_a", "dep_b"))
+      for (d <- Seq("dep_a", "dep_b")) {
         assert(dfLoopF(d).getAs[Boolean]("converged"), s"firth dfloop $d")
+        assert(dfLoopL(d).getAs[Boolean]("converged"), s"logistic dfloop $d")
+      }
     } finally spark.conf.unset("spark.graft.irls.driverStepPairs")
   }
 
