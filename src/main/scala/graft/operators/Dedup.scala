@@ -100,6 +100,26 @@ object Dedup {
       .localCheckpoint(true)
       .filter(size(col("sh")) > 0)
 
+  /** Session-cached (doc_id, source, sh) shingle projection of the
+    * canonical corpus — the INPUT artifact every shingle-keyed d-op
+    * derives from (in a production dedup pipeline the shingle/posting
+    * table is persisted once per snapshot and every report reads it;
+    * each operator here was re-running the split+shingle projection
+    * over the corpus). Checkpointed BEFORE any filter, per the
+    * [[shingleTable]] pathology note. */
+  private val shingleBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def corpusShingleBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(shingleBaseCache, spark, dir + "|shbase") {
+      withShingles(corpus(spark, dir), "text", "sh")
+        .select(col("doc_id"), col("source"), col("sh"))
+        .localCheckpoint(true)
+    }
+  /** The [[shingleTable]] view of the cached corpus base. */
+  private[graft] def corpusShingleTable(spark: SparkSession, dir: String): DataFrame =
+    corpusShingleBase(spark, dir).select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
+
   /**
    * Benchmark-contamination detection — the DECONTAMINATION op a
    * training corpus needs before eval numbers mean anything: corpus
@@ -304,8 +324,13 @@ object Dedup {
    * aggregate combines map-side. Nothing is quadratic — a hot shingle
    * costs its posting-list length, never a pair matrix.
    */
-  def dupShingleProfile(docs: DataFrame): DataFrame = {
-    val posts = withShingles(docs, "text", "sh")
+  def dupShingleProfile(docs: DataFrame): DataFrame =
+    dupShingleFromSh(withShingles(docs, "text", "sh")
+      .select(col("doc_id"), col("sh")))
+
+  /** [[dupShingleProfile]] over a prebuilt (doc_id, sh) frame. */
+  private[graft] def dupShingleFromSh(shTable: DataFrame): DataFrame = {
+    val posts = shTable
       .select(col("doc_id"), explode(col("sh")).as("s"))
     // postings are distinct per doc, so count(*) per shingle = its
     // document frequency
@@ -401,7 +426,8 @@ object Dedup {
     * classes exist by construction, so shared fractions near 1.0
     * appear alongside the natural near-dup noise floor). */
   def d09DupShingles(spark: SparkSession, dir: String): DataFrame =
-    dupShingleProfile(corpus(spark, dir)).orderBy("doc_id")
+    dupShingleFromSh(corpusShingleBase(spark, dir).select(col("doc_id"), col("sh")))
+      .orderBy("doc_id")
 
   // --------------------------------------- d21 exact substring spans
 
@@ -791,14 +817,21 @@ object Dedup {
    * shingles — the standard cost/recall knob. Default None = exact.
    */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, blockCol: Option[String],
-      maxDf: Option[Int] = None): DataFrame = {
-    val base = withShingles(docs, "text", "sh")
+      maxDf: Option[Int] = None): DataFrame =
+    ngramJaccardFromBase(withShingles(docs, "text", "sh")
       .select(col("doc_id"),
         (blockCol match {
           case Some(b) => col(b)
           case None => lit("_")
         }).as("blk"),
-        col("sh"))
+        col("sh")), tau, maxDf)
+
+  /** [[ngramJaccardPairs]] over a prebuilt (doc_id, blk, sh) frame —
+    * the corpus wrappers pass the session-cached
+    * [[corpusShingleBase]] so the shingle projection runs once per
+    * (session, dir), not once per report. */
+  private[graft] def ngramJaccardFromBase(base: DataFrame, tau: Double,
+      maxDf: Option[Int] = None): DataFrame = {
     val ex = base.select(col("doc_id"), col("blk"), size(col("sh")).as("ns"),
       explode(col("sh")).as("s"))
     maxDf match {
@@ -837,8 +870,14 @@ object Dedup {
     }
   }
 
+  /** The cached corpus shingle base with `source` as the block key —
+    * the frame d02/d19/d20/d11 all derive from. */
+  private def corpusBlkBase(spark: SparkSession, dir: String): DataFrame =
+    corpusShingleBase(spark, dir)
+      .select(col("doc_id"), col("source").as("blk"), col("sh"))
+
   def d02DedupNgram(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(corpus(spark, dir), 0.5, Some("source"))
+    ngramJaccardFromBase(corpusBlkBase(spark, dir), 0.5)
       .orderBy("id1", "id2")
 
   /**
@@ -855,7 +894,7 @@ object Dedup {
    * ≤20-row aggregate.
    */
   def d19JaccardHist(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(corpus(spark, dir), 0.1, Some("source"))
+    ngramJaccardFromBase(corpusBlkBase(spark, dir), 0.1)
       .withColumn("m", round(col("jaccard") * 10000.0).cast("long"))
       .withColumn("bin", expr("m div 500"))
       .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
@@ -898,11 +937,14 @@ object Dedup {
    * convention).
    */
   def d20LshCalibration(spark: SparkSession, dir: String): DataFrame =
-    lshCalibration(corpus(spark, dir))
+    lshCalibrationFromPairs(ngramJaccardFromBase(corpusBlkBase(spark, dir), 0.1))
 
   /** The d20 report over any (doc_id, text, source) frame. */
   def lshCalibration(docs: DataFrame): DataFrame =
-    ngramJaccardPairs(docs, 0.1, Some("source"))
+    lshCalibrationFromPairs(ngramJaccardPairs(docs, 0.1, Some("source")))
+
+  private def lshCalibrationFromPairs(pairsDf: DataFrame): DataFrame =
+    pairsDf
       .withColumn("m", round(col("jaccard") * 10000.0).cast("long"))
       .withColumn("p", bandingCatchProb32x4(col("m")))
       .withColumn("bin", expr("m div 500"))
@@ -924,14 +966,18 @@ object Dedup {
    * r4-rounded score (the n05 boundary rule).
    */
   def containmentPairs(docs: DataFrame, tau: Double,
-      blockCol: Option[String]): DataFrame = {
-    val base = withShingles(docs, "text", "sh")
+      blockCol: Option[String]): DataFrame =
+    containmentFromBase(withShingles(docs, "text", "sh")
       .select(col("doc_id"),
         (blockCol match {
           case Some(b) => col(b)
           case None => lit("_")
         }).as("blk"),
-        col("sh"))
+        col("sh")), tau)
+
+  /** [[containmentPairs]] over a prebuilt (doc_id, blk, sh) frame
+    * (the cached-corpus route, as in [[ngramJaccardFromBase]]). */
+  private[graft] def containmentFromBase(base: DataFrame, tau: Double): DataFrame = {
     val ex = base.select(col("doc_id"), col("blk"), size(col("sh")).as("ns"),
       explode(col("sh")).as("s"))
     val a = ex.select(col("blk"), col("s"), col("doc_id").as("id1"), col("ns").as("na"))
@@ -947,7 +993,7 @@ object Dedup {
   /** d11: within-source containment pairs at τ = 0.8 — id1's shingle
     * set is (mostly) inside id2's. */
   def d11Containment(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(corpus(spark, dir), 0.8, Some("source"))
+    containmentFromBase(corpusBlkBase(spark, dir), 0.8)
       .orderBy("id1", "id2")
 
   // ----------------------------------------------- d03 MinHash + LSH
@@ -989,7 +1035,8 @@ object Dedup {
    * Only (band, signature) buckets shuffle; verified pairs join back
    * to shingle sets for the exact ratio.
    */
-  def minhashLshPairs(docs: DataFrame, tau: Double, bands: Int = 32, rows: Int = 4): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, tau: Double, bands: Int = 32, rows: Int = 4,
+      shOpt: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     val params = permParams(bands * rows, 42L)
     val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, params))
@@ -999,10 +1046,11 @@ object Dedup {
     // The shingle/signature table is referenced by four plan branches
     // (both bucket-join sides + both verify sides); shingleTable
     // materializes it once instead of recomputing the text pipeline
-    // per branch. Signatures are tiny relative to the corpus (128
-    // longs/doc) — at cluster scale this is the standard materialized
-    // signature table.
-    val withSh = shingleTable(docs)
+    // per branch (the corpus wrappers pass the session-cached
+    // [[corpusShingleTable]]). Signatures are tiny relative to the
+    // corpus (128 longs/doc) — at cluster scale this is the standard
+    // materialized signature table.
+    val withSh = shOpt.getOrElse(shingleTable(docs))
     val sigs = withSh.withColumn("sig", sigUdf(col("sh")))
     // Candidate dedup strategy: a pair colliding in k bands appears k
     // times in the bucket-join output, and `distinct()` shuffles that
@@ -1056,7 +1104,8 @@ object Dedup {
   }
 
   def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    minhashLshPairs(corpus(spark, dir), 0.5).orderBy("id1", "id2")
+    minhashLshPairs(corpus(spark, dir), 0.5,
+      shOpt = Some(corpusShingleTable(spark, dir))).orderBy("id1", "id2")
 
   /**
    * Cross-snapshot INCREMENTAL near-dup keep decision — the shape a
@@ -1381,12 +1430,13 @@ object Dedup {
 
   /** SimHash near-dup pairs at hamming ≤ radius via 15-bit bank
     * blocking (pigeonhole-exhaustive for radius ≤ 3). */
-  def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, radius: Int = 3,
+      shOpt: Option[DataFrame] = None): DataFrame = {
     val simUdf = udf((sh: Seq[String]) => simhash60(sh))
     // materialized for the same two-sided-join reason as
     // minhashLshPairs; the second checkpoint pins the UDF output so
     // the bank self-join's branches don't recompute signatures
-    val sigs = shingleTable(docs)
+    val sigs = shOpt.getOrElse(shingleTable(docs))
       .withColumn("sim", simUdf(col("sh")))
       .select(col("doc_id"), col("sim"))
       .localCheckpoint(true)
@@ -1421,7 +1471,8 @@ object Dedup {
   }
 
   def d04DedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(corpus(spark, dir)).orderBy("id1", "id2")
+    simhashPairs(corpus(spark, dir),
+      shOpt = Some(corpusShingleTable(spark, dir))).orderBy("id1", "id2")
 
   // -------------------------------------- d06 duplicate components
 
