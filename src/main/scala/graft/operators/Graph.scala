@@ -79,6 +79,35 @@ object Graph {
     edgeCount <= driverEdgeMax(spark) &&
       edgeCount * DriverRegimeBytesPerEdge <= Runtime.getRuntime.maxMemory / 4
 
+  /** Broadcast-state regime gate for the iterative loops' DISTRIBUTED
+    * path: when the per-iteration small state (rank vector / label
+    * vector / survivor set / BFS reached set — one row per VERTEX)
+    * fits a broadcast, the loop joins it to the once-materialized
+    * edge table as the BUILD side, so the edge list — the 100 TB
+    * side — never crosses an exchange after setup; the only
+    * per-iteration shuffle is the |V|-bounded state aggregate
+    * (map-side combined). Above the gate the plain shuffle loop runs
+    * unchanged — when |V| itself is cluster-scale a broadcast would
+    * OOM every executor, and rank/edge co-partitioning is the only
+    * correct plan. `broadcast()` is a planner HINT over the same
+    * expressions, so the two regimes are structurally bit-equal
+    * (spec-pinned anyway). Heap guard mirrors [[driverRegimeOk]]:
+    * the driver assembles the broadcast relation at ~100 B/row and
+    * must hold it in an eighth of its heap — a default-1g driver
+    * caps near 1.3M vertices, the 4M default needs ≥ 3.2 GiB. */
+  private def broadcastVertexMax(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.graph.broadcastVertices", "4000000").toLong
+
+  private val BroadcastRegimeBytesPerVertex = 100L
+
+  private def broadcastRegimeOk(spark: SparkSession, vertexCount: Long): Boolean =
+    vertexCount <= broadcastVertexMax(spark) &&
+      vertexCount * BroadcastRegimeBytesPerVertex <= Runtime.getRuntime.maxMemory / 8
+
+  /** `broadcast()` as a regime-gated hint. */
+  private def mb(df: DataFrame, on: Boolean): DataFrame =
+    if (on) broadcast(df) else df
+
   /** Collect for the driver regimes that degrades instead of dying:
     * a `spark.driver.maxResultSize` overflow (the one collect
     * failure Spark raises catchably) returns None and the caller
@@ -196,6 +225,8 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count()
+    // broadcast-state regime: the rank vector rides to the edges
+    val bc = broadcastRegimeOk(edges.sparkSession, n)
     val teleport = math.round(0.15 * Scale.toDouble / n)
     val r0 = Scale / n // uniform start, floor to the grid
     // state = (node, outdeg, r): one shuffle join here, then outdeg
@@ -205,14 +236,14 @@ object Graph {
         lit(r0).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = rank.filter(col("outdeg") > 0)
-        .select(col("node"), expr("r div outdeg").as("c"))
+      val contrib = mb(rank.filter(col("outdeg") > 0)
+          .select(col("node"), expr("r div outdeg").as("c")), bc)
         .join(e, col("node") === e("src"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
       val dangling = rank.filter(col("outdeg") === 0)
         .agg(coalesce(sum("r"), lit(0L)).as("dm"))
       rank = rank.select(col("node"), col("outdeg"))
-        .join(contrib, Seq("node"), "left")
+        .join(mb(contrib, bc), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("outdeg"),
           (lit(teleport) + round(lit(0.85) *
@@ -260,6 +291,9 @@ object Graph {
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         coalesce(col("is_seed"), lit(false)).as("is_seed"))
       .localCheckpoint(true)
+    // broadcast-state regime gate on |V| (rank is checkpointed: the
+    // count is a metadata-cheap job, not a recompute)
+    val bc = broadcastRegimeOk(edges.sparkSession, rank.count())
     val s = rank.filter(col("is_seed")).count()
     require(s >= 1, "ppr: seed set is empty (or disjoint from the graph)")
     val ts = math.round(0.15 * Scale.toDouble / s)
@@ -267,14 +301,14 @@ object Graph {
         when(col("is_seed"), lit(Scale / s)).otherwise(lit(0L)))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = r.filter(col("outdeg") > 0)
-        .select(col("node"), expr("r div outdeg").as("c"))
+      val contrib = mb(r.filter(col("outdeg") > 0)
+          .select(col("node"), expr("r div outdeg").as("c")), bc)
         .join(e, col("node") === e("src"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("contrib"))
       val dangling = r.filter(col("outdeg") === 0)
         .agg(coalesce(sum("r"), lit(0L)).as("dm"))
       r = r.select(col("node"), col("outdeg"), col("is_seed"))
-        .join(contrib, Seq("node"), "left")
+        .join(mb(contrib, bc), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("outdeg"), col("is_seed"),
           (when(col("is_seed"), lit(ts)).otherwise(lit(0L)) +
@@ -578,8 +612,12 @@ object Graph {
     var lab = adj.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
+    // broadcast-state regime: the |V|-row label vector is the build
+    // side, so the 2E adjacency stubs never shuffle per round
+    val bc = broadcastRegimeOk(und.sparkSession, lab.count())
     for (_ <- 1 to iters) {
-      val counts = adj.join(lab, adj("b") === lab("node"))
+      val lb = mb(lab, bc)
+      val counts = adj.join(lb, adj("b") === lb("node"))
         .select(adj("a").as("node"), col("lbl"))
         .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
       lab = counts
@@ -835,13 +873,19 @@ object Graph {
             org.apache.spark.sql.types.LongType))))
     }
     for (_ <- 1 to rounds) {
+      // the survivor set is |V|-bounded: checkpoint it so the degree
+      // aggregate runs ONCE per round (not once per semi-join), and
+      // so its count (the broadcast-regime gate) is metadata-cheap
       val keep = e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("node")
-      e = e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      // broadcast-state regime: survivors build-side, edges stay put
+      val bc = broadcastRegimeOk(und.sparkSession, keep.count())
+      e = e.join(mb(keep.select(col("node").as("u")), bc), Seq("u"), "left_semi")
+        .join(mb(keep.select(col("node").as("v")), bc), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint(true)
     }
@@ -955,7 +999,12 @@ object Graph {
       .select(col("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (k <- 1 to rounds) {
-      val expand = reached.filter(col("hops") === (k - 1))
+      // broadcast-state regime: the frontier (≤ reached ≤ |V| rows,
+      // checkpointed — the count is metadata-cheap) is the build
+      // side, so the edge stubs never shuffle per round
+      val frontier = reached.filter(col("hops") === (k - 1))
+      val bc = broadcastRegimeOk(und.sparkSession, reached.count())
+      val expand = mb(frontier, bc)
         .join(bi, col("node") === bi("u"))
         .select(col("v").as("node"), lit(k.toLong).as("hops"))
       reached = reached.union(expand)

@@ -573,13 +573,26 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val drv = all()
     spark.conf.set("spark.graft.graph.driverEdges", "0")
     try {
-      val df = all()
-      assert(drv._1 == df._1, "pagerank regimes differ")
-      assert(drv._2 == df._2, "ppr regimes differ")
-      assert(drv._3 == df._3, "labelProp regimes differ")
-      assert(drv._4 == df._4, "kcore regimes differ")
-      assert(drv._5 == df._5, "bfs regimes differ")
-    } finally spark.conf.unset("spark.graft.graph.driverEdges")
+      // r18: the distributed path itself is dual-regime — state
+      // broadcasts to the edges below spark.graft.graph
+      // .broadcastVertices (the default admits this graph), plain
+      // shuffle loop above. Pin all THREE regimes bit-equal.
+      val bcast = all()
+      spark.conf.set("spark.graft.graph.broadcastVertices", "0")
+      val shuf = all()
+      for ((trip, name) <- Seq(
+          (drv._1, bcast._1, shuf._1) -> "pagerank",
+          (drv._2, bcast._2, shuf._2) -> "ppr",
+          (drv._3, bcast._3, shuf._3) -> "labelProp",
+          (drv._4, bcast._4, shuf._4) -> "kcore",
+          (drv._5, bcast._5, shuf._5) -> "bfs")) {
+        assert(trip._1 == trip._2, s"$name: driver vs broadcast regimes differ")
+        assert(trip._2 == trip._3, s"$name: broadcast vs shuffle regimes differ")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.graph.driverEdges")
+      spark.conf.unset("spark.graft.graph.broadcastVertices")
+    }
   }
 
   test("ppr: hand-checked seed-biased iterations, mass conservation, invariance") {
