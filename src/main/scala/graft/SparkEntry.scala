@@ -167,6 +167,8 @@ object SparkEntry {
     "m13_bmp_pixels" -> (Multimodal.m13BmpPixels _),
     "m18_jpeg_header" -> (Multimodal.m18JpegHeader _),
     "m19_png_header" -> (Multimodal.m19PngHeader _),
+    "m20_gif_header" -> (Multimodal.m20GifHeader _),
+    "m21_zip_index" -> (Multimodal.m21ZipIndex _),
     "m14_tar_index" -> (Multimodal.m14TarIndex _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
     "m09_pcm_stats" -> (Multimodal.m09PcmStats _),

@@ -1211,6 +1211,311 @@ object Multimodal {
     extractPngHeaders(pngTable(spark, dir)).toDF()
       .orderBy("doc_id")
 
+  // -------------------------------------------------------------- m20 gif
+
+  final case class GifFeature(
+      doc_id: Long, format: String, width: Int, height: Int,
+      n_frames: Int, n_subblocks: Int, data_sum: Option[Long])
+
+  private[graft] def gifWidth(id: Long): Int = 3 + (id % 17).toInt
+  private[graft] def gifHeight(id: Long): Int = 3 + (id % 11).toInt
+  private[graft] def gifFrames(id: Long): Int = 1 + (id % 3).toInt
+
+  /**
+   * Structurally-complete ANIMATED GIF89a container — the third image
+   * container family (after PNG's CRC'd chunks and JPEG's
+   * length-prefixed segments) and the one built on LENGTH-PREFIXED
+   * SUB-BLOCK CHAINS, the layout every GIF reader must walk:
+   * signature "GIF89a", the Logical Screen Descriptor with a REAL
+   * Global Color Table (flag + size field in the packed byte — a
+   * walker that doesn't decode the packed bits lands mid-palette),
+   * one Comment Extension (label 0xFE — an extension the walker has
+   * no semantics for and must skip purely by its sub-block chain,
+   * the real-world unknown-extension case), then per FRAME a Graphic
+   * Control Extension (0x21 0xF9), an Image Descriptor (0x2C, u16
+   * little-endian geometry) and the payload as 255-byte-max data
+   * sub-blocks after the LZW-minimum-code byte, each chain 0x00
+   * terminated; trailer 0x3B ends the file. Payload bytes are opaque
+   * ASCII (standing in for the LZW stream, exactly m18/m19's rule).
+   */
+  def buildGif(width: Int, height: Int, frames: Int, payload: Array[Byte]): Array[Byte] = {
+    require(width > 0 && width < 65536 && height > 0 && height < 65536 && frames >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // LSD: GCT present (bit 7), color resolution 8 (bits 6-4 = 7),
+    // GCT size field 1 → 2^(1+1) = 4 entries
+    w16(width); w16(height); w8(0x80 | 0x70 | 0x01); w8(0); w8(0)
+    for (i <- 0 until 4) { w8(i * 11); w8(i * 23); w8(i * 37) } // GCT
+    // comment extension: sub-block chain a walker must skip by length
+    w8(0x21); w8(0xfe); w8(5); out.write("graft".getBytes("US-ASCII")); w8(0)
+    for (_ <- 1 to frames) {
+      w8(0x21); w8(0xf9); w8(4); w8(0); w16(0); w8(0); w8(0) // GCE
+      w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0) // descriptor, no LCT
+      w8(8) // LZW minimum code size
+      payload.grouped(255).foreach { s => w8(s.length); out.write(s, 0, s.length) }
+      w8(0) // chain terminator
+    }
+    w8(0x3b)
+    out.toByteArray
+  }
+
+  /**
+   * Full GIF89a walk — validates the WHOLE container the way a
+   * decoder's demux layer does: signature, LSD packed-bit decode
+   * (GCT skipped by its decoded size), every extension skipped by
+   * its sub-block chain, every frame's descriptor geometry checked
+   * against the screen, every data sub-block bounds-checked, the
+   * chain terminators and the 0x3B trailer mandatory with no bytes
+   * trailing it. Accumulates frame count, payload sub-block count
+   * and the byte checksum of the concatenated payload. Returns None
+   * on any structural violation — callers degrade to
+   * format="unknown" (the m18/m19 rule).
+   */
+  def gifWalk(b: Array[Byte]): Option[GifFeature] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length < 14) return None
+    if (new String(b, 0, 6, "US-ASCII") != "GIF89a") return None
+    val w = u16(6); val h = u16(8)
+    if (w <= 0 || h <= 0) return None
+    val packed = u8(10)
+    var p = 13
+    if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 0x07) + 1)) // skip GCT
+    var frames = 0
+    var subBlocks = 0
+    var sum = 0L
+    var done = false
+    // a sub-block chain from `q` to just past its 0 terminator
+    def chain(q0: Int, count: Boolean): Int = {
+      var q = q0
+      while (q < b.length && u8(q) != 0) {
+        val l = u8(q)
+        if (q + 1 + l > b.length) return -1
+        if (count) {
+          subBlocks += 1
+          var j = q + 1
+          while (j <= q + l) { sum += u8(j); j += 1 }
+        }
+        q += 1 + l
+      }
+      if (q >= b.length) -1 else q + 1
+    }
+    while (!done) {
+      if (p >= b.length) return None
+      u8(p) match {
+        case 0x21 => // extension: label + uncounted sub-block chain
+          if (p + 2 > b.length) return None
+          p = chain(p + 2, count = false)
+          if (p < 0) return None
+        case 0x2c => // image descriptor + optional LCT + LZW byte + data chain
+          if (p + 10 > b.length) return None
+          val fw = u16(p + 5); val fh = u16(p + 7)
+          if (u16(p + 1) != 0 || u16(p + 3) != 0 || fw != w || fh != h) return None
+          val fp = u8(p + 9)
+          var q = p + 10
+          if ((fp & 0x80) != 0) q += 3 * (1 << ((fp & 0x07) + 1))
+          if (q + 1 > b.length) return None
+          q += 1 // LZW minimum code size
+          p = chain(q, count = true)
+          if (p < 0) return None
+          frames += 1
+        case 0x3b =>
+          if (p != b.length - 1) return None // trailing bytes
+          done = true
+        case _ => return None
+      }
+    }
+    if (frames == 0) None
+    else Some(GifFeature(0L, "gif", w, h, frames, subBlocks, Some(sum)))
+  }
+
+  /** GIF table synthesized from documents: doc_id-derived geometry
+    * and frame count, every frame carrying the doc's FULL ASCII bytes
+    * as its payload — so frame count, sub-block count (frames ·
+    * ceil(len/255)) and payload checksum (frames · Σ byte) are closed
+    * forms of (doc_id, text) on BOTH sides, and the oracle checks the
+    * whole build→walk round trip. */
+  def gifTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"gifTable: empty or non-ASCII text in doc_id=$id (m20 oracle sums byte ords)")
+        val bytes = buildGif(gifWidth(id), gifHeight(id), gifFrames(id),
+          text.getBytes("US-ASCII"))
+        MediaRow(id, bytes, "image/gif", bytes.length)
+      }
+  }
+
+  /** Batched GIF walk (the m01 hook shape). */
+  def extractGifHeaders(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[GifFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      gifWalk(r.media) match {
+        case Some(f) => f.copy(doc_id = r.doc_id)
+        case None => GifFeature(r.doc_id, "unknown", 0, 0, 0, 0, None)
+      }
+    }))
+  }
+
+  /** m20: full-container animated-GIF surface over the synthesized
+    * table — a pure per-row byte kernel: no shuffle, embarrassingly
+    * parallel at any scale (the final orderBy is presentation-only). */
+  def m20GifHeader(spark: SparkSession, dir: String): DataFrame =
+    extractGifHeaders(gifTable(spark, dir)).toDF()
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------- m21 zip
+
+  /** One indexed ZIP member: stored name, byte offset of the member's
+    * DATA (past its local header), declared size, and the MD5 of the
+    * stored bytes (CRC32 is verified during the walk, not emitted —
+    * the oracle can recompute md5, not crc32). */
+  final case class ZipMember(name: String, offset: Long, size: Long, data_md5: String)
+
+  /**
+   * Minimal REAL ZIP (PKWARE APPNOTE layout) writer, STORED entries
+   * only: per member a 30-byte local file header (PK\x03\x04,
+   * little-endian fields, genuine CRC-32 of the data) + name + data;
+   * then the central directory (PK\x01\x02 records pointing back at
+   * each local header) and the End Of Central Directory record
+   * (PK\x05\x06) carrying entry count, CD size and CD offset. This is
+   * the OTHER shard container next to m14's tar: tar locates members
+   * by walking headers front-to-back, zip by reading the EOCD + CD
+   * index from the END — both walks matter at 100 TB shard scale.
+   */
+  def buildZip(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+    def w32(v: Long): Unit = { w8(v.toInt); w8((v >>> 8).toInt); w8((v >>> 16).toInt); w8((v >>> 24).toInt) }
+    val recs = members.map { case (name, data) =>
+      val nb = name.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val lho = out.size().toLong
+      w32(0x04034b50L); w16(20); w16(0); w16(0); w16(0); w16(0x21)
+      w32(crc.getValue); w32(data.length.toLong); w32(data.length.toLong)
+      w16(nb.length); w16(0)
+      out.write(nb, 0, nb.length)
+      out.write(data, 0, data.length)
+      (nb, data.length.toLong, crc.getValue, lho)
+    }
+    val cdStart = out.size().toLong
+    recs.foreach { case (nb, sz, crc, lho) =>
+      w32(0x02014b50L); w16(20); w16(20); w16(0); w16(0); w16(0); w16(0x21)
+      w32(crc); w32(sz); w32(sz)
+      w16(nb.length); w16(0); w16(0); w16(0); w16(0); w32(0); w32(lho)
+      out.write(nb, 0, nb.length)
+    }
+    val cdSize = out.size().toLong - cdStart
+    w32(0x06054b50L); w16(0); w16(0); w16(recs.length); w16(recs.length)
+    w32(cdSize); w32(cdStart); w16(0)
+    out.toByteArray
+  }
+
+  /**
+   * Real ZIP index walk, the way unzip does it: read the EOCD record
+   * from the END of the file (fixed 22 bytes — this builder writes no
+   * archive comment), follow its offset to the central directory,
+   * walk each CD record, and for EVERY member cross-check its local
+   * file header (signature, name, method, sizes must agree with the
+   * CD — the classic zip-confusion attack surface), then VERIFY the
+   * stored data's CRC-32 against the header field before digesting
+   * it. Any disagreement, bounds violation, unsupported compression
+   * method or trailing garbage returns None — a corrupt shard
+   * degrades, never misindexes (the m14 rule).
+   */
+  def parseZipIndex(b: Array[Byte]): Option[Seq[ZipMember]] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    if (b.length < 22) return None
+    val eo = b.length - 22
+    if (u32(eo) != 0x06054b50L) return None
+    if (u16(eo + 4) != 0 || u16(eo + 6) != 0) return None // multi-disk unsupported
+    val n = u16(eo + 8)
+    if (u16(eo + 10) != n || u16(eo + 20) != 0) return None
+    val cdSize = u32(eo + 12); val cdOff = u32(eo + 16)
+    if (cdOff + cdSize != eo) return None // CD must end AT the EOCD
+    val out = scala.collection.mutable.ArrayBuffer.empty[ZipMember]
+    var p = cdOff.toInt
+    var i = 0
+    while (i < n) {
+      if (p + 46 > eo || u32(p) != 0x02014b50L) return None
+      if (u16(p + 10) != 0) return None // STORED only
+      val crc = u32(p + 16)
+      val csize = u32(p + 20); val usize = u32(p + 24)
+      if (csize != usize) return None
+      val nl = u16(p + 28); val el = u16(p + 30); val cl = u16(p + 32)
+      if (p + 46 + nl + el + cl > eo) return None
+      val name = new String(b, p + 46, nl, "US-ASCII")
+      val lho = u32(p + 42)
+      // cross-check the local header the CD points at
+      if (lho + 30 + nl > cdOff) return None
+      val q = lho.toInt
+      if (u32(q) != 0x04034b50L || u16(q + 8) != 0) return None
+      if (u32(q + 14) != crc || u32(q + 18) != csize || u32(q + 22) != usize) return None
+      if (u16(q + 26) != nl) return None
+      if (new String(b, q + 30, nl, "US-ASCII") != name) return None
+      val dataOff = lho + 30 + nl + u16(q + 28)
+      if (dataOff + usize > cdOff) return None
+      val data = java.util.Arrays.copyOfRange(b, dataOff.toInt, (dataOff + usize).toInt)
+      val c = new java.util.zip.CRC32()
+      c.update(data)
+      if (c.getValue != crc) return None
+      out += ZipMember(name, dataOff, usize,
+        java.security.MessageDigest.getInstance("MD5").digest(data)
+          .map("%02x".format(_)).mkString)
+      p += 46 + nl + el + cl
+      i += 1
+    }
+    if (p != cdOff + cdSize) return None
+    Some(out.toSeq)
+  }
+
+  /** ZIP shard table: the SAME 3-member WebDataset-style sample as
+    * [[tarTable]] (`<id>/text.txt`, `<id>/meta.json`,
+    * `<id>/label.cls`) packed as a stored ZIP, so every member's
+    * data offset is pure local-header arithmetic (30 + name bytes,
+    * entries back to back) on the oracle side while the engine walks
+    * the real EOCD → CD → local-header chain. */
+  def zipTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"zipTable: empty or non-ASCII text in doc_id=$id (m21 oracle mirrors byte lengths)")
+        val bytes = buildZip(Seq(
+          (s"$id/text.txt", text.getBytes("US-ASCII")),
+          (s"$id/meta.json", s"""{"id":$id}""".getBytes("US-ASCII")),
+          (s"$id/label.cls", lang.getBytes("US-ASCII"))))
+        MediaRow(id, bytes, "application/zip", bytes.length)
+      }
+  }
+
+  /** m21: the member index + per-member content digest decoded from
+    * real ZIP bytes (EOCD-anchored, CRC-verified central-directory
+    * walk) — per-row byte kernel, no shuffle at any scale. */
+  def m21ZipIndex(spark: SparkSession, dir: String): DataFrame = {
+    val media = zipTable(spark, dir)
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.flatMap { r =>
+      parseZipIndex(r.media) match {
+        case Some(ms) => ms.map(m => (r.doc_id, m.name, m.offset, m.size, m.data_md5))
+        case None => Seq((r.doc_id, "__corrupt__", -1L, -1L, ""))
+      }
+    }.toDF("doc_id", "member", "offset", "size", "data_md5")
+      .orderBy("doc_id", "member")
+  }
+
   /**
    * 12-bit block-luminance perceptual hash (aHash family) from a REAL
    * P6 raster: pixels map to a 3×4 cell grid (gr = 3y div h, gc = 4x
@@ -2008,6 +2313,54 @@ object Multimodal {
         |  CAST(sum(b) AS BIGINT) AS idat_sum
         |FROM e GROUP BY doc_id, w, h
         |ORDER BY doc_id""".stripMargin,
+    // m20: sub-block-chain round-trip — geometry, frame count,
+    // sub-block count (frames · ceil(len/255)) and the payload
+    // checksum (frames · Σ byte) are closed forms of (doc_id, text);
+    // a walker that mis-chains any length-prefixed block or packed
+    // color-table bit lands on wrong bytes and fails the compare
+    "m20_gif_header" ->
+      """WITH g AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    CAST(3 + doc_id % 17 AS INT) AS w,
+        |    CAST(3 + doc_id % 11 AS INT) AS h,
+        |    CAST(1 + doc_id % 3 AS INT) AS fr,
+        |    list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS ts
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'gif' AS format, w AS width, h AS height,
+        |  fr AS n_frames,
+        |  CAST(fr * ((len + 254) // 255) AS INT) AS n_subblocks,
+        |  CAST(fr * ts AS BIGINT) AS data_sum
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // m21: EOCD→CD→local-header arithmetic in closed form — a stored
+    // entry's data sits at (running sum of 30 + name + data for prior
+    // members) + 30 + its own name length; the engine walks the real
+    // CRC-verified index from the END of the archive
+    "m21_zip_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS s1,
+        |    CAST(octet_length(encode('{"id":' || CAST(doc_id AS VARCHAR) || '}')) AS BIGINT) AS s2,
+        |    CAST(octet_length(encode(lang)) AS BIGINT) AS s3,
+        |    CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS dl
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '/text.txt' AS member,
+        |    30 + dl + 9 AS "offset", s1 AS size, md5(text) AS data_md5
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '/meta.json',
+        |    (30 + dl + 9 + s1) + 30 + dl + 10, s2,
+        |    md5('{"id":' || CAST(doc_id AS VARCHAR) || '}')
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '/label.cls',
+        |    (30 + dl + 9 + s1) + (30 + dl + 10 + s2) + 30 + dl + 10, s3,
+        |    md5(lang)
+        |  FROM d
+        |)
+        |SELECT doc_id, member, "offset", size, data_md5
+        |FROM idx ORDER BY doc_id, member""".stripMargin,
     "m13_bmp_pixels" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

@@ -1084,6 +1084,91 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GIF walk: hand-built animated container round-trips; structural violations degrade") {
+    import operators.Multimodal._
+    val sess = spark
+    import sess.implicits._
+    // 2 frames, 300-byte payload → 2 sub-blocks per frame (255 + 45)
+    val payload = Array.tabulate(300)(i => ((i % 7) + 1).toByte)
+    val psum = payload.map(_.toLong).sum
+    val bytes = buildGif(6, 4, 2, payload)
+    val f = gifWalk(bytes).get
+    assert(f.format == "gif" && f.width == 6 && f.height == 4)
+    assert(f.n_frames == 2 && f.n_subblocks == 4 && f.data_sum.contains(2 * psum))
+    // single frame, short payload → one sub-block
+    val one = gifWalk(buildGif(3, 3, 1, Array[Byte](1, 2, 3))).get
+    assert(one.n_frames == 1 && one.n_subblocks == 1 && one.data_sum.contains(6L))
+    // bad signature (GIF87a is NOT this builder's contract)
+    val sig87 = bytes.clone(); sig87(4) = '7'.toByte
+    assert(gifWalk(sig87).isEmpty)
+    // trailing bytes after the 0x3B trailer fail the walk
+    assert(gifWalk(bytes ++ Array[Byte](0)).isEmpty)
+    // truncation (lost trailer) fails
+    assert(gifWalk(bytes.take(bytes.length - 1)).isEmpty)
+    // frame geometry must match the screen: flip a descriptor width.
+    // descriptor of frame 1 sits right after LSD(13) + GCT(12) +
+    // comment ext (3+5+1=9) + GCE(8): introducer at +42, width at +47
+    val badGeo = bytes.clone(); badGeo(47) = (badGeo(47) ^ 0x01).toByte
+    assert(gifWalk(badGeo).isEmpty)
+    // degrade path through the batched extractor
+    val out = extractGifHeaders(Seq(
+      MediaRow(7L, bytes, "image/gif", bytes.length),
+      MediaRow(8L, badGeo, "image/gif", badGeo.length)).toDS())
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(7L).n_frames == 2 && out(8L).format == "unknown")
+    // registered table shape: frame/sub-block counts and checksum are
+    // the oracle's closed forms of (doc_id, text)
+    val t = gifTable(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 3).collect().sortBy(_.doc_id)
+    t.foreach { r =>
+      val wf = gifWalk(r.media).get
+      val id = r.doc_id
+      assert(wf.width == 3 + (id % 17).toInt && wf.height == 3 + (id % 11).toInt)
+      assert(wf.n_frames == 1 + (id % 3).toInt, s"doc $id frames")
+    }
+  }
+
+  test("ZIP index: EOCD-anchored CRC-verified walk round-trips; header disagreement degrades") {
+    import operators.Multimodal._
+    val sess = spark
+    import sess.implicits._
+    val members = Seq(
+      "a.txt" -> "hello zip".getBytes("US-ASCII"),
+      "dir/b.bin" -> Array.tabulate(300)(_.toByte))
+    val bytes = buildZip(members)
+    val idx = parseZipIndex(bytes).get
+    assert(idx.map(_.name) == Seq("a.txt", "dir/b.bin"))
+    // offsets are local-header arithmetic: 30 + name length
+    assert(idx(0).offset == 30 + 5 && idx(0).size == 9)
+    assert(idx(1).offset == (30 + 5 + 9) + 30 + 9 && idx(1).size == 300)
+    // md5 matches the member bytes
+    val md5a = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello zip".getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(idx(0).data_md5 == md5a)
+    // one flipped data byte breaks that member's CRC → None
+    val badCrc = bytes.clone()
+    badCrc(36) = (badCrc(36) ^ 0x01).toByte
+    assert(parseZipIndex(badCrc).isEmpty)
+    // truncation loses the EOCD; trailing garbage shifts it
+    assert(parseZipIndex(bytes.take(bytes.length - 1)).isEmpty)
+    assert(parseZipIndex(bytes ++ Array[Byte](9)).isEmpty)
+    // CD/local-header disagreement (zip-confusion surface): flip the
+    // LOCAL header's size field only — the CD still agrees with EOCD
+    val badLocal = bytes.clone()
+    badLocal(18) = (badLocal(18) ^ 0x01).toByte
+    assert(parseZipIndex(badLocal).isEmpty)
+    // registered table shape: 3 members per doc, closed-form offsets
+    val t = zipTable(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 2).collect().sortBy(_.doc_id)
+    t.foreach { r =>
+      val ms = parseZipIndex(r.media).get.sortBy(_.name)
+      val dl = r.doc_id.toString.length
+      assert(ms.map(_.name) == Seq(s"${r.doc_id}/label.cls",
+        s"${r.doc_id}/meta.json", s"${r.doc_id}/text.txt"))
+      assert(ms(2).offset == 30 + dl + 9, s"doc ${r.doc_id} text offset")
+    }
+  }
+
   test("resizePpm: NN sampling exact on hand-built rasters, identity at same dims, degrade path") {
     val sess = spark
     import sess.implicits._
