@@ -169,6 +169,7 @@ object SparkEntry {
     "m19_png_header" -> (Multimodal.m19PngHeader _),
     "m20_gif_header" -> (Multimodal.m20GifHeader _),
     "m21_zip_index" -> (Multimodal.m21ZipIndex _),
+    "m22_srt_cues" -> (Multimodal.m22SrtCues _),
     "m14_tar_index" -> (Multimodal.m14TarIndex _),
     "m08_phash_dedup" -> (Multimodal.m08PhashDedup _),
     "m09_pcm_stats" -> (Multimodal.m09PcmStats _),
@@ -256,6 +257,7 @@ object SparkEntry {
     "t22_feature_hash" -> (TextOps.t22FeatureHash _),
     "t23_pmi_pairs" -> (TextOps.t23PmiPairs _),
     "c12_curriculum" -> (Corpus.c12Curriculum _),
+    "c16_interleave" -> (Corpus.c16Interleave _),
     "c13_shard_manifest" -> (Corpus.c13ShardManifest _),
   )
 

@@ -497,6 +497,62 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /**
+   * c16: DETERMINISTIC WEIGHTED INTERLEAVE — the order a data loader
+   * actually FEEDS a mixture to the trainer. c08 decides the weights
+   * and c04/c09 decide the membership, but a trainer consumes ONE
+   * stream, and "source s gets share w_s" must hold in every prefix
+   * of it, not just in aggregate. This is weighted fair queuing's
+   * virtual-time rule (deficit round-robin's continuous limit): doc i
+   * of source s finishes at virtual time vt = cum_tokens_s(i) / w_s,
+   * and the global feed is ascending vt — a source with twice the
+   * weight lands twice the tokens in every window. All integer: vt is
+   * cum_tokens · 10⁹ div w_micro with w_micro c08's α = 0.5 weight on
+   * the 1e-6 grid, so ordering is engine- and partitioning-exact
+   * (ties break by source, doc_id). Sound while cum_tokens < 9.2e9
+   * per source (the i64 bound of the 10⁹ multiplier) — beyond that,
+   * drop the multiplier a decade and the ORDER is unchanged.
+   *
+   * Scale shape: the per-source cumsum is the c02/c07 two-pass
+   * prefix scan (range-partitioned, no single-partition window), the
+   * weight/base joins broadcast |sources| rows, and the global
+   * ascending-vt head is a TakeOrdered top-k, never a full sort.
+   */
+  def interleave(docs: DataFrame, take: Int = 200): DataFrame = {
+    require(take >= 1, s"interleave: take must be positive, got $take")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(filter(split(Dedup.normText(col("text")), " "),
+        w => length(w) > 0)).cast("long").as("n_tokens"))
+    val ordered = toks.withColumn("__ord", concat_ws("|",
+      col("source"), lpad(col("doc_id").cast("string"), 12, "0")))
+    val scanned = prefixScan(ordered, "__ord", "n_tokens", Seq("__gstart")) {
+      (start, _) => Seq(start)
+    }
+    val bases = scanned.groupBy("source").agg(min("__gstart").as("__base"))
+    val weights = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("src_tokens")) * lit(1000000.0)).cast("long"))
+    val head = scanned.join(broadcast(bases), "source")
+      .join(broadcast(weights), "source")
+      .withColumn("cum_tokens", col("__gstart") - col("__base") + col("n_tokens"))
+      .withColumn("vt", expr("cum_tokens * 1000000000L div w_micro"))
+      .select("doc_id", "source", "n_tokens", "vt")
+      .orderBy(col("vt"), col("source"), col("doc_id"))
+      .limit(take)
+    // rank assignment runs AFTER the top-k: the unpartitioned window
+    // sees `take` rows, not the corpus
+    head.withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("vt"), col("source"), col("doc_id"))).cast("int"))
+      .select("pos", "doc_id", "source", "n_tokens", "vt")
+      .orderBy("pos")
+  }
+
+  /** c16: the first 200 feed positions of the α = 0.5 weighted
+    * interleave over documents by source. */
+  def c16Interleave(spark: SparkSession, dir: String): DataFrame =
+    interleave(Tables.documents(spark, dir))
+
   /** c09: the documents corpus materialized at a 100k-token budget,
     * α = 0.5 source weights, epochs capped at 4. */
   def c09RepeatEpochs(spark: SparkSession, dir: String): DataFrame =
@@ -691,6 +747,34 @@ object Corpus {
         |SELECT source, n_docs, n_tokens,
         |  round(w_micro * 1.0 / (SELECT sum(w_micro) FROM per), 6) + 0 AS weight
         |FROM per ORDER BY source""".stripMargin,
+    // c16: weighted-fair-queuing virtual time — per-source inclusive
+    // token cumsum in doc_id order, vt = cum · 10⁹ // w_micro with
+    // c08's α = 0.5 weight, global feed ascending (vt, source, doc_id)
+    "c16_interleave" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |), w AS (
+        |  SELECT source,
+        |    CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+        |  FROM t GROUP BY source
+        |), v AS (
+        |  SELECT c.doc_id, c.source, c.n_tokens,
+        |    CAST(c.cum_tokens * 1000000000 // w.w_micro AS BIGINT) AS vt
+        |  FROM c JOIN w ON c.source = w.source
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY vt, source, doc_id) AS pos
+        |  FROM v
+        |)
+        |SELECT CAST(pos AS INT) AS pos, doc_id, source, n_tokens, vt
+        |FROM r WHERE pos <= 200 ORDER BY pos""".stripMargin,
     "c07_token_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

@@ -1516,6 +1516,138 @@ object Multimodal {
       .orderBy("doc_id", "member")
   }
 
+  // -------------------------------------------------------------- m22 srt
+
+  final case class SrtFeature(
+      doc_id: Long, n_cues: Int, speech_ms: Long, span_ms: Long, text_md5: String)
+
+  private def srtTs(ms: Long): String =
+    "%02d:%02d:%02d,%03d".format(
+      ms / 3600000, ms / 60000 % 60, ms / 1000 % 60, ms % 1000)
+
+  /** SubRip (SRT) transcript for one doc: cue i (1-based index lines)
+    * speaks word i over [500(i−1), 500(i−1)+400] ms — blocks separated
+    * by blank lines, the de-facto subtitle interchange format. */
+  def buildSrt(words: Seq[String]): String = {
+    val sb = new StringBuilder
+    words.zipWithIndex.foreach { case (w, i) =>
+      sb.append(i + 1).append('\n')
+        .append(srtTs(i * 500L)).append(" --> ").append(srtTs(i * 500L + 400))
+        .append('\n').append(w).append("\n\n")
+    }
+    sb.toString
+  }
+
+  /**
+   * Real SRT cue walk — the video/audio-text ALIGNMENT format every
+   * speech-training pipeline ingests (captions ARE the supervision
+   * signal; a mis-parsed timestamp silently misaligns audio and
+   * text): blocks of (index line, `HH:MM:SS,mmm --> HH:MM:SS,mmm`
+   * timing line, ≥1 text lines) separated by blank lines. The walk
+   * enforces what a strict demuxer does — cue indices must count
+   * 1,2,3,… (a skip means a dropped cue), every timestamp field must
+   * be digits in its exact position with `,` millis and the ` --> `
+   * arrow, each cue must have start < end and start ≥ previous end
+   * (cues are monotone, non-overlapping), and a cue must carry text.
+   * Accumulates cue count, total speech ms, first→last span ms and
+   * the MD5 of the space-joined cue text (the transcript the text
+   * side of the pair trains on). Returns None on any violation —
+   * corrupt captions degrade, never misalign (the m14/m21 rule).
+   */
+  def parseSrt(s: String): Option[SrtFeature] = {
+    val lines = s.split("\n", -1)
+    def ts(t: String): Option[Long] = {
+      if (t.length != 12 || t(2) != ':' || t(5) != ':' || t(8) != ',') return None
+      var v = 0L
+      // per-FIELD range checks before accumulating — 60 minutes must
+      // reject, not silently fold into an hour
+      for ((from, to, mul, max) <- Seq((0, 2, 3600000L, 99L), (3, 5, 60000L, 59L),
+          (6, 8, 1000L, 59L), (9, 12, 1L, 999L))) {
+        var x = 0L
+        var i = from
+        while (i < to) {
+          val ch = t(i)
+          if (ch < '0' || ch > '9') return None
+          x = x * 10 + (ch - '0')
+          i += 1
+        }
+        if (x > max) return None
+        v += x * mul
+      }
+      Some(v)
+    }
+    var i = 0
+    var cue = 0
+    var prevEnd = -1L
+    var firstStart = -1L
+    var speech = 0L
+    val text = new StringBuilder
+    while (i < lines.length) {
+      if (lines(i).isEmpty) { i += 1 } // blank separators / trailing
+      else {
+        // index line: must be exactly the next counter value
+        if (lines(i) != (cue + 1).toString) return None
+        if (i + 1 >= lines.length) return None
+        val tl = lines(i + 1)
+        if (tl.length != 29 || tl.substring(12, 17) != " --> ") return None
+        val st = ts(tl.substring(0, 12)); val en = ts(tl.substring(17, 29))
+        if (st.isEmpty || en.isEmpty) return None
+        if (st.get >= en.get || st.get < prevEnd) return None
+        var j = i + 2
+        var any = false
+        while (j < lines.length && lines(j).nonEmpty) {
+          if (cue > 0 || any) text.append(' ')
+          text.append(lines(j))
+          any = true
+          j += 1
+        }
+        if (!any) return None // a cue must carry text
+        if (firstStart < 0) firstStart = st.get
+        speech += en.get - st.get
+        prevEnd = en.get
+        cue += 1
+        i = j
+      }
+    }
+    if (cue == 0) None
+    else Some(SrtFeature(0L,
+      cue, speech, prevEnd - firstStart,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(text.toString.getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString))
+  }
+
+  /** SRT table synthesized from documents: one cue per normalized
+    * word (the c06 whitespace-token convention), so cue count, speech
+    * ms (400·n), span ((n−1)·500+400) and the joined-transcript md5
+    * are closed forms of text on BOTH sides. */
+  def srtTable(spark: SparkSession, dir: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"),
+        filter(split(Dedup.normText(col("text")), " "), w => length(w) > 0)
+          .as("words"))
+      .as[(Long, Seq[String])]
+      .map { case (id, words) =>
+        require(words.nonEmpty && words.forall(_.forall(_ < 128)),
+          s"srtTable: empty or non-ASCII words in doc_id=$id (m22 oracle md5s ASCII)")
+        (id, buildSrt(words))
+      }
+  }
+
+  /** m22: cue index decoded from real SRT text — per-row string
+    * kernel, no shuffle at any scale. */
+  def m22SrtCues(spark: SparkSession, dir: String): DataFrame = {
+    val t = srtTable(spark, dir)
+    val sess = t.sparkSession
+    import sess.implicits._
+    t.map { case (id, srt) =>
+      parseSrt(srt) match {
+        case Some(f) => f.copy(doc_id = id)
+        case None => SrtFeature(id, 0, -1L, -1L, "")
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /**
    * 12-bit block-luminance perceptual hash (aHash family) from a REAL
    * P6 raster: pixels map to a 3×4 cell grid (gr = 3y div h, gc = 4x
@@ -2361,6 +2493,22 @@ object Multimodal {
         |)
         |SELECT doc_id, member, "offset", size, data_md5
         |FROM idx ORDER BY doc_id, member""".stripMargin,
+    // m22: one cue per normalized word at 500 ms stride / 400 ms
+    // duration — cue count, speech ms, span and the joined-transcript
+    // md5 are closed forms of text; the engine walks real SRT blocks
+    // (index continuity, strict timestamp grammar, monotone cues)
+    "m22_srt_cues" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      x -> length(x) > 0) AS ws
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(ws) AS INT) AS n_cues,
+        |  CAST(400 * len(ws) AS BIGINT) AS speech_ms,
+        |  CAST(500 * (len(ws) - 1) + 400 AS BIGINT) AS span_ms,
+        |  md5(array_to_string(ws, ' ')) AS text_md5
+        |FROM w ORDER BY doc_id""".stripMargin,
     "m13_bmp_pixels" ->
       """WITH g AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len,

@@ -467,6 +467,44 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5) == out) // partition-count invariant
   }
 
+  test("interleave: virtual-time order on a hand case, replayed oracle, partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    // A: 2 docs x 4 tokens (8 total, w = round(sqrt(8)e6) = 2828427)
+    // B: 4 docs x 1 token (4 total, w = 2000000)
+    // vt: B=500,1000,1500,2000; A=1414,2828 -> B B A B B A
+    val docs = Seq(
+      (1L, "A", "w w w w"), (2L, "A", "w w w w"),
+      (10L, "B", "w"), (11L, "B", "w"), (12L, "B", "w"), (13L, "B", "w"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.interleave(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
+    assert(out.map(_._2).toSeq == Seq(10L, 11L, 1L, 12L, 13L, 2L))
+    assert(out.map(_._1).toSeq == (1 to 6), "positions are dense ranks")
+    assert(out.map(_._3).toSeq == Seq(500L, 1000L, 1414L, 1500L, 2000L, 2828L))
+    // bigger random-ish corpus: replay the WFQ rule in plain Scala
+    val big = (1L to 60L).map { i =>
+      val src = if (i % 3 == 0) "big" else "small"
+      (i, src, Seq.fill(1 + (i % 5).toInt)("tok").mkString(" "))
+    }
+    val bigDf = big.toDF("doc_id", "source", "text")
+    val toks = big.map { case (id, s, t) => (id, s, t.split(" ").length.toLong) }
+    val wm = toks.groupBy(_._2).map { case (s, xs) =>
+      s -> math.round(math.sqrt(xs.map(_._3).sum.toDouble) * 1e6)
+    }
+    val cums = scala.collection.mutable.Map.empty[String, Long]
+    val expect = toks.sortBy(_._1).map { case (id, s, n) =>
+      val c = cums.getOrElse(s, 0L) + n
+      cums(s) = c
+      (c * 1000000000L / wm(s), s, id)
+    }.sorted.take(200).zipWithIndex
+      .map { case ((vt, s, id), k) => (k + 1, id, s, vt) }
+    def run(parts: Int) = Corpus.interleave(bigDf.repartition(parts)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(4))).toSeq
+    assert(run(1) == expect)
+    assert(run(7) == expect) // partition-count invariant
+  }
+
   test("repeatEpochs: closed-form epoch counts, cap binds, remainder fill, partition-invariant") {
     val sess = spark
     import sess.implicits._

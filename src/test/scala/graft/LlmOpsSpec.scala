@@ -1169,6 +1169,48 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SRT cue walk: build/parse round-trips; continuity, overlap, grammar violations degrade") {
+    import operators.Multimodal._
+    // 3 one-word cues at the 500/400 grid
+    val srt = buildSrt(Seq("hello", "srt", "world"))
+    val f = parseSrt(srt).get
+    assert(f.n_cues == 3 && f.speech_ms == 1200 && f.span_ms == 1400)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello srt world".getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(f.text_md5 == md5)
+    // a hand-written multi-line cue with an hour-scale timestamp parses
+    val hand = "1\n01:02:03,450 --> 01:02:05,000\nline one\nline two\n\n" +
+      "2\n01:02:05,000 --> 01:02:06,500\nnext\n\n"
+    val fh = parseSrt(hand).get
+    assert(fh.n_cues == 2 && fh.speech_ms == 1550 + 1500 && fh.span_ms == 3050)
+    assert(fh.text_md5 == java.security.MessageDigest.getInstance("MD5")
+      .digest("line one line two next".getBytes("US-ASCII")).map("%02x".format(_)).mkString)
+    // index skip (1,3) fails the continuity rule
+    assert(parseSrt(srt.replace("\n3\n", "\n4\n")).isEmpty)
+    // overlapping cues (start < previous end) fail
+    assert(parseSrt(
+      "1\n00:00:00,000 --> 00:00:01,000\na\n\n2\n00:00:00,500 --> 00:00:02,000\nb\n\n").isEmpty)
+    // start >= end fails
+    assert(parseSrt("1\n00:00:01,000 --> 00:00:01,000\na\n\n").isEmpty)
+    // malformed timestamps: dot millis, short field, minutes > 59
+    assert(parseSrt("1\n00:00:00.000 --> 00:00:01,000\na\n\n").isEmpty)
+    assert(parseSrt("1\n0:00:00,000 --> 00:00:01,000\na\n\n").isEmpty)
+    assert(parseSrt("1\n00:60:00,000 --> 00:60:01,000\na\n\n").isEmpty)
+    // a cue without text fails
+    assert(parseSrt("1\n00:00:00,000 --> 00:00:01,000\n\n").isEmpty)
+    // empty input fails
+    assert(parseSrt("").isEmpty && parseSrt("\n\n").isEmpty)
+    // registered table shape: cue count == the c06 whitespace-token
+    // count, the closed form the oracle replays
+    val t = srtTable(spark, "/root/testdata/sf0.001")
+      .filter(col("_1") < 3).collect().sortBy(_._1)
+    t.foreach { case (id, s) =>
+      val wf = parseSrt(s).get
+      assert(wf.speech_ms == 400L * wf.n_cues, s"doc $id")
+      assert(wf.span_ms == 500L * (wf.n_cues - 1) + 400, s"doc $id")
+    }
+  }
+
   test("resizePpm: NN sampling exact on hand-built rasters, identity at same dims, degrade path") {
     val sess = spark
     import sess.implicits._
