@@ -194,6 +194,7 @@ object SparkEntry {
     "q18_partial_merge" -> (Relational.q18PartialMerge _),
     "q19_snapshot_diff" -> (Relational.q19SnapshotDiff _),
     "e12_transitions" -> (Relational.e12Transitions _),
+    "e29_cdc_apply" -> (Relational.e29CdcApply _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
     "e06_funnel" -> (Relational.e06Funnel _),
@@ -513,6 +514,55 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) + 0 AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // e29: window replay of the CDC state machine — live-before is the
+    // last boundary op (signup/error) strictly before the row; applied
+    // vs anomaly classification and the final (liveness, value) both
+    // derive from IGNORE NULLS running windows over the same order
+    "e29_cdc_apply" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    event_id, event_type AS et, value
+        |  FROM events
+        |), w AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN et IN ('signup','error') THEN et END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY tsu, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lb
+        |  FROM e
+        |), cls AS (
+        |  SELECT k, tsu, event_id, et, value,
+        |    CASE WHEN et = 'signup' THEN 'ins'
+        |         WHEN et = 'error' THEN
+        |           CASE WHEN coalesce(lb,'x') = 'signup' THEN 'del' ELSE 'anom' END
+        |         ELSE
+        |           CASE WHEN coalesce(lb,'x') = 'signup' THEN 'upd' ELSE 'anom' END
+        |    END AS act
+        |  FROM w
+        |), w2 AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN et IN ('signup','error') THEN et END IGNORE NULLS)
+        |      OVER win AS lbi,
+        |    LAST_VALUE(CASE WHEN act IN ('ins','upd') THEN value END IGNORE NULLS)
+        |      OVER win AS lv,
+        |    row_number() OVER (PARTITION BY k ORDER BY tsu DESC, event_id DESC) AS rn
+        |  FROM cls
+        |  WINDOW win AS (PARTITION BY k ORDER BY tsu, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), agg AS (
+        |  SELECT k,
+        |    CAST(sum(CASE WHEN act='ins' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+        |    CAST(sum(CASE WHEN act='upd' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+        |    CAST(sum(CASE WHEN act='del' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |    CAST(sum(CASE WHEN act='anom' THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+        |    CAST(max(tsu) AS BIGINT) AS last_ts_us
+        |  FROM cls GROUP BY k
+        |)
+        |SELECT a.k AS user_id,
+        |  coalesce(f.lbi,'x') = 'signup' AS final_live,
+        |  CASE WHEN coalesce(f.lbi,'x') = 'signup' THEN f.lv END AS final_value,
+        |  a.n_ins, a.n_upd, a.n_del, a.n_anom, a.last_ts_us
+        |FROM agg a JOIN (SELECT * FROM w2 WHERE rn = 1) f ON a.k = f.k
+        |ORDER BY user_id""".stripMargin,
     "q13_json" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -767,4 +767,96 @@ object Relational {
   def e12Transitions(spark: SparkSession, dir: String): DataFrame =
     transitionMatrix(Tables.events(spark, dir), "user_id", "event_type")
       .orderBy("from_type", "to_type")
+
+  /** Compacted CDC state for one key: final liveness + value, applied
+    * op counts, the anomaly count (ops that arrived against the wrong
+    * state), and the last op's µs timestamp. */
+  final case class CdcRow(
+      user_id: Long, final_live: Boolean, final_value: Option[Double],
+      n_ins: Long, n_upd: Long, n_del: Long, n_anom: Long, last_ts_us: Long)
+
+  /**
+   * e29: ORDERED CDC REPLAY / COMPACTION — the table-maintenance fold
+   * every lakehouse runs: a change log replays per key in (ts,
+   * event_id) order with STRICT op semantics — signup INSERTs (or
+   * re-inserts) the row, click/view/purchase UPDATE its value only
+   * while the row is live, error DELETEs a live row — and an op
+   * against the wrong state (update/delete on a dead row) is counted
+   * as an ANOMALY, not silently applied; that distinguishes this from
+   * q14's single-batch upsert and q11's latest-by-key, which are
+   * last-writer-wins with no state machine. Emits per key the final
+   * liveness/value, applied-op counts, anomaly count and last op µs.
+   *
+   * Scale shape: ONE hash shuffle on the key with a secondary sort
+   * (`repartition` + `sortWithinPartitions` — Spark's
+   * sort-merge machinery, spill-safe at any log size), then a
+   * STREAMING fold over each partition's key runs: state is one
+   * (live, value, 5 counters) record — constant memory per run, no
+   * window buffers, no collect. This is exactly how a 100 TB CDC
+   * compaction wants to run: the log streams through executors once.
+   */
+  def cdcApply(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sorted = events.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Option[Double])]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tsu"), col("event_id"))
+    sorted.mapPartitions { it =>
+      new scala.collection.AbstractIterator[CdcRow] {
+        private var out: CdcRow = _
+        private var open = false
+        private var cur = 0L
+        private var live = false
+        private var vv: Option[Double] = None
+        private var ni, nu, nd, na, lt = 0L
+        private def finish(): CdcRow = {
+          open = false
+          CdcRow(cur, live, if (live) vv else None, ni, nu, nd, na, lt)
+        }
+        private def start(k: Long): Unit = {
+          cur = k; open = true; live = false; vv = None
+          ni = 0; nu = 0; nd = 0; na = 0; lt = 0
+        }
+        private def step(tsu: Long, et: String, v: Option[Double]): Unit = {
+          lt = tsu
+          et match {
+            case "signup" => live = true; vv = v; ni += 1
+            case "error" => if (live) { live = false; nd += 1 } else na += 1
+            case "click" | "view" | "purchase" =>
+              if (live) { vv = v; nu += 1 } else na += 1
+            case other => throw new IllegalArgumentException(
+              s"cdcApply: unknown event_type '$other' for key $cur")
+          }
+        }
+        @annotation.tailrec
+        private def pump(): Unit =
+          if (out == null) {
+            if (!it.hasNext) { if (open) out = finish() }
+            else {
+              val (k, tsu, _, et, v) = it.next()
+              if (open && k != cur) {
+                out = finish()
+                start(k); step(tsu, et, v)
+              } else {
+                if (!open) start(k)
+                step(tsu, et, v)
+                pump()
+              }
+            }
+          }
+        def hasNext: Boolean = { pump(); out != null }
+        def next(): CdcRow = {
+          pump()
+          if (out == null) throw new NoSuchElementException
+          val r = out; out = null; r
+        }
+      }
+    }.toDF()
+  }
+
+  /** e29: the CDC fold over the events change log. */
+  def e29CdcApply(spark: SparkSession, dir: String): DataFrame =
+    cdcApply(Tables.events(spark, dir)).orderBy("user_id")
 }

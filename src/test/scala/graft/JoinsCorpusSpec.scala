@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Corpus, Joins}
+import graft.operators.{Corpus, Joins, Relational}
 
 class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
@@ -465,6 +465,41 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // starts within a source are the exclusive prefix sums 0,4,8
     assert(aSel.map(out).toSeq.sorted == Seq(0L, 4L, 8L))
     assert(run(5) == out) // partition-count invariant
+  }
+
+  test("cdcApply: state machine on a hand log — re-insert, dead updates, anomalies, tiebreak, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // (user, sec, event_id, type, value)
+    val log = Seq(
+      // u1: ins, upd, del, anom(view on dead), re-ins, upd
+      (1L, 10L, 100L, "signup", Some(1.0)), (1L, 20L, 101L, "click", Some(2.0)),
+      (1L, 30L, 102L, "error", None), (1L, 40L, 103L, "view", Some(9.0)),
+      (1L, 50L, 104L, "signup", Some(3.0)), (1L, 60L, 105L, "purchase", Some(4.0)),
+      // u2: two anomalies before the insert, then deleted -> dead
+      (2L, 10L, 200L, "click", Some(5.0)), (2L, 20L, 201L, "error", None),
+      (2L, 30L, 202L, "signup", Some(5.0)), (2L, 40L, 203L, "error", None),
+      // u3: double insert is a replace; EQUAL ts -> event_id breaks the tie
+      (3L, 10L, 301L, "signup", Some(1.5)), (3L, 10L, 300L, "signup", Some(2.5)))
+    val df = log.toDF("user_id", "sec", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def run(parts: Int) =
+      Relational.cdcApply(df.repartition(parts)).orderBy("user_id").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))).toMap
+    val out = run(1)
+    assert(out(1L) == ((true, Some(4.0), 2L, 2L, 1L, 1L, 60000000L)))
+    assert(out(2L) == ((false, None, 1L, 0L, 1L, 2L, 40000000L)))
+    // u3: event 300 (v=2.5) sorts FIRST at the tied ts, 301 replaces it
+    assert(out(3L) == ((true, Some(1.5), 2L, 0L, 0L, 0L, 10000000L)))
+    assert(run(7) == out, "partition-count invariant")
+    // unknown op types fail loudly, never silently fold
+    val bad = Seq((9L, 1L, 1L, "mystery", Some(0.0)))
+      .toDF("user_id", "sec", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    intercept[org.apache.spark.SparkException](Relational.cdcApply(bad).collect())
   }
 
   test("interleave: virtual-time order on a hand case, replayed oracle, partition-invariant") {
