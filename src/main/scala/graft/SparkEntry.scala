@@ -195,6 +195,8 @@ object SparkEntry {
     "q19_snapshot_diff" -> (Relational.q19SnapshotDiff _),
     "e12_transitions" -> (Relational.e12Transitions _),
     "e29_cdc_apply" -> (Relational.e29CdcApply _),
+    "e30_lateness_profile" -> (Relational.e30LatenessProfile _),
+    "d22_source_overlap" -> (Dedup.d22SourceOverlap _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
     "e06_funnel" -> (Relational.e06Funnel _),
@@ -563,6 +565,30 @@ object SparkEntry {
         |  a.n_ins, a.n_upd, a.n_del, a.n_anom, a.last_ts_us
         |FROM agg a JOIN (SELECT * FROM w2 WHERE rn = 1) f ON a.k = f.k
         |ORDER BY user_id""".stripMargin,
+    // e30: the ±300 s hash-jittered arrival (Corpus.hashBucket's
+    // closed form inlined), running stream-global watermark over the
+    // arrival order, minute-binned lateness histogram per type
+    "e30_lateness_profile" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) +
+        |      (((xor(event_id, event_id >> 31) % 1000000007) * 2654435761)
+        |        % 1000000007 % 601 - 300) * 1000000 AS arr
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, tsu,
+        |    max(tsu) OVER (ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM e
+        |), l AS (
+        |  SELECT event_type,
+        |    greatest(CAST(0 AS BIGINT), coalesce(wm - tsu, 0)) // 1000000 AS late_sec
+        |  FROM w
+        |)
+        |SELECT event_type, CAST(late_sec // 60 AS INT) AS late_bin,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(late_sec) AS BIGINT) AS max_late_sec
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q13_json" ->
       """WITH ev AS (
         |  SELECT event_type,

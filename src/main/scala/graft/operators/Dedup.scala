@@ -670,6 +670,67 @@ object Dedup {
   def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
     exactDupClasses(corpus(spark, dir)).orderBy("keep_id")
 
+  // ------------------------------------------- d22 source overlap
+
+  /** d22's corpus: the d01 same-source mutated twins PLUS a
+    * 'crawl-mirror' source re-hosting every 7th doc (upper-cased,
+    * doubled spaces — normalized-equal) — the real-world phenomenon a
+    * cross-source audit exists to expose: a web crawl silently
+    * containing the curated corpora you are also training on. */
+  def overlapCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val twin = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        upper(regexp_replace(col("text"), " ", "  ")).as("text"), col("source"))
+    val mirror = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        upper(regexp_replace(col("text"), " ", "  ")).as("text"),
+        lit("crawl-mirror").as("source"))
+    d.unionAll(twin).unionAll(mirror)
+  }
+
+  /**
+   * CROSS-SOURCE DUPLICATION MATRIX — the corpus diagnostic that
+   * answers "which of my sources duplicate which": for every
+   * unordered source pair (a ≤ b), the number of exact-dup classes
+   * (d01's normalized-md5 classes) with documents on both sides and
+   * the number of cross pairs they induce (cₐ·c_b off the diagonal,
+   * C(cₐ,2) on it). This is how a data team finds that its crawl
+   * re-hosts its curated sets BEFORE mixture weights double-count
+   * them (c08 weighs sources by tokens; 1M duplicated tokens inflate
+   * a source's weight AND leak across c14's source-level splits).
+   *
+   * Shape: one corpus-wide hash aggregate to (class, source, count)
+   * — the same single shuffle as d01 — then every later step runs on
+   * the DUP TAIL only (classes with ≥ 2 docs, left-semi pruned
+   * before the self-join): the matrix join's input is the overlap
+   * classes, not the corpus, and its output is bounded by
+   * |sources|² rows regardless of corpus size.
+   */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(md5(normText(col("text"))).as("h"), col("source"))
+      .groupBy("h", "source").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // reused by the tot filter AND both join sides
+    val dup = perSrc.groupBy("h").agg(sum("cnt").as("tot"))
+      .filter(col("tot") >= 2).select("h")
+    val cs = perSrc.join(dup, Seq("h"), "left_semi")
+    val a = cs.select(col("h"), col("source").as("src_a"), col("cnt").as("ca"))
+    val b = cs.select(col("h"), col("source").as("src_b"), col("cnt").as("cb"))
+    a.join(b, "h")
+      .filter(col("src_a") < col("src_b") ||
+        (col("src_a") === col("src_b") && col("ca") >= 2))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("src_a") < col("src_b"), col("ca") * col("cb"))
+          .otherwise(expr("ca * (ca - 1) div 2"))).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** d22: the exact-dup source-overlap matrix over the mirrored corpus. */
+  def d22SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(overlapCorpus(spark, dir))
+
   // ------------------------------------------- d12 paragraph dedup
 
   /**
@@ -1762,6 +1823,29 @@ object Dedup {
           |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h FROM corpus)
           |GROUP BY h HAVING count(*) > 1 ORDER BY keep_id""".stripMargin),
+    // d22: per-(class, source) counts once, dup tail only, then the
+    // bounded self-join — n_pairs is ca·cb off the diagonal, C(ca,2) on
+    "d22_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(replace(text, ' ', '  ')), source
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, upper(replace(text, ' ', '  ')), 'crawl-mirror'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), c AS (
+        |  SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
+        |    source, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM corpus GROUP BY 1, 2
+        |), t AS (SELECT h FROM c GROUP BY h HAVING sum(cnt) >= 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN a.source < b.source THEN a.cnt * b.cnt
+        |    ELSE a.cnt * (a.cnt - 1) // 2 END) AS BIGINT) AS n_pairs
+        |FROM c a JOIN c b ON a.h = b.h JOIN t ON a.h = t.h
+        |WHERE a.source < b.source OR (a.source = b.source AND a.cnt >= 2)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d12_para_dedup" ->
       (corpusSql +
         s""", ps AS (

@@ -859,4 +859,72 @@ object Relational {
   /** e29: the CDC fold over the events change log. */
   def e29CdcApply(spark: SparkSession, dir: String): DataFrame =
     cdcApply(Tables.events(spark, dir)).orderBy("user_id")
+
+  /**
+   * e30: EVENT-TIME LATENESS PROFILE — the measurement a streaming
+   * team runs BEFORE choosing a watermark delay: for every event,
+   * lateness = (max event time among earlier ARRIVALS) − its own
+   * event time, i.e. how far behind the stream-global watermark
+   * frontier the event lands; the (event_type × minute-bin)
+   * histogram of that is exactly the "what delay covers 99.9% of my
+   * late data" curve, and a bin's max is the state-retention bound a
+   * mis-set watermark would drop. The events table is stored
+   * time-ordered, so arrival order is SYNTHESIZED as a BOUNDED
+   * disorder (±300 s hash jitter on the event's own timestamp — the
+   * bounded-disorder model watermarks assume; the m-family rule:
+   * synthesized input, real plumbing) — both engines replay the same
+   * closed-form jitter.
+   *
+   * Shape: a range-partitioned sort on arrival, then the running
+   * watermark by the TWO-PASS per-partition-max scan (pass 1: one
+   * max per partition, collected; pass 2: parallel per-partition
+   * fold from the carried frontier) — never a single-partition
+   * window; the global running max costs |partitions| driver values
+   * at any stream size. The histogram is a map-side-combined
+   * aggregate over ≤ |types| · bins groups.
+   */
+  def latenessProfile(events: DataFrame, jitterSec: Int = 300): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val jit = (Corpus.hashBucket(col("event_id"), (2 * jitterSec + 1).toLong)
+      - lit(jitterSec.toLong)) * lit(1000000L)
+    val typed = events.select(
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("event_type"), (unix_micros(col("ts")) + jit).as("arr"))
+      .as[(Long, Long, String, Long)]
+    val sorted = typed.orderBy(col("arr"), col("event_id")).rdd
+    sorted.localCheckpoint() // two passes below; don't re-sort
+    val partMax = sorted.mapPartitionsWithIndex { (pi, it) =>
+      var m = Long.MinValue
+      it.foreach(r => m = math.max(m, r._1))
+      Iterator((pi, m))
+    }.collect().toMap
+    val nParts = sorted.getNumPartitions
+    val carry = new Array[Long](math.max(nParts, 1))
+    carry(0) = Long.MinValue
+    var pi = 1
+    while (pi < nParts) {
+      carry(pi) = math.max(carry(pi - 1), partMax.getOrElse(pi - 1, Long.MinValue))
+      pi += 1
+    }
+    val bc = spark.sparkContext.broadcast(carry)
+    sorted.mapPartitionsWithIndex { (p, it) =>
+      var wm = bc.value(p)
+      it.map { case (tsu, _, et, _) =>
+        // MinValue is the "no frontier yet" sentinel — subtracting
+        // from it would wrap; the first-ever arrival is never late
+        val late = if (wm == Long.MinValue) 0L
+          else math.max(0L, wm - tsu) / 1000000L
+        wm = math.max(wm, tsu)
+        (et, late)
+      }
+    }.toDF("event_type", "late_sec")
+      .groupBy(col("event_type"), expr("late_sec div 60").cast("int").as("late_bin"))
+      .agg(count(lit(1)).as("n_events"), max("late_sec").as("max_late_sec"))
+      .orderBy("event_type", "late_bin")
+  }
+
+  /** e30: the ±300 s bounded-disorder lateness histogram over events. */
+  def e30LatenessProfile(spark: SparkSession, dir: String): DataFrame =
+    latenessProfile(Tables.events(spark, dir))
 }

@@ -15,6 +15,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("sourceOverlap: hand matrix — cross pairs, diagonal combinations, normalization folds") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "x y", "A"), (2L, "X  Y", "B"),   // cross dup (normalized-equal)
+      (3L, "z", "A"), (4L, "z", "A"), (5L, "z", "B"), // 2xA + 1xB class
+      (6L, "unique", "B"))                    // no class
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (A,A): the z-class contributes C(2,2)=1 pair
+    assert(out(("A", "A")) == ((1L, 1L)))
+    // (A,B): xy-class (1 pair) + z-class (2x1 = 2 pairs)
+    assert(out(("A", "B")) == ((2L, 3L)))
+    assert(out.size == 2, "no (B,B) cell and no singleton classes")
+    // registered corpus: every source shares classes with the mirror
+    val reg = Dedup.d22SourceOverlap(spark, dir).collect()
+    assert(reg.forall(r => r.getString(0) <= r.getString(1)))
+    assert(reg.exists(r => r.getString(0) == "crawl-mirror" && r.getString(1) != "crawl-mirror"))
+  }
+
   test("minhash signature is deterministic and identical for identical sets") {
     val params = Dedup.permParams(128, 42L)
     val params2 = Dedup.permParams(128, 42L)

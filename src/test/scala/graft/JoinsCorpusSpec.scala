@@ -467,6 +467,42 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5) == out) // partition-count invariant
   }
 
+  test("latenessProfile: scala-replayed watermark fold, zero-jitter degenerate, partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    val n = 120
+    val ev = (0 until n).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "a" else "b", 1000L + i * 100L))
+    val df = ev.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // replay the fold: same hashBucket jitter, arrival sort, running
+    // strictly-preceding max, minute bins
+    def bucket(id: Long, m: Long): Long = ((id ^ (id >>> 31)) % 1000000007L
+      * 2654435761L) % 1000000007L % m
+    val arr = ev.map { case (id, _, et, sec) =>
+      (sec * 1000000L + (bucket(id, 601) - 300) * 1000000L, id, et, sec * 1000000L)
+    }.sorted
+    var wm = Long.MinValue
+    val lates = arr.map { case (_, _, et, tsu) =>
+      val l = if (wm == Long.MinValue) 0L else math.max(0L, wm - tsu) / 1000000L
+      wm = math.max(wm, tsu)
+      (et, l)
+    }
+    val expect = lates.groupBy { case (et, l) => (et, (l / 60).toInt) }
+      .map { case ((et, bin), xs) => (et, bin, xs.size.toLong, xs.map(_._2).max) }
+      .toSeq.sorted
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.latenessProfile(d).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(df) == expect)
+    assert(run(df.repartition(7)) == expect, "partition-count invariant")
+    assert(expect.exists(_._2 > 0), "the jitter produced genuinely late rows")
+    // zero jitter -> arrival == event order -> nobody is late
+    val flat = Relational.latenessProfile(df, jitterSec = 0).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(flat.sorted == Seq(("a", 0, 60L, 0L), ("b", 0, 60L, 0L)))
+  }
+
   test("cdcApply: state machine on a hand log — re-insert, dead updates, anomalies, tiebreak, invariance") {
     val sess = spark
     import sess.implicits._
