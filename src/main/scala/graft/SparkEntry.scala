@@ -63,6 +63,7 @@ object SparkEntry {
     "a10_assoc_logistic_gram" -> (Mas.a10AssocLogisticGram _),
     "a17_assoc_firth_gram" -> (Mas.a17AssocFirthGram _),
     "t13_bpe_tokens" -> (TextOps.t13BpeTokens _),
+    "t24_tokenizer_fertility" -> (TextOps.t24TokenizerFertility _),
     "t21_zipf_slope" -> (TextOps.t21ZipfSlope _),
     "t14_line_stats" -> (TextOps.t14LineStats _),
     "t15_bigram_logprob" -> (TextOps.t15BigramLogprob _),

@@ -747,6 +747,44 @@ object TextOps {
       trainWords = spark.conf.get("spark.graft.bpe.trainWords", BpeTrainWords.toString).toInt)
       .orderBy("doc_id")
 
+  /**
+   * t24: TOKENIZER FERTILITY BY LANGUAGE — the standard tokenizer-QC
+   * table (how many subword tokens a word of each language costs, and
+   * how many bytes ride in each token): a tokenizer trained on a
+   * skewed mixture quietly taxes the under-represented languages with
+   * 2–4× the tokens per word, which is 2–4× the training/inference
+   * cost and context budget for the same text — THIS table is how
+   * that's caught before training. Fertility = Σtokens/Σwords and
+   * bytes-per-token = Σtext-bytes/Σtokens per lang, on t13's trained
+   * BPE segmentation (same merges, same word-frequency table).
+   *
+   * Scale shape: everything heavy is t13's — one word explode +
+   * frequency aggregate, the vocab-bounded driver training, the
+   * word-level (not doc-level) segmentation join — and the fertility
+   * aggregate itself is map-side combined to |langs| rows. Wordless
+   * docs carry no signal and are excluded (matching the inner join
+   * on the segmented-word table).
+   */
+  def tokenizerFertility(docs: DataFrame, nMerges: Int = BpeMerges,
+      trainWords: Int = BpeTrainWords): DataFrame = {
+    val perDoc = bpeTokens(docs, nMerges, trainWords).filter(col("n_words") > 0)
+    docs.select(col("doc_id"), col("lang"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .join(perDoc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"), sum("n_bytes").as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens") / col("n_words"), 4).as("fertility"),
+        round(col("n_bytes") / col("n_tokens"), 4).as("bytes_per_token"))
+      .orderBy("lang")
+  }
+
+  def t24TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertility(Tables.documents(spark, dir),
+      nMerges = spark.conf.get("spark.graft.bpe.merges", BpeMerges.toString).toInt,
+      trainWords = spark.conf.get("spark.graft.bpe.trainWords", BpeTrainWords.toString).toInt)
+
   // -------------------------------------------------- t14 line stats
 
   /** Chunk running text into pseudo-lines of `n` words by replacing
@@ -1597,7 +1635,38 @@ object TextOps {
     * greedy semantics of `bpeApplyMerge`. The SQL is static (builder-
     * generated, no data in it); determinism comes from the total
     * tie-break orders on both sides. */
-  private def bpeOracleSql: String = {
+  private def bpeOracleSql: String =
+    bpeOracleCore +
+      s""",
+         |agg AS (SELECT w1.doc_id, count(*) AS n_words, CAST(sum(tok.wt) AS BIGINT) AS n_tokens
+         |  FROM w1 JOIN tok USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+         |  coalesce(a.n_tokens, 0) AS n_tokens,
+         |  round(CAST(a.n_tokens AS DOUBLE) / a.n_words, 4) + 0 AS avg_word_tokens
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** t24 oracle: the same trained-segmentation CTE aggregated per
+    * LANGUAGE with the byte totals fertility is quoted against. */
+  private def fertilityOracleSql: String =
+    bpeOracleCore +
+      s""",
+         |agg AS (SELECT w1.doc_id, count(*) AS n_words, CAST(sum(tok.wt) AS BIGINT) AS n_tokens
+         |  FROM w1 JOIN tok USING (w) GROUP BY 1),
+         |fd AS (
+         |  SELECT d.lang, octet_length(encode(d.text)) AS n_bytes,
+         |    a.n_words, a.n_tokens
+         |  FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 4) + 0 AS fertility,
+         |  round(CAST(sum(n_bytes) AS DOUBLE) / sum(n_tokens), 4) + 0 AS bytes_per_token
+         |FROM fd GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The BPE train + word-segmentation replay (everything through the
+    * per-word token-count table `tok`), shared by t13 and t24. */
+  private def bpeOracleCore: String = {
     val wsSplit = """str_split_regex(text, '\s+')"""
     val rounds = (1 to BpeMerges).map { r =>
       val p = r - 1
@@ -1628,13 +1697,7 @@ object TextOps {
        |  FROM wf LEFT JOIN train ON wf.w = train.w
        |),
        |$rounds,
-       |tok AS (SELECT w, len(str_split(trim(s), ' ')) AS wt FROM seg_$BpeMerges),
-       |agg AS (SELECT w1.doc_id, count(*) AS n_words, CAST(sum(tok.wt) AS BIGINT) AS n_tokens
-       |  FROM w1 JOIN tok USING (w) GROUP BY 1)
-       |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
-       |  coalesce(a.n_tokens, 0) AS n_tokens,
-       |  round(CAST(a.n_tokens AS DOUBLE) / a.n_words, 4) + 0 AS avg_word_tokens
-       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id""".stripMargin
+       |tok AS (SELECT w, len(str_split(trim(s), ' ')) AS wt FROM seg_$BpeMerges)""".stripMargin
   }
 
   /** t14 oracle: one level of the line-stats pipeline (re-line,
@@ -1905,6 +1968,7 @@ object TextOps {
           |  round(ln(CAST(p.n_chars AS DOUBLE)) - clnc / p.n_chars, 4) + 0 AS char_entropy
           |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
       "t13_bpe_tokens" -> bpeOracleSql,
+      "t24_tokenizer_fertility" -> fertilityOracleSql,
       "t14_line_stats" ->
         s"""WITH ${lineLevelSql(3, "ln")},
            |${lineLevelSql(12, "pr")}

@@ -240,6 +240,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == (1L, 2L))
   }
 
+  test("tokenizerFertility: per-lang closed form on the BPE hand corpus") {
+    import operators.TextOps
+    val sess = spark
+    import sess.implicits._
+    // same hand corpus as the t13 spec, now with langs: the trained
+    // merges favor 'ab'-heavy text, so zz-lang pays higher fertility
+    val docs = Seq(
+      (0L, "abab ab abab abab aaaaa", "en"),
+      (1L, "ab ab aaaaa", "en"),
+      (2L, "zq zq", "zz")).toDF("doc_id", "text", "lang")
+    val got = TextOps.tokenizerFertility(docs, nMerges = 3, trainWords = 500)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // en: words 5+3=8, tokens 7+5=12, bytes 23+11=34
+    assert(got("en") == ((2L, 8L, 12L, 1.5, math.rint(34.0 / 12 * 10000) / 10000)))
+    // zz: 'zq' untrained -> 2 chars each: words 2, tokens 4, bytes 5
+    assert(got("zz") == ((1L, 2L, 4L, 2.0, 1.25)))
+    assert(got("zz")._4 > got("en")._4, "under-represented lang pays more tokens per word")
+  }
+
   test("lineStats: hand-checked duplicate-line/char/punct fractions") {
     import operators.TextOps
     val sess = spark
