@@ -197,6 +197,7 @@ object SparkEntry {
     "e12_transitions" -> (Relational.e12Transitions _),
     "e29_cdc_apply" -> (Relational.e29CdcApply _),
     "e30_lateness_profile" -> (Relational.e30LatenessProfile _),
+    "q21_profile_stats" -> (Relational.q21ProfileStats _),
     "d22_source_overlap" -> (Dedup.d22SourceOverlap _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
@@ -590,6 +591,35 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(max(late_sec) AS BIGINT) AS max_late_sec
         |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q21: moments on the 1e-2 integer lattice as HUGEINT sums —
+    // order-independent like Spark's DECIMAL(38,0) — ONE double
+    // conversion per aggregate before the mean/std formulas
+    "q21_profile_stats" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS "column", CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+        |), a AS (
+        |  SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(x) AS BIGINT) AS n_nonnull,
+        |    sum(CAST(round(x * 100) AS HUGEINT)) AS s1,
+        |    sum(CAST(round(x * 100) AS HUGEINT) * CAST(round(x * 100) AS HUGEINT)) AS s2,
+        |    min(CAST(round(x * 100) AS HUGEINT)) AS qmin,
+        |    max(CAST(round(x * 100) AS HUGEINT)) AS qmax
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT "column", n_rows, CAST(n_rows - n_nonnull AS BIGINT) AS n_null,
+        |  round(CAST(s1 AS DOUBLE) / 100.0 / n_nonnull, 4) + 0 AS mean,
+        |  round(sqrt((CAST(s2 AS DOUBLE) * n_nonnull
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(n_nonnull AS DOUBLE) * (n_nonnull - 1))) / 100.0, 4) + 0 AS std,
+        |  round(CAST(qmin AS DOUBLE) / 100.0, 4) + 0 AS "min",
+        |  round(CAST(qmax AS DOUBLE) / 100.0, 4) + 0 AS "max"
+        |FROM a ORDER BY "column"""".stripMargin,
     "q13_json" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -927,4 +927,46 @@ object Relational {
   /** e30: the ±300 s bounded-disorder lateness histogram over events. */
   def e30LatenessProfile(spark: SparkSession, dir: String): DataFrame =
     latenessProfile(Tables.events(spark, dir))
+
+  /**
+   * q21: COLUMN PROFILE TABLE — the `df.describe` a warehouse
+   * actually ships (data-quality dashboards, ingestion contracts,
+   * drift baselines): per numeric column, row/null counts, mean, std,
+   * min, max in ONE pass. The FP trap in a cross-engine std is the
+   * summation ORDER of Σx² — doubles drift with partitioning; here
+   * every value lands on the `grid` integer lattice first
+   * (round(x·grid), exact for data stored at ≤ grid precision) and
+   * the two moments accumulate as DECIMAL(38,0)/HUGEINT integers —
+   * order-independent, partition-exact — before ONE double conversion
+   * per aggregate on each side. Melt-first keeps the plan a single
+   * scan: the stack is a projection, and map-side combine collapses
+   * each partition to ≤ |cols| rows before the 1-shuffle aggregate.
+   */
+  def profileStats(df: DataFrame, cols: Seq[String], grid: Int = 100): DataFrame = {
+    require(cols.nonEmpty && grid >= 1)
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', cast($c as double)").mkString(", ") + ") as (column, x)"
+    val q = round(col("x") * grid).cast("decimal(38,0)")
+    val g = lit(grid.toDouble)
+    df.select(expr(stackExpr))
+      .groupBy("column")
+      .agg(count(lit(1)).as("n_rows"), count(col("x")).as("n_nonnull"),
+        sum(q).as("s1"), sum(q * q).as("s2"),
+        min(q).as("qmin"), max(q).as("qmax"))
+      .select(col("column"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        round(col("s1").cast("double") / g / col("n_nonnull"), 4).as("mean"),
+        round(sqrt((col("s2").cast("double") * col("n_nonnull")
+            - col("s1").cast("double") * col("s1").cast("double"))
+          / (col("n_nonnull").cast("double") * (col("n_nonnull") - 1))) / g, 4)
+          .as("std"),
+        round(col("qmin").cast("double") / g, 4).as("min"),
+        round(col("qmax").cast("double") / g, 4).as("max"))
+      .orderBy("column")
+  }
+
+  /** q21: the lineitem numeric-column profile. */
+  def q21ProfileStats(spark: SparkSession, dir: String): DataFrame =
+    profileStats(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 }

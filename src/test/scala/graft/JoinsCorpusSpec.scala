@@ -467,6 +467,25 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5) == out) // partition-count invariant
   }
 
+  test("profileStats: hand moments on the integer lattice, nulls counted, partition-invariant") {
+    val sess = spark
+    import sess.implicits._
+    // a: 1.25, 2.25, 3.25, null -> n=4 nonnull=3 mean=2.25
+    //   std = sqrt(((q=125,225,325): s2*n - s1^2) / (n(n-1))) / 100 = 1.0
+    // b: constant column -> std 0
+    val df = Seq(
+      (Some(1.25), 7.0), (Some(2.25), 7.0), (Some(3.25), 7.0), (None, 7.0))
+      .toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.profileStats(d, Seq("a", "b")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val out = run(df)
+    assert(out("a") == ((4L, 1L, 2.25, 1.0, 1.25, 3.25)))
+    assert(out("b") == ((4L, 0L, 7.0, 0.0, 7.0, 7.0)))
+    assert(run(df.repartition(5)) == out, "lattice moments are partition-exact")
+  }
+
   test("latenessProfile: scala-replayed watermark fold, zero-jitter degenerate, partition-invariant") {
     val sess = spark
     import sess.implicits._
