@@ -1521,9 +1521,15 @@ object Multimodal {
   final case class SrtFeature(
       doc_id: Long, n_cues: Int, speech_ms: Long, span_ms: Long, text_md5: String)
 
-  private def srtTs(ms: Long): String =
-    "%02d:%02d:%02d,%03d".format(
-      ms / 3600000, ms / 60000 % 60, ms / 1000 % 60, ms % 1000)
+  private def srtTs(sb: StringBuilder, ms: Long): Unit = {
+    // hand-rolled digits: String.format costs ~µs/call and a cue pays
+    // two timestamps — at corpus scale the formatter IS the kernel
+    def p2(v: Long): Unit = { sb.append(('0' + v / 10 % 10).toChar).append(('0' + v % 10).toChar) }
+    p2(ms / 3600000); sb.append(':'); p2(ms / 60000 % 60); sb.append(':')
+    p2(ms / 1000 % 60); sb.append(',')
+    sb.append(('0' + ms / 100 % 10).toChar).append(('0' + ms / 10 % 10).toChar)
+      .append(('0' + ms % 10).toChar)
+  }
 
   /** SubRip (SRT) transcript for one doc: cue i (1-based index lines)
     * speaks word i over [500(i−1), 500(i−1)+400] ms — blocks separated
@@ -1532,8 +1538,8 @@ object Multimodal {
     val sb = new StringBuilder
     words.zipWithIndex.foreach { case (w, i) =>
       sb.append(i + 1).append('\n')
-        .append(srtTs(i * 500L)).append(" --> ").append(srtTs(i * 500L + 400))
-        .append('\n').append(w).append("\n\n")
+      srtTs(sb, i * 500L); sb.append(" --> "); srtTs(sb, i * 500L + 400)
+      sb.append('\n').append(w).append("\n\n")
     }
     sb.toString
   }
@@ -1623,11 +1629,14 @@ object Multimodal {
     * are closed forms of text on BOTH sides. */
   def srtTable(spark: SparkSession, dir: String): Dataset[(Long, String)] = {
     import spark.implicits._
+    // the words ride as ONE normalized string (a primitive-encoder
+    // column): a Seq[String] column pays a collection decode per row
+    // (measured 2.9 s vs 0.6 at sf0.1) — the split is a cheap kernel
     Tables.documents(spark, dir).select(col("doc_id"),
-        filter(split(Dedup.normText(col("text")), " "), w => length(w) > 0)
-          .as("words"))
-      .as[(Long, Seq[String])]
-      .map { case (id, words) =>
+        Dedup.normText(col("text")).as("norm"))
+      .as[(Long, String)]
+      .map { case (id, norm) =>
+        val words = norm.split(' ').filter(_.nonEmpty).toSeq
         require(words.nonEmpty && words.forall(_.forall(_ < 128)),
           s"srtTable: empty or non-ASCII words in doc_id=$id (m22 oracle md5s ASCII)")
         (id, buildSrt(words))
@@ -1635,17 +1644,25 @@ object Multimodal {
   }
 
   /** m22: cue index decoded from real SRT text — per-row string
-    * kernel, no shuffle at any scale. */
+    * kernel, no shuffle at any scale. Build and walk FUSE into one
+    * typed pass (a second `.map` operator costs a full encoder
+    * round-trip and its own codegen stage — measured ~2 s of pure
+    * overhead at the 5k-doc sweep shape); [[srtTable]] stays the
+    * spec's hook for exercising the stages separately. */
   def m22SrtCues(spark: SparkSession, dir: String): DataFrame = {
-    val t = srtTable(spark, dir)
-    val sess = t.sparkSession
-    import sess.implicits._
-    t.map { case (id, srt) =>
-      parseSrt(srt) match {
-        case Some(f) => f.copy(doc_id = id)
-        case None => SrtFeature(id, 0, -1L, -1L, "")
-      }
-    }.toDF().orderBy("doc_id")
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"),
+        Dedup.normText(col("text")).as("norm"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, norm) =>
+        val words = norm.split(' ').filter(_.nonEmpty).toSeq
+        require(words.nonEmpty && words.forall(_.forall(_ < 128)),
+          s"srtTable: empty or non-ASCII words in doc_id=$id (m22 oracle md5s ASCII)")
+        parseSrt(buildSrt(words)) match {
+          case Some(f) => f.copy(doc_id = id)
+          case None => SrtFeature(id, 0, -1L, -1L, "")
+        }
+      }).toDF().orderBy("doc_id")
   }
 
   /**

@@ -946,13 +946,16 @@ object Relational {
     require(cols.nonEmpty && grid >= 1)
     val stackExpr = s"stack(${cols.length}, " +
       cols.map(c => s"'$c', cast($c as double)").mkString(", ") + ") as (column, x)"
-    val q = round(col("x") * grid).cast("decimal(38,0)")
+    // first moment fits a LONG for any |x| ≤ ~9e16/(grid·rows); only
+    // the second moment needs DECIMAL(38,0) headroom (q² ~ 1e14/row)
+    val ql = round(col("x") * grid).cast("long")
+    val q = ql.cast("decimal(38,0)")
     val g = lit(grid.toDouble)
     df.select(expr(stackExpr))
       .groupBy("column")
       .agg(count(lit(1)).as("n_rows"), count(col("x")).as("n_nonnull"),
-        sum(q).as("s1"), sum(q * q).as("s2"),
-        min(q).as("qmin"), max(q).as("qmax"))
+        sum(ql).cast("decimal(38,0)").as("s1"), sum(q * q).as("s2"),
+        min(ql).as("qmin"), max(ql).as("qmax"))
       .select(col("column"), col("n_rows"),
         (col("n_rows") - col("n_nonnull")).as("n_null"),
         round(col("s1").cast("double") / g / col("n_nonnull"), 4).as("mean"),
