@@ -197,7 +197,9 @@ object SparkEntry {
     "e12_transitions" -> (Relational.e12Transitions _),
     "e29_cdc_apply" -> (Relational.e29CdcApply _),
     "e30_lateness_profile" -> (Relational.e30LatenessProfile _),
+    "e31_watermark_choice" -> (Relational.e31WatermarkChoice _),
     "q21_profile_stats" -> (Relational.q21ProfileStats _),
+    "s19_stouffer" -> (Postprocess.s19Stouffer _),
     "d22_source_overlap" -> (Dedup.d22SourceOverlap _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),
@@ -591,6 +593,41 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(max(late_sec) AS BIGINT) AS max_late_sec
         |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e31: same jitter + watermark window as e30, then INTEGER-rank
+    // quantile selection (cum·den ≥ num·n) over the per-type counts
+    "e31_watermark_choice" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) +
+        |      (((xor(event_id, event_id >> 31) % 1000000007) * 2654435761)
+        |        % 1000000007 % 601 - 300) * 1000000 AS arr
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, tsu,
+        |    max(tsu) OVER (ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM e
+        |), l AS (
+        |  SELECT event_type,
+        |    greatest(CAST(0 AS BIGINT), coalesce(wm - tsu, 0)) // 1000000 AS late_sec
+        |  FROM w
+        |), c AS (
+        |  SELECT event_type, late_sec, CAST(count(*) AS BIGINT) AS c
+        |  FROM l GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY late_sec
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM c
+        |)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  round(sum(CASE WHEN late_sec > 0 THEN c ELSE 0 END) * 1.0 / max(n), 4)
+        |    + 0 AS share_late,
+        |  CAST(min(CASE WHEN cum * 2 >= n THEN late_sec END) AS BIGINT) AS p50_sec,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN late_sec END) AS BIGINT) AS p99_sec,
+        |  CAST(min(CASE WHEN cum * 1000 >= n * 999 THEN late_sec END) AS BIGINT) AS p999_sec,
+        |  CAST(max(late_sec) AS BIGINT) AS max_sec
+        |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q21: moments on the 1e-2 integer lattice as HUGEINT sums —
     // order-independent like Spark's DECIMAL(38,0) — ONE double
     // conversion per aggregate before the mean/std formulas

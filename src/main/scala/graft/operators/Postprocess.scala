@@ -648,6 +648,52 @@ object Postprocess {
   /** s09: fixed-effect pooling of the pseudo cohort results. */
   def s09MetaAnalysis(spark: SparkSession, dir: String): DataFrame =
     metaAnalysis(pseudoCohortResults(spark, dir), Seq("test_id"))
+
+  /**
+   * s19: STOUFFER WEIGHTED-Z combination — the p-value-scale
+   * consolidation a consortium uses when per-cohort effect SIZES
+   * aren't comparable (different phenotype codings or units across
+   * biobanks), so inverse-variance pooling (s09/s18) is off the
+   * table but direction and evidence still combine: per cohort
+   * z_k = β_k/se_k (the SIGN carries direction — a flipped cohort
+   * cancels, it doesn't reinforce), weights w_k = √n_k (the classic
+   * sample-size-weighted variant; the fixture's pseudo cohort sizes
+   * n_k = 100 + 50·cohort are closed-form on both sides),
+   * Z = Σw_k z_k / √(Σw_k²), and the two-sided p = 2(1 − Φ(|Z|))
+   * via the same Zelen–Severo Horner tail s13 mirrors operand for
+   * operand. One map-side-combined aggregate per test key — three
+   * doubles of state per group at any results-table scale.
+   */
+  def stoufferMeta(results: DataFrame, keyCols: Seq[String],
+      betaCol: String = "beta", seCol: String = "se",
+      cohortCol: String = "cohort"): DataFrame = {
+    require(keyCols.nonEmpty, "stoufferMeta: need at least one key column")
+    val w = sqrt(lit(100.0) + lit(50.0) * col(cohortCol))
+    val z = col(betaCol) / col(seCol)
+    val agg = results
+      .filter(col(seCol).isNotNull && !isnan(col(seCol)) && col(seCol) > 0 &&
+        col(betaCol).isNotNull && !isnan(col(betaCol)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("k_cohorts"),
+        sum(w * z).as("wz"),
+        sum(w * w).as("w2"))
+    val zc = col("wz") / sqrt(col("w2"))
+    val x = abs(zc)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    agg.select(keyCols.map(col) ++ Seq(
+      col("k_cohorts"),
+      Norm.r4(zc).as("z_comb"),
+      (round(lit(2.0) * exp(lit(-0.5) * x * x) *
+        lit(0.3989422804014327) * poly, 6) + lit(0.0)).as("p_stouffer")): _*)
+  }
+
+  /** s19: Stouffer weighted-Z over the pseudo cohort results. */
+  def s19Stouffer(spark: SparkSession, dir: String): DataFrame =
+    stoufferMeta(pseudoCohortResults(spark, dir), Seq("test_id"))
+      .orderBy("test_id")
       .orderBy("test_id")
 
   /** s03: definitions annotate — synthesized public dim from nation
@@ -772,6 +818,27 @@ object Postprocess {
          |    * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
          |      + t * (-1.821255978 + t * 1.330274429))))), 6) AS p_adj
          |FROM g ORDER BY o_orderkey""".stripMargin,
+    // s19: weights mirrored as sqrt(..)·sqrt(..) — NOT simplified to n —
+    // so the w² sum is the identical double sequence in both engines
+    "s19_stouffer" ->
+      s"""WITH r AS ($pseudoCohortResultsSql),
+         |f AS (SELECT * FROM r
+         |      WHERE se IS NOT NULL AND se > 0 AND beta IS NOT NULL),
+         |a AS (
+         |  SELECT test_id, CAST(count(*) AS BIGINT) AS k_cohorts,
+         |    sum(sqrt(100.0 + 50.0 * cohort) * (beta / se)) AS wz,
+         |    sum(sqrt(100.0 + 50.0 * cohort) * sqrt(100.0 + 50.0 * cohort)) AS w2
+         |  FROM f GROUP BY 1
+         |), g AS (
+         |  SELECT *, wz / sqrt(w2) AS zc, abs(wz / sqrt(w2)) AS x FROM a
+         |), h AS (
+         |  SELECT *, 1.0 / (1.0 + 0.2316419 * x) AS t FROM g
+         |)
+         |SELECT test_id, k_cohorts, round(zc, 4) + 0 AS z_comb,
+         |  round(2.0 * exp(-0.5 * x * x) * 0.3989422804014327
+         |    * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+         |      + t * (-1.821255978 + t * 1.330274429))))), 6) + 0 AS p_stouffer
+         |FROM h ORDER BY test_id""".stripMargin,
     "s07_qq_expected" ->
       s"""WITH p AS ($pseudoPvalsSql),
          |np AS (SELECT o_orderkey, pval FROM p

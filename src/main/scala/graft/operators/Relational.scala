@@ -883,7 +883,10 @@ object Relational {
    * at any stream size. The histogram is a map-side-combined
    * aggregate over ≤ |types| · bins groups.
    */
-  def latenessProfile(events: DataFrame, jitterSec: Int = 300): DataFrame = {
+  /** The per-event lateness stream (event_type, late_sec) behind e30
+    * and e31 — the two-pass running-watermark scan documented at
+    * [[latenessProfile]]. */
+  private def latenessRaw(events: DataFrame, jitterSec: Int): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val jit = (Corpus.hashBucket(col("event_id"), (2 * jitterSec + 1).toLong)
@@ -919,14 +922,54 @@ object Relational {
         (et, late)
       }
     }.toDF("event_type", "late_sec")
+  }
+
+  def latenessProfile(events: DataFrame, jitterSec: Int = 300): DataFrame =
+    latenessRaw(events, jitterSec)
       .groupBy(col("event_type"), expr("late_sec div 60").cast("int").as("late_bin"))
       .agg(count(lit(1)).as("n_events"), max("late_sec").as("max_late_sec"))
       .orderBy("event_type", "late_bin")
-  }
 
   /** e30: the ±300 s bounded-disorder lateness histogram over events. */
   def e30LatenessProfile(spark: SparkSession, dir: String): DataFrame =
     latenessProfile(Tables.events(spark, dir))
+
+  /**
+   * e31: WATERMARK CHOICE — e30's decision table: per event type, the
+   * EXACT lateness quantiles on the coverage definition a watermark
+   * actually uses ("the smallest delay d such that ≥ q of events are
+   * ≤ d late" — F(d) ≥ q, so configuring delay = p999_sec drops at
+   * most 0.1% of that type). Quantile selection is pure INTEGER
+   * arithmetic (cum·1000 ≥ 999·n, never a float rank), so the table
+   * is engine- and partitioning-exact. The heavy input is the same
+   * two-pass watermark scan as e30; the quantile stage runs on the
+   * (type, late_sec) COUNT table — bounded by |types| · distinct
+   * lateness seconds (≤ 2·jitter), a few thousand rows at ANY stream
+   * size, where a window cumsum is free.
+   */
+  def watermarkChoice(events: DataFrame, jitterSec: Int = 300): DataFrame = {
+    val counts = latenessRaw(events, jitterSec)
+      .groupBy("event_type", "late_sec").agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy("event_type").orderBy("late_sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum("c").over(byType))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    def qSel(num: Int, den: Int): Column =
+      min(when(col("cum") * den >= col("n") * num, col("late_sec")))
+    cum.groupBy("event_type")
+      .agg(max("n").as("n_events"),
+        (round(sum(when(col("late_sec") > 0, col("c")).otherwise(0L))
+          / max("n").cast("double"), 4) + lit(0.0)).as("share_late"),
+        qSel(1, 2).as("p50_sec"),
+        qSel(99, 100).as("p99_sec"),
+        qSel(999, 1000).as("p999_sec"),
+        max("late_sec").as("max_sec"))
+      .orderBy("event_type")
+  }
+
+  /** e31: the watermark-delay table over events at ±300 s disorder. */
+  def e31WatermarkChoice(spark: SparkSession, dir: String): DataFrame =
+    watermarkChoice(Tables.events(spark, dir))
 
   /**
    * q21: COLUMN PROFILE TABLE — the `df.describe` a warehouse

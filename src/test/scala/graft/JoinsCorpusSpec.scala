@@ -522,6 +522,49 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flat.sorted == Seq(("a", 0, 60L, 0L), ("b", 0, 60L, 0L)))
   }
 
+  test("watermarkChoice: integer-rank quantiles replay the lateness stream; zero-jitter degenerate") {
+    val sess = spark
+    import sess.implicits._
+    val n = 120
+    val ev = (0 until n).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "a" else "b", 1000L + i * 100L))
+    val df = ev.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // replay: same jitter + watermark fold as the latenessProfile spec
+    def bucket(id: Long, m: Long): Long = ((id ^ (id >>> 31)) % 1000000007L
+      * 2654435761L) % 1000000007L % m
+    val arr = ev.map { case (id, _, et, sec) =>
+      (sec * 1000000L + (bucket(id, 601) - 300) * 1000000L, id, et, sec * 1000000L)
+    }.sorted
+    var wm = Long.MinValue
+    val lates = arr.map { case (_, _, et, tsu) =>
+      val l = if (wm == Long.MinValue) 0L else math.max(0L, wm - tsu) / 1000000L
+      wm = math.max(wm, tsu)
+      (et, l)
+    }
+    def q(ls: Seq[Long], num: Long, den: Long): Long = {
+      val sorted = ls.sorted
+      sorted.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1).toLong * den >= num * ls.size => v
+      }.get
+    }
+    val expect = lates.groupBy(_._1).map { case (et, xs) =>
+      val ls = xs.map(_._2)
+      (et, ls.size.toLong,
+        math.floor(ls.count(_ > 0).toDouble / ls.size * 1e4 + 0.5) / 1e4,
+        q(ls, 1, 2), q(ls, 99, 100), q(ls, 999, 1000), ls.max)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.watermarkChoice(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect)
+    assert(expect.exists(_._7 > 0), "disorder produced genuinely late rows")
+    // zero jitter -> in-order stream: every quantile and share is 0
+    val flat = Relational.watermarkChoice(df, jitterSec = 0).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(5), r.getLong(6))).toSeq
+    assert(flat.sorted == Seq(("a", 0.0, 0L, 0L), ("b", 0.0, 0L, 0L)))
+  }
+
   test("cdcApply: state machine on a hand log — re-insert, dead updates, anomalies, tiebreak, invariance") {
     val sess = spark
     import sess.implicits._

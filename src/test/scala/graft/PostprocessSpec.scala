@@ -15,6 +15,33 @@ class PostprocessSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("stoufferMeta: hand-computed weighted Z, direction cancellation, failed fits dropped") {
+    val sess = spark
+    import sess.implicits._
+    // cohorts 0 and 1: n = 100, 150 -> w = 10, sqrt(150)
+    val df = Seq(
+      // test 1: z = 2.0 and 1.0, same direction
+      (1L, 0L, Some(1.0), Some(0.5)), (1L, 1L, Some(0.25), Some(0.25)),
+      // test 2: equal-weight cohorts, opposite z -> exact cancellation
+      (2L, 0L, Some(1.0), Some(0.5)), (2L, 0L, Some(-1.0), Some(0.5)),
+      // test 3: one failed fit (null se) + one live cohort
+      (3L, 1L, Some(0.5), None), (3L, 0L, Some(1.5), Some(0.5)))
+      .toDF("test_id", "cohort", "beta", "se")
+    val out = Postprocess.stoufferMeta(df, Seq("test_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val w0 = 10.0; val w1 = math.sqrt(150.0)
+    val z1 = (w0 * 2.0 + w1 * 1.0) / math.sqrt(w0 * w0 + w1 * w1)
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - math.rint(z1 * 1e4) / 1e4) < 1e-9)
+    // same-weight opposite evidence cancels to Z = 0, p = 1 (tail at 0
+    // is 2*phi(0)*poly(1) on the A&S approximation -> ~0.9999-1.0)
+    assert(out(2L)._2 == 0.0 && out(2L)._3 > 0.99)
+    // the failed fit contributes nothing: k = 1, z = beta/se / 1
+    assert(out(3L)._1 == 1L && math.abs(out(3L)._2 - 3.0) < 1e-9)
+    // p decreases as |Z| grows
+    assert(out(3L)._3 < out(1L)._3 && out(1L)._3 < out(2L)._3)
+  }
+
   test("BH adjusted p-values match the hand-computed step-up values") {
     val sess = spark
     import sess.implicits._
