@@ -150,6 +150,7 @@ object SparkEntry {
     "n03_ann_ivf" -> (Similarity.n03AnnIvf _),
     "n11_kmeans" -> (Similarity.n11Kmeans _),
     "n06_ann_ivfpq" -> (Similarity.n06AnnIvfPq _),
+    "n14_silhouette" -> (Similarity.n14Silhouette _),
     "n04_label_centroids" -> (Similarity.n04LabelCentroids _),
     "n05_radius_search" -> (Similarity.n05RadiusSearch _),
     "t01_langid" -> (TextOps.t01LangId _),

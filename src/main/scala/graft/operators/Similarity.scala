@@ -606,6 +606,65 @@ object Similarity {
   def n11Kmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansClusters(embeddings(spark, dir), k = 8, iters = 4).orderBy("vec_id")
 
+  /**
+   * n14: SIMPLIFIED SILHOUETTE per cluster — the k-selection /
+   * cluster-QC score (how separated is each cluster, the number a
+   * team reads before trusting n11's clusters for SemDeDup or
+   * stratification): per vector, cosine distance to its OWN centroid
+   * (d_a = 1 − cos, the rank-1 assignment dot) vs to the nearest
+   * OTHER centroid (d_b, the rank-2 dot), s = (d_b − d_a) /
+   * max(d_a, d_b) — the centroid-based simplification that replaces
+   * classic silhouette's O(n²) pairwise term with O(n·k), the only
+   * version that exists at corpus scale. Dots are the codebook's
+   * exact integer arithmetic; s quantizes to the 1e-6 grid per row
+   * BEFORE the cluster mean, so the mean is an order-independent
+   * integer sum (the c08 discipline) and the whole table is
+   * partition-exact. One broadcast-argmax projection over the corpus
+   * + one map-side-combined k-row aggregate.
+   */
+  def silhouette(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"silhouette: need at least 2 clusters, got $k")
+    val withN = quantized(emb).localCheckpoint(true)
+    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), k, iters)
+    // (best cid, best dot, second-best dot) in one pass; ties mirror
+    // the oracle's (dot DESC, cid ASC) rank — first equal dot wins
+    // best, the later equal dot becomes rank 2
+    val two = udf((q: Seq[Long]) => {
+      var bi = 0; var bd = Long.MinValue; var sd = Long.MinValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0L; var d = 0
+        val lim = math.min(cent.length, q.length)
+        while (d < lim) { s += cent(d) * q(d); d += 1 }
+        if (s > bd) { sd = bd; bd = s; bi = c }
+        else if (s > sd) sd = s
+        c += 1
+      }
+      (bi, bd, sd)
+    })
+    val da = lit(1.0) - col("bd") / lit(1000000000000.0)
+    val db = lit(1.0) - col("sd") / lit(1000000000000.0)
+    val s = when(greatest(da, db) > 0, (db - da) / greatest(da, db))
+      .otherwise(lit(0.0))
+    withN.withColumn("t", two(col("q")))
+      .select(col("vec_id"), col("t._1").as("cid"),
+        col("t._2").as("bd"), col("t._3").as("sd"))
+      .withColumn("sq", round(s * 1000000, 0).cast("long"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("sq").as("ssq"),
+        min("sq").as("mnq"), max("sq").as("mxq"))
+      .select(col("cid"), col("n_members"),
+        (round(col("ssq") / 1000000.0 / col("n_members"), 4) + lit(0.0)).as("mean_sil"),
+        (round(col("mnq") / 1000000.0, 4) + lit(0.0)).as("min_sil"),
+        (round(col("mxq") / 1000000.0, 4) + lit(0.0)).as("max_sil"))
+      .orderBy("cid")
+  }
+
+  /** n14: silhouette table for n11's 8-cluster codebook. */
+  def n14Silhouette(spark: SparkSession, dir: String): DataFrame =
+    silhouette(embeddings(spark, dir), k = 8, iters = 4)
+
   /** n03: IVF-flat ANN — the brief's "IVF variant as the scale path"
     * alongside n02's LSH. The fixed-point codebook (ivfCentroidsQ)
     * makes the whole path — training, list assignment, probing,
@@ -1052,6 +1111,33 @@ object Similarity {
     "n09_pca_power" -> pcaPowerSql(dims = 64, iters = 8),
     // n11: shared unrolled-Lloyd CTEs at (8, 4), final assignment +
     // integer dot to own centroid + k-row size join
+    // n14: the rank-1/rank-2 assignment dots from the same unrolled
+    // Lloyd CTEs; s quantizes to 1e-6 per row before the cluster mean
+    "n14_silhouette" -> (ivfHead(64, 8) + ivfLoop(64, 4) +
+      s""", asg AS (
+         |  SELECT x.vec_id, c.cid,
+         |    ${ivfIntDot(64, "x", "c")} AS dotm,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${ivfIntDot(64, "x", "c")} DESC, c.cid) AS rn
+         |  FROM uq x CROSS JOIN c4 c
+         |), sv AS (
+         |  SELECT a.vec_id, a.cid,
+         |    1.0 - a.dotm / 1000000000000.0 AS da,
+         |    1.0 - b.dotm / 1000000000000.0 AS db
+         |  FROM asg a JOIN asg b ON a.vec_id = b.vec_id
+         |  WHERE a.rn = 1 AND b.rn = 2
+         |), g AS (
+         |  SELECT vec_id, cid,
+         |    CAST(round(CASE WHEN greatest(da, db) > 0
+         |      THEN (db - da) / greatest(da, db) ELSE 0.0 END * 1000000)
+         |      AS BIGINT) AS sq
+         |  FROM sv
+         |)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(sum(sq) / 1000000.0 / count(*), 4) + 0 AS mean_sil,
+         |  round(min(sq) / 1000000.0, 4) + 0 AS min_sil,
+         |  round(max(sq) / 1000000.0, 4) + 0 AS max_sil
+         |FROM g GROUP BY cid ORDER BY cid""".stripMargin),
     "n11_kmeans" -> (ivfHead(64, 8) + ivfLoop(64, 4) +
       s""", fin AS (
          |  SELECT vec_id, q, cid FROM (

@@ -240,6 +240,33 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == (1L, 2L))
   }
 
+  test("silhouette: perfectly separated clusters score 1, a boundary vector drags its cluster") {
+    import operators.Similarity
+    val sess = spark
+    import sess.implicits._
+    // two orthogonal tight clusters; seeds (lowest ids 1, 2) start one
+    // in each, so one Lloyd iteration lands centroids exactly on the
+    // axes and every member sits ON its centroid: s = (1-0)/1 = 1
+    val clean = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.0, 0.0)), (4L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "e")
+    val out = Similarity.silhouette(clean, k = 2, iters = 1).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.values.map(_._1).toSeq.sorted == Seq(2L, 2L))
+    assert(out.values.forall(_._2 == 1.0), s"clean clusters score 1.0: $out")
+    // a 45-degree boundary vector joins one cluster, shifts its
+    // centroid, and scores well below the tight members
+    val mixed = clean.unionAll(Seq((5L, Seq(math.sqrt(0.5), math.sqrt(0.5), 0.0, 0.0)))
+      .toDF("vec_id", "e"))
+    val m = Similarity.silhouette(mixed, k = 2, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(m.map(_._2).sum == 5L)
+    val host = m.maxBy(_._2) // the 3-member cluster absorbed the straggler
+    assert(host._2 == 3L && host._4 < 0.9, s"boundary vector drags min_sil: $m")
+    assert(m.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._4 <= r._5))
+  }
+
   test("tokenizerFertility: per-lang closed form on the BPE hand corpus") {
     import operators.TextOps
     val sess = spark
