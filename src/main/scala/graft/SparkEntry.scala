@@ -200,7 +200,7 @@ object SparkEntry {
     "e30_lateness_profile" -> (Relational.e30LatenessProfile _),
     "e31_watermark_choice" -> (Relational.e31WatermarkChoice _),
     "q21_profile_stats" -> (Relational.q21ProfileStats _),
-    "s19_stouffer" -> (Postprocess.s19Stouffer _),
+    "s20_stouffer" -> (Postprocess.s20Stouffer _),
     "d22_source_overlap" -> (Dedup.d22SourceOverlap _),
     "e01_sessionize" -> (Relational.e01Sessionize _),
     "e07_retention" -> (Relational.e07Retention _),

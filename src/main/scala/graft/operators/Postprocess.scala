@@ -650,7 +650,7 @@ object Postprocess {
     metaAnalysis(pseudoCohortResults(spark, dir), Seq("test_id"))
 
   /**
-   * s19: STOUFFER WEIGHTED-Z combination — the p-value-scale
+   * s20: STOUFFER WEIGHTED-Z combination — the p-value-scale
    * consolidation a consortium uses when per-cohort effect SIZES
    * aren't comparable (different phenotype codings or units across
    * biobanks), so inverse-variance pooling (s09/s18) is off the
@@ -690,8 +690,8 @@ object Postprocess {
         lit(0.3989422804014327) * poly, 6) + lit(0.0)).as("p_stouffer")): _*)
   }
 
-  /** s19: Stouffer weighted-Z over the pseudo cohort results. */
-  def s19Stouffer(spark: SparkSession, dir: String): DataFrame =
+  /** s20: Stouffer weighted-Z over the pseudo cohort results. */
+  def s20Stouffer(spark: SparkSession, dir: String): DataFrame =
     stoufferMeta(pseudoCohortResults(spark, dir), Seq("test_id"))
       .orderBy("test_id")
       .orderBy("test_id")
@@ -820,7 +820,7 @@ object Postprocess {
          |FROM g ORDER BY o_orderkey""".stripMargin,
     // s19: weights mirrored as sqrt(..)·sqrt(..) — NOT simplified to n —
     // so the w² sum is the identical double sequence in both engines
-    "s19_stouffer" ->
+    "s20_stouffer" ->
       s"""WITH r AS ($pseudoCohortResultsSql),
          |f AS (SELECT * FROM r
          |      WHERE se IS NOT NULL AND se > 0 AND beta IS NOT NULL),
