@@ -445,6 +445,21 @@ object Bench {
               SparkEntry.queries(name)(spark, bigDir)
                 .write.format("noop").mode("overwrite").save())
           }
+        // r18 continuation families — all read documents.parquet, so
+        // the 10x corpus applies directly: d22's dup-class density
+        // scales with the %7/%10 mirror rules applied over 10x docs
+        // (the hash aggregate and the dup-tail self-join both grow),
+        // c16's prefix scan + TakeOrdered head measure the WFQ order
+        // at 10x tokens, m22's per-row kernel is the linear-flat
+        // control (any super-linear reading means plan overhead crept
+        // back in)
+        val contPairs = Seq("d22_source_overlap", "c16_interleave",
+          "m22_srt_cues")
+          .filter(n => famOn(shortId(n))).flatMap { name =>
+            corpusEntry(name, run(name),
+              SparkEntry.queries(name)(spark, bigDir)
+                .write.format("noop").mode("overwrite").save())
+          }
         // graph family: both points read precomputed edge parquet (see
         // scale10xDir) — g02's Σoutdeg² wedge volume and g01's
         // per-iteration shuffle both scale 10x under disjoint union, so
@@ -508,7 +523,7 @@ object Bench {
                 .map { case (t, ld) => (masTime._4.map(_._1).min, t, ld) })).flatten
           }
         ((s""""docs":[$docsBase,${docsBase * 10}]""" +:
-          corpusPairs) ++ gatePairs ++ graphPairs ++ t13.toSeq ++ masPairs).mkString(",")
+          corpusPairs) ++ gatePairs ++ contPairs ++ graphPairs ++ t13.toSeq ++ masPairs).mkString(",")
       }
     val masHeads = if (onlyNames.isDefined || (slopeOnly && !slopeMas)) Seq.empty else Seq(
       "mas_firth_5000x1800x5cov" -> masTime._1.map(_._1).min,
