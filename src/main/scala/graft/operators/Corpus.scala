@@ -529,7 +529,10 @@ object Corpus {
       (start, _) => Seq(start)
     }
     val bases = scanned.groupBy("source").agg(min("__gstart").as("__base"))
-    val weights = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    // weights aggregate reads the SCANNED table (prefixScan's
+    // materialized RDD), not the raw corpus — re-tokenizing 100 TB a
+    // second time for |sources| sums was a plan-audit finding
+    val weights = scanned.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
       .withColumn("w_micro",
         round(sqrt(col("src_tokens")) * lit(1000000.0)).cast("long"))
     val head = scanned.join(broadcast(bases), "source")

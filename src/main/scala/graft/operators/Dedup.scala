@@ -714,7 +714,9 @@ object Dedup {
       .localCheckpoint(true) // reused by the tot filter AND both join sides
     val dup = perSrc.groupBy("h").agg(sum("cnt").as("tot"))
       .filter(col("tot") >= 2).select("h")
-    val cs = perSrc.join(dup, Seq("h"), "left_semi")
+    // the pruned tail feeds BOTH self-join sides: materialize once,
+    // or the dup aggregate + semi-join re-run per side (plan-audited)
+    val cs = perSrc.join(dup, Seq("h"), "left_semi").localCheckpoint(true)
     val a = cs.select(col("h"), col("source").as("src_a"), col("cnt").as("ca"))
     val b = cs.select(col("h"), col("source").as("src_b"), col("cnt").as("cb"))
     a.join(b, "h")
