@@ -541,16 +541,17 @@ object SparkEntry {
         |    CASE WHEN et = 'signup' THEN 'ins'
         |         WHEN et = 'error' THEN
         |           CASE WHEN coalesce(lb,'x') = 'signup' THEN 'del' ELSE 'anom' END
-        |         ELSE
+        |         WHEN et IN ('click','view','purchase') THEN
         |           CASE WHEN coalesce(lb,'x') = 'signup' THEN 'upd' ELSE 'anom' END
+        |         ELSE 'unk'
         |    END AS act
         |  FROM w
         |), w2 AS (
         |  SELECT *,
         |    LAST_VALUE(CASE WHEN et IN ('signup','error') THEN et END IGNORE NULLS)
         |      OVER win AS lbi,
-        |    LAST_VALUE(CASE WHEN act IN ('ins','upd') THEN value END IGNORE NULLS)
-        |      OVER win AS lv,
+        |    LAST_VALUE(CASE WHEN act IN ('ins','upd') THEN struct_pack(v := value)
+        |      END IGNORE NULLS) OVER win AS lv,
         |    row_number() OVER (PARTITION BY k ORDER BY tsu DESC, event_id DESC) AS rn
         |  FROM cls
         |  WINDOW win AS (PARTITION BY k ORDER BY tsu, event_id
@@ -561,13 +562,14 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN act='upd' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
         |    CAST(sum(CASE WHEN act='del' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
         |    CAST(sum(CASE WHEN act='anom' THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+        |    CAST(sum(CASE WHEN act='unk' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
         |    CAST(max(tsu) AS BIGINT) AS last_ts_us
         |  FROM cls GROUP BY k
         |)
         |SELECT a.k AS user_id,
         |  coalesce(f.lbi,'x') = 'signup' AS final_live,
-        |  CASE WHEN coalesce(f.lbi,'x') = 'signup' THEN f.lv END AS final_value,
-        |  a.n_ins, a.n_upd, a.n_del, a.n_anom, a.last_ts_us
+        |  CASE WHEN coalesce(f.lbi,'x') = 'signup' THEN f.lv.v END AS final_value,
+        |  a.n_ins, a.n_upd, a.n_del, a.n_anom, a.n_unknown, a.last_ts_us
         |FROM agg a JOIN (SELECT * FROM w2 WHERE rn = 1) f ON a.k = f.k
         |ORDER BY user_id""".stripMargin,
     // e30: the ±300 s hash-jittered arrival (Corpus.hashBucket's

@@ -523,8 +523,13 @@ object Corpus {
     val toks = docs.select(col("doc_id"), col("source"),
       size(filter(split(Dedup.normText(col("text")), " "),
         w => length(w) > 0)).cast("long").as("n_tokens"))
+    // order key: bias doc_id by 4.6e18 so negatives sort numerically,
+    // then pad to the full 19 digits of the biased range — Spark's
+    // lpad TRUNCATES strings longer than the pad width, so a 12-wide
+    // pad would silently misorder ids >= 1e12 (r18 advice item)
     val ordered = toks.withColumn("__ord", concat_ws("|",
-      col("source"), lpad(col("doc_id").cast("string"), 12, "0")))
+      col("source"),
+      lpad((col("doc_id") + lit(4600000000000000000L)).cast("string"), 19, "0")))
     val scanned = prefixScan(ordered, "__ord", "n_tokens", Seq("__gstart")) {
       (start, _) => Seq(start)
     }

@@ -1639,6 +1639,27 @@ object Dedup {
     * per row (not per pair); the division order matches
     * `cosine`/DuckDB exactly. */
   def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
+    // ADMISSION GUARD (the a39/graph-regime convention, enforced not
+    // just documented): this is the bounded-blocks-only EXACT baseline
+    // — a label block of b rows costs b²/2 dot products, so an
+    // unbounded block turns the operator into a corpus-scale
+    // cartesian. Blocks above `spark.graft.dedup.blockRowsMax`
+    // (default 100k ≈ 5e9 pairs/block) are rejected up front with a
+    // pointer to the bucketed twin instead of launching a job that
+    // can never finish. One |labels|-row pre-flight aggregate.
+    val spark = emb.sparkSession
+    val blockMax = spark.conf
+      .get("spark.graft.dedup.blockRowsMax", "100000").toLong
+    if (blockMax > 0) {
+      val biggest = emb.groupBy("label").count()
+        .agg(max("count")).collect()(0)
+      if (!biggest.isNullAt(0) && biggest.getLong(0) > blockMax)
+        throw new IllegalArgumentException(
+          s"embeddingDupPairs: largest label block has ${biggest.getLong(0)} rows " +
+            s"> spark.graft.dedup.blockRowsMax=$blockMax; the exact all-pairs " +
+            "baseline is bounded-blocks-only — use embeddingLshDupPairs (d05b) " +
+            "for unbounded corpora, or raise the bound deliberately")
+    }
     val withN = withNorm(emb)
     val a = withN.select(col("label"), col("vec_id").as("id1"), col("e").as("e1"),
       col("nrm").as("n1"))

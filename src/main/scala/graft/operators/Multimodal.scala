@@ -1114,7 +1114,7 @@ object Multimodal {
       out.write(be32(crc.getValue.toInt), 0, 4)
     }
     chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0))
-    chunk("tEXt", "Software graft".getBytes("US-ASCII"))
+    chunk("tEXt", "Software\u0000graft".getBytes("US-ASCII"))
     payload.grouped(PngIdatMax).foreach(chunk("IDAT", _))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray

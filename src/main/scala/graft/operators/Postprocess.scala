@@ -648,6 +648,7 @@ object Postprocess {
   /** s09: fixed-effect pooling of the pseudo cohort results. */
   def s09MetaAnalysis(spark: SparkSession, dir: String): DataFrame =
     metaAnalysis(pseudoCohortResults(spark, dir), Seq("test_id"))
+      .orderBy("test_id")
 
   /**
    * s20: STOUFFER WEIGHTED-Z combination — the p-value-scale
@@ -693,7 +694,6 @@ object Postprocess {
   /** s20: Stouffer weighted-Z over the pseudo cohort results. */
   def s20Stouffer(spark: SparkSession, dir: String): DataFrame =
     stoufferMeta(pseudoCohortResults(spark, dir), Seq("test_id"))
-      .orderBy("test_id")
       .orderBy("test_id")
 
   /** s03: definitions annotate — synthesized public dim from nation

@@ -773,7 +773,8 @@ object Relational {
     * state), and the last op's µs timestamp. */
   final case class CdcRow(
       user_id: Long, final_live: Boolean, final_value: Option[Double],
-      n_ins: Long, n_upd: Long, n_del: Long, n_anom: Long, last_ts_us: Long)
+      n_ins: Long, n_upd: Long, n_del: Long, n_anom: Long, n_unknown: Long,
+      last_ts_us: Long)
 
   /**
    * e29: ORDERED CDC REPLAY / COMPACTION — the table-maintenance fold
@@ -810,14 +811,14 @@ object Relational {
         private var cur = 0L
         private var live = false
         private var vv: Option[Double] = None
-        private var ni, nu, nd, na, lt = 0L
+        private var ni, nu, nd, na, nk, lt = 0L
         private def finish(): CdcRow = {
           open = false
-          CdcRow(cur, live, if (live) vv else None, ni, nu, nd, na, lt)
+          CdcRow(cur, live, if (live) vv else None, ni, nu, nd, na, nk, lt)
         }
         private def start(k: Long): Unit = {
           cur = k; open = true; live = false; vv = None
-          ni = 0; nu = 0; nd = 0; na = 0; lt = 0
+          ni = 0; nu = 0; nd = 0; na = 0; nk = 0; lt = 0
         }
         private def step(tsu: Long, et: String, v: Option[Double]): Unit = {
           lt = tsu
@@ -826,8 +827,10 @@ object Relational {
             case "error" => if (live) { live = false; nd += 1 } else na += 1
             case "click" | "view" | "purchase" =>
               if (live) { vv = v; nu += 1 } else na += 1
-            case other => throw new IllegalArgumentException(
-              s"cdcApply: unknown event_type '$other' for key $cur")
+            // quarantine, don't throw: one malformed row must not kill a
+            // 100 TB compaction — the a38 engine-boundary convention.
+            // The row leaves state untouched and surfaces in n_unknown.
+            case _ => nk += 1
           }
         }
         @annotation.tailrec

@@ -27,11 +27,35 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
 
+  /** ADMISSION GUARD for the broadcast-query exact shapes (n01/n05):
+    * the baseline is |queries|·n work with the query set broadcast to
+    * every executor, so it is bounded-query-set-only by contract —
+    * this enforces it (the a39/d05 convention). Query sets above
+    * `spark.graft.ann.queryRowsMax` (default 100k ≈ 50 MB of 64-dim
+    * doubles broadcast, and 100k corpus-scans of work) are rejected
+    * up front with a pointer to the bucketed twin (n02/n03). One
+    * pre-flight count on the already-filtered query side — the
+    * predicate pushes to the scan, so it reads the pruned subset. */
+  private def guardQuerySet(q: DataFrame, op: String): DataFrame = {
+    val qMax = q.sparkSession.conf
+      .get("spark.graft.ann.queryRowsMax", "100000").toLong
+    if (qMax > 0) {
+      val n = q.count()
+      if (n > qMax)
+        throw new IllegalArgumentException(
+          s"$op: query set has $n rows > spark.graft.ann.queryRowsMax=$qMax; " +
+            "the exact broadcast baseline is bounded-query-set-only — use the " +
+            "LSH/IVF bucketed search (n02/n03) for corpus-scale query sets, " +
+            "or raise the bound deliberately")
+    }
+    q
+  }
+
   /** Brute-force cosine top-k for a query subset. Norms project once
     * per row; the corpus streams through the broadcast join. */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val withN = Dedup.withNorm(emb)
-    val q = withN.filter(queryPred)
+    val q = guardQuerySet(withN.filter(queryPred), "knnBrute")
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val n = withN.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -85,7 +109,7 @@ object Similarity {
    */
   def radiusSearch(emb: DataFrame, queryPred: Column, tau: Double): DataFrame = {
     val withN = Dedup.withNorm(emb)
-    val q = withN.filter(queryPred)
+    val q = guardQuerySet(withN.filter(queryPred), "radiusSearch")
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
     val n = withN.select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"))
     broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))

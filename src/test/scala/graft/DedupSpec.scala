@@ -116,6 +116,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == lsh, s"missing=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("embeddingDupPairs admission guard rejects oversized label blocks") {
+    val sess = spark
+    import sess.implicits._
+    val emb = (1L to 40L).map(i => (i, "big", Seq(1.0, i.toDouble)))
+      .toDF("vec_id", "label", "e")
+    spark.conf.set("spark.graft.dedup.blockRowsMax", "10")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        Dedup.embeddingDupPairs(emb, 0.5))
+      assert(ex.getMessage.contains("embeddingLshDupPairs"))
+      // a bound above the block admits, and 0 disables the guard
+      spark.conf.set("spark.graft.dedup.blockRowsMax", "40")
+      assert(Dedup.embeddingDupPairs(emb, 0.99).count() > 0)
+      spark.conf.set("spark.graft.dedup.blockRowsMax", "0")
+      assert(Dedup.embeddingDupPairs(emb, 0.99).count() > 0)
+    } finally spark.conf.unset("spark.graft.dedup.blockRowsMax")
+  }
+
   test("connected components match driver-side union-find") {
     val sess = spark
     import sess.implicits._

@@ -581,23 +581,39 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 10L, 301L, "signup", Some(1.5)), (3L, 10L, 300L, "signup", Some(2.5)))
     val df = log.toDF("user_id", "sec", "event_id", "event_type", "value")
       .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
-    def run(parts: Int) =
-      Relational.cdcApply(df.repartition(parts)).orderBy("user_id").collect()
+    def runOn(d: org.apache.spark.sql.DataFrame, parts: Int) =
+      Relational.cdcApply(d.repartition(parts)).orderBy("user_id").collect()
         .map(r => r.getLong(0) -> ((r.getBoolean(1),
           if (r.isNullAt(2)) None else Some(r.getDouble(2)),
           r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-          r.getLong(7)))).toMap
+          r.getLong(7), r.getLong(8)))).toMap
+    def run(parts: Int) = runOn(df, parts)
     val out = run(1)
-    assert(out(1L) == ((true, Some(4.0), 2L, 2L, 1L, 1L, 60000000L)))
-    assert(out(2L) == ((false, None, 1L, 0L, 1L, 2L, 40000000L)))
+    assert(out(1L) == ((true, Some(4.0), 2L, 2L, 1L, 1L, 0L, 60000000L)))
+    assert(out(2L) == ((false, None, 1L, 0L, 1L, 2L, 0L, 40000000L)))
     // u3: event 300 (v=2.5) sorts FIRST at the tied ts, 301 replaces it
-    assert(out(3L) == ((true, Some(1.5), 2L, 0L, 0L, 0L, 10000000L)))
+    assert(out(3L) == ((true, Some(1.5), 2L, 0L, 0L, 0L, 0L, 10000000L)))
     assert(run(7) == out, "partition-count invariant")
-    // unknown op types fail loudly, never silently fold
-    val bad = Seq((9L, 1L, 1L, "mystery", Some(0.0)))
+    // unknown op types QUARANTINE (counted, state untouched), never
+    // kill the job from inside a task — the a38 boundary convention.
+    // The poison pill still advances last_ts_us (it was observed).
+    val bad = Seq(
+      (9L, 10L, 900L, "signup", Some(1.0)), (9L, 20L, 901L, "mystery", Some(7.0)),
+      (9L, 30L, 902L, "click", Some(2.0)))
       .toDF("user_id", "sec", "event_id", "event_type", "value")
       .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
-    intercept[org.apache.spark.SparkException](Relational.cdcApply(bad).collect())
+    val q = runOn(bad, 3)
+    assert(q(9L) == ((true, Some(2.0), 1L, 1L, 0L, 0L, 1L, 30000000L)))
+    // an applied update carrying NULL replays LITERALLY: final value is
+    // null even though an earlier non-null value exists (the r18 advice
+    // cross-engine divergence — both engines now track the literal op)
+    val nullUpd = Seq(
+      (8L, 10L, 800L, "signup", Some(5.0)),
+      (8L, 20L, 801L, "view", Option.empty[Double]))
+      .toDF("user_id", "sec", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val nv = runOn(nullUpd, 2)
+    assert(nv(8L) == ((true, None, 1L, 1L, 0L, 0L, 0L, 20000000L)))
   }
 
   test("interleave: virtual-time order on a hand case, replayed oracle, partition-invariant") {

@@ -87,6 +87,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(2)) < 1e-12) // qnorm(0.5) = 0
   }
 
+  test("knnBrute admission guard rejects corpus-scale query sets") {
+    val emb = Similarity.embeddings(spark, dir)
+    spark.conf.set("spark.graft.ann.queryRowsMax", "10")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        Similarity.knnBrute(emb, col("vec_id") < 25, 5))
+      assert(ex.getMessage.contains("queryRowsMax"))
+      intercept[IllegalArgumentException](
+        Similarity.radiusSearch(emb, col("vec_id") < 25, 0.3))
+      // within the bound still runs; 0 disables
+      assert(Similarity.knnBrute(emb, col("vec_id") < 10, 5).count() > 0)
+      spark.conf.set("spark.graft.ann.queryRowsMax", "0")
+      assert(Similarity.knnBrute(emb, col("vec_id") < 25, 5).count() > 0)
+    } finally spark.conf.unset("spark.graft.ann.queryRowsMax")
+  }
+
   test("ANN LSH achieves high recall of the exact top-5 neighbors") {
     val emb = Similarity.embeddings(spark, dir)
     val exact = Similarity.knnBrute(emb, col("vec_id") < 25, 5).collect()
