@@ -50,6 +50,7 @@ object SparkEntry {
     "t19_gopher_gate" -> (TextOps.t19GopherGate _),
     "t20_repetition_gate" -> (TextOps.t20RepetitionGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),
+    "a45_score_screen_linear" -> (Mas.a45ScoreScreenLinear _),
     "a22_prs" -> (Mas.a22Prs _),
     "a16_cmh" -> (Mas.a16Cmh _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),

@@ -1287,6 +1287,62 @@ object Mas {
   }
 
   /**
+   * a45: OLS SCORE-TEST screen — a21's screening stage for the
+   * QUANTITATIVE family (the reference's linear path,
+   * analysis.py's `linear` model): where a21 needs 4 IRLS steps to
+   * pin the logistic null, the Gaussian null y ~ [1, s] is CLOSED
+   * FORM, so the entire million-variant screen is ONE grouped
+   * aggregation — per (predictor, dependent) pair, ten sufficient
+   * sums (n, Σs, Σs², Σy, Σsy, Σy², Σx, Σxs, Σxy, Σx²) and a
+   * projection: null OLS γ by Cramer's rule, score U = Σx·r =
+   * Σxy − γ₀Σx − γ₁Σxs, V = σ̂²·(Σx² − x'Z(Z'Z)⁻¹Z'x) with
+   * σ̂² = RSS/n (the MLE variance the score test uses), χ² = U²/V
+   * (1 df). No driver loop, no model state at all — map-side-
+   * combined partial sums make it one shuffle of 10 doubles per
+   * pair at any cohort size, the cheapest possible per-variant
+   * cost in the family. Survivors route to the exact a01/a02 Gram
+   * fits (route spec-pinned, the a37 shape). Oracle mirrors every
+   * expression operand-for-operand on the same sums.
+   */
+  private[graft] def scoreScreenLinear(df: DataFrame, sCol: String,
+      preds: Seq[String], deps: Seq[String]): DataFrame = {
+    val melted = df.select(Seq(col(sCol).as("s")) ++ preds.map(col) ++
+        Seq(explode(map(deps.flatMap(d => Seq(lit(d), col(d))): _*))
+          .as(Seq("dep", "y"))): _*)
+      .filter(col("y").isNotNull)
+      .select(col("dep"), col("s"), col("y"),
+        explode(map(preds.flatMap(p => Seq(lit(p), col(p))): _*))
+          .as(Seq("pred", "xv")))
+    val g = melted.groupBy("pred", "dep").agg(
+      count(lit(1)).as("n"),
+      sum("s").as("ss"), sum(col("s") * col("s")).as("ss2"),
+      sum("y").as("sy"), sum(col("s") * col("y")).as("ssy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum("xv").as("sx"), sum(col("xv") * col("s")).as("sxs"),
+      sum(col("xv") * col("y")).as("sxy"), sum(col("xv") * col("xv")).as("sxx"))
+    val nD = col("n").cast("double")
+    val det = nD * col("ss2") - col("ss") * col("ss")
+    val g1 = (nD * col("ssy") - col("ss") * col("sy")) / det
+    val g0 = (col("sy") - g1 * col("ss")) / nD
+    val u = col("sxy") - g0 * col("sx") - g1 * col("sxs")
+    val v = ((col("syy") - g0 * col("sy") - g1 * col("ssy")) / nD) *
+      (col("sxx") - (col("ss2") * col("sx") * col("sx") -
+        lit(2.0) * col("ss") * col("sx") * col("sxs") +
+        nD * col("sxs") * col("sxs")) / det)
+    g.select(col("pred").as("predictor"), col("dep").as("dependent"),
+      col("n").as("total_n"),
+      (round(u * u / v, 4) + lit(0.0)).as("score_chi2"))
+  }
+
+  /** a45: OLS score-screen x/xbin/xpar against the quantitative
+    * dependents under a z2-adjusted Gaussian null — the linear
+    * counterpart of a21; survivors route to a01/a02's Gram fits. */
+  def a45ScoreScreenLinear(spark: SparkSession, dir: String): DataFrame =
+    scoreScreenLinear(cohort(spark, dir), "z2", Seq("x", "xbin", "xpar"),
+      Seq("y_avg", "y_max", "y_cnt"))
+      .orderBy("predictor", "dependent")
+
+  /**
    * a22: POLYGENIC SCORE — the standard downstream of an association
    * scan, and faithfully so: real PRS applies PUBLISHED weights from
    * an external study (fitting is a01–a17's job), so the operator
@@ -2200,6 +2256,40 @@ object Mas {
 
   val oracleSql: Map[String, String] = Map(
     "a21_score_screen" -> scoreScreenSql(4),
+    // a45: the same ten sufficient sums and the same closed-form
+    // expressions operand-for-operand — γ by Cramer, U = Σxy − γ₀Σx −
+    // γ₁Σxs, V = (RSS/n)·(Σx² − quad/det), χ² = U²/V rounded at 4 dp
+    "a45_score_screen_linear" ->
+      (cohortSql + """
+        |, m AS (
+        |  SELECT p.pred, d.dep, z2 AS s,
+        |    CASE p.pred WHEN 'x' THEN x WHEN 'xbin' THEN xbin ELSE xpar END AS xv,
+        |    CASE d.dep WHEN 'y_avg' THEN y_avg WHEN 'y_max' THEN y_max ELSE y_cnt END AS y
+        |  FROM cohort
+        |  CROSS JOIN (VALUES ('x'), ('xbin'), ('xpar')) p(pred)
+        |  CROSS JOIN (VALUES ('y_avg'), ('y_max'), ('y_cnt')) d(dep)
+        |), g AS (
+        |  SELECT pred, dep, count(*) AS n,
+        |    sum(s) AS ss, sum(s*s) AS ss2, sum(y) AS sy, sum(s*y) AS ssy,
+        |    sum(y*y) AS syy, sum(xv) AS sx, sum(xv*s) AS sxs,
+        |    sum(xv*y) AS sxy, sum(xv*xv) AS sxx
+        |  FROM m WHERE y IS NOT NULL GROUP BY 1, 2
+        |), f AS (
+        |  SELECT *, n * ss2 - ss * ss AS det,
+        |    (n * ssy - ss * sy) / (n * ss2 - ss * ss) AS g1
+        |  FROM g
+        |), f2 AS (
+        |  SELECT *, (sy - g1 * ss) / n AS g0 FROM f
+        |), f3 AS (
+        |  SELECT pred, dep, n,
+        |    sxy - g0 * sx - g1 * sxs AS u,
+        |    ((syy - g0 * sy - g1 * ssy) / n) *
+        |      (sxx - (ss2 * sx * sx - 2.0 * ss * sx * sxs + n * sxs * sxs) / det) AS v
+        |  FROM f2
+        |)
+        |SELECT pred AS predictor, dep AS dependent, CAST(n AS BIGINT) AS total_n,
+        |  round(u * u / v, 4) + 0.0 AS score_chi2
+        |FROM f3 ORDER BY predictor, dependent""".stripMargin),
     "a37_screen_firth" -> screenFirthSql(4, 1.0),
     // s11: same bundled real-code map CSV read by both engines; the
     // row_number code-index runs over plain-ASCII icd strings so the

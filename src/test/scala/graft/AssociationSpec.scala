@@ -1236,6 +1236,88 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a45 scoreScreenLinear: hand matrix-algebra χ² on a tiny cohort") {
+    val sess = spark
+    import sess.implicits._
+    val s = Array(0.0, 1.0, 2.0, 0.0, 1.0, 2.0)
+    val y = Array(1.0, 3.0, 2.0, 5.0, 4.0, 6.0)
+    val x = Array(1.0, 0.0, 1.0, 0.0, 1.0, 0.0)
+    val rows = (0 until 6).map(i => (i.toLong, s(i), x(i), y(i)))
+      .toDF("id", "s", "xv1", "y1")
+    val out = operators.Mas.scoreScreenLinear(rows, "s", Seq("xv1"), Seq("y1"))
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("total_n") == 6L)
+    // independent reference: explicit 2×2 matrix algebra, not the
+    // operator's sufficient-sum shortcut
+    val n = 6.0
+    val (sSum, s2Sum, ySum, sySum) = (s.sum, s.map(t => t * t).sum, y.sum,
+      s.zip(y).map { case (a, b) => a * b }.sum)
+    val det = n * s2Sum - sSum * sSum
+    val g1 = (n * sySum - sSum * ySum) / det
+    val g0 = (ySum - g1 * sSum) / n
+    val r = (0 until 6).map(i => y(i) - g0 - g1 * s(i))
+    val u = (0 until 6).map(i => x(i) * r(i)).sum
+    val sig2 = r.map(t => t * t).sum / n
+    // quad = x'Z (Z'Z)^{-1} Z'x with Z = [1, s], via the explicit inverse
+    val (xz0, xz1) = (x.sum, x.zip(s).map { case (a, b) => a * b }.sum)
+    val quad = (s2Sum * xz0 * xz0 - 2.0 * sSum * xz0 * xz1 + n * xz1 * xz1) / det
+    val v = sig2 * (x.map(t => t * t).sum - quad)
+    val expect = math.floor(u * u / v * 1e4 + 0.5) / 1e4
+    assert(out(0).getAs[Double]("score_chi2") == expect,
+      s"got ${out(0).getAs[Double]("score_chi2")}, want $expect")
+  }
+
+  test("a45 screen→linear route: routed Gram refits equal the unrouted full-grid fits on exactly the survivor set") {
+    val dir = "/root/testdata/sf0.001"
+    val preds = Seq("x", "xbin", "xpar")
+    val deps = Seq("y_avg", "y_max", "y_cnt")
+    val screen = operators.Mas.a45ScoreScreenLinear(spark, dir).collect()
+    // threshold at the median χ² so the survivor set is nonempty AND a
+    // strict subset at any fixture scale
+    val chis = screen.map(_.getAs[Double]("score_chi2")).sorted
+    val thr = chis(chis.length / 2)
+    val surv = screen.filter(_.getAs[Double]("score_chi2") >= thr)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(surv.nonEmpty && surv.size < screen.length, "non-trivial survivor set")
+    val cfg = operators.Association.Config(preds, deps, Seq("z2"),
+      model = "linear", minCaseCount = 10)
+    val coh = operators.Mas.cohort(spark, dir)
+    val survDf = {
+      val sess = spark
+      import sess.implicits._
+      surv.toSeq.toDF("predictor", "dependent")
+    }
+    // the a37 route shape: semi-join the melted frame BEFORE the
+    // fitter, so screened-out pairs never reach the Gram solve
+    // (the fitter grid-completes missing pairs with skip shells — the
+    // a37 shape cuts back to survivors with an inner join after it)
+    val routed = operators.Association.linear(
+      operators.Association.melt(coh, cfg)
+        .join(org.apache.spark.sql.functions.broadcast(survDf),
+          Seq("predictor", "dependent"), "left_semi"), cfg)
+      .join(org.apache.spark.sql.functions.broadcast(survDf),
+        Seq("predictor", "dependent"))
+      .select(col("predictor"), col("dependent"),
+        (round(col("beta"), 4) + lit(0.0)).as("beta"),
+        (round(col("se"), 4) + lit(0.0)).as("se"), col("n_observations"))
+      .collect()
+    assert(routed.map(r => (r.getString(0), r.getString(1))).toSet == surv,
+      "routed pair set must equal the survivor set")
+    val full = operators.Association.assoc(coh, cfg)
+      .select(col("predictor"), col("dependent"),
+        (round(col("beta"), 4) + lit(0.0)).as("beta"),
+        (round(col("se"), 4) + lit(0.0)).as("se"), col("n_observations"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    routed.foreach { r =>
+      val f = full((r.getString(0), r.getString(1)))
+      assert(r.getAs[Double]("beta") == f.getAs[Double]("beta") &&
+        r.getAs[Double]("se") == f.getAs[Double]("se") &&
+        r.getAs[Long]("n_observations") == f.getAs[Long]("n_observations"),
+        s"routed refit diverges at ${(r.getString(0), r.getString(1))}")
+    }
+  }
+
   test("fisherTwoSided matches exact BigInt hypergeometric enumeration") {
     def choose(n: Int, k: Int): BigInt =
       if (k < 0 || k > n) BigInt(0)
