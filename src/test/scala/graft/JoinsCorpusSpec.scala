@@ -868,6 +868,23 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r8)
   }
 
+  test("g02 cached orientation index equals a fresh build (persisted-artifact rule)") {
+    val dir = "/root/testdata/sf0.001"
+    val cached = operators.Graph.coOrderOrientedAdj(spark, dir, 0)
+    val fresh = operators.Graph.orientedAdjArrays(
+      operators.Graph.coOrderEdges(spark, dir), 0)
+    val a = cached.orderBy("src").collect().map(_.toString)
+    val b = fresh.orderBy("src").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+    // and the count over the cached index equals the public operator
+    val viaCache = operators.Graph.trianglesFromAdj(cached)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = operators.Graph.triangles(
+        operators.Graph.coOrderEdges(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCache == direct)
+  }
+
   test("q18 merged partials equal the direct full-table aggregate") {
     // the algebraic-merge invariant the operator exists for: merging
     // the two snapshot partials must reproduce the single-pass rollup
