@@ -1322,6 +1322,19 @@ object Dedup {
         .dropDuplicates("ido").localCheckpoint(true)
     }
 
+  private val slimIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Fixed-width (band, bh, ido) postings of the old index — the SLIM
+    * half of the persisted artifact, checkpointed WITHOUT the shingle
+    * arrays (r19 item 3): projecting it per streaming micro-batch from
+    * the fused index deserializes every doc's shingle array 32 times
+    * per re-plan; this pays that once per (session, dir). */
+  private[graft] def oldSlimIndex(spark: SparkSession, dir: String): DataFrame =
+    cachedFrame(slimIndexCache, spark, dir) {
+      oldBandIndex(spark, dir).select(col("band"), col("bh"), col("ido"))
+        .localCheckpoint(true)
+    }
+
   /** d18: incremental ingest dedup — the mutated +100000 replicas are
     * the incoming snapshot, the originals the existing corpus; the
     * old side joins as the CACHED persisted band index

@@ -288,15 +288,17 @@ object StreamingOps {
         // StreamingSpec 1-slice ≡ 2-slice equality pins. The r12-r17
         // arc: 20 slices → 4 → 2 → 1 monotonically shed commit
         // overhead with a bit-identical sink.
-        val batch = math.max(5000, rows.length)
-        rows.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+        // the flush sentinel rides IN the data batch (r19 item 3):
+        // the end-of-batch watermark clears every real window, so the
+        // engine's automatic no-data batch closes state and emits — a
+        // separate sentinel micro-batch re-paid the whole state-store
+        // commit cycle for one row
+        val sentinel = (-1L, "__flush",
+          new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)
+        val batch = math.max(5000, rows.length + 1)
+        (rows :+ sentinel).grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase(sinkName, s"batch$i(${b.length})") {
             input.addData(b); q.processAllAvailable() } }
-        gphase(sinkName, "flush") {
-          input.addData(Seq((-1L, "__flush",
-            new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
-          q.processAllAvailable()
-        }
       } finally gphase(sinkName, "stop") { q.stop() }
     }
     spark.table(sinkName)
@@ -341,16 +343,15 @@ object StreamingOps {
         .option("checkpointLocation", cpDir)
         .outputMode("append").start() }
       try {
-        // the e11 slicing rule: ONE data micro-batch + flush sentinel
-        val batch = math.max(5000, rows.length)
-        rows.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+        // the e11 slicing rule: ONE data micro-batch, flush sentinel
+        // fused in (r19 item 3 — the automatic no-data batch closes
+        // the windows; a sentinel-only batch re-paid a full commit)
+        val sentinel = (-1L, "__flush",
+          new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)
+        val batch = math.max(5000, rows.length + 1)
+        (rows :+ sentinel).grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase("e17", s"batch$i(${b.length})") {
             input.addData(b); q.processAllAvailable() } }
-        gphase("e17", "flush") {
-          input.addData(Seq((-1L, "__flush",
-            new java.sql.Timestamp(maxTs + 12L * 3600 * 1000), 0.0)))
-          q.processAllAvailable()
-        }
       } finally gphase("e17", "stop") { q.stop() }
     }
     spark.read.parquet(outDir)
@@ -495,16 +496,15 @@ object StreamingOps {
         // ONE data micro-batch (e13 rule): sink is slice-invariant
         // (windows close at the flush watermark); cross-batch window
         // state covered by the StreamingSpec 2-slice pin
-        val batch = math.max(2000, docs.length)
-        docs.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+        // sentinel ts ≈ 115 days: far past window end + delay; its
+        // empty text has no shingles, so it can never reach the sink.
+        // Fused into the data batch (r19 item 3): the automatic
+        // no-data batch closes the window and emits
+        val sentinel = (10000000000L, "")
+        val batch = math.max(2000, docs.length + 1)
+        (docs :+ sentinel).grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase("e16", s"batch$i(${b.length})") {
             input.addData(b); q.processAllAvailable() } }
-        // sentinel ts ≈ 115 days: far past window end + delay; its
-        // empty text has no shingles, so it can never reach the sink
-        gphase("e16", "flush") {
-          input.addData(Seq((10000000000L, "")))
-          q.processAllAvailable()
-        }
       } finally gphase("e16", "stop") { q.stop() }
     }
     spark.table(sinkName).orderBy("bench_id", "corpus_id")
@@ -528,7 +528,8 @@ object StreamingOps {
   def streamIncrementalDedup(docs: DataFrame, oldIndex: DataFrame, tau: Double,
       bands: Int = 32, rows: Int = 4,
       windowDur: String = "1 day", watermark: String = "1 hour",
-      oldSho: Option[DataFrame] = None): DataFrame = {
+      oldSho: Option[DataFrame] = None,
+      oldSlim: Option[DataFrame] = None): DataFrame = {
     val params = graft.operators.Dedup.permParams(bands * rows, 42L)
     // shingle-free docs (and the watermark sentinel) must drop at the
     // EXPLODE, not at a filter: a `size(sh) > 0` Filter doesn't
@@ -568,7 +569,10 @@ object StreamingOps {
     // verifies once per colliding band; the max-struct aggregate
     // absorbs duplicates exactly as before — value-identical (the
     // e19 ≡ d18-oracle gate re-proves it).
-    val slimIdx = oldIndex.select("band", "bh", "ido")
+    // prefer a pre-checkpointed slim postings table: projecting the
+    // fused index here makes every micro-batch re-plan deserialize the
+    // 32x-repeated shingle arrays just to drop them (r19 item 3)
+    val slimIdx = oldSlim.getOrElse(oldIndex.select("band", "bh", "ido"))
     val shoTbl = oldSho.getOrElse(
       oldIndex.select(col("ido"), col("sho")).dropDuplicates("ido"))
     bandsDf.join(broadcast(slimIdx), Seq("band", "bh"))
@@ -613,21 +617,25 @@ object StreamingOps {
     withShufflePartitions(spark, 8) {
       val q = gphase("e19", "start") {
         streamIncrementalDedup(src, oldIdx, 0.5,
-          oldSho = Some(graft.operators.Dedup.oldShoTable(spark, dir))).writeStream
+          oldSho = Some(graft.operators.Dedup.oldShoTable(spark, dir)),
+          oldSlim = Some(graft.operators.Dedup.oldSlimIndex(spark, dir))).writeStream
           .format("memory").queryName(sinkName).outputMode("append").start() }
       try {
         // ONE data micro-batch (e13 rule): per-new-doc decisions are
         // independent (windowed best-match vs the STATIC old index),
         // so the sink is slice-invariant; cross-batch window state is
-        // covered by the StreamingSpec 1-slice ≡ 2-slice pin
-        val batch = math.max(2000, newDocs.length)
-        newDocs.grouped(batch).zipWithIndex.foreach { case (b, i) =>
+        // covered by the StreamingSpec 1-slice ≡ 2-slice pin.
+        // The far-future shingle-free sentinel rides IN the data batch
+        // (r19 item 3): the end-of-batch watermark already clears every
+        // real window, so the engine's automatic NO-DATA batch closes
+        // state and emits — a separate sentinel micro-batch would
+        // re-plan and re-broadcast the whole static index for one row
+        // (measured ~1.3 s of e19's 4.6 s steady state).
+        val sentinel = (10000000000L, "")
+        val batch = math.max(2000, newDocs.length + 1)
+        (newDocs :+ sentinel).grouped(batch).zipWithIndex.foreach { case (b, i) =>
           gphase("e19", s"batch$i(${b.length})") {
             input.addData(b); q.processAllAvailable() } }
-        gphase("e19", "flush") {
-          input.addData(Seq((10000000000L, "")))
-          q.processAllAvailable()
-        }
       } finally gphase("e19", "stop") { q.stop() }
     }
     val matches = spark.table(sinkName)
