@@ -350,10 +350,21 @@ object Bench {
     // of every min-N'd family publish as slope_reps:[[t, load], ...].
     val slopeMinN = sys.env.get("SPARK_GRAFT_SLOPE_MINN")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 2).getOrElse(2)
+    // SPARK_GRAFT_SLOPE_WARM: untimed warm-up shots DISCARDED before
+    // the timed min-of-N (r18 verdict item 7: the pinned mas_firth 10x
+    // min-of-5 spanned 17.5-48.4 s — the first shot pays page-cache /
+    // shuffle-file / JIT warm-up the later shots don't, so it inflates
+    // the published spread without informing the min). Warm-up shots
+    // are not published; the timed reps still carry per-rep load
+    // stamps, and slope_load_corr below records how much of the
+    // REMAINING spread the load stamps explain.
+    val slopeWarm = sys.env.get("SPARK_GRAFT_SLOPE_WARM")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 0).getOrElse(0)
     val slopeReps = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
     def oneShotN(key: String)(body: => Unit): Option[(Double, Double)] =
       if (!slopeMin2.contains(key)) oneShot(body)
       else {
+        (1 to slopeWarm).foreach(_ => oneShot(body))
         val shots = (1 to slopeMinN).flatMap(_ => oneShot(body))
         if (shots.isEmpty) None
         else {
@@ -699,9 +710,63 @@ object Bench {
       live.orElse(embedSlopeReps)
         .map(o => s""""slope_reps":$o,""").getOrElse("")
     }
+    // median-alongside-min + load model (r18 verdict item 7): the min
+    // stays the published estimate (least-contended shot), the median
+    // says what a TYPICAL shot costs on this host, and slope_load_corr
+    // (Pearson r between each rep's time and its pre-rep load stamp)
+    // records how much of the rep spread the stamps explain — r near 1
+    // = the spread IS host contention; r near 0 with a wide spread =
+    // something else is moving and needs a look. Derived uniformly
+    // from whichever slope_reps block is being published (live or
+    // embedded), so the three fields always describe the same reps.
+    val slopeStatsJson = {
+      val repMap: Map[String, Seq[(Double, Double)]] =
+        if (slopeReps.nonEmpty) slopeReps.toMap
+        else embedSlopeReps.flatMap { s =>
+          try {
+            val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+            val it = n.fields()
+            val b = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
+            while (it.hasNext) {
+              val e = it.next()
+              val v = (0 until e.getValue.size()).map { i =>
+                val p = e.getValue.get(i)
+                (p.get(0).asDouble, p.get(1).asDouble)
+              }
+              b(e.getKey) = v
+            }
+            Some(b.toMap)
+          } catch { case _: Throwable => None }
+        }.getOrElse(Map.empty)
+      if (repMap.isEmpty) ""
+      else {
+        def med(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          if (s.length % 2 == 1) s(s.length / 2)
+          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+        }
+        def corr(v: Seq[(Double, Double)]): Option[Double] = {
+          if (v.length < 3) None else {
+            val (ts, ls) = (v.map(_._1), v.map(_._2))
+            val (mt, ml) = (ts.sum / ts.length, ls.sum / ls.length)
+            val st = math.sqrt(ts.map(t => (t - mt) * (t - mt)).sum)
+            val sl = math.sqrt(ls.map(l => (l - ml) * (l - ml)).sum)
+            if (st == 0 || sl == 0) None
+            else Some(ts.zip(ls).map { case (t, l) => (t - mt) * (l - ml) }.sum / (st * sl))
+          }
+        }
+        val meds = repMap.map { case (k, v) => "\"" + k + "\":" + fq(med(v.map(_._1))) }
+          .mkString("{", ",", "}")
+        val corrs = repMap.map { case (k, v) =>
+          "\"" + k + "\":" + corr(v).map(r =>
+            "%.2f".formatLocal(java.util.Locale.ROOT, r)).getOrElse("null")
+        }.mkString("{", ",", "}")
+        s""""slope_medians":$meds,"slope_load_corr":$corrs,"""
+      }
+    }
     val json = s"""{"metric":"total",$valueJson"unit":"sec",""" +
       s""""queries":$masHeadJson,$headSrcJson$scaleJson""" +
-      s""""slope_stamp":"$stampConv",$slopeRepsJson$provJson""" +
+      s""""slope_stamp":"$stampConv",$slopeRepsJson$slopeStatsJson$provJson""" +
       s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
       s""""load_avg":${f3(loadAvg())},$gateJson,$reps,"sf":"$sfDir"}"""
     try {
