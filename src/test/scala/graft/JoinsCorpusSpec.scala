@@ -616,6 +616,21 @@ class JoinsCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nv(8L) == ((true, None, 1L, 1L, 0L, 0L, 0L, 20000000L)))
   }
 
+  test("interleave: order key survives >1e12 and negative doc_ids (lpad truncation regression)") {
+    val sess = spark
+    import sess.implicits._
+    // ids straddle 1e12 (the old 12-wide pad TRUNCATED these — Spark
+    // lpad keeps the left 12 chars, so 1e12 sorted before 999999999999)
+    // and include negatives (raw string order misorders '-')
+    val ids = Seq(-5000000000000L, -3L, 7L, 999999999999L,
+      1000000000000L, 5000000000001L)
+    val docs = ids.map(i => (i, "S", "w w")).toDF("doc_id", "source", "text")
+    // single source, equal token counts: vt is strictly increasing in
+    // the per-source cumsum, so the feed order IS ascending numeric id
+    val out = Corpus.interleave(docs).collect().map(_.getLong(1)).toSeq
+    assert(out == ids.sorted)
+  }
+
   test("interleave: virtual-time order on a hand case, replayed oracle, partition-invariant") {
     val sess = spark
     import sess.implicits._
