@@ -51,6 +51,8 @@ object SparkEntry {
     "t20_repetition_gate" -> (TextOps.t20RepetitionGate _),
     "a21_score_screen" -> (Mas.a21ScoreScreen _),
     "a45_score_screen_linear" -> (Mas.a45ScoreScreenLinear _),
+    "a46_mann_whitney" -> (Mas.a46MannWhitney _),
+    "a47_wilcoxon_signed" -> (Mas.a47WilcoxonSignedRank _),
     "a22_prs" -> (Mas.a22Prs _),
     "a16_cmh" -> (Mas.a16Cmh _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),

@@ -113,7 +113,7 @@ object Corpus {
     * (#partitions longs to the driver), pass 2 maps each row with its
     * carried running-sum start; `emit(start, value)` returns the
     * derived long columns appended under `outCols` (nullable). */
-  private def prefixScan(df: DataFrame, orderCol: String, valueCol: String,
+  private[graft] def prefixScan(df: DataFrame, orderCol: String, valueCol: String,
       outCols: Seq[String])(emit: (Long, Long) => Seq[Any]): DataFrame = {
     val spark = df.sparkSession
     // normalize up front so the RDD passes below can't hit a

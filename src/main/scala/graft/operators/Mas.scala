@@ -734,6 +734,128 @@ object Mas {
         "gdose", Seq("d_urgent", "d_open", "d_big", "d_many"))
       .orderBy("dependent")
 
+  /** The shared Zelen–Severo two-sided normal tail 2(1−Φ(|z|)),
+    * rounded to 6 dp — operand order identical to a28/s13/s20 and
+    * every oracle mirror. */
+  private def twoSidedP(z: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    round(lit(2.0) * exp(lit(-0.5) * x * x) *
+      lit(0.3989422804014327) * poly, 6) + lit(0.0)
+  }
+
+  /**
+   * a46: MANN–WHITNEY U (Wilcoxon rank-sum) — the nonparametric
+   * two-group comparison a01's linear model is NOT (no normality
+   * assumption; the QC question "does this quantitative trait differ
+   * between carriers and non-carriers when the distribution is
+   * skewed"). Average ranks come from PER-VALUE COUNTS, never a
+   * global row sort: one (dep, value) aggregate (t = ties, t₁ = ties
+   * in group 1), a cumulative-count window over the |distinct
+   * values|-bounded tie table, then per-dep sums — the q17/a26
+   * altitude, so a billion-row cohort ranks in one shuffle plus a
+   * bounded window. All rank arithmetic is INTEGER on the ×2 grid
+   * (2·avgrank = 2·cumBefore + t + 1, exact at any partition count):
+   * R1×2 = Σ t₁(2c+t+1), U1×2 = R1×2 − n₁(n₁+1), E[U1]×2 = n₁n₂,
+   * tie-corrected Var = n₁n₂((n+1) − Σ(t³−t)/(n(n−1)))/12,
+   * z = (U1×2 − n₁n₂)/(2σ), two-sided p via the shared tail.
+   * Long bound: R1×2 ≲ 2n² — exact to n ≈ 2·10⁹ per dep.
+   */
+  private[graft] def mannWhitney(df: DataFrame, groupCol: String,
+      deps: Seq[String]): DataFrame = {
+    val melted = df.select(Seq(col(groupCol).cast("long").as("g")) ++
+        Seq(explode(map(deps.flatMap(d => Seq(lit(d), col(d))): _*))
+          .as(Seq("dep", "v"))): _*)
+      .filter(col("v").isNotNull && col("g").isin(0L, 1L))
+    val ties = melted.groupBy("dep", "v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("g") === 1L, 1L).otherwise(0L)).as("t1"))
+    // cumulative tie counts via the RANGE-PARTITIONED two-pass prefix
+    // scan (the c02/c16 machinery), NOT a per-dep window: a continuous
+    // trait's tie table is ~|rows| long, and a window partitioned only
+    // by dep would drag it through one partition per dependent. The
+    // global scan runs in (dep, v) struct order; per-dep cumBefore is
+    // the global cum minus the dep's base (its first value's cum) —
+    // the c16 per-source-base trick, |deps| rows broadcast.
+    val ordered = ties.withColumn("__ord", struct(col("dep"), col("v")))
+    val scanned = Corpus.prefixScan(ordered, "__ord", "t", Seq("__cum")) {
+      (start, _) => Seq(start)
+    }
+    val bases = scanned.groupBy("dep").agg(min("__cum").as("__base"))
+    val ranked = scanned.join(broadcast(bases), "dep")
+      .withColumn("c", col("__cum") - col("__base"))
+    val agg = ranked.groupBy("dep").agg(
+      sum("t").as("n"), sum("t1").as("n1"),
+      sum(col("t1") * (lit(2L) * col("c") + col("t") + lit(1L))).as("r1x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val n = col("n").cast("double")
+    val n1 = col("n1").cast("double")
+    val n2 = n - n1
+    val u1x2 = (col("r1x2") - col("n1") * (col("n1") + lit(1L))).cast("double")
+    val varU = n1 * n2 * ((n + lit(1.0)) -
+      col("tie3").cast("double") / (n * (n - lit(1.0)))) / lit(12.0)
+    val z = (u1x2 - n1 * n2) / (lit(2.0) * sqrt(varU))
+    agg.select(col("dep").as("dependent"),
+      col("n1"), (col("n") - col("n1")).as("n2"),
+      (u1x2 / lit(2.0)).as("u1"),
+      when(varU > 0, r4(z)).as("z"),
+      when(varU > 0, twoSidedP(z)).as("p_mw"))
+  }
+
+  /** a46: rank-sum of the quantitative dependents between the xbin
+    * carrier groups. */
+  def a46MannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitney(cohort(spark, dir), "xbin", Seq("y_avg", "y_max", "y_cnt"))
+      .orderBy("dependent")
+
+  /**
+   * a47: WILCOXON SIGNED-RANK — the nonparametric PAIRED test (a27's
+   * McNemar for a quantitative difference): per subject the paired
+   * difference d, zeros dropped (the standard Wilcoxon convention),
+   * |d| ranked with average ranks from the same per-value-count
+   * machinery as a46 (no global sort; integer ×2 rank grid),
+   * W+×2 = Σ t₊(2c+t+1) over |d| ties, E[W+]×2 = n(n+1)/2,
+   * tie-corrected Var = n(n+1)(2n+1)/24 − Σ(t³−t)/48,
+   * z = (W+×2 − n(n+1)/2)/(2σ), two-sided p via the shared tail.
+   * The fixture pairs each subject's y_max with its y_avg (the
+   * m-family rule: synthesized pairing, real plumbing — the operator
+   * takes any (id, a, b) frame).
+   */
+  private[graft] def wilcoxonSignedRank(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val d = df.select((col(aCol) - col(bCol)).as("d"))
+      .filter(col("d").isNotNull && col("d") =!= 0.0)
+    val ties = d.select(abs(col("d")).as("ad"),
+        when(col("d") > 0, 1L).otherwise(0L).as("pos"))
+      .groupBy("ad").agg(count(lit(1)).as("t"), sum("pos").as("tp"))
+    // same range-partitioned two-pass prefix scan as a46 — a
+    // continuous difference's tie table is ~|pairs| long, so an
+    // unpartitioned window here would be the single-partition scan
+    // this codebase bans
+    val ranked = Corpus.prefixScan(ties, "ad", "t", Seq("c")) {
+      (start, _) => Seq(start)
+    }
+    val agg = ranked.agg(
+      sum("t").as("n"),
+      sum(col("tp") * (lit(2L) * col("c") + col("t") + lit(1L))).as("wx2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val n = col("n").cast("double")
+    val mux2 = n * (n + lit(1.0)) / lit(2.0)
+    val varW = n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / lit(24.0) -
+      col("tie3").cast("double") / lit(48.0)
+    val z = (col("wx2").cast("double") - mux2) / (lit(2.0) * sqrt(varW))
+    agg.select(col("n").as("n_pairs"),
+      (col("wx2").cast("double") / lit(2.0)).as("w_plus"),
+      when(varW > 0, r4(z)).as("z"),
+      when(varW > 0, twoSidedP(z)).as("p_wsr"))
+  }
+
+  /** a47: signed-rank of the per-subject (y_max − y_avg) differences. */
+  def a47WilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame =
+    wilcoxonSignedRank(cohort(spark, dir), "y_max", "y_avg")
+
   /**
    * Hardy–Weinberg equilibrium χ² — the per-variant GENOTYPING-QC
    * gate every GWAS runs before association (HWE failure flags
@@ -2256,6 +2378,80 @@ object Mas {
 
   val oracleSql: Map[String, String] = Map(
     "a21_score_screen" -> scoreScreenSql(4),
+    // a46: the same per-value tie table, window cumsum (DuckDB side
+    // only — the engine uses the range-partitioned prefix scan), and
+    // integer x2-rank sums; z/p mirrored operand-for-operand
+    "a46_mann_whitney" ->
+      (cohortSql + """
+        |, m AS (
+        |  SELECT CAST(xbin AS BIGINT) AS g, d.dep,
+        |    CASE d.dep WHEN 'y_avg' THEN y_avg WHEN 'y_max' THEN y_max ELSE y_cnt END AS v
+        |  FROM cohort CROSS JOIN (VALUES ('y_avg'), ('y_max'), ('y_cnt')) d(dep)
+        |), mf AS (SELECT * FROM m WHERE v IS NOT NULL AND g IN (0, 1)
+        |), ties AS (
+        |  SELECT dep, v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+        |  FROM mf GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, CAST(coalesce(sum(t) OVER (PARTITION BY dep ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+        |  FROM ties
+        |), agg AS (
+        |  SELECT dep, CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+        |    CAST(sum(t1 * (2 * c + t + 1)) AS BIGINT) AS r1x2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |  FROM ranked GROUP BY 1
+        |), fz AS (
+        |  SELECT dep, n1, n - n1 AS n2,
+        |    CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) AS u1x2,
+        |    CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) AS mu2,
+        |    CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) *
+        |      ((CAST(n AS DOUBLE) + 1.0) - CAST(tie3 AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 12.0 AS varu
+        |  FROM agg
+        |), ft AS (
+        |  SELECT dep, n1, n2, u1x2 / 2.0 AS u1,
+        |    (u1x2 - mu2) / (2.0 * sqrt(varu)) AS z, varu FROM fz
+        |), fp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM ft)
+        |SELECT dep AS dependent, n1, n2, u1,
+        |  CASE WHEN varu > 0 THEN round(z, 4) + 0 END AS z,
+        |  CASE WHEN varu > 0 THEN round(2.0 * exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327 *
+        |    (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+        |      + tt * (-1.821255978 + tt * 1.330274429))))), 6) + 0 END AS p_mw
+        |FROM fp ORDER BY dependent""".stripMargin),
+    // a47: |d| tie table over the paired differences, same x2 grid
+    "a47_wilcoxon_signed" ->
+      (cohortSql + """
+        |, d0 AS (
+        |  SELECT y_max - y_avg AS d FROM cohort
+        |  WHERE y_avg IS NOT NULL AND y_max - y_avg <> 0
+        |), ties AS (
+        |  SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM d0 GROUP BY 1
+        |), ranked AS (
+        |  SELECT *, CAST(coalesce(sum(t) OVER (ORDER BY ad
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+        |  FROM ties
+        |), agg AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(tp * (2 * c + t + 1)) AS BIGINT) AS wx2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |  FROM ranked
+        |), f2 AS (
+        |  SELECT n, CAST(wx2 AS DOUBLE) AS wx2d, CAST(wx2 AS DOUBLE) / 2.0 AS w_plus,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0 AS mux2,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |      - CAST(tie3 AS DOUBLE) / 48.0 AS varw
+        |  FROM agg
+        |), ft AS (SELECT n, w_plus, (wx2d - mux2) / (2.0 * sqrt(varw)) AS z, varw FROM f2
+        |), fp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM ft)
+        |SELECT n AS n_pairs, w_plus,
+        |  CASE WHEN varw > 0 THEN round(z, 4) + 0 END AS z,
+        |  CASE WHEN varw > 0 THEN round(2.0 * exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327 *
+        |    (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+        |      + tt * (-1.821255978 + tt * 1.330274429))))), 6) + 0 END AS p_wsr
+        |FROM fp""".stripMargin),
     // a45: the same ten sufficient sums and the same closed-form
     // expressions operand-for-operand — γ by Cramer, U = Σxy − γ₀Σx −
     // γ₁Σxs, V = (RSS/n)·(Σx² − quad/det), χ² = U²/V rounded at 4 dp

@@ -1318,6 +1318,54 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a46 mannWhitney: hand ranks with ties, perfect separation, partition invariance") {
+    val sess = spark
+    import sess.implicits._
+    // g1 = {1, 2, 2}, g0 = {2, 3}: ranks 1; (2+3+4)/3 = 3 for the tied
+    // 2s; 5. R1 = 1+3+3 = 7, U1 = 7 - 6 = 1, mu = 3,
+    // Var = 6/12 * (6 - 24/20) = 2.4, z = -2/sqrt(2.4) = -1.2910
+    val rows = Seq((1.0, 1L), (2.0, 1L), (2.0, 1L), (2.0, 0L), (3.0, 0L))
+      .map { case (v, g) => (g, v) }.toDF("grp", "y1")
+    val out = operators.Mas.mannWhitney(rows, "grp", Seq("y1")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("u1") == 1.0)
+    assert(r.getAs[Double]("z") == -1.291)
+    val p = r.getAs[Double]("p_mw")
+    assert(p > 0.19 && p < 0.21, s"p=$p")
+    // perfect separation: U1 = n1*n2 (the maximum), z > 0
+    val sep = Seq((1L, 10.0), (1L, 20.0), (0L, 1.0), (0L, 2.0))
+      .toDF("grp", "y1")
+    val s = operators.Mas.mannWhitney(sep, "grp", Seq("y1")).collect()(0)
+    assert(s.getAs[Double]("u1") == 4.0)
+    assert(s.getAs[Double]("z") == 1.5492)
+    // exact integer rank sums: identical at any partition count
+    val a = operators.Mas.mannWhitney(rows.repartition(1), "grp", Seq("y1"))
+      .collect().map(_.toString).toSeq
+    val b = operators.Mas.mannWhitney(rows.repartition(8), "grp", Seq("y1"))
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("a47 wilcoxonSignedRank: hand case with tied |d|, zeros dropped") {
+    val sess = spark
+    import sess.implicits._
+    // d = a - b = {5, -1, 3, 3, -2, 0}: the zero drops; |d| ranks
+    // 1->1, 2->2, {3,3}->3.5, 5->5; W+ = 5 + 3.5 + 3.5 = 12; n = 5;
+    // mu = 7.5; Var = 5*6*11/24 - 6/48 = 13.625; z = 4.5/3.69120 = 1.2191
+    val rows = Seq((10.0, 5.0), (4.0, 5.0), (9.0, 6.0), (8.0, 5.0),
+      (3.0, 5.0), (7.0, 7.0)).toDF("a", "b")
+    val out = operators.Mas.wilcoxonSignedRank(rows, "a", "b").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_pairs") == 5L)
+    assert(r.getAs[Double]("w_plus") == 12.0)
+    assert(r.getAs[Double]("z") == 1.2191)
+    val p = r.getAs[Double]("p_wsr")
+    assert(p > 0.21 && p < 0.24, s"p=$p")
+  }
+
   test("fisherTwoSided matches exact BigInt hypergeometric enumeration") {
     def choose(n: Int, k: Int): BigInt =
       if (k < 0 || k > n) BigInt(0)
