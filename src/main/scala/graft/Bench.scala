@@ -738,7 +738,11 @@ object Bench {
             Some(b.toMap)
           } catch { case _: Throwable => None }
         }.getOrElse(Map.empty)
-      if (repMap.isEmpty) ""
+      // an embed merge can leave a family with zero reps — stats for
+      // it are undefined, and med(Seq()) would crash the bench at
+      // JSON-emission time AFTER the whole sweep has run
+      val repMapNE = repMap.filter(_._2.nonEmpty)
+      if (repMapNE.isEmpty) ""
       else {
         def med(xs: Seq[Double]): Double = {
           val s = xs.sorted
@@ -755,9 +759,9 @@ object Bench {
             else Some(ts.zip(ls).map { case (t, l) => (t - mt) * (l - ml) }.sum / (st * sl))
           }
         }
-        val meds = repMap.map { case (k, v) => "\"" + k + "\":" + fq(med(v.map(_._1))) }
+        val meds = repMapNE.map { case (k, v) => "\"" + k + "\":" + fq(med(v.map(_._1))) }
           .mkString("{", ",", "}")
-        val corrs = repMap.map { case (k, v) =>
+        val corrs = repMapNE.map { case (k, v) =>
           "\"" + k + "\":" + corr(v).map(r =>
             "%.2f".formatLocal(java.util.Locale.ROOT, r)).getOrElse("null")
         }.mkString("{", ",", "}")

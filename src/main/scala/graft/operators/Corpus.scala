@@ -52,6 +52,22 @@ object Corpus {
   private def hashBucketSql(idCol: String, m: Long): String =
     s"((xor($idCol, $idCol >> 31) % 1000000007) * 2654435761) % 1000000007 % $m"
 
+  /** Sortable 19-digit string key for a signed long id — biased by
+    * 4.6e18 so negatives order numerically, padded to the biased
+    * range's full width. Spark `lpad` TRUNCATES over-width strings
+    * (the r18 c16 advice bug: a 12-wide pad silently misordered ids
+    * ≥ 1e12), so ids outside ±4.6e18 — where the bias itself would
+    * wrap or overflow the width — raise a LOUD per-row error instead
+    * of silently misordering the prefix scan. Shared by every
+    * `__ord` builder in this file. */
+  private def idOrdKey(id: Column): Column = {
+    val bias = 4600000000000000000L
+    when(id < -bias || id > bias,
+      raise_error(concat(lit("idOrdKey: id outside the ±4.6e18 sortable range: "),
+        id.cast("string"))))
+      .otherwise(lpad((id + lit(bias)).cast("string"), 19, "0"))
+  }
+
   /**
    * Deterministic stratified sampling: keep a row iff
    * `hashBucket(id, 1000) < rate(stratum) · 1000` — a hash of the
@@ -242,7 +258,7 @@ object Corpus {
     val ordered = df.withColumn("__ord", concat_ws("|",
       col(strataCol),
       lpad(prio.cast("string"), 7, "0"),
-      lpad(col(idCol).cast("string"), 12, "0")))
+      idOrdKey(col(idCol))))
     val scanned = prefixScan(ordered, "__ord", valueCol, Seq("__gstart")) {
       (start, _) => Seq(start)
     }
@@ -374,7 +390,7 @@ object Corpus {
     val prio = hashBucket(col("doc_id"), 1000003L)
     val ordered = toks.withColumn("__ord", concat_ws("|",
       col("source"), lpad(prio.cast("string"), 7, "0"),
-      lpad(col("doc_id").cast("string"), 12, "0")))
+      idOrdKey(col("doc_id"))))
     val scanned = prefixScan(ordered, "__ord", "n_tokens", Seq("__gstart")) {
       (start, _) => Seq(start)
     }
@@ -484,7 +500,7 @@ object Corpus {
     val ordered = binned.withColumn("__ord", concat_ws("|",
       col("phase").cast("string"),
       lpad(inv.cast("string"), 6, "0"),
-      lpad(col("doc_id").cast("string"), 12, "0")))
+      idOrdKey(col("doc_id"))))
     val scanned = prefixScan(ordered, "__ord", "n_tokens", Seq("__gstart")) {
       (start, _) => Seq(start)
     }
@@ -523,13 +539,8 @@ object Corpus {
     val toks = docs.select(col("doc_id"), col("source"),
       size(filter(split(Dedup.normText(col("text")), " "),
         w => length(w) > 0)).cast("long").as("n_tokens"))
-    // order key: bias doc_id by 4.6e18 so negatives sort numerically,
-    // then pad to the full 19 digits of the biased range — Spark's
-    // lpad TRUNCATES strings longer than the pad width, so a 12-wide
-    // pad would silently misorder ids >= 1e12 (r18 advice item)
     val ordered = toks.withColumn("__ord", concat_ws("|",
-      col("source"),
-      lpad((col("doc_id") + lit(4600000000000000000L)).cast("string"), 19, "0")))
+      col("source"), idOrdKey(col("doc_id"))))
     val scanned = prefixScan(ordered, "__ord", "n_tokens", Seq("__gstart")) {
       (start, _) => Seq(start)
     }

@@ -761,7 +761,11 @@ object Mas {
    * R1×2 = Σ t₁(2c+t+1), U1×2 = R1×2 − n₁(n₁+1), E[U1]×2 = n₁n₂,
    * tie-corrected Var = n₁n₂((n+1) − Σ(t³−t)/(n(n−1)))/12,
    * z = (U1×2 − n₁n₂)/(2σ), two-sided p via the shared tail.
-   * Long bound: R1×2 ≲ 2n² — exact to n ≈ 2·10⁹ per dep.
+   * Long bound: R1×2 ≲ 2n² — exact to n ≈ 2·10⁹ per dep; the tie
+   * term Σ(t³−t) cubes on the 128-bit grid (decimal(38,0) here,
+   * HUGEINT in the oracle) because t³ alone overflows a long once a
+   * single tie group passes ~2.1M rows — a discrete trait hits that
+   * far before n does.
    */
   private[graft] def mannWhitney(df: DataFrame, groupCol: String,
       deps: Seq[String]): DataFrame = {
@@ -789,7 +793,8 @@ object Mas {
     val agg = ranked.groupBy("dep").agg(
       sum("t").as("n"), sum("t1").as("n1"),
       sum(col("t1") * (lit(2L) * col("c") + col("t") + lit(1L))).as("r1x2"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)").as("tie3"))
     val n = col("n").cast("double")
     val n1 = col("n1").cast("double")
     val n2 = n - n1
@@ -840,7 +845,8 @@ object Mas {
     val agg = ranked.agg(
       sum("t").as("n"),
       sum(col("tp") * (lit(2L) * col("c") + col("t") + lit(1L))).as("wx2"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)").as("tie3"))
     val n = col("n").cast("double")
     val mux2 = n * (n + lit(1.0)) / lit(2.0)
     val varW = n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / lit(24.0) -
@@ -2399,7 +2405,7 @@ object Mas {
         |), agg AS (
         |  SELECT dep, CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
         |    CAST(sum(t1 * (2 * c + t + 1)) AS BIGINT) AS r1x2,
-        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3
         |  FROM ranked GROUP BY 1
         |), fz AS (
         |  SELECT dep, n1, n - n1 AS n2,
@@ -2436,7 +2442,7 @@ object Mas {
         |), agg AS (
         |  SELECT CAST(sum(t) AS BIGINT) AS n,
         |    CAST(sum(tp * (2 * c + t + 1)) AS BIGINT) AS wx2,
-        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3
         |  FROM ranked
         |), f2 AS (
         |  SELECT n, CAST(wx2 AS DOUBLE) AS wx2d, CAST(wx2 AS DOUBLE) / 2.0 AS w_plus,

@@ -54,36 +54,12 @@ object ProfG02Phases {
           .localCheckpoint(true)
       }
       println(f"""{"edges2_sec":$tE2%.3f,"n1":${edges.count()},"n2":${edges2.count()}}""")
-      val (adj, tA) = t {
-        val deg = edges.select(col("u").as("node"))
-          .union(edges.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-        val fwd = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val oriented = edges
-          .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-          .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-            when(fwd, col("v")).otherwise(col("u")).as("dst"))
-        oriented.groupBy("src")
-          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-          .localCheckpoint(true)
-      }
-      val (tri, tT) = t {
-        val e2 = adj.select(col("src"), col("nbrs").as("nu"),
-          explode(col("nbrs")).as("dst"))
-        e2.join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
-          .select(col("src"), col("dst"),
-            array_intersect(col("nu"), col("nv")).as("ws"))
-          .filter(size(col("ws")) > 0)
-          .select(explode(concat(
-            array(struct(col("src").as("node"), size(col("ws")).cast("long").as("n")),
-              struct(col("dst").as("node"), size(col("ws")).cast("long").as("n"))),
-            transform(col("ws"), w => struct(w.as("node"), lit(1L).as("n"))))).as("c"))
-          .select(col("c.node").as("node"), col("c.n").as("n"))
-          .groupBy("node").agg(sum(col("n")).as("n_triangles"))
-          .localCheckpoint(true)
-      }
+      // the adj/tri phases call the SHIPPED helpers (factored out of
+      // triangles() in this round) so the attribution can never drift
+      // from the operator it profiles; only the edge-build VARIANTS
+      // above are inlined, since comparing builds is the point
+      val (adj, tA) = t(Graph.orientedAdjArrays(edges).localCheckpoint(true))
+      val (tri, tT) = t(Graph.trianglesFromAdj(adj).localCheckpoint(true))
       val (_, tK) = t(tri.orderBy(col("n_triangles").desc, col("node")).limit(20).collect())
       val ts = Array(tE, tA, tT, tK)
       for (i <- 0 until 4) mins(i) = math.min(mins(i), ts(i))
