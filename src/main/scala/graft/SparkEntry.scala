@@ -53,6 +53,8 @@ object SparkEntry {
     "a45_score_screen_linear" -> (Mas.a45ScoreScreenLinear _),
     "a46_mann_whitney" -> (Mas.a46MannWhitney _),
     "a47_wilcoxon_signed" -> (Mas.a47WilcoxonSignedRank _),
+    "a48_kruskal_wallis" -> (Mas.a48KruskalWallis _),
+    "a49_spearman" -> (Mas.a49Spearman _),
     "a22_prs" -> (Mas.a22Prs _),
     "a16_cmh" -> (Mas.a16Cmh _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),

@@ -761,14 +761,19 @@ object Mas {
    * R1×2 = Σ t₁(2c+t+1), U1×2 = R1×2 − n₁(n₁+1), E[U1]×2 = n₁n₂,
    * tie-corrected Var = n₁n₂((n+1) − Σ(t³−t)/(n(n−1)))/12,
    * z = (U1×2 − n₁n₂)/(2σ), two-sided p via the shared tail.
-   * Long bound: R1×2 ≲ 2n² — exact to n ≈ 2·10⁹ per dep; the tie
-   * term Σ(t³−t) cubes on the 128-bit grid (decimal(38,0) here,
-   * HUGEINT in the oracle) because t³ alone overflows a long once a
-   * single tie group passes ~2.1M rows — a discrete trait hits that
-   * far before n does.
+   * BOTH grid accumulators run on the 128-bit grid (decimal(38,0)
+   * here, HUGEINT in the oracle): the tie term Σ(t³−t) cubes (t³
+   * alone overflows a long once a single tie group passes ~2.1M
+   * rows — a discrete trait hits that far before n does), and
+   * R1×2 ≲ 2n² would wrap a plain long past n ≈ 2·10⁹ per dep, so
+   * it is widened the same way rather than doc-bounded (r19 advice).
    */
   private[graft] def mannWhitney(df: DataFrame, groupCol: String,
       deps: Seq[String]): DataFrame = {
+    // map() melt coerces every dependent to double: exact for integer
+    // counts (y_cnt) below 2^53; a wider integer dependent would lose
+    // ULPs silently on BOTH engines (the oracle's CASE coerces the
+    // same way), so the bound is pinned here rather than guarded.
     val melted = df.select(Seq(col(groupCol).cast("long").as("g")) ++
         Seq(explode(map(deps.flatMap(d => Seq(lit(d), col(d))): _*))
           .as(Seq("dep", "v"))): _*)
@@ -792,7 +797,8 @@ object Mas {
       .withColumn("c", col("__cum") - col("__base"))
     val agg = ranked.groupBy("dep").agg(
       sum("t").as("n"), sum("t1").as("n1"),
-      sum(col("t1") * (lit(2L) * col("c") + col("t") + lit(1L))).as("r1x2"),
+      sum(col("t1").cast("decimal(38,0)") *
+        (lit(2L) * col("c") + col("t") + lit(1L))).as("r1x2"),
       sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
         .cast("decimal(38,0)").as("tie3"))
     val n = col("n").cast("double")
@@ -844,7 +850,10 @@ object Mas {
     }
     val agg = ranked.agg(
       sum("t").as("n"),
-      sum(col("tp") * (lit(2L) * col("c") + col("t") + lit(1L))).as("wx2"),
+      // wx2 ≲ 2n² wraps a long past n ≈ 2·10⁹ pairs — same 128-bit
+      // widening as a46's r1x2 (HUGEINT in the oracle)
+      sum(col("tp").cast("decimal(38,0)") *
+        (lit(2L) * col("c") + col("t") + lit(1L))).as("wx2"),
       sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
         .cast("decimal(38,0)").as("tie3"))
     val n = col("n").cast("double")
@@ -861,6 +870,158 @@ object Mas {
   /** a47: signed-rank of the per-subject (y_max − y_avg) differences. */
   def a47WilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame =
     wilcoxonSignedRank(cohort(spark, dir), "y_max", "y_avg")
+
+  /**
+   * a48: KRUSKAL–WALLIS — the K-group generalization of a46, the
+   * nonparametric dose/arm comparison the quantitative family lacks
+   * (a28 assumes a LINEAR dose trend; a34 answers the K-group
+   * question for survival only). Average ranks come from the
+   * identical per-value tie-count + range-partitioned prefix-scan
+   * machinery as a46 — never a global sort — with per-GROUP rank
+   * sums on the integer ×2 grid: R_g×2 = Σ t_g(2c+t+1), then
+   *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+   *   tie-corrected H_c = H / (1 − Σ(t³−t)/(N³−N)),
+   *   p on K−1 df — χ²₂ tail = exp(−H/2) closed-form for the K = 3
+   *   fixture; K = 2 collapses to a46 exactly (H_c ≡ z², the
+   *   Zelen–Severo tail on √H — spec-pinned reduction).
+   * Grid accumulators ride the 128-bit grid (decimal(38,0) here,
+   * HUGEINT in the oracle): R_g×2 ≲ 2N² wraps a long past N ≈ 2·10⁹
+   * and the tie cube Σ(t³−t) far earlier (the a46 r19 lesson).
+   * Degenerate: an empty arm or an all-tied dependent (corr ≤ 0) has
+   * no K−1-df test → null H/p, the a29 monomorphic rule. One
+   * melt-aggregate + the bounded tie-table scan per dependent — a
+   * billion-row cohort ranks in one shuffle at any K.
+   */
+  private[graft] def kruskalWallis(df: DataFrame, groupCol: String,
+      deps: Seq[String], k: Int = 3): DataFrame = {
+    require(k == 2 || k == 3, s"kruskalWallis: k in {2,3}, got $k")
+    val gs = 0 until k
+    // map() melt: dependents coerce to double — exact below 2^53
+    // (the a46 bound; pinned there)
+    val melted = df.select(Seq(col(groupCol).cast("long").as("g")) ++
+        Seq(explode(map(deps.flatMap(d => Seq(lit(d), col(d))): _*))
+          .as(Seq("dep", "v"))): _*)
+      .filter(col("v").isNotNull && col("g").isin(gs.map(_.toLong): _*))
+    val tieAggs = Seq(count(lit(1)).as("t")) ++
+      gs.map(i => sum(when(col("g") === i.toLong, 1L).otherwise(0L)).as(s"t$i"))
+    val ties = melted.groupBy("dep", "v").agg(tieAggs.head, tieAggs.tail: _*)
+    // same range-partitioned two-pass prefix scan + per-dep base as
+    // a46 (a continuous trait's tie table is ~|rows| long)
+    val ordered = ties.withColumn("__ord", struct(col("dep"), col("v")))
+    val scanned = Corpus.prefixScan(ordered, "__ord", "t", Seq("__cum")) {
+      (start, _) => Seq(start)
+    }
+    val bases = scanned.groupBy("dep").agg(min("__cum").as("__base"))
+    val ranked = scanned.join(broadcast(bases), "dep")
+      .withColumn("c", col("__cum") - col("__base"))
+    val rank2 = lit(2L) * col("c") + col("t") + lit(1L)
+    val aggExprs = Seq(sum("t").as("n")) ++
+      gs.map(i => sum(col(s"t$i")).as(s"n$i")) ++
+      gs.map(i =>
+        sum(col(s"t$i").cast("decimal(38,0)") * rank2).as(s"r${i}x2")) ++
+      Seq(sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)").as("tie3"))
+    val agg = ranked.groupBy("dep").agg(aggExprs.head, aggExprs.tail: _*)
+    val n = col("n").cast("double")
+    val sumTerm = gs.map { i =>
+      val rg = col(s"r${i}x2").cast("double") / lit(2.0)
+      rg * rg / col(s"n$i").cast("double")
+    }.reduce(_ + _)
+    val corr = lit(1.0) - col("tie3").cast("double") / (n * n * n - n)
+    val h = (lit(12.0) / (n * (n + lit(1.0))) * sumTerm -
+      lit(3.0) * (n + lit(1.0))) / corr
+    val ok = gs.map(i => col(s"n$i") > 0L).reduce(_ && _) && corr > 0
+    val p =
+      if (k == 3) round(exp(lit(-0.5) * h), 6) + lit(0.0)
+      else twoSidedP(sqrt(h))
+    agg.select(Seq(col("dep").as("dependent"),
+        col("n").as("n_total")) ++
+      gs.map(i => col(s"n$i")) ++
+      Seq(when(ok, r4(h)).as("h"), when(ok, p).as("p_kw")): _*)
+  }
+
+  /** a48: Kruskal–Wallis of the quantitative dependents across the
+    * deterministic 3-arm dosage gdose = id mod 3 (a28's fixture). */
+  def a48KruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallis(cohort(spark, dir).withColumn("gdose", col("id") % 3),
+        "gdose", Seq("y_avg", "y_max", "y_cnt"))
+      .orderBy("dependent")
+
+  /**
+   * a49: SPEARMAN RANK CORRELATION matrix — the robust screen p17's
+   * Pearson matrix is not (monotone association, immune to the
+   * skew/outliers that motivate a46's rank-sum over a01's t-test).
+   * LISTWISE-complete rows rank once per column via the a46 tie-count
+   * machinery (per-value counts → prefix scan → average rank on the
+   * integer ×2 grid; Pearson is affine-invariant so rank2 needs no
+   * halving), ranks join back on (column, value) — the tie table is
+   * ~|rows| long, so this is a shuffle join, never a broadcast — one
+   * groupBy(id) re-assembles the K-value rank vector per row, and ONE
+   * map-side-combined aggregate yields every pairwise sufficient sum:
+   *   ρ = (nΣr_ar_b − Σr_aΣr_b) / √((nΣr_a²−(Σr_a)²)(nΣr_b²−(Σr_b)²))
+   * with ALL second-order sums exact on the 128-bit grid
+   * (decimal(38,0)/HUGEINT: Σr_ar_b ≲ 4n³ wraps a long at n ≈ 1.6M;
+   * the covariance products reach 4n⁴, exact to n ≈ 2·10⁹) — both
+   * engines cast the identical integer to double, so ρ is
+   * bit-reproducible. Large-sample p via z = ρ√(n−1), the shared
+   * Zelen–Severo tail. Constant column (variance 0) → null ρ/p.
+   * Scale: 3 shuffles total — tie count, rank join-back + id
+   * regroup, global agg — each linear, K² driver-side columns only.
+   */
+  private[graft] def spearman(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearman: need at least two columns")
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col("id") +: cols.map(c => col(c).cast("double").as(c)): _*)
+    val melted = base.select(col("id"),
+      explode(map(cols.flatMap(c => Seq(lit(c), col(c))): _*))
+        .as(Seq("cname", "v")))
+    val ties = melted.groupBy("cname", "v").agg(count(lit(1)).as("t"))
+    val ordered = ties.withColumn("__ord", struct(col("cname"), col("v")))
+    val scanned = Corpus.prefixScan(ordered, "__ord", "t", Seq("__cum")) {
+      (start, _) => Seq(start)
+    }
+    val bases = scanned.groupBy("cname").agg(min("__cum").as("__base"))
+    val rankTable = scanned.join(broadcast(bases), "cname")
+      .select(col("cname"), col("v"),
+        (lit(2L) * (col("__cum") - col("__base")) + col("t") + lit(1L))
+          .as("rank2"))
+    val rowAggs = cols.map(c =>
+      max(when(col("cname") === c, col("rank2"))).as(s"r_$c"))
+    val rankedRows = melted.join(rankTable, Seq("cname", "v"))
+      .groupBy("id").agg(rowAggs.head, rowAggs.tail: _*)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val sumExprs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(s"r_$c").cast("decimal(38,0)")).as(s"s_$c"),
+        sum(col(s"r_$c").cast("decimal(38,0)") * col(s"r_$c")).as(s"ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(col(s"r_$a").cast("decimal(38,0)") * col(s"r_$b"))
+          .as(s"sp_${a}__$b") }
+    val g = rankedRows.agg(sumExprs.head, sumExprs.tail: _*)
+    val nD = col("n").cast("double")
+    val pairStructs = pairs.map { case (a, b) =>
+      // exact 128-bit integer covariance/variance, THEN one cast
+      val cov = (col("n") * col(s"sp_${a}__$b") -
+        col(s"s_$a") * col(s"s_$b")).cast("double")
+      val va = (col("n") * col(s"ss_$a") -
+        col(s"s_$a") * col(s"s_$a")).cast("double")
+      val vb = (col("n") * col(s"ss_$b") -
+        col(s"s_$b") * col(s"s_$b")).cast("double")
+      val rho = cov / sqrt(va * vb)
+      val ok = va > 0 && vb > 0
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        when(ok, r4(rho)).as("rho_s"),
+        when(ok, twoSidedP(rho * sqrt(nD - lit(1.0)))).as("p_s"))
+    }
+    g.select(explode(array(pairStructs: _*)).as("e")).select(col("e.*"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** a49: Spearman matrix over the predictor and the quantitative
+    * dependents (listwise-complete: y_avg's id%7 nulls drop the row). */
+  def a49Spearman(spark: SparkSession, dir: String): DataFrame =
+    spearman(cohort(spark, dir), Seq("x", "y_avg", "y_cnt", "y_max"))
 
   /**
    * Hardy–Weinberg equilibrium χ² — the per-variant GENOTYPING-QC
@@ -1351,7 +1512,10 @@ object Mas {
     val u = col("umu") / lit(1.0e6)
     scored.select(col("pred").as("predictor"), col("dep").as("dependent"),
       col("cases"), (col("total_n") - col("cases")).as("controls"),
-      col("total_n"), (round(u * u / vv, 4) + lit(0)).as("score_chi2"))
+      col("total_n"),
+      // same degenerate-variance rule as a45/a46/a47: V ≤ 0 means no
+      // score test, so null rather than engine-dependent NaN/Inf
+      when(vv > 0, round(u * u / vv, 4) + lit(0)).as("score_chi2"))
   }
 
   /** a21: score-screen xbin/xpar against the binary dependents under
@@ -1459,7 +1623,11 @@ object Mas {
         nD * col("sxs") * col("sxs")) / det)
     g.select(col("pred").as("predictor"), col("dep").as("dependent"),
       col("n").as("total_n"),
-      (round(u * u / v, 4) + lit(0.0)).as("score_chi2"))
+      // degenerate null (constant s → det 0) or x ∈ span{1, s} → V ≤ 0:
+      // no score test exists, so null — NOT the NaN/Inf Spark's x/0
+      // yields, whose DuckDB mirror differs by version (r19 advice;
+      // the a46/a47 `when(var > 0)` convention)
+      when(v > 0, round(u * u / v, 4) + lit(0.0)).as("score_chi2"))
   }
 
   /** a45: OLS score-screen x/xbin/xpar against the quantitative
@@ -2332,14 +2500,21 @@ object Mas {
     * callers can wrap it as a CTE). */
   private def scoreScreenSelect: String = {
     val e12 = "1000000000000.0"
-    s"""SELECT pred AS predictor, dep AS dependent, cases,
-       |  total_n - cases AS controls, total_n,
-       |  round((umu/1000000.0)*(umu/1000000.0) / (sxw/$e12 -
-       |    ((swss/$e12)*(sxw/$e12)*(sxw/$e12)
-       |     - 2.0*(sws/$e12)*(sxw/$e12)*(sxws/$e12)
-       |     + (sw/$e12)*(sxws/$e12)*(sxws/$e12))
-       |    / ((sw/$e12)*(swss/$e12) - (sws/$e12)*(sws/$e12))), 4) + 0 AS score_chi2
-       |FROM agg""".stripMargin
+    // inner subquery names U and V once so the degenerate-variance
+    // CASE (V <= 0 → NULL, the a45/a46 rule) mirrors the engine's
+    // when(vv > 0) without repeating the 9-sum expression
+    s"""SELECT predictor, dependent, cases, controls, total_n,
+       |  CASE WHEN vexpr > 0 THEN round(uexpr*uexpr / vexpr, 4) + 0 END AS score_chi2
+       |FROM (
+       |  SELECT pred AS predictor, dep AS dependent, cases,
+       |    total_n - cases AS controls, total_n,
+       |    umu/1000000.0 AS uexpr,
+       |    sxw/$e12 -
+       |      ((swss/$e12)*(sxw/$e12)*(sxw/$e12)
+       |       - 2.0*(sws/$e12)*(sxw/$e12)*(sxws/$e12)
+       |       + (sw/$e12)*(sxws/$e12)*(sxws/$e12))
+       |      / ((sw/$e12)*(swss/$e12) - (sws/$e12)*(sws/$e12)) AS vexpr
+       |  FROM agg)""".stripMargin
   }
 
   private def scoreScreenSql(iters: Int): String =
@@ -2404,7 +2579,7 @@ object Mas {
         |  FROM ties
         |), agg AS (
         |  SELECT dep, CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
-        |    CAST(sum(t1 * (2 * c + t + 1)) AS BIGINT) AS r1x2,
+        |    CAST(sum(CAST(t1 AS HUGEINT) * (2 * c + t + 1)) AS HUGEINT) AS r1x2,
         |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3
         |  FROM ranked GROUP BY 1
         |), fz AS (
@@ -2441,7 +2616,7 @@ object Mas {
         |  FROM ties
         |), agg AS (
         |  SELECT CAST(sum(t) AS BIGINT) AS n,
-        |    CAST(sum(tp * (2 * c + t + 1)) AS BIGINT) AS wx2,
+        |    CAST(sum(CAST(tp AS HUGEINT) * (2 * c + t + 1)) AS HUGEINT) AS wx2,
         |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3
         |  FROM ranked
         |), f2 AS (
@@ -2458,6 +2633,142 @@ object Mas {
         |    (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
         |      + tt * (-1.821255978 + tt * 1.330274429))))), 6) + 0 END AS p_wsr
         |FROM fp""".stripMargin),
+    // a48: the a46 tie chain with three per-group tie counts; H and
+    // the exp(-H/2) 2-df tail mirrored operand-for-operand on the
+    // same 128-bit grid
+    "a48_kruskal_wallis" ->
+      (cohortSql + """
+        |, m AS (
+        |  SELECT CAST(id % 3 AS BIGINT) AS g, d.dep,
+        |    CASE d.dep WHEN 'y_avg' THEN y_avg WHEN 'y_max' THEN y_max ELSE y_cnt END AS v
+        |  FROM cohort CROSS JOIN (VALUES ('y_avg'), ('y_max'), ('y_cnt')) d(dep)
+        |), mf AS (SELECT * FROM m WHERE v IS NOT NULL AND g IN (0, 1, 2)
+        |), ties AS (
+        |  SELECT dep, v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+        |  FROM mf GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, CAST(coalesce(sum(t) OVER (PARTITION BY dep ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+        |  FROM ties
+        |), agg AS (
+        |  SELECT dep, CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t0) AS BIGINT) AS n0, CAST(sum(t1) AS BIGINT) AS n1,
+        |    CAST(sum(t2) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(t0 AS HUGEINT) * (2 * c + t + 1)) AS HUGEINT) AS r0x2,
+        |    CAST(sum(CAST(t1 AS HUGEINT) * (2 * c + t + 1)) AS HUGEINT) AS r1x2,
+        |    CAST(sum(CAST(t2 AS HUGEINT) * (2 * c + t + 1)) AS HUGEINT) AS r2x2,
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3
+        |  FROM ranked GROUP BY 1
+        |), fh AS (
+        |  SELECT dep, n, n0, n1, n2,
+        |    (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) *
+        |      ((CAST(r0x2 AS DOUBLE) / 2.0) * (CAST(r0x2 AS DOUBLE) / 2.0) / CAST(n0 AS DOUBLE)
+        |       + (CAST(r1x2 AS DOUBLE) / 2.0) * (CAST(r1x2 AS DOUBLE) / 2.0) / CAST(n1 AS DOUBLE)
+        |       + (CAST(r2x2 AS DOUBLE) / 2.0) * (CAST(r2x2 AS DOUBLE) / 2.0) / CAST(n2 AS DOUBLE))
+        |     - 3.0 * (CAST(n AS DOUBLE) + 1.0)) /
+        |      (1.0 - CAST(tie3 AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) AS h,
+        |    1.0 - CAST(tie3 AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+        |  FROM agg
+        |)
+        |SELECT dep AS dependent, n AS n_total, n0, n1, n2,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n2 > 0 AND corr > 0
+        |    THEN round(h, 4) + 0 END AS h,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n2 > 0 AND corr > 0
+        |    THEN round(exp(-0.5 * h), 6) + 0 END AS p_kw
+        |FROM fh ORDER BY dependent""".stripMargin),
+    // a49: rank once per column (same tie chain), join back, pivot to
+    // the per-row rank vector, ONE sufficient-sum aggregate; the
+    // covariance/variance products stay HUGEINT until the final cast
+    "a49_spearman" ->
+      (cohortSql + """
+        |, base AS (
+        |  SELECT id, CAST(x AS DOUBLE) AS x, CAST(y_avg AS DOUBLE) AS y_avg,
+        |    CAST(y_cnt AS DOUBLE) AS y_cnt, CAST(y_max AS DOUBLE) AS y_max
+        |  FROM cohort
+        |  WHERE x IS NOT NULL AND y_avg IS NOT NULL
+        |    AND y_cnt IS NOT NULL AND y_max IS NOT NULL
+        |), m AS (
+        |  SELECT id, c.cname,
+        |    CASE c.cname WHEN 'x' THEN x WHEN 'y_avg' THEN y_avg
+        |      WHEN 'y_cnt' THEN y_cnt ELSE y_max END AS v
+        |  FROM base CROSS JOIN (VALUES ('x'), ('y_avg'), ('y_cnt'), ('y_max')) c(cname)
+        |), ties AS (
+        |  SELECT cname, v, CAST(count(*) AS BIGINT) AS t FROM m GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, CAST(coalesce(sum(t) OVER (PARTITION BY cname ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+        |  FROM ties
+        |), rt AS (SELECT cname, v, 2 * c + t + 1 AS rank2 FROM ranked
+        |), rr AS (
+        |  SELECT m.id,
+        |    max(CASE WHEN m.cname = 'x' THEN rt.rank2 END) AS r_x,
+        |    max(CASE WHEN m.cname = 'y_avg' THEN rt.rank2 END) AS r_y_avg,
+        |    max(CASE WHEN m.cname = 'y_cnt' THEN rt.rank2 END) AS r_y_cnt,
+        |    max(CASE WHEN m.cname = 'y_max' THEN rt.rank2 END) AS r_y_max
+        |  FROM m JOIN rt ON m.cname = rt.cname AND m.v = rt.v
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(r_x AS HUGEINT)) AS s_x,
+        |    sum(CAST(r_x AS HUGEINT) * r_x) AS ss_x,
+        |    sum(CAST(r_y_avg AS HUGEINT)) AS s_y_avg,
+        |    sum(CAST(r_y_avg AS HUGEINT) * r_y_avg) AS ss_y_avg,
+        |    sum(CAST(r_y_cnt AS HUGEINT)) AS s_y_cnt,
+        |    sum(CAST(r_y_cnt AS HUGEINT) * r_y_cnt) AS ss_y_cnt,
+        |    sum(CAST(r_y_max AS HUGEINT)) AS s_y_max,
+        |    sum(CAST(r_y_max AS HUGEINT) * r_y_max) AS ss_y_max,
+        |    sum(CAST(r_x AS HUGEINT) * r_y_avg) AS sp_x__y_avg,
+        |    sum(CAST(r_x AS HUGEINT) * r_y_cnt) AS sp_x__y_cnt,
+        |    sum(CAST(r_x AS HUGEINT) * r_y_max) AS sp_x__y_max,
+        |    sum(CAST(r_y_avg AS HUGEINT) * r_y_cnt) AS sp_y_avg__y_cnt,
+        |    sum(CAST(r_y_avg AS HUGEINT) * r_y_max) AS sp_y_avg__y_max,
+        |    sum(CAST(r_y_cnt AS HUGEINT) * r_y_max) AS sp_y_cnt__y_max
+        |  FROM rr
+        |), pr AS (
+        |  SELECT 'x' AS col_a, 'y_avg' AS col_b, n,
+        |    CAST(n * sp_x__y_avg - s_x * s_y_avg AS DOUBLE) AS cov,
+        |    CAST(n * ss_x - s_x * s_x AS DOUBLE) AS va,
+        |    CAST(n * ss_y_avg - s_y_avg * s_y_avg AS DOUBLE) AS vb FROM g
+        |  UNION ALL SELECT 'x', 'y_cnt', n,
+        |    CAST(n * sp_x__y_cnt - s_x * s_y_cnt AS DOUBLE),
+        |    CAST(n * ss_x - s_x * s_x AS DOUBLE),
+        |    CAST(n * ss_y_cnt - s_y_cnt * s_y_cnt AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'x', 'y_max', n,
+        |    CAST(n * sp_x__y_max - s_x * s_y_max AS DOUBLE),
+        |    CAST(n * ss_x - s_x * s_x AS DOUBLE),
+        |    CAST(n * ss_y_max - s_y_max * s_y_max AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'y_avg', 'y_cnt', n,
+        |    CAST(n * sp_y_avg__y_cnt - s_y_avg * s_y_cnt AS DOUBLE),
+        |    CAST(n * ss_y_avg - s_y_avg * s_y_avg AS DOUBLE),
+        |    CAST(n * ss_y_cnt - s_y_cnt * s_y_cnt AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'y_avg', 'y_max', n,
+        |    CAST(n * sp_y_avg__y_max - s_y_avg * s_y_max AS DOUBLE),
+        |    CAST(n * ss_y_avg - s_y_avg * s_y_avg AS DOUBLE),
+        |    CAST(n * ss_y_max - s_y_max * s_y_max AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'y_cnt', 'y_max', n,
+        |    CAST(n * sp_y_cnt__y_max - s_y_cnt * s_y_max AS DOUBLE),
+        |    CAST(n * ss_y_cnt - s_y_cnt * s_y_cnt AS DOUBLE),
+        |    CAST(n * ss_y_max - s_y_max * s_y_max AS DOUBLE) FROM g
+        |), fz AS (
+        |  SELECT col_a, col_b, n,
+        |    CASE WHEN va > 0 AND vb > 0 THEN cov / sqrt(va * vb) END AS rho
+        |  FROM pr
+        |), fzz AS (
+        |  SELECT col_a, col_b, n, rho,
+        |    rho * sqrt(CAST(n AS DOUBLE) - 1.0) AS z FROM fz
+        |), fp AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM fzz)
+        |SELECT col_a, col_b, n,
+        |  CASE WHEN rho IS NOT NULL THEN round(rho, 4) + 0 END AS rho_s,
+        |  CASE WHEN rho IS NOT NULL THEN
+        |    round(2.0 * exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327 *
+        |      (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+        |        + tt * (-1.821255978 + tt * 1.330274429))))), 6) + 0 END AS p_s
+        |FROM fp ORDER BY col_a, col_b""".stripMargin),
     // a45: the same ten sufficient sums and the same closed-form
     // expressions operand-for-operand — γ by Cramer, U = Σxy − γ₀Σx −
     // γ₁Σxs, V = (RSS/n)·(Σx² − quad/det), χ² = U²/V rounded at 4 dp
@@ -2490,7 +2801,7 @@ object Mas {
         |  FROM f2
         |)
         |SELECT pred AS predictor, dep AS dependent, CAST(n AS BIGINT) AS total_n,
-        |  round(u * u / v, 4) + 0.0 AS score_chi2
+        |  CASE WHEN v > 0 THEN round(u * u / v, 4) + 0.0 END AS score_chi2
         |FROM f3 ORDER BY predictor, dependent""".stripMargin),
     "a37_screen_firth" -> screenFirthSql(4, 1.0),
     // s11: same bundled real-code map CSV read by both engines; the

@@ -72,6 +72,13 @@ object StreamingOps {
     }
 
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    // the fused in-batch flush sentinel (e11/e19 family) relies on
+    // Spark's automatic no-data micro-batch to close the final
+    // windows after the sentinel advances the watermark; if a session
+    // disabled that conf the gates would silently DROP the last
+    // windows, so enforce the invariant loudly here (r19 advice) —
+    // every replay harness runs inside this wrapper
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
     spark.conf.set(key, n.toString)

@@ -1366,6 +1366,102 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p > 0.21 && p < 0.24, s"p=$p")
   }
 
+  test("a48 kruskalWallis: hand ranks with ties, degenerates, partition invariance") {
+    val sess = spark
+    import sess.implicits._
+    // g0 = {1, 2}, g1 = {2, 3}, g2 = {3, 3}: ranks 1; tied 2s -> 2.5;
+    // tied 3s -> 5. R0 = 3.5, R1 = 7.5, R2 = 10 (sum 21 = N(N+1)/2).
+    // H = 12/42 * (3.5^2/2 + 7.5^2/2 + 10^2/2) - 21 = 3.0714286;
+    // ties Sum(t^3-t) = 6 + 24 = 30, corr = 1 - 30/210 = 6/7;
+    // H_c = 3.0714286 * 7/6 = 3.5833333; p = exp(-H_c/2) = 0.166632
+    val rows = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0),
+      (2L, 3.0), (2L, 3.0)).toDF("grp", "y1")
+    val out = operators.Mas.kruskalWallis(rows, "grp", Seq("y1")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Long]("n0") == 2L && r.getAs[Long]("n1") == 2L &&
+      r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("h") == 3.5833)
+    val p = r.getAs[Double]("p_kw")
+    assert(math.abs(p - math.exp(-0.5 * 3.5833333333333335)) < 1e-5, s"p=$p")
+    // all-tied dependent: corr = 0 -> null H/p (the a29 monomorphic rule)
+    val flat = Seq((0L, 7.0), (1L, 7.0), (2L, 7.0), (0L, 7.0))
+      .toDF("grp", "y1")
+    val fr = operators.Mas.kruskalWallis(flat, "grp", Seq("y1")).collect()(0)
+    assert(fr.isNullAt(fr.fieldIndex("h")) && fr.isNullAt(fr.fieldIndex("p_kw")))
+    // empty arm -> null
+    val two = Seq((0L, 1.0), (0L, 2.0), (1L, 3.0), (1L, 4.0))
+      .toDF("grp", "y1")
+    val tr = operators.Mas.kruskalWallis(two, "grp", Seq("y1")).collect()(0)
+    assert(tr.isNullAt(tr.fieldIndex("h")))
+    // exact integer rank sums: identical at any partition count
+    val a = operators.Mas.kruskalWallis(rows.repartition(1), "grp", Seq("y1"))
+      .collect().map(_.toString).toSeq
+    val b = operators.Mas.kruskalWallis(rows.repartition(8), "grp", Seq("y1"))
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("a48 kruskalWallis at K=2 collapses to a46 mannWhitney's z^2") {
+    val sess = spark
+    import sess.implicits._
+    // tie-corrected identity: H (1 df, K=2) == z^2 from the rank-sum
+    // test on the same two groups — both outputs are 4-dp rounded, so
+    // compare within the rounding radius
+    val rows = Seq((0L, 1.0), (0L, 2.0), (0L, 2.0), (0L, 5.0),
+      (1L, 2.0), (1L, 3.0), (1L, 4.0), (1L, 4.0), (1L, 6.0))
+      .toDF("grp", "y1")
+    val kw = operators.Mas.kruskalWallis(rows, "grp", Seq("y1"), k = 2)
+      .collect()(0)
+    val mw = operators.Mas.mannWhitney(rows, "grp", Seq("y1")).collect()(0)
+    val h = kw.getAs[Double]("h")
+    val z = mw.getAs[Double]("z")
+    assert(math.abs(h - z * z) < 2e-3, s"h=$h z^2=${z * z}")
+    // the K=2 p is the two-sided normal tail of sqrt(H) == |z|'s tail
+    assert(math.abs(kw.getAs[Double]("p_kw") - mw.getAs[Double]("p_mw")) < 1e-4)
+  }
+
+  test("a49 spearman: hand rho, tie collapse to 1, constant column, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // classic no-ties case: a = rank(a), b perm (2,1,4,3,5);
+    // Sum d^2 = 4 -> rho = 1 - 6*4/(5*24) = 0.8
+    val rows = Seq((1L, 1.0, 2.0), (2L, 2.0, 1.0), (3L, 3.0, 4.0),
+      (4L, 4.0, 3.0), (5L, 5.0, 5.0)).toDF("id", "a", "b")
+    val out = operators.Mas.spearman(rows, Seq("a", "b")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("col_a") == "a" && r.getAs[String]("col_b") == "b")
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("rho_s") == 0.8)
+    // monotone-with-ties: identical tie structure in both columns -> rho 1
+    val tied = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 2.0, 20.0),
+      (4L, 4.0, 40.0)).toDF("id", "a", "b")
+    val tr = operators.Mas.spearman(tied, Seq("a", "b")).collect()(0)
+    assert(tr.getAs[Double]("rho_s") == 1.0)
+    // constant column: zero rank variance -> null rho/p
+    val const = Seq((1L, 1.0, 7.0), (2L, 2.0, 7.0), (3L, 3.0, 7.0))
+      .toDF("id", "a", "b")
+    val cr = operators.Mas.spearman(const, Seq("a", "b")).collect()(0)
+    assert(cr.isNullAt(cr.fieldIndex("rho_s")) && cr.isNullAt(cr.fieldIndex("p_s")))
+    // listwise deletion: a null in EITHER column drops the row everywhere
+    val withNull = Seq((1L, Some(1.0), Some(2.0)), (2L, Some(2.0), None),
+      (3L, Some(3.0), Some(4.0)), (4L, Some(4.0), Some(3.0)),
+      (5L, Some(5.0), Some(5.0))).toDF("id", "a", "b")
+    val nr = operators.Mas.spearman(withNull, Seq("a", "b")).collect()(0)
+    assert(nr.getAs[Long]("n") == 4L)
+    // three columns -> three pairs, sorted; invariance across partitionings
+    val three = Seq((1L, 1.0, 2.0, 3.0), (2L, 2.0, 1.0, 1.0),
+      (3L, 3.0, 4.0, 2.0), (4L, 4.0, 3.0, 5.0), (5L, 5.0, 5.0, 4.0))
+      .toDF("id", "a", "b", "c")
+    val p1 = operators.Mas.spearman(three.repartition(1), Seq("a", "b", "c"))
+      .collect().map(_.toString).toSeq
+    val p8 = operators.Mas.spearman(three.repartition(8), Seq("a", "b", "c"))
+      .collect().map(_.toString).toSeq
+    assert(p1 == p8 && p1.length == 3)
+  }
+
   test("fisherTwoSided matches exact BigInt hypergeometric enumeration") {
     def choose(n: Int, k: Int): BigInt =
       if (k < 0 || k > n) BigInt(0)
