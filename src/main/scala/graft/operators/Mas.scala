@@ -274,7 +274,10 @@ object Mas {
    * below each score, and AUC = Σ_s n1_s·(ctrl_below_s + ½·n0_s) /
    * (N1·N0). Every term before the final division is an exact
    * integer (doubled to stay integral under the ½-tie credit), so
-   * the cross-engine value is identical to the last bit. The window
+   * the cross-engine value is identical to the last bit; the doubled
+   * pair credit Σu2 ≲ 2·N1·N0 wraps a long past N ≈ 4·10⁹, so it
+   * rides the 128-bit grid (decimal(38,0)/HUGEINT — the r19/r20
+   * width-audit rule, same class as a46's R1×2). The window
    * partitions by dependent — |dependents|-way parallel, skew
    * bounded by distinct scores per dependent (already aggregated:
    * rows ≪ cohort).
@@ -290,7 +293,8 @@ object Mas {
     // 2·(pairs won) = n1·(2·ctrl_strictly_below + n0_tied) — integers
     val scored = cells
       .withColumn("ctrl_upto", sum(col("n0")).over(wCum))
-      .withColumn("u2", col("n1") * (lit(2L) * (col("ctrl_upto") - col("n0")) + col("n0")))
+      .withColumn("u2", col("n1").cast("decimal(38,0)") *
+        (lit(2L) * (col("ctrl_upto") - col("n0")) + col("n0")))
     scored.groupBy("dependent")
       .agg(sum("u2").as("u2"), sum("n1").as("n_case"), sum("n0").as("n_ctrl"))
       .filter(col("n_case") > 0 && col("n_ctrl") > 0)
@@ -2412,12 +2416,12 @@ object Mas {
     s"""SELECT '$dep' AS dependent, n_case, n_ctrl,
        |  round(u2 / (2.0 * n_case * n_ctrl), 4) + 0 AS auc
        |FROM (
-       |  SELECT CAST(sum(u2) AS BIGINT) AS u2,
+       |  SELECT CAST(sum(u2) AS HUGEINT) AS u2,
        |    CAST(sum(n1) AS BIGINT) AS n_case,
        |    CAST(sum(n0) AS BIGINT) AS n_ctrl
        |  FROM (
        |    SELECT n1, n0,
-       |      n1 * (2 * (sum(n0) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - n0)
+       |      CAST(n1 AS HUGEINT) * (2 * (sum(n0) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - n0)
        |        + n0) AS u2
        |    FROM (
        |      SELECT x,
