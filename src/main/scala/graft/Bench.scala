@@ -777,11 +777,39 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detailJson) finally w.close()
     } catch { case _: Throwable => () }
+    // The driver parses the last stdout line through a 2000-char tail
+    // buffer; r19's full line overflowed it (parsed=null — the
+    // machine-readable summary vanished from BENCH_r19.json even
+    // though every field was committed elsewhere). The FULL compact
+    // block always goes to BENCH_FINAL.json; the stdout line is the
+    // full block only when it fits, else a reduced headline (drops
+    // slope_reps/medians/corr first, then scale detail — all of it
+    // lives in the file the "full" key names).
+    try {
+      val w = new java.io.PrintWriter("BENCH_FINAL.json", "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
+    val tailBound = 1900
+    val jsonOut =
+      if (json.length <= tailBound) json
+      else {
+        val reduced = s"""{"metric":"total",$valueJson"unit":"sec",""" +
+          s""""queries":$masHeadJson,$headSrcJson$scaleJson""" +
+          s""""slope_stamp":"$stampConv",$provJson""" +
+          s""""full":"BENCH_FINAL.json",""" +
+          s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
+          s""""load_avg":${f3(loadAvg())},$gateJson,"sf":"$sfDir"}"""
+        if (reduced.length <= tailBound) reduced
+        else s"""{"metric":"total",$valueJson"unit":"sec",""" +
+          s""""queries":$masHeadJson,$provJson""" +
+          s""""full":"BENCH_FINAL.json",""" +
+          s""""load_avg":${f3(loadAvg())},"sf":"$sfDir"}"""
+      }
     // ERROR level from here on: Spark's stop/shutdown-hook INFO lines
     // must not print after the JSON — the driver parses the last line.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(detailJson)
-    println(json)
+    println(jsonOut)
   }
 }
