@@ -55,6 +55,8 @@ object SparkEntry {
     "a47_wilcoxon_signed" -> (Mas.a47WilcoxonSignedRank _),
     "a48_kruskal_wallis" -> (Mas.a48KruskalWallis _),
     "a49_spearman" -> (Mas.a49Spearman _),
+    "a50_friedman" -> (Mas.a50Friedman _),
+    "a51_cochran_q" -> (Mas.a51CochranQ _),
     "a22_prs" -> (Mas.a22Prs _),
     "a16_cmh" -> (Mas.a16Cmh _),
     "a03_assoc_logistic" -> (Mas.a03AssocLogistic _),

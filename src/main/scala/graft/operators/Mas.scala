@@ -1028,6 +1028,135 @@ object Mas {
     spearman(cohort(spark, dir), Seq("x", "y_avg", "y_cnt", "y_max"))
 
   /**
+   * a50: FRIEDMAN test — the PAIRED K-group member that completes the
+   * nonparametric family (a46 two-group, a47 paired two-condition,
+   * a48 independent K-group): K repeated measures per subject, ranks
+   * WITHIN each subject's row. Because each block has exactly K
+   * values, ranking is a PURE PROJECTION — rank2_j = 2·#{l≠j:
+   * v_l<v_j} + #{l≠j: v_l=v_j} + 2 (the a46 ×2 grid per row with the
+   * self-tie folded into the constant; no shuffle, no tie table) —
+   * followed by ONE map-side-combined aggregate of
+   * (n, R_j×2 = Σ rank2_j, A×4 = Σ_j rank2_j²). Tie-corrected
+   * (Conover) statistic:
+   *   T = (K−1)·Σ_j(R_j − n(K+1)/2)² / (A − C),  C = nK(K+1)²/4,
+   * which reduces to the classic 12/(nK(K+1))ΣR_j² − 3n(K+1) when
+   * untied (spec-pinned); p on K−1 df (exp(−T/2) at the K=3
+   * fixture). Blocks with any null drop (listwise — a partial block
+   * has no within-row ranking). All-tied blocks throughout → A = C →
+   * null (the a29 monomorphic rule). Accumulator widths: R_j×2 ≤ 2Kn
+   * and A×4 ≤ 4K²n are LINEAR in n — exact longs to n ≈ 2.5·10¹⁷ at
+   * K=3, no 128-bit needed (documented per the r20 width audit).
+   * 100 TB cost: one projection + one K-column aggregate — the
+   * cheapest shape in the family.
+   */
+  private[graft] def friedman(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val k = cols.size
+    // closed-form χ² tails exist here for df 1 (normal) and df 2
+    // (exp) only — the a48 rule
+    require(k == 2 || k == 3, s"friedman: K in {2,3}, got $k")
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    def rank2(j: Int): org.apache.spark.sql.Column = {
+      val less = cols.indices.filter(_ != j).map(l =>
+        when(col(cols(l)) < col(cols(j)), 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      val tied = cols.indices.filter(_ != j).map(l =>
+        when(col(cols(l)) === col(cols(j)), 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      // ×2 avg rank = 2c + t + 1 with t INCLUDING self (the a46
+      // grid); `tied` here EXCLUDES self, hence the +2
+      lit(2L) * less + tied + lit(2L)
+    }
+    val ranked = base.select(cols.indices.map(j =>
+      rank2(j).as(s"r2_$j")): _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.indices.map(j => sum(col(s"r2_$j")).as(s"rx2_$j")) ++
+      Seq(sum(cols.indices.map(j => col(s"r2_$j") * col(s"r2_$j"))
+        .reduce(_ + _)).as("ax4"))
+    val g = ranked.agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    val kd = k.toDouble
+    // Σ_j (R_j − n(K+1)/2)² on the ×4 grid: (R_j×2 − n(K+1))² / 4
+    val numX4 = cols.indices.map { j =>
+      val d = col(s"rx2_$j").cast("double") - n * lit(kd + 1.0)
+      d * d
+    }.reduce(_ + _)
+    // (A − C)×4 = A×4 − nK(K+1)²
+    val denX4 = col("ax4").cast("double") -
+      n * lit(kd) * lit((kd + 1.0) * (kd + 1.0))
+    val t = lit(kd - 1.0) * numX4 / denX4
+    val p =
+      if (k == 3) round(exp(lit(-0.5) * t), 6) + lit(0.0)
+      else twoSidedP(sqrt(t))
+    g.select(Seq(col("n").as("n_blocks")) ++
+      cols.indices.map(j =>
+        (col(s"rx2_$j").cast("double") / lit(2.0)).as(s"rank_sum_${cols(j)}")) ++
+      Seq(when(denX4 > 0, r4(t)).as("friedman_chi2"),
+        when(denX4 > 0, p).as("p_friedman")): _*)
+  }
+
+  /** a50: Friedman over each subject's three repeated summary
+    * measures (the a47 m-family rule: synthesized repeated measures,
+    * real plumbing — the operator takes any K-column frame). */
+  def a50Friedman(spark: SparkSession, dir: String): DataFrame =
+    friedman(cohort(spark, dir), Seq("y_avg", "y_max", "y_cnt"))
+
+  /**
+   * a51: COCHRAN'S Q — a40 McNemar's K-treatment generalization (the
+   * paired test for K BINARY outcomes per subject: "do these K
+   * diagnosis flags have the same marginal rate in the same
+   * people?"): Q = (K−1)·(K·ΣC_j² − N²) / (K·N − ΣR_i²) with C_j the
+   * per-treatment totals, R_i the per-subject row totals, N the grand
+   * total — K=2 collapses to McNemar's (b−c)²/(b+c) exactly
+   * (spec-pinned). ONE projection computes R_i² per row; ONE
+   * map-side-combined aggregate yields every sufficient sum, all of
+   * them LINEAR in n (C_j ≤ n, ΣR_i² ≤ K²n — exact longs); the
+   * quadratic terms C_j² and N² appear only in the one-row post-agg
+   * projection, where they ride the 128-bit decimal/HUGEINT grid
+   * because (Kn)² crosses 2⁵³ at n ≈ 3·10⁷ (the r20 width-audit
+   * rule). Subjects whose flags are all-0 or all-1 cancel from Q
+   * algebraically (the standard identity) — no filter needed.
+   * Degenerate denominator (every subject concordant) → null.
+   * p on K−1 df (exp(−Q/2) at K=3).
+   */
+  private[graft] def cochranQ(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val k = cols.size
+    // closed-form χ² tails exist here for df 1 and 2 only (a48 rule)
+    require(k == 2 || k == 3, s"cochranQ: K in {2,3}, got $k")
+    val base = df.filter(cols.map(c =>
+      col(c).isNotNull && col(c).isin(0.0, 1.0)).reduce(_ && _))
+    val rowTot = cols.map(c => col(c).cast("long")).reduce(_ + _)
+    val proj = base.select(
+      (cols.map(c => col(c).cast("long").as(s"x_$c")) :+
+        (rowTot * rowTot).as("r2")): _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(s"x_$c")).as(s"c_$c")) ++
+      Seq(sum(col("r2")).as("sr2"))
+    val g = proj.agg(aggs.head, aggs.tail: _*)
+    // post-agg arithmetic on the 128-bit grid: ΣC_j² and N² reach
+    // (Kn)² — decimal(38,0)/HUGEINT keeps them exact past the 2^53
+    // double cliff (the r20 width-audit rule)
+    val cjs = cols.map(c => col(s"c_$c").cast("decimal(38,0)"))
+    val nTot = cjs.reduce(_ + _)
+    val sumC2 = cjs.map(c => c * c).reduce(_ + _)
+    val num = (lit(k.toLong) * sumC2 - nTot * nTot).cast("double")
+    val den = (lit(k.toLong) * nTot - col("sr2").cast("decimal(38,0)"))
+      .cast("double")
+    val q = lit((k - 1).toDouble) * num / den
+    val p =
+      if (k == 3) round(exp(lit(-0.5) * q), 6) + lit(0.0)
+      else twoSidedP(sqrt(q))
+    g.select(Seq(col("n").as("n_subjects")) ++
+      cols.map(c => col(s"c_$c").as(s"cases_$c")) ++
+      Seq(when(den > 0, r4(q)).as("cochran_q"),
+        when(den > 0, p).as("p_q")): _*)
+  }
+
+  /** a51: Cochran's Q across the three urgency/openness/size
+    * diagnosis flags per subject. */
+  def a51CochranQ(spark: SparkSession, dir: String): DataFrame =
+    cochranQ(cohort(spark, dir), Seq("d_urgent", "d_open", "d_big"))
+
+  /**
    * Hardy–Weinberg equilibrium χ² — the per-variant GENOTYPING-QC
    * gate every GWAS runs before association (HWE failure flags
    * genotyping error / population structure; a28's trend test assumes
@@ -2773,6 +2902,82 @@ object Mas {
         |      (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
         |        + tt * (-1.821255978 + tt * 1.330274429))))), 6) + 0 END AS p_s
         |FROM fp ORDER BY col_a, col_b""".stripMargin),
+    // a50: per-row ×2-grid ranks as a pure projection (no tie table —
+    // each block has exactly K values), one aggregate, Conover
+    // tie-corrected T mirrored operand-for-operand, exp 2-df tail
+    "a50_friedman" ->
+      (cohortSql + """
+        |, base AS (
+        |  SELECT y_avg AS v0, y_max AS v1, y_cnt AS v2 FROM cohort
+        |  WHERE y_avg IS NOT NULL AND y_max IS NOT NULL AND y_cnt IS NOT NULL
+        |), ranked AS (
+        |  SELECT
+        |    2 * (CASE WHEN v1 < v0 THEN 1 ELSE 0 END + CASE WHEN v2 < v0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 = v0 THEN 1 ELSE 0 END + CASE WHEN v2 = v0 THEN 1 ELSE 0 END) + 2 AS r2_0,
+        |    2 * (CASE WHEN v0 < v1 THEN 1 ELSE 0 END + CASE WHEN v2 < v1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END + CASE WHEN v2 = v1 THEN 1 ELSE 0 END) + 2 AS r2_1,
+        |    2 * (CASE WHEN v0 < v2 THEN 1 ELSE 0 END + CASE WHEN v1 < v2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END + CASE WHEN v1 = v2 THEN 1 ELSE 0 END) + 2 AS r2_2
+        |  FROM base
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r2_0) AS BIGINT) AS rx2_0,
+        |    CAST(sum(r2_1) AS BIGINT) AS rx2_1,
+        |    CAST(sum(r2_2) AS BIGINT) AS rx2_2,
+        |    CAST(sum(r2_0 * r2_0 + r2_1 * r2_1 + r2_2 * r2_2) AS BIGINT) AS ax4
+        |  FROM ranked
+        |), f AS (
+        |  SELECT n, rx2_0, rx2_1, rx2_2,
+        |    (CAST(rx2_0 AS DOUBLE) - CAST(n AS DOUBLE) * 4.0) *
+        |      (CAST(rx2_0 AS DOUBLE) - CAST(n AS DOUBLE) * 4.0)
+        |    + (CAST(rx2_1 AS DOUBLE) - CAST(n AS DOUBLE) * 4.0) *
+        |      (CAST(rx2_1 AS DOUBLE) - CAST(n AS DOUBLE) * 4.0)
+        |    + (CAST(rx2_2 AS DOUBLE) - CAST(n AS DOUBLE) * 4.0) *
+        |      (CAST(rx2_2 AS DOUBLE) - CAST(n AS DOUBLE) * 4.0) AS numx4,
+        |    CAST(ax4 AS DOUBLE) - CAST(n AS DOUBLE) * 3.0 * 16.0 AS denx4
+        |  FROM g
+        |)
+        |SELECT n AS n_blocks,
+        |  CAST(rx2_0 AS DOUBLE) / 2.0 AS rank_sum_y_avg,
+        |  CAST(rx2_1 AS DOUBLE) / 2.0 AS rank_sum_y_max,
+        |  CAST(rx2_2 AS DOUBLE) / 2.0 AS rank_sum_y_cnt,
+        |  CASE WHEN denx4 > 0 THEN round(2.0 * numx4 / denx4, 4) + 0 END AS friedman_chi2,
+        |  CASE WHEN denx4 > 0 THEN
+        |    round(exp(-0.5 * (2.0 * numx4 / denx4)), 6) + 0 END AS p_friedman
+        |FROM f""".stripMargin),
+    // a51: linear sufficient sums, quadratic terms only in the 1-row
+    // post-agg projection on the 128-bit grid, exp 2-df tail
+    "a51_cochran_q" ->
+      (cohortSql + """
+        |, base AS (
+        |  SELECT CAST(d_urgent AS BIGINT) AS x0, CAST(d_open AS BIGINT) AS x1,
+        |    CAST(d_big AS BIGINT) AS x2
+        |  FROM cohort
+        |  WHERE d_urgent IS NOT NULL AND d_urgent IN (0, 1)
+        |    AND d_open IS NOT NULL AND d_open IN (0, 1)
+        |    AND d_big IS NOT NULL AND d_big IN (0, 1)
+        |), proj AS (
+        |  SELECT x0, x1, x2, (x0 + x1 + x2) * (x0 + x1 + x2) AS r2 FROM base
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x0) AS BIGINT) AS c0, CAST(sum(x1) AS BIGINT) AS c1,
+        |    CAST(sum(x2) AS BIGINT) AS c2, CAST(sum(r2) AS BIGINT) AS sr2
+        |  FROM proj
+        |), f AS (
+        |  SELECT n, c0, c1, c2,
+        |    CAST(3 * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+        |        + CAST(c2 AS HUGEINT) * c2)
+        |      - (CAST(c0 AS HUGEINT) + c1 + c2) * (CAST(c0 AS HUGEINT) + c1 + c2)
+        |      AS DOUBLE) AS num,
+        |    CAST(3 * (CAST(c0 AS HUGEINT) + c1 + c2) - sr2 AS DOUBLE) AS den
+        |  FROM g
+        |)
+        |SELECT n AS n_subjects, c0 AS cases_d_urgent, c1 AS cases_d_open,
+        |  c2 AS cases_d_big,
+        |  CASE WHEN den > 0 THEN round(2.0 * num / den, 4) + 0 END AS cochran_q,
+        |  CASE WHEN den > 0 THEN
+        |    round(exp(-0.5 * (2.0 * num / den)), 6) + 0 END AS p_q
+        |FROM f""".stripMargin),
     // a45: the same ten sufficient sums and the same closed-form
     // expressions operand-for-operand — γ by Cramer, U = Σxy − γ₀Σx −
     // γ₁Σxs, V = (RSS/n)·(Σx² − quad/det), χ² = U²/V rounded at 4 dp

@@ -1462,6 +1462,78 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1 == p8 && p1.length == 3)
   }
 
+  test("a50 friedman: classic no-ties case, tie handling, all-tied null, invariance") {
+    val sess = spark
+    import sess.implicits._
+    // classic 3x3: rows rank to (1,2,3),(2,1,3),(1,3,2) -> R = (4,6,8);
+    // T = 12/(3*3*4) * (16+36+64) - 3*3*4 = 38.6667 - 36 = 2.6667
+    // (no ties, so the Conover form reduces to the classic one)
+    val rows = Seq((1.0, 2.0, 3.0), (2.0, 1.0, 3.0), (1.0, 3.0, 2.0))
+      .toDF("a", "b", "c")
+    val r = operators.Mas.friedman(rows, Seq("a", "b", "c")).collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Double]("rank_sum_a") == 4.0)
+    assert(r.getAs[Double]("rank_sum_b") == 6.0)
+    assert(r.getAs[Double]("rank_sum_c") == 8.0)
+    assert(r.getAs[Double]("friedman_chi2") == 2.6667)
+    val p = r.getAs[Double]("p_friedman")
+    assert(math.abs(p - math.exp(-0.5 * 8.0 / 3.0)) < 1e-5, s"p=$p")
+    // ties within a block: (5,5,7) ranks to (1.5, 1.5, 3) — rank sums
+    // carry the half-rank exactly on the x2 grid
+    val tied = Seq((5.0, 5.0, 7.0), (1.0, 2.0, 3.0)).toDF("a", "b", "c")
+    val t = operators.Mas.friedman(tied, Seq("a", "b", "c")).collect()(0)
+    assert(t.getAs[Double]("rank_sum_a") == 2.5)
+    assert(t.getAs[Double]("rank_sum_b") == 3.5)
+    assert(t.getAs[Double]("rank_sum_c") == 6.0)
+    // every block fully tied: A = C -> null chi2/p
+    val flat = Seq((7.0, 7.0, 7.0), (9.0, 9.0, 9.0)).toDF("a", "b", "c")
+    val f = operators.Mas.friedman(flat, Seq("a", "b", "c")).collect()(0)
+    assert(f.isNullAt(f.fieldIndex("friedman_chi2")))
+    // listwise: a null anywhere drops the block
+    val withNull = Seq((Some(1.0), Some(2.0), Some(3.0)),
+      (None, Some(1.0), Some(3.0))).toDF("a", "b", "c")
+    val n = operators.Mas.friedman(withNull, Seq("a", "b", "c")).collect()(0)
+    assert(n.getAs[Long]("n_blocks") == 1L)
+    // projection-only ranking: identical at any partition count
+    val p1 = operators.Mas.friedman(rows.repartition(1), Seq("a", "b", "c"))
+      .collect().map(_.toString).toSeq
+    val p8 = operators.Mas.friedman(rows.repartition(8), Seq("a", "b", "c"))
+      .collect().map(_.toString).toSeq
+    assert(p1 == p8)
+  }
+
+  test("a51 cochranQ: hand case, K=2 McNemar reduction, concordant-only null") {
+    val sess = spark
+    import sess.implicits._
+    // hand case: rows (1,1,0),(1,0,0),(1,1,1),(0,1,0) -> C = (3,3,1),
+    // N = 7, sum R_i^2 = 4+1+9+1 = 15;
+    // Q = 2*(3*(9+9+1) - 49)/(3*7 - 15) = 16/6 = 2.6667
+    val rows = Seq((1.0, 1.0, 0.0), (1.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+      (0.0, 1.0, 0.0)).toDF("a", "b", "c")
+    val r = operators.Mas.cochranQ(rows, Seq("a", "b", "c")).collect()(0)
+    assert(r.getAs[Long]("n_subjects") == 4L)
+    assert(r.getAs[Long]("cases_a") == 3L && r.getAs[Long]("cases_b") == 3L &&
+      r.getAs[Long]("cases_c") == 1L)
+    assert(r.getAs[Double]("cochran_q") == 2.6667)
+    val p = r.getAs[Double]("p_q")
+    assert(math.abs(p - math.exp(-0.5 * 8.0 / 3.0)) < 1e-5, s"p=$p")
+    // K=2 reduction: Q == McNemar's (b-c)^2/(b+c) on the discordant
+    // counts — 5 discordant pairs (4 one way, 1 the other): 9/5 = 1.8
+    val paired = Seq((1.0, 0.0), (1.0, 0.0), (1.0, 0.0), (1.0, 0.0),
+      (0.0, 1.0), (1.0, 1.0), (0.0, 0.0)).toDF("a", "b")
+    val m = operators.Mas.cochranQ(paired, Seq("a", "b")).collect()(0)
+    assert(m.getAs[Double]("cochran_q") == 1.8)
+    // all subjects concordant: denominator 0 -> null
+    val conc = Seq((1.0, 1.0, 1.0), (0.0, 0.0, 0.0)).toDF("a", "b", "c")
+    val cc = operators.Mas.cochranQ(conc, Seq("a", "b", "c")).collect()(0)
+    assert(cc.isNullAt(cc.fieldIndex("cochran_q")))
+    // non-binary rows are excluded by the domain filter
+    val dirty = Seq((1.0, 0.0, 2.0), (1.0, 0.0, 0.0), (0.0, 1.0, 1.0),
+      (1.0, 1.0, 0.0)).toDF("a", "b", "c")
+    val d = operators.Mas.cochranQ(dirty, Seq("a", "b", "c")).collect()(0)
+    assert(d.getAs[Long]("n_subjects") == 3L)
+  }
+
   test("fisherTwoSided matches exact BigInt hypergeometric enumeration") {
     def choose(n: Int, k: Int): BigInt =
       if (k < 0 || k > n) BigInt(0)
