@@ -591,9 +591,23 @@ object Bench {
     // live numbers) and say so in the JSON. A commit mismatch alone is
     // expected (the embed is committed before the driver's bench run)
     // and publishes as provenance, not a refusal.
+    // CORE-COUNT gate (r21): the driver also benches at a LOWER core
+    // count to measure per-query core scaling — republishing a
+    // 32-core quiet pin as `value` there would erase exactly the
+    // scaling signal that run exists to measure. The embed records
+    // the core count it was measured at ("cpus", legacy embeds imply
+    // 32); any run at a different count refuses the embed and
+    // publishes its own live numbers.
+    val embedCpus = embedNode.flatMap(n => Option(n.get("cpus")).map(_.asInt))
+      .getOrElse(32)
+    val runCpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val embedStale: Option[String] =
       embedReg.filter(_ != registrySize)
         .map(r => s"registry $r != build $registrySize")
+        .orElse(if (runCpus != embedCpus)
+          Some(s"embed cpus $embedCpus != run cpus $runCpus") else None)
     val embedOk = embedNode.isDefined && embedStale.isEmpty
     // runs AFTER the headline reps (it reuses their min as point 1);
     // skipped entirely when the adjudicated embed supplies the table
@@ -800,10 +814,20 @@ object Bench {
           s""""load_sweep":[${f3(loadPreSweep)},${f3(loadPostSweep)}],""" +
           s""""load_avg":${f3(loadAvg())},$gateJson,"sf":"$sfDir"}"""
         if (reduced.length <= tailBound) reduced
-        else s"""{"metric":"total",$valueJson"unit":"sec",""" +
-          s""""queries":$masHeadJson,$provJson""" +
-          s""""full":"BENCH_FINAL.json",""" +
-          s""""load_avg":${f3(loadAvg())},"sf":"$sfDir"}"""
+        else {
+          val minimal = s"""{"metric":"total",$valueJson"unit":"sec",""" +
+            s""""queries":$masHeadJson,$provJson""" +
+            s""""full":"BENCH_FINAL.json",""" +
+            s""""load_avg":${f3(loadAvg())},"sf":"$sfDir"}"""
+          // masHeadJson/provJson are unbounded in the number of
+          // headline queries — if even the minimal form overflows,
+          // emit a fixed-size stub (r20 advice): the last line must
+          // ALWAYS clear the driver's 2000-char tail parse; every
+          // dropped field lives in the file the "full" key names
+          if (minimal.length <= tailBound) minimal
+          else s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+            s""""full":"BENCH_FINAL.json","sf":"$sfDir"}"""
+        }
       }
     // ERROR level from here on: Spark's stop/shutdown-hook INFO lines
     // must not print after the JSON — the driver parses the last line.

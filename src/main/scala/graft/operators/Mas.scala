@@ -937,7 +937,11 @@ object Mas {
     val ok = gs.map(i => col(s"n$i") > 0L).reduce(_ && _) && corr > 0
     val p =
       if (k == 3) round(exp(lit(-0.5) * h), 6) + lit(0.0)
-      else twoSidedP(sqrt(h))
+      // h is assembled in floating point (unlike cochranQ's exact
+      // integer numerator), so near-identical groups can round a
+      // true-zero H_c to a tiny negative — clamp before sqrt or the
+      // NaN p would sit unmasked next to a non-null h (r20 advice)
+      else twoSidedP(sqrt(greatest(h, lit(0.0))))
     agg.select(Seq(col("dep").as("dependent"),
         col("n").as("n_total")) ++
       gs.map(i => col(s"n$i")) ++
@@ -971,6 +975,14 @@ object Mas {
    * Zelen–Severo tail. Constant column (variance 0) → null ρ/p.
    * Scale: 3 shuffles total — tie count, rank join-back + id
    * regroup, global agg — each linear, K² driver-side columns only.
+   *
+   * CONTRACT: `id` must be unique per row (r20 advice). The rank
+   * vector re-assembles via groupBy(id) + max(when(...)), so a frame
+   * with duplicate ids would silently MERGE those rows into one rank
+   * vector (a wrong rho with no error). The fixture cohort's id is
+   * its primary key; callers passing other frames must guarantee the
+   * same or pre-deduplicate. The "spearman unique-id contract" test
+   * in AssociationSpec pins the fixture side of the contract.
    */
   private[graft] def spearman(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "spearman: need at least two columns")

@@ -77,12 +77,22 @@ object StreamingOps {
     // windows after the sentinel advances the watermark; if a session
     // disabled that conf the gates would silently DROP the last
     // windows, so enforce the invariant loudly here (r19 advice) —
-    // every replay harness runs inside this wrapper
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // every replay harness runs inside this wrapper. Save-and-restore
+    // (r20 advice): the override must not leak out of the wrapper into
+    // a session that deliberately disabled no-data micro-batches.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndOld = spark.conf.get(ndKey)
+    if (ndOld != "true")
+      System.err.println(s"[graft] $ndKey=$ndOld overridden to true " +
+        "for the streaming-gate replay (restored after)")
+    spark.conf.set(ndKey, "true")
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
+    try body finally {
+      spark.conf.set(key, old)
+      spark.conf.set(ndKey, ndOld)
+    }
   }
 
   /** Tumbling-window event aggregate (e02's shape) with a watermark

@@ -1420,6 +1420,17 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(h - z * z) < 2e-3, s"h=$h z^2=${z * z}")
     // the K=2 p is the two-sided normal tail of sqrt(H) == |z|'s tail
     assert(math.abs(kw.getAs[Double]("p_kw") - mw.getAs[Double]("p_mw")) < 1e-4)
+    // near-identical groups: H is 0 in exact arithmetic but assembled
+    // in floating point, so it can round to a tiny NEGATIVE — the
+    // sqrt is clamped (r20 advice), so p must be a real number (1.0),
+    // never an unmasked NaN beside a non-null h
+    val same = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0),
+      (1L, 1.0), (1L, 2.0), (1L, 3.0)).toDF("grp", "y1")
+    val sr = operators.Mas.kruskalWallis(same, "grp", Seq("y1"), k = 2)
+      .collect()(0)
+    val sp = sr.getAs[Double]("p_kw")
+    assert(!sp.isNaN && math.abs(sp - 1.0) < 1e-4, s"p=$sp")
+    assert(math.abs(sr.getAs[Double]("h")) < 1e-4)
   }
 
   test("a49 spearman: hand rho, tie collapse to 1, constant column, invariance") {
@@ -1460,6 +1471,19 @@ class AssociationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p8 = operators.Mas.spearman(three.repartition(8), Seq("a", "b", "c"))
       .collect().map(_.toString).toSeq
     assert(p1 == p8 && p1.length == 3)
+  }
+
+  test("a49 spearman unique-id contract holds on the fixture cohort") {
+    // spearman re-assembles rank vectors via groupBy(id): duplicate
+    // ids would silently merge rows (r20 advice). The scaladoc pins
+    // the contract on callers; this pins the fixture side of it.
+    import org.apache.spark.sql.functions.{count, countDistinct}
+    val coh = operators.Mas.cohort(spark, "/root/testdata/sf0.001")
+    val r = coh.agg(count(lit(1)).as("n"),
+      countDistinct(col("id")).as("nd")).collect()(0)
+    assert(r.getAs[Long]("n") == r.getAs[Long]("nd"),
+      s"cohort id not unique: ${r.getAs[Long]("n")} rows, " +
+        s"${r.getAs[Long]("nd")} distinct ids")
   }
 
   test("a50 friedman: classic no-ties case, tie handling, all-tied null, invariance") {
