@@ -200,10 +200,17 @@ object StreamingOps {
       val q = streamParaDedup(src).writeStream
         .format("memory").queryName(sinkName).outputMode("append").start()
       try {
-        // 2000 docs/micro-batch: enough batches to exercise cross-batch
-        // state, few enough that per-batch state-store commit overhead
-        // doesn't dominate the gate/bench runs
-        docs.grouped(2000).foreach { b => input.addData(b); q.processAllAvailable() }
+        // ONE data micro-batch (r21 — the e13 rule finally applied
+        // here too): each extra data batch drags a no-data follow-up,
+        // ~0.5 s of pure state-store commit machinery per slice pair
+        // (r21 progress-listener split: 6 cycles, 3 of them no-data).
+        // The kept set is slice-invariant — rows keep doc_id order
+        // within the single-block batch, so "first arrival" is first
+        // (doc_id, idx) under any slicing — and CROSS-batch dedup
+        // state stays covered by the StreamingSpec 1-slice ≡ 2-slice
+        // pins, exactly as for the other gates.
+        val batch = math.max(2000, docs.length)
+        docs.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
       } finally q.stop()
     }
     spark.table(sinkName)
@@ -711,7 +718,14 @@ object StreamingOps {
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
       try {
-        Seq(epoch0, Seq((-1L, t(9000), "sentinel")), epoch1).foreach { b =>
+        // the watermark-advancing sentinel rides IN the epoch-0 batch
+        // (r21, the r19 fusion rule): the watermark is computed at
+        // END of batch, so epoch-0 rows are all admitted first-epoch
+        // state exactly as before, the automatic no-data batch then
+        // evicts every epoch-0 expiry (watermark 8000 > 5099), and
+        // epoch 1 re-admits against provably-gone state — the same
+        // contract, two data batches instead of three
+        Seq(epoch0 :+ ((-1L, t(9000), "sentinel")), epoch1).foreach { b =>
           input.addData(b); q.processAllAvailable()
         }
       } finally q.stop()
@@ -763,11 +777,16 @@ object StreamingOps {
       val q = tumblingWindowAgg(src).writeStream
         .format("memory").queryName(sinkName).outputMode("append").start()
       try {
+        // each flush sentinel rides IN its data batch (r21, the r19
+        // fusion rule): the watermark still advances only at END of
+        // the on-time batch, so the late rows in the second batch
+        // still arrive provably after it — the late-drop proof is
+        // unchanged, at two data batches instead of four (the r21
+        // progress split counted 7 micro-batch cycles here, ~0.3 s
+        // of state machinery each)
         Seq(
-          onTime,
-          Seq((-1L, "__flush", t(T0 + 100L * 3600000), 0.0)),
-          lateAndFrontier,
-          Seq((-2L, "__flush", t(T0 + 200L * 3600000), 0.0))
+          onTime :+ ((-1L, "__flush", t(T0 + 100L * 3600000), 0.0)),
+          lateAndFrontier :+ ((-2L, "__flush", t(T0 + 200L * 3600000), 0.0))
         ).foreach { b => input.addData(b); q.processAllAvailable() }
       } finally q.stop()
     }
@@ -818,13 +837,18 @@ object StreamingOps {
         // invocation's rows by (ts, value) and the state carry makes
         // session assembly identical under any slicing — pinned by
         // the StreamingSpec 1-slice ≡ 2-slice session test
-        val batch = math.max(5000, rows.length)
-        rows.grouped(batch).foreach { b => input.addData(b); q.processAllAvailable() }
-        // sentinel 48 h past the horizon: watermark sweeps past every
-        // pending timeout; its own open session is filtered below
-        input.addData(Seq((-1L,
-          new java.sql.Timestamp(maxTs + 48L * 3600 * 1000), 0.0)))
-        q.processAllAvailable()
+        // sentinel 48 h past the horizon rides IN the data batch
+        // (r21, the r19 fusion rule): the end-of-batch watermark
+        // sweeps past every pending timeout, so the automatic
+        // no-data batch fires them all — a separate sentinel batch
+        // re-paid a full state-store commit cycle for one row. The
+        // sentinel's own session stays open (its timeout is past the
+        // watermark) and is filtered below either way.
+        val sentinel = (-1L,
+          new java.sql.Timestamp(maxTs + 48L * 3600 * 1000), 0.0)
+        val batch = math.max(5000, rows.length + 1)
+        (rows :+ sentinel).grouped(batch).foreach { b =>
+          input.addData(b); q.processAllAvailable() }
       } finally q.stop()
     }
     spark.table(sinkName)
