@@ -124,6 +124,38 @@ object Association {
       .filter(col("x").isNotNull && col("y").isNotNull && covsComplete)
   }
 
+  /**
+   * Should an iteratively re-scanned frame be persisted? Persist is
+   * right exactly when a re-scan would re-read a REAL source (file /
+   * table / an upstream cache) — at 100 TB that is ~15 full corpus
+   * reads over a Newton fit. It is WRONG when the upstream is a pure
+   * codegen'd derivation (range + deterministic projections): at the
+   * 90M-row MAS 10x shape the columnar cache BUILD measured 24-33 s
+   * against 1.05 s per full regeneration and 0.35 s per warm cache
+   * scan — the cache never pays for itself inside one fit. A plan
+   * with any nondeterministic expression must persist regardless
+   * (recompute would change the data between iterations).
+   * `spark.graft.gram.persist` forces either way; default "auto"
+   * applies this leaf test.
+   */
+  private def rescanHitsSource(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    val nondet = plan.find(p => p.expressions.exists(e => !e.deterministic)).isDefined
+    nondet || plan.collectLeaves().exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => false
+      case _ => true
+    }
+  }
+
+  private def gramPersistOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.gram.persist", "auto") match {
+      case "true" => true
+      case "false" => false
+      case _ => rescanHitsSource(df)
+    }
+
   /** Run the configured model over the melted frame. */
   def assoc(df: DataFrame, cfg: Config): DataFrame = {
     val melted = melt(df, cfg)
@@ -626,15 +658,20 @@ object Association {
     val covNames = cfg.covariates
     val tol = cfg.tol
     // every IRLS iteration re-scans this frame — persist it for the
-    // life of the fit, as FLAT PRIMITIVE columns (the firthGram cache
-    // rationale: InMemoryRelation decodes array cells generically per
-    // row, primitive columns read back vectorized); the packed array
-    // the aggregator consumes is re-assembled by a codegen'd
-    // projection on top, values unchanged
+    // life of the fit when a re-scan would hit a real source
+    // (gramPersistOn; a codegen'd synthetic regenerates faster than
+    // the cache builds), as FLAT PRIMITIVE columns (the firthGram
+    // cache rationale: InMemoryRelation decodes array cells
+    // generically per row, primitive columns read back vectorized);
+    // the packed array the aggregator consumes is re-assembled by a
+    // codegen'd projection on top, values unchanged
     val keyedDf0 = keyed(melted, cfg).toDF("gkey", "v")
     val flat = keyedDf0.select(
       col("gkey") +: (0 until m).map(i => col("v")(i).as(s"v$i")): _*)
-    val cached = flat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached =
+      if (gramPersistOn(melted))
+        flat.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else flat
     val keyedDf = cached.select(col("gkey"),
       array((0 until m).map(i => col(s"v$i")): _*).as("v"))
     // packed value layout is [x, y, covs…]; design features [x, covs…, 1]
@@ -970,9 +1007,11 @@ object Association {
     // the fit: right when the upstream is a real source scan (every
     // Newton step re-reads it otherwise — at 100 TB that is ~15 full
     // corpus reads), wrong when the upstream is a cheap codegen'd
-    // projection that recomputes faster than the columnar cache scans
-    val doPersist = melted.sparkSession.conf
-      .get("spark.graft.gram.persist", "true").toBoolean
+    // projection that recomputes faster than the columnar cache
+    // scans — default "auto" applies exactly that leaf test
+    // (gramPersistOn; measured at the 90M-row 10x shape: 24-33 s
+    // cache build vs 1.05 s regeneration)
+    val doPersist = gramPersistOn(melted)
     val keyedDf0 = keyed(melted, cfg).toDF("gkey", "v")
     // the cache stores FLAT primitive double columns, not the packed
     // array: InMemoryRelation encodes array cells generically (per-row
