@@ -22,6 +22,41 @@ import graft.Tables
  */
 object Similarity {
 
+  /** Session-lifetime shared ANN artifacts (r21, the persisted-
+    * artifact rule that already covers the dedup band index, the MAS
+    * cohort and the graph orientation index): the registry's IVF
+    * family re-derives the SAME two deterministic artifacts per op —
+    * the quantized/normalized corpus (one checkpoint each) and the
+    * fixed-point Lloyd codebook (n03 ≡ n13 at (16,4), n11 ≡ n14 at
+    * (8,4); iters+1 jobs each). In production the codebook is a
+    * persisted model artifact the index build, search and QC report
+    * all read; here it is computed once per (session, dir[, k,
+    * iters]) and billed to the first op that builds it. Both
+    * artifacts are deterministic (integer grid, fixed seeds), so the
+    * cache equals the fresh derivation; entries evict once their
+    * owning session stops (the Dedup.cachedFrame sweep). */
+  private val embQCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val centsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Array[Array[Long]])]()
+  private[graft] def embeddingsQ(spark: SparkSession, dir: String): DataFrame = {
+    embQCache.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
+    embQCache.computeIfAbsent(Dedup.sessionDirKey(spark, dir),
+      _ => quantized(embeddings(spark, dir)).localCheckpoint(true))
+  }
+  private[graft] def cachedCentsQ(spark: SparkSession, dir: String,
+      k: Int, iters: Int): Array[Array[Long]] = {
+    centsCache.entrySet().removeIf(
+      e => e.getValue._1.sparkSession.sparkContext.isStopped)
+    centsCache.computeIfAbsent(
+      Dedup.sessionDirKey(spark, dir) + s"|$k|$iters",
+      { _ =>
+        val q = embeddingsQ(spark, dir)
+        (q, ivfCentroidsQ(q.select("vec_id", "q"), k, iters))
+      })._2
+  }
+
   /** Natural embeddings with double vectors (no injected twins). */
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -362,9 +397,11 @@ object Similarity {
    * sums to DECIMAL(38,0) — still exact, still order-independent —
    * with nothing else changing.
    */
-  def pcaPower(emb: DataFrame, iters: Int): DataFrame = {
+  def pcaPower(emb: DataFrame, iters: Int,
+      preQ: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 20, s"pcaPower: iters in [1,20], got $iters")
-    val q = quantized(emb).select(col("vec_id"), col("q")).localCheckpoint(true)
+    val q = preQ.map(_.select(col("vec_id"), col("q"))).getOrElse(
+      quantized(emb).select(col("vec_id"), col("q")).localCheckpoint(true))
     val d = q.select(size(col("q"))).head().getInt(0)
     val n = q.count()
     require(n > 0 && n <= 2000000L,
@@ -431,7 +468,8 @@ object Similarity {
   /** n09: top principal direction of the natural embeddings, 8 power
     * steps, per-dim micro-grid loadings. */
   def n09PcaPower(spark: SparkSession, dir: String): DataFrame =
-    pcaPower(embeddings(spark, dir), iters = 8).orderBy("dim")
+    pcaPower(embeddings(spark, dir), iters = 8,
+      preQ = Some(embeddingsQ(spark, dir))).orderBy("dim")
 
   // ------------------------------------------------------------ n03 IVF
 
@@ -531,11 +569,16 @@ object Similarity {
    * UDFs), one equi-join, one per-query top-k window.
    */
   def annIvf(emb: DataFrame, queryPred: Column, k: Int,
-      lists: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
+      lists: Int = 16, nprobe: Int = 4, iters: Int = 4,
+      preQ: Option[DataFrame] = None,
+      preCents: Option[Array[Array[Long]]] = None): DataFrame = {
     // one scan + one checkpointed quantized table feeds codebook
-    // training, corpus assignment, AND query probing
-    val withN = quantized(emb).localCheckpoint(true)
-    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters)
+    // training, corpus assignment, AND query probing; preQ/preCents
+    // let callers pass the session-shared artifacts (identical by
+    // determinism)
+    val withN = preQ.getOrElse(quantized(emb).localCheckpoint(true))
+    val cents = preCents.getOrElse(
+      ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters))
     val corpus = withN
       .withColumn("cid", nearestListUdf(cents)(col("q")))
       .select(col("vec_id").as("neighbor_id"), col("e").as("ne"), col("nrm").as("nn"), col("cid"))
@@ -565,9 +608,12 @@ object Similarity {
    * ordering exact.
    */
   def annIvfRerank(emb: DataFrame, queryPred: Column, k: Int,
-      lists: Int = 16, nprobe: Int = 4, iters: Int = 4): DataFrame = {
-    val withN = quantized(emb).localCheckpoint(true)
-    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters)
+      lists: Int = 16, nprobe: Int = 4, iters: Int = 4,
+      preQ: Option[DataFrame] = None,
+      preCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val withN = preQ.getOrElse(quantized(emb).localCheckpoint(true))
+    val cents = preCents.getOrElse(
+      ivfCentroidsQ(withN.select("vec_id", "q"), lists, iters))
     val corpus = withN.withColumn("cid", nearestListUdf(cents)(col("q")))
       .select(col("vec_id").as("neighbor_id"), col("q").as("nq"), col("cid"))
     val queries = withN.filter(queryPred)
@@ -588,7 +634,9 @@ object Similarity {
 
   /** n13: IVF-probe + exact integer re-rank for the n03 query set. */
   def n13IvfRerank(spark: SparkSession, dir: String): DataFrame =
-    annIvfRerank(embeddings(spark, dir), col("vec_id") < 25, k = 5)
+    annIvfRerank(embeddings(spark, dir), col("vec_id") < 25, k = 5,
+      preQ = Some(embeddingsQ(spark, dir)),
+      preCents = Some(cachedCentsQ(spark, dir, 16, 4)))
       .orderBy("query_id", "rnk")
 
   /**
@@ -605,9 +653,12 @@ object Similarity {
    * dot on the 1e-6 grid over unit vectors, so cos = dot/1e12 with
    * no cross-engine FP in the ranking.
    */
-  def kmeansClusters(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val withN = quantized(emb).localCheckpoint(true)
-    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), k, iters)
+  def kmeansClusters(emb: DataFrame, k: Int, iters: Int,
+      preQ: Option[DataFrame] = None,
+      preCents: Option[Array[Array[Long]]] = None): DataFrame = {
+    val withN = preQ.getOrElse(quantized(emb).localCheckpoint(true))
+    val cents = preCents.getOrElse(
+      ivfCentroidsQ(withN.select("vec_id", "q"), k, iters))
     val dotUdf = udf((q: Seq[Long], cid: Int) => {
       val cent = cents(cid)
       var s = 0L; var d = 0
@@ -628,7 +679,9 @@ object Similarity {
     * embeddings — the full clustering artifact, hash-oracled via the
     * shared unrolled-Lloyd CTEs. */
   def n11Kmeans(spark: SparkSession, dir: String): DataFrame =
-    kmeansClusters(embeddings(spark, dir), k = 8, iters = 4).orderBy("vec_id")
+    kmeansClusters(embeddings(spark, dir), k = 8, iters = 4,
+      preQ = Some(embeddingsQ(spark, dir)),
+      preCents = Some(cachedCentsQ(spark, dir, 8, 4))).orderBy("vec_id")
 
   /**
    * n14: SIMPLIFIED SILHOUETTE per cluster — the k-selection /
@@ -646,10 +699,13 @@ object Similarity {
    * partition-exact. One broadcast-argmax projection over the corpus
    * + one map-side-combined k-row aggregate.
    */
-  def silhouette(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def silhouette(emb: DataFrame, k: Int, iters: Int,
+      preQ: Option[DataFrame] = None,
+      preCents: Option[Array[Array[Long]]] = None): DataFrame = {
     require(k >= 2, s"silhouette: need at least 2 clusters, got $k")
-    val withN = quantized(emb).localCheckpoint(true)
-    val cents = ivfCentroidsQ(withN.select("vec_id", "q"), k, iters)
+    val withN = preQ.getOrElse(quantized(emb).localCheckpoint(true))
+    val cents = preCents.getOrElse(
+      ivfCentroidsQ(withN.select("vec_id", "q"), k, iters))
     // (best cid, best dot, second-best dot) in one pass; ties mirror
     // the oracle's (dot DESC, cid ASC) rank — first equal dot wins
     // best, the later equal dot becomes rank 2
@@ -687,7 +743,9 @@ object Similarity {
 
   /** n14: silhouette table for n11's 8-cluster codebook. */
   def n14Silhouette(spark: SparkSession, dir: String): DataFrame =
-    silhouette(embeddings(spark, dir), k = 8, iters = 4)
+    silhouette(embeddings(spark, dir), k = 8, iters = 4,
+      preQ = Some(embeddingsQ(spark, dir)),
+      preCents = Some(cachedCentsQ(spark, dir, 8, 4)))
 
   /** n03: IVF-flat ANN — the brief's "IVF variant as the scale path"
     * alongside n02's LSH. The fixed-point codebook (ivfCentroidsQ)
@@ -695,7 +753,9 @@ object Similarity {
     * re-rank — deterministic and DuckDB-replayable, so n03 carries a
     * full hash oracle (plus the recall spec vs n01). */
   def n03AnnIvf(spark: SparkSession, dir: String): DataFrame =
-    annIvf(embeddings(spark, dir), col("vec_id") < 25, k = 5)
+    annIvf(embeddings(spark, dir), col("vec_id") < 25, k = 5,
+      preQ = Some(embeddingsQ(spark, dir)),
+      preCents = Some(cachedCentsQ(spark, dir, 16, 4)))
       .orderBy("query_id", "rnk")
 
   // --------------------------------------------------------- n06 IVF-PQ
@@ -795,11 +855,13 @@ object Similarity {
   def annIvfPq(emb: DataFrame, queryPred: Column, k: Int,
       lists: Int = 16, nprobe: Int = 4, coarseIters: Int = 2,
       m: Int = 8, codewords: Int = 16, pqIters: Int = 2,
-      shortlist: Int = 20, dims: Int = 64): DataFrame = {
+      shortlist: Int = 20, dims: Int = 64,
+      preQ: Option[DataFrame] = None,
+      preCoarse: Option[Array[Array[Long]]] = None): DataFrame = {
     val dsub = dims / m
-    val withN = quantized(emb).localCheckpoint(true)
+    val withN = preQ.getOrElse(quantized(emb).localCheckpoint(true))
     val unitQ = withN.select("vec_id", "q")
-    val coarse = ivfCentroidsQ(unitQ, lists, coarseIters)
+    val coarse = preCoarse.getOrElse(ivfCentroidsQ(unitQ, lists, coarseIters))
     val books = pqCodebooks(unitQ, m, dsub, codewords, pqIters)
     val corpus = withN
       .withColumn("cid", nearestListUdf(coarse)(col("q")))
@@ -826,7 +888,9 @@ object Similarity {
   /** n06: IVF-PQ over the embeddings corpus, same query set as
     * n01/n02/n03 so recall is directly comparable. */
   def n06AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
-    annIvfPq(embeddings(spark, dir), col("vec_id") < 25, k = 5)
+    annIvfPq(embeddings(spark, dir), col("vec_id") < 25, k = 5,
+      preQ = Some(embeddingsQ(spark, dir)),
+      preCoarse = Some(cachedCentsQ(spark, dir, 16, 2)))
       .orderBy("query_id", "rnk")
 
   // -------------------------------------------------------- d10 SemDeDup
