@@ -413,6 +413,28 @@ object Graph {
       adjArrays(coOrderEdges(spark, dir)).localCheckpoint(true)
     }
 
+  private val coOrderWedgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Shared wedge-score artifact of the link-prediction working set
+    * (r21): g04 (jaccard) and g11 (Adamic–Adar) aggregate the SAME
+    * wedge rows over the same adjacency and target set and anti-join
+    * the same existing-edge table — only the final scoring column
+    * differs. One (a, b, common, aa) non-edge pair table now serves
+    * both (the g02/g08 producer/consumer pattern); it is |targets|-
+    * bounded, deterministic (integer count; the double aa sum's
+    * ordering ULPs are absorbed by g11's 4-dp round exactly as
+    * before), and billed to whichever op builds it first. */
+  private[graft] def coOrderWedgeScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(coOrderWedgeCache, spark, dir + "|wedge500") {
+      val und = coOrderEdges(spark, dir)
+      val scored = wedgeRows(coOrderAdjArrays(spark, dir), col("a") < 500)
+        .groupBy("a", "b").agg(count(lit(1)).as("common"),
+          sum(lit(1.0) / log(col("dx"))).as("aa"))
+      val und2 = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+      scored.join(und2, Seq("a", "b"), "left_anti").localCheckpoint(true)
+    }
+
   /** Exact (or hub-capped) triangle participation counts of the
     * co-order graph — a producer/consumer artifact: g02 (the top-k
     * report) is the PRODUCER and always rebuilds it (its measurement
@@ -741,11 +763,20 @@ object Graph {
 
   /** g04: top-20 predicted new co-order links for the low-id part
     * working set (the batch a recommender scores). */
-  def g04LinkPredict(spark: SparkSession, dir: String): DataFrame =
-    linkPredictArr(coOrderEdges(spark, dir),
-      coOrderAdjArrays(spark, dir), col("a") < 500)
+  def g04LinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    // scores from the shared wedge artifact (coOrderWedgeScores) —
+    // the same expressions linkPredictArr builds inline
+    val deg = coOrderAdjArrays(spark, dir)
+      .select(col("x"), size(col("ns")).cast("long").as("deg"))
+    coOrderWedgeScores(spark, dir)
+      .join(deg.select(col("x").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common") / (col("da") + col("db") - col("common")), 4)
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(20)
+  }
 
   /**
    * Adamic–Adar link prediction — g04's common-neighbor count with
@@ -779,8 +810,11 @@ object Graph {
 
   /** g11: top-20 Adamic–Adar predictions for the g04 working set. */
   def g11AdamicAdar(spark: SparkSession, dir: String): DataFrame =
-    adamicAdarArr(coOrderEdges(spark, dir),
-      coOrderAdjArrays(spark, dir), col("a") < 500)
+    // scores from the shared wedge artifact (coOrderWedgeScores) —
+    // the same expressions adamicAdarArr builds inline
+    coOrderWedgeScores(spark, dir)
+      .select(col("a"), col("b"), col("common"),
+        round(col("aa"), 4).as("adamic_adar"))
       .orderBy(col("adamic_adar").desc, col("a"), col("b"))
       .limit(20)
 
