@@ -471,6 +471,42 @@ object Bench {
               SparkEntry.queries(name)(spark, bigDir)
                 .write.format("noop").mode("overwrite").save())
           }
+        // rank-op family (r22; r20 verdict item 3 / r21 item 7):
+        // a46/a49 10x points over a DISJOINT-VALUE cohort replica —
+        // each replica offsets id and every measured value by a
+        // replica constant (values are bounded, offsets exceed the
+        // bound), so within-replica rank structure is preserved
+        // exactly while the value sets — and therefore the tie
+        // tables, the range-partitioned prefix scan and the rank
+        // join, the machinery whose scaling is under test — grow
+        // 10x. A plain row replica would keep the tie-table SIZE
+        // constant and only scale the counts, which is not the
+        // continuous-trait shape. The 1x point is the declared op on
+        // the sweep's cohort; the 10x body bills the (cheap,
+        // projection-only) replica derivation to itself.
+        val rankPairs = if (!famOn("a46") && !famOn("a49")) Seq.empty else {
+          val coh = graft.operators.Mas.cohort(spark, sfDir)
+          val r10 = explode(array((0 until 10).map(lit): _*)).as("r")
+          val coh10 = coh.select(col("id"), col("xbin"), col("x"),
+              col("y_avg"), col("y_max"), col("y_cnt"), r10)
+            .select((col("id") + col("r").cast("long") * 10000000L).as("id"),
+              col("xbin"),
+              (col("x") + col("r") * lit(100000.0)).as("x"),
+              (col("y_avg") + col("r") * lit(10000000.0)).as("y_avg"),
+              (col("y_max") + col("r") * lit(10000000.0)).as("y_max"),
+              (col("y_cnt") + col("r") * lit(1000.0)).as("y_cnt"))
+          Seq(
+            if (!famOn("a46")) None else corpusEntry("a46_mann_whitney",
+              run("a46_mann_whitney"),
+              graft.operators.Mas.mannWhitney(coh10, "xbin",
+                  Seq("y_avg", "y_max", "y_cnt"))
+                .write.format("noop").mode("overwrite").save()),
+            if (!famOn("a49")) None else corpusEntry("a49_spearman",
+              run("a49_spearman"),
+              graft.operators.Mas.spearman(coh10,
+                  Seq("x", "y_avg", "y_cnt", "y_max"))
+                .write.format("noop").mode("overwrite").save())).flatten
+        }
         // graph family: both points read precomputed edge parquet (see
         // scale10xDir) — g02's Σoutdeg² wedge volume and g01's
         // per-iteration shuffle both scale 10x under disjoint union, so
@@ -534,7 +570,8 @@ object Bench {
                 .map { case (t, ld) => (masTime._4.map(_._1).min, t, ld) })).flatten
           }
         ((s""""docs":[$docsBase,${docsBase * 10}]""" +:
-          corpusPairs) ++ gatePairs ++ contPairs ++ graphPairs ++ t13.toSeq ++ masPairs).mkString(",")
+          corpusPairs) ++ gatePairs ++ contPairs ++ rankPairs ++ graphPairs ++
+          t13.toSeq ++ masPairs).mkString(",")
       }
     val masHeads = if (onlyNames.isDefined || (slopeOnly && !slopeMas)) Seq.empty else Seq(
       "mas_firth_5000x1800x5cov" -> masTime._1.map(_._1).min,
@@ -603,11 +640,42 @@ object Bench {
     val runCpus = sys.env.get("SPARK_GRAFT_CPUS")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+    // BUILD-COMMIT gate (r22, the r21 verdict's top item): an embed
+    // recorded BEFORE the newest src/main change is evidence for code
+    // that no longer runs — round 21 published a round-20 pin as its
+    // headline and reported itself exactly 1.00-flat. The embed's
+    // commit must NOT be a strict ancestor of the last commit touching
+    // src/main; when it is, the run refuses the embed and publishes
+    // live numbers. Unknown ancestry (shallow clone, foreign hash)
+    // stays permitted and publishes as provenance, same as the
+    // pre-existing commit-mismatch behavior.
+    def gitOut(args: String*): Option[String] = try {
+      val proc = new ProcessBuilder(("git" +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8").mkString.trim
+      if (proc.waitFor() == 0) Some(out) else None
+    } catch { case _: Throwable => None }
+    val lastSrcCommit = gitOut("log", "-1", "--format=%h", "--", "src/main")
+      .filter(_.matches("[0-9a-f]{4,40}"))
+    val embedPredatesBuild: Option[String] = for {
+      e <- embedCommit
+      s <- lastSrcCommit
+      // strict ancestor: same-commit embeds (embed + code in one
+      // commit) are fresh; only a true predate refuses
+      if !gitOut("rev-parse", e).exists(full =>
+        gitOut("rev-parse", s).contains(full))
+      if { // merge-base --is-ancestor exits 0 iff e is an ancestor of s
+        try new ProcessBuilder("git", "merge-base", "--is-ancestor", e, s)
+          .start().waitFor() == 0
+        catch { case _: Throwable => false }
+      }
+    } yield s"embed commit $e predates last src/main change $s"
     val embedStale: Option[String] =
       embedReg.filter(_ != registrySize)
         .map(r => s"registry $r != build $registrySize")
         .orElse(if (runCpus != embedCpus)
           Some(s"embed cpus $embedCpus != run cpus $runCpus") else None)
+        .orElse(embedPredatesBuild)
     val embedOk = embedNode.isDefined && embedStale.isEmpty
     // runs AFTER the headline reps (it reuses their min as point 1);
     // skipped entirely when the adjudicated embed supplies the table
@@ -671,7 +739,11 @@ object Bench {
           s""""embed_commit":"$e","build_commit":"$b","""
         case _ => ""
       }
-      s"""$stale$commits"registry_size":$registrySize,"""
+      // "cpus": the core count this run measured at — the field the
+      // embed producer (make_slope_embed.py) copies forward so the
+      // cpu-staleness gate can never be fooled by a missing field
+      // (r21 advice item 1: the gate was reader-only)
+      s"""$stale$commits"cpus":$runCpus,"registry_size":$registrySize,"""
     }
     val scaleJson = embedSlope match {
       case Some(obj) =>

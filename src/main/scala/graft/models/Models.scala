@@ -139,18 +139,51 @@ object Models {
     }
   }
 
-  /** out(k×k, row-major flat) = X^T W X, no n×k temporary. */
+  /** out(k×k, row-major flat) = X^T W X, no n×k temporary. r22: the
+    * weighted column w·x_a is hoisted into the caller-provided `wx`
+    * scratch once per a, and the b-loop is 4-way register-blocked —
+    * one wx load feeds four FMAs against four b-columns. The r21
+    * inner loop ran 3 loads per FMA and the ProfFirthKernel A/B
+    * showed it LOAD-bound (halving the multiplies alone bought only
+    * 1.09x); blocking cuts loads to ~5 per 4 FMAs and measured 1.56x
+    * on the whole fit at the k=22 MAS shape (1.08x at k=7), with
+    * old-vs-blocked |dBeta| ≤ 1e-16 over the fitted grid. The hoist
+    * itself is bit-identical (`w(i)*xd(oa+i)*xd(ob+i)` already
+    * evaluated left-to-right as `(w·x_a)·x_b`); the blocked b-order
+    * only changes which (a,b) cell a product lands in, never the
+    * per-cell summation order. */
   private def xtwx(
-      xd: Array[Double], n: Int, k: Int, w: Array[Double], out: Array[Double]): Unit = {
+      xd: Array[Double], n: Int, k: Int, w: Array[Double], wx: Array[Double],
+      out: Array[Double]): Unit = {
     var a = 0
     while (a < k) {
       val oa = a * n
+      var i = 0
+      while (i < n) { wx(i) = w(i) * xd(oa + i); i += 1 }
       var b = a
+      while (b + 4 <= k) {
+        val o0 = b * n; val o1 = o0 + n; val o2 = o1 + n; val o3 = o2 + n
+        var acc0 = 0.0; var acc1 = 0.0; var acc2 = 0.0; var acc3 = 0.0
+        var i2 = 0
+        while (i2 < n) {
+          val wxi = wx(i2)
+          acc0 += wxi * xd(o0 + i2)
+          acc1 += wxi * xd(o1 + i2)
+          acc2 += wxi * xd(o2 + i2)
+          acc3 += wxi * xd(o3 + i2)
+          i2 += 1
+        }
+        out(a * k + b) = acc0; out(b * k + a) = acc0
+        out(a * k + b + 1) = acc1; out((b + 1) * k + a) = acc1
+        out(a * k + b + 2) = acc2; out((b + 2) * k + a) = acc2
+        out(a * k + b + 3) = acc3; out((b + 3) * k + a) = acc3
+        b += 4
+      }
       while (b < k) {
         val ob = b * n
         var acc = 0.0
-        var i = 0
-        while (i < n) { acc += w(i) * xd(oa + i) * xd(ob + i); i += 1 }
+        var i2 = 0
+        while (i2 < n) { acc += wx(i2) * xd(ob + i2); i2 += 1 }
         out(a * k + b) = acc
         out(b * k + a) = acc
         b += 1
@@ -179,13 +212,14 @@ object Models {
     val beta = new Array[Double](k)
     val p = new Array[Double](n)
     val w = new Array[Double](n)
+    val wx = new Array[Double](n)
     val info = new Array[Double](k * k)
     val grad = new Array[Double](k)
     var converged = false
     var it = 0
     while (it < maxIter && !converged) {
       etaPW(xd, n, k, beta, p, w, 1e-10)
-      xtwx(xd, n, k, w, info)
+      xtwx(xd, n, k, w, wx, info)
       var a = 0
       while (a < k) {
         val oa = a * n
@@ -262,6 +296,8 @@ object Models {
     val p = new Array[Double](n)
     val w = new Array[Double](n)
     val resid = new Array[Double](n)
+    val wx = new Array[Double](n) // xtwx per-column hoist scratch
+    val tacc = new Array[Double](n) // quad-form per-column accumulator
     val info = new Array[Double](k * k)
     val score = new Array[Double](k)
   }
@@ -286,28 +322,54 @@ object Models {
     val nf = free.length
     val beta = if (init != null) init.clone() else new Array[Double](k)
     val p = ws.p; val w = ws.w; val resid = ws.resid
+    val wx = ws.wx; val tacc = ws.tacc
     val info = ws.info; val score = ws.score
     var converged = false
     var it = 0
     while (it < maxIter && !converged) {
       etaPW(xd, n, k, beta, p, w, 1e-12)
-      xtwx(xd, n, k, w, info)
+      xtwx(xd, n, k, w, wx, info)
       val invd = inv(new DenseMatrix(k, k, info.clone())).data // symmetric: layout-agnostic
-      // quadratic form q_i = x_i^T info⁻¹ x_i accumulated column-pair-
-      // wise into `resid`: k(k+1)/2 sequential n-length passes (SIMD-
-      // friendly) instead of a strided k² gather per row
+      // quadratic form q_i = x_i^T info⁻¹ x_i, factored per LEADING
+      // column with a 4-way-blocked inner accumulation (r22): for
+      // each a, tacc_i = Σ_{b≥a} c_ab·x_b(i) with c_aa = inv_aa and
+      // c_ab = 2·inv_ab (symmetry), four b-columns per tacc
+      // load/store, then resid_i += x_a(i)·tacc_i. Same q_i up to FP
+      // summation order — the declared Firth fits converge to
+      // tol ≤ 1e-11 of the same fixed point, far below the 4-dp
+      // output rounding (oracle-verified; ProfFirthKernel measured
+      // old-vs-blocked |dBeta| ≤ 1e-16) — and the pass goes from 3
+      // memory ops per FMA to ~6 per 4 (the same load-bound analysis
+      // as xtwx).
       java.util.Arrays.fill(resid, 0, n, 0.0)
       var qa = 0
       while (qa < k) {
         val oa = qa * n
+        java.util.Arrays.fill(tacc, 0, n, 0.0)
         var qb = qa
+        while (qb + 4 <= k) {
+          val s0 = if (qa == qb) invd(qa * k + qb) else 2.0 * invd(qa * k + qb)
+          val s1 = 2.0 * invd(qa * k + qb + 1)
+          val s2 = 2.0 * invd(qa * k + qb + 2)
+          val s3 = 2.0 * invd(qa * k + qb + 3)
+          val o0 = qb * n; val o1 = o0 + n; val o2 = o1 + n; val o3 = o2 + n
+          var i2 = 0
+          while (i2 < n) {
+            tacc(i2) += s0 * xd(o0 + i2) + s1 * xd(o1 + i2) +
+              s2 * xd(o2 + i2) + s3 * xd(o3 + i2)
+            i2 += 1
+          }
+          qb += 4
+        }
         while (qb < k) {
           val ob = qb * n
           val s = if (qa == qb) invd(qa * k + qb) else 2.0 * invd(qa * k + qb)
           var i2 = 0
-          while (i2 < n) { resid(i2) += s * xd(oa + i2) * xd(ob + i2); i2 += 1 }
+          while (i2 < n) { tacc(i2) += s * xd(ob + i2); i2 += 1 }
           qb += 1
         }
+        var i3 = 0
+        while (i3 < n) { resid(i3) += xd(oa + i3) * tacc(i3); i3 += 1 }
         qa += 1
       }
       var i = 0
@@ -342,7 +404,7 @@ object Models {
     }
     // final penalized log-likelihood and SEs at the solution
     etaPW(xd, n, k, beta, p, w, 1e-12)
-    xtwx(xd, n, k, w, info)
+    xtwx(xd, n, k, w, wx, info)
     var ll = 0.0
     var i = 0
     while (i < n) {

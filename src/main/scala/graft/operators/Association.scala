@@ -134,13 +134,22 @@ object Association {
    * against 1.05 s per full regeneration and 0.35 s per warm cache
    * scan — the cache never pays for itself inside one fit. A plan
    * with any nondeterministic expression must persist regardless
-   * (recompute would change the data between iterations).
+   * (recompute would change the data between iterations) — and so
+   * must a plan with a round-robin `Repartition` (r21 advice): it has
+   * no nondeterministic EXPRESSION, but the row→partition assignment
+   * is not a function of the data, so re-scans could fold group rows
+   * in different orders between iterations; persisting freezes one
+   * layout, exactly what the former unconditional persist did.
    * `spark.graft.gram.persist` forces either way; default "auto"
    * applies this leaf test.
    */
   private def rescanHitsSource(df: DataFrame): Boolean = {
     val plan = df.queryExecution.optimizedPlan
-    val nondet = plan.find(p => p.expressions.exists(e => !e.deterministic)).isDefined
+    val nondet = plan.find(p => p.expressions.exists(e => !e.deterministic)).isDefined ||
+      plan.find {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r.shuffle
+        case _ => false
+      }.isDefined
     nondet || plan.collectLeaves().exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Range => false
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => false
@@ -1400,6 +1409,31 @@ object Association {
       // class the regime spec pins at 1e-8.
       val flatPlan = cached.select(
         (col("gkey") +: (0 until m).map(i => col(s"v$i"))): _*)
+      // r22 (r21 verdict item 5): the partition-buffer merge after
+      // each moment scan is a DRIVER-SIDE serial fold of ~32
+      // grid-sized arrays — the 8-vs-32-core gram scaling ratio
+      // (1.88x at 4x cores) fingered it as the path's weakest
+      // scaling point. `spark.graft.irls.treeFold=true` merges the
+      // buffers in a depth-2 treeAggregate round on the executors
+      // instead (driver receives ~sqrt(P) pre-merged buffers) — the
+      // re-test knob for the r21 rejection, measured at the 10x
+      // shape this time (ProfMas10x gramtree); the default stays
+      // the serial fold, which r21 measured faster at both shapes.
+      val treeFold = spark.conf
+        .get("spark.graft.irls.treeFold", "false").toBoolean
+      def foldBufs(rdd: org.apache.spark.rdd.RDD[Array[Double]],
+          size: Int): Array[Double] = {
+        def add(a: Array[Double], b: Array[Double]): Array[Double] = {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }
+        // fold/treeAggregate both seed a fresh zero per task, so a
+        // zero-partition plan (empty melted input) still returns the
+        // all-zero buffer instead of throwing
+        if (treeFold) rdd.treeAggregate(new Array[Double](size))(add, add, depth = 2)
+        else rdd.fold(new Array[Double](size))(add)
+      }
       var firstPass = true
       var act = sts.filter(_.alive)
       while (act.nonEmpty) {
@@ -1436,7 +1470,7 @@ object Association {
           val nBufL = nBuf
           val nSL = nS
           val nTL = nT
-          val totals = flatPlan.queryExecution.toRdd.mapPartitions { it =>
+          val bufRdd = flatPlan.queryExecution.toRdd.mapPartitions { it =>
             val (idx, bs) = bcIdx.value
             val buf = new Array[Double](nAct * nBufL)
             val x = new Array[Double](mm)
@@ -1492,13 +1526,8 @@ object Association {
               }
             }
             Iterator.single(buf)
-          }.fold(new Array[Double](nAct * nBufL)) { (a, b) =>
-            // fold, not reduce: a zero-partition plan (empty melted
-            // input) returns the all-zero buffer instead of throwing
-            var i = 0
-            while (i < a.length) { a(i) += b(i); i += 1 }
-            a
           }
+          val totals = foldBufs(bufRdd, nAct * nBufL)
           bcIdx.destroy()
           act.zipWithIndex.foreach { case (st, i) =>
             val off = i * nBuf

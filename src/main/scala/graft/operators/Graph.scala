@@ -415,6 +415,11 @@ object Graph {
 
   private val coOrderWedgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** The g04/g11 link-prediction working set: wedge sources below this
+    * vertex id. ONE constant, and the artifact's cache key derives
+    * from it (r21 advice: a hardcoded "wedge500" key would silently
+    * serve stale-shaped scores if one op's working set ever moved). */
+  private[graft] val WedgeTargetMaxId = 500
   /** Shared wedge-score artifact of the link-prediction working set
     * (r21): g04 (jaccard) and g11 (Adamic–Adar) aggregate the SAME
     * wedge rows over the same adjacency and target set and anti-join
@@ -425,9 +430,9 @@ object Graph {
     * ordering ULPs are absorbed by g11's 4-dp round exactly as
     * before), and billed to whichever op builds it first. */
   private[graft] def coOrderWedgeScores(spark: SparkSession, dir: String): DataFrame =
-    Tables.sessionCached(coOrderWedgeCache, spark, dir + "|wedge500") {
+    Tables.sessionCached(coOrderWedgeCache, spark, dir + "|wedge" + WedgeTargetMaxId) {
       val und = coOrderEdges(spark, dir)
-      val scored = wedgeRows(coOrderAdjArrays(spark, dir), col("a") < 500)
+      val scored = wedgeRows(coOrderAdjArrays(spark, dir), col("a") < WedgeTargetMaxId)
         .groupBy("a", "b").agg(count(lit(1)).as("common"),
           sum(lit(1.0) / log(col("dx"))).as("aa"))
       val und2 = und.select(col("u").as("a"), col("v").as("b"))

@@ -134,4 +134,75 @@ class ModelsSpec extends AnyFunSuite {
     assert(near(reference.se, viaCentered.se, 1e-8 * reference.se))
     assert(near(reference.pval, viaCentered.pval, 1e-8))
   }
+  test("firth at k >= 6 (r22 register-blocked kernel path) matches an idiomatic breeze reference") {
+    // The 4-way-blocked xtwx / quadratic-form loops only engage at
+    // k >= 5 columns; the k=2 Haldane pin above never reaches them.
+    // Reference: the SAME penalized IRLS (logistf rules: maxstep 5,
+    // gtol/xtol 1e-5, hat diagonal from the full-design information)
+    // written directly in breeze — independent of the flat-array
+    // kernel's loop structure entirely.
+    val rng = new scala.util.Random(23)
+    val n = 400
+    val covs = 4 // k = covs + 2 = 6: one 4-block plus a 2-wide remainder
+    val x = DenseMatrix.tabulate(n, covs + 1)((i, j) =>
+      if (j == 0) rng.nextGaussian() else rng.nextDouble())
+    val yv = DenseVector.tabulate(n) { i =>
+      val eta = 0.9 * x(i, 0) - 1.2
+      if (rng.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+    }
+    def fitRef(fixZero: Int, init: DenseVector[Double]): (DenseVector[Double], Double) = {
+      val xi = Models.withIntercept(x)
+      val k = xi.cols
+      val free = (0 until k).filter(_ != fixZero).toIndexedSeq
+      var beta = init.copy
+      var it = 0
+      var converged = false
+      while (it < 25 && !converged) {
+        val eta = xi * beta
+        val p = breeze.numerics.sigmoid(eta)
+        val w = (p *:* (1.0 - p)).map(v => math.max(v, 1e-12))
+        val xw = xi(::, breeze.linalg.*) *:* w
+        val info = xi.t * xw
+        val infoInv = breeze.linalg.inv(info)
+        val h = DenseVector.tabulate(n) { i =>
+          val row = xi(i, ::).t
+          w(i) * (row dot (infoInv * row))
+        }
+        val resid = yv - p + (h *:* (DenseVector.fill(n)(0.5) - p))
+        val score = xi.t * resid
+        val scoreF = DenseVector(free.map(score(_)).toArray)
+        val infoF = DenseMatrix.tabulate(free.size, free.size)((a, b) =>
+          info(free(a), free(b)))
+        val deltaF = infoF \ scoreF
+        val mx = breeze.linalg.max(breeze.numerics.abs(deltaF))
+        val scale = if (mx > 5.0) 5.0 / mx else 1.0
+        free.zipWithIndex.foreach { case (f, j) => beta(f) += scale * deltaF(j) }
+        if (mx * scale < 1e-5 && breeze.linalg.max(breeze.numerics.abs(scoreF)) < 1e-5)
+          converged = true
+        it += 1
+      }
+      val eta = xi * beta
+      val p = breeze.numerics.sigmoid(eta)
+      val pc = p.map(v => math.min(math.max(v, 1e-15), 1 - 1e-15))
+      val ll = breeze.linalg.sum(
+        (yv *:* breeze.numerics.log(pc)) +
+          ((DenseVector.fill(n)(1.0) - yv) *:* breeze.numerics.log(pc.map(v => 1.0 - v))))
+      val w = (p *:* (1.0 - p)).map(v => math.max(v, 1e-12))
+      val xw = xi(::, breeze.linalg.*) *:* w
+      val info = xi.t * xw
+      val l = breeze.linalg.cholesky(info)
+      val pll = ll + (0 until info.rows).map(i => math.log(l(i, i))).sum
+      (beta, pll)
+    }
+    val k = covs + 2
+    val (bFull, pllFull) = fitRef(-1, DenseVector.zeros[Double](k))
+    val warm = bFull.copy; warm(0) = 0.0
+    val (_, pllNull) = fitRef(0, warm)
+    val statRef = 2.0 * (pllFull - pllNull)
+    val pRef = graft.functions.Numerics.chi2Sf(math.max(statRef, 0.0), 1.0)
+    val r = Models.firth(x, yv)
+    assert(near(r.beta, bFull(0), 1e-6), s"beta ${r.beta} vs ${bFull(0)}")
+    assert(near(r.pval, pRef, 1e-6), s"pval ${r.pval} vs $pRef")
+    assert(r.converged)
+  }
 }

@@ -99,6 +99,14 @@ def main() -> None:
         # the embed when registry_size disagrees with its own build, and
         # publishes both commits so staleness is machine-checkable
         "registry_size": registry,
+        # core count the base run measured at (r21 advice: the Bench
+        # cpu-staleness gate is reader-side; the producer must emit the
+        # field or a non-32-core pin would silently read as 32-core).
+        # Bench emits "cpus" since r22; refuse to build an embed from a
+        # log that lacks it rather than bake in the legacy default.
+        "cpus": base.get("cpus") if base.get("cpus") is not None else sys.exit(
+            "base log has no 'cpus' field - re-run Bench (r22+) so the "
+            "embed records its core count; refusing to default to 32"),
         "commit": commit,
         "slope_stamp": base.get("slope_stamp"),
         "load_gate": base.get("load_gate"),
